@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for the driver entry points
+  * (Verify/Bench) and the test suites, so correctness-relevant settings
+  * live in exactly one place.
+  */
+object Sessions {
+
+  /** Builder with the engine's required configs applied.
+    *
+    * - shuffle.partitions sized to the local core count (not 200).
+    * - UTC session time zone for oracle (DuckDB) parity.
+    * - ANSI off: the engine relies on wraparound 64-bit arithmetic
+    *   (minhash permutations) and hobbes-style lenient cell coercion.
+    * - nanosAsLong: the driver-generated `events` table stores
+    *   TIMESTAMP(NANOS) which Spark's vectorized reader otherwise
+    *   rejects; tables.scala rescales to microseconds on load.
+    */
+  def builder(master: String, cores: String): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(): SparkSession = {
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Gate.t
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (language-ID, quality scoring, token
+  * counting, fingerprinting, exact dedup). All are pure codegen'd
+  * expression pipelines: no UDFs, no shuffles except the dedup groupBy.
+  */
+object TextGates {
+
+  // Shared normalizer: collapse whitespace runs to single spaces.
+  // (DuckDB regexp_replace needs the 'g' flag for replace-all parity.)
+  private def normText = regexp_replace(col("text"), "\\s+", " ")
+  private val normSql = "regexp_replace(text, '\\s+', ' ', 'g')"
+
+  val gates: Seq[Gate] = Seq(
+
+    // Token counting: whitespace tokens + a BPE-ish subword proxy
+    // (runs of letters / digits / single punctuation, the GPT-2 pre-token
+    // shape) — both as pure regexp counts.
+    Gate("t_token_count",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+            .as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+            .as("n_subword_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_ws_tokens,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_subword_tokens,
+             |  n_chars
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Quality scoring: length, punctuation and stopword ratios folded into
+    // a single bounded score. All-double arithmetic (deterministic bits).
+    Gate("t_quality_score", (s, d) => {
+      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
+      val nStop = size(regexp_extract_all(lower(col("text")),
+        lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+      val avgTokLen =
+        length(regexp_replace(col("text"), "\\s+", "")) * lit(1.0) / (nTok + lit(1))
+      val punctRatio = nPunct * lit(1.0) / (nTok + lit(1))
+      val stopRatio = nStop * lit(1.0) / (nTok + lit(1))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          nTok.as("n_tokens"),
+          punctRatio.as("punct_ratio"),
+          stopRatio.as("stop_ratio"),
+          avgTokLen.as("avg_tok_len"),
+          (least(nTok * lit(1.0) / lit(100.0), lit(1.0)) *
+            (lit(1.0) - least(punctRatio, lit(1.0))) *
+            (lit(0.5) + least(stopRatio, lit(0.5)))).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, n_tokens, punct_ratio, stop_ratio, avg_tok_len,
+             |  LEAST(n_tokens * 1.0 / 100.0, 1.0)
+             |    * (1.0 - LEAST(punct_ratio, 1.0))
+             |    * (0.5 + LEAST(stop_ratio, 0.5)) AS quality
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+             |    len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+             |      / (len(regexp_extract_all(text, '\S+')) + 1) AS punct_ratio,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) * 1.0
+             |      / (len(regexp_extract_all(text, '\S+')) + 1) AS stop_ratio,
+             |    length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             |      / (len(regexp_extract_all(text, '\S+')) + 1) AS avg_tok_len
+             |  FROM documents)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Language ID: n-gram/stopword-marker heuristic with a deterministic
+    // argmax tie-break (en > de > fr > es).
+    Gate("t_langid", (s, d) => {
+      def hits(pat: String) =
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+      val en = hits("\\b(the|and|of|to|in|is)\\b")
+      val de = hits("\\b(der|die|das|und|ist|nicht)\\b")
+      val fr = hits("\\b(le|la|les|et|est|une)\\b")
+      val es = hits("\\b(el|los|las|y|es|una)\\b")
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(en >= de && en >= fr && en >= es, lit("en"))
+            .otherwise(when(de >= fr && de >= es, lit("de"))
+              .otherwise(when(fr >= es, lit("fr")).otherwise(lit("es"))))
+            .as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, lang,
+             |  CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+             |       ELSE CASE WHEN de >= fr AND de >= es THEN 'de'
+             |            ELSE CASE WHEN fr >= es THEN 'fr' ELSE 'es' END END END
+             |  AS lang_pred
+             |FROM (
+             |  SELECT doc_id, lang,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+             |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+             |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS es
+             |  FROM documents)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Document fingerprinting: digest of the whitespace-normalized text
+    // (the content-defined identity used by the dedup family).
+    Gate("t_fingerprint",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(normText)).as("fingerprint"),
+          sha2(lower(normText), 256).as("fingerprint_sha256"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+             |  md5(lower($normSql)) AS fingerprint,
+             |  sha256(lower($normSql)) AS fingerprint_sha256
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
+    // shuffle on the digest, map-side combine does the heavy lifting at
+    // scale (100 TB: digest is 32 bytes/row regardless of doc size).
+    Gate("d_exact_dedup",
+      (s, d) => t(s, d, "documents")
+        .groupBy(md5(lower(normText)).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id")),
+      Some(s"""SELECT md5(lower($normSql)) AS fingerprint,
+             |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+             |FROM documents GROUP BY 1
+             |ORDER BY keep_id ASC NULLS FIRST""".stripMargin))
+  )
+}

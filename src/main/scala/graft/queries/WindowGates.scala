@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Gate.t
+import Det._
+
+/** Ordered / windowed computation gates — the time-series core of the
+  * reference (SURVEY §2.6: moving, expanding, linear regression,
+  * extrapolation, keys, ordinals).
+  *
+  * Scale note: hobbes's `moving`/`expanding` are whole-frame ordered
+  * windows. Here they are keyed by `user_id` (Window.partitionBy), which is
+  * the 100 TB-safe form — each user's series lives in one partition and no
+  * global single-partition window is needed. The whole-frame variant is
+  * what the `.hb` engine's exact mode emits (see graft.engine).
+  */
+object WindowGates {
+
+  private val dec6 = DecimalType(30, 6)
+
+  val gates: Seq[Gate] = Seq(
+
+    // W1 `moving <red> <window>` — trailing window of N points, missing
+    // for the first N-1 rows (snippets:182-189; Velocity.hb:30-31).
+    Gate("w1_moving_avg", (s, d) => {
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val frame = ord.rowsBetween(-6, 0)
+      t(s, d, "events")
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("mov_avg",
+          when(col("rn") >= 7,
+            sum(col("value").cast(dec6)).over(frame).cast(DoubleType) / lit(7)))
+        .select("event_id", "user_id", "value", "mov_avg")
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT event_id, user_id, value,
+             |  CASE WHEN ROW_NUMBER() OVER w >= 7 THEN
+             |    CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER
+             |      (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7
+             |  END AS mov_avg
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
+    // W2 `expanding <red>` — running reduction from start (snippets:190-197).
+    Gate("w2_expanding_sum", (s, d) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, d, "events")
+        .withColumn("running_sum",
+          sum(col("value").cast(dec6)).over(frame).cast(DoubleType))
+        .select("event_id", "user_id", "value", "running_sum")
+        .orderBy(col("event_id"))
+    },
+      Some("""SELECT event_id, user_id, value,
+             |  CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER
+             |    (PARTITION BY user_id ORDER BY ts, event_id
+             |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |  AS running_sum
+             |FROM events ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
+    // W3 `linear regression [x] [y]` (snippets:198-205). Slope/intercept
+    // from exact decimal sums — deterministic across engines, unlike the
+    // built-in regr_slope whose accumulation order varies.
+    Gate("w3_linear_regression", (s, d) => {
+      val x = col("event_id").cast(DoubleType)
+      val y = col("value")
+      val agg = t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x.cast(dec6)).cast(DoubleType).as("sx"),
+          sum(y.cast(dec6)).cast(DoubleType).as("sy"),
+          sum((x * y).cast(DecimalType(38, 12))).cast(DoubleType).as("sxy"),
+          sum((x * x).cast(DecimalType(38, 12))).cast(DoubleType).as("sxx"))
+      // round(…, 9): the unrounded doubles can differ between engines by
+      // 1-2 ulps (e.g. FMA contraction in the division-multiply chain);
+      // both Spark and DuckDB round ties away from zero, so 9 decimals is
+      // a stable meeting point.
+      agg.select(col("event_type"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n"), 9).as("intercept"))
+        .orderBy(col("event_type"))
+    },
+      Some("""SELECT event_type,
+             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
+             |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9) AS intercept
+             |FROM (
+             |  SELECT event_type, COUNT(*) AS n,
+             |    CAST(SUM(CAST(CAST(event_id AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(CAST(event_id AS DOUBLE) * value AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(CAST(event_id AS DOUBLE) * CAST(event_id AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+             |  FROM events GROUP BY event_type)
+             |ORDER BY event_type ASC NULLS FIRST""".stripMargin)),
+
+    // W4 `linear extrapolation` — fit on the last nTrain points, append
+    // nPredict predicted rows (snippets:206-213). The reference's version
+    // crashes its calculator (Metrics.fs:69-71); this one is the fix.
+    // Row-append of generated predictions isn't cleanly SQL-expressible →
+    // rows-only check; unit-tested in ExtrapolationSpec.
+    Gate("w4_extrapolation", (s, d) => {
+      val ev = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast(DoubleType).as("x"),
+          dsum(col("value")).as("y"))
+      val nTrain = 50
+      val nPredict = 10
+      val tail = ev.orderBy(col("x").desc).limit(nTrain)
+      val fit = tail.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec6)).cast(DoubleType).as("sx"),
+        sum(col("y").cast(dec6)).cast(DoubleType).as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 12)))
+          .cast(DoubleType).as("sxx"))
+        .select(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          col("sy"), col("sx"), col("n"))
+      val maxX = ev.agg(max(col("x"))).head().getDouble(0)
+      val preds = s.range(1, nPredict + 1).toDF("i")
+        .crossJoin(broadcast(fit))
+        .select((lit(maxX) + col("i")).as("x"),
+          (col("sy") / col("n") +
+            col("slope") * (lit(maxX) + col("i") - col("sx") / col("n")))
+            .as("y"),
+          lit(true).as("predicted"))
+      ev.withColumn("predicted", lit(false))
+        .select("x", "y", "predicted")
+        .unionByName(preds)
+        .orderBy(col("x"), col("y"))
+    }, None),
+
+    // W6 `ordinals` — row ordinal reification (hobbes.YAML-tmLanguage:10).
+    Gate("w6_ordinals", (s, d) => {
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("ordinal", row_number().over(w))
+        .select("ordinal", "event_id", "event_type")
+        .orderBy(col("ordinal"))
+    },
+      Some("""SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS ordinal,
+             |  event_id, event_type
+             |FROM events ORDER BY ordinal ASC NULLS FIRST""".stripMargin)),
+
+    // A7 `k-means (n) -> (reduction)` (snippets:93-100; reference uses
+    // Accord.MachineLearning). Spark MLlib KMeans over the numeric columns,
+    // fixed seed; cluster ids are not stable across implementations →
+    // rows-only check + KMeansSpec asserts cluster-size distribution.
+    Gate("a7_kmeans", (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.feature.VectorAssembler
+      val ev = t(s, d, "events")
+        .select(col("event_id"), col("user_id").cast(DoubleType).as("f1"),
+          col("value").as("f2"))
+      val assembled = new VectorAssembler()
+        .setInputCols(Array("f1", "f2")).setOutputCol("features")
+        .transform(ev)
+      val km = new KMeans().setK(4).setSeed(42L).setFeaturesCol("features")
+      km.fit(assembled).transform(assembled)
+        .groupBy(col("prediction"))
+        .agg(count(lit(1)).as("n"), davg(col("f2")).as("mean_value"))
+        .orderBy(col("prediction"))
+    }, None)
+  )
+}
