@@ -9,11 +9,12 @@ object SparkEntry {
     * training-data-pipeline extensions). */
   def gates: Seq[Gate] =
     CoreGates.gates ++ WindowGates.gates ++ TextGates.gates ++
-      SimilarityGates.gates
+      SimilarityGates.gates ++ HbGates.gates
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: a Velocity.hb-shaped program through the full parser +
+    * engine on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("a1_group_sum")(spark, "/root/testdata/sf0.001")
+    queries("hb_velocity")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

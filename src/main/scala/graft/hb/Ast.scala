@@ -1,0 +1,133 @@
+package graft.hb
+
+/** AST for the hobbes transformation DSL (SURVEY §2).
+  *
+  * Statement and expression inventory mirrors the reference surface exactly:
+  * statement syntax from tools/hobbes-vscode/.vscode/
+  * hobbes-autocomplete.code-snippets:3-213 and the seven corpus programs in
+  * tests/transformations/ .hb corpus; expression vocabulary from
+  * tools/hobbes-vscode/syntaxes/hobbes.YAML-tmLanguage:5-18.
+  */
+object Ast {
+
+  /** Reduction vocabulary (hobbes.YAML-tmLanguage:13-14). */
+  sealed abstract class Reduction(val name: String)
+  object Reduction {
+    case object Count extends Reduction("count")
+    case object Distinct extends Reduction("distinct")
+    case object Max extends Reduction("max")
+    case object Mean extends Reduction("mean")
+    case object Median extends Reduction("median")
+    case object Min extends Reduction("min")
+    case object StdDev extends Reduction("stddev")
+    case object Sum extends Reduction("sum")
+    case object Variance extends Reduction("variance")
+    val all: Seq[Reduction] =
+      Seq(Count, Distinct, Max, Mean, Median, Min, StdDev, Sum, Variance)
+    def byName(n: String): Option[Reduction] = all.find(_.name == n)
+  }
+
+  /** Date parts for `format date` (snippets:134-141, lowercased). */
+  sealed abstract class DatePart(val name: String)
+  object DatePart {
+    case object Date extends DatePart("date")
+    case object Day extends DatePart("day")
+    case object Week extends DatePart("week")
+    case object WeekDay extends DatePart("weekday")
+    case object Month extends DatePart("month")
+    case object Year extends DatePart("year")
+    val all: Seq[DatePart] = Seq(Date, Day, Week, WeekDay, Month, Year)
+    def byName(n: String): Option[DatePart] =
+      all.find(_.name == n.toLowerCase)
+  }
+
+  sealed trait Expr
+  /** Column reference — bare identifier or double-quoted name. */
+  case class ColRef(name: String) extends Expr
+  /** Single-quoted string literal. */
+  case class StrLit(v: String) extends Expr
+  case class NumLit(v: Double) extends Expr
+  /** `missing` — the null literal (snippets:174-181). */
+  case object MissingLit extends Expr
+  /** `keys` — row key reified (snippets:166-173; MTTR.hb:28). */
+  case object KeysExpr extends Expr
+  /** `ordinals` — row ordinal (hobbes.YAML-tmLanguage:10). */
+  case object OrdinalsExpr extends Expr
+
+  /** Binary ops: = != > < >= <= + - * / && || */
+  case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  case class Not(e: Expr) extends Expr
+  /** `if [b] {t} else {f}` (snippets:142-149), nestable (logic.hb:18). */
+  case class IfElse(cond: Expr, t: Expr, f: Expr) extends Expr
+  /** `int (e)` (snippets:150-157). */
+  case class IntCast(e: Expr) extends Expr
+  /** `contains <e> [v1; v2; …]` (tutorial/transformations.fsx:110-126). */
+  case class Contains(e: Expr, values: Seq[Expr]) extends Expr
+
+  /** `regex [e] /re/ [tok…]` — result is the concatenation of group
+    * captures and literal tokens (snippets:158-165; Velocity.hb:24). */
+  sealed trait RegexTok
+  case class GroupTok(n: Int) extends RegexTok
+  case class LitTok(s: String) extends RegexTok
+  case class RegexExtract(e: Expr, pattern: String, toks: Seq[RegexTok])
+      extends Expr
+
+  /** `format date <col> <part>` (snippets:134-141). */
+  case class FormatDate(e: Expr, part: DatePart) extends Expr
+
+  /** `moving <red> <n> [e]` — trailing window, missing prefix
+    * (snippets:182-189). */
+  case class Moving(red: Reduction, window: Int, e: Expr) extends Expr
+  /** `expanding <red> [e]` (snippets:190-197). */
+  case class Expanding(red: Reduction, e: Expr) extends Expr
+  /** `linear regression [x] [y]` (snippets:198-205). */
+  case class LinReg(x: Expr, y: Expr) extends Expr
+  /** Parser-internal: `linear extrapolation` in expression position;
+    * promoted to the LinearExtrapolation statement by parseStatement. */
+  private[hb] case class ExtrapExpr(known: Expr, nPred: Int, nTrain: Int)
+      extends Expr
+
+  sealed trait GroupReduction
+  case class RowsBy(red: Reduction) extends GroupReduction
+  case class MaxBy(e: Expr) extends GroupReduction
+  case class MinBy(e: Expr) extends GroupReduction
+
+  sealed trait Statement
+  case class CreateColumn(name: String, e: Expr) extends Statement
+  case class RenameColumn(from: String, to: String) extends Statement
+  case class SliceColumns(names: Seq[String]) extends Statement
+  case class Only(e: Expr) extends Statement
+  case object DenseRows extends Statement
+  case object DenseColumns extends Statement
+  case object NumericColumns extends Statement
+  case class IndexBy(e: Expr) extends Statement
+  case class SortByColumn(name: String) extends Statement
+  case class GroupBy(cols: Seq[String], red: GroupReduction) extends Statement
+  /** `pivot [rowE] [colE] -> red [valueE]` (Velocity.hb:28). */
+  case class Pivot(rowE: Expr, colE: Expr, red: Reduction, valueE: Expr)
+      extends Statement
+  case class Buckets(n: Int, red: Reduction) extends Statement
+  case class KMeansCluster(n: Int, red: Reduction) extends Statement
+  case class Each(red: Reduction) extends Statement
+  /** `create column X (linear extrapolation [known] nPredict nTrain)` is an
+    * expression in the reference grammar but appends rows — modeled as a
+    * statement here (SURVEY §7.4.7). */
+  case class LinearExtrapolation(name: String, known: Expr, nPredict: Int,
+      nTrain: Int) extends Statement
+  /** `!# … !#` literate block — retained for tooling, skipped by the
+    * engine (hobbes.YAML-tmLanguage:24-27). */
+  case class Comment(text: String) extends Statement
+
+  /** Parsed program: YAML-ish header properties + statement list.
+    * Header shape per tests/transformations/ .hb corpus: scalar keys, list values
+    * (`url:` with `- …` items) and one nested block (`meta:`). */
+  case class Header(
+      props: Map[String, String],
+      lists: Map[String, Seq[String]],
+      meta: Map[String, String])
+
+  case class Program(header: Header, statements: Seq[Statement]) {
+    def transformations: Seq[Statement] =
+      statements.filterNot(_.isInstanceOf[Comment])
+  }
+}

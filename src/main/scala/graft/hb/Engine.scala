@@ -1,0 +1,364 @@
+package graft.hb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Ast._
+
+/** The hobbes → Spark compiler.
+  *
+  * Every statement becomes a lazy `HbFrame => HbFrame`; a program is their
+  * fold-composition, exactly the closure-composition shape of the
+  * reference's interpreter (tools/visualizer/web/src/Server/Reader.fs:89-95)
+  * — but declared against Catalyst, so filter pushdown, column pruning and
+  * plan fusion happen for free where the reference re-materializes every
+  * stage through CouchDB (workers/calculator.worker/src/Program.fs:25-54).
+  *
+  * Index discipline (SURVEY §7.4.2): the hobbes row key
+  * (Parsing.AST.KeyType) is an engine-managed hidden column `__key`:
+  * ordinal at ingest, group value after `group by`/`pivot`, arbitrary
+  * expression after `index rows by`. "Joins are always done on the index"
+  * (hobbes-autocomplete.code-snippets:60-67) → Graft.join joins on it.
+  *
+  * Row-order discipline: `moving`/`expanding`/`ordinals` follow the
+  * *current row order* (Deedle semantics — programs `sort by` first,
+  * production transformations/Metrics.fs:56-61). Order is carried as a
+  * lazy sort specification, not a materialized column: stable sorts stack
+  * (`sort by` prepends itself to the previous spec) and windows order by
+  * the spec directly, so nothing forces an early global sort.
+  *
+  * Scale note: hobbes whole-frame ordered windows are inherently global —
+  * on a cluster they land in one partition. That is faithful to the
+  * reference (single-process Deedle) and correct at any size Spark can
+  * sort; the keyed variants (Window.partitionBy) used by the gate queries
+  * are the 100 TB path.
+  */
+object Engine {
+
+  val KEY = "__key"
+
+  case class HbFrame(df: DataFrame, order: Seq[Column]) {
+    def userCols: Seq[String] = df.columns.toSeq.filterNot(_ == KEY)
+    def numericCols: Seq[String] = df.schema.fields
+      .filter(f => f.name != KEY && f.dataType.isInstanceOf[NumericType])
+      .map(_.name).toSeq
+    /** Strip engine-internal columns for the outside world. */
+    def result: DataFrame = df.drop(KEY)
+  }
+
+  /** Ingest: ordinal row key, source order (SURVEY §1.1 — `KeyType.Create i`,
+    * tools/visualizer/cli/src/ODataProvider.fs:128-133).
+    * monotonically_increasing_id preserves (partition, offset) order without
+    * a global sort — the scale-safe ordinal. */
+  def fromSource(df: DataFrame): HbFrame = {
+    val keyed = df.withColumn(KEY, monotonically_increasing_id())
+    HbFrame(keyed, Seq(col(KEY).asc))
+  }
+
+  def run(program: Program, source: DataFrame): DataFrame =
+    program.transformations.foldLeft(fromSource(source)) {
+      (f, st) => applyStatement(f, st)
+    }.result
+
+  def runHb(text: String, source: DataFrame): DataFrame =
+    run(HbParser.parse(text), source)
+
+  // ------------------------------------------------------------ statements
+
+  def applyStatement(f: HbFrame, st: Statement): HbFrame = st match {
+    case Comment(_) => f
+
+    case CreateColumn(name, e) =>
+      f.copy(df = f.df.withColumn(name, compileExpr(e, f)))
+
+    case RenameColumn(from, to) =>
+      f.copy(df = f.df.withColumnRenamed(from, to))
+
+    case SliceColumns(names) =>
+      // tolerant of unknown names (snippets:27-34)
+      val keep = names.filter(f.df.columns.contains) :+ KEY
+      f.copy(df = f.df.select(keep.distinct.map(col): _*))
+
+    case Only(e) =>
+      f.copy(df = f.df.filter(compileExpr(e, f)))
+
+    case DenseRows =>
+      // "rows where most columns have a value" (snippets:44-51) — ≥50%
+      val cols = f.userCols
+      val nonNull = cols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+        .reduce(_ + _)
+      f.copy(df = f.df.filter(nonNull * 2 >= cols.length))
+
+    case DenseColumns =>
+      // two-pass: one tiny aggregate row to the driver decides the schema
+      val cols = f.userCols
+      val counts = f.df.select(
+        count(lit(1)).as("__n") +: cols.map(c => count(col(c)).as(c)): _*)
+        .head()
+      val total = counts.getLong(0)
+      val keep = cols.zipWithIndex
+        .filter { case (_, i) => counts.getLong(i + 1) * 2 >= total }
+        .map(_._1)
+      f.copy(df = f.df.select((keep :+ KEY).map(col): _*))
+
+    case NumericColumns =>
+      f.copy(df = f.df.select((f.numericCols :+ KEY).map(col): _*))
+
+    case IndexBy(e) =>
+      f.copy(df = f.df.withColumn(KEY, compileExpr(e, f)))
+
+    case SortByColumn(c) =>
+      // stable: new primary sort, previous spec as tie-break
+      f.copy(order = col(c).asc +: f.order)
+
+    case GroupBy(cols, RowsBy(red)) =>
+      // group cols become the key; remaining numeric columns are reduced
+      // (MTTR.hb:24-28: SprintNumber must be re-created from `keys`)
+      val nums = f.numericCols.filterNot(cols.contains)
+      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val keyCol = if (cols.size == 1) col(cols.head)
+        else struct(cols.map(col): _*)
+      val grouped = f.df.groupBy(keyCol.as(KEY))
+        .agg(aggs.head, aggs.tail: _*)
+      HbFrame(grouped, Seq(col(KEY).asc))
+
+    case GroupBy(cols, sel) =>
+      // maxby/minby keep the full extremal row (snippets:117-132;
+      // 1_General.fs:51-58 "keep the latest change of the work item")
+      val (e, desc) = sel match {
+        case MaxBy(x) => (x, true)
+        case MinBy(x) => (x, false)
+        case _ => throw new IllegalStateException
+      }
+      val ord = compileExpr(e, f)
+      val w = Window.partitionBy(cols.map(col): _*)
+        .orderBy((if (desc) ord.desc else ord.asc) +: f.order: _*)
+      val keyCol = if (cols.size == 1) col(cols.head)
+        else struct(cols.map(col): _*)
+      val picked = f.df
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+        .withColumn(KEY, keyCol)
+      HbFrame(picked, Seq(col(KEY).asc))
+
+    case Pivot(rowE, colE, red, valE) =>
+      val keyName = rowE match {
+        case ColRef(n) => n
+        case _ => "key"
+      }
+      // pivot reifies the row key as a column (cache sample shape
+      // `{Todo,Doing,Done,SprintNumber}`, tools/visualizer/cli/src/
+      // Program.fs:49 — Velocity.hb:29 sorts by it right after)
+      val pivoted = f.df
+        .withColumn(keyName, compileExpr(rowE, f))
+        .withColumn("__pcol", compileExpr(colE, f).cast(StringType))
+        .groupBy(col(keyName))
+        .pivot("__pcol")
+        .agg(reduce(red, compileExpr(valE, f)))
+        .withColumn(KEY, col(keyName))
+      HbFrame(pivoted, Seq(col(KEY).asc))
+
+    case Buckets(n, red) =>
+      val nums = f.numericCols
+      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val bucketed = f.df
+        .withColumn("__bucket", ntile(n).over(Window.orderBy(f.order: _*)))
+        .groupBy(col("__bucket").as(KEY))
+        .agg(aggs.head, aggs.tail: _*)
+      HbFrame(bucketed, Seq(col(KEY).asc))
+
+    case KMeansCluster(n, red) =>
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.feature.VectorAssembler
+      val nums = f.numericCols
+      val assembled = new VectorAssembler()
+        .setInputCols(nums.toArray).setOutputCol("__features")
+        .setHandleInvalid("skip")
+        .transform(f.df)
+      val model = new KMeans().setK(n).setSeed(42L)
+        .setFeaturesCol("__features").fit(assembled)
+      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val clustered = model.transform(assembled)
+        .groupBy(col("prediction").as(KEY))
+        .agg(aggs.head, aggs.tail: _*)
+      HbFrame(clustered, Seq(col(KEY).asc))
+
+    case Each(red) =>
+      // row-wise reduction across numeric cells (snippets:101-108)
+      val arr = array(f.numericCols.map(c => col(c).cast(DoubleType)): _*)
+      val out = f.df.withColumn(red.name, eachReduce(red, arr))
+        .select(col(red.name), col(KEY))
+      f.copy(df = out)
+
+    case LinearExtrapolation(name, known, nPred, nTrain) =>
+      extrapolate(f, name, known, nPred, nTrain)
+  }
+
+  // ------------------------------------------------------------ reductions
+
+  private def reduce(red: Reduction, c: Column): Column = red match {
+    case Reduction.Count => count(c)
+    case Reduction.Distinct => count_distinct(c)
+    case Reduction.Max => max(c)
+    case Reduction.Mean => avg(c)
+    case Reduction.Median => median(c)
+    case Reduction.Min => min(c)
+    case Reduction.StdDev => stddev_samp(c)
+    case Reduction.Sum => sum(c)
+    case Reduction.Variance => var_samp(c)
+  }
+
+  /** Row-wise (array) form of the reduction vocabulary. */
+  private def eachReduce(red: Reduction, arr0: Column): Column = {
+    val arr = filter(arr0, _.isNotNull)
+    val n = size(arr)
+    val sumE = aggregate(arr, lit(0.0), _ + _)
+    red match {
+      case Reduction.Count => n.cast(DoubleType)
+      case Reduction.Distinct => size(array_distinct(arr)).cast(DoubleType)
+      case Reduction.Max => array_max(arr)
+      case Reduction.Min => array_min(arr)
+      case Reduction.Sum => sumE
+      case Reduction.Mean => sumE / n
+      case Reduction.Median =>
+        val s = array_sort(arr)
+        when(n % 2 === 1, element_at(s, (n / 2) + 1))
+          .otherwise((element_at(s, n / 2) + element_at(s, n / 2 + 1)) / 2)
+      case Reduction.Variance =>
+        val mean = sumE / n
+        aggregate(arr, lit(0.0), (acc, x) => acc + (x - mean) * (x - mean)) /
+          (n - 1)
+      case Reduction.StdDev =>
+        sqrt(eachReduce(Reduction.Variance, arr0))
+    }
+  }
+
+  // ----------------------------------------------------------- expressions
+
+  def compileExpr(e: Expr, f: HbFrame): Column = e match {
+    case ColRef(n) => col(n)
+    case StrLit(v) => lit(v)
+    case NumLit(v) => if (v == v.toLong) lit(v.toLong) else lit(v)
+    case MissingLit => lit(null)
+    case KeysExpr => col(KEY)
+    case OrdinalsExpr =>
+      // 0-based like ingest keys (ODataProvider.fs:128-133)
+      row_number().over(Window.orderBy(f.order: _*)).cast(LongType) - 1
+    case Bin("=", l, MissingLit) => compileExpr(l, f).isNull
+    case Bin("=", MissingLit, r) => compileExpr(r, f).isNull
+    case Bin("!=", l, MissingLit) => compileExpr(l, f).isNotNull
+    case Bin("!=", MissingLit, r) => compileExpr(r, f).isNotNull
+    case Bin(op, l, r) =>
+      val (lc, rc) = (compileExpr(l, f), compileExpr(r, f))
+      op match {
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case ">" => lc > rc
+        case "<" => lc < rc
+        case ">=" => lc >= rc
+        case "<=" => lc <= rc
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+        case "&&" => lc && rc
+        case "||" => lc || rc
+        case other => throw new IllegalArgumentException(s"op $other")
+      }
+    case Not(x) => !compileExpr(x, f)
+    case IfElse(c, t, e2) =>
+      when(compileExpr(c, f), compileExpr(t, f))
+        .otherwise(compileExpr(e2, f))
+    case IntCast(x) => compileExpr(x, f).cast(IntegerType)
+    case Contains(x, vs) =>
+      compileExpr(x, f).isin(vs.map {
+        case StrLit(s) => s
+        case NumLit(n) => n
+        case other => throw new IllegalArgumentException(s"contains $other")
+      }: _*)
+    case RegexExtract(x, pat, toks) =>
+      val src = compileExpr(x, f).cast(StringType)
+      val parts = toks.map {
+        case GroupTok(n) => regexp_extract(src, pat, n)
+        case LitTok(s) => lit(s)
+      }
+      if (parts.size == 1) parts.head else concat(parts: _*)
+    case FormatDate(x, part) =>
+      val ts = to_timestamp(compileExpr(x, f))
+      part match {
+        case DatePart.Date => to_date(ts)
+        case DatePart.Day => dayofmonth(ts)
+        case DatePart.Week => weekofyear(ts)
+        case DatePart.WeekDay => dayofweek(ts)
+        case DatePart.Month => month(ts)
+        case DatePart.Year => year(ts)
+      }
+    case Moving(red, n, x) =>
+      val w = Window.orderBy(f.order: _*)
+      val c = compileExpr(x, f)
+      // first n-1 points are missing (snippets:182-189; stripped by
+      // programs via `only !(x = missing)`, MTTR.hb:32-35)
+      when(row_number().over(w) >= n,
+        reduce(red, c).over(w.rowsBetween(-(n - 1), 0)))
+    case Expanding(red, x) =>
+      val w = Window.orderBy(f.order: _*)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      reduce(red, compileExpr(x, f)).over(w)
+    case LinReg(x, y) =>
+      // per-row prediction of y at x from the whole-frame least-squares fit
+      val all = Window.partitionBy(lit(0))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val (xc, yc) = (compileExpr(x, f).cast(DoubleType),
+        compileExpr(y, f).cast(DoubleType))
+      val slope = covar_samp(xc, yc).over(all) / var_samp(xc).over(all)
+      val intercept = avg(yc).over(all) - slope * avg(xc).over(all)
+      intercept + slope * xc
+    case other =>
+      throw new IllegalArgumentException(s"cannot compile $other")
+  }
+
+  // -------------------------------------------------------- extrapolation
+
+  /** `create column N (linear extrapolation [known] nPred nTrain)` — fit on
+    * the last nTrain keys, append nPred predicted rows extending the index
+    * (snippets:206-213). The reference's implementation crashes its
+    * calculator (production transformations/Metrics.fs:69-81, disabled
+    * with "there's a bug making the calculator crash"); this is the fix.
+    */
+  private def extrapolate(f: HbFrame, name: String, known: Expr,
+      nPred: Int, nTrain: Int): HbFrame = {
+    val spark = f.df.sparkSession
+    val y = compileExpr(known, f).cast(DoubleType)
+    val x = col(KEY).cast(DoubleType)
+    val base = f.df.withColumn(name, y)
+    val tail = base.orderBy(col(KEY).desc).limit(nTrain)
+      .select(x.as("__x"), col(name).as("__y"))
+    val fit = tail.agg(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      max(col("__x")).as("maxx"))
+      .select(
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+        (col("sy") / col("n")).as("my"),
+        (col("sx") / col("n")).as("mx"),
+        col("maxx"))
+    val preds = spark.range(1, nPred + 1).toDF("__i")
+      .crossJoin(broadcast(fit))
+      .select((col("maxx") + col("__i")).as("__newx"),
+        (col("my") + col("slope") * (col("maxx") + col("__i") - col("mx")))
+          .as(name))
+    val appendRows = f.userCols.foldLeft(preds) { (df, c) =>
+      if (c == name) df
+      else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    }.withColumn(KEY, col("__newx").cast(base.schema(KEY).dataType))
+      .drop("__newx", "__i")
+    val unioned = base.unionByName(
+      appendRows.select(base.columns.map(col).toIndexedSeq: _*))
+    HbFrame(unioned, Seq(col(KEY).asc))
+  }
+}

@@ -1,0 +1,406 @@
+package graft.hb
+
+import Ast._
+import scala.collection.mutable
+
+/** Hand-rolled recursive-descent parser for `.hb` programs.
+  *
+  * The reference parses with FParsec inside the binary-only hobbes.core;
+  * the grammar here is reconstructed from the seven corpus programs
+  * (tests/transformations/ .hb corpus), the autocomplete snippets
+  * (hobbes-autocomplete.code-snippets:3-213) and the TextMate grammar
+  * (hobbes.YAML-tmLanguage:5-27). Statements are line-delimited; `!#…!#`
+  * markdown blocks may span lines; the header is a small YAML subset
+  * (scalar keys, `- item` lists, one nested `meta:` block).
+  */
+object HbParser {
+
+  final case class ParseError(msg: String, line: Int)
+      extends RuntimeException(s"line $line: $msg")
+
+  private val statementStart = Set(
+    "create", "rename", "slice", "only", "dense", "numeric", "index",
+    "sort", "group", "pivot", "buckets", "k-means", "each")
+
+  def parse(text: String): Program = {
+    val lines = text.split("\n", -1)
+    var i = 0
+    // ---- header ----
+    val props = mutable.LinkedHashMap[String, String]()
+    val lists = mutable.LinkedHashMap[String, Seq[String]]()
+    val meta = mutable.LinkedHashMap[String, String]()
+    var inMeta = false
+    var pendingListKey: Option[String] = None
+    def isStatementLine(l: String): Boolean = {
+      val w = l.trim.takeWhile(c => !c.isWhitespace)
+      statementStart.contains(w)
+    }
+    var headerDone = false
+    while (i < lines.length && !headerDone) {
+      val raw = lines(i)
+      val l = raw.trim
+      if (l.isEmpty) { i += 1 }
+      else if (l.startsWith("!#") || isStatementLine(raw)) headerDone = true
+      else if (l.startsWith("- ")) {
+        pendingListKey match {
+          case Some(k) => lists(k) = lists.getOrElse(k, Nil) :+ l.drop(2).trim
+          case None => throw ParseError(s"list item without a key: $l", i + 1)
+        }
+        i += 1
+      } else l.indexOf(':') match {
+        case -1 => throw ParseError(s"bad header line: $l", i + 1)
+        case ci =>
+          val k = l.substring(0, ci).trim
+          val v = l.substring(ci + 1).trim
+          val indented = raw.startsWith(" ") || raw.startsWith("\t")
+          if (k == "meta" && v.isEmpty) { inMeta = true; pendingListKey = None }
+          else if (inMeta && indented) meta(k) = v
+          else {
+            inMeta = false
+            if (v.isEmpty) pendingListKey = Some(k)
+            else { props(k) = v; pendingListKey = None }
+          }
+          i += 1
+      }
+    }
+    // ---- statements + comment blocks ----
+    val stmts = mutable.ArrayBuffer[Statement]()
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l.isEmpty) i += 1
+      else if (l.startsWith("!#")) {
+        val sb = new StringBuilder
+        var rest = l.drop(2)
+        var done = false
+        while (!done) {
+          val e = rest.indexOf("!#")
+          if (e >= 0) { sb.append(rest.take(e)); done = true; i += 1 }
+          else {
+            sb.append(rest).append('\n')
+            i += 1
+            if (i >= lines.length)
+              throw ParseError("unterminated !# comment block", i)
+            rest = lines(i)
+          }
+        }
+        stmts += Comment(sb.toString)
+      } else {
+        stmts += parseStatement(l, i + 1)
+        i += 1
+      }
+    }
+    Program(Header(props.toMap, lists.toMap, meta.toMap), stmts.toSeq)
+  }
+
+  // ---------------------------------------------------------------- lexer
+
+  sealed trait Tok
+  case class TIdent(s: String) extends Tok // bare identifier / keyword
+  case class TQuoted(s: String) extends Tok // "double-quoted" → column name
+  case class TStr(s: String) extends Tok // 'single-quoted' → string literal
+  case class TNum(v: Double) extends Tok
+  case class TRegex(pattern: String) extends Tok // /…/
+  case class TGroup(n: Int) extends Tok // $1
+  case class TSym(s: String) extends Tok // ( ) [ ] { } -> && || ! = …
+
+  private def lex(s: String, lineNo: Int): Vector[Tok] = {
+    val out = mutable.ArrayBuffer[Tok]()
+    var p = 0
+    def err(m: String) = throw ParseError(m, lineNo)
+    while (p < s.length) {
+      val c = s(p)
+      if (c.isWhitespace) p += 1
+      else if (c == '"' || c == '\'') {
+        val q = c
+        val sb = new StringBuilder
+        p += 1
+        while (p < s.length && s(p) != q) { sb.append(s(p)); p += 1 }
+        if (p >= s.length) err(s"unterminated $q string")
+        p += 1
+        out += (if (q == '"') TQuoted(sb.toString) else TStr(sb.toString))
+      } else if (c == '/' && {
+        // a regex literal only appears right after `regex [e]` — i.e. the
+        // previous token is `]`; plain '/' elsewhere is division.
+        out.lastOption.contains(TSym("]"))
+      }) {
+        val sb = new StringBuilder
+        p += 1
+        while (p < s.length && s(p) != '/') {
+          if (s(p) == '\\' && p + 1 < s.length) {
+            // the .hb corpus double-escapes: `\\d` in file = `\d` regex
+            s(p + 1) match {
+              case '/' => sb.append('/')
+              case '\\' => sb.append('\\')
+              case other => sb.append('\\').append(other)
+            }
+            p += 2
+          } else { sb.append(s(p)); p += 1 }
+        }
+        if (p >= s.length) err("unterminated /regex/")
+        p += 1
+        out += TRegex(sb.toString)
+      } else if (c == '$' && p + 1 < s.length && s(p + 1).isDigit) {
+        var q = p + 1
+        while (q < s.length && s(q).isDigit) q += 1
+        out += TGroup(s.substring(p + 1, q).toInt)
+        p = q
+      } else if (c.isDigit ||
+        (c == '.' && p + 1 < s.length && s(p + 1).isDigit)) {
+        var q = p
+        while (q < s.length && (s(q).isDigit || s(q) == '.')) q += 1
+        out += TNum(s.substring(p, q).toDouble)
+        p = q
+      } else if (c.isLetter || c == '_') {
+        var q = p
+        while (q < s.length &&
+          (s(q).isLetterOrDigit || s(q) == '_' || s(q) == '-' ||
+            s(q) == '.')) q += 1
+        // `k-means` keeps its dash; a trailing dot is punctuation not name
+        var word = s.substring(p, q)
+        while (word.endsWith(".")) { word = word.dropRight(1); q -= 1 }
+        out += TIdent(word)
+        p = q
+      } else {
+        val two = if (p + 1 < s.length) s.substring(p, p + 2) else ""
+        two match {
+          case "->" | "&&" | "||" | ">=" | "<=" | "!=" =>
+            out += TSym(two); p += 2
+          case _ =>
+            if ("()[]{}=><!+-*/;,".indexOf(c) >= 0) {
+              out += TSym(c.toString); p += 1
+            } else err(s"unexpected character '$c'")
+        }
+      }
+    }
+    out.toVector
+  }
+
+  // ----------------------------------------------------- statement parser
+
+  private final class P(toks: Vector[Tok], lineNo: Int) {
+    var p = 0
+    def err(m: String) =
+      throw ParseError(s"$m (at token ${toks.drop(p).take(3)})", lineNo)
+    def peek: Option[Tok] = toks.lift(p)
+    def next(): Tok = { val t = toks.lift(p).getOrElse(err("unexpected end")); p += 1; t }
+    def eat(sym: String): Unit = next() match {
+      case TSym(`sym`) => ()
+      case TIdent(`sym`) => ()
+      case other => err(s"expected '$sym', got $other")
+    }
+    def atSym(s: String): Boolean = peek.contains(TSym(s))
+    def atIdent(s: String): Boolean = peek.contains(TIdent(s))
+    def ident(): String = next() match {
+      case TIdent(s) => s
+      case other => err(s"expected identifier, got $other")
+    }
+    /** Column name position: bare identifier or double-quoted. */
+    def colName(): String = next() match {
+      case TIdent(s) => s
+      case TQuoted(s) => s
+      case other => err(s"expected column name, got $other")
+    }
+    def int(): Int = next() match {
+      case TNum(v) if v == v.toInt => v.toInt
+      case other => err(s"expected integer, got $other")
+    }
+    def reduction(): Reduction = {
+      val n = ident()
+      Reduction.byName(n).getOrElse(err(s"unknown reduction '$n'"))
+    }
+    def done: Boolean = p >= toks.length
+
+    // expression precedence: || < && < ! < cmp < addsub < muldiv < primary
+    def expr(): Expr = orE()
+    def orE(): Expr = {
+      var l = andE()
+      while (atSym("||")) { next(); l = Bin("||", l, andE()) }
+      l
+    }
+    def andE(): Expr = {
+      var l = notE()
+      while (atSym("&&")) { next(); l = Bin("&&", l, notE()) }
+      l
+    }
+    def notE(): Expr =
+      if (atSym("!")) { next(); Not(notE()) } else cmpE()
+    def cmpE(): Expr = {
+      val l = addE()
+      peek match {
+        case Some(TSym(op @ ("=" | "!=" | ">" | "<" | ">=" | "<="))) =>
+          next(); Bin(op, l, addE())
+        case _ => l
+      }
+    }
+    def addE(): Expr = {
+      var l = mulE()
+      while (atSym("+") || atSym("-")) {
+        val op = next().asInstanceOf[TSym].s
+        l = Bin(op, l, mulE())
+      }
+      l
+    }
+    def mulE(): Expr = {
+      var l = primary()
+      while (atSym("*") || atSym("/")) {
+        val op = next().asInstanceOf[TSym].s
+        l = Bin(op, l, primary())
+      }
+      l
+    }
+
+    def bracketed(): Expr = { eat("["); val e = expr(); eat("]"); e }
+
+    def primary(): Expr = peek match {
+      case Some(TSym("(")) => next(); val e = expr(); eat(")"); e
+      case Some(TSym("[")) => bracketed()
+      case Some(TNum(v)) => next(); NumLit(v)
+      case Some(TStr(v)) => next(); StrLit(v)
+      case Some(TQuoted(v)) => next(); ColRef(v)
+      case Some(TIdent(w)) => w match {
+        case "missing" => next(); MissingLit
+        case "keys" => next(); KeysExpr
+        case "ordinals" => next(); OrdinalsExpr
+        case "true" => next(); NumLit(1) // F# DSL `True` (1_General.fs:65)
+        case "int" => next(); eat("("); val e = expr(); eat(")"); IntCast(e)
+        case "if" =>
+          next()
+          val c = bracketed()
+          eat("{"); val t = expr(); eat("}")
+          eat("else"); eat("{"); val f = expr(); eat("}")
+          IfElse(c, t, f)
+        case "regex" =>
+          next()
+          val e = bracketed()
+          val pat = next() match {
+            case TRegex(r) => r
+            case other => err(s"expected /regex/, got $other")
+          }
+          eat("[")
+          val toks2 = mutable.ArrayBuffer[RegexTok]()
+          while (!atSym("]")) next() match {
+            case TGroup(n) => toks2 += GroupTok(n)
+            case TStr(s) => toks2 += LitTok(s)
+            case TIdent(s) => toks2 += LitTok(s)
+            case other => err(s"bad regex token $other")
+          }
+          eat("]")
+          RegexExtract(e, pat, toks2.toSeq)
+        case "format" =>
+          next(); eat("date")
+          val e = ColRef(colName())
+          val part = ident()
+          FormatDate(e, DatePart.byName(part)
+            .getOrElse(err(s"unknown date part '$part'")))
+        case "moving" =>
+          next()
+          val red = reduction()
+          val n = int()
+          Moving(red, n, bracketed())
+        case "expanding" =>
+          next()
+          val red = reduction()
+          Expanding(red, bracketed())
+        case "linear" =>
+          next()
+          ident() match {
+            case "regression" => LinReg(bracketed(), bracketed())
+            case "extrapolation" =>
+              ExtrapExpr(bracketed(), int(), int())
+            case other => err(s"unknown 'linear $other' in expression")
+          }
+        case "contains" =>
+          next()
+          val e = primary()
+          eat("[")
+          val vs = mutable.ArrayBuffer[Expr]()
+          while (!atSym("]")) {
+            if (atSym(";") || atSym(",")) next()
+            else vs += (next() match {
+              case TStr(s) => StrLit(s)
+              case TNum(v) => NumLit(v)
+              case other => err(s"bad contains value $other")
+            })
+          }
+          eat("]")
+          Contains(e, vs.toSeq)
+        case _ => next(); ColRef(w)
+      }
+      case other => err(s"unexpected $other in expression")
+    }
+  }
+
+  def parseExpr(s: String, lineNo: Int = 0): Expr = {
+    val p = new P(lex(s, lineNo), lineNo)
+    val e = p.expr()
+    if (!p.done) p.err("trailing tokens after expression")
+    e
+  }
+
+  def parseStatement(line: String, lineNo: Int = 0): Statement = {
+    val p = new P(lex(line, lineNo), lineNo)
+    val st = p.ident() match {
+      case "create" =>
+        p.eat("column")
+        val name = p.colName()
+        p.expr() match {
+          // `linear extrapolation` appends rows → statement form
+          case ExtrapExpr(known, nPred, nTrain) =>
+            LinearExtrapolation(name, known, nPred, nTrain)
+          case e => CreateColumn(name, e)
+        }
+      case "rename" =>
+        p.eat("column"); RenameColumn(p.colName(), p.colName())
+      case "slice" =>
+        p.eat("columns")
+        val names = mutable.ArrayBuffer[String]()
+        while (!p.done) names += p.colName()
+        SliceColumns(names.toSeq)
+      case "only" => Only(p.expr())
+      case "dense" => p.ident() match {
+        case "rows" => DenseRows
+        case "columns" => DenseColumns
+        case other => p.err(s"expected rows|columns, got $other")
+      }
+      case "numeric" => p.eat("columns"); NumericColumns
+      case "index" =>
+        if (p.atIdent("rows")) p.next()
+        p.eat("by"); IndexBy(p.expr())
+      case "sort" =>
+        p.eat("by")
+        if (p.atIdent("column")) p.next()
+        SortByColumn(p.colName())
+      case "group" =>
+        p.eat("by")
+        val cols = mutable.ArrayBuffer[String]()
+        while (!p.atSym("->")) cols += p.colName()
+        p.eat("->")
+        val red =
+          if (p.atIdent("maxby")) { p.next(); MaxBy(p.expr()) }
+          else if (p.atIdent("minby")) { p.next(); MinBy(p.expr()) }
+          else RowsBy(p.reduction())
+        GroupBy(cols.toSeq, red)
+      case "pivot" =>
+        val rowE = p.bracketed()
+        val colE = p.bracketed()
+        p.eat("->")
+        val red = p.reduction()
+        val valE = p.bracketed()
+        Pivot(rowE, colE, red, valE)
+      case "buckets" =>
+        p.eat("("); val n = p.int(); p.eat(")")
+        p.eat("->")
+        p.eat("("); val r = p.reduction(); p.eat(")")
+        Buckets(n, r)
+      case "k-means" =>
+        p.eat("("); val n = p.int(); p.eat(")")
+        p.eat("->")
+        p.eat("("); val r = p.reduction(); p.eat(")")
+        KMeansCluster(n, r)
+      case "each" => Each(p.reduction())
+      case other => p.err(s"unknown statement '$other'")
+    }
+    if (!p.done) p.err("trailing tokens after statement")
+    st
+  }
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.hb.Graft
+import Gate.t
+
+/** Gates that execute real `.hb` programs through the parser + engine —
+  * the DSL end-to-end against the DuckDB oracle. Programs are shaped after
+  * the reference corpus (Velocity.hb / MTTR.hb / LogicCycleTime.hb),
+  * retargeted at the driver's `events`/`part` tables.
+  *
+  * Aggregated values are integer counts (exact in any summation order), so
+  * plain window AVG stays bit-identical across engines.
+  */
+object HbGates {
+
+  // Velocity.hb:21-32 shape: filter → pivot(count) → sort → moving mean.
+  private val velocityHb =
+    """create column day (format date "ts" date)
+      |pivot [day] [event_type] -> count [event_id]
+      |sort by column day
+      |create column click3 (moving mean 3 [click])
+      |create column view7 (moving mean 7 [view])
+      |slice columns day click view purchase click3 view7
+      |""".stripMargin
+
+  // MTTR.hb:20-36 shape: tick → group sum → keys → sort → expanding +
+  // moving → strip missing prefix.
+  private val mttrHb =
+    """create column tick 1
+      |slice columns user_id tick
+      |group by user_id -> sum
+      |create column user_id keys
+      |sort by column user_id
+      |create column running (expanding sum [tick])
+      |create column m5 (moving mean 5 [tick])
+      |only !(m5 = missing)
+      |""".stripMargin
+
+  // LogicCycleTime/logic.hb shape: contains → maxby → if/else → slice.
+  private val latestHb =
+    """only (contains event_type ['click'; 'view'; 'purchase'])
+      |group by user_id event_type -> maxby event_id
+      |create column day (format date "ts" date)
+      |create column kind (if [event_type = 'purchase'] {'buy'} else {'other'})
+      |slice columns user_id event_type event_id day kind
+      |""".stripMargin
+
+  // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
+  private val regexHb =
+    """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
+      |create column half (p_retailprice / 2)
+      |only (p_size > 20)
+      |slice columns p_partkey brand_num half
+      |""".stripMargin
+
+  val gates: Seq[Gate] = Seq(
+
+    Gate("hb_velocity",
+      (s, d) => Graft.runHb(velocityHb, t(s, d, "events")).orderBy(col("day")),
+      Some("""WITH p AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+             |    NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+             |    NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase
+             |  FROM events GROUP BY 1)
+             |SELECT day, click, view, purchase,
+             |  CASE WHEN ROW_NUMBER() OVER w >= 3 THEN
+             |    AVG(click) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS click3,
+             |  CASE WHEN ROW_NUMBER() OVER w >= 7 THEN
+             |    AVG(view) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) END AS view7
+             |FROM p WINDOW w AS (ORDER BY day)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_mttr",
+      (s, d) => Graft.runHb(mttrHb, t(s, d, "events"))
+        .orderBy(col("user_id")),
+      Some("""WITH g AS (
+             |  SELECT user_id, COUNT(*) AS tick FROM events GROUP BY user_id)
+             |SELECT * FROM (
+             |  SELECT tick, user_id,
+             |    SUM(tick) OVER (ORDER BY user_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+             |    CASE WHEN ROW_NUMBER() OVER (ORDER BY user_id) >= 5 THEN
+             |      AVG(tick) OVER (ORDER BY user_id
+             |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END AS m5
+             |  FROM g)
+             |WHERE m5 IS NOT NULL
+             |ORDER BY user_id ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_latest_by",
+      (s, d) => Graft.runHb(latestHb, t(s, d, "events"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type, event_id, CAST(ts AS DATE) AS day,
+             |  CASE WHEN event_type = 'purchase' THEN 'buy' ELSE 'other' END AS kind
+             |FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             |    ORDER BY event_id DESC) AS rn
+             |  FROM events
+             |  WHERE event_type IN ('click', 'view', 'purchase'))
+             |WHERE rn = 1
+             |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_regex_int",
+      (s, d) => Graft.runHb(regexHb, t(s, d, "part"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
+             |  p_retailprice / 2 AS half
+             |FROM part WHERE p_size > 20
+             |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,61 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Output formats of the reference platform. */
+object Sinks {
+
+  /** S9 — `Format(Json)`: array of `{col: value}` row objects
+    * (common/hobbes.messaging/src/Broker.fs:95-102;
+    * workers/calculator.worker/src/Processer.fs:40-65).
+    * Distributed: returns a Dataset of JSON strings (one per row); use
+    * `.write.text(...)` for a file sink at scale. */
+  def rowObjectsJson(df: DataFrame): org.apache.spark.sql.Dataset[String] =
+    df.toJSON
+
+  /** S10 — the CouchDB matrix cache shape
+    * `{"columnNames": [...], "values": [[...]...], "rowCount": N}` with
+    * null for missing cells (sample embedded at
+    * tools/visualizer/cli/src/Program.fs:49; invariants
+    * workers/calculator.worker/src/Program.fs:41-42).
+    * Driver-side assembly — the gateway serves whole documents, which
+    * bounds this to gateway-sized results (use parquet internally for
+    * anything big). */
+  def matrixJson(df: DataFrame, maxRows: Int = 1000000): String = {
+    val cols = df.columns
+    val rows = df.limit(maxRows).collect()
+    val sb = new StringBuilder
+    sb.append("{\"columnNames\":[")
+    sb.append(cols.map(c => "\"" + escape(c) + "\"").mkString(","))
+    sb.append("],\"values\":[")
+    var first = true
+    rows.foreach { r =>
+      if (!first) sb.append(',')
+      first = false
+      sb.append('[')
+      sb.append((0 until r.length).map(i => cell(r, i)).mkString(","))
+      sb.append(']')
+    }
+    sb.append("],\"rowCount\":").append(rows.length).append('}')
+    sb.toString
+  }
+
+  private def cell(r: Row, i: Int): String =
+    if (r.isNullAt(i)) "null"
+    else r.get(i) match {
+      case n: java.lang.Number => n.toString
+      case b: Boolean => b.toString
+      case other => "\"" + escape(other.toString) + "\""
+    }
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The near-dup family must actually catch planted duplicates. Gates take
+  * (spark, sfDir), so plant a synthetic documents/embeddings parquet pair
+  * in a temp dir and run the real gate closures against it. */
+class DedupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graftdedup").toString
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val noise = (1 to 30).map(i =>
+      s"completely different document number $i with its own unique " +
+        s"vocabulary item$i token$i word$i filler$i end$i")
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      // near-dup of doc 0: one word changed
+      (1L, base.replace("tonight", "today"), "en", "src0",
+        base.length.toLong),
+      // exact dup of doc 0
+      (2L, base, "en", "src0", base.length.toLong)) ++
+      noise.zipWithIndex.map { case (t, i) =>
+        (3L + i, t, "en", "src0", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val vec = (i: Int) => Array.tabulate(64)(j =>
+      math.sin(i * 64 + j).toFloat)
+    val vecs = Seq(
+      (0L, vec(0), 0),
+      (1L, vec(0).map(x => x + 1e-4f), 0), // near-identical to 0
+      (2L, vec(7), 0),
+      (3L, vec(9), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private def gate(name: String) =
+    SparkEntry.queries(name)(spark, dir)
+
+  test("minhash LSH drops planted near-dup and exact dup") {
+    val survivors = gate("d_minhash_lsh").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L))
+    assert(!survivors.contains(1L), "near-dup (one word changed) must drop")
+    assert(!survivors.contains(2L), "exact dup must drop")
+    assert((3L to 32L).forall(survivors.contains), "noise docs must survive")
+  }
+
+  test("simhash drops exact dup, keeps noise") {
+    val survivors = gate("d_simhash").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L))
+    assert(!survivors.contains(2L), "hamming-0 exact dup must drop")
+    assert((3L to 32L).forall(survivors.contains))
+  }
+
+  test("ngram jaccard drops near-dup pair") {
+    val survivors = gate("d_ngram_jaccard").collect().map(_.getLong(0)).toSet
+    assert(survivors.contains(0L))
+    assert(!survivors.contains(1L) && !survivors.contains(2L))
+    assert((3L to 32L).forall(survivors.contains))
+  }
+
+  test("embedding cosine dedup drops the near-identical vector") {
+    val survivors = gate("d_embed_cosine_dup").collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 2L, 3L))
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val out = gate("d_exact_dedup")
+    assert(out.count() == 32) // 33 docs, one exact dup collapses
+    assert(out.filter(col("n_copies") === 2).count() == 1)
+  }
+
+  test("ann brute-force and IVF rank the planted twin first") {
+    // doc 1's embedding is ~identical to 0 → neighbor rank 1 of query 0
+    val top = gate("s_ann_topk").filter(col("query_id") === 0 &&
+      col("rank") === 1).head()
+    assert(top.getAs[Long]("neighbor_id") == 1L)
+    assert(top.getAs[Double]("cosine") > 0.999)
+  }
+}

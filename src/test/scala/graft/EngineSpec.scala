@@ -1,0 +1,185 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.hb.{Engine, Graft, HbParser}
+import graft.sources.Ingest
+
+/** Operator semantics on small typed fixtures, mirroring the reference's
+  * own unit-test shape (workers/calculator.worker/tests/Processer.fs:9-58).
+  */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+
+  /** 3-state work-item-ish fixture. */
+  private def workitems: DataFrame = Ingest.localData(spark,
+    Seq("Sprint", "Item", "State", "Points", "Changed"),
+    Seq(
+      Seq("S1", 1L, "Done", 3.0, "2020-01-05"),
+      Seq("S1", 1L, "Doing", 3.0, "2020-01-02"),
+      Seq("S1", 2L, "Done", 5.0, "2020-01-03"),
+      Seq("S2", 3L, "Doing", 2.0, "2020-02-01"),
+      Seq("S2", 4L, "Todo", 8.0, "2020-02-02"),
+      Seq("S3", 5L, "Done", 1.0, "2020-03-01")))
+
+  private def run(hb: String, df: DataFrame): DataFrame =
+    Graft.run(graft.hb.Ast.Program(
+      graft.hb.Ast.Header(Map(), Map(), Map()),
+      hb.split("\n").map(_.trim).filter(_.nonEmpty)
+        .map(l => HbParser.parseStatement(l)).toSeq), df)
+
+  test("only + create column + rename + slice") {
+    val out = run(
+      """only (State = 'Done')
+        |create column Double (Points * 2)
+        |rename column Double Dbl
+        |slice columns Item Dbl Nope""".stripMargin, workitems)
+    assert(out.columns.toSeq == Seq("Item", "Dbl"))
+    assert(out.orderBy("Item").collect().map(_.getDouble(1)).toSeq ==
+      Seq(6.0, 10.0, 2.0))
+  }
+
+  test("group by -> maxby keeps the extremal full row") {
+    val out = run("group by Item -> maxby Changed", workitems)
+    assert(out.count() == 5)
+    val item1 = out.filter(out("Item") === 1L).head()
+    assert(item1.getAs[String]("State") == "Done") // latest change wins
+  }
+
+  test("group by -> sum reduces numerics, key reified via keys") {
+    val out = run(
+      """group by Sprint -> sum
+        |create column Sprint keys""".stripMargin, workitems)
+    val rows = out.orderBy("Sprint").collect()
+    assert(rows.map(_.getAs[String]("Sprint")).toSeq == Seq("S1", "S2", "S3"))
+    assert(rows.map(_.getAs[Double]("Points")).toSeq == Seq(11.0, 10.0, 1.0))
+    // group column moved into the key, Item numeric got summed too
+    assert(out.columns.toSet == Set("Points", "Item", "Sprint"))
+  }
+
+  test("pivot emits row key column + dynamic columns") {
+    val out = run("pivot [Sprint] [State] -> count [Item]", workitems)
+    assert(out.columns.toSet == Set("Sprint", "Done", "Doing", "Todo"))
+    val s1 = out.filter(out("Sprint") === "S1").head()
+    assert(s1.getAs[Long]("Done") == 2L)
+    assert(s1.getAs[Long]("Doing") == 1L)
+    assert(s1.isNullAt(s1.fieldIndex("Todo")))
+  }
+
+  test("sort + moving mean with missing prefix (Velocity.hb:29-31 shape)") {
+    val df = Ingest.localData(spark, Seq("k", "v"),
+      Seq(Seq(1L, 2.0), Seq(2L, 4.0), Seq(3L, 6.0), Seq(4L, 8.0)))
+    val out = run(
+      """sort by column k
+        |create column m (moving mean 2 [v])""".stripMargin, df)
+    val ms = out.orderBy("k").collect().map(r =>
+      if (r.isNullAt(r.fieldIndex("m"))) null else r.getAs[Double]("m"))
+    assert(ms.toSeq == Seq(null, 3.0, 5.0, 7.0))
+  }
+
+  test("expanding sum is a running total") {
+    val df = Ingest.localData(spark, Seq("k", "v"),
+      Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 3.0)))
+    val out = run(
+      """sort by column k
+        |create column r (expanding sum [v])""".stripMargin, df)
+    assert(out.orderBy("k").collect().map(_.getAs[Double]("r")).toSeq ==
+      Seq(1.0, 3.0, 6.0))
+  }
+
+  test("if / regex / int / format date expressions") {
+    val df = Ingest.localData(spark, Seq("name", "d"),
+      Seq(Seq("Sprint 12 alpha", "2020-03-05"), Seq("Sprint 7", "2021-11-30")))
+    val out = run(
+      """create column n (int (regex [name] /[Ss]print [^\\d]*([\\d]+).*/ [$1]))
+        |create column big (if [n > 10] {'big'} else {'small'})
+        |create column y (format date "d" year)
+        |create column w (format date "d" weekday)""".stripMargin, df)
+    val rows = out.orderBy("n").collect()
+    assert(rows.map(_.getAs[Int]("n")).toSeq == Seq(7, 12))
+    assert(rows.map(_.getAs[String]("big")).toSeq == Seq("small", "big"))
+    assert(rows.map(_.getAs[Int]("y")).toSeq == Seq(2021, 2020))
+  }
+
+  test("dense rows and dense columns at the 50% threshold") {
+    val df = Ingest.localData(spark, Seq("a", "b", "c"),
+      Seq(Seq(1L, null, null), Seq(2L, "x", null), Seq(3L, "y", null)))
+    val dr = run("dense rows", df)
+    assert(dr.count() == 2) // rows with ≥2 of 3 non-null
+    val dc = run("dense columns", df)
+    assert(dc.columns.toSet == Set("a", "b")) // c is 100% null
+  }
+
+  test("numeric columns") {
+    assert(run("numeric columns", workitems).columns.toSet ==
+      Set("Item", "Points"))
+  }
+
+  test("buckets splits by current order and reduces") {
+    val df = Ingest.localData(spark, Seq("k", "v"),
+      (1L to 8L).map(i => Seq(i, i.toDouble)))
+    val out = run(
+      """sort by column k
+        |buckets (2) -> (sum)""".stripMargin, df)
+    val sums = out.orderBy("k").collect().map(_.getAs[Double]("v"))
+    assert(sums.toSeq == Seq(1 + 2 + 3 + 4.0, 5 + 6 + 7 + 8.0))
+  }
+
+  test("each mean reduces across numeric cells per row") {
+    val df = Ingest.localData(spark, Seq("a", "b", "s"),
+      Seq(Seq(1.0, 3.0, "x"), Seq(10.0, 20.0, "y")))
+    val out = run("each mean", df)
+    assert(out.columns.toSeq == Seq("mean"))
+    assert(out.orderBy("mean").collect().map(_.getDouble(0)).toSeq ==
+      Seq(2.0, 15.0))
+  }
+
+  test("ordinals and keys") {
+    val df = Ingest.localData(spark, Seq("k", "v"),
+      Seq(Seq[Any](10L, 1.0), Seq[Any](20L, 2.0)))
+    val out = run(
+      """index rows by k
+        |create column theKey keys
+        |create column ord ordinals""".stripMargin, df)
+    val rows = out.orderBy("k").collect()
+    assert(rows.map(_.getAs[Long]("theKey")).toSeq == Seq(10L, 20L))
+    assert(rows.map(_.getAs[Long]("ord")).toSeq == Seq(0L, 1L))
+  }
+
+  test("linear extrapolation appends predicted rows (Metrics.fs crash fix)") {
+    val df = Ingest.localData(spark, Seq("v"),
+      (1L to 10L).map(i => Seq(2.0 * i)))
+    val out = run(
+      """index rows by ordinals
+        |create column pred (linear extrapolation [v] 3 5)""".stripMargin, df)
+    assert(out.count() == 13)
+    val preds = out.orderBy(out("pred").desc).limit(3)
+      .collect().map(_.getAs[Double]("pred")).sorted
+    // y = 2(x+1) at x = 10, 11, 12 → 22, 24, 26
+    assert(preds.zip(Seq(22.0, 24.0, 26.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("k-means clusters separable data") {
+    val df = Ingest.localData(spark, Seq("x"),
+      Seq(Seq(1.0), Seq(1.1), Seq(0.9), Seq(100.0), Seq(101.0), Seq(99.0)))
+    val out = run("k-means (2) -> (mean)", df)
+    val means = out.collect().map(_.getAs[Double]("x")).sorted
+    assert(math.abs(means(0) - 1.0) < 0.2 && math.abs(means(1) - 100.0) < 1.0)
+  }
+
+  test("full Velocity-shaped program end-to-end") {
+    val out = run(
+      """only !(State = 'Todo')
+        |group by Sprint Item -> maxby Changed
+        |pivot [Sprint] [State] -> count [Item]
+        |sort by column Sprint
+        |create column m (moving mean 2 [Done])
+        |slice columns Sprint Done m""".stripMargin, workitems)
+    val rows = out.orderBy("Sprint").collect()
+    assert(rows.length == 3)
+    assert(rows.map(r => Option(r.getAs[Any]("Done"))).toSeq ==
+      Seq(Some(2L), None, Some(1L)))
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.hb.{Ast, HbParser}
+import Ast._
+
+/** Golden tests: the parser must accept the reference's own test corpus
+  * (read in place from /root/reference — the seven real `.hb` programs). */
+class ParserSpec extends AnyFunSuite {
+
+  private val corpusDir = "/root/reference/tests/transformations"
+
+  private def parseFile(name: String): Program = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$corpusDir/$name")), "UTF-8")
+    HbParser.parse(text)
+  }
+
+  test("parses all seven corpus programs") {
+    val names = new java.io.File(corpusDir).listFiles()
+      .map(_.getName).filter(_.endsWith(".hb"))
+    assert(names.length == 7)
+    names.foreach { n =>
+      val p = parseFile(n)
+      assert(p.transformations.nonEmpty, s"$n has no statements")
+    }
+  }
+
+  test("Velocity.hb shape") {
+    val p = parseFile("Velocity.hb")
+    assert(p.header.props("provider") == "odata")
+    assert(p.header.meta.get("category").contains("workitems"))
+    val ts = p.transformations
+    assert(ts.head == Only(Bin("=", ColRef("WorkItemType"), StrLit("User Story"))))
+    assert(ts(1) == GroupBy(Seq("Iteration.IterationName", "WorkItemId"),
+      MaxBy(ColRef("ChangedDate"))))
+    assert(ts(2) == RenameColumn("Iteration.IterationLevel3", "Sprint Name"))
+    // create column SprintNumber (int (regex [..] /../ [$1]))
+    ts(3) match {
+      case CreateColumn("SprintNumber", IntCast(RegexExtract(
+          ColRef("Sprint Name"), pat, Seq(GroupTok(1))))) =>
+        assert(pat.contains("[Ss]"))
+      case other => fail(s"unexpected $other")
+    }
+    assert(ts(6) == Only(Not(Bin(">", ColRef("SprintNumber"), NumLit(45)))))
+    assert(ts(7) == Pivot(ColRef("SprintNumber"), ColRef("State"),
+      Reduction.Count, ColRef("SprintNumber")))
+    assert(ts(8) == SortByColumn("SprintNumber"))
+    assert(ts(9) == CreateColumn("Velocity 3",
+      Moving(Reduction.Mean, 3, ColRef("Done"))))
+    assert(ts(11) == SliceColumns(Seq("Velocity 3", "Velocity 7")))
+  }
+
+  test("MTTR.hb shape") {
+    val ts = parseFile("MTTR.hb").transformations
+    assert(ts.head == Only(Bin("&&",
+      Bin("=", ColRef("WorkItemType"), StrLit("Bug")),
+      Not(Bin("=", ColRef("LeadTimeDays"), StrLit(""))))))
+    assert(ts.contains(GroupBy(Seq("SprintNumber"),
+      RowsBy(Reduction.Sum))))
+    assert(ts.contains(CreateColumn("SprintNumber", KeysExpr)))
+    assert(ts.contains(IndexBy(ColRef("SprintNumber"))))
+    assert(ts.contains(CreateColumn("LeadTimeDays",
+      Bin("/", ColRef("temp"), ColRef("tick")))))
+  }
+
+  test("Commit Frequency: rest provider with url list, format date") {
+    val p = parseFile("Logic Commit Frequency.hb")
+    assert(p.header.props("provider") == "rest")
+    assert(p.header.lists("url").size == 15)
+    assert(p.header.props("values") == "value")
+    val ts = p.transformations
+    assert(ts.head == CreateColumn("date",
+      FormatDate(ColRef("committer.date"), DatePart.Date)))
+    // nested comparisons with && / || precedence
+    ts(1) match {
+      case Only(Bin("||", Bin("&&", _, _), _)) => ()
+      case other => fail(s"bad precedence: $other")
+    }
+  }
+
+  test("nested if expression (logic.hb)") {
+    val st = HbParser.parseStatement(
+      "create column State (if [StateCategory = 'Completed' || " +
+        "StateCategory = 'Resolved'] {'Done'} else { if [\"StateCategory\" " +
+        "= 'InProgress'] {'Doing'} else {'Todo'} })")
+    st match {
+      case CreateColumn("State", IfElse(_, StrLit("Done"),
+          IfElse(_, StrLit("Doing"), StrLit("Todo")))) => ()
+      case other => fail(s"unexpected $other")
+    }
+  }
+
+  test("remaining statement forms") {
+    assert(HbParser.parseStatement("dense rows") == DenseRows)
+    assert(HbParser.parseStatement("dense columns") == DenseColumns)
+    assert(HbParser.parseStatement("numeric columns") == NumericColumns)
+    assert(HbParser.parseStatement("buckets (4) -> (sum)") ==
+      Buckets(4, Reduction.Sum))
+    assert(HbParser.parseStatement("k-means (3) -> (mean)") ==
+      KMeansCluster(3, Reduction.Mean))
+    assert(HbParser.parseStatement("each mean") == Each(Reduction.Mean))
+    assert(HbParser.parseStatement("create column tick 1") ==
+      CreateColumn("tick", NumLit(1)))
+    assert(HbParser.parseStatement(
+      "create column f (linear extrapolation [Done] 5 10)") ==
+      LinearExtrapolation("f", ColRef("Done"), 5, 10))
+    assert(HbParser.parseStatement("create column r (linear regression [x] [y])")
+      == CreateColumn("r", LinReg(ColRef("x"), ColRef("y"))))
+    assert(HbParser.parseStatement("only (contains State ['Done'; 'Doing'])")
+      == Only(Contains(ColRef("State"),
+        Seq(StrLit("Done"), StrLit("Doing")))))
+    assert(HbParser.parseStatement("create column e (expanding sum [v])") ==
+      CreateColumn("e", Expanding(Reduction.Sum, ColRef("v"))))
+    assert(HbParser.parseStatement("create column o ordinals") ==
+      CreateColumn("o", OrdinalsExpr))
+    assert(HbParser.parseStatement("only !(x = missing)") ==
+      Only(Not(Bin("=", ColRef("x"), MissingLit))))
+  }
+
+  test("regex unescaping: corpus double-backslash becomes single") {
+    HbParser.parseStatement(
+      """create column n (regex [s] /[Ss]print [^\\d]*([\\d]+).*/ [$1])""") match {
+      case CreateColumn("n", RegexExtract(_, pat, _)) =>
+        assert(pat == """[Ss]print [^\d]*([\d]+).*""")
+      case other => fail(s"unexpected $other")
+    }
+  }
+}
