@@ -9,7 +9,8 @@ object SparkEntry {
     * training-data-pipeline extensions). */
   def gates: Seq[Gate] =
     CoreGates.gates ++ WindowGates.gates ++ TextGates.gates ++
-      SimilarityGates.gates ++ HbGates.gates
+      SimilarityGates.gates ++ HbGates.gates ++ StreamGates.gates ++
+      MultimodalGates.gates
 
   /** Flagship: a Velocity.hb-shaped program through the full parser +
     * engine on sf0.001; driver smoke-checks rows>0. */

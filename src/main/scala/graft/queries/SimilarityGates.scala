@@ -41,7 +41,9 @@ object SimilarityGates {
     s"(CAST(list_sum(list_transform(list_zip($a, $b), " +
       s"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)*1e12) AS BIGINT))) AS DOUBLE) / 1e12)"
 
-  /** documents → (doc_id, distinct word-3-gram shingle hashes). */
+  /** documents → (doc_id, lang, source, distinct word-3-gram shingle
+    * hashes). Hashing the shingles to longs up front makes every
+    * downstream set op (intersect/union/min) integer-cheap. */
   private def shingled(s: SparkSession, d: String): DataFrame = {
     val toks = split(lower(col("text")), "\\s+")
     t(s, d, "documents")
@@ -50,7 +52,7 @@ object SimilarityGates {
       .withColumn("shingles", array_distinct(
         transform(sequence(lit(0), size(col("toks")) - 3),
           i => xxhash64(concat_ws(" ", slice(col("toks"), i + 1, lit(3)))))))
-      .select("doc_id", "shingles")
+      .select("doc_id", "lang", "source", "shingles")
   }
 
   private def jaccard(a: Column, b: Column): Column =
@@ -71,15 +73,18 @@ object SimilarityGates {
     // 16 bands × 4 rows → band-hash equi-join for candidates → exact
     // Jaccard verify → drop the higher doc_id of each dup pair.
     Gate("d_minhash_lsh", (s, d) => {
-      val sh = shingled(s, d)
-      val mh = perms.zipWithIndex.foldLeft(sh) { case (df, ((a, b), j)) =>
-        df.withColumn(s"mh$j",
-          array_min(transform(col("shingles"), h => h * lit(a) + lit(b))))
+      val sh = shingled(s, d).select("doc_id", "shingles")
+      // each per-perm min is inlined into exactly one band hash — naming
+      // the signature as its own column tempts Catalyst's project
+      // collapse into recomputing it per reference (measured 6× slower)
+      def mh(j: Int): Column = {
+        val (a, b) = perms(j)
+        array_min(transform(col("shingles"), h => h * lit(a) + lit(b)))
       }
-      val bands = mh.withColumn("band", explode(array(
+      val bands = sh.withColumn("band", explode(array(
         (0 until 16).map(k => struct(lit(k).as("bidx"),
-          xxhash64(col(s"mh${4 * k}"), col(s"mh${4 * k + 1}"),
-            col(s"mh${4 * k + 2}"), col(s"mh${4 * k + 3}")).as("bhash"))): _*)))
+          xxhash64(mh(4 * k), mh(4 * k + 1), mh(4 * k + 2), mh(4 * k + 3))
+            .as("bhash"))): _*)))
         .select(col("doc_id"), col("band.bidx"), col("band.bhash"))
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -102,19 +107,19 @@ object SimilarityGates {
     // chunk banding (pigeonhole-complete for hamming ≤ 3), verify with
     // bit_count(xor) ≤ 3.
     Gate("d_simhash", (s, d) => {
-      val toks = t(s, d, "documents")
-        .select(col("doc_id"),
-          explode(split(lower(col("text")), "\\s+")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val voteCols = (0 until 64).map(i =>
-        sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1)
-          .otherwise(-1)).as(s"b$i"))
-      val votes = toks.groupBy(col("doc_id"))
-        .agg(voteCols.head, voteCols.tail: _*)
-      val sim = votes.withColumn("simhash",
-        (0 until 64).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-          .reduce((x, y) => x.bitwiseOR(y)))
+      // per-row bit votes over the distinct token-hash set: a narrow map
+      // with no explode and no shuffle (the explode+groupBy formulation
+      // shuffles |tokens| rows per doc — 10× slower at sf0.1)
+      val hs = t(s, d, "documents")
+        .select(col("doc_id"), array_distinct(
+          transform(split(lower(col("text")), "\\s+"),
+            tok => xxhash64(tok))).as("hs"))
+      val sim = hs.withColumn("simhash",
+        (0 until 64).map { i =>
+          val vote = aggregate(col("hs"), lit(0L), (acc, h) =>
+            acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+          when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((x, y) => x.bitwiseOR(y)))
         .select("doc_id", "simhash")
       val chunks = sim.withColumn("c", explode(array(
         (0 until 4).map(k => struct(lit(k).as("cidx"),
@@ -135,14 +140,7 @@ object SimilarityGates {
     // Exact n-gram Jaccard dedup, blocked on (lang, source) to bound the
     // quadratic pair space per block.
     Gate("d_ngram_jaccard", (s, d) => {
-      val toks = split(lower(col("text")), "\\s+")
-      val g = t(s, d, "documents")
-        .withColumn("toks", toks)
-        .filter(size(col("toks")) >= 3)
-        .withColumn("grams", array_distinct(
-          transform(sequence(lit(0), size(col("toks")) - 3),
-            i => concat_ws(" ", slice(col("toks"), i + 1, lit(3))))))
-        .select("doc_id", "lang", "source", "grams")
+      val g = shingled(s, d).withColumnRenamed("shingles", "grams")
       val drops = g.as("a")
         .join(g.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source")

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import Gate.t
+
+/** Streaming + event-time windowing gates. */
+object StreamGates {
+
+  val gates: Seq[Gate] = Seq(
+
+    // Real Structured Streaming run (readStream → watermark → tumbling
+    // window → memory sink), oracle-checked: counts and a decimal-exact
+    // sum are deterministic, and Spark's epoch-aligned window start equals
+    // DuckDB's time_bucket.
+    Gate("st_stream_tumbling",
+      (s, d) => StreamOps.tumblingAgg(s, d, "st_stream_tumbling_out")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             |  event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+             |FROM events GROUP BY 1, 2
+             |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    // Gap-based session windows (batch form of the same operator the
+    // streaming path uses); oracle = classic islands-and-gaps SQL.
+    Gate("st_session_window",
+      (s, d) => StreamOps.sessionAgg(t(s, d, "events"), "30 minutes")
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH marked AS (
+             |  SELECT user_id, ts,
+             |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |      <= INTERVAL '30 minutes' THEN 0 ELSE 1 END AS new_session
+             |  FROM events),
+             |sessions AS (
+             |  SELECT user_id, ts,
+             |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM marked)
+             |SELECT user_id, MIN(ts) AS session_start,
+             |  COUNT(*) AS n_events
+             |FROM sessions GROUP BY user_id, sid
+             |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin)),
+
+    // Sliding windows: 2-hour window advancing hourly; count-only so the
+    // overlap duplication stays exactly comparable.
+    Gate("st_sliding_window",
+      (s, d) => StreamOps.slidingAgg(t(s, d, "events"), "2 hours", "1 hour")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH buckets AS (
+             |  SELECT time_bucket(INTERVAL '1 hour', ts) AS b, event_type
+             |  FROM events),
+             |offsets AS (SELECT 0 AS o UNION ALL SELECT 1)
+             |SELECT b - o * INTERVAL '1 hour' AS window_start, event_type,
+             |  COUNT(*) AS n
+             |FROM buckets CROSS JOIN offsets
+             |GROUP BY 1, 2
+             |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension (SURVEY §2.8: the reference is batch-only
+  * — one-shot sync jobs, kubernetes/sync-job.yaml:1-16 — so this is
+  * beyond-parity surface, not a port).
+  *
+  * Batch parquet drives the streaming queries synchronously
+  * (`processAllAvailable`), which is also how the gate queries exercise
+  * them; in production the same plan runs on a live source with the
+  * trigger swapped.
+  */
+object StreamOps {
+
+  private val dec6 = DecimalType(30, 6)
+
+  /** Tumbling event-time window aggregation with a watermark: the
+    * canonical streaming shape (readStream → withWatermark → window agg).
+    * Runs the events parquet through a real streaming query into a memory
+    * sink and returns the completed result. */
+  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
+      windowLen: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the events table is a single parquet file; the streaming file source
+    // wants a directory, so stream the parent with a glob filter
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    // events.ts arrives as long nanos under nanosAsLong (see Sessions)
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val agg = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Session windows (gap-based) — Spark's session_window works for both
+    * batch and streaming groupBy; used in batch form by the gate so the
+    * result is oracle-checkable. */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Sliding window aggregation (windowLen every slide). */
+  def slidingAgg(events: DataFrame, windowLen: String,
+      slide: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+}
