@@ -1,0 +1,131 @@
+package graft.hb
+
+import Ast._
+
+/** Scala combinator DSL — the second authoring surface of the reference
+  * (the F#-embedded `Hobbes.DSL`, tutorial/transformations.fsx:19-250;
+  * production transformations in tools/workbench/src/production
+  * transformations/). Statements built here are validated exactly like the
+  * workbench validates: pretty-print to `.hb` and re-parse, failing fast
+  * on any construction the parser would reject (Types.fs:143-157).
+  *
+  * {{{
+  * import graft.hb.Dsl._
+  * val t = transformation(
+  *   only(c("WorkItemType") === s("User Story")),
+  *   groupBy("Sprint", "Item").maxby(c("Changed")),
+  *   pivot(c("Sprint"), c("State")).count(c("Item")),
+  *   sortBy("Sprint"),
+  *   create("m", moving(mean, 3, c("Done"))),
+  *   slice("Sprint", "m"))
+  * val df = t.run(sourceDf)
+  * }}}
+  */
+object Dsl {
+
+  // ------------------------------------------------------------- literals
+  def c(name: String): Expr = ColRef(name)
+  def s(v: String): Expr = StrLit(v)
+  def n(v: Double): Expr = NumLit(v)
+  val missing: Expr = MissingLit
+  val keys: Expr = KeysExpr
+  val ordinals: Expr = OrdinalsExpr
+
+  // ----------------------------------------------------------- reductions
+  val count: Reduction = Reduction.Count
+  val distinct: Reduction = Reduction.Distinct
+  val max: Reduction = Reduction.Max
+  val mean: Reduction = Reduction.Mean
+  val median: Reduction = Reduction.Median
+  val min: Reduction = Reduction.Min
+  val stddev: Reduction = Reduction.StdDev
+  val sum: Reduction = Reduction.Sum
+  val variance: Reduction = Reduction.Variance
+
+  // ---------------------------------------------------------- expressions
+  implicit final class ExprOps(private val l: Expr) extends AnyVal {
+    def ===(r: Expr): Expr = Bin("=", l, r)
+    def !==(r: Expr): Expr = Bin("!=", l, r)
+    def >(r: Expr): Expr = Bin(">", l, r)
+    def <(r: Expr): Expr = Bin("<", l, r)
+    def >=(r: Expr): Expr = Bin(">=", l, r)
+    def <=(r: Expr): Expr = Bin("<=", l, r)
+    def +(r: Expr): Expr = Bin("+", l, r)
+    def -(r: Expr): Expr = Bin("-", l, r)
+    def *(r: Expr): Expr = Bin("*", l, r)
+    def /(r: Expr): Expr = Bin("/", l, r)
+    def &&(r: Expr): Expr = Bin("&&", l, r)
+    def ||(r: Expr): Expr = Bin("||", l, r)
+    def unary_! : Expr = Not(l)
+    def isMissing: Expr = Bin("=", l, MissingLit)
+    def isntMissing: Expr = Bin("!=", l, MissingLit)
+  }
+
+  def iff(cond: Expr)(t: Expr)(f: Expr): Expr = IfElse(cond, t, f)
+  def int(e: Expr): Expr = IntCast(e)
+  def contains(e: Expr, vs: Expr*): Expr = Contains(e, vs)
+  def regex(e: Expr, pattern: String, toks: RegexTok*): Expr =
+    RegexExtract(e, pattern, if (toks.isEmpty) Seq(GroupTok(1)) else toks)
+  def group(i: Int): RegexTok = GroupTok(i)
+  def tok(s: String): RegexTok = LitTok(s)
+  def formatDate(col: String, part: DatePart): Expr =
+    FormatDate(ColRef(col), part)
+  def moving(red: Reduction, window: Int, e: Expr): Expr =
+    Moving(red, window, e)
+  def expanding(red: Reduction, e: Expr): Expr = Expanding(red, e)
+  def linReg(x: Expr, y: Expr): Expr = LinReg(x, y)
+
+  // ----------------------------------------------------------- statements
+  def create(name: String, e: Expr): Statement = CreateColumn(name, e)
+  def rename(from: String, to: String): Statement = RenameColumn(from, to)
+  def slice(names: String*): Statement = SliceColumns(names)
+  def only(e: Expr): Statement = Only(e)
+  val denseRows: Statement = DenseRows
+  val denseColumns: Statement = DenseColumns
+  val numericColumns: Statement = NumericColumns
+  def indexBy(e: Expr): Statement = IndexBy(e)
+  def sortBy(col: String): Statement = SortByColumn(col)
+  def buckets(n: Int, red: Reduction): Statement = Buckets(n, red)
+  def kmeans(n: Int, red: Reduction): Statement = KMeansCluster(n, red)
+  def each(red: Reduction): Statement = Each(red)
+  def extrapolate(name: String, known: Expr, nPredict: Int,
+      nTrain: Int): Statement =
+    LinearExtrapolation(name, known, nPredict, nTrain)
+
+  final case class GroupByBuilder(cols: Seq[String]) {
+    def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))
+    def maxby(e: Expr): Statement = GroupBy(cols, MaxBy(e))
+    def minby(e: Expr): Statement = GroupBy(cols, MinBy(e))
+  }
+  def groupBy(cols: String*): GroupByBuilder = GroupByBuilder(cols)
+
+  final case class PivotBuilder(rowE: Expr, colE: Expr) {
+    def agg(red: Reduction, valueE: Expr): Statement =
+      Pivot(rowE, colE, red, valueE)
+    def count(valueE: Expr): Statement = agg(Reduction.Count, valueE)
+    def sum(valueE: Expr): Statement = agg(Reduction.Sum, valueE)
+  }
+  def pivot(rowE: Expr, colE: Expr): PivotBuilder = PivotBuilder(rowE, colE)
+
+  // -------------------------------------------------------- transformation
+  final case class Transformation(statements: Seq[Statement]) {
+    /** `.hb` text of this transformation. */
+    def toHb: String = statements.map(Printer.print).mkString("\n")
+    def run(source: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      Graft.run(Program(Header(Map(), Map(), Map()), statements), source)
+  }
+
+  /** Construct + validate: each statement must round-trip through the
+    * parser, like the workbench's parse-at-construction rule. */
+  def transformation(statements: Statement*): Transformation = {
+    statements.foreach { st =>
+      val printed = Printer.print(st)
+      val reparsed = HbParser.parseStatement(printed)
+      require(reparsed == st,
+        s"statement does not round-trip: $st printed as '$printed' " +
+          s"re-parsed as $reparsed")
+    }
+    Transformation(statements)
+  }
+}

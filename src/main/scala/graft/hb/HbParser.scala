@@ -119,9 +119,14 @@ object HbParser {
         p += 1
         out += (if (q == '"') TQuoted(sb.toString) else TStr(sb.toString))
       } else if (c == '/' && {
-        // a regex literal only appears right after `regex [e]` — i.e. the
-        // previous token is `]`; plain '/' elsewhere is division.
-        out.lastOption.contains(TSym("]"))
+        // a regex literal appears only right after `regex [e]`: previous
+        // token is `]` AND a `regex` keyword is still awaiting its
+        // pattern. `(moving sum 3 [x] / r)` is division.
+        out.lastOption.contains(TSym("]")) && {
+          val kw = out.lastIndexWhere(_ == TIdent("regex"))
+          val lit = out.lastIndexWhere(_.isInstanceOf[TRegex])
+          kw >= 0 && kw > lit
+        }
       }) {
         val sb = new StringBuilder
         p += 1

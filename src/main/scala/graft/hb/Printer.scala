@@ -1,0 +1,102 @@
+package graft.hb
+
+import Ast._
+
+/** AST → `.hb` text. Combined with HbParser this gives the same
+  * validate-by-round-trip guarantee the reference's workbench applies to
+  * its F# combinator DSL: every statement is string-ed and re-parsed at
+  * construction (tools/workbench/src/Types.fs:143-157).
+  */
+object Printer {
+
+  def print(p: Program): String = {
+    val header = new StringBuilder
+    p.header.props.foreach { case (k, v) => header.append(s"$k: $v\n") }
+    p.header.lists.foreach { case (k, items) =>
+      header.append(s"$k:\n")
+      items.foreach(i => header.append(s"    - $i\n"))
+    }
+    if (p.header.meta.nonEmpty) {
+      header.append("meta:\n")
+      p.header.meta.foreach { case (k, v) => header.append(s"  $k: $v\n") }
+    }
+    val body = p.statements.map(print).mkString("\n")
+    if (header.isEmpty) body else s"$header\n\n$body"
+  }
+
+  def print(st: Statement): String = st match {
+    case CreateColumn(n, e) => s"create column ${name(n)} (${print(e)})"
+    case RenameColumn(a, b) => s"rename column ${name(a)} ${name(b)}"
+    case SliceColumns(ns) => s"slice columns ${ns.map(name).mkString(" ")}"
+    case Only(e) => s"only (${print(e)})"
+    case DenseRows => "dense rows"
+    case DenseColumns => "dense columns"
+    case NumericColumns => "numeric columns"
+    case IndexBy(e) => s"index rows by ${print(e)}"
+    case SortByColumn(n) => s"sort by column ${name(n)}"
+    case GroupBy(cols, RowsBy(r)) =>
+      s"group by ${cols.map(name).mkString(" ")} -> ${r.name}"
+    case GroupBy(cols, MaxBy(e)) =>
+      s"group by ${cols.map(name).mkString(" ")} -> maxby ${print(e)}"
+    case GroupBy(cols, MinBy(e)) =>
+      s"group by ${cols.map(name).mkString(" ")} -> minby ${print(e)}"
+    case Pivot(r, c, red, v) =>
+      s"pivot [${print(r)}] [${print(c)}] -> ${red.name} [${print(v)}]"
+    case Buckets(n, r) => s"buckets ($n) -> (${r.name})"
+    case KMeansCluster(n, r) => s"k-means ($n) -> (${r.name})"
+    case Each(r) => s"each ${r.name}"
+    case LinearExtrapolation(n, known, p, t) =>
+      s"create column ${name(n)} (linear extrapolation [${print(known)}] $p $t)"
+    case Comment(text) => s"!#$text!#"
+  }
+
+  def print(e: Expr): String = e match {
+    case ColRef(n) => name(n)
+    case StrLit(v) => s"'$v'"
+    case NumLit(v) => if (v == v.toLong) v.toLong.toString else v.toString
+    case MissingLit => "missing"
+    case KeysExpr => "keys"
+    case OrdinalsExpr => "ordinals"
+    case Bin(op, l, r) => s"(${print(l)} $op ${print(r)})"
+    // fully parenthesized: `!` binds looser than comparison in the
+    // grammar (`only !(x > 45)`, Velocity.hb:27), so a bare !(x) inside a
+    // comparison would re-parse as !(x > …)
+    case Not(x) => s"(!(${print(x)}))"
+    case IfElse(c, t, f) =>
+      s"if [${print(c)}] {${print(t)}} else {${print(f)}}"
+    case IntCast(x) => s"int (${print(x)})"
+    case Contains(x, vs) =>
+      s"contains ${print(x)} [${vs.map(print).mkString("; ")}]"
+    case RegexExtract(x, pat, toks) =>
+      val p2 = pat.replace("\\", "\\\\").replace("/", "\\/")
+      val ts = toks.map {
+        case GroupTok(n) => s"$$$n"
+        case LitTok(s) => s"'$s'"
+      }.mkString(" ")
+      s"regex [${print(x)}] /$p2/ [$ts]"
+    case FormatDate(x, part) => x match {
+      case ColRef(n) => s"format date ${name(n)} ${part.name}"
+      case _ => s"format date ${print(x)} ${part.name}"
+    }
+    case Moving(r, n, x) => s"moving ${r.name} $n [${print(x)}]"
+    case Expanding(r, x) => s"expanding ${r.name} [${print(x)}]"
+    case LinReg(x, y) => s"linear regression [${print(x)}] [${print(y)}]"
+    case other => throw new IllegalArgumentException(s"unprintable $other")
+  }
+
+  /** Bare identifier when safe, double-quoted otherwise. */
+  private def name(n: String): String = {
+    val bareOk = n.nonEmpty && (n.head.isLetter || n.head == '_') &&
+      n.forall(c => c.isLetterOrDigit || c == '_' || c == '.') &&
+      !reserved.contains(n)
+    if (bareOk) n else "\"" + n + "\""
+  }
+
+  private val reserved: Set[String] =
+    Set("missing", "keys", "ordinals", "if", "else", "int", "regex",
+      "format", "date", "moving", "expanding", "linear", "contains",
+      "true", "only", "create", "rename", "slice", "column", "columns",
+      "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
+      "buckets", "k-means", "each", "maxby", "minby") ++
+      Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
+}

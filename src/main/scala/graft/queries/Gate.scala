@@ -22,14 +22,9 @@ object Gate {
     * same truncation DuckDB's microsecond TIMESTAMP applies on read — so
     * oracle comparisons stay exact).
     */
-  def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts") match {
-      case Some(f) if f.dataType == LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _ => df
-    }
-  }
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.sources.Ingest.normalizeNanos(
+      s.read.parquet(s"$dir/$name.parquet"))
 }
 
 /** Deterministic floating-point aggregation helpers.

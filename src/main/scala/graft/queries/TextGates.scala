@@ -119,6 +119,16 @@ object TextGates {
              |  sha256(lower($normSql)) AS fingerprint_sha256
              |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Rolling-hash fingerprint via the custom codegen'd Catalyst
+    // expression (graft.functions.RollingHash) — no SQL-engine
+    // equivalent, so rows-only; cross-checked in RollingHashSpec.
+    Gate("t_rolling_hash",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.RollingHash.rolling_hash(lower(normText))
+            .as("rhash"))
+        .orderBy(col("doc_id")), None),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).

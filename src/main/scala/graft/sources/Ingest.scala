@@ -17,6 +17,17 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
+  /** TIMESTAMP(NANOS) parquet columns surface as longs under
+    * spark.sql.legacy.parquet.nanosAsLong; rescale the conventional `ts`
+    * column to a microsecond timestamp (`div 1000` floors — the same
+    * truncation DuckDB's microsecond reader applies). */
+  def normalizeNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType == LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+
   /** Read a JSON-lines dataset (or array payload read by spark.read.json)
     * and uniform it. */
   def fromJson(spark: SparkSession, json: Seq[String]): DataFrame = {

@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.hb.Ast.Header
+
+/** Source providers (SURVEY §2.1).
+  *
+  * The reference fetches driver-side and pages manually
+  * (tools/visualizer/cli/src/ODataProvider.fs:70-105 — `$select`/`$filter`
+  * assembled into the URL, pagination via `@odata.nextLink`;
+  * tools/visualizer/web/src/Server/Reader.fs:105-147 — REST with a URL
+  * list concatenated and an optional `values` payload property). The same
+  * shape here: a pluggable `Fetcher` does the HTTP GET (tests inject a
+  * fake; production uses `Fetcher.http`), pages land in `spark.read.json`,
+  * and the result goes through the uniforming pass (flatten + type-infer).
+  *
+  * Scale note: fetching is inherently driver-side in the reference design
+  * ($top=10000-capped APIs); the Spark-side cost — parse, flatten, infer —
+  * is distributed. For bulk sources use the parquet provider.
+  */
+object Providers {
+
+  /** One HTTP GET. `auth` = (user, password) for BasicAuth. */
+  trait Fetcher {
+    def get(url: String, auth: Option[(String, String)]): String
+  }
+
+  object Fetcher {
+    /** java.net.http-based implementation for production use. */
+    val http: Fetcher = new Fetcher {
+      def get(url: String, auth: Option[(String, String)]): String = {
+        val client = java.net.http.HttpClient.newHttpClient()
+        val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        auth.foreach { case (u, p) =>
+          val tok = java.util.Base64.getEncoder
+            .encodeToString(s"$u:$p".getBytes("UTF-8"))
+          b.header("Authorization", s"Basic $tok")
+        }
+        client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      }
+    }
+  }
+
+  /** S1 — OData v2 scan: `$select`/`$filter`/`$expand` from the header,
+    * pagination via `@odata.nextLink`, payload rows in `value`. */
+  def odata(spark: SparkSession, url: String,
+      select: Option[String] = None, filter: Option[String] = None,
+      expand: Option[String] = None, auth: Option[(String, String)] = None,
+      fetch: Fetcher = Fetcher.http, maxPages: Int = 10000): DataFrame = {
+    val q = Seq(
+      select.map(s => s"$$select=$s"),
+      filter.map(f => s"$$filter=$f"),
+      expand.map(e => s"$$expand=$e")).flatten.mkString("&")
+    val first =
+      if (q.isEmpty) url
+      else if (url.endsWith("?") || url.endsWith("&")) url + q
+      else if (url.contains("?")) s"$url&$q"
+      else s"$url?$q"
+    val pages = scala.collection.mutable.ArrayBuffer[String]()
+    var next: Option[String] = Some(first)
+    while (next.isDefined && pages.size < maxPages) {
+      val body = fetch.get(next.get, auth)
+      pages += body
+      next = nextLink(body)
+    }
+    val rows = arrayProperty(spark, pages.toSeq, "value")
+    Ingest.uniform(rows)
+  }
+
+  /** S2 — generic JSON-over-HTTP: one URL or a list (concatenated),
+    * optional `values` property selecting the payload array. */
+  def rest(spark: SparkSession, urls: Seq[String],
+      valuesProp: Option[String] = None,
+      auth: Option[(String, String)] = None,
+      fetch: Fetcher = Fetcher.http): DataFrame = {
+    val bodies = urls.map(u => fetch.get(u, auth))
+    val rows = valuesProp match {
+      case Some(p) => arrayProperty(spark, bodies, p)
+      case None =>
+        import spark.implicits._
+        spark.read.json(bodies.toDS())
+    }
+    Ingest.uniform(rows)
+  }
+
+  /** Resolve a parsed `.hb` header to a DataFrame (the provider dispatch
+    * of the sync worker, workers/syncronization.worker/src/Program.fs:48-58).
+    * `fetch` injects the HTTP layer; `dataDir` grounds the parquet/test
+    * providers. */
+  def fromHeader(spark: SparkSession, h: Header, dataDir: String = ".",
+      fetch: Fetcher = Fetcher.http): DataFrame = {
+    val auth = for {
+      u <- h.props.get("user"); p <- h.props.get("pwd")
+    } yield (resolveEnv(u), resolveEnv(p))
+    h.props.getOrElse("provider", "parquet") match {
+      case "odata" =>
+        odata(spark, h.props("url"), h.props.get("select"),
+          h.props.get("filter"), h.props.get("expand"), auth, fetch)
+      case "rest" =>
+        val urls = h.lists.getOrElse("url",
+          h.props.get("url").toSeq)
+        rest(spark, urls, h.props.get("values"), auth, fetch)
+      case "parquet" =>
+        val path = h.props.get("path")
+          .getOrElse(s"$dataDir/${h.props("table")}.parquet")
+        Ingest.normalizeNanos(spark.read.parquet(path))
+      case other =>
+        // jira: declared but unimplemented in the reference too
+        // (tools/workbench/src/Types.fs:128-129)
+        throw new IllegalArgumentException(s"unsupported provider '$other'")
+    }
+  }
+
+  /** `$VAR` header values resolve from the environment
+    * (`user: $AZURE_DEVOPS_PAT` pattern in every corpus program). */
+  private def resolveEnv(v: String): String =
+    if (v.startsWith("$")) sys.env.getOrElse(v.drop(1), v) else v
+
+  /** Pull `prop` (an array of row objects) out of each JSON body. */
+  private def arrayProperty(spark: SparkSession, bodies: Seq[String],
+      prop: String): DataFrame = {
+    import spark.implicits._
+    val parsed = spark.read.json(bodies.toDS())
+    if (!parsed.columns.contains(prop))
+      throw new IllegalArgumentException(
+        s"payload has no '$prop' array; fields: ${parsed.columns.mkString(",")}")
+    parsed.select(explode(col(s"`$prop`")).as("__row")).select("__row.*")
+  }
+
+  /** Extract `@odata.nextLink` from a page without a full JSON parse —
+    * driver-side, one small regex per page. */
+  def nextLink(body: String): Option[String] = {
+    val re = """"@odata\.nextLink"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+    re.findFirstMatchIn(body).map(m =>
+      m.group(1).replace("\\/", "/").replace("\\\"", "\""))
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.hb.{Ast, HbParser, Printer}
+import graft.hb.Dsl
+import Ast._
+
+/** The Scala combinator DSL + print/parse round-trip property.
+  * Mirrors the reference's parse-at-construction validation
+  * (tools/workbench/src/Types.fs:143-157). */
+class DslSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+
+  test("DSL builds, validates and runs a Velocity-shaped chain") {
+    import Dsl._
+    val t = transformation(
+      only(c("State") !== s("Todo")),
+      groupBy("Sprint", "Item").maxby(c("Changed")),
+      pivot(c("Sprint"), c("State")).count(c("Item")),
+      sortBy("Sprint"),
+      create("m", moving(mean, 2, c("Done"))),
+      slice("Sprint", "Done", "m"))
+    assert(t.toHb.startsWith("only ((State != 'Todo'))"))
+    val src = graft.sources.Ingest.localData(spark,
+      Seq("Sprint", "Item", "State", "Changed"),
+      Seq(Seq("S1", 1L, "Done", "d2"), Seq("S1", 1L, "Doing", "d1"),
+        Seq("S2", 2L, "Done", "d3")))
+    assert(t.run(src).count() == 2)
+  }
+
+  test("DSL rejects non-round-trippable constructions") {
+    import Dsl._
+    intercept[Exception] {
+      transformation(create("bad\"name", n(1)))
+    }
+  }
+
+  // ---------------- ScalaCheck: random AST → print → parse → same AST
+
+  private val genName: Gen[String] = for {
+    h <- Gen.alphaChar
+    t <- Gen.listOfN(5, Gen.oneOf(Gen.alphaNumChar, Gen.const('_')))
+  } yield (h :: t).mkString
+
+  private val genRed: Gen[Reduction] = Gen.oneOf(Reduction.all)
+  private val genPart: Gen[DatePart] = Gen.oneOf(DatePart.all)
+
+  private def genExpr(depth: Int): Gen[Expr] = {
+    val leaf: Gen[Expr] = Gen.oneOf(
+      genName.map(ColRef),
+      Gen.alphaNumStr.map(s => StrLit(s.take(8))),
+      Gen.chooseNum(0, 99999).map(i => NumLit(i.toDouble)),
+      Gen.chooseNum(1, 999).map(i => NumLit(i / 100.0)),
+      Gen.const(MissingLit), Gen.const(KeysExpr), Gen.const(OrdinalsExpr))
+    if (depth <= 0) leaf
+    else {
+      val sub = genExpr(depth - 1)
+      Gen.frequency(
+        4 -> leaf,
+        3 -> (for {
+          op <- Gen.oneOf("=", "!=", ">", "<", ">=", "<=", "+", "-", "*",
+            "/", "&&", "||")
+          l <- sub; r <- sub
+        } yield Bin(op, l, r)),
+        1 -> sub.map(Not(_)),
+        1 -> (for { cnd <- sub; t <- sub; f <- sub }
+          yield IfElse(cnd, t, f)),
+        1 -> sub.map(IntCast(_)),
+        1 -> (for { e <- sub; vs <- Gen.nonEmptyListOf(
+          Gen.oneOf(Gen.alphaNumStr.map(s => StrLit(s.take(6))),
+            Gen.chooseNum(0, 999).map(i => NumLit(i.toDouble)))) }
+          yield Contains(e, vs.take(3))),
+        1 -> (for { e <- sub; g <- Gen.chooseNum(1, 3) }
+          yield RegexExtract(e, "[Ss]print ([0-9]+)", Seq(GroupTok(g)))),
+        1 -> (for { nm <- genName; p <- genPart }
+          yield FormatDate(ColRef(nm), p)),
+        1 -> (for { r <- genRed; w <- Gen.chooseNum(2, 30); e <- sub }
+          yield Moving(r, w, e)),
+        1 -> (for { r <- genRed; e <- sub } yield Expanding(r, e)),
+        1 -> (for { x <- sub; y <- sub } yield LinReg(x, y)))
+    }
+  }
+
+  private val genStatement: Gen[Statement] = Gen.oneOf(
+    for { nm <- genName; e <- genExpr(2) } yield CreateColumn(nm, e),
+    for { a <- genName; b <- genName } yield RenameColumn(a, b),
+    Gen.nonEmptyListOf(genName).map(ns => SliceColumns(ns.take(4))),
+    genExpr(2).map(Only),
+    Gen.const(DenseRows), Gen.const(DenseColumns),
+    Gen.const(NumericColumns),
+    genExpr(2).map(IndexBy),
+    genName.map(SortByColumn),
+    for { cols <- Gen.nonEmptyListOf(genName); r <- genRed }
+      yield GroupBy(cols.take(3), RowsBy(r)),
+    for { cols <- Gen.nonEmptyListOf(genName); e <- genExpr(1) }
+      yield GroupBy(cols.take(3), MaxBy(e)),
+    for { r <- genExpr(1); cl <- genExpr(1); red <- genRed; v <- genExpr(1) }
+      yield Pivot(r, cl, red, v),
+    for { nb <- Gen.chooseNum(2, 16); r <- genRed } yield Buckets(nb, r),
+    for { k <- Gen.chooseNum(2, 8); r <- genRed }
+      yield KMeansCluster(k, r),
+    genRed.map(Each),
+    for { nm <- genName; e <- genExpr(1); p <- Gen.chooseNum(1, 20);
+      t <- Gen.chooseNum(2, 50) } yield LinearExtrapolation(nm, e, p, t))
+
+  test("property: every statement round-trips print → parse") {
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 500).foreach { i =>
+      genStatement(params, org.scalacheck.rng.Seed(i.toLong)).foreach { st =>
+        val printed = Printer.print(st)
+        assert(HbParser.parseStatement(printed) == st,
+          s"seed $i printed as: $printed")
+      }
+    }
+  }
+}
