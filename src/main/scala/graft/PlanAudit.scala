@@ -1,0 +1,15 @@
+package graft
+/** Dev tool: dump formatted physical plans for representative gates. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    val d = "/root/testdata/sf0.01"
+    Seq("a1_group_sum", "j1_join_broadcast_agg", "hb_velocity",
+      "d_exact_dedup", "w1_moving_avg").foreach { q =>
+      println(s"===== $q =====")
+      println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
