@@ -68,6 +68,12 @@ object Ingest {
 
   private val intRe = "^-?\\d{1,9}$"
   private val doubleRe = "^-?\\d*\\.?\\d+([eE][-+]?\\d+)?$"
+  // .NET DateTime.TryParse accepts both ISO and US-style strings — the
+  // reference golden corpus uses "11/19/2020 07:41:51"
+  // (tests/testdata.json; FIXTURES.md §1)
+  private val usTsFmt = "MM/dd/yyyy HH:mm:ss"
+  private def parseTs(x: Column): Column =
+    coalesce(try_to_timestamp(x), try_to_timestamp(x, lit(usTsFmt)))
 
   /** Column-level Double → Timestamp → Int → String resolution for string
     * columns; JSON null ≙ "" (Reader.fs:49) is treated as missing. */
@@ -85,7 +91,7 @@ object Ingest {
       Seq(
         allParse(c, x => x.rlike(intRe)).as(s"$c##int"),
         allParse(c, x => x.rlike(doubleRe)).as(s"$c##double"),
-        allParse(c, x => to_timestamp(x).isNotNull).as(s"$c##ts"))
+        allParse(c, x => parseTs(x).isNotNull).as(s"$c##ts"))
     }
     val row = df.agg(checks.head, checks.tail: _*).head()
     val decided: Map[String, DataType] = strCols.zipWithIndex.map {
@@ -105,6 +111,9 @@ object Ingest {
     df.select(df.schema.fields.toSeq.map { f =>
       decided.get(f.name) match {
         case Some(StringType) | None => col(s"`${f.name}`")
+        case Some(TimestampType) =>
+          when(col(s"`${f.name}`") === "", lit(null))
+            .otherwise(parseTs(col(s"`${f.name}`"))).as(f.name)
         case Some(t) =>
           when(col(s"`${f.name}`") === "", lit(null))
             .otherwise(col(s"`${f.name}`").cast(t)).as(f.name)
