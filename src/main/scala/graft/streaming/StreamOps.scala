@@ -14,6 +14,9 @@ import org.apache.spark.sql.types._
   * them; in production the same plan runs on a live source with the
   * trigger swapped.
   */
+/** Per-user open-session state for sessionizeStateful. */
+case class SessionState(start: Long, last: Long, n: Int)
+
 object StreamOps {
 
   private val dec6 = DecimalType(30, 6)
@@ -63,6 +66,59 @@ object StreamOps {
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("n_events"))
+
+  /** Custom-state sessionization via flatMapGroupsWithState: emits one
+    * row per closed session (gap timeout). The state-machine form of
+    * sessionAgg, for session logic session_window can't express
+    * (per-session event caps, custom close conditions). Runs on a
+    * streaming Dataset; `sessionizeStateful` wires it to the events
+    * parquet through a memory sink like tumblingAgg. */
+  def sessionizeStateful(spark: SparkSession, dir: String,
+      queryName: String, gapMinutes: Long = 30,
+      maxEvents: Int = 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      (if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw)
+        .select(col("user_id"), col("ts").cast("long").as("epoch"))
+        .as[(Long, Long)]
+
+    val gap = gapMinutes * 60
+    def fn(userId: Long, rows: Iterator[(Long, Long)],
+        state: GroupState[SessionState]): Iterator[(Long, Long, Long, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
+      var cur = state.getOption
+      rows.toSeq.sortBy(_._2).foreach { case (_, ep) =>
+        cur match {
+          case Some(s) if ep - s.last <= gap && s.n < maxEvents =>
+            cur = Some(s.copy(last = ep, n = s.n + 1))
+          case Some(s) =>
+            out += ((userId, s.start, s.last, s.n))
+            cur = Some(SessionState(ep, ep, 1))
+          case None => cur = Some(SessionState(ep, ep, 1))
+        }
+      }
+      cur match {
+        case Some(s) => state.update(s)
+        case None => state.remove()
+      }
+      out.iterator
+    }
+    val closed = events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+      .toDF("user_id", "session_start", "session_last", "n_events")
+    val q = closed.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
 
   /** Sliding window aggregation (windowLen every slide). */
   def slidingAgg(events: DataFrame, windowLen: String,
