@@ -53,6 +53,9 @@ object Ast {
   case object KeysExpr extends Expr
   /** `ordinals` — row ordinal (hobbes.YAML-tmLanguage:10). */
   case object OrdinalsExpr extends Expr
+  /** boolean constant `True` — `only True` keeps all rows (F# DSL,
+    * 1_General.fs:65-67). */
+  case object TrueLit extends Expr
 
   /** Binary ops: = != > < >= <= + - * / && || */
   case class Bin(op: String, l: Expr, r: Expr) extends Expr

@@ -242,6 +242,7 @@ object Engine {
     case StrLit(v) => lit(v)
     case NumLit(v) => if (v == v.toLong) lit(v.toLong) else lit(v)
     case MissingLit => lit(null)
+    case TrueLit => lit(true)
     case KeysExpr => col(KEY)
     case OrdinalsExpr =>
       // 0-based like ingest keys (ODataProvider.fs:128-133)

@@ -266,7 +266,7 @@ object HbParser {
         case "missing" => next(); MissingLit
         case "keys" => next(); KeysExpr
         case "ordinals" => next(); OrdinalsExpr
-        case "true" => next(); NumLit(1) // F# DSL `True` (1_General.fs:65)
+        case "true" | "True" => next(); TrueLit
         case "int" => next(); eat("("); val e = expr(); eat(")"); IntCast(e)
         case "if" =>
           next()

@@ -57,6 +57,7 @@ object Printer {
     case MissingLit => "missing"
     case KeysExpr => "keys"
     case OrdinalsExpr => "ordinals"
+    case TrueLit => "true"
     case Bin(op, l, r) => s"(${print(l)} $op ${print(r)})"
     // fully parenthesized: `!` binds looser than comparison in the
     // grammar (`only !(x > 45)`, Velocity.hb:27), so a bare !(x) inside a

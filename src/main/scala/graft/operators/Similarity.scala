@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding similarity — deterministic cosine, brute-force and IVF
+  * approximate nearest neighbors, cosine near-dup (library surface for
+  * the s_ann_* / d_embed_* gates).
+  */
+object Similarity {
+
+  /** Deterministic dot product: each per-element double product scaled by
+    * 1e12 and floored to a long (exact — |x·y|·1e12 ≲ 1e13 < 2^53), summed
+    * in integer arithmetic (order-independent), divided back once.
+    * Bit-identical across engines, partitionings and runs. */
+  def ddot(a: Column, b: Column): Column =
+    (aggregate(
+      zip_with(a, b, (x, y) =>
+        floor(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e12))
+          .cast(LongType)),
+      lit(0L), (acc, x) => acc + x)
+      .cast(DoubleType) / lit(1e12))
+
+  def norm(v: Column): Column = sqrt(ddot(v, v))
+
+  def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
+    ddot(a, b) / (an * bn)
+
+  /** Exact cosine top-k for a (small, broadcastable) query set against the
+    * full corpus. The correctness baseline for any ANN variant. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol),
+      norm(col(vecCol)).as("__nrm"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    val scored = broadcast(q).join(e, col("query_id") =!= col(idCol))
+      .withColumn("cosine",
+        cosine(col("__qv"), col("__qn"), col(vecCol), col("__nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** IVF ANN: KMeans coarse quantization, probe the `nprobe` nearest
+    * cells per query, exact cosine within probed cells. The only full
+    * scan is cell assignment; centroids broadcast. */
+  def ivfTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
+      vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val e = corpus
+      .select(col(idCol),
+        transform(col(vecCol), _.cast(DoubleType)).as("__v"))
+      .withColumn("__features", array_to_vector(col("__v")))
+      .withColumn("__nrm", norm(col("__v")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").fit(e)
+    val assigned = model.transform(e)
+      .select(col(idCol), col("__v"), col("__nrm"),
+        col("prediction").as("__cell"))
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray) }.toSeq
+    val centDf = spark.createDataFrame(cents).toDF("__cell", "__cv")
+      .withColumn("__cnrm", norm(col("__cv")))
+    val q = assigned.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("query_id"), col("__v").as("__qv"),
+        col("__nrm").as("__qn"))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ccos").desc, col("__cell"))
+    val probed = broadcast(q).crossJoin(broadcast(centDf))
+      .withColumn("__ccos",
+        cosine(col("__qv"), col("__qn"), col("__cv"), col("__cnrm")))
+      .withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= nprobe)
+      .select("query_id", "__qv", "__qn", "__cell")
+    val scored = probed.join(assigned,
+      probed("__cell") === assigned("__cell")
+        && col("query_id") =!= col(idCol))
+      .withColumn("cosine",
+        cosine(col("__qv"), col("__qn"), col("__v"), col("__nrm")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
+        col("cosine"))
+  }
+
+  /** Cosine near-dup survivors: drop the higher id of any same-block pair
+    * with cosine ≥ threshold. Blocked (label / cluster id) brute force;
+    * at open scale assign blocks with KMeans first (IVF-style). */
+  def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double = 0.95): DataFrame = {
+    val e = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      col(vecCol).as("__v"))
+      .withColumn("__nrm", norm(col("__v")))
+    val drops = e.as("a").join(e.as("b"),
+      col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .filter(cosine(col("a.__v"), col("a.__nrm"), col("b.__v"),
+        col("b.__nrm")) >= threshold)
+      .select(col("b.__id").as("__drop")).distinct()
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+}
