@@ -12,6 +12,9 @@ object Bench {
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
+      // operators may persist signature frames; drop them between queries
+      // so earlier queries' caches don't pressure later ones
+      spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

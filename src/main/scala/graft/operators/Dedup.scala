@@ -15,6 +15,17 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Signature frames are (a) expensive to compute — Catalyst happily
+    * inlines the HOF signature expressions into every reference site,
+    * recomputing them per reference (measured 128 copies of the token
+    * hashing in the pre-barrier simhash plan) — and (b) referenced twice
+    * by the candidate self-joins, which get no ReusedExchange. Caching
+    * the tiny signature relation (id + fixed-width signature, a few
+    * hundred bytes/row regardless of document size) fixes both: one
+    * computation, both join branches read the InMemoryRelation. */
+  private def cached(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Normalized-text digest (the exact-dedup identity). */
   def fingerprint(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
@@ -33,8 +44,13 @@ object Dedup {
         i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
   }
 
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast(DoubleType) / size(array_union(a, b))
+  /** |A∩B| / (|A|+|B|-|A∩B|) — one set operation instead of
+    * intersect+union; whole-stage codegen's subexpression elimination
+    * computes the intersection once. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** Deterministic minhash permutation parameters. */
   private def perms(numPerms: Int): Seq[(Long, Long)] =
@@ -52,20 +68,22 @@ object Dedup {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     val ps = perms(numPerms)
-    val sh = df.select(col(idCol).as("__id"),
-      shingles(col(textCol)).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-    // each per-perm min inlined into exactly one band hash (naming the
-    // signature invites Catalyst project-collapse recomputation)
+    // cheap pre-filter first (a filter on the shingle column itself
+    // would be pushed below the projection, recomputing shingles)
+    val sh = cached(df
+      .filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
+      .select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh")))
     def mh(j: Int): Column = {
       val (a, b) = ps(j)
       array_min(transform(col("__sh"), h => h * lit(a) + lit(b)))
     }
-    val bandRows = sh.withColumn("__band", explode(array(
+    // bandRows is the expensive frame (64 array_mins per row) and is the
+    // self-joined one — cache it, not just sh
+    val bandRows = cached(sh.withColumn("__band", explode(array(
       (0 until bands).map(k => struct(lit(k).as("bidx"),
         xxhash64((0 until rowsPerBand).map(r => mh(k * rowsPerBand + r)): _*)
           .as("bhash"))): _*)))
-      .select(col("__id"), col("__band.bidx"), col("__band.bhash"))
+      .select(col("__id"), col("__band.bidx"), col("__band.bhash")))
     bandRows.as("a").join(bandRows.as("b"),
       col("a.bidx") === col("b.bidx") && col("a.bhash") === col("b.bhash")
         && col("a.__id") < col("b.__id"))
@@ -78,8 +96,8 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 64,
       bands: Int = 16): DataFrame = {
-    val sh = df.select(col(idCol).as("__id"),
-      shingles(col(textCol)).as("__sh"))
+    val sh = cached(df.select(col(idCol).as("__id"),
+      shingles(col(textCol)).as("__sh")))
     val drops = minhashCandidates(df, textCol, idCol, numPerms, bands)
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
@@ -105,8 +123,16 @@ object Dedup {
     * 4 chunks). */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sim = df.select(col(idCol).as("__id"),
-      simhash(col(textCol)).as("__simhash"))
+    // hs must be cached: the 64 vote aggregates each reference it, and
+    // Catalyst would inline (recompute) the token hashing per vote
+    val hs = cached(df.select(col(idCol).as("__id"), array_distinct(
+      transform(split(lower(col(textCol)), "\\s+"),
+        tok => xxhash64(tok))).as("__hs")))
+    val sim = cached(hs.select(col("__id"), (0 until 64).map { i =>
+      val vote = aggregate(col("__hs"), lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y)).as("__simhash")))
     val chunks = sim.withColumn("__c", explode(array(
       (0 until 4).map(k => struct(lit(k).as("cidx"),
         shiftright(col("__simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
@@ -127,9 +153,10 @@ object Dedup {
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], threshold: Double = 0.6,
       n: Int = 3): DataFrame = {
-    val g = df.select((col(idCol).as("__id") +:
-      blockCols.map(col)) :+ shingles(col(textCol), n).as("__g"): _*)
-      .filter(size(col("__g")) > 0)
+    val g = cached(df
+      .filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
+      .select((col(idCol).as("__id") +:
+        blockCols.map(col)) :+ shingles(col(textCol), n).as("__g"): _*))
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
     val drops = g.as("a").join(g.as("b"), cond)

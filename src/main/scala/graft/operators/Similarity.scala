@@ -28,17 +28,34 @@ object Similarity {
   def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
     ddot(a, b) / (an * bn)
 
+  /** Fixed-point quantization of a float vector to longs (1e-6 steps),
+    * computed ONCE per row so every pairwise dot is a pure long
+    * multiply-add. The scale cancels out of cosine
+    * (dotQ/(√dotQa·√dotQb)), so results stay bit-deterministic and
+    * SQL-replicable; quantization error ~1e-6 applies identically on
+    * both sides of an oracle compare. */
+  def quantize(v: Column): Column =
+    transform(v, x => floor(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+
+  /** Long dot product over quantized vectors (order-independent). */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
+      (acc, x) => acc + x).cast(DoubleType)
+
+  def normQ(v: Column): Column = sqrt(dotQ(v, v))
+
   /** Exact cosine top-k for a (small, broadcastable) query set against the
     * full corpus. The correctness baseline for any ANN variant. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
-    val e = corpus.select(col(idCol), col(vecCol),
-      norm(col(vecCol)).as("__nrm"))
+    val e = corpus.select(col(idCol), quantize(col(vecCol)).as("__v"))
+      .withColumn("__nrm", normQ(col("__v")))
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+      quantize(col(vecCol)).as("__qv"))
+      .withColumn("__qn", normQ(col("__qv")))
     val scored = broadcast(q).join(e, col("query_id") =!= col(idCol))
       .withColumn("cosine",
-        cosine(col("__qv"), col("__qn"), col(vecCol), col("__nrm")))
+        dotQ(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -58,9 +75,10 @@ object Similarity {
     val spark = corpus.sparkSession
     val e = corpus
       .select(col(idCol),
-        transform(col(vecCol), _.cast(DoubleType)).as("__v"))
-      .withColumn("__features", array_to_vector(col("__v")))
-      .withColumn("__nrm", norm(col("__v")))
+        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+      .withColumn("__features", array_to_vector(col("__dv")))
+      .withColumn("__v", quantize(col("__dv")))
+      .withColumn("__nrm", normQ(col("__v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__features").fit(e)
     val assigned = model.transform(e)
@@ -68,8 +86,9 @@ object Similarity {
         col("prediction").as("__cell"))
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray) }.toSeq
-    val centDf = spark.createDataFrame(cents).toDF("__cell", "__cv")
-      .withColumn("__cnrm", norm(col("__cv")))
+    val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
+      .withColumn("__cv", quantize(col("__cvd")))
+      .withColumn("__cnrm", normQ(col("__cv")))
     val q = assigned.filter(queryIds(col(idCol)))
       .select(col(idCol).as("query_id"), col("__v").as("__qv"),
         col("__nrm").as("__qn"))
@@ -77,7 +96,7 @@ object Similarity {
       .orderBy(col("__ccos").desc, col("__cell"))
     val probed = broadcast(q).crossJoin(broadcast(centDf))
       .withColumn("__ccos",
-        cosine(col("__qv"), col("__qn"), col("__cv"), col("__cnrm")))
+        dotQ(col("__qv"), col("__cv")) / (col("__qn") * col("__cnrm")))
       .withColumn("__crank", row_number().over(wc))
       .filter(col("__crank") <= nprobe)
       .select("query_id", "__qv", "__qn", "__cell")
@@ -85,7 +104,7 @@ object Similarity {
       probed("__cell") === assigned("__cell")
         && col("query_id") =!= col(idCol))
       .withColumn("cosine",
-        cosine(col("__qv"), col("__qn"), col("__v"), col("__nrm")))
+        dotQ(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
@@ -100,12 +119,12 @@ object Similarity {
   def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double = 0.95): DataFrame = {
     val e = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-      col(vecCol).as("__v"))
-      .withColumn("__nrm", norm(col("__v")))
+      quantize(col(vecCol)).as("__v"))
+      .withColumn("__nrm", normQ(col("__v")))
     val drops = e.as("a").join(e.as("b"),
       col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
-      .filter(cosine(col("a.__v"), col("a.__nrm"), col("b.__v"),
-        col("b.__nrm")) >= threshold)
+      .filter(dotQ(col("a.__v"), col("b.__v")) /
+        (col("a.__nrm") * col("b.__nrm")) >= threshold)
       .select(col("b.__id").as("__drop")).distinct()
     df.join(drops, col(idCol) === col("__drop"), "left_anti")
   }

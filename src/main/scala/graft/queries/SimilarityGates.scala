@@ -11,9 +11,11 @@ import Gate.t
   */
 object SimilarityGates {
 
-  private val ddotSql: (String, String) => String = (a, b) =>
-    s"(CAST(list_sum(list_transform(list_zip($a, $b), " +
-      s"x -> CAST(FLOOR(CAST(x[1] AS DOUBLE)*CAST(x[2] AS DOUBLE)*1e12) AS BIGINT))) AS DOUBLE) / 1e12)"
+  // quantized-vector helpers mirroring Similarity.quantize/dotQ exactly
+  private def qSql(v: String): String =
+    s"list_transform($v, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1e6) AS BIGINT))"
+  private val dotQSql: (String, String) => String = (a, b) =>
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS DOUBLE)"
 
   val gates: Seq[Gate] = Seq(
 
@@ -44,14 +46,16 @@ object SimilarityGates {
         "embedding", blockCol = "label", threshold = 0.95)
         .select("vec_id").orderBy(col("vec_id")),
       Some(s"""WITH e AS (
-             |  SELECT vec_id, label, embedding,
-             |    SQRT(${ddotSql("embedding", "embedding")}) AS nrm
-             |  FROM embeddings)
-             |SELECT vec_id FROM e
+             |  SELECT vec_id, label, ${qSql("embedding")} AS qv
+             |  FROM embeddings),
+             |en AS (
+             |  SELECT vec_id, label, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+             |  FROM e)
+             |SELECT vec_id FROM en
              |WHERE NOT EXISTS (
-             |  SELECT 1 FROM e a
-             |  WHERE a.label = e.label AND a.vec_id < e.vec_id
-             |    AND ${ddotSql("a.embedding", "e.embedding")} / (a.nrm * e.nrm) >= 0.95)
+             |  SELECT 1 FROM en a
+             |  WHERE a.label = en.label AND a.vec_id < en.vec_id
+             |    AND ${dotQSql("a.qv", "en.qv")} / (a.nrm * en.nrm) >= 0.95)
              |ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
 
     // Brute-force cosine top-k (the ANN correctness baseline): queries
@@ -62,13 +66,14 @@ object SimilarityGates {
         "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-      Some(s"""WITH e AS (
-             |  SELECT vec_id, embedding,
-             |    SQRT(${ddotSql("embedding", "embedding")}) AS nrm
-             |  FROM embeddings),
+      Some(s"""WITH e0 AS (
+             |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+             |e AS (
+             |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+             |  FROM e0),
              |scored AS (
              |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-             |    ${ddotSql("q.embedding", "b.embedding")} / (q.nrm * b.nrm) AS cosine
+             |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
              |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
              |ranked AS (
              |  SELECT query_id, neighbor_id, cosine,
