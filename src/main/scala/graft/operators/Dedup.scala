@@ -101,7 +101,9 @@ object Dedup {
     val drops = minhashCandidates(df, textCol, idCol, numPerms, bands)
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
-      .filter(jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
+      .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
+        size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
+        jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
       .select(col("id_b").as("__drop")).distinct()
     df.join(drops, col(idCol) === col("__drop"), "left_anti")
   }
@@ -159,8 +161,14 @@ object Dedup {
         blockCols.map(col)) :+ shingles(col(textCol), n).as("__g"): _*))
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
+    // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
+    // mismatched set sizes cannot reach the threshold — cheap integer
+    // comparisons ahead of the O(|A|+|B|) intersect
+    val sizePrune =
+      size(col("a.__g")) >= size(col("b.__g")) * threshold &&
+        size(col("b.__g")) >= size(col("a.__g")) * threshold
     val drops = g.as("a").join(g.as("b"), cond)
-      .filter(jaccard(col("a.__g"), col("b.__g")) >= threshold)
+      .filter(sizePrune && jaccard(col("a.__g"), col("b.__g")) >= threshold)
       .select(col("b.__id").as("__drop")).distinct()
     df.join(drops, col(idCol) === col("__drop"), "left_anti")
   }
