@@ -161,10 +161,14 @@ object Engine {
       HbFrame(pivoted, Seq(col(KEY).asc))
 
     case Buckets(n, red) =>
+      // NTILE without the single-partition global window — the bucket
+      // boundaries are identical, but the ordinal comes from a range
+      // repartition (operators.Ordinals), so pre-aggregation frames of
+      // any size bucket in parallel
       val nums = f.numericCols
       val aggs = nums.map(c => reduce(red, col(c)).as(c))
-      val bucketed = f.df
-        .withColumn("__bucket", ntile(n).over(Window.orderBy(f.order: _*)))
+      val bucketed = graft.operators.Ordinals
+        .withGlobalNtile(f.df, "__bucket", n, f.order)
         .groupBy(col("__bucket").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
       HbFrame(bucketed, Seq(col(KEY).asc))
@@ -272,7 +276,18 @@ object Engine {
     case IfElse(c, t, e2) =>
       when(compileExpr(c, f), compileExpr(t, f))
         .otherwise(compileExpr(e2, f))
-    case IntCast(x) => compileExpr(x, f).cast(IntegerType)
+    case IntCast(x) =>
+      // reference: a non-convertible value FAILS the transformation
+      // (hobbes-autocomplete.code-snippets:150-157). ANSI stays off
+      // globally (minhash wraparound arithmetic), so strictness is local:
+      // a null produced from a non-null input raises like the reference
+      // instead of silently nulling.
+      val src = compileExpr(x, f)
+      val casted = src.cast(IntegerType)
+      when(src.isNotNull && casted.isNull,
+        raise_error(concat(lit("int(): cannot convert '"),
+          src.cast(StringType), lit("'"))).cast(IntegerType))
+        .otherwise(casted)
     case Contains(x, vs) =>
       compileExpr(x, f).isin(vs.map {
         case StrLit(s) => s

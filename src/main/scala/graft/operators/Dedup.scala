@@ -9,9 +9,13 @@ import org.apache.spark.sql.types._
   *
   * All near-dup variants return the SURVIVOR set: the input minus rows
   * judged duplicates of a lower-id row. Pair-level output is available
-  * via the `*Pairs` forms.
+  * via the `*Pairs`/candidates forms.
   *
-  * Scale design per operator in SCALE.md.
+  * Cache lifecycle: every operator that persists an intermediate
+  * signature frame eagerly materializes its (small) drop/pair list via
+  * `localCheckpoint` and unpersists the signatures before returning —
+  * composing several dedups in one job leaves nothing registered in the
+  * CacheManager. Scale design per operator in SCALE.md.
   */
 object Dedup {
 
@@ -25,6 +29,18 @@ object Dedup {
     * computation, both join branches read the InMemoryRelation. */
   private def cached(df: DataFrame): DataFrame =
     df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Eagerly materialize `result` (always a small id/pair frame — never
+    * the survivor set itself), then release the signature caches it was
+    * computed from. The checkpoint blocks live outside the CacheManager
+    * and are GC-cleaned, so operators leave no persisted relations
+    * behind (asserted in DedupSpec). */
+  private def materializeThenRelease(result: DataFrame,
+      sigs: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    sigs.foreach(_.unpersist(false))
+    out
+  }
 
   /** Normalized-text digest (the exact-dedup identity). */
   def fingerprint(textCol: Column): Column =
@@ -60,35 +76,53 @@ object Dedup {
       (a, b)
     }
 
-  /** MinHash LSH candidate pairs: (idA, idB) with idA < idB that share at
-    * least one of `bands` band hashes over a `numPerms`-perm signature.
-    * Candidate generation is an equi-join on (band, bandHash). */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+  /** (__id, blockCols…, shingle set) frame for a text column. The cheap
+    * token pre-filter runs on the raw column — a filter on the shingle
+    * column itself would be pushed below the projection and recompute
+    * the shingles. */
+  private def shingleFrame(df: DataFrame, textCol: String, idCol: String,
+      extraCols: Seq[String], n: Int, shCol: String): DataFrame =
+    df.filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
+      .select((col(idCol).as("__id") +: extraCols.map(col)) :+
+        shingles(col(textCol), n).as(shCol): _*)
+
+  /** Explode a (cached) shingle frame into (__id, bidx, bhash) band
+    * rows: `bands` hashes over a `numPerms`-perm minhash signature. */
+  private def bandFrame(sh: DataFrame, shCol: String, numPerms: Int,
+      bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     val ps = perms(numPerms)
-    // cheap pre-filter first (a filter on the shingle column itself
-    // would be pushed below the projection, recomputing shingles)
-    val sh = cached(df
-      .filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
-      .select(col(idCol).as("__id"), shingles(col(textCol)).as("__sh")))
     def mh(j: Int): Column = {
       val (a, b) = ps(j)
-      array_min(transform(col("__sh"), h => h * lit(a) + lit(b)))
+      array_min(transform(col(shCol), h => h * lit(a) + lit(b)))
     }
-    // bandRows is the expensive frame (64 array_mins per row) and is the
-    // self-joined one — cache it, not just sh
-    val bandRows = cached(sh.withColumn("__band", explode(array(
+    sh.withColumn("__band", explode(array(
       (0 until bands).map(k => struct(lit(k).as("bidx"),
         xxhash64((0 until rowsPerBand).map(r => mh(k * rowsPerBand + r)): _*)
           .as("bhash"))): _*)))
-      .select(col("__id"), col("__band.bidx"), col("__band.bhash")))
+      .select(col("__id"), col("__band.bidx"), col("__band.bhash"))
+  }
+
+  /** Distinct (id_a < id_b) pairs sharing at least one band hash —
+    * candidate generation as an equi-join on (band, bandHash), never
+    * an all-pairs product. */
+  private def bandPairs(bandRows: DataFrame): DataFrame =
     bandRows.as("a").join(bandRows.as("b"),
       col("a.bidx") === col("b.bidx") && col("a.bhash") === col("b.bhash")
         && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+
+  /** MinHash LSH candidate pairs: (id_a, id_b) with id_a < id_b that share
+    * at least one of `bands` band hashes over a `numPerms`-perm signature. */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh"))
+    // bandRows is the expensive frame (64 array_mins per row) and is the
+    // self-joined one — cache it, not just sh
+    val bandRows = cached(bandFrame(sh, "__sh", numPerms, bands))
+    materializeThenRelease(bandPairs(bandRows), sh, bandRows)
   }
 
   /** MinHash LSH near-dup survivors: drop the higher id of every candidate
@@ -96,16 +130,20 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 64,
       bands: Int = 16): DataFrame = {
-    val sh = cached(df.select(col(idCol).as("__id"),
-      shingles(col(textCol)).as("__sh")))
-    val drops = minhashCandidates(df, textCol, idCol, numPerms, bands)
+    val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh"))
+    val bandRows = cached(bandFrame(sh, "__sh", numPerms, bands))
+    // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
+    // mismatched set sizes cannot reach the threshold — cheap integer
+    // comparisons ahead of the O(|A|+|B|) intersect
+    val drops = bandPairs(bandRows)
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
       .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
         size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
         jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
       .select(col("id_b").as("__drop")).distinct()
-    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+    df.join(materializeThenRelease(drops, sh, bandRows),
+      col(idCol) === col("__drop"), "left_anti")
   }
 
   /** 64-bit SimHash signature: per-row bit votes over the distinct token
@@ -146,30 +184,55 @@ object Dedup {
       .filter(bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash")))
         <= maxHamming)
       .select(col("b.__id").as("__drop")).distinct()
-    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+    df.join(materializeThenRelease(drops, hs, sim),
+      col(idCol) === col("__drop"), "left_anti")
   }
 
-  /** Exact n-gram Jaccard survivors, blocked on `blockCols` to bound the
-    * quadratic pair space (at open scale, compose with minhashCandidates
-    * instead of blocking alone). */
+  /** Exact n-gram Jaccard survivors. Candidate pairs come from MinHash
+    * LSH banding over the SAME shingle sets — never a quadratic
+    * self-join — then `blockCols` equality, a size-ratio prune and the
+    * exact Jaccard verify run on the candidate pairs only. With the
+    * default r = numPerms/bands = 2 rows per band and 32 bands, a pair
+    * at exactly the 0.6 threshold is missed with probability
+    * (1-t²)^32 ≈ 6e-7; above it, vanishingly less — survivor sets match
+    * the exhaustive `ngramJaccardBlocked` (asserted in DedupSpec). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], threshold: Double = 0.6,
+      n: Int = 3, numPerms: Int = 64, bands: Int = 32): DataFrame = {
+    val sh = cached(shingleFrame(df, textCol, idCol, blockCols, n, "__g"))
+    val bandRows = cached(bandFrame(sh, "__g", numPerms, bands))
+    val blockEq = blockCols.map(c => col(s"sa.$c") === col(s"sb.$c"))
+      .foldLeft(lit(true))(_ && _)
+    val sizePrune =
+      size(col("sa.__g")) >= size(col("sb.__g")) * threshold &&
+        size(col("sb.__g")) >= size(col("sa.__g")) * threshold
+    val drops = bandPairs(bandRows)
+      .join(sh.as("sa"), col("id_a") === col("sa.__id"))
+      .join(sh.as("sb"), col("id_b") === col("sb.__id"))
+      .filter(blockEq && sizePrune &&
+        jaccard(col("sa.__g"), col("sb.__g")) >= threshold)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(materializeThenRelease(drops, sh, bandRows),
+      col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Exhaustive blocked n-gram Jaccard — the quadratic-within-block
+    * reference implementation. Correct at any block size but O(block²)
+    * pairs; kept as the ground truth `ngramJaccard` is asserted against
+    * in DedupSpec. Use `ngramJaccard` (LSH candidates) at scale. */
+  def ngramJaccardBlocked(df: DataFrame, textCol: String, idCol: String,
+      blockCols: Seq[String], threshold: Double = 0.6,
       n: Int = 3): DataFrame = {
-    val g = cached(df
-      .filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
-      .select((col(idCol).as("__id") +:
-        blockCols.map(col)) :+ shingles(col(textCol), n).as("__g"): _*))
+    val g = cached(shingleFrame(df, textCol, idCol, blockCols, n, "__g"))
     val cond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .reduce(_ && _) && col("a.__id") < col("b.__id")
-    // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
-    // mismatched set sizes cannot reach the threshold — cheap integer
-    // comparisons ahead of the O(|A|+|B|) intersect
     val sizePrune =
       size(col("a.__g")) >= size(col("b.__g")) * threshold &&
         size(col("b.__g")) >= size(col("a.__g")) * threshold
     val drops = g.as("a").join(g.as("b"), cond)
       .filter(sizePrune && jaccard(col("a.__g"), col("b.__g")) >= threshold)
       .select(col("b.__id").as("__drop")).distinct()
-    df.join(drops, col(idCol) === col("__drop"), "left_anti")
+    df.join(materializeThenRelease(drops, g),
+      col(idCol) === col("__drop"), "left_anti")
   }
 }

@@ -76,7 +76,15 @@ object Similarity {
     val e = corpus
       .select(col(idCol),
         transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
-      .withColumn("__features", array_to_vector(col("__dv")))
+      // cluster the L2-NORMALIZED vectors: Euclidean KMeans on the unit
+      // sphere ≈ cosine cells (‖a−b‖² = 2−2cos); clustering raw vectors
+      // mixes magnitude into the cells and costs recall (DedupSpec
+      // measured 0.54 → normalized ≥0.9 recall@10)
+      .withColumn("__l2",
+        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("__features",
+        array_to_vector(transform(col("__dv"),
+          x => x / col("__l2"))))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)

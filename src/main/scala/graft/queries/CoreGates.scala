@@ -217,13 +217,13 @@ object CoreGates {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)),
 
-    // A6 `buckets (n) -> (reduction)` — equal-count buckets via ntile
-    // (snippets:85-92).
+    // A6 `buckets (n) -> (reduction)` — equal-count buckets (snippets:85-92).
+    // Scale-safe: range-partitioned NTILE (operators.Ordinals), not a
+    // single-partition global window.
     Gate("a6_buckets", (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
       t(s, d, "lineitem")
-        .withColumn("bucket", ntile(8).over(w))
+        .transform(df => graft.operators.Ordinals.withGlobalNtile(df,
+          "bucket", 8, Seq(col("l_orderkey").asc, col("l_linenumber").asc)))
         .groupBy(col("bucket"))
         .agg(dsum(col("l_quantity")).as("sum_qty"),
           count(lit(1)).as("n_rows"))

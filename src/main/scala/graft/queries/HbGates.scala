@@ -46,6 +46,19 @@ object HbGates {
       |slice columns user_id event_type event_id day kind
       |""".stripMargin
 
+  // MTTR.hb:30 / Metrics.fs:67 shape: `index rows by` re-keys the frame,
+  // `keys` reifies the index, grouping and sorting follow the key
+  // discipline. Integer tick sums keep the oracle exact.
+  private val indexByHb =
+    """index rows by (format date "ts" date)
+      |create column day keys
+      |create column tick 1
+      |slice columns day tick
+      |group by day -> sum
+      |create column day keys
+      |sort by column day
+      |""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -79,8 +92,8 @@ object HbGates {
              |  SELECT user_id, COUNT(*) AS tick FROM events GROUP BY user_id)
              |SELECT * FROM (
              |  SELECT tick, user_id,
-             |    SUM(tick) OVER (ORDER BY user_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running,
+             |    CAST(SUM(tick) OVER (ORDER BY user_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running,
              |    CASE WHEN ROW_NUMBER() OVER (ORDER BY user_id) >= 5 THEN
              |      AVG(tick) OVER (ORDER BY user_id
              |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) END AS m5
@@ -100,6 +113,13 @@ object HbGates {
              |  WHERE event_type IN ('click', 'view', 'purchase'))
              |WHERE rn = 1
              |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    Gate("p8_index_rows_by",
+      (s, d) => Graft.runHb(indexByHb, t(s, d, "events"))
+        .orderBy(col("day")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS tick, CAST(ts AS DATE) AS day
+             |FROM events GROUP BY CAST(ts AS DATE)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
 
     Gate("hb_regex_int",
       (s, d) => Graft.runHb(regexHb, t(s, d, "part"))

@@ -34,16 +34,42 @@ object MultimodalGates {
 
     // feature extraction: fixed-width vectors out of binary payloads
     // (byte-histogram stub); batch-shaped like a vision-encoder pass.
+    // Emitted long-form as integer bucket counts (f32 count/len recovered
+    // exactly by round(f*len) — |err| « 0.5), so the checker can sort and
+    // DuckDB can replicate the histogram byte-by-byte via hex().
     Gate("m_feature_extract",
       (s, d) => Multimodal.extractFeatures(
         t(s, d, "documents").select(col("doc_id"),
           col("text").cast("binary").as("payload")),
         "payload", dim = 16)
-        .select(col("doc_id"), col("features"))
-        .orderBy(col("doc_id")),
-      None),
+        .select(col("doc_id"),
+          coalesce(length(col("payload")), lit(0)).as("len"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("integer").as("dim"),
+          round(col("col").cast("double") * col("len"))
+            .cast("bigint").as("cnt"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+             |    octet_length(CAST(text AS BLOB)) AS len
+             |  FROM documents),
+             |b AS (
+             |  SELECT doc_id, hx, UNNEST(range(1, len + 1)) AS i FROM h),
+             |v AS (
+             |  SELECT doc_id,
+             |    strpos('0123456789abcdef', substring(hx, 2*i, 1)) - 1 AS dim
+             |  FROM b),
+             |hist AS (SELECT doc_id, dim, COUNT(*) AS cnt FROM v GROUP BY 1, 2),
+             |dims AS (SELECT UNNEST(range(0, 16)) AS dim)
+             |SELECT d.doc_id, CAST(m.dim AS INTEGER) AS dim,
+             |  CAST(COALESCE(h.cnt, 0) AS BIGINT) AS cnt
+             |FROM documents d CROSS JOIN dims m
+             |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.dim = m.dim
+             |ORDER BY d.doc_id ASC NULLS FIRST, dim ASC NULLS FIRST""".stripMargin)),
 
     // frame sampling: one row in → many frame rows out, no shuffle.
+    // Fully deterministic substring arithmetic, so DuckDB can replicate:
+    // frames are every 2nd 32-byte chunk; frame_idx counts kept frames.
     Gate("m_frame_sample",
       (s, d) => Multimodal.sampleFrames(
         t(s, d, "documents").select(col("doc_id"),
@@ -52,6 +78,17 @@ object MultimodalGates {
         .select(col("doc_id"), col("frame_idx"),
           length(col("frame")).as("frame_len"))
         .orderBy(col("doc_id"), col("frame_idx")),
-      None)
+      Some("""WITH f AS (
+             |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len,
+             |    UNNEST(range(0,
+             |      GREATEST(octet_length(CAST(text AS BLOB)) // 32 - 1, 0) + 1)) AS i
+             |  FROM documents),
+             |k AS (SELECT doc_id, i FROM f WHERE i % 2 = 0 AND (i + 1) * 32 <= len)
+             |SELECT doc_id,
+             |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+             |    AS INTEGER) AS frame_idx,
+             |  32 AS frame_len
+             |FROM k
+             |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin))
   )
 }

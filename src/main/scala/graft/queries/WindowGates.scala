@@ -105,8 +105,9 @@ object WindowGates {
     // W4 `linear extrapolation` — fit on the last nTrain points, append
     // nPredict predicted rows (snippets:206-213). The reference's version
     // crashes its calculator (Metrics.fs:69-71); this one is the fix.
-    // Row-append of generated predictions isn't cleanly SQL-expressible →
-    // rows-only check; unit-tested in ExtrapolationSpec.
+    // Deterministic end to end: the training tail is tie-broken on (x, y)
+    // (equal pairs at the cut are interchangeable for the fit), predictions
+    // are ROUND(…, 9) like w3 — so a full SQL oracle applies.
     Gate("w4_extrapolation", (s, d) => {
       val ev = t(s, d, "events")
         .groupBy(col("user_id"))
@@ -114,7 +115,7 @@ object WindowGates {
           dsum(col("value")).as("y"))
       val nTrain = 50
       val nPredict = 10
-      val tail = ev.orderBy(col("x").desc).limit(nTrain)
+      val tail = ev.orderBy(col("x").desc, col("y").desc).limit(nTrain)
       val fit = tail.agg(
         count(lit(1)).as("n"),
         sum(col("x").cast(dec6)).cast(DoubleType).as("sx"),
@@ -131,24 +132,47 @@ object WindowGates {
       val preds = s.range(1, nPredict + 1).toDF("i")
         .crossJoin(broadcast(fit))
         .select((lit(maxX) + col("i")).as("x"),
-          (col("sy") / col("n") +
-            col("slope") * (lit(maxX) + col("i") - col("sx") / col("n")))
+          round(col("sy") / col("n") +
+            col("slope") * (lit(maxX) + col("i") - col("sx") / col("n")), 9)
             .as("y"),
           lit(true).as("predicted"))
       ev.withColumn("predicted", lit(false))
         .select("x", "y", "predicted")
         .unionByName(preds)
         .orderBy(col("x"), col("y"))
-    }, None),
+    },
+      Some("""WITH ev AS (
+             |  SELECT CAST(COUNT(*) AS DOUBLE) AS x,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS y
+             |  FROM events GROUP BY user_id),
+             |tail AS (SELECT * FROM ev ORDER BY x DESC, y DESC LIMIT 50),
+             |fit AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(x*y AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(x*x AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+             |  FROM tail),
+             |mx AS (SELECT MAX(x) AS maxx FROM ev),
+             |preds AS (
+             |  SELECT maxx + i AS x,
+             |    ROUND(sy/n + ((n*sxy - sx*sy)/(n*sxx - sx*sx))
+             |      * (maxx + i - sx/n), 9) AS y,
+             |    TRUE AS predicted
+             |  FROM range(1, 11) t(i), fit, mx)
+             |SELECT x, y, predicted FROM (
+             |  SELECT x, y, FALSE AS predicted FROM ev
+             |  UNION ALL SELECT x, y, predicted FROM preds)
+             |ORDER BY x ASC NULLS FIRST, y ASC NULLS FIRST""".stripMargin)),
 
     // W6 `ordinals` — row ordinal reification (hobbes.YAML-tmLanguage:10).
-    Gate("w6_ordinals", (s, d) => {
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      t(s, d, "events")
-        .withColumn("ordinal", row_number().over(w))
+    // Scale-safe: range-partitioned ordinal (operators.Ordinals), not a
+    // single-partition global window.
+    Gate("w6_ordinals", (s, d) =>
+      graft.operators.Ordinals.withGlobalOrdinal(t(s, d, "events"),
+        "ordinal", Seq(col("ts").asc, col("event_id").asc))
         .select("ordinal", "event_id", "event_type")
-        .orderBy(col("ordinal"))
-    },
+        .orderBy(col("ordinal")),
       Some("""SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) AS ordinal,
              |  event_id, event_type
              |FROM events ORDER BY ordinal ASC NULLS FIRST""".stripMargin)),

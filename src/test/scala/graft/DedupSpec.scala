@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
 
 /** The near-dup family must actually catch planted duplicates. Gates take
   * (spark, sfDir), so plant a synthetic documents/embeddings parquet pair
@@ -77,6 +78,74 @@ class DedupSpec extends AnyFunSuite {
     val out = gate("d_exact_dedup")
     assert(out.count() == 32) // 33 docs, one exact dup collapses
     assert(out.filter(col("n_copies") === 2).count() == 1)
+  }
+
+  test("ngram jaccard LSH-candidate path matches the exhaustive blocked " +
+    "survivor set on real sf0.01 documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def survivors(f: => org.apache.spark.sql.DataFrame) =
+      f.select("doc_id").collect().map(_.getLong(0)).toSet
+    val lsh = survivors(Dedup.ngramJaccard(docs, "text", "doc_id",
+      Seq("lang", "source"), threshold = 0.6))
+    val ref = survivors(Dedup.ngramJaccardBlocked(docs, "text", "doc_id",
+      Seq("lang", "source"), threshold = 0.6))
+    assert(lsh == ref,
+      s"only-lsh=${lsh -- ref} only-blocked=${ref -- lsh}")
+  }
+
+  test("operators leave no cached relations behind") {
+    spark.sharedState.cacheManager.clearCache()
+    gate("d_minhash_lsh").collect()
+    gate("d_simhash").collect()
+    gate("d_ngram_jaccard").collect()
+    gate("d_exact_dedup").collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "dedup operators must unpersist their signature frames")
+  }
+
+  private def recallAt10(e: org.apache.spark.sql.DataFrame,
+      nCells: Int, nprobe: Int): Double = {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10))
+    val ivf = pairs(Similarity.ivfTopK(e, id => id < 5,
+      "vec_id", "embedding", k = 10, nCells = nCells, nprobe = nprobe))
+    bf.intersect(ivf).size.toDouble / bf.size
+  }
+
+  test("IVF ANN recall@10 >= 0.9 on clustered embeddings (its regime)") {
+    // real-embedding geometry: points concentrate around cluster centers;
+    // coarse cells then contain whole neighborhoods and probing a few
+    // cells recovers the true top-k
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 8)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val recall = recallAt10(e, nCells = 8, nprobe = 2)
+    assert(recall >= 0.9, s"clustered recall@10 = $recall")
+  }
+
+  test("IVF ANN beats the random-cell baseline on near-random sf0.01 " +
+    "embeddings") {
+    // the driver's synthetic embeddings are ~uniform on the sphere (top-1
+    // cosine ≈ 0.37): neighbors spread over all cells, so NO ivf reaches
+    // 0.9 recall at nprobe/nCells = 1/4 — the honest bar on this data is
+    // clearly beating the nprobe/nCells coverage a random probe gets
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val recall = recallAt10(e, nCells = 16, nprobe = 4)
+    assert(recall >= 2.0 * 4.0 / 16.0, s"near-random recall@10 = $recall")
   }
 
   test("ann brute-force and IVF rank the planted twin first") {

@@ -54,13 +54,27 @@ class KeyDisciplineSpec extends AnyFunSuite {
     assert(out.count() == 2) // null g row dropped, not crashed
   }
 
-  test("dirty data: bad int cast yields missing (non-ANSI), strippable") {
-    val df = Ingest.localData(spark, Seq("s"),
+  test("strict int(): a non-convertible value fails the transformation " +
+    "(reference semantics), convertible values pass") {
+    val bad = Ingest.localData(spark, Seq("s"),
       Seq(Seq("12"), Seq("nope"), Seq("7")))
-    val out = Graft.runHb(
+    val ex = intercept[Exception] {
+      Graft.runHb("create column n (int (s))", bad).collect()
+    }
+    assert(ex.getMessage.contains("int()") ||
+      Option(ex.getCause).exists(_.getMessage.contains("int()")))
+    val good = Ingest.localData(spark, Seq("s"),
+      Seq(Seq("12"), Seq("7")))
+    val out = Graft.runHb("create column n (int (s))", good)
+    assert(out.select("n").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(7, 12))
+    // a null input stays missing (nulls are not failures), strippable
+    val withNull = Ingest.localData(spark, Seq("s"),
+      Seq(Seq("12"), Seq(null)))
+    val stripped = Graft.runHb(
       """create column n (int (s))
-        |only !(n = missing)""".stripMargin, df)
-    assert(out.count() == 2)
+        |only !(n = missing)""".stripMargin, withNull)
+    assert(stripped.count() == 1)
   }
 
   test("dirty data: division by zero yields null not crash") {
