@@ -85,6 +85,22 @@ object Providers {
     Ingest.uniform(rows)
   }
 
+  /** S4 — git provider. The reference keeps COLLECTION out of the engine
+    * (workers/git.worker clones and walks repos; tools/workbench/src/
+    * Types.fs:83-90 declares the provider) and feeds rows onward; the
+    * same split here. Collect commits into JSON lines with one command —
+    *
+    * {{{
+    * git log --date=iso-strict --pretty=format:'{"commit":"%H","author":"%an","email":"%ae","date":"%ad","subject":"%f","parents":"%P"}' > commits.jsonl
+    * }}}
+    *
+    * (`%f` is git's sanitized subject — no quotes or newlines, so each
+    * line is valid JSON) — then ingest the file (or a directory of
+    * per-repo files; the parse is distributed) through the uniforming
+    * pass like every other provider. */
+  def gitLog(spark: SparkSession, jsonlPath: String): DataFrame =
+    Ingest.uniform(spark.read.json(jsonlPath))
+
   /** Resolve a parsed `.hb` header to a DataFrame (the provider dispatch
     * of the sync worker, workers/syncronization.worker/src/Program.fs:48-58).
     * `fetch` injects the HTTP layer; `dataDir` grounds the parquet/test
@@ -106,6 +122,8 @@ object Providers {
         val path = h.props.get("path")
           .getOrElse(s"$dataDir/${h.props("table")}.parquet")
         Ingest.normalizeNanos(spark.read.parquet(path))
+      case "git" =>
+        gitLog(spark, h.props.getOrElse("path", s"$dataDir/commits.jsonl"))
       case other =>
         // jira: declared but unimplemented in the reference too
         // (tools/workbench/src/Types.fs:128-129)

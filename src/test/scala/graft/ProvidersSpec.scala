@@ -84,6 +84,25 @@ class ProvidersSpec extends AnyFunSuite {
     }
   }
 
+  test("git provider ingests git-log JSON lines (collector recipe)") {
+    // the exact line shape the documented `git log --pretty=format:`
+    // recipe emits
+    val dir = java.nio.file.Files.createTempDirectory("graftgit")
+    val f = dir.resolve("commits.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"commit":"a1b2","author":"Ada","email":"ada@x","date":"2024-01-02T03:04:05+00:00","subject":"Fix-the-thing","parents":"9f8e"}
+        |{"commit":"9f8e","author":"Lin","email":"lin@x","date":"2024-01-01T00:00:00+00:00","subject":"Initial","parents":""}
+        |""".stripMargin)
+    val df = Providers.gitLog(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.columns.toSet ==
+      Set("commit", "author", "email", "date", "subject", "parents"))
+    // dispatches from a .hb header too
+    val h = Header(Map("provider" -> "git", "path" -> f.toString),
+      Map(), Map())
+    assert(Providers.fromHeader(spark, h).count() == 2)
+  }
+
   test("nextLink extraction handles escapes") {
     assert(Providers.nextLink(
       """{"@odata.nextLink": "http:\/\/x\/p?a=1"}""")
