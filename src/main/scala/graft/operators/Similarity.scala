@@ -123,7 +123,7 @@ object Similarity {
 
   /** Cosine near-dup survivors: drop the higher id of any same-block pair
     * with cosine ≥ threshold. Blocked (label / cluster id) brute force;
-    * at open scale assign blocks with KMeans first (IVF-style). */
+    * with no natural block column use `cosineDedupKMeans`. */
   def cosineDedup(df: DataFrame, idCol: String, vecCol: String,
       blockCol: String, threshold: Double = 0.95): DataFrame = {
     val e = df.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
@@ -135,5 +135,56 @@ object Similarity {
         (col("a.__nrm") * col("b.__nrm")) >= threshold)
       .select(col("b.__id").as("__drop")).distinct()
     df.join(drops, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Cosine near-dup at open scale — the block column doesn't exist, so
+    * blocks are KMeans cells over the L2-normalized vectors (IVF-style
+    * coarse quantization). Each vector is assigned to its `nAssign`
+    * nearest cells (multi-probe), so a near-dup pair straddling one cell
+    * boundary still shares a cell; candidate pairs exist only within
+    * shared cells — never an all-pairs product. Pair volume scales as
+    * Σ cell² instead of n², and cells are hash-partitionable. The small
+    * drops list is materialized eagerly and the signature cache released
+    * (same lifecycle as graft.operators.Dedup). */
+  def cosineDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = df.sparkSession
+    val e = df
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+      .withColumn("__l2",
+        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("__features",
+        array_to_vector(transform(col("__dv"), x => x / col("__l2"))))
+      .withColumn("__v", quantize(col("__dv")))
+      .withColumn("__nrm", normQ(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setFeaturesCol("__features").fit(e)
+    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray) }.toSeq
+    val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
+      .withColumn("__cv", quantize(col("__cvd")))
+      .withColumn("__cnrm", normQ(col("__cv")))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__id")).orderBy(col("__ccos").desc, col("__cell"))
+    val assigned = e.select(col("__id"), col("__v"), col("__nrm"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("__ccos",
+        dotQ(col("__v"), col("__cv")) / (col("__nrm") * col("__cnrm")))
+      .withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= nAssign)
+      .select(col("__id"), col("__cell"), col("__v"), col("__nrm"))
+    val drops = assigned.as("a").join(assigned.as("b"),
+      col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .filter(dotQ(col("a.__v"), col("b.__v")) /
+        (col("a.__nrm") * col("b.__nrm")) >= threshold)
+      .select(col("b.__id").as("__drop")).distinct()
+    val dropsCk = drops.localCheckpoint(true)
+    e.unpersist(false)
+    df.join(dropsCk, col(idCol) === col("__drop"), "left_anti")
   }
 }

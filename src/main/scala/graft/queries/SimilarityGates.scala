@@ -33,11 +33,37 @@ object SimilarityGates {
         maxHamming = 3)
         .select("doc_id").orderBy(col("doc_id")), None),
 
-    // Exact n-gram Jaccard dedup, blocked on (lang, source).
+    // Exact n-gram Jaccard dedup: LSH-banded candidates, (lang, source)
+    // block equality, exact shingle-Jaccard verify. Jaccard is invariant
+    // under the xxhash64 shingle relabeling (collisions aside), so DuckDB
+    // replicates it on STRING shingles — a full oracle. The division is
+    // written identically on both sides (inter/(|a|+|b|-inter) ≥ t) so
+    // threshold-boundary floats agree bit-for-bit.
     Gate("d_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id",
         blockCols = Seq("lang", "source"), threshold = 0.6)
-        .select("doc_id").orderBy(col("doc_id")), None),
+        .select("doc_id").orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id, lang, source,
+             |    string_split_regex(lower(text), '\\s+') AS tk
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, lang, source,
+             |    list_distinct(list_transform(
+             |      range(0, greatest(len(tk)-3, 0) + 1),
+             |      i -> array_to_string(tk[i+1:i+3], ' '))) AS g
+             |  FROM toks),
+             |drops AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM sh a JOIN sh b
+             |    ON a.lang = b.lang AND a.source = b.source
+             |    AND a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+             |    >= 0.6)
+             |SELECT doc_id FROM documents
+             |WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Embedding-cosine near-dup dedup, blocked on `label`; the
     // fixed-point cosine is bit-stable so the oracle is full SQL.
@@ -57,6 +83,16 @@ object SimilarityGates {
              |  WHERE a.label = en.label AND a.vec_id < en.vec_id
              |    AND ${dotQSql("a.qv", "en.qv")} / (a.nrm * en.nrm) >= 0.95)
              |ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+
+    // Open-scale cosine dedup: no natural block column — blocks are
+    // KMeans cells over normalized vectors, multi-probe (top-2)
+    // assignment so boundary pairs still share a cell. Cell ids are
+    // engine-specific → rows-only; DedupSpec asserts survivor equality
+    // vs the exhaustive pairwise dedup on clustered data.
+    Gate("d_embed_cosine_kmeans",
+      (s, d) => Similarity.cosineDedupKMeans(t(s, d, "embeddings"),
+        "vec_id", "embedding", threshold = 0.95)
+        .select("vec_id").orderBy(col("vec_id")), None),
 
     // Brute-force cosine top-k (the ANN correctness baseline): queries
     // are vec_id < 5; exact top-10 each, fully SQL-oracle-checked.

@@ -148,6 +148,37 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 2.0 * 4.0 / 16.0, s"near-random recall@10 = $recall")
   }
 
+  test("KMeans-blocked cosine dedup matches exhaustive survivors on " +
+    "clustered embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(6)(unit())
+    val base = (0 until 120).map { i =>
+      centers(i % 6).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    }
+    // ten planted twins: 1000+i is a tiny perturbation of i
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 10).map(i => (1000L + i, base(i).map(x => x + 1e-4f)))
+    val e = rows.toDF("vec_id", "embedding")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val auto = survivors(Similarity.cosineDedupKMeans(e, "vec_id",
+      "embedding", threshold = 0.95))
+    val exhaustive = survivors(Similarity.cosineDedup(
+      e.withColumn("one", lit(0)), "vec_id", "embedding", "one",
+      threshold = 0.95))
+    assert(auto == exhaustive,
+      s"only-auto=${auto -- exhaustive} only-exh=${exhaustive -- auto}")
+    assert((0 until 10).forall(i => !auto.contains(1000L + i)),
+      "planted twins must drop")
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("ann brute-force and IVF rank the planted twin first") {
     // doc 1's embedding is ~identical to 0 → neighbor rank 1 of query 0
     val top = gate("s_ann_topk").filter(col("query_id") === 0 &&
