@@ -4,8 +4,12 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val d = "/root/testdata/sf0.01"
-    Seq("a1_group_sum", "j1_join_broadcast_agg", "hb_velocity",
-      "d_exact_dedup", "w1_moving_avg").foreach { q =>
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq("a1_group_sum", "j1_join_broadcast_agg", "hb_velocity",
+        "d_exact_dedup", "w1_moving_avg", "d_ngram_jaccard", "w6_ordinals",
+        "a6_buckets", "d_embed_cosine_kmeans")
+    names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -148,7 +148,7 @@ object Similarity {
     * (same lifecycle as graft.operators.Dedup). */
   def cosineDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      fitFraction: Double = 0.2, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -162,8 +162,18 @@ object Similarity {
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // train the coarse quantizer on a bounded sample (the standard IVF
+    // training regime — at open scale you never fit on the full corpus);
+    // fall back to the full frame when the sample can't seed k cells
+    val sampled =
+      if (fitFraction < 1.0) e.sample(withReplacement = false,
+        fitFraction, seed)
+      else e
+    val fitFrame =
+      if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
+      else sampled
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").fit(e)
+      .setFeaturesCol("__features").fit(fitFrame)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray) }.toSeq
     val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
