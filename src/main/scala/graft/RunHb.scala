@@ -11,7 +11,10 @@ import graft.sources.Providers
   *
   * Usage:
   *   runMain graft.RunHb <file.hb> [--data-dir DIR] [--out PATH]
-  *     [--format parquet|json|matrix|show]
+  *     [--format parquet|json|matrix|html|show]
+  *
+  * `html` renders the program's literate `!#…!#` blocks as prose around
+  * the re-printed statements plus the result table (hb.Render).
   */
 object RunHb {
 
@@ -19,7 +22,7 @@ object RunHb {
     if (args.isEmpty) {
       System.err.println(
         "usage: RunHb <file.hb> [--data-dir DIR] [--out PATH] " +
-          "[--format parquet|json|matrix|show]")
+          "[--format parquet|json|matrix|html|show]")
       sys.exit(2)
     }
     val opts = args.drop(1).grouped(2).collect {
@@ -36,7 +39,14 @@ object RunHb {
     try {
       val source = Providers.fromHeader(spark, program.header, dataDir)
       val result = Graft.run(program, source)
-      write(result, format, out)
+      if (format == "html") {
+        val html = graft.hb.Render.html(program, Some(result))
+        out match {
+          case Some(p) => java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(p), html)
+          case None => println(html)
+        }
+      } else write(result, format, out)
     } finally spark.stop()
   }
 
