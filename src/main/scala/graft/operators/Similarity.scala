@@ -69,7 +69,7 @@ object Similarity {
     * scan is cell assignment; centroids broadcast. */
   def ivfTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      fitFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -87,11 +87,25 @@ object Similarity {
           x => x / col("__l2"))))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
+    // fitFraction < 1 trains the quantizer on a sample (see
+    // cosineDedupKMeans) — the scale knob; the default keeps the full
+    // fit because cell quality directly buys recall for top-k queries
+    // (measured: 0.54 → 0.38 recall@10 on near-random data at 0.2)
+    val sampled =
+      if (fitFraction < 1.0) e.sample(withReplacement = false,
+        fitFraction, seed)
+      else e
+    val fitFrame =
+      if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
+      else sampled
     val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").fit(e)
+      .setFeaturesCol("__features").fit(fitFrame)
+    // assigned feeds the probe and the scoring joins — cache it, return
+    // the (queries × k)-row result eagerly, release the cache
     val assigned = model.transform(e)
       .select(col(idCol), col("__v"), col("__nrm"),
         col("prediction").as("__cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
       (i, c.toArray) }.toSeq
     val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
@@ -115,10 +129,13 @@ object Similarity {
         dotQ(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w))
+    val topk = scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col(idCol).as("neighbor_id"),
         col("cosine"))
+      .localCheckpoint(true)
+    assigned.unpersist(false)
+    topk
   }
 
   /** Cosine near-dup survivors: drop the higher id of any same-block pair

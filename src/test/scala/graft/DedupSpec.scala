@@ -179,6 +179,24 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("dedup operators handle empty and single-row inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "text", "lang", "source")
+    val one = Seq((1L, "just one doc here", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    for (df <- Seq(empty, one)) {
+      val n = df.count()
+      assert(Dedup.minhashLsh(df, "text", "doc_id").count() == n)
+      assert(Dedup.simhashDedup(df, "text", "doc_id").count() == n)
+      assert(Dedup.ngramJaccard(df, "text", "doc_id",
+        Seq("lang", "source")).count() == n)
+      assert(Dedup.exact(df, "text", "doc_id").count() == n)
+      assert(Dedup.minhashCandidates(df, "text", "doc_id").count() == 0)
+    }
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
   test("ann brute-force and IVF rank the planted twin first") {
     // doc 1's embedding is ~identical to 0 → neighbor rank 1 of query 0
     val top = gate("s_ann_topk").filter(col("query_id") === 0 &&
