@@ -28,6 +28,10 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 
+  /** Default worker threads: measured at sf0.1 the per-task overhead of
+    * 32 tiny tasks per stage outweighs the parallelism (105 s total vs
+    * ~50 s at 4) — small local benches want few fat tasks. Override with
+    * SPARK_GRAFT_CPUS for bigger inputs. */
   def local(): SparkSession = {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val s = builder(s"local[$cores]", cores).getOrCreate()

@@ -59,6 +59,18 @@ object HbGates {
       |sort by column day
       |""".stripMargin
 
+  // snippets:85-92 shape: equal-count buckets through the text surface —
+  // locks the Engine → operators.Ordinals range-partitioned NTILE path
+  // against DuckDB's NTILE. Integer sums keep the oracle exact.
+  private val bucketsHb =
+    """create column tick 1
+      |slice columns event_id tick
+      |sort by column event_id
+      |buckets (8) -> (sum)
+      |create column bucket keys
+      |sort by column bucket
+      |""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -120,6 +132,18 @@ object HbGates {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS tick, CAST(ts AS DATE) AS day
              |FROM events GROUP BY CAST(ts AS DATE)
              |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_buckets",
+      (s, d) => Graft.runHb(bucketsHb, t(s, d, "events"))
+        .orderBy(col("bucket")),
+      Some("""WITH b AS (
+             |  SELECT event_id, 1 AS tick,
+             |    NTILE(8) OVER (ORDER BY event_id) AS bucket
+             |  FROM events)
+             |SELECT CAST(SUM(event_id) AS BIGINT) AS event_id,
+             |  CAST(SUM(tick) AS BIGINT) AS tick, bucket
+             |FROM b GROUP BY bucket
+             |ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
 
     Gate("hb_regex_int",
       (s, d) => Graft.runHb(regexHb, t(s, d, "part"))
