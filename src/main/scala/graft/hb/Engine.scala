@@ -116,7 +116,8 @@ object Engine {
       // group cols become the key; remaining numeric columns are reduced
       // (MTTR.hb:24-28: SprintNumber must be re-created from `keys`)
       val nums = f.numericCols.filterNot(cols.contains)
-      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val aggs = nums.map(c =>
+        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
       val keyCol = if (cols.size == 1) col(cols.head)
         else struct(cols.map(col): _*)
       val grouped = f.df.groupBy(keyCol.as(KEY))
@@ -156,7 +157,8 @@ object Engine {
         .withColumn("__pcol", compileExpr(colE, f).cast(StringType))
         .groupBy(col(keyName))
         .pivot("__pcol")
-        .agg(reduce(red, compileExpr(valE, f)))
+        .agg(reduceDet(red, compileExpr(valE, f),
+          f.df.select(compileExpr(valE, f)).schema.head.dataType))
         .withColumn(KEY, col(keyName))
       HbFrame(pivoted, Seq(col(KEY).asc))
 
@@ -166,7 +168,8 @@ object Engine {
       // repartition (operators.Ordinals), so pre-aggregation frames of
       // any size bucket in parallel
       val nums = f.numericCols
-      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val aggs = nums.map(c =>
+        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
       val bucketed = graft.operators.Ordinals
         .withGlobalNtile(f.df, "__bucket", n, f.order)
         .groupBy(col("__bucket").as(KEY))
@@ -183,7 +186,8 @@ object Engine {
         .transform(f.df)
       val model = new KMeans().setK(n).setSeed(42L)
         .setFeaturesCol("__features").fit(assembled)
-      val aggs = nums.map(c => reduce(red, col(c)).as(c))
+      val aggs = nums.map(c =>
+        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
       val clustered = model.transform(assembled)
         .groupBy(col("prediction").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
@@ -201,6 +205,33 @@ object Engine {
   }
 
   // ------------------------------------------------------------ reductions
+
+  private val dec6 = DecimalType(30, 6)
+  private val dec12 = DecimalType(38, 12)
+
+  /** Deterministic grouped reduction. groupBy aggregation order is
+    * partition-dependent, so floating-point sum/mean/variance/stddev go
+    * through exact decimal accumulation (associative in any order) with
+    * one deterministic rounding back to double — the engine's grouped
+    * results are then bit-stable under any partitioning, like the gate
+    * catalogue's Det helpers. Integer inputs and order-insensitive
+    * reductions pass through. (Window frames iterate rows in frame
+    * order, so moving/expanding don't need this.) */
+  private def reduceDet(red: Reduction, c: Column, dt: DataType): Column = {
+    val floating = dt == DoubleType || dt == FloatType
+    if (!floating) reduce(red, c)
+    else red match {
+      case Reduction.Sum => sum(c.cast(dec6)).cast(DoubleType)
+      case Reduction.Mean => sum(c.cast(dec6)).cast(DoubleType) / count(c)
+      case Reduction.Variance =>
+        val s1 = sum(c.cast(dec6)).cast(DoubleType)
+        val s2 = sum((c * c).cast(dec12)).cast(DoubleType)
+        (s2 - s1 * s1 / count(c)) / (count(c) - lit(1))
+      case Reduction.StdDev =>
+        sqrt(reduceDet(Reduction.Variance, c, dt))
+      case other => reduce(other, c)
+    }
+  }
 
   private def reduce(red: Reduction, c: Column): Column = red match {
     case Reduction.Count => count(c)
