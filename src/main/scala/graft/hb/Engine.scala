@@ -382,11 +382,14 @@ object Engine {
     val base = f.df.withColumn(name, y)
     val tail = base.orderBy(col(KEY).desc).limit(nTrain)
       .select(x.as("__x"), col(name).as("__y"))
+    // decimal accumulation: the tail fit is bit-stable under any
+    // partitioning of the nTrain rows (same scheme as reduceDet)
     val fit = tail.agg(
       count(lit(1)).as("n"),
-      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
-      sum(col("__x") * col("__y")).as("sxy"),
-      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__x").cast(dec6)).cast(DoubleType).as("sx"),
+      sum(col("__y").cast(dec6)).cast(DoubleType).as("sy"),
+      sum((col("__x") * col("__y")).cast(dec12)).cast(DoubleType).as("sxy"),
+      sum((col("__x") * col("__x")).cast(dec12)).cast(DoubleType).as("sxx"),
       max(col("__x")).as("maxx"))
       .select(
         ((col("n") * col("sxy") - col("sx") * col("sy")) /

@@ -59,6 +59,17 @@ object HbGates {
       |sort by column day
       |""".stripMargin
 
+  // snippets:109-116 shape with a DOUBLE column: the engine's grouped
+  // mean goes through exact decimal accumulation (Engine.reduceDet), so
+  // even floating .hb aggregates hash-match the DuckDB oracle.
+  private val groupMeanHb =
+    """create column day (format date "ts" date)
+      |slice columns day value
+      |group by day -> mean
+      |create column day keys
+      |sort by column day
+      |""".stripMargin
+
   // snippets:85-92 shape: equal-count buckets through the text surface —
   // locks the Engine → operators.Ordinals range-partitioned NTILE path
   // against DuckDB's NTILE. Integer sums keep the oracle exact.
@@ -130,6 +141,15 @@ object HbGates {
       (s, d) => Graft.runHb(indexByHb, t(s, d, "events"))
         .orderBy(col("day")),
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS tick, CAST(ts AS DATE) AS day
+             |FROM events GROUP BY CAST(ts AS DATE)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_group_mean",
+      (s, d) => Graft.runHb(groupMeanHb, t(s, d, "events"))
+        .orderBy(col("day")),
+      Some("""SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             |    / COUNT(value) AS value,
+             |  CAST(ts AS DATE) AS day
              |FROM events GROUP BY CAST(ts AS DATE)
              |ORDER BY day ASC NULLS FIRST""".stripMargin)),
 
