@@ -42,6 +42,41 @@ object StreamGates {
              |FROM sessions GROUP BY user_id, sid
              |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin)),
 
+    // Custom-state sessionization: a REAL flatMapGroupsWithState
+    // streaming query (closed sessions only — the open tail session per
+    // user stays in state). Oracle = gaps-and-islands over FLOORED epoch
+    // seconds (the state fn compares cast-to-long seconds, so the oracle
+    // must truncate before the gap test), minus each user's last island.
+    Gate("st_stateful_sessions",
+      (s, d) => StreamOps.sessionizeStateful(s, d,
+        "st_stateful_sessions_out", gapMinutes = 30,
+        maxEvents = Int.MaxValue)
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS ep
+             |  FROM events),
+             |m AS (
+             |  SELECT user_id, ep,
+             |    CASE WHEN ep - LAG(ep) OVER (PARTITION BY user_id ORDER BY ep)
+             |      <= 1800 THEN 0 ELSE 1 END AS brk
+             |  FROM e),
+             |s AS (
+             |  SELECT user_id, ep,
+             |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ep
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |g AS (
+             |  SELECT user_id, sid, MIN(ep) AS session_start,
+             |    MAX(ep) AS session_last, COUNT(*) AS n_events
+             |  FROM s GROUP BY user_id, sid)
+             |SELECT user_id, CAST(session_start AS BIGINT) AS session_start,
+             |  CAST(session_last AS BIGINT) AS session_last,
+             |  CAST(n_events AS INTEGER) AS n_events
+             |FROM g
+             |WHERE sid < (SELECT MAX(sid) FROM g x WHERE x.user_id = g.user_id)
+             |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin)),
+
     // Sliding windows: 2-hour window advancing hourly; count-only so the
     // overlap duplication stays exactly comparable.
     Gate("st_sliding_window",
