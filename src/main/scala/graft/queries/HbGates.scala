@@ -59,6 +59,17 @@ object HbGates {
       |sort by column day
       |""".stripMargin
 
+  // snippets:101-108 shape: row-wise `each sum` across the numeric cells
+  // through the text surface. The engine's fold is left-to-right over the
+  // column list, so DuckDB replicates it with the same expression; the
+  // output is the single reduction column (the hidden ingest key never
+  // surfaces), ordered by value — ties are identical rows.
+  private val eachHb =
+    """create column half (value / 2)
+      |slice columns value half
+      |each sum
+      |""".stripMargin
+
   // snippets:109-116 shape with a DOUBLE column: the engine's grouped
   // mean goes through exact decimal accumulation (Engine.reduceDet), so
   // even floating .hb aggregates hash-match the DuckDB oracle.
@@ -143,6 +154,12 @@ object HbGates {
       Some("""SELECT CAST(COUNT(*) AS BIGINT) AS tick, CAST(ts AS DATE) AS day
              |FROM events GROUP BY CAST(ts AS DATE)
              |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_each_sum",
+      (s, d) => Graft.runHb(eachHb, t(s, d, "events"))
+        .orderBy(col("sum")),
+      Some("""SELECT (0.0 + value) + value / 2 AS sum
+             |FROM events ORDER BY sum ASC NULLS FIRST""".stripMargin)),
 
     Gate("hb_group_mean",
       (s, d) => Graft.runHb(groupMeanHb, t(s, d, "events"))
