@@ -81,6 +81,46 @@ object Multimodal {
     }
   }
 
+  /** STUB resize: a real implementation decodes and resamples pixels; the
+    * stub keeps the full contract — a fixed `w*h`-byte output budget per
+    * image — by stride-sampling the payload bytes (deterministic, so the
+    * oracle replicates the byte selection and checksum). Swapping in a
+    * real resampler changes only this body. Narrow map: payloads never
+    * shuffle; `byte_sum` is the sampled-byte checksum the gate verifies. */
+  def resizeImage(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
+    val budget = w * h
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("out_w", IntegerType, nullable = false),
+      StructField("out_h", IntegerType, nullable = false),
+      StructField("resized", BinaryType, nullable = true),
+      StructField("byte_sum", LongType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        if (bytes == null || bytes.isEmpty)
+          Row.fromSeq(r.toSeq ++ Seq(w, h, Array.empty[Byte], 0L))
+        else {
+          val len = bytes.length
+          val stride = math.max(1, len / budget)
+          val n = math.min(budget.toLong,
+            (len + stride - 1L) / stride).toInt
+          val out = new Array[Byte](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val b = bytes(i * stride)
+            out(i) = b
+            sum += (b & 0xFF)
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq(w, h, out, sum))
+        }
+      }
+    }
+  }
+
   /** Frame sampling for a (stub) video payload: emit every `stride`-th
     * chunk of `frameBytes` as a frame row — the explode-shaped op of a
     * video pipeline, one row in → many rows out, no shuffle. */

@@ -67,6 +67,42 @@ object MultimodalGates {
              |LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.dim = m.dim
              |ORDER BY d.doc_id ASC NULLS FIRST, dim ASC NULLS FIRST""".stripMargin)),
 
+    // resize: fixed 32×32-byte output budget via stride sampling (stub
+    // resampler, real plumbing). The oracle re-derives the sampled byte
+    // positions and checksum from the source blob via the hex trick.
+    Gate("m_resize",
+      (s, d) => Multimodal.resizeImage(
+        t(s, d, "documents").select(col("doc_id"),
+          col("text").cast("binary").as("payload")),
+        "payload", w = 32, h = 32)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          length(col("resized")).as("out_len"), col("byte_sum"))
+        .orderBy(col("doc_id")),
+      Some("""WITH h AS (
+             |  SELECT doc_id, lower(hex(CAST(text AS BLOB))) AS hx,
+             |    octet_length(CAST(text AS BLOB)) AS len
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, hx, len, GREATEST(len // 1024, 1) AS stride,
+             |    UNNEST(range(0, 1024)) AS i
+             |  FROM h),
+             |b AS (
+             |  SELECT doc_id,
+             |    16 * (strpos('0123456789abcdef',
+             |            substring(hx, 2*(i*stride) + 1, 1)) - 1)
+             |      + strpos('0123456789abcdef',
+             |          substring(hx, 2*(i*stride) + 2, 1)) - 1 AS bv
+             |  FROM p WHERE i * stride < len),
+             |agg AS (
+             |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS out_len,
+             |    CAST(SUM(bv) AS BIGINT) AS byte_sum
+             |  FROM b GROUP BY doc_id)
+             |SELECT d.doc_id, 32 AS out_w, 32 AS out_h,
+             |  COALESCE(agg.out_len, 0) AS out_len,
+             |  CAST(COALESCE(agg.byte_sum, 0) AS BIGINT) AS byte_sum
+             |FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+             |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // frame sampling: one row in → many frame rows out, no shuffle.
     // Fully deterministic substring arithmetic, so DuckDB can replicate:
     // frames are every 2nd 32-byte chunk; frame_idx counts kept frames.

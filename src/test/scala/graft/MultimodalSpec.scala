@@ -40,6 +40,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(empty.getAs[scala.collection.Seq[Float]]("features").sum == 0f)
   }
 
+  test("resizeImage keeps the w*h byte budget and checksums the sample") {
+    val out = Multimodal.resizeImage(payloads, "payload", w = 4, h = 4)
+    assert(out.columns.takeRight(4).toSeq ==
+      Seq("out_w", "out_h", "resized", "byte_sum"))
+    // id=1: 100 bytes into a 16-byte budget → stride 6, 16 bytes kept
+    val r1 = out.filter(col("id") === 1L).head()
+    val resized1 = r1.getAs[Array[Byte]]("resized")
+    assert(resized1.length == 16)
+    assert(resized1.forall(_ == 'x'.toByte))
+    assert(r1.getAs[Long]("byte_sum") == 16L * 'x'.toInt)
+    // id=2: 33 bytes, stride 2 → ceil(33/2) = 17 > budget → 16 kept
+    assert(out.filter(col("id") === 2L).head()
+      .getAs[Array[Byte]]("resized").length == 16)
+    // id=3: empty payload → empty resize, zero checksum
+    val r3 = out.filter(col("id") === 3L).head()
+    assert(r3.getAs[Array[Byte]]("resized").isEmpty)
+    assert(r3.getAs[Long]("byte_sum") == 0L)
+  }
+
   test("sampleFrames explodes stride-sampled fixed-size frames") {
     val out = Multimodal.sampleFrames(payloads, "payload",
       frameBytes = 10, stride = 2)
