@@ -37,10 +37,12 @@ object Similarity {
   def quantize(v: Column): Column =
     transform(v, x => floor(x.cast(DoubleType) * lit(1e6)).cast(LongType))
 
-  /** Long dot product over quantized vectors (order-independent). */
+  /** Long dot product over quantized vectors (order-independent).
+    * Native codegen'd expression (graft.functions.DotQ) — the HOF
+    * zip_with+aggregate form allocates an intermediate array per pair
+    * comparison; this is one generated loop. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L),
-      (acc, x) => acc + x).cast(DoubleType)
+    graft.functions.DotQ.dot_q(a, b).cast(DoubleType)
 
   def normQ(v: Column): Column = sqrt(dotQ(v, v))
 
