@@ -86,20 +86,30 @@ object Dedup {
       .select((col(idCol).as("__id") +: extraCols.map(col)) :+
         shingles(col(textCol), n).as(shCol): _*)
 
-  /** Explode a (cached) shingle frame into (__id, bidx, bhash) band
-    * rows: `bands` hashes over a `numPerms`-perm minhash signature. */
-  private def bandFrame(sh: DataFrame, shCol: String, numPerms: Int,
+  /** (__id, signature) frame: the whole `numPerms`-perm minhash
+    * signature in ONE pass over each shingle set via the native
+    * MinHashSig expression (one generated double loop — the HOF form
+    * walked the shingle array numPerms times and materialized numPerms
+    * intermediate arrays per document). Callers cache THIS frame; band
+    * rows are then cheap element_at projections. */
+  private def sigFrame(sh: DataFrame, shCol: String,
+      numPerms: Int): DataFrame = {
+    val ps = perms(numPerms)
+    sh.withColumn("__sig", graft.functions.MinHashSig.minhash_sig(
+      col(shCol), ps.map(_._1), ps.map(_._2)))
+      .select(col("__id"), col("__sig"))
+  }
+
+  /** Explode a (cached) signature frame into (__id, bidx, bhash) band
+    * rows: `bands` hashes over the `numPerms`-perm signature. */
+  private def bandFrame(sig: DataFrame, numPerms: Int,
       bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
-    val ps = perms(numPerms)
-    def mh(j: Int): Column = {
-      val (a, b) = ps(j)
-      array_min(transform(col(shCol), h => h * lit(a) + lit(b)))
-    }
-    sh.withColumn("__band", explode(array(
+    sig.withColumn("__band", explode(array(
       (0 until bands).map(k => struct(lit(k).as("bidx"),
-        xxhash64((0 until rowsPerBand).map(r => mh(k * rowsPerBand + r)): _*)
+        xxhash64((0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), k * rowsPerBand + r + 1)): _*)
           .as("bhash"))): _*)))
       .select(col("__id"), col("__band.bidx"), col("__band.bhash"))
   }
@@ -118,11 +128,12 @@ object Dedup {
     * at least one of `bands` band hashes over a `numPerms`-perm signature. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
       numPerms: Int = 64, bands: Int = 16): DataFrame = {
-    val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh"))
-    // bandRows is the expensive frame (64 array_mins per row) and is the
-    // self-joined one — cache it, not just sh
-    val bandRows = cached(bandFrame(sh, "__sh", numPerms, bands))
-    materializeThenRelease(bandPairs(bandRows), sh, bandRows)
+    // the shingle pass feeds sigFrame exactly once, so only the compact
+    // signature frame (id + numPerms longs) needs caching for the
+    // candidate self-join
+    val sh = shingleFrame(df, textCol, idCol, Nil, 3, "__sh")
+    val sig = cached(sigFrame(sh, "__sh", numPerms))
+    materializeThenRelease(bandPairs(bandFrame(sig, numPerms, bands)), sig)
   }
 
   /** MinHash LSH near-dup survivors: drop the higher id of every candidate
@@ -131,18 +142,18 @@ object Dedup {
       threshold: Double = 0.5, numPerms: Int = 64,
       bands: Int = 16): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh"))
-    val bandRows = cached(bandFrame(sh, "__sh", numPerms, bands))
+    val sig = cached(sigFrame(sh, "__sh", numPerms))
     // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
     // mismatched set sizes cannot reach the threshold — cheap integer
     // comparisons ahead of the O(|A|+|B|) intersect
-    val drops = bandPairs(bandRows)
+    val drops = bandPairs(bandFrame(sig, numPerms, bands))
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
       .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
         size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
         jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
       .select(col("id_b").as("__drop")).distinct()
-    df.join(materializeThenRelease(drops, sh, bandRows),
+    df.join(materializeThenRelease(drops, sh, sig),
       col(idCol) === col("__drop"), "left_anti")
   }
 
@@ -200,19 +211,19 @@ object Dedup {
       blockCols: Seq[String], threshold: Double = 0.6,
       n: Int = 3, numPerms: Int = 64, bands: Int = 32): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, blockCols, n, "__g"))
-    val bandRows = cached(bandFrame(sh, "__g", numPerms, bands))
+    val sig = cached(sigFrame(sh, "__g", numPerms))
     val blockEq = blockCols.map(c => col(s"sa.$c") === col(s"sb.$c"))
       .foldLeft(lit(true))(_ && _)
     val sizePrune =
       size(col("sa.__g")) >= size(col("sb.__g")) * threshold &&
         size(col("sb.__g")) >= size(col("sa.__g")) * threshold
-    val drops = bandPairs(bandRows)
+    val drops = bandPairs(bandFrame(sig, numPerms, bands))
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
       .filter(blockEq && sizePrune &&
         jaccard(col("sa.__g"), col("sb.__g")) >= threshold)
       .select(col("id_b").as("__drop")).distinct()
-    df.join(materializeThenRelease(drops, sh, bandRows),
+    df.join(materializeThenRelease(drops, sh, sig),
       col(idCol) === col("__drop"), "left_anti")
   }
 
