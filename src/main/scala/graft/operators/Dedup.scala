@@ -158,32 +158,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash signature: per-row bit votes over the distinct token
-    * hash set — a narrow map, no explode, no shuffle. */
-  def simhash(textCol: Column): Column = {
-    val hs = array_distinct(
-      transform(split(lower(textCol), "\\s+"), tok => xxhash64(tok)))
-    (0 until 64).map { i =>
-      val vote = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-  }
+    * hash set — a narrow map, no explode, no shuffle, one generated
+    * pass (graft.functions.SimHash64; the HOF form ran 64 interpreted
+    * `aggregate` folds per document). */
+  def simhash(textCol: Column): Column =
+    graft.functions.SimHash64.simhash64(array_distinct(
+      transform(split(lower(textCol), "\\s+"), tok => xxhash64(tok))))
 
   /** SimHash near-dup survivors: hamming distance ≤ maxHamming, candidates
     * via 16-bit chunk banding (pigeonhole-complete for maxHamming ≤ 3 with
     * 4 chunks). */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // hs must be cached: the 64 vote aggregates each reference it, and
-    // Catalyst would inline (recompute) the token hashing per vote
-    val hs = cached(df.select(col(idCol).as("__id"), array_distinct(
-      transform(split(lower(col(textCol)), "\\s+"),
-        tok => xxhash64(tok))).as("__hs")))
-    val sim = cached(hs.select(col("__id"), (0 until 64).map { i =>
-      val vote = aggregate(col("__hs"), lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(lit(1L << i)) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y)).as("__simhash")))
+    // the signature is one expression over one tokenization pass now —
+    // only the compact (id, signature) frame needs caching for the
+    // chunk self-join
+    val sim = cached(df.select(col(idCol).as("__id"),
+      simhash(col(textCol)).as("__simhash")))
     val chunks = sim.withColumn("__c", explode(array(
       (0 until 4).map(k => struct(lit(k).as("cidx"),
         shiftright(col("__simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
@@ -195,7 +186,7 @@ object Dedup {
       .filter(bit_count(col("a.__simhash").bitwiseXOR(col("b.__simhash")))
         <= maxHamming)
       .select(col("b.__id").as("__drop")).distinct()
-    df.join(materializeThenRelease(drops, hs, sim),
+    df.join(materializeThenRelease(drops, sim),
       col(idCol) === col("__drop"), "left_anti")
   }
 
