@@ -52,13 +52,13 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingle hashes for a text column. */
-  def shingles(textCol: Column, n: Int = 3): Column = {
-    val toks = split(lower(textCol), "\\s+")
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Distinct word n-gram shingle hashes for a text column — one
+    * generated pass (graft.functions.ShingleHashes): each token hashed
+    * once, windows combined polynomially, sort-deduped. Hash labels are
+    * an internal detail (every consumer is label-invariant). */
+  def shingles(textCol: Column, n: Int = 3): Column =
+    graft.functions.ShingleHashes.shingle_hashes(
+      split(lower(textCol), "\\s+"), n)
 
   /** |A∩B| / (|A|+|B|-|A∩B|) — one set operation instead of
     * intersect+union; whole-stage codegen's subexpression elimination
