@@ -75,6 +75,9 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
+    // persisted: the quantize/normalize/vectorize projection feeds the
+    // KMeans fit (multiple passes), the assignment transform, and the
+    // query probe — uncached each consumer recomputes the HOF chain
     val e = corpus
       .select(col(idCol),
         transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
@@ -89,6 +92,7 @@ object Similarity {
           x => x / col("__l2"))))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // fitFraction < 1 trains the quantizer on a sample (see
     // cosineDedupKMeans) — the scale knob; the default keeps the full
     // fit because cell quality directly buys recall for top-k queries
@@ -137,6 +141,7 @@ object Similarity {
         col("cosine"))
       .localCheckpoint(true)
     assigned.unpersist(false)
+    e.unpersist(false)
     topk
   }
 
