@@ -226,7 +226,10 @@ object Engine {
       case Reduction.Variance =>
         val s1 = sum(c.cast(dec6)).cast(DoubleType)
         val s2 = sum((c * c).cast(dec12)).cast(DoubleType)
-        (s2 - s1 * s1 / count(c)) / (count(c) - lit(1))
+        // clamp: catastrophic cancellation on (near-)constant columns can
+        // leave the numerator a hair negative → NaN out of the sqrt in
+        // StdDev where var_samp/stddev_samp return 0.0
+        greatest(s2 - s1 * s1 / count(c), lit(0.0)) / (count(c) - lit(1))
       case Reduction.StdDev =>
         sqrt(reduceDet(Reduction.Variance, c, dt))
       case other => reduce(other, c)

@@ -197,7 +197,11 @@ object Dedup {
     * default r = numPerms/bands = 2 rows per band and 32 bands, a pair
     * at exactly the 0.6 threshold is missed with probability
     * (1-t²)^32 ≈ 6e-7; above it, vanishingly less — survivor sets match
-    * the exhaustive `ngramJaccardBlocked` (asserted in DedupSpec). */
+    * the exhaustive `ngramJaccardBlocked` (asserted in DedupSpec).
+    * Scale ceiling: that miss probability is per candidate pair, so the
+    * expected misses grow with corpus size — at ~10⁶ boundary-threshold
+    * pairs raise `bands` (miss prob at threshold t is (1-t^(perms/bands))
+    * ^bands; 64 perms/64 bands ≈ 2e-14 at t=0.6). */
   def ngramJaccard(df: DataFrame, textCol: String, idCol: String,
       blockCols: Seq[String], threshold: Double = 0.6,
       n: Int = 3, numPerms: Int = 64, bands: Int = 32): DataFrame = {

@@ -88,8 +88,10 @@ object Similarity {
       .withColumn("__l2",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
       .withColumn("__features",
+        // guard: an all-zero vector has __l2=0; x/0 would feed
+        // NaN/Infinity features into KMeans.fit
         array_to_vector(transform(col("__dv"),
-          x => x / col("__l2"))))
+          x => x / greatest(col("__l2"), lit(1e-30)))))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -182,7 +184,9 @@ object Similarity {
       .withColumn("__l2",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
       .withColumn("__features",
-        array_to_vector(transform(col("__dv"), x => x / col("__l2"))))
+        // zero-norm guard — see ivfTopK
+        array_to_vector(transform(col("__dv"),
+          x => x / greatest(col("__l2"), lit(1e-30)))))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -123,17 +123,19 @@ object WindowGates {
         sum((col("x") * col("y")).cast(DecimalType(38, 12)))
           .cast(DoubleType).as("sxy"),
         sum((col("x") * col("x")).cast(DecimalType(38, 12)))
-          .cast(DoubleType).as("sxx"))
+          .cast(DoubleType).as("sxx"),
+        // the tail IS the top-nTrain frame by x desc, so its max(x) is
+        // the whole frame's max(x) — no separate scan of ev needed
+        max(col("x")).as("maxx"))
         .select(
           ((col("n") * col("sxy") - col("sx") * col("sy")) /
             (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
-          col("sy"), col("sx"), col("n"))
-      val maxX = ev.agg(max(col("x"))).head().getDouble(0)
+          col("sy"), col("sx"), col("n"), col("maxx"))
       val preds = s.range(1, nPredict + 1).toDF("i")
         .crossJoin(broadcast(fit))
-        .select((lit(maxX) + col("i")).as("x"),
+        .select((col("maxx") + col("i")).as("x"),
           round(col("sy") / col("n") +
-            col("slope") * (lit(maxX) + col("i") - col("sx") / col("n")), 9)
+            col("slope") * (col("maxx") + col("i") - col("sx") / col("n")), 9)
             .as("y"),
           lit(true).as("predicted"))
       ev.withColumn("predicted", lit(false))

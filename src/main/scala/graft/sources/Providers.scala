@@ -97,9 +97,16 @@ object Providers {
     * (`%f` is git's sanitized subject — no quotes or newlines, so each
     * line is valid JSON) — then ingest the file (or a directory of
     * per-repo files; the parse is distributed) through the uniforming
-    * pass like every other provider. */
+    * pass like every other provider.
+    *
+    * Caveat: `%an`/`%ae` are NOT sanitized — an author name containing
+    * `"` or `\` produces an invalid JSON line. The read runs FAILFAST so
+    * such a line aborts loudly instead of being silently routed to
+    * `_corrupt_record` and dropping the commit; if your history has such
+    * authors, wrap the collector in a JSON-escaping step (e.g. `git log
+    * -z` piped through `jq -R`). */
   def gitLog(spark: SparkSession, jsonlPath: String): DataFrame =
-    Ingest.uniform(spark.read.json(jsonlPath))
+    Ingest.uniform(spark.read.option("mode", "FAILFAST").json(jsonlPath))
 
   /** Resolve a parsed `.hb` header to a DataFrame (the provider dispatch
     * of the sync worker, workers/syncronization.worker/src/Program.fs:48-58).

@@ -55,4 +55,22 @@ class DotQSpec extends AnyFunSuite {
     assert(spark.sql("SELECT dot_q(array(2L, 3L), array(10L, 100L)) AS d")
       .head().getLong(0) == 320L)
   }
+
+  test("null element or unequal lengths yield NULL, like the HOF form") {
+    DotQ.register(spark)
+    // zip_with pads the shorter array with null, aggregate's acc+null is
+    // null — dot_q mirrors that instead of silently truncating
+    val q = """SELECT dot_q(array(1L, 2L), array(1L)) AS short,
+              |  dot_q(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS nul
+              |""".stripMargin
+    def run() = { val r = spark.sql(q).head(); (r.isNullAt(0), r.isNullAt(1)) }
+    assert(run() == ((true, true)))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == ((true, true)))
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
