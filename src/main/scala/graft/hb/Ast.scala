@@ -106,9 +106,14 @@ object Ast {
   case class IndexBy(e: Expr) extends Statement
   case class SortByColumn(name: String) extends Statement
   case class GroupBy(cols: Seq[String], red: GroupReduction) extends Statement
-  /** `pivot [rowE] [colE] -> red [valueE]` (Velocity.hb:28). */
-  case class Pivot(rowE: Expr, colE: Expr, red: Reduction, valueE: Expr)
-      extends Statement
+  /** `pivot [rowE] [colE] -> red [valueE]` (Velocity.hb:28), with an
+    * optional trailing explicit value list `['a'; 'b'; …]`. With values
+    * the output schema is declared up front and no distinct-discovery job
+    * runs on the driver — the scale path when colE is high-cardinality;
+    * without, columns are discovered like the reference (which always
+    * materializes the full pivot, Program.fs:49). */
+  case class Pivot(rowE: Expr, colE: Expr, red: Reduction, valueE: Expr,
+      values: Seq[Expr] = Nil) extends Statement
   case class Buckets(n: Int, red: Reduction) extends Statement
   case class KMeansCluster(n: Int, red: Reduction) extends Statement
   case class Each(red: Reduction) extends Statement

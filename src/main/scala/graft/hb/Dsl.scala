@@ -30,6 +30,7 @@ object Dsl {
   val missing: Expr = MissingLit
   val keys: Expr = KeysExpr
   val ordinals: Expr = OrdinalsExpr
+  val True: Expr = TrueLit
 
   // ----------------------------------------------------------- reductions
   val count: Reduction = Reduction.Count
@@ -99,9 +100,13 @@ object Dsl {
   }
   def groupBy(cols: String*): GroupByBuilder = GroupByBuilder(cols)
 
-  final case class PivotBuilder(rowE: Expr, colE: Expr) {
+  final case class PivotBuilder(rowE: Expr, colE: Expr,
+      values: Seq[Expr] = Nil) {
+    /** Declare the pivot columns up front — skips the distinct-discovery
+      * job (the 100 TB path for high-cardinality colE). */
+    def withValues(vs: Expr*): PivotBuilder = copy(values = vs)
     def agg(red: Reduction, valueE: Expr): Statement =
-      Pivot(rowE, colE, red, valueE)
+      Pivot(rowE, colE, red, valueE, values)
     def count(valueE: Expr): Statement = agg(Reduction.Count, valueE)
     def sum(valueE: Expr): Statement = agg(Reduction.Sum, valueE)
   }

@@ -31,18 +31,31 @@ import Ast._
   * Scale note: hobbes whole-frame ordered windows are inherently global —
   * on a cluster they land in one partition. That is faithful to the
   * reference (single-process Deedle) and correct at any size Spark can
-  * sort; the keyed variants (Window.partitionBy) used by the gate queries
-  * are the 100 TB path.
+  * sort. The keyed opt-in is the 100 TB path: a `series:` header key (or
+  * the `series` argument of `run`) names the per-entity column(s), and
+  * every ordered window — `moving`, `expanding`, `ordinals` — partitions
+  * by it, exactly how the reference's own programs use per-entity series
+  * (production transformations/Metrics.fs:56-61: sort, then window within
+  * one work-item series). While the series columns exist in the frame the
+  * windows are keyed (no single-partition WindowExec anywhere); once an
+  * aggregation consumes them (post-`group by` frames are small) windows
+  * fall back to the faithful whole-frame form.
   */
 object Engine {
 
   val KEY = "__key"
 
-  case class HbFrame(df: DataFrame, order: Seq[Column]) {
+  case class HbFrame(df: DataFrame, order: Seq[Column],
+      series: Seq[String] = Nil) {
     def userCols: Seq[String] = df.columns.toSeq.filterNot(_ == KEY)
     def numericCols: Seq[String] = df.schema.fields
       .filter(f => f.name != KEY && f.dataType.isInstanceOf[NumericType])
       .map(_.name).toSeq
+    /** Series columns currently usable as a window partition. */
+    def seriesCols: Seq[Column] =
+      if (series.nonEmpty && series.forall(df.columns.contains))
+        series.map(col)
+      else Nil
     /** Strip engine-internal columns for the outside world. */
     def result: DataFrame = df.drop(KEY)
   }
@@ -51,18 +64,29 @@ object Engine {
     * tools/visualizer/cli/src/ODataProvider.fs:128-133).
     * monotonically_increasing_id preserves (partition, offset) order without
     * a global sort — the scale-safe ordinal. */
-  def fromSource(df: DataFrame): HbFrame = {
+  def fromSource(df: DataFrame, series: Seq[String] = Nil): HbFrame = {
     val keyed = df.withColumn(KEY, monotonically_increasing_id())
-    HbFrame(keyed, Seq(col(KEY).asc))
+    HbFrame(keyed, Seq(col(KEY).asc), series)
   }
 
   def run(program: Program, source: DataFrame): DataFrame =
-    program.transformations.foldLeft(fromSource(source)) {
+    run(program, source, seriesOf(program.header))
+
+  /** `series` — keyed execution opt-in: ordered windows partition by
+    * these columns wherever they exist in the frame (see the scale note
+    * above). Programs opt in declaratively via a `series:` header key. */
+  def run(program: Program, source: DataFrame,
+      series: Seq[String]): DataFrame =
+    program.transformations.foldLeft(fromSource(source, series)) {
       (f, st) => applyStatement(f, st)
     }.result
 
   def runHb(text: String, source: DataFrame): DataFrame =
     run(HbParser.parse(text), source)
+
+  private def seriesOf(h: Header): Seq[String] =
+    h.props.get("series").toSeq
+      .flatMap(_.split("[,\\s]+")).filter(_.nonEmpty)
 
   // ------------------------------------------------------------ statements
 
@@ -70,7 +94,8 @@ object Engine {
     case Comment(_) => f
 
     case CreateColumn(name, e) =>
-      f.copy(df = f.df.withColumn(name, compileExpr(e, f)))
+      val (f2, e2) = materializeLinRegs(f, e)
+      f.copy(df = dropLrTemps(f2.df.withColumn(name, compileExpr(e2, f2))))
 
     case RenameColumn(from, to) =>
       f.copy(df = f.df.withColumnRenamed(from, to))
@@ -81,7 +106,8 @@ object Engine {
       f.copy(df = f.df.select(keep.distinct.map(col): _*))
 
     case Only(e) =>
-      f.copy(df = f.df.filter(compileExpr(e, f)))
+      val (f2, e2) = materializeLinRegs(f, e)
+      f.copy(df = dropLrTemps(f2.df.filter(compileExpr(e2, f2))))
 
     case DenseRows =>
       // "rows where most columns have a value" (snippets:44-51) — ≥50%
@@ -106,7 +132,8 @@ object Engine {
       f.copy(df = f.df.select((f.numericCols :+ KEY).map(col): _*))
 
     case IndexBy(e) =>
-      f.copy(df = f.df.withColumn(KEY, compileExpr(e, f)))
+      val (f2, e2) = materializeLinRegs(f, e)
+      f.copy(df = dropLrTemps(f2.df.withColumn(KEY, compileExpr(e2, f2))))
 
     case SortByColumn(c) =>
       // stable: new primary sort, previous spec as tie-break
@@ -122,7 +149,7 @@ object Engine {
         else struct(cols.map(col): _*)
       val grouped = f.df.groupBy(keyCol.as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(grouped, Seq(col(KEY).asc))
+      HbFrame(grouped, Seq(col(KEY).asc), f.series)
 
     case GroupBy(cols, sel) =>
       // maxby/minby keep the full extremal row (snippets:117-132;
@@ -142,9 +169,9 @@ object Engine {
         .filter(col("__rn") === 1)
         .drop("__rn")
         .withColumn(KEY, keyCol)
-      HbFrame(picked, Seq(col(KEY).asc))
+      HbFrame(picked, Seq(col(KEY).asc), f.series)
 
-    case Pivot(rowE, colE, red, valE) =>
+    case Pivot(rowE, colE, red, valE, values) =>
       val keyName = rowE match {
         case ColRef(n) => n
         case _ => "key"
@@ -152,15 +179,26 @@ object Engine {
       // pivot reifies the row key as a column (cache sample shape
       // `{Todo,Doing,Done,SprintNumber}`, tools/visualizer/cli/src/
       // Program.fs:49 — Velocity.hb:29 sorts by it right after)
-      val pivoted = f.df
+      val grouped = f.df
         .withColumn(keyName, compileExpr(rowE, f))
         .withColumn("__pcol", compileExpr(colE, f).cast(StringType))
         .groupBy(col(keyName))
-        .pivot("__pcol")
+      // explicit values skip the distinct-collect discovery job — at
+      // 100 TB a high-cardinality colE would otherwise hit the driver
+      val wide =
+        if (values.isEmpty) grouped.pivot("__pcol")
+        else grouped.pivot("__pcol", values.map {
+          case StrLit(s) => s
+          case NumLit(v) => if (v == v.toLong) v.toLong.toString
+            else v.toString
+          case other =>
+            throw new IllegalArgumentException(s"pivot value $other")
+        })
+      val pivoted = wide
         .agg(reduceDet(red, compileExpr(valE, f),
           f.df.select(compileExpr(valE, f)).schema.head.dataType))
         .withColumn(KEY, col(keyName))
-      HbFrame(pivoted, Seq(col(KEY).asc))
+      HbFrame(pivoted, Seq(col(KEY).asc), f.series)
 
     case Buckets(n, red) =>
       // NTILE without the single-partition global window — the bucket
@@ -174,7 +212,7 @@ object Engine {
         .withGlobalNtile(f.df, "__bucket", n, f.order)
         .groupBy(col("__bucket").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(bucketed, Seq(col(KEY).asc))
+      HbFrame(bucketed, Seq(col(KEY).asc), f.series)
 
     case KMeansCluster(n, red) =>
       import org.apache.spark.ml.clustering.KMeans
@@ -191,7 +229,7 @@ object Engine {
       val clustered = model.transform(assembled)
         .groupBy(col("prediction").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(clustered, Seq(col(KEY).asc))
+      HbFrame(clustered, Seq(col(KEY).asc), f.series)
 
     case Each(red) =>
       // row-wise reduction across numeric cells (snippets:101-108)
@@ -283,8 +321,9 @@ object Engine {
     case TrueLit => lit(true)
     case KeysExpr => col(KEY)
     case OrdinalsExpr =>
-      // 0-based like ingest keys (ODataProvider.fs:128-133)
-      row_number().over(Window.orderBy(f.order: _*)).cast(LongType) - 1
+      // 0-based like ingest keys (ODataProvider.fs:128-133); with an
+      // active series key, the ordinal is per-series
+      row_number().over(orderedWindow(f)).cast(LongType) - 1
     case Bin("=", l, MissingLit) => compileExpr(l, f).isNull
     case Bin("=", MissingLit, r) => compileExpr(r, f).isNull
     case Bin("!=", l, MissingLit) => compileExpr(l, f).isNotNull
@@ -346,28 +385,140 @@ object Engine {
         case DatePart.Year => year(ts)
       }
     case Moving(red, n, x) =>
-      val w = Window.orderBy(f.order: _*)
+      val w = orderedWindow(f)
       val c = compileExpr(x, f)
       // first n-1 points are missing (snippets:182-189; stripped by
-      // programs via `only !(x = missing)`, MTTR.hb:32-35)
+      // programs via `only !(x = missing)`, MTTR.hb:32-35); with an
+      // active series key, the prefix is per-series
       when(row_number().over(w) >= n,
         reduce(red, c).over(w.rowsBetween(-(n - 1), 0)))
     case Expanding(red, x) =>
-      val w = Window.orderBy(f.order: _*)
+      val w = orderedWindow(f)
         .rowsBetween(Window.unboundedPreceding, 0)
       reduce(red, compileExpr(x, f)).over(w)
-    case LinReg(x, y) =>
-      // per-row prediction of y at x from the whole-frame least-squares fit
-      val all = Window.partitionBy(lit(0))
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      val (xc, yc) = (compileExpr(x, f).cast(DoubleType),
-        compileExpr(y, f).cast(DoubleType))
-      val slope = covar_samp(xc, yc).over(all) / var_samp(xc).over(all)
-      val intercept = avg(yc).over(all) - slope * avg(xc).over(all)
-      intercept + slope * xc
+    case LinReg(_, _) =>
+      // never compiled inline: materializeLinRegs rewrites every LinReg
+      // node into an aggregate-fit temp column before compilation —
+      // a whole-frame window here would be a single-partition plan
+      throw new IllegalArgumentException(
+        "linear regression is supported in create column / only / " +
+          "index rows by positions")
     case other =>
       throw new IllegalArgumentException(s"cannot compile $other")
   }
+
+  /** Ordered window for `moving`/`expanding`/`ordinals`: partitioned by
+    * the series key when one is active (the 100 TB path — zero
+    * single-partition WindowExec), whole-frame otherwise (faithful
+    * Deedle semantics, fine post-aggregation). */
+  private def orderedWindow(f: HbFrame)
+      : org.apache.spark.sql.expressions.WindowSpec = {
+    val sc = f.seriesCols
+    if (sc.nonEmpty) Window.partitionBy(sc: _*).orderBy(f.order: _*)
+    else Window.orderBy(f.order: _*)
+  }
+
+  // ------------------------------------------------- linear regression
+
+  /** Rewrite every `linear regression [x] [y]` subexpression into a
+    * reference to a materialized `__lrN` column.
+    *
+    * The fit is a one-row aggregate (exact decimal sums, same scheme as
+    * `extrapolate`) broadcast-crossJoined back — or, with an active
+    * series key, a per-series aggregate equi-joined back. Either way the
+    * plan is a partial-aggregate + broadcast/shuffle join: parallel at
+    * any scale, where the r2 formulation (`covar_samp over
+    * partitionBy(lit(0))`) forced the whole frame through one
+    * WindowExec partition. */
+  private def materializeLinRegs(f: HbFrame, e: Expr): (HbFrame, Expr) = {
+    val regs = collectLinRegs(e).distinct
+    regs.zipWithIndex.foldLeft((f, e)) { case ((fc, ec), (lr, i)) =>
+      val tmp = s"__lr$i"
+      (materializeLinReg(fc, lr, tmp), substitute(ec, lr, ColRef(tmp)))
+    }
+  }
+
+  private def collectLinRegs(e: Expr): Seq[LinReg] = e match {
+    case lr @ LinReg(x, y) =>
+      if (collectLinRegs(x).nonEmpty || collectLinRegs(y).nonEmpty)
+        throw new IllegalArgumentException(
+          "nested linear regression is not supported")
+      Seq(lr)
+    case Bin(_, l, r) => collectLinRegs(l) ++ collectLinRegs(r)
+    case Not(x) => collectLinRegs(x)
+    case IfElse(c, t, e2) =>
+      collectLinRegs(c) ++ collectLinRegs(t) ++ collectLinRegs(e2)
+    case IntCast(x) => collectLinRegs(x)
+    case Contains(x, _) => collectLinRegs(x)
+    case RegexExtract(x, _, _) => collectLinRegs(x)
+    case FormatDate(x, _) => collectLinRegs(x)
+    case Moving(_, _, x) => collectLinRegs(x)
+    case Expanding(_, x) => collectLinRegs(x)
+    case _ => Nil
+  }
+
+  private def substitute(e: Expr, from: Expr, to: Expr): Expr =
+    if (e == from) to
+    else e match {
+      case Bin(op, l, r) =>
+        Bin(op, substitute(l, from, to), substitute(r, from, to))
+      case Not(x) => Not(substitute(x, from, to))
+      case IfElse(c, t, e2) => IfElse(substitute(c, from, to),
+        substitute(t, from, to), substitute(e2, from, to))
+      case IntCast(x) => IntCast(substitute(x, from, to))
+      case Contains(x, vs) => Contains(substitute(x, from, to), vs)
+      case RegexExtract(x, p, ts) =>
+        RegexExtract(substitute(x, from, to), p, ts)
+      case FormatDate(x, p) => FormatDate(substitute(x, from, to), p)
+      case Moving(r, n, x) => Moving(r, n, substitute(x, from, to))
+      case Expanding(r, x) => Expanding(r, substitute(x, from, to))
+      case other => other
+    }
+
+  private def materializeLinReg(f: HbFrame, lr: LinReg,
+      name: String): HbFrame = {
+    val xc = compileExpr(lr.x, f).cast(DoubleType)
+    val yc = compileExpr(lr.y, f).cast(DoubleType)
+    val aggs = Seq(
+      count(lit(1)).as("__n"),
+      sum(xc.cast(dec6)).cast(DoubleType).as("__sx"),
+      sum(yc.cast(dec6)).cast(DoubleType).as("__sy"),
+      sum((xc * yc).cast(dec12)).cast(DoubleType).as("__sxy"),
+      sum((xc * xc).cast(dec12)).cast(DoubleType).as("__sxx"))
+    val slope = (col("__n") * col("__sxy") - col("__sx") * col("__sy")) /
+      (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+    val fitCols = Seq(slope.as(s"${name}_s"),
+      (col("__sy") / col("__n")).as(s"${name}_my"),
+      (col("__sx") / col("__n")).as(s"${name}_mx"))
+    val sc = f.seriesCols
+    val joined =
+      if (sc.isEmpty) {
+        val fit = f.df.agg(aggs.head, aggs.tail: _*).select(fitCols: _*)
+        f.df.crossJoin(broadcast(fit))
+      } else {
+        // per-series fit: null-safe equi-join so null series keys keep
+        // their group's fit (groupBy groups nulls together); key columns
+        // aliased in the fit frame to keep resolution unambiguous
+        val keyAlias = f.series.zipWithIndex.map { case (c, j) =>
+          (c, s"${name}_k$j") }
+        val fit = f.df.groupBy(sc: _*).agg(aggs.head, aggs.tail: _*)
+          .select(keyAlias.map { case (c, a) => col(c).as(a) } ++
+            fitCols: _*)
+        val cond = keyAlias.map { case (c, a) => f.df(c) <=> fit(a) }
+          .reduce(_ && _)
+        f.df.join(fit, cond).drop(keyAlias.map(_._2): _*)
+      }
+    val out = joined
+      .withColumn(name,
+        (col(s"${name}_my") - col(s"${name}_s") * col(s"${name}_mx")) +
+          col(s"${name}_s") * xc)
+      .drop(s"${name}_s", s"${name}_my", s"${name}_mx")
+    f.copy(df = out)
+  }
+
+  /** Drop the `__lrN` temp columns a statement's rewrite introduced. */
+  private def dropLrTemps(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("__lr")).toIndexedSeq: _*)
 
   // -------------------------------------------------------- extrapolation
 
@@ -412,6 +563,6 @@ object Engine {
       .drop("__newx", "__i")
     val unioned = base.unionByName(
       appendRows.select(base.columns.map(col).toIndexedSeq: _*))
-    HbFrame(unioned, Seq(col(KEY).asc))
+    HbFrame(unioned, Seq(col(KEY).asc), f.series)
   }
 }

@@ -391,7 +391,21 @@ object HbParser {
         p.eat("->")
         val red = p.reduction()
         val valE = p.bracketed()
-        Pivot(rowE, colE, red, valE)
+        // optional explicit column-value list, contains-style literals
+        val values = mutable.ArrayBuffer[Expr]()
+        if (p.atSym("[")) {
+          p.next()
+          while (!p.atSym("]")) {
+            if (p.atSym(";") || p.atSym(",")) p.next()
+            else values += (p.next() match {
+              case TStr(s) => StrLit(s)
+              case TNum(v) => NumLit(v)
+              case other => p.err(s"bad pivot value $other")
+            })
+          }
+          p.eat("]")
+        }
+        Pivot(rowE, colE, red, valE, values.toSeq)
       case "buckets" =>
         p.eat("("); val n = p.int(); p.eat(")")
         p.eat("->")

@@ -40,8 +40,10 @@ object Printer {
       s"group by ${cols.map(name).mkString(" ")} -> maxby ${print(e)}"
     case GroupBy(cols, MinBy(e)) =>
       s"group by ${cols.map(name).mkString(" ")} -> minby ${print(e)}"
-    case Pivot(r, c, red, v) =>
-      s"pivot [${print(r)}] [${print(c)}] -> ${red.name} [${print(v)}]"
+    case Pivot(r, c, red, v, vals) =>
+      val tail =
+        if (vals.isEmpty) "" else s" [${vals.map(print).mkString("; ")}]"
+      s"pivot [${print(r)}] [${print(c)}] -> ${red.name} [${print(v)}]$tail"
     case Buckets(n, r) => s"buckets ($n) -> (${r.name})"
     case KMeansCluster(n, r) => s"k-means ($n) -> (${r.name})"
     case Each(r) => s"each ${r.name}"

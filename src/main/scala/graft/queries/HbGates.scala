@@ -93,6 +93,53 @@ object HbGates {
       |sort by column bucket
       |""".stripMargin
 
+  // The keyed-execution opt-in (`series:` header): moving/expanding
+  // windows partition by the per-entity column — the 100 TB form of the
+  // reference's per-entity series programs (Metrics.fs:56-61) with zero
+  // whole-frame WindowExec in the plan. Integer inputs keep window AVG
+  // exact in both engines.
+  private val seriesHb =
+    """series: user_id
+      |
+      |sort by column event_id
+      |sort by column ts
+      |create column m3 (moving mean 3 [event_id])
+      |create column run (expanding sum [event_id])
+      |slice columns user_id event_id m3 run
+      |""".stripMargin
+
+  // snippets:198-205 `linear regression` through the text surface — now
+  // an aggregate+broadcast plan (no whole-frame window). y is constructed
+  // exactly linear in x, so slope/intercept and every prediction are
+  // bit-exact in both engines (integer sums < 2^53, division exact).
+  private val linregHb =
+    """create column y (p_partkey * 2 + 3)
+      |create column pred (linear regression [p_partkey] [y])
+      |slice columns p_partkey y pred
+      |""".stripMargin
+
+  // Velocity.hb pivot with the explicit value list — schema declared up
+  // front, no distinct-discovery job (the high-cardinality-colE path).
+  private val pivotValuesHb =
+    """create column day (format date "ts" date)
+      |pivot [day] [event_type] -> count [event_id] ['click'; 'view'; 'purchase']
+      |sort by column day
+      |slice columns day click view purchase
+      |""".stripMargin
+
+  // E10/E11: bare + double-quoted identifiers (space!), numeric/string
+  // literals, and `only True` (1_General.fs:65-67) end-to-end.
+  private val identHb =
+    """create column "Size Plus" (p_size + 1)
+      |only True
+      |slice columns p_partkey "Size Plus"
+      |""".stripMargin
+
+  private val identSql =
+    """SELECT p_partkey, CAST(p_size + 1 AS BIGINT) AS "Size Plus"
+      |FROM part
+      |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -189,6 +236,68 @@ object HbGates {
              |  CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
              |  p_retailprice / 2 AS half
              |FROM part WHERE p_size > 20
-             |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin))
+             |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_series_window",
+      (s, d) => Graft.runHb(seriesHb, t(s, d, "events"))
+        .orderBy(col("event_id")),
+      Some("""SELECT user_id, event_id,
+             |  CASE WHEN ROW_NUMBER() OVER w >= 3 THEN
+             |    AVG(event_id) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END AS m3,
+             |  CAST(SUM(event_id) OVER
+             |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_linreg",
+      (s, d) => Graft.runHb(linregHb, t(s, d, "part"))
+        .orderBy(col("p_partkey")),
+      // oracle mirrors the engine's fit exactly: decimal sums → double,
+      // slope = (n·sxy − sx·sy)/(n·sxx − sx·sx), pred = (my − slope·mx)
+      // + slope·x. y = 2x+3 makes the slope exactly 2.0, so every
+      // arithmetic step is FMA-immune and bit-identical.
+      Some("""WITH f AS (
+             |  SELECT COUNT(*) AS n,
+             |    CAST(SUM(CAST(CAST(p_partkey AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+             |    CAST(SUM(CAST(CAST(p_partkey*2+3 AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+             |    CAST(SUM(CAST(CAST(p_partkey AS DOUBLE) * CAST(p_partkey*2+3 AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+             |    CAST(SUM(CAST(CAST(p_partkey AS DOUBLE) * CAST(p_partkey AS DOUBLE) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+             |  FROM part)
+             |SELECT p_partkey, CAST(p_partkey*2+3 AS BIGINT) AS y,
+             |  (sy/n - ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * (sx/n))
+             |    + ((n*sxy - sx*sy)/(n*sxx - sx*sx)) * CAST(p_partkey AS DOUBLE) AS pred
+             |FROM part, f
+             |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_pivot_values",
+      (s, d) => Graft.runHb(pivotValuesHb, t(s, d, "events"))
+        .orderBy(col("day")),
+      Some("""SELECT CAST(ts AS DATE) AS day,
+             |  NULLIF(COUNT(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+             |  NULLIF(COUNT(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view,
+             |  NULLIF(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase
+             |FROM events GROUP BY 1
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("e10_identifiers",
+      (s, d) => Graft.runHb(identHb, t(s, d, "part"))
+        .orderBy(col("p_partkey")),
+      Some(identSql)),
+
+    // E11 + the Scala combinator surface: the identHb twin built through
+    // hb.Dsl (parse-at-construction round-trip) must hash to the same
+    // oracle as its `.hb` source form.
+    Gate("e11_dsl_surface",
+      (sparkSess, d) => {
+        import graft.hb.Dsl._
+        transformation(
+          create("Size Plus", c("p_size") + n(1)),
+          only(True),
+          slice("p_partkey", "Size Plus"))
+          .run(t(sparkSess, d, "part"))
+          .orderBy(col("p_partkey"))
+      },
+      Some(identSql))
   )
 }

@@ -96,8 +96,11 @@ class DslSpec extends AnyFunSuite {
       yield GroupBy(cols.take(3), RowsBy(r)),
     for { cols <- Gen.nonEmptyListOf(genName); e <- genExpr(1) }
       yield GroupBy(cols.take(3), MaxBy(e)),
-    for { r <- genExpr(1); cl <- genExpr(1); red <- genRed; v <- genExpr(1) }
-      yield Pivot(r, cl, red, v),
+    for { r <- genExpr(1); cl <- genExpr(1); red <- genRed; v <- genExpr(1);
+      vals <- Gen.listOf(Gen.oneOf(
+        Gen.alphaNumStr.map(s => StrLit(s.take(6))),
+        Gen.chooseNum(0, 999).map(i => NumLit(i.toDouble)))) }
+      yield Pivot(r, cl, red, v, vals.take(3)),
     for { nb <- Gen.chooseNum(2, 16); r <- genRed } yield Buckets(nb, r),
     for { k <- Gen.chooseNum(2, 8); r <- genRed }
       yield KMeansCluster(k, r),

@@ -182,4 +182,119 @@ class EngineSpec extends AnyFunSuite {
     assert(rows.map(r => Option(r.getAs[Any]("Done"))).toSeq ==
       Seq(Some(2L), None, Some(1L)))
   }
+
+  private def windowNodes(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+
+  test("series opt-in: keyed moving/expanding/ordinals, every window partitioned") {
+    val df = Ingest.localData(spark, Seq("g", "k", "v"),
+      Seq(Seq("a", 1L, 2.0), Seq("a", 2L, 4.0), Seq("a", 3L, 6.0),
+        Seq("b", 1L, 10.0), Seq("b", 2L, 20.0)))
+    val out = Graft.runHb(
+      """series: g
+        |
+        |sort by column k
+        |create column m (moving mean 2 [v])
+        |create column r (expanding sum [v])
+        |create column o (ordinals)
+        |""".stripMargin, df)
+    val rows = out.orderBy("g", "k").collect()
+    val m = rows.map(r =>
+      if (r.isNullAt(r.fieldIndex("m"))) null else r.getAs[Double]("m"))
+    assert(m.toSeq == Seq(null, 3.0, 5.0, null, 15.0)) // prefix per series
+    assert(rows.map(_.getAs[Double]("r")).toSeq ==
+      Seq(2.0, 6.0, 12.0, 10.0, 30.0))
+    assert(rows.map(_.getAs[Long]("o")).toSeq == Seq(0L, 1L, 2L, 0L, 1L))
+    val wins = windowNodes(out)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "a whole-frame WindowExec survived the series opt-in")
+  }
+
+  test("series columns consumed by an aggregation fall back to whole-frame") {
+    val df = Ingest.localData(spark, Seq("g", "v"),
+      Seq(Seq("a", 1.0), Seq("a", 2.0), Seq("b", 10.0)))
+    val out = Graft.runHb(
+      """series: g
+        |
+        |group by g -> sum
+        |create column r (expanding sum [v])
+        |create column g keys
+        |""".stripMargin, df)
+    // `group by` consumed g into the key, so the expanding sum computed
+    // right after is whole-frame (key order) — a cumulative across
+    // groups, the MTTR.hb shape; re-creating g afterwards re-activates
+    // the keyed mode for later windows
+    assert(out.orderBy("g").collect().map(_.getAs[Double]("r")).toSeq ==
+      Seq(3.0, 13.0))
+  }
+
+  test("linear regression is an aggregate + broadcast join, not a window") {
+    val df = Ingest.localData(spark, Seq("x", "y"),
+      Seq(Seq(1.0, 5.0), Seq(2.0, 7.0), Seq(3.0, 9.0), Seq(4.0, 11.0)))
+    val out = run("create column p (linear regression [x] [y])", df)
+    // y = 2x+3 exactly → the fit reproduces it bit-exactly
+    assert(out.orderBy("x").collect().map(_.getAs[Double]("p")).toSeq ==
+      Seq(5.0, 7.0, 9.0, 11.0))
+    assert(windowNodes(out).isEmpty, "linreg still compiles to a window")
+    assert(out.columns.toSet == Set("x", "y", "p")) // temps dropped
+  }
+
+  test("linear regression with an active series key fits per series") {
+    val df = Ingest.localData(spark, Seq("g", "x", "y"),
+      Seq(Seq("a", 1.0, 5.0), Seq("a", 2.0, 7.0), Seq("a", 3.0, 9.0),
+        Seq("b", 1.0, 1.0), Seq("b", 2.0, 0.0), Seq("b", 3.0, -1.0)))
+    val out = Graft.runHb(
+      """series: g
+        |
+        |create column p (linear regression [x] [y])
+        |""".stripMargin, df)
+    val rows = out.orderBy("g", "x").collect()
+    // a: y=2x+3; b: y=2-x — both exact fits
+    assert(rows.map(_.getAs[Double]("p")).toSeq ==
+      Seq(5.0, 7.0, 9.0, 1.0, 0.0, -1.0))
+    assert(windowNodes(out).isEmpty)
+  }
+
+  test("linreg usable inside a larger expression (residuals via only)") {
+    val df = Ingest.localData(spark, Seq("x", "y"),
+      Seq(Seq(1.0, 5.0), Seq(2.0, 7.0), Seq(3.0, 9.0), Seq(4.0, 11.0),
+        Seq(5.0, 100.0)))
+    val out = run("only ((y - linear regression [x] [y]) > 30)", df)
+    assert(out.count() == 1) // only the planted outlier exceeds +30
+    assert(out.head().getAs[Double]("y") == 100.0)
+    assert(out.columns.toSet == Set("x", "y")) // temps dropped
+  }
+
+  test("pivot with explicit values declares the schema, no discovery job") {
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val withValues =
+        run("pivot [Sprint] [State] -> count [Item] ['Done'; 'Doing']",
+          workitems)
+      Thread.sleep(400) // listener bus is async
+      val jobsDuringBuild = jobs
+      assert(withValues.columns.toSet == Set("Sprint", "Done", "Doing"))
+      assert(jobsDuringBuild == 0,
+        s"explicit-values pivot ran $jobsDuringBuild job(s) during planning")
+      val s1 = withValues.filter(withValues("Sprint") === "S1").head()
+      assert(s1.getAs[Long]("Done") == 2L)
+      assert(s1.getAs[Long]("Doing") == 1L)
+      // discovery path: same cells, but a distinct-collect job runs
+      jobs = 0
+      val discovered = run("pivot [Sprint] [State] -> count [Item]",
+        workitems)
+      Thread.sleep(400)
+      assert(jobs > 0)
+      assert(discovered.columns.toSet ==
+        Set("Sprint", "Done", "Doing", "Todo"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
