@@ -298,6 +298,44 @@ object HbGates {
           .run(t(sparkSess, d, "part"))
           .orderBy(col("p_partkey"))
       },
-      Some(identSql))
+      Some(identSql)),
+
+    // S10 lineage cache end-to-end: a two-stage configuration chain runs
+    // through Configurations.Runner with a parquet LineageCache twice —
+    // the second run (a fresh Runner, same cache) serves BOTH stages from
+    // the cached parquet (Types.fs:182-202 scheme), and that round-tripped
+    // result is what the oracle hash-checks. Closes the one subsystem that
+    // was spec-only (ConfigurationsSpec proves prefix reuse; this proves
+    // the cached bytes are the right answer).
+    Gate("s10_lineage_cache",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-lineage-gate").toString
+        val cache = new graft.cache.LineageCache(s, root)
+        val configs = Map(
+          "filtered" -> conf(TableSource("part"),
+            """only (p_size > 20)
+              |create column half (p_retailprice / 2)
+              |slice columns p_brand half
+              |""".stripMargin),
+          "top" -> conf(MergeOf(Seq("filtered")),
+            """group by p_brand -> sum
+              |create column p_brand keys
+              |sort by column p_brand
+              |""".stripMargin))
+        def resolve(t0: String) = t(s, d, t0)
+        new Runner(s, resolve, Some(cache)).run(configs, "top") // populate
+        new Runner(s, resolve, Some(cache)).run(configs, "top") // cached
+          .orderBy(col("p_brand"))
+      },
+      // half is summed through the engine's deterministic decimal path
+      // (reduceDet), which the oracle mirrors; parquet round-trips doubles
+      // bit-exactly, so the cached read hash-matches.
+      Some("""SELECT
+             |  CAST(SUM(CAST(p_retailprice / 2 AS DECIMAL(30,6))) AS DOUBLE) AS half,
+             |  p_brand
+             |FROM part WHERE p_size > 20 GROUP BY p_brand
+             |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -38,12 +38,26 @@ object Ingest {
   def uniform(df: DataFrame): DataFrame = inferTypes(flatten(df))
 
   /** Recursive dotted-path flatten; arrays flattened positionally up to the
-    * observed max length (Reader.fs:38-48). */
+    * observed max length (Reader.fs:38-48). All array-length probes of a
+    * pass are batched into ONE aggregate job — a wide nested payload costs
+    * one scan per nesting level, not one per array column. */
   def flatten(df0: DataFrame): DataFrame = {
     var df = df0
     var changed = true
     while (changed) {
       changed = false
+      val arrayCols = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] => f.name
+      }.toSeq
+      val maxLens: Map[String, Int] =
+        if (arrayCols.isEmpty) Map.empty
+        else {
+          val probes = arrayCols.map(c => max(size(col(s"`$c`"))).as(c))
+          val row = df.agg(probes.head, probes.tail: _*).head()
+          arrayCols.zipWithIndex.map { case (c, i) =>
+            c -> (if (row.isNullAt(i)) 0 else row.getInt(i))
+          }.toMap
+        }
       val cols: Seq[Column] = df.schema.fields.toSeq.flatMap { f =>
         f.dataType match {
           case st: StructType =>
@@ -52,11 +66,7 @@ object Ingest {
               col(s"`${f.name}`.`${sf.name}`").as(s"${f.name}.${sf.name}"))
           case _: ArrayType =>
             changed = true
-            val maxLen = df.agg(max(size(col(s"`${f.name}`")))).head() match {
-              case r if r.isNullAt(0) => 0
-              case r => r.getInt(0)
-            }
-            (0 until math.max(maxLen, 0)).map(i =>
+            (0 until math.max(maxLens(f.name), 0)).map(i =>
               col(s"`${f.name}`").getItem(i).as(s"${f.name}.$i"))
           case _ => Seq(col(s"`${f.name}`"))
         }

@@ -36,6 +36,37 @@ class IngestSpec extends AnyFunSuite {
     assert(types("sci") == DoubleType)
   }
 
+  test("flatten batches all array-size probes into one job per pass") {
+    import spark.implicits._
+    // AQE turns the single probe aggregate into a fixed number of stage
+    // jobs, so the invariant is: job count must NOT grow with the number
+    // of sibling array columns (pre-fix: one agg job per array column).
+    def countJobs(body: => Unit): Int = {
+      var jobs = 0
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs += 1
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(400) } // listener bus is async
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs
+    }
+    val one = spark.read.json(Seq(
+      """{"a": [1, 2], "k": 1}""", """{"a": [3], "k": 2}""").toDS())
+    val three = spark.read.json(Seq(
+      """{"a": [1, 2], "b": ["x"], "c": [true, false, true], "k": 1}""",
+      """{"a": [3], "b": ["y", "z"], "c": [], "k": 2}""").toDS())
+    val jobsOne = countJobs(Ingest.flatten(one))
+    var flat: org.apache.spark.sql.DataFrame = null
+    val jobsThree = countJobs { flat = Ingest.flatten(three) }
+    assert(jobsThree == jobsOne,
+      s"3-array flatten ran $jobsThree jobs vs $jobsOne for 1 array")
+    assert(flat.columns.toSet ==
+      Set("a.0", "a.1", "b.0", "b.1", "c.0", "c.1", "c.2", "k"))
+  }
+
   test("mixed / dirty columns stay strings; empty string is missing") {
     val df = Ingest.fromJson(spark, Seq(
       """{"m": "12", "e": ""}""",
