@@ -124,6 +124,16 @@ object SimilarityGates {
     Gate("s_ann_ivf",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
         id => id < 5, "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank")), None),
+
+    // Random-hyperplane LSH ANN (the fit-free scale path): 64-bit
+    // sign-projection signatures (native RpSig64), 16×4-bit banded
+    // candidates, exact cosine rank. Candidate set depends on the hash
+    // family → rows-only; DedupSpec pins recall@10 ≥ 0.9 on clustered
+    // embeddings against bruteForceTopK.
+    Gate("s_ann_rplsh",
+      (s, d) => Similarity.rpLshTopK(t(s, d, "embeddings"),
+        id => id < 5, "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank")), None)
   )
 }

@@ -137,6 +137,33 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered recall@10 = $recall")
   }
 
+  test("random-hyperplane LSH ANN recall@10 >= 0.9 on clustered " +
+    "embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 8)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10))
+    val rp = pairs(Similarity.rpLshTopK(e, id => id < 5,
+      "vec_id", "embedding", k = 10))
+    val recall = bf.intersect(rp).size.toDouble / bf.size
+    assert(recall >= 0.9, s"rp-lsh clustered recall@10 = $recall")
+  }
+
   test("IVF ANN beats the random-cell baseline on near-random sf0.01 " +
     "embeddings") {
     // the driver's synthetic embeddings are ~uniform on the sphere (top-1
