@@ -39,6 +39,12 @@ object SimilarityGates {
     // replicates it on STRING shingles — a full oracle. The division is
     // written identically on both sides (inter/(|a|+|b|-inter) ≥ t) so
     // threshold-boundary floats agree bit-for-bit.
+    // Scale ceiling: the LSH candidate stage misses a ≥0.6-Jaccard pair
+    // w.p. ≈6e-7, so against this EXACT oracle the gate is sound at the
+    // driver's sf0.01/sf0.1 corpora (expected misses ≪ 1) but would
+    // become a latent flake at ~1e6+ near-boundary pairs — raise
+    // Dedup.ngramJaccard's band count there (DedupSpec separately pins
+    // LSH-vs-exhaustive survivor equality at sf0.01).
     Gate("d_ngram_jaccard",
       (s, d) => Dedup.ngramJaccard(t(s, d, "documents"), "text", "doc_id",
         blockCols = Seq("lang", "source"), threshold = 0.6)
