@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.sources.{ODataSource, Providers}
+
+/** A 3-page item feed keyed by `$skip`, shaped like the reference's
+  * WorkItemRevisions payloads. DSv2 builds fetchers reflectively by
+  * class name, so this lives top-level with a no-arg constructor; the
+  * companion records every requested URL (executor == driver JVM in
+  * local mode) so specs can assert what was pushed into the wire
+  * request. When a `$filter` mentioning `size` is present, the fake
+  * server actually applies it (rows with size ≤ 20 withheld) — proving
+  * Spark's residual re-evaluation doesn't depend on server behavior
+  * either way. */
+class FakeODataFetcher extends Providers.Fetcher {
+  import FakeODataFetcher._
+  def get(url: String, auth: Option[(String, String)]): String = {
+    calls.add(url)
+    val filtered = url.contains("$filter=") && url.contains("size gt 20")
+    def page(rows: Seq[(Long, String, Long)], next: Option[Int]): String = {
+      val kept = if (filtered) rows.filter(_._3 > 20) else rows
+      val vals = kept.map { case (id, nm, sz) =>
+        s"""{"id": $id, "name": "$nm", "size": $sz}"""
+      }.mkString("[", ",", "]")
+      val nl = next.map(n =>
+        s""","@odata.nextLink": "http://fake/items?$$skip=$n"""")
+        .getOrElse("")
+      s"""{"value": $vals$nl}"""
+    }
+    val skip = "\\$skip=(\\d+)".r.findFirstMatchIn(url)
+      .map(_.group(1).toInt).getOrElse(0)
+    skip match {
+      case 0 => page(Seq((1L, "a", 10L), (2L, "b", 30L)), Some(2))
+      case 2 => page(Seq((3L, "c", 25L), (4L, "d", 5L)), Some(4))
+      case _ => page(Seq((5L, "e", 40L)), None)
+    }
+  }
+}
+
+object FakeODataFetcher {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+class ODataSourceSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+
+  private def read() = spark.read
+    .format(classOf[ODataSource].getName)
+    .option("url", "http://fake/items")
+    .option("fetcher", classOf[FakeODataFetcher].getName)
+    .load()
+
+  test("scans all pages via nextLink; schema inferred from first page") {
+    FakeODataFetcher.calls.clear()
+    val df = read()
+    assert(df.columns.sorted.toSeq == Seq("id", "name", "size"))
+    assert(df.count() == 5)
+    assert(df.select(sum(col("id"))).head().getLong(0) == 15L)
+  }
+
+  test("predicates push down into \\$filter on the request URL " +
+    "and results stay exact") {
+    FakeODataFetcher.calls.clear()
+    val df = read().filter(col("size") > 20)
+    val rows = df.select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 3L, 5L))
+    val scanCalls = FakeODataFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$filter="))
+    assert(scanCalls.nonEmpty, "no request carried the pushed $filter")
+    // Catalyst pushes IsNotNull(size) alongside the comparison, so the
+    // combined $filter is e.g. "(size ne null) and (size gt 20)"
+    assert(scanCalls.forall(_.contains("size gt 20")))
+  }
+
+  test("pushdown survives a server that IGNORES \\$filter (residual " +
+    "re-evaluation)") {
+    // name-based predicate: the fake only honors `size` filters, so the
+    // server returns everything and Spark's residual filter must prune
+    FakeODataFetcher.calls.clear()
+    val df = read().filter(col("name") === "c")
+    assert(df.select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    val scanCalls = FakeODataFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$filter="))
+    assert(scanCalls.nonEmpty)
+    assert(scanCalls.forall(_.contains("name eq 'c'")))
+  }
+
+  test("column pruning becomes \\$select") {
+    FakeODataFetcher.calls.clear()
+    val names = read().select("name").collect().map(_.getString(0))
+    assert(names.sorted.toSeq == Seq("a", "b", "c", "d", "e"))
+    val scanCalls = FakeODataFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$select="))
+    assert(scanCalls.nonEmpty, "no request carried $select")
+    assert(scanCalls.forall(_.contains("$select=name")))
+  }
+
+  test("count(*) over a pruned-to-empty schema still pages correctly") {
+    val n = read().count()
+    assert(n == 5L)
+  }
+
+  test("known count plans parallel skip/top partitions") {
+    FakeODataFetcher.calls.clear()
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .option("url", "http://fake/items")
+      .option("fetcher", classOf[FakeODataFetcher].getName)
+      .option("count", "5").option("pageSize", "2")
+      .load()
+    assert(df.rdd.getNumPartitions == 3) // ceil(5/2)
+    assert(df.count() == 5)
+    val scans = FakeODataFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$skip="))
+    assert(scans.exists(_.contains("$skip=0&$top=2")))
+    assert(scans.exists(_.contains("$skip=2&$top=2")))
+    assert(scans.exists(_.contains("$skip=4&$top=2")))
+  }
+
+  test("short name registration and uniform composition") {
+    val df = spark.read.format("graft-odata")
+      .option("url", "http://fake/items")
+      .option("fetcher", classOf[FakeODataFetcher].getName)
+      .load()
+    val uni = graft.sources.Ingest.uniform(df)
+    assert(uni.count() == 5)
+  }
+
+  test("filter translation covers the dialect; untranslatable stays out") {
+    import org.apache.spark.sql.sources._
+    import graft.sources.ODataFiltersAccess._
+    assert(tr(EqualTo("a", "x'y")) == Some("a eq 'x''y'"))
+    assert(tr(And(GreaterThan("a", 1), LessThanOrEqual("b", 2.5))) ==
+      Some("(a gt 1) and (b le 2.5)"))
+    assert(tr(Or(IsNull("a"), Not(EqualTo("b", false)))) ==
+      Some("(a eq null) or (b ne false)"))
+    assert(tr(In("a", Array(1, 2))) == Some("(a eq 1) or (a eq 2)"))
+    assert(tr(EqualTo("nested.path", 1)).isEmpty)
+    assert(tr(StringContains("a", "x")).isEmpty)
+  }
+}
