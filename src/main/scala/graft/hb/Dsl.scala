@@ -113,12 +113,19 @@ object Dsl {
   def pivot(rowE: Expr, colE: Expr): PivotBuilder = PivotBuilder(rowE, colE)
 
   // -------------------------------------------------------- transformation
-  final case class Transformation(statements: Seq[Statement]) {
+  final case class Transformation(statements: Seq[Statement],
+      series: Seq[String] = Nil) {
+    /** Keyed-execution opt-in (the `series:` header of the text surface):
+      * ordered windows partition by these per-entity columns wherever
+      * they exist in the frame — the 100 TB path for raw-frame
+      * moving/expanding/ordinals. */
+    def withSeries(cols: String*): Transformation = copy(series = cols)
     /** `.hb` text of this transformation. */
     def toHb: String = statements.map(Printer.print).mkString("\n")
     def run(source: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
-      Graft.run(Program(Header(Map(), Map(), Map()), statements), source)
+      Engine.run(Program(Header(Map(), Map(), Map()), statements), source,
+        series)
   }
 
   /** Construct + validate: each statement must round-trip through the

@@ -140,6 +140,21 @@ object HbGates {
       |FROM part
       |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin
 
+  // snippets:206-213 `linear extrapolation` through the text surface —
+  // the statement the reference ships disabled ("there's a bug making
+  // the calculator crash", Metrics.fs:69-81). `index rows by` first
+  // pins the frame key to p_partkey so the fit's x-axis is
+  // deterministic. y is exactly linear in the key and the train tail's
+  // mean key lands on an exactly-representable x.5, so every fit step
+  // (slope 3.0, means, predictions) is exact IEEE arithmetic — the
+  // appended forecasts hash-match the closed form 3(max+i)+7.
+  private val extrapHb =
+    """index rows by p_partkey
+      |create column y (p_partkey * 3 + 7)
+      |create column fc (linear extrapolation [y] 5 50)
+      |slice columns y fc
+      |""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -299,6 +314,18 @@ object HbGates {
           .orderBy(col("p_partkey"))
       },
       Some(identSql)),
+
+    Gate("hb_extrapolate",
+      (s, d) => Graft.runHb(extrapHb, t(s, d, "part"))
+        .orderBy(col("fc")),
+      Some("""WITH m AS (SELECT MAX(p_partkey) AS mx FROM part)
+             |SELECT CAST(p_partkey*3+7 AS BIGINT) AS y,
+             |  CAST(p_partkey*3+7 AS DOUBLE) AS fc
+             |FROM part
+             |UNION ALL
+             |SELECT NULL, CAST((mx + i)*3+7 AS DOUBLE)
+             |FROM range(1, 6) t(i), m
+             |ORDER BY fc ASC NULLS FIRST""".stripMargin)),
 
     // S10 lineage cache end-to-end: a two-stage configuration chain runs
     // through Configurations.Runner with a parquet LineageCache twice —

@@ -212,6 +212,20 @@ class EngineSpec extends AnyFunSuite {
       "a whole-frame WindowExec survived the series opt-in")
   }
 
+  test("Dsl withSeries keys ordered windows like the series: header") {
+    import graft.hb.Dsl._
+    val df = Ingest.localData(spark, Seq("g", "k", "v"),
+      Seq(Seq("a", 1L, 2.0), Seq("a", 2L, 4.0), Seq("b", 1L, 10.0)))
+    val out = transformation(
+      sortBy("k"),
+      create("r", expanding(sum, c("v"))))
+      .withSeries("g").run(df)
+    assert(out.orderBy("g", "k").collect().map(_.getAs[Double]("r")).toSeq
+      == Seq(2.0, 6.0, 10.0))
+    val wins = windowNodes(out)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("series columns consumed by an aggregation fall back to whole-frame") {
     val df = Ingest.localData(spark, Seq("g", "v"),
       Seq(Seq("a", 1.0), Seq("a", 2.0), Seq("b", 10.0)))
