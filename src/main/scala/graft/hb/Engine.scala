@@ -149,7 +149,11 @@ object Engine {
         else struct(cols.map(col): _*)
       val grouped = f.df.groupBy(keyCol.as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(grouped, Seq(col(KEY).asc), f.series)
+      // series columns that were group keys stay meaningful (one entity
+      // per row; re-creatable from `keys`); ones that got REDUCED are now
+      // aggregates sharing the entity column's name — deactivate them or
+      // a later window would key on sums
+      HbFrame(grouped, Seq(col(KEY).asc), f.series.filter(cols.contains))
 
     case GroupBy(cols, sel) =>
       // maxby/minby keep the full extremal row (snippets:117-132;
@@ -179,18 +183,26 @@ object Engine {
       // pivot reifies the row key as a column (cache sample shape
       // `{Todo,Doing,Done,SprintNumber}`, tools/visualizer/cli/src/
       // Program.fs:49 — Velocity.hb:29 sorts by it right after)
+      val colEType =
+        f.df.select(compileExpr(colE, f)).schema.head.dataType
       val grouped = f.df
         .withColumn(keyName, compileExpr(rowE, f))
         .withColumn("__pcol", compileExpr(colE, f).cast(StringType))
         .groupBy(col(keyName))
       // explicit values skip the distinct-collect discovery job — at
-      // 100 TB a high-cardinality colE would otherwise hit the driver
+      // 100 TB a high-cardinality colE would otherwise hit the driver.
+      // Numeric values render through the SAME representation colE's
+      // string cast produces (a double column casts 1 to "1.0" — a bare
+      // "1" would silently match nothing)
       val wide =
         if (values.isEmpty) grouped.pivot("__pcol")
         else grouped.pivot("__pcol", values.map {
           case StrLit(s) => s
-          case NumLit(v) => if (v == v.toLong) v.toLong.toString
-            else v.toString
+          case NumLit(v) => colEType match {
+            case DoubleType | FloatType => v.toString
+            case _ if v == v.toLong => v.toLong.toString
+            case _ => v.toString
+          }
           case other =>
             throw new IllegalArgumentException(s"pivot value $other")
         })
@@ -198,7 +210,9 @@ object Engine {
         .agg(reduceDet(red, compileExpr(valE, f),
           f.df.select(compileExpr(valE, f)).schema.head.dataType))
         .withColumn(KEY, col(keyName))
-      HbFrame(pivoted, Seq(col(KEY).asc), f.series)
+      // pivot output is a fresh aggregated shape — no surviving column
+      // still means "per-entity series"
+      HbFrame(pivoted, Seq(col(KEY).asc), Nil)
 
     case Buckets(n, red) =>
       // NTILE without the single-partition global window — the bucket
@@ -212,7 +226,9 @@ object Engine {
         .withGlobalNtile(f.df, "__bucket", n, f.order)
         .groupBy(col("__bucket").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(bucketed, Seq(col(KEY).asc), f.series)
+      // buckets reduce every numeric column — series deactivates (same
+      // rationale as group by)
+      HbFrame(bucketed, Seq(col(KEY).asc), Nil)
 
     case KMeansCluster(n, red) =>
       import org.apache.spark.ml.clustering.KMeans
@@ -229,7 +245,7 @@ object Engine {
       val clustered = model.transform(assembled)
         .groupBy(col("prediction").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
-      HbFrame(clustered, Seq(col(KEY).asc), f.series)
+      HbFrame(clustered, Seq(col(KEY).asc), Nil)
 
     case Each(red) =>
       // row-wise reduction across numeric cells (snippets:101-108)
@@ -266,8 +282,11 @@ object Engine {
         val s2 = sum((c * c).cast(dec12)).cast(DoubleType)
         // clamp: catastrophic cancellation on (near-)constant columns can
         // leave the numerator a hair negative → NaN out of the sqrt in
-        // StdDev where var_samp/stddev_samp return 0.0
-        greatest(s2 - s1 * s1 / count(c), lit(0.0)) / (count(c) - lit(1))
+        // StdDev where var_samp/stddev_samp return 0.0. Null-preserving
+        // (a when(), NOT greatest(), which skips nulls): an all-null
+        // group must stay NULL like var_samp, not clamp to -0.0
+        val num = s2 - s1 * s1 / count(c)
+        when(num < lit(0.0), lit(0.0)).otherwise(num) / (count(c) - lit(1))
       case Reduction.StdDev =>
         sqrt(reduceDet(Reduction.Variance, c, dt))
       case other => reduce(other, c)

@@ -32,6 +32,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    caller knows the row count (`count` option, e.g. from
   *    `$count=true`) the scan plans `ceil(count/pageSize)` independent
   *    `$skip/$top` partitions that page in PARALLEL across the cluster.
+  *    Parallel mode requires a server that honors `$skip` (standard
+  *    OData); a server that CAPS `$top` below `pageSize` is handled —
+  *    each partition follows the continuation nextLink until its window
+  *    is full. For continuation-token-only services keep the default
+  *    sequential mode.
   *
   * Usage:
   * {{{
@@ -56,7 +61,7 @@ class ODataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val opts = ODataOptions(options.asCaseSensitiveMap().asScala.toMap)
-    val body = opts.fetcher.get(opts.pageUrl(None, None), opts.auth)
+    val body = opts.fetcher.get(opts.pageUrl(None, Nil), opts.auth)
     val spark = SparkSession.active
     import spark.implicits._
     val parsed = spark.read.json(Seq(body).toDS())
@@ -96,26 +101,29 @@ private[sources] final case class ODataOptions(raw: Map[String, String]) {
     .getDeclaredConstructor().newInstance()
     .asInstanceOf[Providers.Fetcher]
 
-  /** Assemble a page URL; `pushedFilter` ANDs with the user filter,
-    * `pushedSelect` applies only when the user didn't pin `select`. */
-  def pageUrl(pushedFilter: Option[String], pushedSelect: Option[String],
+  /** Assemble a page URL (values percent-encoded via the shared
+    * Providers helpers); `pushedFilter` ANDs with the user filter.
+    * `requiredCols` are the columns the QUERY needs: a user-pinned
+    * `select` is widened to include them — honoring a narrower pin
+    * would make the residual filters evaluate against NULLs and
+    * silently drop every row. */
+  def pageUrl(pushedFilter: Option[String], requiredCols: Seq[String],
       skipTop: Option[(Long, Long)] = None): String = {
-    val sel = select.orElse(pushedSelect)
+    val sel = select match {
+      case Some(u) if requiredCols.nonEmpty =>
+        val pinned = u.split(",").map(_.trim).filter(_.nonEmpty)
+        Some((pinned ++ requiredCols.filterNot(pinned.toSet)).mkString(","))
+      case Some(u) => Some(u)
+      case None =>
+        if (requiredCols.nonEmpty) Some(requiredCols.mkString(","))
+        else None
+    }
     val fil = (filter, pushedFilter) match {
       case (Some(u), Some(p)) => Some(s"($u) and ($p)")
       case (u, p) => u.orElse(p)
     }
-    val q = (Seq(
-      sel.map(s => s"$$select=$s"),
-      fil.map(f => s"$$filter=$f"),
-      expand.map(e => s"$$expand=$e")) ++
-      skipTop.toSeq.flatMap { case (skip, top) =>
-        Seq(Some(s"$$skip=$skip"), Some(s"$$top=$top")) })
-      .flatten.mkString("&")
-    if (q.isEmpty) url
-    else if (url.endsWith("?") || url.endsWith("&")) url + q
-    else if (url.contains("?")) s"$url&$q"
-    else s"$url?$q"
+    Providers.withQuery(url,
+      Providers.odataQuery(sel, fil, expand, skipTop))
   }
 }
 
@@ -180,24 +188,30 @@ private final class ODataScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pushedFilter = ODataFilters.combined(pushed)
-    // $select only when pruning is real and the user didn't pin one: a
-    // pruned-to-empty schema (count(*)) still needs one field to page
-    val pushedSelect =
-      if (required.isEmpty || required.length == fullSchema.length) None
-      else Some(required.fieldNames.mkString(","))
+    // $select only when pruning is real: a pruned-to-empty schema
+    // (count(*)) still needs one field to page
+    val requiredCols: Seq[String] =
+      if (required.isEmpty || required.length == fullSchema.length) Nil
+      else required.fieldNames.toSeq
     opts.count match {
       case Some(n) if n > 0 =>
         val pages = ((n + opts.pageSize - 1) / opts.pageSize)
           .min(opts.maxPages.toLong)
         (0L until pages).map { i =>
+          // maxRows caps the partition at its $top window: a server that
+          // CAPS $top below pageSize answers with a partial page plus a
+          // nextLink continuation, which the reader follows until the
+          // window is full — no silent loss (requires the server to
+          // honor $skip; one that ignores it would duplicate rows in
+          // any client-paged design)
           ODataPartition(
-            opts.pageUrl(pushedFilter, pushedSelect,
+            opts.pageUrl(pushedFilter, requiredCols,
               Some((i * opts.pageSize, opts.pageSize.toLong))),
-            followNextLink = false): InputPartition
+            maxRows = opts.pageSize.toLong): InputPartition
         }.toArray
       case _ =>
-        Array(ODataPartition(opts.pageUrl(pushedFilter, pushedSelect),
-          followNextLink = true))
+        Array(ODataPartition(opts.pageUrl(pushedFilter, requiredCols),
+          maxRows = Long.MaxValue))
     }
   }
 
@@ -207,7 +221,7 @@ private final class ODataScan(fullSchema: StructType, required: StructType,
 }
 
 private final case class ODataPartition(firstUrl: String,
-    followNextLink: Boolean) extends InputPartition
+    maxRows: Long) extends InputPartition
 
 private final class ODataReaderFactory(schema: StructType,
     valuesProp: String, fetcherClass: String,
@@ -243,6 +257,7 @@ private final class ODataPartitionReader(part: ODataPartition,
 
   private var nextUrl: Option[String] = Some(part.firstUrl)
   private var pagesRead = 0
+  private var emitted = 0L
   private var rows: Iterator[InternalRow] = Iterator.empty
   private var current: InternalRow = _
 
@@ -250,12 +265,20 @@ private final class ODataPartitionReader(part: ODataPartition,
     case Some(u) if pagesRead < maxPages =>
       val body = fetcher.get(u, auth)
       pagesRead += 1
-      nextUrl =
-        if (part.followNextLink) Providers.nextLink(body) else None
+      // always follow @odata.nextLink: in $skip/$top mode a server that
+      // caps $top answers with a partial window + continuation, and the
+      // maxRows cap (next()) keeps the partition inside its window
+      nextUrl = Providers.nextLink(body)
       val parsed = parser.parse[String](body, CreateJacksonParser.string,
         org.apache.spark.unsafe.types.UTF8String.fromString)
       rows = parsed.iterator.flatMap { page =>
-        if (page.isNullAt(0)) Iterator.empty
+        if (page.isNullAt(0))
+          // a body WITHOUT the row array is an error payload, not an
+          // empty page (an empty page is "value": []) — fail loudly
+          // rather than end the partition early with partial data
+          throw new IllegalStateException(
+            s"OData page from $u has no '$valuesProp' array: " +
+              body.take(200))
         else {
           val arr = page.getArray(0)
           (0 until arr.numElements()).iterator.map { i =>
@@ -270,8 +293,10 @@ private final class ODataPartitionReader(part: ODataPartition,
   }
 
   override def next(): Boolean = {
+    if (emitted >= part.maxRows) return false
     while (!rows.hasNext) if (!loadNextPage()) return false
     current = rows.next()
+    emitted += 1
     true
   }
 

@@ -27,7 +27,9 @@ object Providers {
   }
 
   object Fetcher {
-    /** java.net.http-based implementation for production use. */
+    /** java.net.http-based implementation for production use. Fails loudly
+      * on HTTP errors — a 429/500 body must never be parsed as an empty
+      * page (silent data loss). */
     val http: Fetcher = new Fetcher {
       def get(url: String, auth: Option[(String, String)]): String = {
         val client = java.net.http.HttpClient.newHttpClient()
@@ -37,11 +39,40 @@ object Providers {
             .encodeToString(s"$u:$p".getBytes("UTF-8"))
           b.header("Authorization", s"Basic $tok")
         }
-        client.send(b.build(),
-          java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+        val resp = client.send(b.build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() >= 400)
+          throw new java.io.IOException(
+            s"HTTP ${resp.statusCode()} from $url: " +
+              resp.body().take(200))
+        resp.body()
       }
     }
   }
+
+  /** Percent-encode a query VALUE (RFC 3986 form: space → %20, so OData
+    * filters like `Number gt 1` produce a legal URI). */
+  private[sources] def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8").replace("+", "%20")
+
+  /** Assemble the OData query string (shared by the driver-side pager and
+    * the DataSource V2 scan). */
+  private[sources] def odataQuery(select: Option[String],
+      filter: Option[String], expand: Option[String],
+      skipTop: Option[(Long, Long)] = None): String =
+    (Seq(
+      select.map(s => s"$$select=${enc(s)}"),
+      filter.map(f => s"$$filter=${enc(f)}"),
+      expand.map(e => s"$$expand=${enc(e)}")) ++
+      skipTop.toSeq.flatMap { case (skip, top) =>
+        Seq(Some(s"$$skip=$skip"), Some(s"$$top=$top")) })
+      .flatten.mkString("&")
+
+  private[sources] def withQuery(url: String, q: String): String =
+    if (q.isEmpty) url
+    else if (url.endsWith("?") || url.endsWith("&")) url + q
+    else if (url.contains("?")) s"$url&$q"
+    else s"$url?$q"
 
   /** S1 — OData v2 scan: `$select`/`$filter`/`$expand` from the header,
     * pagination via `@odata.nextLink`, payload rows in `value`. */
@@ -49,15 +80,7 @@ object Providers {
       select: Option[String] = None, filter: Option[String] = None,
       expand: Option[String] = None, auth: Option[(String, String)] = None,
       fetch: Fetcher = Fetcher.http, maxPages: Int = 10000): DataFrame = {
-    val q = Seq(
-      select.map(s => s"$$select=$s"),
-      filter.map(f => s"$$filter=$f"),
-      expand.map(e => s"$$expand=$e")).flatten.mkString("&")
-    val first =
-      if (q.isEmpty) url
-      else if (url.endsWith("?") || url.endsWith("&")) url + q
-      else if (url.contains("?")) s"$url&$q"
-      else s"$url?$q"
+    val first = withQuery(url, odataQuery(select, filter, expand))
     val pages = scala.collection.mutable.ArrayBuffer[String]()
     var next: Option[String] = Some(first)
     while (next.isDefined && pages.size < maxPages) {

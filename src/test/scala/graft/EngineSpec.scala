@@ -244,6 +244,49 @@ class EngineSpec extends AnyFunSuite {
       Seq(3.0, 13.0))
   }
 
+  test("variance/stddev of an all-null group is NULL, not -0.0") {
+    val df = Ingest.localData(spark, Seq("g", "v"),
+      Seq(Seq("a", null), Seq("a", null), Seq("b", 1.0), Seq("b", 3.0)))
+    val out = run(
+      """group by g -> variance
+        |create column g keys
+        |""".stripMargin, df)
+    val rows = out.orderBy("g").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("v")),
+      "all-null group variance must stay NULL like var_samp")
+    assert(rows(1).getAs[Double]("v") == 2.0)
+  }
+
+  test("series deactivates when an aggregation reduces the series column") {
+    // g2 is numeric and NOT the group key: `group by day -> sum` reduces
+    // it to sum(g2) under the same name — a later window must NOT key on
+    // those aggregates
+    val df = Ingest.localData(spark, Seq("day", "g2", "v"),
+      Seq(Seq("d1", 1L, 1.0), Seq("d1", 2L, 2.0), Seq("d2", 7L, 10.0)))
+    val out = Graft.runHb(
+      """series: g2
+        |
+        |group by day -> sum
+        |create column day keys
+        |sort by column day
+        |create column r (expanding sum [v])
+        |""".stripMargin, df)
+    // whole-frame cumulative across day rows (3.0 then 13.0) — a stale
+    // series key would instead restart per sum(g2) value
+    assert(out.orderBy("day").collect().map(_.getAs[Double]("r")).toSeq ==
+      Seq(3.0, 13.0))
+  }
+
+  test("explicit pivot values match a DOUBLE column's string form") {
+    val df = Ingest.localData(spark, Seq("k", "score", "id"),
+      Seq(Seq("a", 1.0, 10L), Seq("a", 2.0, 11L), Seq("b", 1.0, 12L)))
+    val out = run("pivot [k] [score] -> count [id] [1; 2]", df)
+    // a double column casts 1 to "1.0"; the declared values must follow
+    assert(out.columns.toSet == Set("k", "1.0", "2.0"))
+    val a = out.filter(out("k") === "a").head()
+    assert(a.getAs[Long]("1.0") == 1L && a.getAs[Long]("2.0") == 1L)
+  }
+
   test("linear regression is an aggregate + broadcast join, not a window") {
     val df = Ingest.localData(spark, Seq("x", "y"),
       Seq(Seq(1.0, 5.0), Seq(2.0, 7.0), Seq(3.0, 9.0), Seq(4.0, 11.0)))
@@ -282,31 +325,49 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("pivot with explicit values declares the schema, no discovery job") {
-    var jobs = 0
+    // thread-safe counter + drain-to-stability (a marker job guarantees
+    // at least one trailing event; JobStart events are FIFO, so once the
+    // count is stable every earlier event has been observed) — no racy
+    // fixed sleeps
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs += 1
+        jobs.incrementAndGet()
+    }
+    def drained(): Int = {
+      spark.range(1).count() // marker
+      val deadline = System.currentTimeMillis + 10000
+      var last = -1
+      var lastChange = System.currentTimeMillis
+      while (System.currentTimeMillis < deadline) {
+        val c = jobs.get
+        if (c != last) { last = c; lastChange = System.currentTimeMillis }
+        else if (c > 0 && System.currentTimeMillis - lastChange > 300)
+          return c
+        Thread.sleep(20)
+      }
+      jobs.get
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      val baseline = drained() // jobs one marker costs
+      jobs.set(0)
       val withValues =
         run("pivot [Sprint] [State] -> count [Item] ['Done'; 'Doing']",
           workitems)
-      Thread.sleep(400) // listener bus is async
-      val jobsDuringBuild = jobs
+      val buildJobs = drained() - baseline
       assert(withValues.columns.toSet == Set("Sprint", "Done", "Doing"))
-      assert(jobsDuringBuild == 0,
-        s"explicit-values pivot ran $jobsDuringBuild job(s) during planning")
+      assert(buildJobs == 0,
+        s"explicit-values pivot ran $buildJobs job(s) during planning")
       val s1 = withValues.filter(withValues("Sprint") === "S1").head()
       assert(s1.getAs[Long]("Done") == 2L)
       assert(s1.getAs[Long]("Doing") == 1L)
       // discovery path: same cells, but a distinct-collect job runs
-      jobs = 0
+      jobs.set(0)
       val discovered = run("pivot [Sprint] [State] -> count [Item]",
         workitems)
-      Thread.sleep(400)
-      assert(jobs > 0)
+      assert(drained() - baseline > 0)
       assert(discovered.columns.toSet ==
         Set("Sprint", "Done", "Doing", "Todo"))
     } finally spark.sparkContext.removeSparkListener(listener)

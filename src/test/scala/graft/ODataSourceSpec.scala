@@ -16,7 +16,10 @@ import graft.sources.{ODataSource, Providers}
   * either way. */
 class FakeODataFetcher extends Providers.Fetcher {
   import FakeODataFetcher._
-  def get(url: String, auth: Option[(String, String)]): String = {
+  def get(url0: String, auth: Option[(String, String)]): String = {
+    // record/match on the DECODED url — the wire form percent-encodes
+    // query values (space → %20)
+    val url = java.net.URLDecoder.decode(url0, "UTF-8")
     calls.add(url)
     val filtered = url.contains("$filter=") && url.contains("size gt 20")
     def page(rows: Seq[(Long, String, Long)], next: Option[Int]): String = {
@@ -41,6 +44,44 @@ class FakeODataFetcher extends Providers.Fetcher {
 
 object FakeODataFetcher {
   val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** A server that HONORS $skip but CAPS $top at 2 rows per response,
+  * answering short windows with a continuation nextLink — the Azure-style
+  * behavior that silently starved a naive $skip/$top reader. Serves ids
+  * 0..9 (id = skip index). */
+class CappedTopFetcher extends Providers.Fetcher {
+  def get(url0: String, auth: Option[(String, String)]): String = {
+    val url = java.net.URLDecoder.decode(url0, "UTF-8")
+    CappedTopFetcher.calls.add(url)
+    def param(p: String) = ("\\$" + p + "=(\\d+)").r
+      .findFirstMatchIn(url).map(_.group(1).toInt)
+    val skip = param("skip").getOrElse(0)
+    val top = param("top").getOrElse(10)
+    val served = math.min(top, 2) // the cap
+    val ids = (skip until math.min(skip + served, 10)).toList
+    val vals = ids.map(i => s"""{"id": $i}""").mkString("[", ",", "]")
+    val remaining = top - served
+    val nextStart = skip + served
+    val nl =
+      if (remaining > 0 && nextStart < 10)
+        s""","@odata.nextLink": "http://capped/items?$$skip=$nextStart&$$top=$remaining""""
+      else ""
+    s"""{"value": $vals$nl}"""
+  }
+}
+
+object CappedTopFetcher {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
+/** Serves a valid schema-probe page but an error payload (no `value`
+  * array) for every paged scan request. */
+class ErrorPayloadFetcher extends Providers.Fetcher {
+  def get(url: String, auth: Option[(String, String)]): String =
+    if (url.contains("skip"))
+      """{"error": {"code": "429", "message": "throttled"}}"""
+    else """{"value": [{"id": 1}]}"""
 }
 
 class ODataSourceSpec extends AnyFunSuite {
@@ -127,6 +168,72 @@ class ODataSourceSpec extends AnyFunSuite {
       .load()
     val uni = graft.sources.Ingest.uniform(df)
     assert(uni.count() == 5)
+  }
+
+  test("pushed values are percent-encoded on the wire (legal URI)") {
+    FakeODataFetcher.calls.clear()
+    read().filter(col("size") > 20).count()
+    val wire = FakeODataFetcher.calls.toArray(Array.empty[String])
+    // every recorded (decoded) scan URL must round-trip from a URI the
+    // default HttpFetcher could actually send: spaces arrive as %20
+    assert(wire.exists(_.contains("$filter=")))
+    // the raw fetcher argument was legal — java.net.URI.create must not
+    // throw on what pageUrl builds
+    import graft.sources.ODataOptionsAccess._
+    val u = pageUrl(Map("url" -> "http://fake/items"),
+      Some("(size ne null) and (size gt 20)"), Seq("id", "name"))
+    java.net.URI.create(u) // throws on raw spaces
+    assert(u.contains("%20") && !u.contains(" "))
+  }
+
+  test("user-pinned select widens to required columns (residual filter " +
+    "can evaluate)") {
+    FakeODataFetcher.calls.clear()
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .option("url", "http://fake/items")
+      .option("fetcher", classOf[FakeODataFetcher].getName)
+      .option("select", "id,name")
+      .load()
+    val rows = df.filter(col("size") > 20)
+      .select("id").orderBy("id").collect().map(_.getLong(0))
+    assert(rows.toSeq == Seq(2L, 3L, 5L),
+      "a narrower pinned $select must not starve the residual filter")
+    val sel = FakeODataFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$select="))
+    assert(sel.exists(_.contains("size")),
+      "the scan request must fetch the residual filter's column")
+  }
+
+  test("a server that caps \\$top below pageSize loses no rows in " +
+    "parallel mode (nextLink continuation inside the window)") {
+    CappedTopFetcher.calls.clear()
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .option("url", "http://capped/items")
+      .option("fetcher", classOf[CappedTopFetcher].getName)
+      .option("count", "10").option("pageSize", "5")
+      .load()
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 10L),
+      s"capped-\\$$top server must still yield every row once, got " +
+        ids.mkString(","))
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("an error payload without the row array fails loudly, not as an " +
+    "empty page") {
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .option("url", "http://err/items")
+      .option("fetcher", classOf[ErrorPayloadFetcher].getName)
+      .option("count", "4").option("pageSize", "2")
+      .load()
+    val e = intercept[org.apache.spark.SparkException] { df.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("has no 'value' array")))
   }
 
   test("filter translation covers the dialect; untranslatable stays out") {

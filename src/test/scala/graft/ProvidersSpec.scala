@@ -29,8 +29,10 @@ class ProvidersSpec extends AnyFunSuite {
       select = Some("WorkItemId"), filter = Some("Number gt 1"),
       auth = Some(("u", "p")), fetch = fake)
     assert(calls.size == 2)
+    // query values are percent-encoded so the default HttpFetcher's
+    // URI.create accepts the URL
     assert(calls.head ==
-      "http://x/WorkItemRevisions?$select=WorkItemId&$filter=Number gt 1")
+      "http://x/WorkItemRevisions?$select=WorkItemId&$filter=Number%20gt%201")
     assert(df.count() == 2)
     // flattened + type-inferred
     assert(df.columns.toSet == Set("WorkItemId", "Iteration.Number"))

@@ -6,3 +6,10 @@ import org.apache.spark.sql.sources.Filter
 object ODataFiltersAccess {
   def tr(f: Filter): Option[String] = ODataFilters.translate(f)
 }
+
+/** Test bridge into the package-private URL assembly. */
+object ODataOptionsAccess {
+  def pageUrl(raw: Map[String, String], pushedFilter: Option[String],
+      requiredCols: Seq[String]): String =
+    ODataOptions(raw).pageUrl(pushedFilter, requiredCols)
+}
