@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic dataset splitting / sampling for training pipelines.
+  *
+  * A training corpus needs train/val/test membership that is (a) stable
+  * across runs, engines, partitionings and cluster sizes, (b) a pure
+  * narrow map — no shuffle, no global sort, no sampling state, and
+  * (c) derivable for any single record in isolation (a record's split
+  * never depends on the rest of the corpus, so incremental ingest keeps
+  * historical assignments). The standard construction: hash the record
+  * id with a salt, bucket the hash, threshold the bucket.
+  *
+  * The bucket is the first 8 hex digits of md5(id ":" salt) — chosen
+  * over xxhash64/Spark `hash` because md5 is bit-identical in every
+  * engine (the DuckDB oracle replicates it as
+  * `CAST('0x' || SUBSTR(md5(…),1,8) AS BIGINT)`), so assignments are
+  * portable, not Spark-private. Salting decorrelates independent splits
+  * of the same corpus (split by a different salt for a fresh shuffle).
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Bucket in [0, Buckets) from md5(id ":" salt) — deterministic,
+    * engine-portable, uniform (md5 avalanche; 8 hex digits = 32 bits
+    * ≫ bucket count). */
+  def hashBucket(id: Column, salt: String): Column =
+    conv(substring(
+      md5(concat(id.cast(StringType), lit(":"), lit(salt))), 1, 8),
+      16, 10).cast(LongType) % Buckets
+
+  /** Add a split-label column from cumulative fraction thresholds, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions must
+    * sum to 1 (± rounding); thresholds resolve at 1/Buckets granularity.
+    * Narrow map: the plan is scan → project, shuffle-free at any scale. */
+  def hashSplit(df: DataFrame, idCol: String, salt: String,
+      splits: Seq[(String, Double)], name: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $total")
+    val b = hashBucket(col(idCol), salt)
+    val cuts = splits.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val labeled = splits.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(splits.last._1)) { case ((label, cut), rest) =>
+        when(b < cut, label).otherwise(rest)
+      }
+    df.withColumn(name, labeled)
+  }
+
+  /** Deterministic `fraction` sample: keeps ids whose bucket falls below
+    * the threshold. Monotone in `fraction` for a fixed salt —
+    * `hashSample(df, id, s, 0.5)` is a SUBSET of
+    * `hashSample(df, id, s, 0.8)` — so growing a sample never churns
+    * previously selected records. */
+  def hashSample(df: DataFrame, idCol: String, salt: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    df.filter(hashBucket(col(idCol), salt) <
+      math.round(fraction * Buckets))
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.Sampling
 import org.apache.spark.sql.types._
 import Gate.t
 
@@ -128,6 +129,26 @@ object TextGates {
           graft.functions.RollingHash.rolling_hash(lower(normText))
             .as("rhash"))
         .orderBy(col("doc_id")), None),
+
+    // Deterministic train/val/test split (operators.Sampling): bucket =
+    // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
+    // replicates it exactly), shuffle-free narrow map, stable under any
+    // partitioning or corpus growth. Full SQL oracle.
+    Gate("t_hash_split",
+      (s, d) => Sampling.hashSplit(t(s, d, "documents"), "doc_id", "s1",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  CASE WHEN b < 8000 THEN 'train'
+             |       WHEN b < 9000 THEN 'val'
+             |       ELSE 'test' END AS split
+             |FROM (
+             |  SELECT doc_id,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)
+             |      AS BIGINT) % 10000 AS b
+             |  FROM documents)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** Deterministic hash split/sample properties: partition of the corpus,
+  * fraction accuracy, run-to-run stability, monotone sample growth,
+  * record-local assignment (independence from the rest of the corpus). */
+class SamplingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+
+  private def ids(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("hashSplit partitions the corpus and hits the fractions") {
+    val df = Sampling.hashSplit(ids(20000), "id", "salt",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000) // partition: exhaustive + disjoint
+    assert(math.abs(counts("train") - 16000) < 400)
+    assert(math.abs(counts("val") - 2000) < 200)
+    assert(math.abs(counts("test") - 2000) < 200)
+  }
+
+  test("assignment is record-local: a subset sees identical splits") {
+    val full = Sampling.hashSplit(ids(1000), "id", "s", Seq("a" -> 0.5,
+      "b" -> 0.5)).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val sub = Sampling.hashSplit(ids(1000).filter(col("id") % 7 === 0),
+      "id", "s", Seq("a" -> 0.5, "b" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    sub.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("hashSample is monotone in fraction and exact on re-run") {
+    val half = Sampling.hashSample(ids(5000), "id", "s", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val most = Sampling.hashSample(ids(5000), "id", "s", 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(most), "growing a sample must never churn")
+    val again = Sampling.hashSample(ids(5000), "id", "s", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == half)
+    assert(math.abs(half.size - 2500) < 200)
+  }
+
+  test("different salts decorrelate") {
+    val a = Sampling.hashSample(ids(5000), "id", "saltA", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(ids(5000), "id", "saltB", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = a.intersect(b).size.toDouble / a.size
+    assert(overlap > 0.35 && overlap < 0.65, // ≈ independent halves
+      s"salted samples should overlap ~50%, got $overlap")
+  }
+
+  test("bad fractions are rejected") {
+    intercept[IllegalArgumentException] {
+      Sampling.hashSplit(ids(10), "id", "s", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.hashSample(ids(10), "id", "s", 1.5)
+    }
+  }
+
+  test("the plan is a shuffle-free narrow map") {
+    val df = Sampling.hashSplit(ids(100), "id", "s",
+      Seq("a" -> 0.5, "b" -> 0.5))
+    val exchanges = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e
+    }
+    assert(exchanges.isEmpty, "hashSplit must not shuffle")
+  }
+}
