@@ -90,6 +90,17 @@ object StreamGates {
              |  COUNT(*) AS n
              |FROM buckets CROSS JOIN offsets
              |GROUP BY 1, 2
-             |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+             |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    // Streaming exact dedup with watermark-bounded state: emits the key
+    // set only (which row wins a key is arrival-order-dependent; the key
+    // SET is exact), so the real streaming query hash-matches batch
+    // SELECT DISTINCT.
+    Gate("st_stream_dedup",
+      (s, d) => StreamOps.streamingDedup(s, d, "st_stream_dedup_out",
+        Seq("user_id", "event_type"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -130,6 +130,76 @@ object TextGates {
             .as("rhash"))
         .orderBy(col("doc_id")), None),
 
+    // PII redaction — the scrubbing pass every training corpus needs.
+    // The synthetic docs carry no PII, so the gate INJECTS a
+    // deterministic email + phone per row and the oracle must reproduce
+    // the redaction exactly: a real regex-dialect parity check (Java
+    // regex vs RE2) on every row, not an identity hash. Pure codegen'd
+    // regexp pipeline, narrow map.
+    Gate("t_redact",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "\\+?\\d[\\d() -]{6,}\\d"
+        val injected = concat(col("text"),
+          lit(" contact: user"), col("doc_id"),
+          lit("@example.com or +1-555-00"), col("doc_id"))
+        val noEmail = regexp_replace(injected, emailRe, "<EMAIL>")
+        t(s, d, "documents").select(
+          col("doc_id"),
+          size(regexp_extract_all(injected, lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(noEmail, lit(phoneRe), lit(0)))
+            .as("n_phones"),
+          md5(regexp_replace(noEmail, phoneRe, "<PHONE>"))
+            .as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH inj AS (
+             |  SELECT doc_id,
+             |    text || ' contact: user' || doc_id ||
+             |      '@example.com or +1-555-00' || doc_id AS t
+             |  FROM documents),
+             |ne AS (
+             |  SELECT doc_id, t,
+             |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+             |  FROM inj)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t2, '\+?\d[\d() -]{6,}\d')) AS n_phones,
+             |  md5(regexp_replace(t2, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
+             |FROM ne
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Corpus statistics: exact top-20 trigrams — the canonical
+    // explode → map-side-combined count → TakeOrdered shape (the
+    // wordcount plan, shuffle volume = distinct grams, not corpus
+    // bytes). Ties broken (count desc, gram asc) so the cut is
+    // deterministic.
+    Gate("t_top_ngrams",
+      (s, d) => {
+        val tk = split(lower(normText), "\\s+")
+        val grams = when(size(tk) >= 3,
+          transform(sequence(lit(0), size(tk) - 3), i =>
+            concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
+              element_at(tk, i + 3))))
+          .otherwise(array())
+        t(s, d, "documents")
+          .select(explode(grams).as("gram"))
+          .groupBy("gram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("gram"))
+          .limit(20)
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), '\s+') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT unnest(list_transform(
+             |    range(0, greatest(len(tk)-3, 0) + CASE WHEN len(tk) >= 3 THEN 1 ELSE 0 END),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) AS gram
+             |  FROM toks)
+             |SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
+             |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin)),
+
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
     // replicates it exactly), shuffle-free narrow map, stable under any

@@ -120,6 +120,34 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup on a key set with watermark-bounded state —
+    * the streaming form of the corpus dedup pass
+    * (dropDuplicatesWithinWatermark: a key's state is held only for the
+    * watermark horizon, so state size is bounded by the horizon's key
+    * cardinality, not the stream's lifetime). Emits only the KEY columns:
+    * which physical row wins a key is arrival-order-dependent, the key
+    * set itself is exact — so the result equals batch SELECT DISTINCT
+    * and is oracle-checkable. */
+  def streamingDedup(spark: SparkSession, dir: String, queryName: String,
+      keys: Seq[String], horizon: String = "30 days"): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val events =
+      if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val deduped = events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+      .select(keys.map(col): _*)
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Sliding window aggregation (windowLen every slide). */
   def slidingAgg(events: DataFrame, windowLen: String,
       slide: String): DataFrame =
