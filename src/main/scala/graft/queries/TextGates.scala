@@ -177,14 +177,22 @@ object TextGates {
     // deterministic.
     Gate("t_top_ngrams",
       (s, d) => {
-        val tk = split(lower(normText), "\\s+")
-        val grams = when(size(tk) >= 3,
-          transform(sequence(lit(0), size(tk) - 3), i =>
-            concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2),
-              element_at(tk, i + 3))))
-          .otherwise(array())
-        t(s, d, "documents")
-          .select(explode(grams).as("gram"))
+        // posexplode + window lead, NOT a transform/element_at HOF: the
+        // lambda form re-evaluates the whole lower+regexp+split chain per
+        // element_at (Catalyst inlines the outer expression into the
+        // lambda) — measured 13.6 s vs 0.9 s at sf0.1 for identical
+        // output. lead() over (doc, pos) stays in whole-stage codegen.
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(normText), "\\s+")).as(Seq("pos", "tok")))
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        toks
+          .withColumn("t1", lead("tok", 1).over(w))
+          .withColumn("t2", lead("tok", 2).over(w))
+          .filter(col("t2").isNotNull)
+          .select(concat_ws(" ", col("tok"), col("t1"), col("t2"))
+            .as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram"))
           .limit(20)
