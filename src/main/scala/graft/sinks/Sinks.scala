@@ -41,6 +41,21 @@ object Sinks {
     sb.toString
   }
 
+  /** Bucketed parquet table write — the co-location primitive for
+    * repeated big joins/aggregations at scale: two tables bucketed (and
+    * sorted) the same way on the join key equi-join with ZERO shuffle
+    * exchange on either side (SortMergeJoin reads the buckets
+    * pre-partitioned and pre-sorted). Bucket metadata lives in the
+    * catalog, so this writes a TABLE (`saveAsTable`), not a bare path;
+    * pick `buckets` ≈ target parallelism for the downstream joins.
+    * BucketedJoinSpec asserts the exchange-free plan. */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   private def cell(r: Row, i: Int): String =
     if (r.isNullAt(i)) "null"
     else r.get(i) match {
