@@ -27,11 +27,19 @@ object Sampling {
 
   /** Bucket in [0, Buckets) from md5(id ":" salt) — deterministic,
     * engine-portable, uniform (md5 avalanche; 8 hex digits = 32 bits
-    * ≫ bucket count). */
-  def hashBucket(id: Column, salt: String): Column =
-    conv(substring(
+    * ≫ bucket count). A NULL id RAISES: silently routing null ids (all
+    * to one split in hashSplit, dropped entirely in hashSample — and no
+    * salt ever decorrelates them) corrupts training splits invisibly,
+    * so an id-less record is a data bug surfaced at run time. */
+  def hashBucket(id: Column, salt: String): Column = {
+    val b = conv(substring(
       md5(concat(id.cast(StringType), lit(":"), lit(salt))), 1, 8),
       16, 10).cast(LongType) % Buckets
+    when(id.isNull,
+      raise_error(lit("hashBucket: null id — assign ids before splitting"))
+        .cast(LongType))
+      .otherwise(b)
+  }
 
   /** Add a split-label column from cumulative fraction thresholds, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions must

@@ -177,21 +177,22 @@ object TextGates {
     // deterministic.
     Gate("t_top_ngrams",
       (s, d) => {
-        // posexplode + window lead, NOT a transform/element_at HOF: the
-        // lambda form re-evaluates the whole lower+regexp+split chain per
-        // element_at (Catalyst inlines the outer expression into the
-        // lambda) — measured 13.6 s vs 0.9 s at sf0.1 for identical
-        // output. lead() over (doc, pos) stays in whole-stage codegen.
-        import org.apache.spark.sql.expressions.Window
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"),
-            posexplode(split(lower(normText), "\\s+")).as(Seq("pos", "tok")))
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        toks
-          .withColumn("t1", lead("tok", 1).over(w))
-          .withColumn("t2", lead("tok", 2).over(w))
-          .filter(col("t2").isNotNull)
-          .select(concat_ws(" ", col("tok"), col("t1"), col("t2"))
+        // explode(arrays_zip(tk, tk<<1, tk<<2)) — NARROW gram
+        // construction: no lambda (a transform/element_at HOF form
+        // re-evaluates the whole lower+regexp+split chain per element_at
+        // once Catalyst inlines the outer expression into the lambda —
+        // measured 13.6 s at sf0.1), and no per-doc window (a
+        // posexplode+lead form shuffles every token by doc_id). The only
+        // exchange in this plan is the map-side-combined gram count.
+        val tk = split(lower(normText), "\\s+")
+        t(s, d, "documents")
+          .select(tk.as("tk"),
+            slice(tk, lit(2), greatest(size(tk) - 1, lit(0))).as("s2"),
+            slice(tk, lit(3), greatest(size(tk) - 2, lit(0))).as("s3"))
+          .select(explode(arrays_zip(col("tk"), col("s2"), col("s3")))
+            .as("g"))
+          .filter(col("g.s3").isNotNull) // zip pads the 2 tail positions
+          .select(concat_ws(" ", col("g.tk"), col("g.s2"), col("g.s3"))
             .as("gram"))
           .groupBy("gram").agg(count(lit(1)).as("n"))
           .orderBy(col("n").desc, col("gram"))

@@ -50,11 +50,14 @@ object Sinks {
     * pick `buckets` ≈ target parallelism for the downstream joins.
     * BucketedJoinSpec asserts the exchange-free plan. */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    require(keys.nonEmpty, "writeBucketed needs at least one bucket key")
+    require(buckets > 0, s"bucket count must be positive, got $buckets")
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+  }
 
   private def cell(r: Row, i: Int): String =
     if (r.isNullAt(i)) "null"

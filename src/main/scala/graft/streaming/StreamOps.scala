@@ -25,19 +25,24 @@ object StreamOps {
     * canonical streaming shape (readStream → withWatermark → window agg).
     * Runs the events parquet through a real streaming query into a memory
     * sink and returns the completed result. */
-  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
-      windowLen: String = "1 hour"): DataFrame = {
+  /** Stream the events table (single parquet file — the streaming file
+    * source wants a directory, so glob-filter the parent) with `ts`
+    * normalized from long nanos (nanosAsLong, see Sessions) to a
+    * microsecond timestamp. One definition for every streaming entry
+    * point so the encoding invariant lives in exactly one place. */
+  private def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the events table is a single parquet file; the streaming file source
-    // wants a directory, so stream the parent with a glob filter
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    // events.ts arrives as long nanos under nanosAsLong (see Sessions)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
+  def tumblingAgg(spark: SparkSession, dir: String, queryName: String,
+      windowLen: String = "1 hour"): DataFrame = {
+    val events = readEventsStream(spark, dir)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), windowLen), col("event_type"))
@@ -78,15 +83,9 @@ object StreamOps {
       maxEvents: Int = 1000): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      (if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw)
-        .select(col("user_id"), col("ts").cast("long").as("epoch"))
-        .as[(Long, Long)]
+    val events = readEventsStream(spark, dir)
+      .select(col("user_id"), col("ts").cast("long").as("epoch"))
+      .as[(Long, Long)]
 
     val gap = gapMinutes * 60
     def fn(userId: Long, rows: Iterator[(Long, Long)],
@@ -130,14 +129,7 @@ object StreamOps {
     * and is oracle-checkable. */
   def streamingDedup(spark: SparkSession, dir: String, queryName: String,
       keys: Seq[String], horizon: String = "30 days"): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val events =
-      if (schema("ts").dataType == LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val deduped = events
+    val deduped = readEventsStream(spark, dir)
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       .select(keys.map(col): _*)

@@ -3,7 +3,6 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import graft.sinks.Sinks
 
 /** Co-located joins via bucketed tables: both sides bucketed+sorted on
@@ -31,12 +30,12 @@ class BucketedJoinSpec extends AnyFunSuite {
         .join(spark.table("bucketdb.bj_right"), "k")
       val n = joined.count()
       assert(n == 2000L * 2) // 4 left rows x 2 right rows per key x 500
-      val plan = joined.queryExecution.executedPlan
-      val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
-      assert(shuffles.isEmpty,
-        s"bucketed join must not shuffle, found ${shuffles.size} exchanges")
+      val sh = PlanChecks.shuffles(joined) // AQE-unwrapping check
+      assert(sh.isEmpty,
+        s"bucketed join must not shuffle, found ${sh.size} exchanges")
       // and it really is a sort-merge join over the bucketed scans
-      assert(plan.toString.contains("SortMergeJoin"))
+      assert(joined.queryExecution.executedPlan.toString
+        .contains("SortMergeJoin"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS bucketdb.bj_left")
@@ -54,10 +53,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       val agg = spark.table("bucketdb.bj_agg")
         .groupBy("k").agg(sum("v").as("s"))
       assert(agg.count() == 100)
-      val shuffles = agg.queryExecution.executedPlan.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      assert(shuffles.isEmpty,
+      assert(PlanChecks.shuffles(agg).isEmpty,
         "groupBy on the bucket key must reuse the bucketing")
     } finally spark.sql("DROP TABLE IF EXISTS bucketdb.bj_agg")
   }

@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Sampling
+import graft.sources.Ingest
 
 /** Deterministic hash split/sample properties: partition of the corpus,
   * fraction accuracy, run-to-run stability, monotone sample growth,
@@ -68,13 +69,22 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("a null id raises instead of silently skewing a split") {
+    val df = Ingest.localData(spark, Seq("id"),
+      Seq(Seq(1L), Seq(null), Seq(3L)))
+    val e = intercept[Exception] {
+      Sampling.hashSplit(df, "id", "s", Seq("a" -> 0.5, "b" -> 0.5))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      String.valueOf(c.getMessage).contains("null id")))
+  }
+
   test("the plan is a shuffle-free narrow map") {
     val df = Sampling.hashSplit(ids(100), "id", "s",
       Seq("a" -> 0.5, "b" -> 0.5))
-    val exchanges = df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-        e
-    }
-    assert(exchanges.isEmpty, "hashSplit must not shuffle")
+    assert(PlanChecks.shuffles(df).isEmpty, "hashSplit must not shuffle")
   }
 }
