@@ -120,8 +120,13 @@ object Dsl {
       * they exist in the frame — the 100 TB path for raw-frame
       * moving/expanding/ordinals. */
     def withSeries(cols: String*): Transformation = copy(series = cols)
-    /** `.hb` text of this transformation. */
-    def toHb: String = statements.map(Printer.print).mkString("\n")
+    /** `.hb` text of this transformation — includes the `series:` header
+      * when the keyed opt-in is set, so text round-trips keep it. */
+    def toHb: String = {
+      val header =
+        if (series.isEmpty) "" else s"series: ${series.mkString(" ")}\n\n"
+      header + statements.map(Printer.print).mkString("\n")
+    }
     def run(source: org.apache.spark.sql.DataFrame)
         : org.apache.spark.sql.DataFrame =
       Engine.run(Program(Header(Map(), Map(), Map()), statements), source,

@@ -226,6 +226,29 @@ class EngineSpec extends AnyFunSuite {
     assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
   }
 
+  test("multi-column series keys windows by the pair; toHb keeps the header") {
+    import graft.hb.Dsl._
+    val df = Ingest.localData(spark, Seq("g", "h", "k", "v"),
+      Seq(Seq("a", "x", 1L, 1.0), Seq("a", "x", 2L, 2.0),
+        Seq("a", "y", 1L, 10.0), Seq("b", "x", 1L, 100.0)))
+    val t0 = transformation(
+      sortBy("k"),
+      create("r", expanding(sum, c("v"))))
+      .withSeries("g", "h")
+    val direct = t0.run(df)
+    // per-(g,h) running sums
+    assert(direct.orderBy("g", "h", "k").collect()
+      .map(_.getAs[Double]("r")).toSeq == Seq(1.0, 3.0, 10.0, 100.0))
+    val wins = windowNodes(direct)
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.size == 2))
+    // the printed .hb form keeps `series:` — text round-trip is keyed too
+    assert(t0.toHb.startsWith("series: g h\n"))
+    val roundTrip = Graft.runHb(t0.toHb, df)
+    assert(roundTrip.orderBy("g", "h", "k").collect()
+      .map(_.getAs[Double]("r")).toSeq == Seq(1.0, 3.0, 10.0, 100.0))
+    assert(windowNodes(roundTrip).forall(_.partitionSpec.size == 2))
+  }
+
   test("series columns consumed by an aggregation fall back to whole-frame") {
     val df = Ingest.localData(spark, Seq("g", "v"),
       Seq(Seq("a", 1.0), Seq("a", 2.0), Seq("b", 10.0)))
