@@ -16,15 +16,19 @@ object Bench {
     // swing 4-6x with co-tenant load (r2 driver run vs judge re-run), the
     // median is stable enough to read without a re-measurement
     val results = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         // operators may persist signature frames; drop them between runs
         // so earlier runs' caches don't pressure (or serve) later ones
         spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch { case _: Throwable => failed = true }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> times(times.size / 2)
+      // a failed query must read as BROKEN (-1), not as its tiny
+      // time-to-failure masquerading as the fastest query in the bench
+      name -> (if (failed) -1.0 else times(times.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

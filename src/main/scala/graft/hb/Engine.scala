@@ -158,36 +158,42 @@ object Engine {
     case GroupBy(cols, sel) =>
       // maxby/minby keep the full extremal row (snippets:117-132;
       // 1_General.fs:51-58 "keep the latest change of the work item")
-      val (e, desc) = sel match {
+      val (e0, desc) = sel match {
         case MaxBy(x) => (x, true)
         case MinBy(x) => (x, false)
         case _ => throw new IllegalStateException
       }
-      val ord = compileExpr(e, f)
+      val (f2, e) = materializeLinRegs(f, e0)
+      val ord = compileExpr(e, f2)
       val w = Window.partitionBy(cols.map(col): _*)
-        .orderBy((if (desc) ord.desc else ord.asc) +: f.order: _*)
+        .orderBy((if (desc) ord.desc else ord.asc) +: f2.order: _*)
       val keyCol = if (cols.size == 1) col(cols.head)
         else struct(cols.map(col): _*)
-      val picked = f.df
+      val picked = dropLrTemps(f2.df
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .drop("__rn")
+        .drop("__rn"))
         .withColumn(KEY, keyCol)
       HbFrame(picked, Seq(col(KEY).asc), f.series)
 
-    case Pivot(rowE, colE, red, valE, values) =>
-      val keyName = rowE match {
+    case Pivot(rowE0, colE0, red, valE0, values) =>
+      val keyName = rowE0 match {
         case ColRef(n) => n
         case _ => "key"
       }
+      // linreg fits materialize per expression slot (distinct temp names)
+      val (fa, rowE) = materializeLinRegs(f, rowE0)
+      val (fb, colE) = materializeLinRegs(fa, colE0)
+      val (fc, valE) = materializeLinRegs(fb, valE0)
+      val f2 = fc
       // pivot reifies the row key as a column (cache sample shape
       // `{Todo,Doing,Done,SprintNumber}`, tools/visualizer/cli/src/
       // Program.fs:49 — Velocity.hb:29 sorts by it right after)
       val colEType =
-        f.df.select(compileExpr(colE, f)).schema.head.dataType
-      val grouped = f.df
-        .withColumn(keyName, compileExpr(rowE, f))
-        .withColumn("__pcol", compileExpr(colE, f).cast(StringType))
+        f2.df.select(compileExpr(colE, f2)).schema.head.dataType
+      val grouped = f2.df
+        .withColumn(keyName, compileExpr(rowE, f2))
+        .withColumn("__pcol", compileExpr(colE, f2).cast(StringType))
         .groupBy(col(keyName))
       // explicit values skip the distinct-collect discovery job — at
       // 100 TB a high-cardinality colE would otherwise hit the driver.
@@ -207,8 +213,8 @@ object Engine {
             throw new IllegalArgumentException(s"pivot value $other")
         })
       val pivoted = wide
-        .agg(reduceDet(red, compileExpr(valE, f),
-          f.df.select(compileExpr(valE, f)).schema.head.dataType))
+        .agg(reduceDet(red, compileExpr(valE, f2),
+          f2.df.select(compileExpr(valE, f2)).schema.head.dataType))
         .withColumn(KEY, col(keyName))
       // pivot output is a fresh aggregated shape — no surviving column
       // still means "per-entity series"
@@ -421,7 +427,8 @@ object Engine {
       // a whole-frame window here would be a single-partition plan
       throw new IllegalArgumentException(
         "linear regression is supported in create column / only / " +
-          "index rows by positions")
+          "index rows by / maxby / minby / pivot / extrapolation " +
+          "positions")
     case other =>
       throw new IllegalArgumentException(s"cannot compile $other")
   }
@@ -451,8 +458,11 @@ object Engine {
     * WindowExec partition. */
   private def materializeLinRegs(f: HbFrame, e: Expr): (HbFrame, Expr) = {
     val regs = collectLinRegs(e).distinct
+    // offset past temps a previous expression of the SAME statement
+    // already materialized (pivot has three expression slots)
+    val base = f.df.columns.count(_.startsWith("__lr"))
     regs.zipWithIndex.foldLeft((f, e)) { case ((fc, ec), (lr, i)) =>
-      val tmp = s"__lr$i"
+      val tmp = s"__lr${base + i}"
       (materializeLinReg(fc, lr, tmp), substitute(ec, lr, ColRef(tmp)))
     }
   }
@@ -547,12 +557,15 @@ object Engine {
     * calculator (production transformations/Metrics.fs:69-81, disabled
     * with "there's a bug making the calculator crash"); this is the fix.
     */
-  private def extrapolate(f: HbFrame, name: String, known: Expr,
+  private def extrapolate(f0: HbFrame, name: String, known0: Expr,
       nPred: Int, nTrain: Int): HbFrame = {
+    val (f, known) = materializeLinRegs(f0, known0)
     val spark = f.df.sparkSession
     val y = compileExpr(known, f).cast(DoubleType)
     val x = col(KEY).cast(DoubleType)
-    val base = f.df.withColumn(name, y)
+    // compute the known column while any __lr temps are in scope, then
+    // drop them so they never leak into the appended/unioned output
+    val base = dropLrTemps(f.df.withColumn(name, y))
     val tail = base.orderBy(col(KEY).desc).limit(nTrain)
       .select(x.as("__x"), col(name).as("__y"))
     // decimal accumulation: the tail fit is bit-stable under any
@@ -575,10 +588,10 @@ object Engine {
       .select((col("maxx") + col("__i")).as("__newx"),
         (col("my") + col("slope") * (col("maxx") + col("__i") - col("mx")))
           .as(name))
-    val appendRows = f.userCols.foldLeft(preds) { (df, c) =>
-      if (c == name) df
-      else df.withColumn(c, lit(null).cast(base.schema(c).dataType))
-    }.withColumn(KEY, col("__newx").cast(base.schema(KEY).dataType))
+    val appendRows = base.columns.filterNot(c => c == name || c == KEY)
+      .foldLeft(preds) { (df, c) =>
+        df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+      }.withColumn(KEY, col("__newx").cast(base.schema(KEY).dataType))
       .drop("__newx", "__i")
     val unioned = base.unionByName(
       appendRows.select(base.columns.map(col).toIndexedSeq: _*))

@@ -188,15 +188,26 @@ private final class ODataScan(fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pushedFilter = ODataFilters.combined(pushed)
-    // $select only when pruning is real: a pruned-to-empty schema
-    // (count(*)) still needs one field to page
+    // Which columns must reach the wire request: with no user-pinned
+    // select, push $select only when pruning is real (a pruned-to-empty
+    // schema — count(*) — still needs one field to page, and an unpruned
+    // read needs no $select at all). With a PINNED select, the required
+    // columns must always widen it — even unpruned reads (e.g. load()
+    // .filter(...) over the full schema) would otherwise evaluate their
+    // residual filters against server-omitted NULLs.
     val requiredCols: Seq[String] =
-      if (required.isEmpty || required.length == fullSchema.length) Nil
+      if (required.isEmpty) Nil
+      else if (opts.select.isEmpty && required.length == fullSchema.length)
+        Nil
       else required.fieldNames.toSeq
     opts.count match {
       case Some(n) if n > 0 =>
-        val pages = ((n + opts.pageSize - 1) / opts.pageSize)
-          .min(opts.maxPages.toLong)
+        val pages = (n + opts.pageSize - 1) / opts.pageSize
+        // the caller DECLARED the row count, so hitting the page cap is
+        // detectable truncation — fail, never silently shrink the dataset
+        require(pages <= opts.maxPages.toLong,
+          s"count=$n needs $pages pages of ${opts.pageSize} " +
+            s"> maxPages=${opts.maxPages}; raise pageSize or maxPages")
         (0L until pages).map { i =>
           // maxRows caps the partition at its $top window: a server that
           // CAPS $top below pageSize answers with a partial page plus a

@@ -75,7 +75,11 @@ object Providers {
     else s"$url?$q"
 
   /** S1 — OData v2 scan: `$select`/`$filter`/`$expand` from the header,
-    * pagination via `@odata.nextLink`, payload rows in `value`. */
+    * pagination via `@odata.nextLink`, payload rows in `value`.
+    * `select`/`filter`/`expand` are RAW (unencoded) values — the query
+    * assembly percent-encodes them (a raw space previously made the
+    * default fetcher's URI.create throw); do NOT pass pre-encoded
+    * strings or they arrive double-encoded. */
   def odata(spark: SparkSession, url: String,
       select: Option[String] = None, filter: Option[String] = None,
       expand: Option[String] = None, auth: Option[(String, String)] = None,

@@ -126,7 +126,12 @@ object StreamOps {
     * cardinality, not the stream's lifetime). Emits only the KEY columns:
     * which physical row wins a key is arrival-order-dependent, the key
     * set itself is exact — so the result equals batch SELECT DISTINCT
-    * and is oracle-checkable. */
+    * and is oracle-checkable. Exactness caveat: across MULTIPLE
+    * micro-batches a key recurring more than `horizon` after the
+    * watermark re-emits (its state was evicted) — that is the operator's
+    * documented contract, and the batch-DISTINCT equality here holds
+    * because the single-file glob yields one micro-batch (and the
+    * driver corpus spans ≪ the 30-day default horizon regardless). */
   def streamingDedup(spark: SparkSession, dir: String, queryName: String,
       keys: Seq[String], horizon: String = "30 days"): DataFrame = {
     val deduped = readEventsStream(spark, dir)

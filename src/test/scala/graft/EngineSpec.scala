@@ -337,6 +337,19 @@ class EngineSpec extends AnyFunSuite {
     assert(windowNodes(out).isEmpty)
   }
 
+  test("linreg in maxby picks the extremal-residual row per group") {
+    val df = Ingest.localData(spark, Seq("g", "x", "y"),
+      Seq(Seq("a", 1.0, 5.0), Seq("a", 2.0, 7.0), Seq("a", 3.0, 50.0),
+        Seq("b", 1.0, 5.0), Seq("b", 2.0, 99.0), Seq("b", 3.0, 9.0)))
+    // whole-frame fit; per group keep the row with the largest residual
+    val out = run(
+      "group by g -> maxby (y - linear regression [x] [y])", df)
+    val rows = out.orderBy("g").collect()
+    assert(rows.map(_.getAs[Double]("y")).toSeq == Seq(50.0, 99.0))
+    assert(out.columns.toSet == Set("g", "x", "y")) // temps dropped
+    assert(windowNodes(out).forall(_.partitionSpec.nonEmpty))
+  }
+
   test("linreg usable inside a larger expression (residuals via only)") {
     val df = Ingest.localData(spark, Seq("x", "y"),
       Seq(Seq(1.0, 5.0), Seq(2.0, 7.0), Seq(3.0, 9.0), Seq(4.0, 11.0),
@@ -348,51 +361,30 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("pivot with explicit values declares the schema, no discovery job") {
-    // thread-safe counter + drain-to-stability (a marker job guarantees
-    // at least one trailing event; JobStart events are FIFO, so once the
-    // count is stable every earlier event has been observed) — no racy
-    // fixed sleeps
-    val jobs = new java.util.concurrent.atomic.AtomicInteger
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
-    }
-    def drained(): Int = {
-      spark.range(1).count() // marker
-      val deadline = System.currentTimeMillis + 10000
-      var last = -1
-      var lastChange = System.currentTimeMillis
-      while (System.currentTimeMillis < deadline) {
-        val c = jobs.get
-        if (c != last) { last = c; lastChange = System.currentTimeMillis }
-        else if (c > 0 && System.currentTimeMillis - lastChange > 300)
-          return c
-        Thread.sleep(20)
-      }
-      jobs.get
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      val baseline = drained() // jobs one marker costs
-      jobs.set(0)
-      val withValues =
+    // JobCounter: thread-safe counter + drain-to-stability after a
+    // marker job (FIFO bus) — no racy fixed sleeps; the marker's
+    // constant cost cancels against the measured empty-body baseline
+    val baseline = JobCounter.count(spark) {}
+    var withValues: DataFrame = null
+    val buildJobs = JobCounter.count(spark) {
+      withValues =
         run("pivot [Sprint] [State] -> count [Item] ['Done'; 'Doing']",
           workitems)
-      val buildJobs = drained() - baseline
-      assert(withValues.columns.toSet == Set("Sprint", "Done", "Doing"))
-      assert(buildJobs == 0,
-        s"explicit-values pivot ran $buildJobs job(s) during planning")
-      val s1 = withValues.filter(withValues("Sprint") === "S1").head()
-      assert(s1.getAs[Long]("Done") == 2L)
-      assert(s1.getAs[Long]("Doing") == 1L)
-      // discovery path: same cells, but a distinct-collect job runs
-      jobs.set(0)
-      val discovered = run("pivot [Sprint] [State] -> count [Item]",
+    } - baseline
+    assert(withValues.columns.toSet == Set("Sprint", "Done", "Doing"))
+    assert(buildJobs == 0,
+      s"explicit-values pivot ran $buildJobs job(s) during planning")
+    val s1 = withValues.filter(withValues("Sprint") === "S1").head()
+    assert(s1.getAs[Long]("Done") == 2L)
+    assert(s1.getAs[Long]("Doing") == 1L)
+    // discovery path: same cells, but a distinct-collect job runs
+    var discovered: DataFrame = null
+    val discoveryJobs = JobCounter.count(spark) {
+      discovered = run("pivot [Sprint] [State] -> count [Item]",
         workitems)
-      assert(drained() - baseline > 0)
-      assert(discovered.columns.toSet ==
-        Set("Sprint", "Done", "Doing", "Todo"))
-    } finally spark.sparkContext.removeSparkListener(listener)
+    } - baseline
+    assert(discoveryJobs > 0)
+    assert(discovered.columns.toSet ==
+      Set("Sprint", "Done", "Doing", "Todo"))
   }
 }

@@ -41,33 +41,7 @@ class IngestSpec extends AnyFunSuite {
     // AQE turns the single probe aggregate into a fixed number of stage
     // jobs, so the invariant is: job count must NOT grow with the number
     // of sibling array columns (pre-fix: one agg job per array column).
-    // Atomic counter + drain-to-stability after a marker job (JobStart
-    // events are FIFO) instead of a racy fixed sleep.
-    def countJobs(body: => Unit): Int = {
-      val jobs = new java.util.concurrent.atomic.AtomicInteger
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onJobStart(
-            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-          jobs.incrementAndGet()
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        body
-        spark.range(1).count() // marker: guarantees a trailing event
-        val deadline = System.currentTimeMillis + 10000
-        var last = -1
-        var lastChange = System.currentTimeMillis
-        var done = false
-        while (!done && System.currentTimeMillis < deadline) {
-          val c = jobs.get
-          if (c != last) { last = c; lastChange = System.currentTimeMillis }
-          else if (c > 0 && System.currentTimeMillis - lastChange > 300)
-            done = true
-          if (!done) Thread.sleep(20)
-        }
-      } finally spark.sparkContext.removeSparkListener(listener)
-      jobs.get // includes the constant marker cost — cancels in compares
-    }
+    def countJobs(body: => Unit): Int = JobCounter.count(spark)(body)
     val one = spark.read.json(Seq(
       """{"a": [1, 2], "k": 1}""", """{"a": [3], "k": 2}""").toDS())
     val three = spark.read.json(Seq(
