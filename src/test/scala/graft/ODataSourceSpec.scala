@@ -22,10 +22,19 @@ class FakeODataFetcher extends Providers.Fetcher {
     val url = java.net.URLDecoder.decode(url0, "UTF-8")
     calls.add(url)
     val filtered = url.contains("$filter=") && url.contains("size gt 20")
+    // honor $select like a real service: omit unselected fields — this is
+    // what makes the select-widening specs meaningful (a residual filter
+    // on a server-omitted field would see NULLs)
+    val selected: Option[Set[String]] =
+      "\\$select=([^&]*)".r.findFirstMatchIn(url)
+        .map(_.group(1).split(",").map(_.trim).toSet)
+    def field(n: String, v: String): Option[String] =
+      if (selected.forall(_.contains(n))) Some(s""""$n": $v""") else None
     def page(rows: Seq[(Long, String, Long)], next: Option[Int]): String = {
       val kept = if (filtered) rows.filter(_._3 > 20) else rows
       val vals = kept.map { case (id, nm, sz) =>
-        s"""{"id": $id, "name": "$nm", "size": $sz}"""
+        Seq(field("id", id.toString), field("name", s""""$nm""""),
+          field("size", sz.toString)).flatten.mkString("{", ", ", "}")
       }.mkString("[", ",", "]")
       val nl = next.map(n =>
         s""","@odata.nextLink": "http://fake/items?$$skip=$n"""")
@@ -188,9 +197,18 @@ class ODataSourceSpec extends AnyFunSuite {
 
   test("user-pinned select widens to required columns (residual filter " +
     "can evaluate)") {
+    // without an explicit schema, a pinned select IS the table schema and
+    // filtering an unselected column fails analysis (loud — fine). The
+    // silent-NULL hazard needs a user-supplied full schema + a narrower
+    // pinned select: the scan must widen the wire $select or the
+    // residual filter sees server-omitted NULLs and drops every row.
+    import org.apache.spark.sql.types._
+    val full = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("size", LongType)))
     FakeODataFetcher.calls.clear()
     val df = spark.read
       .format(classOf[ODataSource].getName)
+      .schema(full)
       .option("url", "http://fake/items")
       .option("fetcher", classOf[FakeODataFetcher].getName)
       .option("select", "id,name")
