@@ -229,6 +229,31 @@ object TextGates {
              |  FROM documents)
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // GPT-style sequence-packing layout (operators.Packing): documents
+    // concatenated per hash shard, chopped into 4096-token sequences;
+    // each doc's placement (first/last sequence, offset) from one keyed
+    // cumulative-sum window. Full SQL oracle (n_chars as token proxy).
+    Gate("t_pack_layout",
+      (s, d) => graft.operators.Packing.packedLayout(
+        t(s, d, "documents"), "doc_id", "n_chars",
+        budget = 4096L, shards = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+             |      AS BIGINT) % 10000 % 8 AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, n_chars,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |  FROM s)
+             |SELECT doc_id, shard,
+             |  bef // 4096 AS seq_first,
+             |  (bef + greatest(n_chars, 1) - 1) // 4096 AS seq_last,
+             |  bef % 4096 AS seq_offset
+             |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).
