@@ -155,6 +155,24 @@ object HbGates {
       |slice columns y fc
       |""".stripMargin
 
+  // Statement-interaction pipeline: keyed windows (series opt-in) →
+  // missing-prefix strip → date derivation → group-by (which consumes
+  // the series column and ends keyed mode) → key reification → sort.
+  // Guards the series lifecycle ACROSS statements, not just per-feature.
+  private val seriesPipelineHb =
+    """series: user_id
+      |
+      |sort by column event_id
+      |sort by column ts
+      |create column m2 (moving sum 2 [event_id])
+      |only !(m2 = missing)
+      |create column day (format date "ts" date)
+      |slice columns day m2
+      |group by day -> sum
+      |create column day keys
+      |sort by column day
+      |""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -314,6 +332,21 @@ object HbGates {
           .orderBy(col("p_partkey"))
       },
       Some(identSql)),
+
+    Gate("hb_series_pipeline",
+      (s, d) => Graft.runHb(seriesPipelineHb, t(s, d, "events"))
+        .orderBy(col("day")),
+      Some("""WITH w AS (
+             |  SELECT CAST(ts AS DATE) AS day,
+             |    CASE WHEN ROW_NUMBER() OVER win >= 2 THEN
+             |      SUM(event_id) OVER
+             |        (win ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+             |    END AS m2
+             |  FROM events
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT CAST(SUM(m2) AS BIGINT) AS m2, day
+             |FROM w WHERE m2 IS NOT NULL GROUP BY day
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
 
     Gate("hb_extrapolate",
       (s, d) => Graft.runHb(extrapHb, t(s, d, "part"))
