@@ -8,7 +8,9 @@ object PlanAudit {
       if (args.nonEmpty) args.toSeq
       else Seq("a1_group_sum", "j1_join_broadcast_agg", "hb_velocity",
         "d_exact_dedup", "w1_moving_avg", "d_ngram_jaccard", "w6_ordinals",
-        "a6_buckets", "d_embed_cosine_kmeans")
+        "a6_buckets", "d_embed_cosine_kmeans", "hb_linreg",
+        "hb_series_pipeline", "s_ann_rplsh", "t_top_ngrams",
+        "t_hash_split", "t_pack_layout")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
