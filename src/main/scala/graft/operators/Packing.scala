@@ -28,7 +28,11 @@ object Packing {
     * (0-based sequence ordinals WITHIN the shard), and `seq_offset` (the
     * document's first-token offset inside `seq_first`). Zero-token
     * documents occupy their start sequence. `tokens` must be
-    * non-negative (and non-null — nulls raise like a null id). */
+    * non-negative (and non-null — nulls raise like a null id). Ids must
+    * be UNIQUE: the placement is keyed on id order within a shard, so a
+    * duplicated id makes the two rows' offsets order-dependent (the same
+    * class of silent corruption the null-id raise guards against —
+    * id-keyed corpora satisfy this by construction). */
   def packedLayout(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shards: Int = 64, salt: String = "pack"): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -38,16 +42,22 @@ object Packing {
       raise_error(concat(lit(s"packedLayout: bad token count "),
         coalesce(tokens.cast("string"), lit("null")))).cast("long"))
       .otherwise(tokens)
-    val shard = Sampling.hashBucket(col(idCol), salt) % shards
+    // shard straight off the 32-bit hash — stacking % Buckets % shards
+    // would skew every shard count that doesn't divide 10000
+    val shard = Sampling.hash32(col(idCol), salt) % shards
     val w = Window.partitionBy("__shard").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // `div`, not `/`: long `/` coerces to double, which near 2^53 can
+    // round a quotient across an integer boundary — `div` is exact
+    // integer division at any magnitude, like the oracle's `//`
     df.withColumn("__shard", shard)
       .withColumn("__t", guarded)
       .withColumn("__before", coalesce(sum(col("__t")).over(w), lit(0L)))
+      .withColumn("__end",
+        col("__before") + greatest(col("__t"), lit(1L)) - 1)
       .select(col(idCol), col("__shard").as("shard"),
-        (col("__before") / budget).cast("long").as("seq_first"),
-        ((col("__before") + greatest(col("__t"), lit(1L)) - 1) / budget)
-          .cast("long").as("seq_last"),
+        expr(s"__before div ${budget}L").as("seq_first"),
+        expr(s"__end div ${budget}L").as("seq_last"),
         (col("__before") % budget).as("seq_offset"))
   }
 }

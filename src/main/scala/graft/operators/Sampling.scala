@@ -31,14 +31,21 @@ object Sampling {
     * to one split in hashSplit, dropped entirely in hashSample — and no
     * salt ever decorrelates them) corrupts training splits invisibly,
     * so an id-less record is a data bug surfaced at run time. */
-  def hashBucket(id: Column, salt: String): Column = {
-    val b = conv(substring(
+  def hashBucket(id: Column, salt: String): Column =
+    hash32(id, salt) % Buckets
+
+  /** The raw 32-bit salted hash (first 8 md5 hex digits) behind
+    * [[hashBucket]] — take it mod your own range when composing (e.g.
+    * [[Packing]] shards) to avoid stacking moduli, which skews any
+    * range that doesn't divide [[Buckets]]. */
+  def hash32(id: Column, salt: String): Column = {
+    val h = conv(substring(
       md5(concat(id.cast(StringType), lit(":"), lit(salt))), 1, 8),
-      16, 10).cast(LongType) % Buckets
+      16, 10).cast(LongType)
     when(id.isNull,
       raise_error(lit("hashBucket: null id — assign ids before splitting"))
         .cast(LongType))
-      .otherwise(b)
+      .otherwise(h)
   }
 
   /** Add a split-label column from cumulative fraction thresholds, e.g.

@@ -159,6 +159,10 @@ object HbGates {
   // missing-prefix strip → date derivation → group-by (which consumes
   // the series column and ends keyed mode) → key reification → sort.
   // Guards the series lifecycle ACROSS statements, not just per-feature.
+  // user_id (the series column) SURVIVES the slice into the group-by so
+  // the gate really exercises GroupBy's series deactivation: user_id is
+  // numeric and not a group key, so it is REDUCED to a per-day sum under
+  // its own name and must drop out of the active series.
   private val seriesPipelineHb =
     """series: user_id
       |
@@ -167,7 +171,7 @@ object HbGates {
       |create column m2 (moving sum 2 [event_id])
       |only !(m2 = missing)
       |create column day (format date "ts" date)
-      |slice columns day m2
+      |slice columns user_id day m2
       |group by day -> sum
       |create column day keys
       |sort by column day
@@ -337,14 +341,15 @@ object HbGates {
       (s, d) => Graft.runHb(seriesPipelineHb, t(s, d, "events"))
         .orderBy(col("day")),
       Some("""WITH w AS (
-             |  SELECT CAST(ts AS DATE) AS day,
+             |  SELECT user_id, CAST(ts AS DATE) AS day,
              |    CASE WHEN ROW_NUMBER() OVER win >= 2 THEN
              |      SUM(event_id) OVER
              |        (win ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
              |    END AS m2
              |  FROM events
              |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id))
-             |SELECT CAST(SUM(m2) AS BIGINT) AS m2, day
+             |SELECT CAST(SUM(user_id) AS BIGINT) AS user_id,
+             |  CAST(SUM(m2) AS BIGINT) AS m2, day
              |FROM w WHERE m2 IS NOT NULL GROUP BY day
              |ORDER BY day ASC NULLS FIRST""".stripMargin)),
 

@@ -241,7 +241,7 @@ object TextGates {
       Some("""WITH s AS (
              |  SELECT doc_id, n_chars,
              |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
-             |      AS BIGINT) % 10000 % 8 AS shard
+             |      AS BIGINT) % 8 AS shard
              |  FROM documents),
              |c AS (
              |  SELECT doc_id, shard, n_chars,
