@@ -32,8 +32,9 @@ def rows_of(rel):
     cols = rel.columns
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     names = [cols[i] for i in order]
+    types = [str(rel.types[i]) for i in order]
     data = [tuple(norm_cell(r[i]) for i in order) for r in rel.fetchall()]
-    return names, data
+    return names, types, data
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
@@ -47,18 +48,26 @@ def main():
         if not os.path.isdir(path):
             continue
         got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
-        gcols, grows = rows_of(got_rel)
+        gcols, gtypes, grows = rows_of(got_rel)
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(grows)}" + \
                 (" EMPTY!" if not grows else "")
             continue
         try:
-            ocols, orows = rows_of(con.sql(oracles[name]))
+            ocols, otypes, orows = rows_of(con.sql(oracles[name]))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
             continue
         if gcols != ocols:
             results[name] = f"SCHEMA_MISMATCH spark={gcols} oracle={ocols}"
+            continue
+        # Typed-hash parity: the driver hashes cells WITH their types, so a
+        # DuckDB HUGEINT (e.g. window SUM over BIGINT) vs Spark BIGINT is a
+        # driver FAIL even when every value matches. Catch it here.
+        if gtypes != otypes:
+            diffs = [f"{c}: spark={g} oracle={o}"
+                     for c, g, o in zip(gcols, gtypes, otypes) if g != o]
+            results[name] = "TYPE_MISMATCH " + "; ".join(diffs)
             continue
         if len(grows) != len(orows):
             results[name] = f"ROWCOUNT {len(grows)} vs {len(orows)}"
@@ -67,7 +76,8 @@ def main():
             results[name] = f"OK rows={len(grows)}"
             continue
         # diagnose: order-only mismatch vs value mismatch
-        if sorted(grows) == sorted(orows):
+        nkey = lambda row: tuple((v is None, v or "") for v in row)
+        if sorted(grows, key=nkey) == sorted(orows, key=nkey):
             results[name] = f"ORDER_ONLY_MISMATCH rows={len(grows)}"
             continue
         ndiff, example = 0, None

@@ -232,8 +232,8 @@ object CoreGates {
       Some(s"""SELECT bucket, ${dsumSql("l_quantity")} AS sum_qty,
              |  COUNT(*) AS n_rows
              |FROM (
-             |  SELECT l_quantity, NTILE(8) OVER
-             |    (ORDER BY l_orderkey, l_linenumber) AS bucket
+             |  SELECT l_quantity, CAST(NTILE(8) OVER
+             |    (ORDER BY l_orderkey, l_linenumber) AS INTEGER) AS bucket
              |  FROM lineitem)
              |GROUP BY bucket ORDER BY bucket ASC NULLS FIRST""".stripMargin)),
 

@@ -259,7 +259,7 @@ object HbGates {
         .orderBy(col("bucket")),
       Some("""WITH b AS (
              |  SELECT event_id, 1 AS tick,
-             |    NTILE(8) OVER (ORDER BY event_id) AS bucket
+             |    CAST(NTILE(8) OVER (ORDER BY event_id) AS INTEGER) AS bucket
              |  FROM events)
              |SELECT CAST(SUM(event_id) AS BIGINT) AS event_id,
              |  CAST(SUM(tick) AS BIGINT) AS tick, bucket

@@ -119,8 +119,8 @@ object SimilarityGates {
              |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
              |ranked AS (
              |  SELECT query_id, neighbor_id, cosine,
-             |    ROW_NUMBER() OVER (PARTITION BY query_id
-             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, cosine FROM ranked
              |WHERE rank <= 10

@@ -164,8 +164,8 @@ object TextGates {
              |    regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
              |  FROM inj)
              |SELECT doc_id,
-             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
-             |  len(regexp_extract_all(t2, '\+?\d[\d() -]{6,}\d')) AS n_phones,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+             |  CAST(len(regexp_extract_all(t2, '\+?\d[\d() -]{6,}\d')) AS INTEGER) AS n_phones,
              |  md5(regexp_replace(t2, '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g')) AS redacted_md5
              |FROM ne
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
@@ -249,9 +249,9 @@ object TextGates {
              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
              |  FROM s)
              |SELECT doc_id, shard,
-             |  bef // 4096 AS seq_first,
-             |  (bef + greatest(n_chars, 1) - 1) // 4096 AS seq_last,
-             |  bef % 4096 AS seq_offset
+             |  CAST(bef // 4096 AS BIGINT) AS seq_first,
+             |  CAST((bef + greatest(n_chars, 1) - 1) // 4096 AS BIGINT) AS seq_last,
+             |  CAST(bef % 4096 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
