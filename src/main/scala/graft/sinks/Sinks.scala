@@ -62,6 +62,11 @@ object Sinks {
   private def cell(r: Row, i: Int): String =
     if (r.isNullAt(i)) "null"
     else r.get(i) match {
+      // JSON has no NaN/Infinity literal; the reference's encoder throws on
+      // anything it can't encode (Processer.fs:44-53) — we render null so a
+      // sink document always parses.
+      case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+      case f: java.lang.Float if f.isNaN || f.isInfinite => "null"
       case n: java.lang.Number => n.toString
       case b: Boolean => b.toString
       case other => "\"" + escape(other.toString) + "\""

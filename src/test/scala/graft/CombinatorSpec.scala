@@ -59,10 +59,37 @@ class CombinatorSpec extends AnyFunSuite {
     assert(json.contains("[0,\"Magrethe II\"]"))
   }
 
+  test("matrix JSON renders non-finite doubles as null and stays parseable") {
+    val nan = Ingest.localData(spark, Seq("x"), Seq(Seq(1.0)))
+      .selectExpr("x", "x / 0.0 AS inf", "sqrt(-1.0) AS nan")
+    val json = Sinks.matrixJson(nan)
+    // a bare NaN/Infinity token is not JSON — a strict parser must accept
+    // the whole document
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val row = node.get("values").get(0)
+    assert(row.get(0).asDouble() == 1.0)
+    assert(row.get(1).isNull && row.get(2).isNull)
+  }
+
   test("row-objects JSON sink") {
     val rows = Sinks.rowObjectsJson(f1).collect()
     assert(rows.length == 3)
     assert(rows.exists(_.contains("\"string\":\"Magrethe II\"")))
+  }
+
+  test("lineage cache keys cannot be forged across element boundaries") {
+    val cache = new LineageCache(spark,
+      java.nio.file.Files.createTempDirectory("graftkeys").toString)
+    // the classic separator attack: one statement containing the separator
+    // vs two statements — byte-identical under any plain mkString scheme
+    assert(cache.key("s", Seq("a b")) != cache.key("s", Seq("a", "b")))
+    assert(cache.key("s", Seq("a\u0000b")) != cache.key("s", Seq("a", "b")))
+    // length-prefix forgery: an element that embeds the prefix syntax
+    assert(cache.key("s", Seq("2:ab")) != cache.key("s", Seq("ab")))
+    // boundary shift between sourceId and first statement
+    assert(cache.key("sa", Seq("b")) != cache.key("s", Seq("ab")))
+    // and determinism: same chain, same key
+    assert(cache.key("s", Seq("a", "b")) == cache.key("s", Seq("a", "b")))
   }
 
   test("lineage cache reuses a shared chain prefix") {
