@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
     val spark = Sessions.local()
     // JIT/codegen warmup at the smallest sf so timed runs measure
     // steady-state query throughput, not first-call class loading
@@ -12,28 +13,46 @@ object Bench {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    // median of `reps` runs per query: single-run numbers on a shared box
-    // swing 4-6x with co-tenant load (r2 driver run vs judge re-run), the
-    // median is stable enough to read without a re-measurement
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      var failed = false
-      val times = (1 to reps).map { _ =>
-        // operators may persist signature frames; drop them between runs
-        // so earlier runs' caches don't pressure (or serve) later ones
-        spark.sharedState.cacheManager.clearCache()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => failed = true }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+    // Median of `reps` INTERLEAVED catalogue passes: single-run numbers on
+    // a shared box swing 4-6x with co-tenant load. Back-to-back reps of
+    // one query all land inside the same busy window, so a loaded
+    // half-minute used to poison that query's median (r3 driver artifact:
+    // six queries "2-7x slower" that re-ran clean). Running the whole
+    // catalogue per pass separates a query's reps by minutes, so a busy
+    // window costs at most one pass — the cross-pass median survives it.
+    val names = SparkEntry.queries.keys.toSeq
+    val timesByQuery =
+      scala.collection.mutable.Map[String, List[Double]]()
+        .withDefaultValue(Nil)
+    val failed = scala.collection.mutable.Set[String]()
+    for (_ <- 1 to reps; name <- names) {
+      val fn = SparkEntry.queries(name)
+      // operators may persist signature frames; drop them between runs
+      // so earlier runs' caches don't pressure (or serve) later ones
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      timesByQuery(name) ::= (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      val ts = timesByQuery(name).sorted
       // a failed query must read as BROKEN (-1), not as its tiny
       // time-to-failure masquerading as the fastest query in the bench
-      name -> (if (failed) -1.0 else times(times.size / 2))
+      name -> (if (failed(name)) -1.0 else ts(ts.size / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // the driver greps a truncated sbt log tail — r3's artifact lost 5
+    // queries and the total that way; the file copy survives intact
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
