@@ -237,19 +237,18 @@ object Engine {
       HbFrame(bucketed, Seq(col(KEY).asc), Nil)
 
     case KMeansCluster(n, red) =>
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.feature.VectorAssembler
+      // operators.KMeansDet: deterministic Lloyd (quantile init, fixed
+      // iterations, canonical centroid-sorted ids) — cluster ids are
+      // reproducible across engines and Spark versions, unlike MLlib's
+      // randomized kmeans|| (rows with a null feature are skipped, like
+      // VectorAssembler handleInvalid=skip did here before)
       val nums = f.numericCols
-      val assembled = new VectorAssembler()
-        .setInputCols(nums.toArray).setOutputCol("__features")
-        .setHandleInvalid("skip")
-        .transform(f.df)
-      val model = new KMeans().setK(n).setSeed(42L)
-        .setFeaturesCol("__features").fit(assembled)
       val aggs = nums.map(c =>
         reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
-      val clustered = model.transform(assembled)
-        .groupBy(col("prediction").as(KEY))
+      val clustered = graft.operators.KMeansDet
+        .withCluster(f.df, nums, Seq(col(KEY)), n, out = "__cluster")
+        .filter(col("__cluster").isNotNull)
+        .groupBy(col("__cluster").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
       HbFrame(clustered, Seq(col(KEY).asc), Nil)
 

@@ -180,23 +180,28 @@ object WindowGates {
              |FROM events ORDER BY ordinal ASC NULLS FIRST""".stripMargin)),
 
     // A7 `k-means (n) -> (reduction)` (snippets:93-100; reference uses
-    // Accord.MachineLearning). Spark MLlib KMeans over the numeric columns,
-    // fixed seed; cluster ids are not stable across implementations →
-    // rows-only check + KMeansSpec asserts cluster-size distribution.
+    // Accord.MachineLearning). operators.KMeansDet: deterministic Lloyd —
+    // quantile init, fixed iterations, exact-decimal centroid means,
+    // canonical (centroid-sorted) ids — so the WHOLE clustering unrolls
+    // into a DuckDB oracle and the gate is a full hash check, not the
+    // rows-only it was for three rounds.
     Gate("a7_kmeans", (s, d) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.feature.VectorAssembler
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id").cast(DoubleType).as("f1"),
           col("value").as("f2"))
-      val assembled = new VectorAssembler()
-        .setInputCols(Array("f1", "f2")).setOutputCol("features")
-        .transform(ev)
-      val km = new KMeans().setK(4).setSeed(42L).setFeaturesCol("features")
-      km.fit(assembled).transform(assembled)
-        .groupBy(col("prediction"))
+      graft.operators.KMeansDet.withCluster(ev, Seq("f1", "f2"),
+        Seq(col("event_id")), k = 4, iters = 10)
+        .filter(col("cluster").isNotNull) // oracle's __pts drops null rows
+        .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), davg(col("f2")).as("mean_value"))
-        .orderBy(col("prediction"))
-    }, None)
+        .orderBy(col("cluster"))
+    },
+      Some(s"""WITH ${graft.operators.KMeansDet.oracleSql(
+        "(SELECT event_id, CAST(user_id AS DOUBLE) AS f1, value AS f2 FROM events)",
+        Seq("event_id"), Seq("f1", "f2"), k = 4, iters = 10)}
+             |SELECT cluster, COUNT(*) AS n,
+             |  ${davgSql("f2")} AS mean_value
+             |FROM __km GROUP BY cluster
+             |ORDER BY cluster ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.KMeansDet
+import graft.sources.Ingest
+
+/** Deterministic k-means (operators.KMeansDet): the clustering itself is
+  * pinned (quantile init, fixed iters, exact-decimal means), so the specs
+  * assert values, not just shapes. Spark-vs-DuckDB bit-parity of the full
+  * unrolled computation is pinned by the a7_kmeans gate oracle. */
+class KMeansDetSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+
+  test("separable 1-d clusters, canonical ids ordered by centroid") {
+    val df = Ingest.localData(spark, Seq("id", "x"),
+      Seq(Seq(1L, 1.0), Seq(2L, 1.1), Seq(3L, 0.9),
+        Seq(4L, 100.0), Seq(5L, 101.0), Seq(6L, 99.0)))
+    val out = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), k = 2)
+      .groupBy("cluster").agg(avg("x").as("m"), count(lit(1)).as("n"))
+      .orderBy("cluster").collect()
+    assert(out.map(_.getAs[Int]("cluster")).toSeq == Seq(0, 1))
+    assert(math.abs(out(0).getAs[Double]("m") - 1.0) < 0.2)
+    assert(math.abs(out(1).getAs[Double]("m") - 100.0) < 1.0)
+    assert(out.map(_.getAs[Long]("n")).toSeq == Seq(3, 3))
+  }
+
+  test("canonical relabel: ids follow lexicographic centroid order even " +
+    "when clusters separate on the second feature") {
+    // two clusters split on f2, overlapping on f1 — quantile init along
+    // the f1-major lex order starts centroids "crossed", the relabel
+    // must still hand out ids in final-centroid lex order
+    val rows = (0 until 40).map { i =>
+      Seq(i.toLong, (i % 7).toDouble,
+        if (i % 2 == 0) (i % 5).toDouble else 50.0 + (i % 5))
+    }
+    val df = Ingest.localData(spark, Seq("id", "f1", "f2"), rows)
+    val cents = KMeansDet
+      .withCluster(df, Seq("f1", "f2"), Seq(col("id")), k = 2)
+      .groupBy("cluster").agg(avg("f1").as("c1"), avg("f2").as("c2"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getAs[Double]("c1"), r.getAs[Double]("c2")))
+    assert(cents.length == 2)
+    // canonical: cluster 0's centroid lexicographically <= cluster 1's
+    assert(cents(0)._1 < cents(1)._1 ||
+      (cents(0)._1 == cents(1)._1 && cents(0)._2 <= cents(1)._2))
+    // and the split actually separated the f2 bands
+    assert(math.abs(cents(0)._2 - cents(1)._2) > 20.0)
+  }
+
+  test("rows with a null feature get a null cluster and are excluded " +
+    "from the fit") {
+    val df = Ingest.localData(spark, Seq("id", "x"),
+      Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 100.0), Seq(4L, 101.0)))
+      .union(Ingest.localData(spark, Seq("id", "x"),
+        Seq(Seq(5L, 0.0))).withColumn("x", lit(null).cast("double")))
+    val out = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), k = 2)
+    assert(out.filter(col("id") === 5L).collect()
+      .head.isNullAt(out.columns.indexOf("cluster")))
+    assert(out.filter(col("cluster").isNotNull).count() == 4)
+  }
+
+  test("fewer rows than k raises") {
+    val df = Ingest.localData(spark, Seq("id", "x"),
+      Seq(Seq(1L, 1.0), Seq(2L, 2.0)))
+    val e = intercept[IllegalArgumentException] {
+      KMeansDet.fit(df, Seq("x"), Seq(col("id")), k = 3)
+    }
+    assert(e.getMessage.contains("at least"))
+  }
+
+  test("repeated fits label identically (no RNG anywhere)") {
+    val rows = (0 until 60).map(i =>
+      Seq(i.toLong, math.sin(i.toDouble) * 10, (i % 13).toDouble))
+    val df = Ingest.localData(spark, Seq("id", "f1", "f2"), rows)
+    def labels() = KMeansDet
+      .withCluster(df, Seq("f1", "f2"), Seq(col("id")), k = 3)
+      .select("id", "cluster").collect()
+      .map(r => (r.get(0).toString, r.getInt(1))).toSet
+    assert(labels() == labels())
+  }
+
+  test("labeling plan is a pure projection — no join, no shuffle") {
+    val rows = (0 until 30).map(i => Seq(i.toLong, (i % 9).toDouble))
+    val df = Ingest.localData(spark, Seq("id", "x"), rows)
+    val m = KMeansDet.fit(df, Seq("x"), Seq(col("id")), k = 2)
+    // fit collects only k centroid rows; the label pass reuses them as
+    // literals — assert the labeled frame's plan has no exchange
+    val labeled = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), 2)
+    assert(PlanChecks.shuffles(labeled).isEmpty,
+      labeled.queryExecution.executedPlan.toString)
+    assert(m.centroids.length == 2)
+  }
+}
