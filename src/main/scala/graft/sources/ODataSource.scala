@@ -366,6 +366,24 @@ private[sources] object ODataFilters {
     case d: Double => Some(d.toString)
     case f: Float => Some(f.toString)
     case d: java.math.BigDecimal => Some(d.toString)
-    case _ => None // dates/timestamps/binary: format varies by service
+    // Date/timestamp: OData v4 Edm.Date / Edm.DateTimeOffset take bare
+    // ISO-8601 literals — the dialect the reference's feeds filter with
+    // (`Iteration/StartDate gt 2019-01-01Z`, tests/transformations/
+    // LogicCycleTime.hb:5; assembled at tools/visualizer/cli/src/
+    // ODataProvider.fs:89-105). Dates filtering the most common
+    // production predicate used to stay residual-only and fetch the
+    // whole feed. The filter remains in the residual (pushdown() keeps
+    // every translated filter post-evaluated), so a service speaking a
+    // different date dialect can over-return but never corrupt results.
+    case d: java.sql.Date => Some(d.toString) // yyyy-MM-dd
+    case t: java.sql.Timestamp =>
+      // UTC instant, micros precision, trailing Z
+      Some(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.MICROS)))
+    case d: java.time.LocalDate => Some(d.toString)
+    case i: java.time.Instant =>
+      Some(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
+        i.truncatedTo(java.time.temporal.ChronoUnit.MICROS)))
+    case _ => None // binary etc: format varies by service
   }
 }

@@ -84,6 +84,28 @@ object CappedTopFetcher {
   val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** A feed with an Edm.Date column (`day`), ids 1..6 on days
+  * 2019-01-01..06. Honors a `day gt yyyy-mm-dd` filter when present —
+  * so the date-pushdown spec proves both the wire form AND that fewer
+  * rows cross the wire when the server cooperates. */
+class DateFeedFetcher extends Providers.Fetcher {
+  def get(url0: String, auth: Option[(String, String)]): String = {
+    val url = java.net.URLDecoder.decode(url0, "UTF-8")
+    DateFeedFetcher.calls.add(url)
+    val cut = "day gt (\\d{4}-\\d{2}-\\d{2})".r.findFirstMatchIn(url)
+      .map(_.group(1))
+    val rows = (1 to 6).map(i => (i.toLong, f"2019-01-$i%02d"))
+      .filter { case (_, d) => cut.forall(d > _) }
+    val vals = rows.map { case (i, d) =>
+      s"""{"id": $i, "day": "$d"}""" }.mkString("[", ",", "]")
+    s"""{"value": $vals}"""
+  }
+}
+
+object DateFeedFetcher {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** Serves a valid schema-probe page but an error payload (no `value`
   * array) for every paged scan request. */
 class ErrorPayloadFetcher extends Providers.Fetcher {
@@ -254,6 +276,24 @@ class ODataSourceSpec extends AnyFunSuite {
       String.valueOf(c.getMessage).contains("has no 'value' array")))
   }
 
+  test("date predicates push down as ISO-8601 \\$filter literals " +
+    "(LogicCycleTime.hb:5 shape) and results stay exact") {
+    DateFeedFetcher.calls.clear()
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .option("url", "http://fake/dated")
+      .option("fetcher", classOf[DateFeedFetcher].getName)
+      .schema("id BIGINT, day DATE")
+      .load()
+      .filter(col("day") > lit(java.sql.Date.valueOf("2019-01-03")))
+    assert(df.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      == Seq(4L, 5L, 6L))
+    val scanCalls = DateFeedFetcher.calls.toArray(Array.empty[String])
+      .filter(_.contains("$filter="))
+    assert(scanCalls.nonEmpty, "no request carried the pushed date $filter")
+    assert(scanCalls.forall(_.contains("day gt 2019-01-03")))
+  }
+
   test("filter translation covers the dialect; untranslatable stays out") {
     import org.apache.spark.sql.sources._
     import graft.sources.ODataFiltersAccess._
@@ -265,5 +305,18 @@ class ODataSourceSpec extends AnyFunSuite {
     assert(tr(In("a", Array(1, 2))) == Some("(a eq 1) or (a eq 2)"))
     assert(tr(EqualTo("nested.path", 1)).isEmpty)
     assert(tr(StringContains("a", "x")).isEmpty)
+    // temporal literals: bare ISO-8601, the Edm.Date/Edm.DateTimeOffset
+    // dialect (both the java.sql and java.time shapes Spark can hand us)
+    assert(tr(GreaterThan("d", java.sql.Date.valueOf("2019-01-01"))) ==
+      Some("d gt 2019-01-01"))
+    assert(tr(GreaterThan("d", java.time.LocalDate.of(2019, 1, 1))) ==
+      Some("d gt 2019-01-01"))
+    assert(tr(LessThan("t",
+      java.sql.Timestamp.from(java.time.Instant.parse("2019-01-01T10:30:00Z"))))
+      == Some("t lt 2019-01-01T10:30:00Z"))
+    assert(tr(LessThan("t", java.time.Instant.parse("2019-01-01T10:30:00.123456Z")))
+      == Some("t lt 2019-01-01T10:30:00.123456Z"))
+    // binary still stays residual-only
+    assert(tr(EqualTo("b", Array[Byte](1, 2))).isEmpty)
   }
 }
