@@ -206,6 +206,80 @@ object Similarity {
     topk
   }
 
+  /** Corpus-scale cosine near-dup via RP-LSH banding — the SELF-JOIN
+    * counterpart of `rpLshTopK`, with the scale-safe band geometry AS THE
+    * DEFAULT rather than a doc comment: 8 bands × 8 bits admits ≈3% of
+    * unrelated pairs as candidates (vs ~64% at rpLshTopK's query-side
+    * 16×4 default, which is fine only because that side is broadcast)
+    * while missing a cos ≥ 0.95 near-dup pair with prob ≈1%
+    * ((1−0.9²·⁸)⁸ with per-bit collision 1−θ/π). Candidates come from a
+    * banded equi-join on (band, band-value) — never an all-pairs stage —
+    * then exact quantized cosine decides; the higher id of a confirmed
+    * pair drops. Signature frame persists for the two passes, the small
+    * drops list is checkpointed, the cache released (Dedup lifecycle). */
+  def rpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBands: Int = 8, seed: Long = 42L)
+      : DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"64 % nBands != 0: $nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val e = df
+      .select(col(idCol).as("__id"),
+        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+      .withColumn("__sig",
+        graft.functions.RpSig64.rp_sig64(col("__dv"), lit(seed)))
+      .withColumn("__v", quantize(col("__dv")))
+      .withColumn("__nrm", normQ(col("__v")))
+      .drop("__dv")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = e.select(col("__id"), col("__sig"))
+      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("__bv",
+        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
+      .select(col("__id"), col("__band"), col("__bv"))
+    val cand = banded.as("a").join(banded.as("b"),
+      col("a.__band") === col("b.__band") &&
+        col("a.__bv") === col("b.__bv") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+      .distinct()
+    val drops = cand
+      .join(e.select(col("__id"), col("__v").as("__va"),
+        col("__nrm").as("__na")), col("__ida") === col("__id")).drop("__id")
+      .join(e.select(col("__id"), col("__v").as("__vb"),
+        col("__nrm").as("__nb")), col("__idb") === col("__id")).drop("__id")
+      .filter(dotQ(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")) >= threshold)
+      .select(col("__idb").as("__drop")).distinct()
+    val dropsCk = drops.localCheckpoint(true)
+    e.unpersist(false)
+    df.join(dropsCk, col(idCol) === col("__drop"), "left_anti")
+  }
+
+  /** Candidate-pair count at a given band geometry — the observable the
+    * 8×8-vs-16×4 trade is ABOUT; exposed so tests (and capacity
+    * planning) can measure admitted-pair volume without running the
+    * verify stage. */
+  private[graft] def rpLshCandidateCount(df: DataFrame, idCol: String,
+      vecCol: String, nBands: Int, seed: Long = 42L): Long = {
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val banded = df
+      .select(col(idCol).as("__id"),
+        graft.functions.RpSig64.rp_sig64(
+          transform(col(vecCol), _.cast(DoubleType)), lit(seed))
+          .as("__sig"))
+      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("__bv",
+        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
+      .select(col("__id"), col("__band"), col("__bv"))
+    banded.as("a").join(banded.as("b"),
+      col("a.__band") === col("b.__band") &&
+        col("a.__bv") === col("b.__bv") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id"), col("b.__id")).distinct().count()
+  }
+
   /** Cosine near-dup survivors: drop the higher id of any same-block pair
     * with cosine ≥ threshold. Blocked (label / cluster id) brute force;
     * with no natural block column use `cosineDedupKMeans`. */

@@ -206,6 +206,46 @@ class DedupSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
+  test("rpLshNearDup (8x8 self-join default) matches exhaustive " +
+    "survivors; candidate volume stays far below the 16x4 geometry") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(6)(unit())
+    val base = (0 until 120).map { i =>
+      centers(i % 6).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    }
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      (0 until 10).map(i => (1000L + i, base(i).map(x => x + 1e-4f)))
+    val e = rows.toDF("vec_id", "embedding")
+    def survivors(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = survivors(Similarity.rpLshNearDup(e, "vec_id", "embedding",
+      threshold = 0.95))
+    val exhaustive = survivors(Similarity.cosineDedup(
+      e.withColumn("one", lit(0)), "vec_id", "embedding", "one",
+      threshold = 0.95))
+    assert(lsh == exhaustive,
+      s"only-lsh=${lsh -- exhaustive} only-exh=${exhaustive -- lsh}")
+    assert((0 until 10).forall(i => !lsh.contains(1000L + i)),
+      "planted twins must drop")
+    assert(spark.sharedState.cacheManager.isEmpty)
+    // the trade the default encodes: 8x8 admits FAR fewer unrelated
+    // candidate pairs than the broadcast-query 16x4 geometry (theory:
+    // ~3% vs ~64% of unrelated pairs; clustered data shifts the
+    // absolute numbers but not the ordering)
+    val cand8 = Similarity.rpLshCandidateCount(e, "vec_id", "embedding",
+      nBands = 8)
+    val cand16 = Similarity.rpLshCandidateCount(e, "vec_id", "embedding",
+      nBands = 16)
+    assert(cand8 * 2 < cand16,
+      s"8x8 candidates=$cand8 not well below 16x4 candidates=$cand16")
+  }
+
   test("dedup operators handle empty and single-row inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String, String)]
