@@ -401,6 +401,65 @@ object HbGates {
              |  CAST(SUM(CAST(p_retailprice / 2 AS DECIMAL(30,6))) AS DOUBLE) AS half,
              |  p_brand
              |FROM part WHERE p_size > 20 GROUP BY p_brand
-             |ORDER BY p_brand ASC NULLS FIRST""".stripMargin))
+             |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
+
+    // S2 REST provider, driver-checked end-to-end in-process (the same
+    // move as s10: zero-egress sandbox, so the HTTP layer is a fake
+    // Fetcher with a deterministic two-URL payload, but the parse →
+    // uniform → aggregate path is the real provider code). The oracle
+    // recomputes from a VALUES literal of the same feed.
+    Gate("s2_rest_provider",
+      (s, d) => {
+        val fetch = new graft.sources.Providers.Fetcher {
+          def get(url: String, auth: Option[(String, String)]): String =
+            url match {
+              case "http://feed/1" =>
+                """{"values": [
+                  |  {"region": "emea", "qty": 3, "amt": 10.5},
+                  |  {"region": "apac", "qty": 1, "amt": 2.25}
+                  |]}""".stripMargin
+              case _ =>
+                """{"values": [
+                  |  {"region": "emea", "qty": 2, "amt": 4.75},
+                  |  {"region": "amer", "qty": 6, "amt": 1.0}
+                  |]}""".stripMargin
+            }
+        }
+        graft.sources.Providers.rest(s,
+          Seq("http://feed/1", "http://feed/2"), Some("values"),
+          auth = None, fetch = fetch)
+          .groupBy(col("region"))
+          .agg(sum(col("qty")).as("qty"), Det.dsum(col("amt")).as("amt"))
+          .orderBy(col("region"))
+      },
+      Some("""SELECT region, CAST(SUM(qty) AS BIGINT) AS qty,
+             |  CAST(SUM(CAST(amt AS DECIMAL(30,6))) AS DOUBLE) AS amt
+             |FROM (VALUES ('emea', 3, 10.5), ('apac', 1, 2.25),
+             |             ('emea', 2, 4.75), ('amer', 6, 1.0))
+             |  AS t(region, qty, amt)
+             |GROUP BY region ORDER BY region ASC NULLS FIRST""".stripMargin)),
+
+    // S5 localdata provider (the reference's inline test-data source,
+    // workers/calculator.worker/tests: rows of typed literals) through a
+    // real .hb program — filter, grouped deterministic sums, sort.
+    Gate("s5_localdata",
+      (s, d) => graft.hb.Graft.runHb(
+        """only (qty > 1)
+          |group by cat -> sum
+          |create column cat keys
+          |sort by column cat
+          |""".stripMargin,
+        graft.sources.Ingest.localData(s, Seq("cat", "qty", "price"),
+          Seq(Seq("a", 1L, 1.5), Seq("a", 3L, 2.25), Seq("b", 2L, 4.0),
+            Seq("b", 5L, 0.5), Seq("c", 1L, 9.75))))
+        .orderBy(col("cat")),
+      Some("""SELECT CAST(SUM(qty) AS BIGINT) AS qty,
+             |  CAST(SUM(CAST(price AS DECIMAL(30,6))) AS DOUBLE) AS price,
+             |  cat
+             |FROM (VALUES ('a', 1, 1.5), ('a', 3, 2.25), ('b', 2, 4.0),
+             |             ('b', 5, 0.5), ('c', 1, 9.75))
+             |  AS t(cat, qty, price)
+             |WHERE qty > 1 GROUP BY cat
+             |ORDER BY cat ASC NULLS FIRST""".stripMargin))
   )
 }
