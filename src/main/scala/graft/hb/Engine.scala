@@ -245,9 +245,12 @@ object Engine {
       val nums = f.numericCols
       val aggs = nums.map(c =>
         reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
+      // null-feature rows drop BEFORE labeling: the IsNotNull conjunction
+      // pushes to the source, and `cluster` is then never null (filtering
+      // on cluster would double-evaluate the assignment CASE)
+      val fit = f.df.filter(nums.map(col(_).isNotNull).reduce(_ && _))
       val clustered = graft.operators.KMeansDet
-        .withCluster(f.df, nums, Seq(col(KEY)), n, out = "__cluster")
-        .filter(col("__cluster").isNotNull)
+        .withCluster(fit, nums, Seq(col(KEY)), n, out = "__cluster")
         .groupBy(col("__cluster").as(KEY))
         .agg(aggs.head, aggs.tail: _*)
       HbFrame(clustered, Seq(col(KEY).asc), Nil)

@@ -189,9 +189,12 @@ object WindowGates {
       val ev = t(s, d, "events")
         .select(col("event_id"), col("user_id").cast(DoubleType).as("f1"),
           col("value").as("f2"))
-      graft.operators.KMeansDet.withCluster(ev, Seq("f1", "f2"),
-        Seq(col("event_id")), k = 4, iters = 10)
-        .filter(col("cluster").isNotNull) // oracle's __pts drops null rows
+      // null-feature rows are dropped BEFORE labeling (plain IsNotNull
+      // pushes to the scan; filtering on `cluster` instead would make
+      // Catalyst evaluate the whole assignment CASE twice per row)
+      graft.operators.KMeansDet.withCluster(
+        ev.filter(col("f1").isNotNull && col("f2").isNotNull),
+        Seq("f1", "f2"), Seq(col("event_id")), k = 4, iters = 10)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), davg(col("f2")).as("mean_value"))
         .orderBy(col("cluster"))
