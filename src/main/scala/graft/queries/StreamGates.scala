@@ -101,6 +101,37 @@ object StreamGates {
         Seq("user_id", "event_type"))
         .orderBy(col("user_id"), col("event_type")),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin))
+             |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin)),
+
+    // Stream-stream interval join (conversion attribution): click →
+    // same-user purchase within the hour. Watermarks + the time-bound
+    // condition bound the join state; inner join ⇒ the match set equals
+    // the batch join, so the oracle is the plain SQL interval join.
+    Gate("st_stream_join",
+      (s, d) => StreamOps.intervalJoin(s, d, "st_stream_join_out",
+        maxDelayMinutes = 60)
+        .orderBy(col("click_id"), col("purchase_id")),
+      Some("""SELECT c.user_id, c.event_id AS click_id,
+             |  p.event_id AS purchase_id
+             |FROM events c JOIN events p
+             |  ON c.user_id = p.user_id
+             |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 60 MINUTE
+             |ORDER BY click_id ASC NULLS FIRST,
+             |  purchase_id ASC NULLS FIRST""".stripMargin)),
+
+    // Stream-static broadcast enrichment: events joined to the customer
+    // dimension (static side broadcast per micro-batch), aggregated per
+    // market segment with deterministic decimal sums.
+    Gate("st_stream_static",
+      (s, d) => StreamOps.staticEnrich(s, d, "st_stream_static_out",
+        dim = t(s, d, "customer"), dimKey = "c_custkey",
+        dimAttr = "c_mktsegment")
+        .orderBy(col("c_mktsegment")),
+      Some("""SELECT c_mktsegment, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
   )
 }

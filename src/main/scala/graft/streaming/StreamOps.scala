@@ -145,6 +145,62 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Stream-stream interval join: conversions — each 'click' joined to
+    * the same user's 'purchase' events landing within [0, maxDelay]
+    * after it. The canonical funnel/attribution shape. Both sides carry
+    * watermarks and the join condition carries the time bound, which is
+    * what lets Spark EVICT join state: a click older than
+    * watermark − maxDelay can never match a future purchase, so state is
+    * bounded by the horizon's event volume, not the stream's lifetime —
+    * the property that makes this runnable forever at 100 TB/day. Inner
+    * join ⇒ the emitted match set equals the batch join exactly (late
+    * data aside), so the gate oracle is plain SQL. */
+  def intervalJoin(spark: SparkSession, dir: String, queryName: String,
+      maxDelayMinutes: Int = 60, horizon: String = "2 hours"): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", horizon)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", horizon)
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream-static enrichment: the stream joins a static dimension frame
+    * (re-read per micro-batch, broadcast when small — Catalyst plans the
+    * static side exactly as in batch) and aggregates per dimension
+    * attribute. The classic "enrich events with the customer table"
+    * shape; state-free apart from the aggregation. */
+  def staticEnrich(spark: SparkSession, dir: String, queryName: String,
+      dim: DataFrame, dimKey: String, dimAttr: String): DataFrame = {
+    val ev = readEventsStream(spark, dir)
+    val joined = ev
+      .join(broadcast(dim.select(col(dimKey), col(dimAttr))),
+        col("user_id") === col(dimKey))
+      .groupBy(col(dimAttr))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
+    val q = joined.writeStream.outputMode("complete").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Sliding window aggregation (windowLen every slide). */
   def slidingAgg(events: DataFrame, windowLen: String,
       slide: String): DataFrame =

@@ -23,6 +23,41 @@ class StreamSpec extends AnyFunSuite {
     assert(streamed.count() == batch.count())
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = StreamOps.intervalJoin(spark, dir,
+      "streamspec_ijoin", maxDelayMinutes = 60)
+    val ev = graft.queries.Gate.t(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val batch = c.join(p, col("cu") === col("pu") &&
+        col("pts") >= col("cts") &&
+        col("pts") <= col("cts") + expr("INTERVAL 60 MINUTES"))
+      .select("click_id", "purchase_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(streamed) == pairs(batch))
+    assert(streamed.columns.toSeq ==
+      Seq("user_id", "click_id", "purchase_id"))
+  }
+
+  test("stream-static broadcast enrichment equals the batch join-agg") {
+    val dim = graft.queries.Gate.t(spark, dir, "customer")
+    val streamed = StreamOps.staticEnrich(spark, dir,
+      "streamspec_enrich", dim, "c_custkey", "c_mktsegment")
+    val batch = graft.queries.Gate.t(spark, dir, "events")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n"))
+    val s = streamed.select("c_mktsegment", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val b = batch.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(s == b)
+  }
+
   test("stateful sessionizer closes sessions on the gap, matching " +
     "session_window counts for closed sessions") {
     val stateful = StreamOps.sessionizeStateful(spark, dir,
