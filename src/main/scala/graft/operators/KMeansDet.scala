@@ -55,6 +55,7 @@ object KMeansDet {
       k: Int, iters: Int = 10): Model = {
     require(k > 1, s"k must be > 1, got $k")
     require(iters > 0, s"iters must be > 0, got $iters")
+    require(features.nonEmpty, "k-means needs at least one feature column")
     val pts = df
       .select(features.map(f => col(f).cast(DoubleType).as(f))
         :+ struct(tieBreak: _*).as("__tb"): _*)
@@ -72,6 +73,11 @@ object KMeansDet {
         .collect()
       var cents = initRows.map(r =>
         features.indices.map(r.getDouble).toArray)
+      // the k quantile ranks are distinct for any n >= k, so this only
+      // fires on a broken ordinal — but a short centroid array would
+      // otherwise surface as an opaque index error in assignExpr
+      require(cents.length == k,
+        s"init produced ${cents.length} centroids, expected $k")
       for (_ <- 1 to iters) {
         // per-cluster exact-decimal means (queries.Det shape: decimal sum
         // is order-independent, the one decimal→double cast rounds the
