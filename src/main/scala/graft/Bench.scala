@@ -43,7 +43,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry a -1 sentinel in `queries` but must not reduce
+    // the headline total (a broken query reading as "faster" corrupts
+    // round-over-round comparison)
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)

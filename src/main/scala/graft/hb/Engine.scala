@@ -241,7 +241,11 @@ object Engine {
       // iterations, canonical centroid-sorted ids) — cluster ids are
       // reproducible across engines and Spark versions, unlike MLlib's
       // randomized kmeans|| (rows with a null feature are skipped, like
-      // VectorAssembler handleInvalid=skip did here before)
+      // VectorAssembler handleInvalid=skip did here before).
+      // Deliberate strictness (SCALE.md §deviations): fewer usable rows
+      // than k FAILS loudly (KMeansDet.fit requires n >= k) instead of
+      // silently returning degenerate duplicate clusters — same policy
+      // as `int()` on non-convertible values
       val nums = f.numericCols
       val aggs = nums.map(c =>
         reduceDet(red, col(c), f.df.schema(c).dataType).as(c))

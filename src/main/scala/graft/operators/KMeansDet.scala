@@ -43,11 +43,11 @@ object KMeansDet {
 
   private val dec6 = DecimalType(30, 6)
 
-  final case class Model(centroids: Array[Array[Double]], perm: Array[Int]) {
-    /** Centroids in canonical (output-id) order. */
-    def canonical: Array[Array[Double]] =
-      perm.zipWithIndex.sortBy(_._1).map { case (_, j) => centroids(j) }
-  }
+  final case class Model(centroids: Array[Array[Double]], perm: Array[Int])
+
+  /** A feature cell the fit/label passes can use: castable to a real
+    * double (NULL, non-numeric strings and NaN are all unusable). */
+  private def usable(f: Column): Column = f.isNotNull && !isnan(f)
 
   /** Fit on the non-null feature rows of `df`. `tieBreak` must complete
     * the feature columns to a total order (any unique row id). */
@@ -59,7 +59,10 @@ object KMeansDet {
     val pts = df
       .select(features.map(f => col(f).cast(DoubleType).as(f))
         :+ struct(tieBreak: _*).as("__tb"): _*)
-      .filter(features.map(col(_).isNotNull).reduce(_ && _))
+      // post-cast guard: catches nulls, non-castable values AND NaN —
+      // a NaN feature would pass isNotNull but vanish from the decimal
+      // sum while still counting in count(), silently skewing centroids
+      .filter(features.map(f => usable(col(f))).reduce(_ && _))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = pts.count()
@@ -82,10 +85,9 @@ object KMeansDet {
         // per-cluster exact-decimal means (queries.Det shape: decimal sum
         // is order-independent, the one decimal→double cast rounds the
         // same everywhere)
-        val aggs = features.flatMap { f => Seq(
+        val aggs = features.map { f =>
           (sum(col(f).cast(dec6)).cast(DoubleType) / count(col(f)))
-            .as(s"__m_$f"),
-          count(col(f)).as(s"__n_$f"))
+            .as(s"__m_$f")
         }
         val stats = pts
           .groupBy(assignExpr(cents, features).as("__cl"))
@@ -120,8 +122,12 @@ object KMeansDet {
     val remapped = element_at(
       array(m.perm.map(r => lit(r)).toIndexedSeq: _*),
       assignExpr(m.centroids, features) + 1)
+    // the null guard must test the CAST value (fit's filter does): a
+    // non-castable string or NaN would otherwise make every distance
+    // comparison null, fall through the CASE, and land in cluster k-1
     df.withColumn(out,
-      when(features.map(col(_).isNull).reduce(_ || _), lit(null).cast("int"))
+      when(features.map(f => !usable(col(f).cast(DoubleType)))
+        .reduce(_ || _), lit(null).cast("int"))
         .otherwise(remapped))
   }
 
@@ -165,7 +171,9 @@ object KMeansDet {
     val d = features.size
     val js = 0 until k
     def c(j: Int, i: Int) = s"__c${j}_$i"
-    val notNull = features.map(f => s"$f IS NOT NULL").mkString(" AND ")
+    val notNull = features
+      .map(f => s"$f IS NOT NULL AND NOT isnan(CAST($f AS DOUBLE))")
+      .mkString(" AND ")
     // __pts pins every feature to DOUBLE (mirrors the Spark-side cast)
     val ptsCols = (idCols ++ features.map(f => s"CAST($f AS DOUBLE) AS $f"))
       .mkString(", ")

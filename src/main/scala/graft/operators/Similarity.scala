@@ -147,6 +147,32 @@ object Similarity {
     topk
   }
 
+  /** RP-LSH signature projection shared by the three entry points below:
+    * (idCol, __sig 64-bit signature, __v quantized vector, __nrm). */
+  private def sigFrame(df: DataFrame, idCol: String, vecCol: String,
+      seed: Long): DataFrame = df
+    .select(col(idCol),
+      transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+    .withColumn("__sig",
+      graft.functions.RpSig64.rp_sig64(col("__dv"), lit(seed)))
+    .withColumn("__v", quantize(col("__dv")))
+    .withColumn("__nrm", normQ(col("__v")))
+    .drop("__dv")
+
+  /** Explode a signature frame into (idCol, __band, __bv) band rows —
+    * the one place the band geometry (and its validity rule) lives. */
+  private def bandRows(sigs: DataFrame, idCol: String,
+      nBands: Int): DataFrame = {
+    require(nBands > 0 && 64 % nBands == 0, s"64 % nBands != 0: $nBands")
+    val bandBits = 64 / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    sigs
+      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
+      .withColumn("__bv",
+        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
+      .select(col(idCol), col("__band"), col("__bv"))
+  }
+
   /** Random-hyperplane (sign-projection) LSH ANN: the second approximate
     * candidate generator beside IVF — fit-free (no KMeans, no centroid
     * state). Each vector gets a 64-bit signature (native RpSig64 — bit j
@@ -166,23 +192,9 @@ object Similarity {
   def rpLshTopK(corpus: DataFrame, queryIds: Column => Column,
       idCol: String, vecCol: String, k: Int, nBands: Int = 16,
       seed: Long = 42L): DataFrame = {
-    require(nBands > 0 && 64 % nBands == 0, s"64 % nBands != 0: $nBands")
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val e = corpus
-      .select(col(idCol),
-        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
-      .withColumn("__sig",
-        graft.functions.RpSig64.rp_sig64(col("__dv"), lit(seed)))
-      .withColumn("__v", quantize(col("__dv")))
-      .withColumn("__nrm", normQ(col("__v")))
-      .drop("__dv")
+    val e = sigFrame(corpus, idCol, vecCol, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = e.select(col(idCol), col("__sig"))
-      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("__bv",
-        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
-      .select(col(idCol), col("__band"), col("__bv"))
+    val banded = bandRows(e, idCol, nBands)
     val qBands = banded.filter(queryIds(col(idCol)))
       .select(col(idCol).as("query_id"), col("__band"), col("__bv"))
     val cand = broadcast(qBands)
@@ -220,23 +232,10 @@ object Similarity {
   def rpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBands: Int = 8, seed: Long = 42L)
       : DataFrame = {
-    require(nBands > 0 && 64 % nBands == 0, s"64 % nBands != 0: $nBands")
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val e = df
-      .select(col(idCol).as("__id"),
-        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
-      .withColumn("__sig",
-        graft.functions.RpSig64.rp_sig64(col("__dv"), lit(seed)))
-      .withColumn("__v", quantize(col("__dv")))
-      .withColumn("__nrm", normQ(col("__v")))
-      .drop("__dv")
+    val e = sigFrame(df.select(col(idCol).as("__id"),
+        col(vecCol).as("__vec")), "__id", "__vec", seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = e.select(col("__id"), col("__sig"))
-      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("__bv",
-        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
-      .select(col("__id"), col("__band"), col("__bv"))
+    val banded = bandRows(e, "__id", nBands)
     val cand = banded.as("a").join(banded.as("b"),
       col("a.__band") === col("b.__band") &&
         col("a.__bv") === col("b.__bv") &&
@@ -262,17 +261,9 @@ object Similarity {
     * verify stage. */
   private[graft] def rpLshCandidateCount(df: DataFrame, idCol: String,
       vecCol: String, nBands: Int, seed: Long = 42L): Long = {
-    val bandBits = 64 / nBands
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val banded = df
-      .select(col(idCol).as("__id"),
-        graft.functions.RpSig64.rp_sig64(
-          transform(col(vecCol), _.cast(DoubleType)), lit(seed))
-          .as("__sig"))
-      .withColumn("__band", explode(sequence(lit(0), lit(nBands - 1))))
-      .withColumn("__bv",
-        expr(s"shiftrightunsigned(__sig, __band * $bandBits) & ${mask}L"))
-      .select(col("__id"), col("__band"), col("__bv"))
+    val banded = bandRows(
+      sigFrame(df.select(col(idCol).as("__id"), col(vecCol).as("__vec")),
+        "__id", "__vec", seed), "__id", nBands)
     banded.as("a").join(banded.as("b"),
       col("a.__band") === col("b.__band") &&
         col("a.__bv") === col("b.__bv") &&

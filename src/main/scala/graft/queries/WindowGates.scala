@@ -193,7 +193,8 @@ object WindowGates {
       // pushes to the scan; filtering on `cluster` instead would make
       // Catalyst evaluate the whole assignment CASE twice per row)
       graft.operators.KMeansDet.withCluster(
-        ev.filter(col("f1").isNotNull && col("f2").isNotNull),
+        ev.filter(col("f1").isNotNull && col("f2").isNotNull &&
+          !isnan(col("f2"))),
         Seq("f1", "f2"), Seq(col("event_id")), k = 4, iters = 10)
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n"), davg(col("f2")).as("mean_value"))
