@@ -254,6 +254,51 @@ object TextGates {
              |  CAST(bef % 4096 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // The training-data pipeline END-TO-END: exact dedup → deterministic
+    // 80/10/10 hash split → train-shard sequence packing, one hash-checked
+    // composition. Each stage has its own gate; this one pins the
+    // INTERACTIONS (dedup winners feed the split; the packed cumsum runs
+    // over exactly the surviving train docs). Every stage is
+    // shuffle-lean: digest-only dedup shuffle, narrow-map split, sharded
+    // keyed windows — the composition inherits the scale story of its
+    // parts.
+    Gate("t_pipeline_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val winners = graft.operators.Dedup.exact(docs, "text", "doc_id")
+          .select(col("keep_id").as("doc_id"))
+        val surviving = docs.join(winners, "doc_id")
+        val train = graft.operators.Sampling.hashSplit(surviving,
+          "doc_id", "s1", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .filter(col("split") === "train")
+        graft.operators.Packing.packedLayout(train, "doc_id", "n_chars",
+          budget = 4096L, shards = 8)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH win AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(lower($normSql))),
+             |trn AS (
+             |  SELECT d.doc_id, d.n_chars
+             |  FROM documents d JOIN win USING (doc_id)
+             |  WHERE CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || ':s1'), 1, 8)
+             |      AS BIGINT) % 10000 < 8000),
+             |s AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+             |      AS BIGINT) % 8 AS shard
+             |  FROM trn),
+             |c AS (
+             |  SELECT doc_id, shard, n_chars,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |  FROM s)
+             |SELECT doc_id, shard,
+             |  CAST(bef // 4096 AS BIGINT) AS seq_first,
+             |  CAST((bef + greatest(n_chars, 1) - 1) // 4096 AS BIGINT) AS seq_last,
+             |  CAST(bef % 4096 AS BIGINT) AS seq_offset
+             |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).
