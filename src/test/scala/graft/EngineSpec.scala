@@ -169,6 +169,16 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(means(0) - 1.0) < 0.2 && math.abs(means(1) - 100.0) < 1.0)
   }
 
+  test("k-means with fewer usable rows than k fails loudly " +
+    "(SCALE.md deliberate deviation, int()-style strictness)") {
+    val df = Ingest.localData(spark, Seq("x"),
+      Seq(Seq(1.0), Seq(2.0), Seq(3.0)))
+    val e = intercept[IllegalArgumentException] {
+      run("k-means (4) -> (mean)", df).collect()
+    }
+    assert(e.getMessage.contains("at least"))
+  }
+
   test("full Velocity-shaped program end-to-end") {
     val out = run(
       """only !(State = 'Todo')
