@@ -41,14 +41,19 @@ object Bench {
       // time-to-failure masquerading as the fastest query in the bench
       name -> (if (failed(name)) -1.0 else ts(ts.size / 2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: full-precision doubles made the line ~4 KB
+    // and the driver's truncated log-tail grep cut it mid-JSON two rounds
+    // running ("parsed": null) — 3 decimals halves the line and sub-ms
+    // digits are pure box noise anyway
+    def ms3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     // failed queries carry a -1 sentinel in `queries` but must not reduce
     // the headline total (a broken query reading as "faster" corrupts
     // round-over-round comparison)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver greps a truncated sbt log tail — r3's artifact lost 5
     // queries and the total that way; the file copy survives intact

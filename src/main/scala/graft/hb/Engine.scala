@@ -249,10 +249,14 @@ object Engine {
       val nums = f.numericCols
       val aggs = nums.map(c =>
         reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
-      // null-feature rows drop BEFORE labeling: the IsNotNull conjunction
-      // pushes to the source, and `cluster` is then never null (filtering
-      // on cluster would double-evaluate the assignment CASE)
-      val fit = f.df.filter(nums.map(col(_).isNotNull).reduce(_ && _))
+      // unusable-feature rows drop BEFORE labeling: the IsNotNull
+      // conjunction pushes to the source, and `cluster` is then never
+      // null (filtering on cluster would double-evaluate the assignment
+      // CASE). The !isnan guard matches KMeansDet.usable — a NaN feature
+      // passes isNotNull but would get a null cluster from withCluster
+      // and surface as a spurious null-key group
+      val fit = f.df.filter(nums.map(c =>
+        col(c).isNotNull && !isnan(col(c).cast(DoubleType))).reduce(_ && _))
       val clustered = graft.operators.KMeansDet
         .withCluster(fit, nums, Seq(col(KEY)), n, out = "__cluster")
         .groupBy(col("__cluster").as(KEY))

@@ -53,7 +53,11 @@ object KMeansDet {
     * the feature columns to a total order (any unique row id). */
   def fit(df: DataFrame, features: Seq[String], tieBreak: Seq[Column],
       k: Int, iters: Int = 10): Model = {
-    require(k > 1, s"k must be > 1, got $k")
+    // k = 1 is legal (the reference's `k-means (1)` reduces the whole
+    // frame to one cluster): init picks the single median row, every
+    // iteration computes the global mean, assignExpr degenerates to
+    // lit(0) — no special casing needed beyond allowing it here
+    require(k >= 1, s"k must be >= 1, got $k")
     require(iters > 0, s"iters must be > 0, got $iters")
     require(features.nonEmpty, "k-means needs at least one feature column")
     val pts = df
@@ -171,27 +175,40 @@ object KMeansDet {
     val d = features.size
     val js = 0 until k
     def c(j: Int, i: Int) = s"__c${j}_$i"
-    val notNull = features
-      .map(f => s"$f IS NOT NULL AND NOT isnan(CAST($f AS DOUBLE))")
-      .mkString(" AND ")
-    // __pts pins every feature to DOUBLE (mirrors the Spark-side cast)
-    val ptsCols = (idCols ++ features.map(f => s"CAST($f AS DOUBLE) AS $f"))
+    // __raw pins every feature to DOUBLE with TRY_CAST — Spark's lenient
+    // cast yields NULL for a non-numeric string where DuckDB's strict
+    // CAST would error, so TRY_CAST is the parity-correct spelling.
+    // __pts (the fit input) keeps only usable rows; __km labels ALL of
+    // __raw, null cluster for unusable rows — exactly withCluster's
+    // contract (fit skips them, the label pass returns them with NULL)
+    val rawCols = (idCols ++ features.map(f => s"TRY_CAST($f AS DOUBLE) AS $f"))
       .mkString(", ")
+    val usableSql = features
+      .map(f => s"$f IS NOT NULL AND NOT isnan($f)")
+      .mkString(" AND ")
+    val unusableSql = features
+      .map(f => s"$f IS NULL OR isnan($f)")
+      .mkString("(", ") OR (", ")")
     val selCols = (idCols ++ features).mkString(", ")
     def distSql(j: Int, prefix: String = "") = features.zipWithIndex.map {
       case (f, i) => s"($f - $prefix${c(j, i)}) * ($f - $prefix${c(j, i)})"
     }.mkString(" + ")
     def argminSql(prefix: String = "") = {
-      val whens = (0 until k - 1).map { j =>
-        val conds = (j + 1 until k)
-          .map(m => s"(${distSql(j, prefix)}) <= (${distSql(m, prefix)})")
-          .mkString(" AND ")
-        s"WHEN $conds THEN $j"
-      }.mkString(" ")
-      s"CASE $whens ELSE ${k - 1} END"
+      // k = 1: a CASE with zero WHEN arms is invalid SQL — the argmin is
+      // the constant 0 (mirrors assignExpr's empty foldRight)
+      if (k == 1) "0" else {
+        val whens = (0 until k - 1).map { j =>
+          val conds = (j + 1 until k)
+            .map(m => s"(${distSql(j, prefix)}) <= (${distSql(m, prefix)})")
+            .mkString(" AND ")
+          s"WHEN $conds THEN $j"
+        }.mkString(" ")
+        s"CASE $whens ELSE ${k - 1} END"
+      }
     }
     val sb = new StringBuilder
-    sb ++= s"__pts AS (SELECT $ptsCols FROM $fromSql WHERE $notNull),\n"
+    sb ++= s"__raw AS (SELECT $rawCols FROM $fromSql),\n"
+    sb ++= s"__pts AS (SELECT * FROM __raw WHERE $usableSql),\n"
     val ord = (features ++ idCols).mkString(", ")
     sb ++= s"__rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY $ord) AS __rn" +
       s" FROM __pts),\n"
@@ -238,8 +255,9 @@ object KMeansDet {
     sb ++= s"__rel AS (SELECT *, $rankCols FROM __it$iters),\n"
     val remap = js.map(j => s"WHEN $j THEN __rank_$j").mkString(" ")
     sb ++= s"__km AS (SELECT $selCols," +
-      s" CAST(CASE ${argminSql("")} $remap END AS INTEGER) AS cluster" +
-      s" FROM __pts CROSS JOIN __rel)"
+      s" CAST(CASE WHEN $unusableSql THEN NULL" +
+      s" ELSE (CASE ${argminSql("")} $remap END) END AS INTEGER) AS cluster" +
+      s" FROM __raw CROSS JOIN __rel)"
     sb.toString
   }
 }

@@ -200,8 +200,12 @@ object WindowGates {
         .agg(count(lit(1)).as("n"), davg(col("f2")).as("mean_value"))
         .orderBy(col("cluster"))
     },
+      // the source relation pre-filters usable rows exactly like the
+      // Spark side above — __km's null-cluster parity rows (unusable
+      // features) must not reappear here as a spurious NULL group
       Some(s"""WITH ${graft.operators.KMeansDet.oracleSql(
-        "(SELECT event_id, CAST(user_id AS DOUBLE) AS f1, value AS f2 FROM events)",
+        "(SELECT event_id, CAST(user_id AS DOUBLE) AS f1, value AS f2 FROM events" +
+          " WHERE user_id IS NOT NULL AND value IS NOT NULL AND NOT isnan(value))",
         Seq("event_id"), Seq("f1", "f2"), k = 4, iters = 10)}
              |SELECT cluster, COUNT(*) AS n,
              |  ${davgSql("f2")} AS mean_value

@@ -376,14 +376,20 @@ private[sources] object ODataFilters {
     // every translated filter post-evaluated), so a service speaking a
     // different date dialect can over-return but never corrupt results.
     case d: java.sql.Date => Some(d.toString) // yyyy-MM-dd
-    case t: java.sql.Timestamp =>
-      // UTC instant, micros precision, trailing Z
-      Some(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
-        t.toInstant.truncatedTo(java.time.temporal.ChronoUnit.MICROS)))
+    case t: java.sql.Timestamp => instantLiteral(t.toInstant)
     case d: java.time.LocalDate => Some(d.toString)
-    case i: java.time.Instant =>
-      Some(java.time.format.DateTimeFormatter.ISO_INSTANT.format(
-        i.truncatedTo(java.time.temporal.ChronoUnit.MICROS)))
+    case i: java.time.Instant => instantLiteral(i)
     case _ => None // binary etc: format varies by service
   }
+
+  /** UTC instant literal, micros precision, trailing Z. A value with a
+    * sub-microsecond remainder is NOT truncated: the comparison direction
+    * is unknown at literal-conversion time, so truncating an upper bound
+    * or equality would make the service exclude rows in
+    * (truncated, actual) that the post-evaluated residual can never
+    * recover. Those rare values stay residual-only (None) — over-fetch,
+    * never under-fetch. */
+  private def instantLiteral(i: java.time.Instant): Option[String] =
+    if (i.getNano % 1000 != 0) None
+    else Some(java.time.format.DateTimeFormatter.ISO_INSTANT.format(i))
 }

@@ -169,6 +169,18 @@ class EngineSpec extends AnyFunSuite {
     assert(math.abs(means(0) - 1.0) < 0.2 && math.abs(means(1) - 100.0) < 1.0)
   }
 
+  test("k-means drops NaN-feature rows like null ones — no spurious " +
+    "null-key group (ADVICE r4)") {
+    val df = Ingest.localData(spark, Seq("x"),
+      Seq(Seq(1.0), Seq(1.1), Seq(0.9), Seq(100.0), Seq(101.0),
+        Seq(Double.NaN)))
+    val out = run("k-means (2) -> (count)", df)
+    val keys = out.collect().map(_.get(0))
+    assert(!keys.contains(null), keys.mkString(","))
+    // 5 usable rows split 3 + 2; the NaN row is in neither cluster
+    assert(out.collect().map(_.getAs[Long]("x")).sum == 5)
+  }
+
   test("k-means with fewer usable rows than k fails loudly " +
     "(SCALE.md deliberate deviation, int()-style strictness)") {
     val df = Ingest.localData(spark, Seq("x"),

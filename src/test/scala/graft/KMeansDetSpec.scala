@@ -62,6 +62,20 @@ class KMeansDetSpec extends AnyFunSuite {
     assert(out.filter(col("cluster").isNotNull).count() == 4)
   }
 
+  test("k = 1 is legal: every usable row lands in cluster 0 " +
+    "(the reference accepts `k-means (1)`)") {
+    val df = Ingest.localData(spark, Seq("id", "x"),
+      Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 100.0)))
+    val out = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), k = 1)
+    assert(out.select("cluster").collect().map(_.getInt(0)).toSeq
+      == Seq(0, 0, 0))
+    // and the unrolled oracle SQL for k = 1 must be syntactically sound:
+    // a zero-arm CASE would be invalid — the argmin degenerates to 0
+    val sql = KMeansDet.oracleSql("t", Seq("id"), Seq("x"), k = 1, iters = 2)
+    assert(!sql.contains("CASE  "), sql)
+    assert(!sql.contains("CASE WHEN  THEN"), sql)
+  }
+
   test("fewer rows than k raises") {
     val df = Ingest.localData(spark, Seq("id", "x"),
       Seq(Seq(1L, 1.0), Seq(2L, 2.0)))

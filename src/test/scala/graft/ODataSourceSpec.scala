@@ -316,6 +316,13 @@ class ODataSourceSpec extends AnyFunSuite {
       == Some("t lt 2019-01-01T10:30:00Z"))
     assert(tr(LessThan("t", java.time.Instant.parse("2019-01-01T10:30:00.123456Z")))
       == Some("t lt 2019-01-01T10:30:00.123456Z"))
+    // a sub-microsecond remainder must NOT truncate (an upper bound or
+    // equality would under-fetch rows in (truncated, actual) that the
+    // residual can never bring back) — residual-only instead
+    assert(tr(LessThan("t",
+      java.time.Instant.parse("2019-01-01T10:30:00.123456789Z"))).isEmpty)
+    assert(tr(LessThan("t", java.sql.Timestamp.from(
+      java.time.Instant.parse("2019-01-01T10:30:00.000000001Z")))).isEmpty)
     // binary still stays residual-only
     assert(tr(EqualTo("b", Array[Byte](1, 2))).isEmpty)
   }
