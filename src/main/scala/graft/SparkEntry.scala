@@ -8,9 +8,9 @@ object SparkEntry {
   /** The full correctness-gate catalogue (SURVEY §2 inventory + the
     * training-data-pipeline extensions). */
   def gates: Seq[Gate] =
-    CoreGates.gates ++ WindowGates.gates ++ TextGates.gates ++
-      SimilarityGates.gates ++ HbGates.gates ++ StreamGates.gates ++
-      MultimodalGates.gates
+    CoreGates.gates ++ JoinGates.gates ++ WindowGates.gates ++
+      TextGates.gates ++ SimilarityGates.gates ++ HbGates.gates ++
+      StreamGates.gates ++ MultimodalGates.gates
 
   /** Flagship: a Velocity.hb-shaped program through the full parser +
     * engine on sf0.001; driver smoke-checks rows>0. */
