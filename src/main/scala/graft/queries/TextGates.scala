@@ -121,14 +121,37 @@ object TextGates {
              |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Rolling-hash fingerprint via the custom codegen'd Catalyst
-    // expression (graft.functions.RollingHash) — no SQL-engine
-    // equivalent, so rows-only; cross-checked in RollingHashSpec.
+    // expression (graft.functions.RollingHash). FULL oracle (rows-only
+    // until r5): the polynomial fold IS replicable in SQL — DuckDB has
+    // no wrapping 64-bit arithmetic, but HUGEINT (int128) holds the
+    // worst intermediate (2^64·base ≈ 2^84), so a byte-level list_reduce
+    // with an explicit mod 2^64 reproduces Java's wraparound bit-exactly;
+    // UTF-8 bytes come from hex(encode(...)) because DuckDB 1.0 BLOBs
+    // don't index. Cross-checked in RollingHashSpec too.
     Gate("t_rolling_hash",
       (s, d) => t(s, d, "documents")
         .select(col("doc_id"),
           graft.functions.RollingHash.rolling_hash(lower(normText))
             .as("rhash"))
-        .orderBy(col("doc_id")), None),
+        .orderBy(col("doc_id")),
+      Some(s"""WITH __hx AS (
+             |  SELECT doc_id, lower(hex(encode(lower($normSql)))) AS h
+             |  FROM documents),
+             |__b AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(h)//2 + 1),
+             |      i -> CAST(strpos('0123456789abcdef', h[2*i-1]) - 1 AS HUGEINT) * 16
+             |           + (strpos('0123456789abcdef', h[2*i]) - 1)) AS bytes
+             |  FROM __hx),
+             |__r AS (
+             |  SELECT doc_id,
+             |    list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), bytes),
+             |      (acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT)) AS hu
+             |  FROM __b)
+             |SELECT doc_id,
+             |  CAST(CASE WHEN hu >= 9223372036854775808
+             |       THEN hu - 18446744073709551616 ELSE hu END AS BIGINT) AS rhash
+             |FROM __r ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // PII redaction — the scrubbing pass every training corpus needs.
     // The synthetic docs carry no PII, so the gate INJECTS a
