@@ -160,21 +160,53 @@ object Dedup {
   /** 64-bit SimHash signature: per-row bit votes over the distinct token
     * hash set — a narrow map, no explode, no shuffle, one generated
     * pass (graft.functions.SimHash64; the HOF form ran 64 interpreted
-    * `aggregate` folds per document). */
-  def simhash(textCol: Column): Column =
+    * `aggregate` folds per document).
+    *
+    * `portable = true` swaps the token hash from Spark's xxhash64 to the
+    * polynomial RollingHash family: marginally weaker mixing, but every
+    * step is then plain integer arithmetic any engine reproduces
+    * bit-for-bit (the d_simhash DuckDB oracle does exactly that) — the
+    * same cross-engine-reproducibility property as KMeansDet. Use it
+    * when signatures must be re-derivable outside Spark, e.g. an
+    * incremental corpus index maintained by a second engine; the default
+    * stays xxhash64.
+    */
+  def simhash(textCol: Column, portable: Boolean = false): Column = {
+    val tokHash: Column => Column =
+      if (portable)
+        (c: Column) => fmix64(graft.functions.RollingHash.rolling_hash(c))
+      else (c: Column) => xxhash64(c)
     graft.functions.SimHash64.simhash64(array_distinct(
-      transform(split(lower(textCol), "\\s+"), tok => xxhash64(tok))))
+      transform(split(lower(textCol), "\\s+"), tokHash)))
+  }
+
+  /** MurmurHash3's 64-bit finalizer over plain Column ops (wrapping
+    * long multiply — ANSI off — xor, unsigned shifts; all codegen'd).
+    * The raw polynomial hash is NOT enough for simhash: two tokens with
+    * a shared prefix differ by ~(c1-c2) in the final value, so their
+    * high bits nearly coincide and sequentially-numbered vocabulary
+    * ("item1"/"item2") collapses to tiny hamming distances — planted-
+    * noise docs started merging. fmix64 avalanches every input bit to
+    * every output bit while staying engine-portable: the d_simhash
+    * oracle replicates it in HUGEINT with a split multiply. */
+  private[operators] def fmix64(c: Column): Column = {
+    val s1 = c.bitwiseXOR(shiftrightunsigned(c, 33))
+    val m1 = s1 * lit(0xFF51AFD7ED558CCDL)
+    val s2 = m1.bitwiseXOR(shiftrightunsigned(m1, 33))
+    val m2 = s2 * lit(0xC4CEB9FE1A85EC53L)
+    m2.bitwiseXOR(shiftrightunsigned(m2, 33))
+  }
 
   /** SimHash near-dup survivors: hamming distance ≤ maxHamming, candidates
     * via 16-bit chunk banding (pigeonhole-complete for maxHamming ≤ 3 with
-    * 4 chunks). */
+    * 4 chunks). `portable` picks the token hasher (see simhash). */
   def simhashDedup(df: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, portable: Boolean = false): DataFrame = {
     // the signature is one expression over one tokenization pass now —
     // only the compact (id, signature) frame needs caching for the
     // chunk self-join
     val sim = cached(df.select(col(idCol).as("__id"),
-      simhash(col(textCol)).as("__simhash")))
+      simhash(col(textCol), portable).as("__simhash")))
     val chunks = sim.withColumn("__c", explode(array(
       (0 until 4).map(k => struct(lit(k).as("cidx"),
         shiftright(col("__simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))

@@ -17,6 +17,37 @@ object SimilarityGates {
   private val dotQSql: (String, String) => String = (a, b) =>
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS DOUBLE)"
 
+  /** DuckDB replica of graft.functions.RollingHash over the string held
+    * in lambda variable `v`, as an UNSIGNED HUGEINT in [0, 2^64): Java's
+    * wrapping h·base+byte fold via an explicit mod 2^64 (the worst
+    * intermediate is < 2^84, well inside int128). Bit patterns equal the
+    * signed Spark longs, so vote/band extraction downstream is identical;
+    * only a final output needs `signed64`. Bytes via hex(encode(..))
+    * because DuckDB 1.0 BLOBs don't index; no subqueries allowed inside
+    * lambdas, hence the repeated hex() spelling. */
+  private def polyHashUSql(v: String): String =
+    s"""list_reduce(
+       |  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |    list_transform(range(1, len(lower(hex(encode($v))))//2 + 1),
+       |      i -> CAST(strpos('0123456789abcdef', lower(hex(encode($v)))[2*i-1]) - 1 AS HUGEINT) * 16
+       |           + (strpos('0123456789abcdef', lower(hex(encode($v)))[2*i]) - 1))),
+       |  (acc, x) -> (acc * 1000003 + x) % CAST(18446744073709551616 AS HUGEINT))""".stripMargin
+
+  /** HUGEINT in [0, 2^64) → the BIGINT with the same 64-bit pattern. */
+  private def signed64(e: String): String =
+    s"""CAST(CASE WHEN $e >= CAST(9223372036854775808 AS HUGEINT)
+       |  THEN $e - CAST(18446744073709551616 AS HUGEINT) ELSE $e END AS BIGINT)""".stripMargin
+
+  /** Wrapping 64-bit multiply of unsigned column `u` by constant `c`,
+    * split so no intermediate exceeds int128:
+    * lo(u)·c + (hi(u)·lo(c) mod 2^32)·2^32 (mod 2^64). */
+  private def mul64USql(c: String): String = {
+    val cLo = (java.lang.Long.parseUnsignedLong(c) & 0xFFFFFFFFL).toString
+    s"((u % 4294967296) * CAST($c AS HUGEINT) + " +
+      s"(((u // 4294967296) * CAST($cLo AS HUGEINT)) % 4294967296) * 4294967296) " +
+      "% CAST(18446744073709551616 AS HUGEINT)"
+  }
+
   val gates: Seq[Gate] = Seq(
 
     // MinHash + LSH near-dup dedup: shingle → 64-perm signature → 16
@@ -26,12 +57,53 @@ object SimilarityGates {
         threshold = 0.5)
         .select("doc_id").orderBy(col("doc_id")), None),
 
-    // SimHash near-dup dedup: per-row HOF bit votes (no shuffle),
-    // 4×16-bit chunk banding, bit_count(xor) ≤ 3 verify.
+    // SimHash near-dup dedup: per-row bit votes (no shuffle), 4×16-bit
+    // chunk banding, bit_count(xor) ≤ 3 verify. FULL oracle (rows-only
+    // until r5): with the portable token hasher the whole pipeline is
+    // integer arithmetic — votes are order-independent INTEGER sums, so
+    // unlike RP-LSH's float votes the signature is engine-exact. DuckDB
+    // rebuilds signatures from first principles (poly token hash →
+    // 64 per-bit vote sums → chunk band self-join → hamming verify) and
+    // the survivor sets must agree row-for-row.
     Gate("d_simhash",
       (s, d) => Dedup.simhashDedup(t(s, d, "documents"), "text", "doc_id",
-        maxHamming = 3)
-        .select("doc_id").orderBy(col("doc_id")), None),
+        maxHamming = 3, portable = true)
+        .select("doc_id").orderBy(col("doc_id")),
+      Some {
+        val voteBits = (0 until 64).map(j =>
+          s"CASE WHEN 2*SUM(CAST((h >> $j) & 1 AS BIGINT)) > n" +
+            s" THEN CAST(1 AS HUGEINT) << $j ELSE CAST(0 AS HUGEINT) END")
+          .mkString(" + ")
+        // tokens as ROWS (not a list lambda): each fmix64 stage is a CTE
+        // evaluated once per token; distinct applies to HASHES like the
+        // Spark side's array_distinct-after-transform
+        s"""WITH __tk AS (
+           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  FROM documents),
+           |__h0 AS (SELECT doc_id, ${polyHashUSql("tok")} AS u FROM __tk),
+           |__h1 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h0),
+           |__h2 AS (SELECT doc_id, ${mul64USql("18397679294719823053")} AS u FROM __h1),
+           |__h3 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h2),
+           |__h4 AS (SELECT doc_id, ${mul64USql("14181476777654086739")} AS u FROM __h3),
+           |__h5 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h4),
+           |__hs AS (SELECT DISTINCT doc_id, u AS h FROM __h5),
+           |__nn AS (SELECT doc_id, COUNT(*) AS n FROM __hs GROUP BY doc_id),
+           |__sig AS (
+           |  SELECT doc_id, $voteBits AS su
+           |  FROM __hs JOIN __nn USING (doc_id) GROUP BY doc_id, n),
+           |__s AS (SELECT doc_id, ${signed64("su")} AS sig FROM __sig),
+           |__ch AS (
+           |  SELECT doc_id, sig, k AS cidx, (sig >> (16*k)) & 65535 AS chash
+           |  FROM __s CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) __k),
+           |__drops AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM __ch a JOIN __ch b
+           |    ON a.cidx = b.cidx AND a.chash = b.chash AND a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+      }),
 
     // Exact n-gram Jaccard dedup: LSH-banded candidates, (lang, source)
     // block equality, exact shingle-Jaccard verify. Jaccard is invariant

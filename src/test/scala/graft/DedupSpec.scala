@@ -61,6 +61,20 @@ class DedupSpec extends AnyFunSuite {
     assert((3L to 32L).forall(survivors.contains))
   }
 
+  test("simhash portable hasher keeps the xxhash64 contract: exact dup " +
+    "drops, noise survives, under BOTH token hashers") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (portable <- Seq(false, true)) {
+      val s = Dedup.simhashDedup(docs, "text", "doc_id",
+        maxHamming = 3, portable = portable)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s.contains(0L), s"portable=$portable")
+      assert(!s.contains(2L),
+        s"portable=$portable: hamming-0 exact dup must drop")
+      assert((3L to 32L).forall(s.contains), s"portable=$portable")
+    }
+  }
+
   test("ngram jaccard drops near-dup pair") {
     val survivors = gate("d_ngram_jaccard").collect().map(_.getLong(0)).toSet
     assert(survivors.contains(0L))
