@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Distinct word n-gram shingle hashes from a token array, in ONE pass:
   * each token is xxhash64'd once (Spark's own XXH64, seed 42 — identical
@@ -26,8 +27,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * A truncated tail window (fewer than n tokens) hashes like the HOF
   * form's short slice: the window is whatever tokens remain.
   */
-case class ShingleHashes(child: Expression, n: Int)
-    extends UnaryExpression {
+case class ShingleHashes(child: Expression, n: Int,
+    portable: Boolean = false) extends UnaryExpression {
 
   require(n >= 1, "shingle size must be >= 1")
 
@@ -45,7 +46,9 @@ case class ShingleHashes(child: Expression, n: Int)
     val th = new Array[Long](t)
     var i = 0
     while (i < t) {
-      th(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      th(i) =
+        if (portable) ShingleHashes.polyFmix(arr.getUTF8String(i))
+        else XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
       i += 1
     }
     val cnt = math.max(t - n, 0) + 1
@@ -85,11 +88,15 @@ case class ShingleHashes(child: Expression, n: Int)
       val end = ctx.freshName("end")
       val acc = ctx.freshName("acc")
       val u = ctx.freshName("u")
+      val tokHash =
+        if (portable)
+          s"graft.functions.ShingleHashes.polyFmix($arr.getUTF8String($i))"
+        else s"$xxh.hashUTF8String($arr.getUTF8String($i), 42L)"
       s"""
          |int $t = $arr.numElements();
          |long[] $th = new long[$t];
          |for (int $i = 0; $i < $t; $i++) {
-         |  $th[$i] = $xxh.hashUTF8String($arr.getUTF8String($i), 42L);
+         |  $th[$i] = $tokHash;
          |}
          |int $cnt = java.lang.Math.max($t - $n, 0) + 1;
          |long[] $sh = new long[$cnt];
@@ -119,8 +126,29 @@ object ShingleHashes {
   /** Polynomial combiner base (same constant family as RollingHash). */
   val P: Long = 1000003L
 
+  /** Engine-portable token hash: the RollingHash polynomial fold over
+    * UTF-8 bytes, avalanched with murmur's fmix64 (same construction as
+    * Dedup.simhash's portable mode — the raw poly hash leaves shared-
+    * prefix tokens nearly collinear). Public because the generated code
+    * calls it: one static call per token beats inlining the fold into
+    * every codegen site. Every step is wrapping integer arithmetic a
+    * SQL oracle replicates in int128 (see d_minhash_lsh). */
+  def polyFmix(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = RollingHash.Seed
+    var i = 0
+    while (i < bytes.length) {
+      h = h * RollingHash.Base + (bytes(i) & 0xFF)
+      i += 1
+    }
+    h ^= (h >>> 33); h *= 0xFF51AFD7ED558CCDL
+    h ^= (h >>> 33); h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
   /** Column-level entry point over a token array. */
-  def shingle_hashes(tokens: Column, n: Int): Column =
+  def shingle_hashes(tokens: Column, n: Int,
+      portable: Boolean = false): Column =
     GraftSqlBridge.column(
-      ShingleHashes(GraftSqlBridge.expression(tokens), n))
+      ShingleHashes(GraftSqlBridge.expression(tokens), n, portable))
 }

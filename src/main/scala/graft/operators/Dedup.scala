@@ -55,10 +55,14 @@ object Dedup {
   /** Distinct word n-gram shingle hashes for a text column — one
     * generated pass (graft.functions.ShingleHashes): each token hashed
     * once, windows combined polynomially, sort-deduped. Hash labels are
-    * an internal detail (every consumer is label-invariant). */
-  def shingles(textCol: Column, n: Int = 3): Column =
+    * an internal detail (every consumer is label-invariant).
+    * `portable = true` swaps the token hash from xxhash64 to the
+    * poly+fmix64 fold a SQL engine replicates bit-for-bit (the
+    * d_minhash_lsh oracle derives the same signatures in DuckDB). */
+  def shingles(textCol: Column, n: Int = 3,
+      portable: Boolean = false): Column =
     graft.functions.ShingleHashes.shingle_hashes(
-      split(lower(textCol), "\\s+"), n)
+      split(lower(textCol), "\\s+"), n, portable)
 
   /** |A∩B| / (|A|+|B|-|A∩B|) — one set operation instead of
     * intersect+union; whole-stage codegen's subexpression elimination
@@ -68,8 +72,9 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** Deterministic minhash permutation parameters. */
-  private def perms(numPerms: Int): Seq[(Long, Long)] =
+  /** Deterministic minhash permutation parameters (private[graft]: the
+    * d_minhash_lsh oracle unrolls the same constants into SQL). */
+  private[graft] def perms(numPerms: Int): Seq[(Long, Long)] =
     (0 until numPerms).map { j =>
       val a = 0x9E3779B97F4A7C15L * (2 * j + 1) | 1L
       val b = 0xC2B2AE3D27D4EB4FL * (j + 1)
@@ -81,10 +86,11 @@ object Dedup {
     * column itself would be pushed below the projection and recompute
     * the shingles. */
   private def shingleFrame(df: DataFrame, textCol: String, idCol: String,
-      extraCols: Seq[String], n: Int, shCol: String): DataFrame =
+      extraCols: Seq[String], n: Int, shCol: String,
+      portable: Boolean = false): DataFrame =
     df.filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
       .select((col(idCol).as("__id") +: extraCols.map(col)) :+
-        shingles(col(textCol), n).as(shCol): _*)
+        shingles(col(textCol), n, portable).as(shCol): _*)
 
   /** (__id, signature) frame: the whole `numPerms`-perm minhash
     * signature in ONE pass over each shingle set via the native
@@ -101,15 +107,21 @@ object Dedup {
   }
 
   /** Explode a (cached) signature frame into (__id, bidx, bhash) band
-    * rows: `bands` hashes over the `numPerms`-perm signature. */
+    * rows. `bhash` is the band's signature slice itself (a struct of
+    * rowsPerBand longs), not a hash of it: equality on the slice is
+    * exact (a band-hash collision would admit a spurious candidate —
+    * harmless but wasteful), costs a few extra shuffle bytes per row,
+    * and keeps the band key engine-portable (the d_minhash_lsh oracle
+    * joins on the same slice columns). */
   private def bandFrame(sig: DataFrame, numPerms: Int,
       bands: Int): DataFrame = {
     require(numPerms % bands == 0, "bands must divide numPerms")
     val rowsPerBand = numPerms / bands
     sig.withColumn("__band", explode(array(
       (0 until bands).map(k => struct(lit(k).as("bidx"),
-        xxhash64((0 until rowsPerBand).map(r =>
-          element_at(col("__sig"), k * rowsPerBand + r + 1)): _*)
+        struct((0 until rowsPerBand).map(r =>
+          element_at(col("__sig"), k * rowsPerBand + r + 1)
+            .as(s"e$r")): _*)
           .as("bhash"))): _*)))
       .select(col("__id"), col("__band.bidx"), col("__band.bhash"))
   }
@@ -127,21 +139,24 @@ object Dedup {
   /** MinHash LSH candidate pairs: (id_a, id_b) with id_a < id_b that share
     * at least one of `bands` band hashes over a `numPerms`-perm signature. */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-      numPerms: Int = 64, bands: Int = 16): DataFrame = {
+      numPerms: Int = 64, bands: Int = 16,
+      portable: Boolean = false): DataFrame = {
     // the shingle pass feeds sigFrame exactly once, so only the compact
     // signature frame (id + numPerms longs) needs caching for the
     // candidate self-join
-    val sh = shingleFrame(df, textCol, idCol, Nil, 3, "__sh")
+    val sh = shingleFrame(df, textCol, idCol, Nil, 3, "__sh", portable)
     val sig = cached(sigFrame(sh, "__sh", numPerms))
     materializeThenRelease(bandPairs(bandFrame(sig, numPerms, bands)), sig)
   }
 
   /** MinHash LSH near-dup survivors: drop the higher id of every candidate
-    * pair whose exact shingle Jaccard ≥ threshold. */
+    * pair whose exact shingle Jaccard ≥ threshold. `portable` picks the
+    * token hasher (see shingles). */
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 64,
-      bands: Int = 16): DataFrame = {
-    val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh"))
+      bands: Int = 16, portable: Boolean = false): DataFrame = {
+    val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh",
+      portable))
     val sig = cached(sigFrame(sh, "__sh", numPerms))
     // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
     // mismatched set sizes cannot reach the threshold — cheap integer

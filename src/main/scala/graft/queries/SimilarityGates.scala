@@ -38,24 +38,95 @@ object SimilarityGates {
     s"""CAST(CASE WHEN $e >= CAST(9223372036854775808 AS HUGEINT)
        |  THEN $e - CAST(18446744073709551616 AS HUGEINT) ELSE $e END AS BIGINT)""".stripMargin
 
-  /** Wrapping 64-bit multiply of unsigned column `u` by constant `c`,
-    * split so no intermediate exceeds int128:
-    * lo(u)·c + (hi(u)·lo(c) mod 2^32)·2^32 (mod 2^64). */
-  private def mul64USql(c: String): String = {
+  /** Wrapping 64-bit multiply of unsigned expression `v` by constant
+    * `c`, split so no intermediate exceeds int128:
+    * lo(v)·c + (hi(v)·lo(c) mod 2^32)·2^32 (mod 2^64). */
+  private def mul64USql(v: String, c: String): String = {
     val cLo = (java.lang.Long.parseUnsignedLong(c) & 0xFFFFFFFFL).toString
-    s"((u % 4294967296) * CAST($c AS HUGEINT) + " +
-      s"(((u // 4294967296) * CAST($cLo AS HUGEINT)) % 4294967296) * 4294967296) " +
-      "% CAST(18446744073709551616 AS HUGEINT)"
+    s"((($v % 4294967296) * CAST($c AS HUGEINT) + " +
+      s"((($v // 4294967296) * CAST($cLo AS HUGEINT)) % 4294967296) * 4294967296) " +
+      "% CAST(18446744073709551616 AS HUGEINT))"
   }
+
+  /** The shared poly+fmix64 token-hash CTE chain over token rows
+    * `src(doc_id, i, tok)` → `__th(doc_id, i, u)` with u the unsigned
+    * 64-bit hash (each fmix stage one CTE, evaluated once per token). */
+  private def fmixChainSql(src: String): String =
+    s"""__h0 AS (SELECT doc_id, i, ${polyHashUSql("tok")} AS u FROM $src),
+       |__h1 AS (SELECT doc_id, i, xor(u, u >> 33) AS u FROM __h0),
+       |__h2 AS (SELECT doc_id, i, ${mul64USql("u", "18397679294719823053")} AS u FROM __h1),
+       |__h3 AS (SELECT doc_id, i, xor(u, u >> 33) AS u FROM __h2),
+       |__h4 AS (SELECT doc_id, i, ${mul64USql("u", "14181476777654086739")} AS u FROM __h3),
+       |__th AS (SELECT doc_id, i, xor(u, u >> 33) AS u FROM __h4)""".stripMargin
 
   val gates: Seq[Gate] = Seq(
 
     // MinHash + LSH near-dup dedup: shingle → 64-perm signature → 16
     // bands → band-hash equi-join candidates → exact Jaccard verify.
+    // FULL oracle (rows-only until r5): with the portable token hasher
+    // every stage — shingle fold, the 64 permutation mins (wrapping
+    // multiply split into int128-safe halves, SIGNED min like Java),
+    // band-slice candidate join, exact set-Jaccard verify — is integer
+    // or exactly-representable-double arithmetic DuckDB reproduces
+    // bit-for-bit. The oracle is the whole algorithm from first
+    // principles, not a shortcut: ~20 CTEs generated from the same
+    // constants (Dedup.perms) the Spark expression uses.
     Gate("d_minhash_lsh",
       (s, d) => Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
-        threshold = 0.5)
-        .select("doc_id").orderBy(col("doc_id")), None),
+        threshold = 0.5, portable = true)
+        .select("doc_id").orderBy(col("doc_id")),
+      Some {
+        val m = "CAST(18446744073709551616 AS HUGEINT)"
+        val ps = graft.operators.Dedup.perms(64)
+        val mins = ps.zipWithIndex.map { case ((a, b), j) =>
+          val au = java.lang.Long.toUnsignedString(a)
+          val bu = java.lang.Long.toUnsignedString(b)
+          val v = s"((${mul64USql("sh", au)} + CAST($bu AS HUGEINT)) % $m)"
+          s"MIN(${signed64(v)}) AS m$j"
+        }.mkString(",\n    ")
+        val bandRows = (0 until 16).map(k =>
+          s"SELECT doc_id, $k AS bidx, m${4 * k} AS e0, m${4 * k + 1} AS e1," +
+            s" m${4 * k + 2} AS e2, m${4 * k + 3} AS e3 FROM __sg")
+          .mkString("\n  UNION ALL ")
+        s"""WITH __tk AS (
+           |  SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+           |    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+           |  FROM documents),
+           |${fmixChainSql("__tk")},
+           |__cn AS (SELECT doc_id, MAX(i) AS t FROM __th GROUP BY doc_id),
+           |__shu AS (
+           |  SELECT a.doc_id,
+           |    CASE WHEN c.u IS NOT NULL
+           |           THEN (((a.u*1000003 + b.u) % $m)*1000003 + c.u) % $m
+           |         WHEN b.u IS NOT NULL THEN (a.u*1000003 + b.u) % $m
+           |         ELSE a.u END AS sh
+           |  FROM __th a
+           |  JOIN __cn n ON a.doc_id = n.doc_id
+           |    AND a.i <= greatest(n.t - 3, 0) + 1
+           |  LEFT JOIN __th b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+           |  LEFT JOIN __th c ON c.doc_id = a.doc_id AND c.i = a.i + 2),
+           |__shs AS (SELECT DISTINCT doc_id, sh FROM __shu),
+           |__sg AS (SELECT doc_id, $mins FROM __shs GROUP BY doc_id),
+           |__bd AS ($bandRows),
+           |__cand AS (
+           |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+           |  FROM __bd a JOIN __bd b ON a.bidx = b.bidx AND a.e0 = b.e0
+           |    AND a.e1 = b.e1 AND a.e2 = b.e2 AND a.e3 = b.e3
+           |    AND a.doc_id < b.doc_id),
+           |__sets AS (SELECT doc_id, list(sh) AS s, COUNT(*) AS sz
+           |           FROM __shs GROUP BY doc_id),
+           |__drops AS (
+           |  SELECT DISTINCT c.idb AS doc_id
+           |  FROM __cand c JOIN __sets x ON x.doc_id = c.ida
+           |    JOIN __sets y ON y.doc_id = c.idb
+           |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           |        / (x.sz + y.sz - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE))
+           |        >= 0.5)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+      }),
 
     // SimHash near-dup dedup: per-row bit votes (no shuffle), 4×16-bit
     // chunk banding, bit_count(xor) ≤ 3 verify. FULL oracle (rows-only
@@ -78,15 +149,12 @@ object SimilarityGates {
         // evaluated once per token; distinct applies to HASHES like the
         // Spark side's array_distinct-after-transform
         s"""WITH __tk AS (
-           |  SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+           |  SELECT doc_id,
+           |    unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+           |    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
            |  FROM documents),
-           |__h0 AS (SELECT doc_id, ${polyHashUSql("tok")} AS u FROM __tk),
-           |__h1 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h0),
-           |__h2 AS (SELECT doc_id, ${mul64USql("18397679294719823053")} AS u FROM __h1),
-           |__h3 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h2),
-           |__h4 AS (SELECT doc_id, ${mul64USql("14181476777654086739")} AS u FROM __h3),
-           |__h5 AS (SELECT doc_id, xor(u, u >> 33) AS u FROM __h4),
-           |__hs AS (SELECT DISTINCT doc_id, u AS h FROM __h5),
+           |${fmixChainSql("__tk")},
+           |__hs AS (SELECT DISTINCT doc_id, u AS h FROM __th),
            |__nn AS (SELECT doc_id, COUNT(*) AS n FROM __hs GROUP BY doc_id),
            |__sig AS (
            |  SELECT doc_id, $voteBits AS su
