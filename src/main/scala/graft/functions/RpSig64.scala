@@ -43,10 +43,7 @@ case class RpSig64(left: Expression, right: Expression)
     while (i < n) {
       if (arr.isNullAt(i)) return null
       val x = arr.getDouble(i)
-      var h = seed ^ (i.toLong * 0x9E3779B97F4A7C15L)
-      h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
-      h ^= (h >>> 27); h *= 0x94D049BB133111EBL
-      h ^= (h >>> 31)
+      val h = RpSig64.planeHash(seed, i)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) votes(j) += x else votes(j) -= x
@@ -104,6 +101,17 @@ case class RpSig64(left: Expression, right: Expression)
 }
 
 object RpSig64 {
+  /** Hyperplane hash for dimension `i`: splitmix64(seed ^ i·φ). Bit j of
+    * the result is the Rademacher sign of plane j at dimension i — a
+    * pure function of (seed, i), so an oracle can embed the 64 values as
+    * literals. The generated code inlines the identical arithmetic. */
+  def planeHash(seed: Long, i: Int): Long = {
+    var h = seed ^ (i.toLong * 0x9E3779B97F4A7C15L)
+    h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
   /** Column-level entry point. */
   def rp_sig64(v: Column, seed: Column): Column =
     GraftSqlBridge.column(

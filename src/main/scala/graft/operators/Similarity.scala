@@ -148,16 +148,32 @@ object Similarity {
   }
 
   /** RP-LSH signature projection shared by the three entry points below:
-    * (idCol, __sig 64-bit signature, __v quantized vector, __nrm). */
+    * (idCol, __sig 64-bit signature, __v quantized vector, __nrm).
+    *
+    * `portable = true` signs the QUANTIZED vector (cast back to double)
+    * instead of the raw one: the per-plane votes become sums of
+    * integer-valued doubles — exact at any accumulation order (≪ 2^53),
+    * so the signature is bit-reproducible in any engine from the same
+    * fixed-point values (the s_ann_rplsh oracle re-derives it in SQL).
+    * The 1e-6 quantization shifts a plane's sign only when the true
+    * projection lies within 64·1e-6 of zero — the same noise class the
+    * raw float votes have across summation orders; recall specs hold in
+    * both modes. */
   private def sigFrame(df: DataFrame, idCol: String, vecCol: String,
-      seed: Long): DataFrame = df
-    .select(col(idCol),
-      transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
-    .withColumn("__sig",
-      graft.functions.RpSig64.rp_sig64(col("__dv"), lit(seed)))
-    .withColumn("__v", quantize(col("__dv")))
-    .withColumn("__nrm", normQ(col("__v")))
-    .drop("__dv")
+      seed: Long, portable: Boolean = false): DataFrame = {
+    val base = df
+      .select(col(idCol),
+        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+      .withColumn("__v", quantize(col("__dv")))
+    val sigInput =
+      if (portable) transform(col("__v"), _.cast(DoubleType))
+      else col("__dv")
+    base
+      .withColumn("__sig",
+        graft.functions.RpSig64.rp_sig64(sigInput, lit(seed)))
+      .withColumn("__nrm", normQ(col("__v")))
+      .drop("__dv")
+  }
 
   /** Explode a signature frame into (idCol, __band, __bv) band rows —
     * the one place the band geometry (and its validity rule) lives. */
@@ -191,8 +207,8 @@ object Similarity {
     * side; never an all-pairs stage. */
   def rpLshTopK(corpus: DataFrame, queryIds: Column => Column,
       idCol: String, vecCol: String, k: Int, nBands: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val e = sigFrame(corpus, idCol, vecCol, seed)
+      seed: Long = 42L, portable: Boolean = false): DataFrame = {
+    val e = sigFrame(corpus, idCol, vecCol, seed, portable)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = bandRows(e, idCol, nBands)
     val qBands = banded.filter(queryIds(col(idCol)))

@@ -277,9 +277,60 @@ object SimilarityGates {
     // candidates, exact cosine rank. Candidate set depends on the hash
     // family → rows-only; DedupSpec pins recall@10 ≥ 0.9 on clustered
     // embeddings against bruteForceTopK.
+    // FULL oracle (rows-only until r5): portable mode signs the
+    // QUANTIZED vectors, so the per-plane votes are exact integer sums
+    // and the 64 hyperplane hashes are pure functions of (seed, dim) —
+    // embedded below as literals from the same RpSig64.planeHash the
+    // expression evaluates. DuckDB re-derives signature, 16×4 banding,
+    // candidate join and quantized-cosine top-k from first principles.
     Gate("s_ann_rplsh",
       (s, d) => Similarity.rpLshTopK(t(s, d, "embeddings"),
-        id => id < 5, "vec_id", "embedding", k = 10)
-        .orderBy(col("query_id"), col("rank")), None)
+        id => id < 5, "vec_id", "embedding", k = 10, portable = true)
+        .orderBy(col("query_id"), col("rank")),
+      Some {
+        val planes = (0 until 64).map(i =>
+          s"($i, CAST(${graft.functions.RpSig64.planeHash(42L, i)} AS BIGINT))")
+          .mkString(", ")
+        val votes = (0 until 64).map(j =>
+          s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN q ELSE -q END) AS v$j")
+          .mkString(",\n    ")
+        val sigBits = (0 until 64).map(j =>
+          s"CASE WHEN v$j > 0 THEN CAST(1 AS HUGEINT) << $j" +
+            s" ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+        s"""WITH __pl(i, h) AS (VALUES $planes),
+           |__q AS (
+           |  SELECT vec_id, unnest(${qSql("embedding")}) AS q,
+           |    generate_subscripts(${qSql("embedding")}, 1) - 1 AS i
+           |  FROM embeddings),
+           |__v AS (
+           |  SELECT vec_id, $votes
+           |  FROM __q JOIN __pl USING (i) GROUP BY vec_id),
+           |__s0 AS (SELECT vec_id, $sigBits AS su FROM __v),
+           |__sg AS (SELECT vec_id, ${signed64("su")} AS sig FROM __s0),
+           |__bd AS (
+           |  SELECT vec_id, k AS band, (sig >> (4*k)) & 15 AS bv
+           |  FROM __sg CROSS JOIN (SELECT unnest(range(0, 16)) AS k) __k),
+           |__cand AS (
+           |  SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS nid
+           |  FROM __bd qb JOIN __bd cb
+           |    ON qb.band = cb.band AND qb.bv = cb.bv
+           |  WHERE qb.vec_id < 5 AND cb.vec_id != qb.vec_id),
+           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+           |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+           |      FROM e0),
+           |scored AS (
+           |  SELECT c.query_id, c.nid AS neighbor_id,
+           |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+           |  FROM __cand c JOIN e q ON q.vec_id = c.query_id
+           |    JOIN e b ON b.vec_id = c.nid),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+           |WHERE rank <= 10
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+      })
   )
 }
