@@ -94,7 +94,7 @@ object KMeansDet {
             .as(s"__m_$f")
         }
         val stats = pts
-          .groupBy(assignExpr(cents, features).as("__cl"))
+          .groupBy(assignExpr(cents, features.map(col)).as("__cl"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => r.getAs[Int]("__cl") ->
@@ -115,40 +115,152 @@ object KMeansDet {
     } finally { pts.unpersist() }
   }
 
+  /** Canonical cluster-id expression for a fitted model over arbitrary
+    * feature expressions: perm[argmin] — one evaluation of the argmin
+    * CASE, one array-literal lookup (element_at is 1-based). NULL when
+    * any feature is unusable (the guard must test the CAST value: a
+    * non-castable string or NaN would otherwise make every distance
+    * comparison null, fall through the CASE, and land in cluster k-1).
+    */
+  def labelExpr(m: Model, feats: Seq[Column]): Column = {
+    val remapped = element_at(
+      array(m.perm.map(r => lit(r)).toIndexedSeq: _*),
+      assignExpr(m.centroids, feats) + 1)
+    when(feats.map(f => !usable(f.cast(DoubleType))).reduce(_ || _),
+      lit(null).cast("int"))
+      .otherwise(remapped)
+  }
+
   /** Label `df` with canonical cluster ids: one codegen'd projection,
     * NULL for rows with a null feature. */
   def withCluster(df: DataFrame, features: Seq[String],
       tieBreak: Seq[Column], k: Int, iters: Int = 10,
       out: String = "cluster"): DataFrame = {
     val m = fit(df, features, tieBreak, k, iters)
-    // canonical id = perm[argmin]: one evaluation of the argmin CASE, one
-    // array-literal lookup (element_at is 1-based)
-    val remapped = element_at(
-      array(m.perm.map(r => lit(r)).toIndexedSeq: _*),
-      assignExpr(m.centroids, features) + 1)
-    // the null guard must test the CAST value (fit's filter does): a
-    // non-castable string or NaN would otherwise make every distance
-    // comparison null, fall through the CASE, and land in cluster k-1
-    df.withColumn(out,
-      when(features.map(f => !usable(col(f).cast(DoubleType)))
-        .reduce(_ || _), lit(null).cast("int"))
-        .otherwise(remapped))
+    df.withColumn(out, labelExpr(m, features.map(col)))
   }
 
-  /** Argmin-of-squared-distance CASE chain over `cents` order: cluster j
-    * wins iff its distance is <= every LATER cluster's (lowest id takes
-    * ties) — float-comparison semantics identical in any engine. */
+  /** Canonically-ordered centroids: element r is the centroid of output
+    * cluster r (Model.centroids is in internal fit order; perm maps
+    * internal j → canonical rank). */
+  def canonicalCentroids(m: Model): Array[Array[Double]] = {
+    val out = Array.ofDim[Array[Double]](m.centroids.length)
+    m.perm.zipWithIndex.foreach { case (r, j) => out(r) = m.centroids(j) }
+    out
+  }
+
+  // ---------------------------------------------------- array-vector path
+
+  /** A usable vector row: non-null, exactly `d` elements, all finite. */
+  private def usableVec(vec: Column, d: Int): Column =
+    vec.isNotNull && size(vec) === d &&
+      forall(vec, x => x.isNotNull && !isnan(x))
+
+  /** Argmin assignment over an ARRAY column — the high-dimension form.
+    * Same semantics as assignExpr (left-fold squared distance in dim
+    * order, first index achieving the min), but centroids ride as ONE
+    * typed literal and the distances are interpreted HOFs: nothing for
+    * janino to compile, where the column form re-generates ~k·d
+    * expression nodes per fit iteration (prohibitive at d = 64).
+    * Interpreted per-row cost is k·d ops — the right trade for fit
+    * (bounded passes, often over a sample) and fine for labeling; for a
+    * 100 TB label pass of a LOW-dimension model prefer the codegen'd
+    * column form. */
+  private def assignExprVec(cents: Array[Array[Double]],
+      vec: Column): Column = {
+    val cl = typedlit(cents.map(_.toSeq).toSeq)
+    val dists = transform(cl, c =>
+      aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (s, t) => s + t))
+    (array_position(dists, array_min(dists)) - 1)
+      .cast(org.apache.spark.sql.types.IntegerType)
+  }
+
+  /** fit over an array<double> column of fixed dimension `d` (the
+    * embedding shape). Identical mathematics to `fit` — quantile-row
+    * init over the element-lexicographic order, exact DECIMAL(30,6)
+    * means, empty cluster keeps its centroid, canonical relabel — so
+    * `oracleSql` replicates it given a relation that extracts the `d`
+    * elements as columns. Rows that are not `usableVec` are skipped. */
+  def fitVec(df: DataFrame, vecCol: String, d: Int, tieBreak: Seq[Column],
+      k: Int, iters: Int = 10): Model = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters > 0, s"iters must be > 0, got $iters")
+    require(d >= 1, s"need at least one dimension, got $d")
+    def el(i: Int) = element_at(col("__vec"), i + 1)
+    val pts = df
+      .select(transform(col(vecCol), _.cast(DoubleType)).as("__vec"),
+        struct(tieBreak: _*).as("__tb"))
+      .filter(usableVec(col("__vec"), d))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = pts.count()
+      require(n >= k, s"k-means needs at least k=$k rows, got $n")
+      val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
+      val order = (0 until d).map(i => el(i).asc) :+ col("__tb").asc
+      val initRows = Ordinals.withGlobalOrdinal(pts, "__rn", order)
+        .filter(col("__rn").isin(ranks: _*))
+        .orderBy("__rn")
+        .select(col("__vec"))
+        .collect()
+      var cents = initRows.map(_.getSeq[Double](0).toArray)
+      require(cents.length == k,
+        s"init produced ${cents.length} centroids, expected $k")
+      for (_ <- 1 to iters) {
+        val aggs = (0 until d).map { i =>
+          (sum(el(i).cast(dec6)).cast(DoubleType) / count(el(i)))
+            .as(s"__m_$i")
+        }
+        val stats = pts
+          .groupBy(assignExprVec(cents, col("__vec")).as("__cl"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+          .map(r => r.getAs[Int]("__cl") ->
+            (0 until d).map(i => r.getAs[Double](s"__m_$i")).toArray)
+          .toMap
+        cents = cents.zipWithIndex.map { case (prev, j) =>
+          stats.getOrElse(j, prev)
+        }
+      }
+      val sortedIdx = cents.indices.sortWith { (a, b) =>
+        val c = lexCompare(cents(a), cents(b)); if (c != 0) c < 0 else a < b
+      }
+      val perm = Array.ofDim[Int](k)
+      sortedIdx.zipWithIndex.foreach { case (j, rank) => perm(j) = rank }
+      Model(cents, perm)
+    } finally { pts.unpersist() }
+  }
+
+  /** Canonical cluster id for an array<double> column; NULL for rows
+    * that are not `usableVec`. */
+  def labelExprVec(m: Model, vec: Column, d: Int): Column = {
+    val dv = transform(vec, _.cast(DoubleType))
+    val remapped = element_at(
+      array(m.perm.map(r => lit(r)).toIndexedSeq: _*),
+      assignExprVec(m.centroids, dv) + 1)
+    when(!usableVec(dv, d), lit(null).cast("int")).otherwise(remapped)
+  }
+
+  /** Argmin of squared distance over `cents` order, lowest cluster id
+    * taking ties: array_position(dists, array_min(dists)) − 1 — the
+    * first index achieving the minimum. Semantically identical to the
+    * pairwise CASE chain (j wins iff dist(j) <= every later dist), but
+    * each distance expression appears ONCE: the chain duplicated every
+    * dist k−1 times, which at d = 64, k = 16 meant ~15k expression
+    * nodes and ~30 s of janino per (re)compile — six times per fit,
+    * because each iteration's centroid literals are a new expression
+    * (measured 172 s fit / 45 s label; the array form is seconds).
+    * Distances are squares, so the -0.0 = 0.0 comparison wrinkle can't
+    * arise. */
   private[operators] def assignExpr(cents: Array[Array[Double]],
-      features: Seq[String]): Column = {
-    def dist(j: Int): Column = features.zipWithIndex.map { case (f, i) =>
-      val x = col(f).cast(DoubleType) // pin coercion: double minus double
+      feats: Seq[Column]): Column = {
+    def dist(j: Int): Column = feats.zipWithIndex.map { case (f, i) =>
+      val x = f.cast(DoubleType) // pin coercion: double minus double
       (x - lit(cents(j)(i))) * (x - lit(cents(j)(i)))
     }.reduce(_ + _)
-    val k = cents.length
-    (0 until k - 1).foldRight(lit(k - 1)) { (j, acc) =>
-      when((j + 1 until k).map(m => dist(j) <= dist(m)).reduce(_ && _),
-        lit(j)).otherwise(acc)
-    }
+    val dists = array(cents.indices.map(dist): _*)
+    (array_position(dists, array_min(dists)) - 1)
+      .cast(org.apache.spark.sql.types.IntegerType)
   }
 
   private def lexCompare(a: Array[Double], b: Array[Double]): Int = {
@@ -163,101 +275,106 @@ object KMeansDet {
 
   // ------------------------------------------------------------ oracle SQL
 
-  /** The same computation as `fit`+`withCluster`, unrolled into chained
-    * SQL CTEs (DuckDB dialect) — each iteration is one assignment CTE and
-    * one centroid-update CTE; every arithmetic step mirrors the Spark
-    * side exactly (same IEEE ops on the same values in the same order).
-    * `fromSql` is the source relation; `idSql` the tie-break column(s);
-    * the result CTE `__km` has the source id/feature columns plus
-    * `cluster`. */
+  /** The same computation as `fit`+`withCluster`, expressed as chained
+    * SQL CTEs (DuckDB dialect) in a LONG relational layout: points and
+    * centroids unpivot to (row, dim, value) rows, so the generated text
+    * is O(d + iters) — the fully-unrolled argmin form this replaces was
+    * O(k²·d·iters) and reached megabytes at d = 64 (the embedding
+    * gates). Every arithmetic step still mirrors the Spark side
+    * EXACTLY:
+    *
+    *  - per-point squared distances left-fold (x − c)² in dimension
+    *    order via list_reduce over a list(... ORDER BY dim) — the same
+    *    IEEE addition sequence as assignExpr's fixed `+` chain;
+    *  - the assignment takes the LOWEST cluster id among equal minima
+    *    (ROW_NUMBER ORDER BY dist, j ≡ the CASE chain's tie-break);
+    *  - centroid means are exact DECIMAL(30,6) sums cast once to
+    *    double; an empty cluster keeps its previous centroid;
+    *  - the canonical relabel is ROW_NUMBER over the centroid lex
+    *    order (ties by original id), like fit's sortWith.
+    *
+    * TRY_CAST mirrors Spark's lenient cast (NULL for non-numeric
+    * strings); `__km` labels ALL of `__raw`, NULL cluster for rows with
+    * an unusable (NULL/NaN) feature — exactly withCluster's contract.
+    * `idCols` must uniquely identify rows (the `tieBreak` contract).
+    * `fromSql` is the source relation; the result CTE `__km` has
+    * idCols + features + `cluster`. */
   def oracleSql(fromSql: String, idCols: Seq[String], features: Seq[String],
       k: Int, iters: Int = 10): String = {
     val d = features.size
-    val js = 0 until k
-    def c(j: Int, i: Int) = s"__c${j}_$i"
-    // __raw pins every feature to DOUBLE with TRY_CAST — Spark's lenient
-    // cast yields NULL for a non-numeric string where DuckDB's strict
-    // CAST would error, so TRY_CAST is the parity-correct spelling.
-    // __pts (the fit input) keeps only usable rows; __km labels ALL of
-    // __raw, null cluster for unusable rows — exactly withCluster's
-    // contract (fit skips them, the label pass returns them with NULL)
     val rawCols = (idCols ++ features.map(f => s"TRY_CAST($f AS DOUBLE) AS $f"))
       .mkString(", ")
     val usableSql = features
       .map(f => s"$f IS NOT NULL AND NOT isnan($f)")
       .mkString(" AND ")
-    val unusableSql = features
-      .map(f => s"$f IS NULL OR isnan($f)")
+    val unusableR = features
+      .map(f => s"r.$f IS NULL OR isnan(r.$f)")
       .mkString("(", ") OR (", ")")
-    val selCols = (idCols ++ features).mkString(", ")
-    def distSql(j: Int, prefix: String = "") = features.zipWithIndex.map {
-      case (f, i) => s"($f - $prefix${c(j, i)}) * ($f - $prefix${c(j, i)})"
-    }.mkString(" + ")
-    def argminSql(prefix: String = "") = {
-      // k = 1: a CASE with zero WHEN arms is invalid SQL — the argmin is
-      // the constant 0 (mirrors assignExpr's empty foldRight)
-      if (k == 1) "0" else {
-        val whens = (0 until k - 1).map { j =>
-          val conds = (j + 1 until k)
-            .map(m => s"(${distSql(j, prefix)}) <= (${distSql(m, prefix)})")
-            .mkString(" AND ")
-          s"WHEN $conds THEN $j"
-        }.mkString(" ")
-        s"CASE $whens ELSE ${k - 1} END"
-      }
-    }
-    val sb = new StringBuilder
-    sb ++= s"__raw AS (SELECT $rawCols FROM $fromSql),\n"
-    sb ++= s"__pts AS (SELECT * FROM __raw WHERE $usableSql),\n"
+    val ids = idCols.mkString(", ")
+    def qids(q: String) = idCols.map(i => s"$q.$i").mkString(", ")
+    val idsEqPA = idCols.map(i => s"p.$i = a.$i").mkString(" AND ")
+    val idsEqRA = idCols.map(i => s"r.$i = a.$i").mkString(" AND ")
+    val dimCase =
+      "CASE dm.dim " + features.zipWithIndex
+        .map { case (f, i) => s"WHEN $i THEN $f" }.mkString(" ") + " END"
     val ord = (features ++ idCols).mkString(", ")
+    // one distance + one assignment CTE, parameterized by the centroid
+    // CTE feeding them (used per iteration and once for final labels)
+    def distCte(name: String, cents: String) =
+      s"$name AS (SELECT ${qids("p")}, c.j," +
+        s" list_reduce(list((p.x - c.c) * (p.x - c.c) ORDER BY p.dim)," +
+        s" (a, b) -> a + b) AS dist" +
+        s" FROM __pl p JOIN $cents c ON c.dim = p.dim" +
+        s" GROUP BY ${qids("p")}, c.j),\n"
+    def assignCte(name: String, dists: String) =
+      s"$name AS MATERIALIZED (SELECT $ids, j AS cl FROM (SELECT $ids, j," +
+        s" ROW_NUMBER() OVER (PARTITION BY $ids ORDER BY dist, j) AS rnk" +
+        s" FROM $dists) WHERE rnk = 1),\n"
+    val sb = new StringBuilder
+    // AS MATERIALIZED on every multiply-referenced CTE: without it
+    // DuckDB 1.0 inlines CTEs as subqueries, and the __c chain (each
+    // iteration references the previous twice) re-expands exponentially
+    // — the un-hinted form never finished at iters = 10
+    sb ++= s"__raw AS (SELECT $rawCols FROM $fromSql),\n"
+    sb ++= s"__pts AS MATERIALIZED (SELECT * FROM __raw WHERE $usableSql),\n"
     sb ++= s"__rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY $ord) AS __rn" +
       s" FROM __pts),\n"
     sb ++= s"__nn AS (SELECT COUNT(*) AS __n FROM __pts),\n"
-    // init: the k quantile rows, rank ((2j+1)n)//(2k)+1
-    val initCols = js.flatMap { j =>
-      features.zipWithIndex.map { case (f, i) =>
-        s"MAX(CASE WHEN __rn = ((${2 * j + 1} * __n) // ${2 * k}) + 1" +
-          s" THEN $f END) AS ${c(j, i)}"
-      }
-    }.mkString(", ")
-    sb ++= s"__it0 AS (SELECT $initCols FROM __rk, __nn),\n"
+    sb ++= s"__dims AS (SELECT unnest(range(0, $d)) AS dim),\n"
+    // init: the k quantile rows, rank ((2j+1)n)//(2k)+1, unpivoted
+    sb ++= s"__ini AS (SELECT j, ((2*j + 1) * __n) // ${2 * k} + 1 AS rn" +
+      s" FROM (SELECT unnest(range(0, $k)) AS j) __js CROSS JOIN __nn),\n"
+    sb ++= s"__c0 AS MATERIALIZED (SELECT i.j, dm.dim, $dimCase AS c" +
+      s" FROM __ini i JOIN __rk r ON r.__rn = i.rn CROSS JOIN __dims dm),\n"
+    sb ++= s"__pl AS MATERIALIZED (SELECT $ids, dm.dim, $dimCase AS x" +
+      s" FROM __pts CROSS JOIN __dims dm),\n"
     for (t <- 1 to iters) {
-      sb ++= s"__a$t AS (SELECT p.*, c.*, ${argminSql("c.")} AS __cl" +
-        s" FROM __pts p CROSS JOIN __it${t - 1} c),\n"
-      val upd = js.flatMap { j =>
-        features.zipWithIndex.map { case (f, i) =>
-          // queries.Det mean: exact decimal sum, one cast to double, a
-          // double/bigint divide; empty cluster → NULL → keep previous
-          s"COALESCE(CAST(SUM(CASE WHEN __cl = $j THEN" +
-            s" CAST($f AS DECIMAL(30,6)) END) AS DOUBLE)" +
-            s" / COUNT(CASE WHEN __cl = $j THEN 1 END)," +
-            s" MAX(${c(j, i)})) AS ${c(j, i)}"
-        }
-      }.mkString(", ")
-      sb ++= s"__it$t AS (SELECT $upd FROM __a$t),\n"
+      sb ++= distCte(s"__d$t", s"__c${t - 1}")
+      sb ++= assignCte(s"__a$t", s"__d$t")
+      sb ++= s"__c$t AS MATERIALIZED (SELECT prev.j, prev.dim," +
+        s" COALESCE(CAST(SUM(CAST(q.x AS DECIMAL(30,6))) AS DOUBLE)" +
+        s" / NULLIF(COUNT(q.x), 0), MAX(prev.c)) AS c" +
+        s" FROM __c${t - 1} prev LEFT JOIN" +
+        s" (SELECT a.cl, p.dim, p.x FROM __pl p JOIN __a$t a ON $idsEqPA) q" +
+        s" ON q.cl = prev.j AND q.dim = prev.dim" +
+        s" GROUP BY prev.j, prev.dim),\n"
     }
-    // canonical relabel: rank_j = #{m : centroid_m <lex centroid_j, ties
-    // by original id}
-    def lexLess(m: Int, j: Int): String = {
-      val clauses = (0 until d).map { i =>
-        val eqs = (0 until i).map(x => s"${c(m, x)} = ${c(j, x)}")
-        (eqs :+ s"${c(m, i)} < ${c(j, i)}").mkString("(", " AND ", ")")
-      }
-      val allEq = (0 until d).map(x => s"${c(m, x)} = ${c(j, x)}")
-        .mkString("(", " AND ", s" AND $m < $j)")
-      (clauses :+ allEq).mkString("(", " OR ", ")")
-    }
-    val rankCols = js.map { j =>
-      val terms = js.filter(_ != j)
-        .map(m => s"CASE WHEN ${lexLess(m, j)} THEN 1 ELSE 0 END")
-      s"(${if (terms.isEmpty) "0" else terms.mkString(" + ")}) AS __rank_$j"
-    }.mkString(", ")
-    sb ++= s"__rel AS (SELECT *, $rankCols FROM __it$iters),\n"
-    val remap = js.map(j => s"WHEN $j THEN __rank_$j").mkString(" ")
+    sb ++= distCte("__dF", s"__c$iters")
+    sb ++= assignCte("__aF", "__dF")
+    // canonical relabel: pivot centroids wide, rank by lex order
+    val pivotCols = (0 until d)
+      .map(i => s"MAX(CASE WHEN dim = $i THEN c END) AS c_$i")
+      .mkString(", ")
+    val lexOrd = ((0 until d).map(i => s"c_$i") :+ "j").mkString(", ")
+    sb ++= s"__cw AS (SELECT j, $pivotCols FROM __c$iters GROUP BY j),\n"
+    sb ++= s"__rel AS (SELECT j, CAST(ROW_NUMBER() OVER (ORDER BY $lexOrd)" +
+      s" - 1 AS INTEGER) AS __rank FROM __cw),\n"
+    val selCols = (idCols ++ features).map(x => s"r.$x").mkString(", ")
     sb ++= s"__km AS (SELECT $selCols," +
-      s" CAST(CASE WHEN $unusableSql THEN NULL" +
-      s" ELSE (CASE ${argminSql("")} $remap END) END AS INTEGER) AS cluster" +
-      s" FROM __raw CROSS JOIN __rel)"
+      s" CAST(CASE WHEN $unusableR THEN NULL ELSE rel.__rank END" +
+      s" AS INTEGER) AS cluster" +
+      s" FROM __raw r LEFT JOIN __aF a ON $idsEqRA" +
+      s" LEFT JOIN __rel rel ON rel.j = a.cl)"
     sb.toString
   }
 }

@@ -69,9 +69,18 @@ object Similarity {
   /** IVF ANN: KMeans coarse quantization, probe the `nprobe` nearest
     * cells per query, exact cosine within probed cells. The only full
     * scan is cell assignment; centroids broadcast. */
+  /** `deterministic = true` swaps the MLlib cell quantizer for
+    * operators.KMeansDet over the normalized vectors (fitVec, 5 fixed
+    * iterations — matching MLlib's maxIter): cell ids become a pure
+    * function of the corpus, so the whole index — normalization, fit,
+    * assignment, probe ranking, final top-k — is re-derivable in SQL
+    * (the s_ann_ivf oracle) and stable across engine versions. Costs a
+    * few seconds of driver-loop fit vs kmeans||; the default stays
+    * MLlib. */
   def ivfTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
-      fitFraction: Double = 1.0, seed: Long = 42L): DataFrame = {
+      fitFraction: Double = 1.0, seed: Long = 42L,
+      deterministic: Boolean = false): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -87,11 +96,11 @@ object Similarity {
       // measured 0.54 → normalized ≥0.9 recall@10)
       .withColumn("__l2",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("__features",
-        // guard: an all-zero vector has __l2=0; x/0 would feed
-        // NaN/Infinity features into KMeans.fit
-        array_to_vector(transform(col("__dv"),
-          x => x / greatest(col("__l2"), lit(1e-30)))))
+      // guard: an all-zero vector has __l2=0; x/0 would feed
+      // NaN/Infinity features into the fit
+      .withColumn("__na", transform(col("__dv"),
+        x => x / greatest(col("__l2"), lit(1e-30))))
+      .withColumn("__features", array_to_vector(col("__na")))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -99,23 +108,35 @@ object Similarity {
     // cosineDedupKMeans) — the scale knob; the default keeps the full
     // fit because cell quality directly buys recall for top-k queries
     // (measured: 0.54 → 0.38 recall@10 on near-random data at 0.2)
-    val sampled =
-      if (fitFraction < 1.0) e.sample(withReplacement = false,
-        fitFraction, seed)
-      else e
-    val fitFrame =
-      if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
-      else sampled
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").fit(fitFrame)
     // assigned feeds the probe and the scoring joins — cache it, return
     // the (queries × k)-row result eagerly, release the cache
-    val assigned = model.transform(e)
-      .select(col(idCol), col("__v"), col("__nrm"),
-        col("prediction").as("__cell"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray) }.toSeq
+    val (assigned, cents) = if (deterministic) {
+      val d = corpus.select(size(col(vecCol))).head.getInt(0)
+      val m = KMeansDet.fitVec(e, "__na", d, Seq(col(idCol)), nCells,
+        iters = 5)
+      val asg = e
+        .withColumn("__cell", KMeansDet.labelExprVec(m, col("__na"), d))
+        .select(col(idCol), col("__v"), col("__nrm"), col("__cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (asg, KMeansDet.canonicalCentroids(m).zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq)
+    } else {
+      val sampled =
+        if (fitFraction < 1.0) e.sample(withReplacement = false,
+          fitFraction, seed)
+        else e
+      val fitFrame =
+        if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
+        else sampled
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("__features").fit(fitFrame)
+      (model.transform(e)
+        .select(col(idCol), col("__v"), col("__nrm"),
+          col("prediction").as("__cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        model.clusterCenters.zipWithIndex.map { case (c, i) =>
+          (i, c.toArray) }.toSeq)
+    }
     val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
       .withColumn("__cv", quantize(col("__cvd")))
       .withColumn("__cnrm", normQ(col("__cv")))
@@ -314,7 +335,8 @@ object Similarity {
     * (same lifecycle as graft.operators.Dedup). */
   def cosineDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
-      fitFraction: Double = 0.2, seed: Long = 42L): DataFrame = {
+      fitFraction: Double = 0.2, seed: Long = 42L,
+      deterministic: Boolean = false): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -323,27 +345,38 @@ object Similarity {
         transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
       .withColumn("__l2",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
-      .withColumn("__features",
-        // zero-norm guard — see ivfTopK
-        array_to_vector(transform(col("__dv"),
-          x => x / greatest(col("__l2"), lit(1e-30)))))
+      // zero-norm guard — see ivfTopK
+      .withColumn("__na", transform(col("__dv"),
+        x => x / greatest(col("__l2"), lit(1e-30))))
+      .withColumn("__features", array_to_vector(col("__na")))
       .withColumn("__v", quantize(col("__dv")))
       .withColumn("__nrm", normQ(col("__v")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // train the coarse quantizer on a bounded sample (the standard IVF
-    // training regime — at open scale you never fit on the full corpus);
-    // fall back to the full frame when the sample can't seed k cells
-    val sampled =
-      if (fitFraction < 1.0) e.sample(withReplacement = false,
-        fitFraction, seed)
-      else e
-    val fitFrame =
-      if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
-      else sampled
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").fit(fitFrame)
-    val cents = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      (i, c.toArray) }.toSeq
+    // deterministic: KMeansDet over the normalized vectors, FULL-corpus
+    // fit (sampling would reintroduce engine dependence) — cell ids and
+    // therefore the whole dedup re-derive in SQL (d_embed_cosine_kmeans
+    // oracle). Default: MLlib trained on a bounded sample (the standard
+    // IVF regime — at open scale you never fit on the full corpus);
+    // falls back to the full frame when the sample can't seed k cells
+    val cents = if (deterministic) {
+      val d = df.select(size(col(vecCol))).head.getInt(0)
+      val m = KMeansDet.fitVec(e, "__na", d, Seq(col("__id")), nCells,
+        iters = 5)
+      KMeansDet.canonicalCentroids(m).zipWithIndex
+        .map { case (c, i) => (i, c) }.toSeq
+    } else {
+      val sampled =
+        if (fitFraction < 1.0) e.sample(withReplacement = false,
+          fitFraction, seed)
+        else e
+      val fitFrame =
+        if (fitFraction < 1.0 && sampled.limit(nCells).count() < nCells) e
+        else sampled
+      val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+        .setFeaturesCol("__features").fit(fitFrame)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, c.toArray) }.toSeq
+    }
     val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
       .withColumn("__cv", quantize(col("__cvd")))
       .withColumn("__cnrm", normQ(col("__cv")))

@@ -235,10 +235,65 @@ object SimilarityGates {
     // assignment so boundary pairs still share a cell. Cell ids are
     // engine-specific → rows-only; DedupSpec asserts survivor equality
     // vs the exhaustive pairwise dedup on clustered data.
+    // FULL oracle (rows-only until r5): deterministic mode — KMeansDet
+    // cells over normalized vectors, full-corpus fit — makes the open-
+    // scale cosine dedup a pure function of the corpus: the oracle
+    // re-derives cells, the 2-nearest multi-probe assignment and the
+    // within-cell quantized-cosine verify, and survivor sets must match
+    // row-for-row. (The MLlib sampled-fit default stays; DedupSpec's
+    // survivor-equality test covers it.)
     Gate("d_embed_cosine_kmeans",
       (s, d) => Similarity.cosineDedupKMeans(t(s, d, "embeddings"),
-        "vec_id", "embedding", threshold = 0.95)
-        .select("vec_id").orderBy(col("vec_id")), None),
+        "vec_id", "embedding", threshold = 0.95, deterministic = true)
+        .select("vec_id").orderBy(col("vec_id")),
+      Some {
+        val dim = 64
+        val feats = (0 until dim).map(i => s"f$i")
+        val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
+          .mkString(", ")
+        val km = graft.operators.KMeansDet.oracleSql(
+          s"(SELECT vec_id, $extract FROM __xn)",
+          Seq("vec_id"), feats, k = 16, iters = 5)
+        s"""WITH __xd AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           |  FROM embeddings),
+           |__xl AS (
+           |  SELECT vec_id, xd,
+           |    sqrt(list_reduce(
+           |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(xd, x -> x*x)),
+           |      (a, b) -> a + b)) AS l2
+           |  FROM __xd),
+           |__xn AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(xd, x -> x / greatest(l2, 1e-30)) AS xn
+           |  FROM __xl),
+           |$km,
+           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+           |e AS MATERIALIZED (
+           |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+           |__cq AS (
+           |  SELECT rel.__rank AS cell,
+           |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
+           |  FROM __c5 c JOIN __rel rel ON rel.j = c.j
+           |  GROUP BY rel.__rank),
+           |__cn AS (
+           |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),
+           |__pr AS (
+           |  SELECT v.vec_id, v.qv, v.nrm, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${dotQSql("v.qv", "c.cqv")} / (v.nrm * c.cnrm) DESC,
+           |        c.cell) AS crank
+           |  FROM e v CROSS JOIN __cn c),
+           |__asg AS MATERIALIZED (
+           |  SELECT vec_id, cell, qv, nrm FROM __pr WHERE crank <= 2),
+           |__drops AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM __asg a JOIN __asg b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE ${dotQSql("a.qv", "b.qv")} / (a.nrm * b.nrm) >= 0.95)
+           |SELECT vec_id FROM embeddings
+           |WHERE vec_id NOT IN (SELECT vec_id FROM __drops)
+           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin
+      }),
 
     // Brute-force cosine top-k (the ANN correctness baseline): queries
     // are vec_id < 5; exact top-10 each, fully SQL-oracle-checked.
@@ -266,11 +321,74 @@ object SimilarityGates {
              |WHERE rank <= 10
              |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
 
-    // IVF ANN (the scale path): KMeans(16) coarse cells, nprobe=4.
+    // IVF ANN (the scale path): 16 coarse cells, nprobe=4. FULL oracle
+    // (rows-only until r5): deterministic mode fits the cells with
+    // KMeansDet over the L2-normalized vectors, so the ENTIRE index —
+    // normalization folds, 5 Lloyd iterations, canonical cell ids,
+    // quantized-cosine probe ranking, final top-k — re-derives in SQL.
+    // The oracle chains the KMeansDet CTEs (referencing its __c5/__rel/
+    // __km internals) with the probe/scoring stages, all in the exact
+    // arithmetic the Spark side uses. MLlib remains ivfTopK's default
+    // fit; DedupSpec's recall tests cover that path.
     Gate("s_ann_ivf",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
-        id => id < 5, "vec_id", "embedding", k = 10)
-        .orderBy(col("query_id"), col("rank")), None),
+        id => id < 5, "vec_id", "embedding", k = 10,
+        deterministic = true)
+        .orderBy(col("query_id"), col("rank")),
+      Some {
+        val dim = 64
+        val feats = (0 until dim).map(i => s"f$i")
+        val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
+          .mkString(", ")
+        val km = graft.operators.KMeansDet.oracleSql(
+          s"(SELECT vec_id, $extract FROM __xn)",
+          Seq("vec_id"), feats, k = 16, iters = 5)
+        s"""WITH __xd AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+           |  FROM embeddings),
+           |__xl AS (
+           |  SELECT vec_id, xd,
+           |    sqrt(list_reduce(
+           |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(xd, x -> x*x)),
+           |      (a, b) -> a + b)) AS l2
+           |  FROM __xd),
+           |__xn AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(xd, x -> x / greatest(l2, 1e-30)) AS xn
+           |  FROM __xl),
+           |$km,
+           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+           |e AS MATERIALIZED (
+           |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+           |__cq AS (
+           |  SELECT rel.__rank AS cell,
+           |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
+           |  FROM __c5 c JOIN __rel rel ON rel.j = c.j
+           |  GROUP BY rel.__rank),
+           |__cn AS (
+           |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),
+           |__pr AS (
+           |  SELECT q.vec_id AS query_id, q.qv, q.nrm, c.cell,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${dotQSql("q.qv", "c.cqv")} / (q.nrm * c.cnrm) DESC,
+           |        c.cell) AS crank
+           |  FROM e q CROSS JOIN __cn c WHERE q.vec_id < 5),
+           |__probe AS (SELECT query_id, qv, nrm, cell FROM __pr WHERE crank <= 4),
+           |scored AS (
+           |  SELECT p.query_id, a.vec_id AS neighbor_id,
+           |    ${dotQSql("p.qv", "b.qv")} / (p.nrm * b.nrm) AS cosine
+           |  FROM __probe p
+           |  JOIN (SELECT vec_id, cluster AS cell FROM __km) a
+           |    ON a.cell = p.cell AND a.vec_id != p.query_id
+           |  JOIN e b ON b.vec_id = a.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, cosine,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+           |WHERE rank <= 10
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+      }),
 
     // Random-hyperplane LSH ANN (the fit-free scale path): 64-bit
     // sign-projection signatures (native RpSig64), 16×4-bit banded

@@ -62,6 +62,26 @@ class KMeansDetSpec extends AnyFunSuite {
     assert(out.filter(col("cluster").isNotNull).count() == 4)
   }
 
+  test("fitVec (array path, interpreted HOF argmin) produces the same " +
+    "model and labels as fit (column path, codegen argmin)") {
+    val rows = (0 until 60).map(i =>
+      Seq[Any](i.toLong, math.sin(i.toDouble) * 10, (i % 13).toDouble))
+    val df = Ingest.localData(spark, Seq("id", "f1", "f2"), rows)
+    val mCol = KMeansDet.fit(df, Seq("f1", "f2"), Seq(col("id")), k = 3)
+    val dfArr = df.select(col("id"), array(col("f1"), col("f2")).as("v"))
+    val mVec = KMeansDet.fitVec(dfArr, "v", 2, Seq(col("id")), k = 3)
+    assert(mCol.centroids.map(_.toSeq).toSeq ==
+      mVec.centroids.map(_.toSeq).toSeq)
+    assert(mCol.perm.toSeq == mVec.perm.toSeq)
+    val lCol = df.withColumn("c", KMeansDet.labelExpr(mCol,
+      Seq(col("f1"), col("f2")))).select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val lVec = dfArr.withColumn("c", KMeansDet.labelExprVec(mVec,
+      col("v"), 2)).select("id", "c").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lCol == lVec)
+  }
+
   test("k = 1 is legal: every usable row lands in cluster 0 " +
     "(the reference accepts `k-means (1)`)") {
     val df = Ingest.localData(spark, Seq("id", "x"),
