@@ -248,12 +248,13 @@ object SimilarityGates {
         .select("vec_id").orderBy(col("vec_id")),
       Some {
         val dim = 64
+        val iters = 5 // __cIters / __rel below are oracleSql's CTE names
         val feats = (0 until dim).map(i => s"f$i")
         val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
           .mkString(", ")
         val km = graft.operators.KMeansDet.oracleSql(
           s"(SELECT vec_id, $extract FROM __xn)",
-          Seq("vec_id"), feats, k = 16, iters = 5)
+          Seq("vec_id"), feats, k = 16, iters = iters)
         s"""WITH __xd AS MATERIALIZED (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
            |  FROM embeddings),
@@ -273,7 +274,7 @@ object SimilarityGates {
            |__cq AS (
            |  SELECT rel.__rank AS cell,
            |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
-           |  FROM __c5 c JOIN __rel rel ON rel.j = c.j
+           |  FROM __c${iters} c JOIN __rel rel ON rel.j = c.j
            |  GROUP BY rel.__rank),
            |__cn AS (
            |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),
@@ -337,12 +338,13 @@ object SimilarityGates {
         .orderBy(col("query_id"), col("rank")),
       Some {
         val dim = 64
+        val iters = 5 // __cIters / __rel below are oracleSql's CTE names
         val feats = (0 until dim).map(i => s"f$i")
         val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
           .mkString(", ")
         val km = graft.operators.KMeansDet.oracleSql(
           s"(SELECT vec_id, $extract FROM __xn)",
-          Seq("vec_id"), feats, k = 16, iters = 5)
+          Seq("vec_id"), feats, k = 16, iters = iters)
         s"""WITH __xd AS MATERIALIZED (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
            |  FROM embeddings),
@@ -362,7 +364,7 @@ object SimilarityGates {
            |__cq AS (
            |  SELECT rel.__rank AS cell,
            |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
-           |  FROM __c5 c JOIN __rel rel ON rel.j = c.j
+           |  FROM __c${iters} c JOIN __rel rel ON rel.j = c.j
            |  GROUP BY rel.__rank),
            |__cn AS (
            |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),

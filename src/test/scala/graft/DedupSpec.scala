@@ -217,6 +217,13 @@ class DedupSpec extends AnyFunSuite {
       s"only-auto=${auto -- exhaustive} only-exh=${exhaustive -- auto}")
     assert((0 until 10).forall(i => !auto.contains(1000L + i)),
       "planted twins must drop")
+    // deterministic (KMeansDet-cell) mode must find the same survivors —
+    // the sf0.01 gate data has no near-dups, so the oracle exercises the
+    // drop stage only here
+    val det = survivors(Similarity.cosineDedupKMeans(e, "vec_id",
+      "embedding", threshold = 0.95, deterministic = true))
+    assert(det == exhaustive,
+      s"only-det=${det -- exhaustive} only-exh=${exhaustive -- det}")
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 
