@@ -158,23 +158,17 @@ object KMeansDet {
 
   /** Argmin assignment over an ARRAY column — the high-dimension form.
     * Same semantics as assignExpr (left-fold squared distance in dim
-    * order, first index achieving the min), but centroids ride as ONE
-    * typed literal and the distances are interpreted HOFs: nothing for
-    * janino to compile, where the column form re-generates ~k·d
-    * expression nodes per fit iteration (prohibitive at d = 64).
-    * Interpreted per-row cost is k·d ops — the right trade for fit
-    * (bounded passes, often over a sample) and fine for labeling; for a
-    * 100 TB label pass of a LOW-dimension model prefer the codegen'd
-    * column form. */
+    * order, first index achieving the min), via the native
+    * graft.functions.ArgminDist expression: centroids ride as a codegen
+    * reference object, so the generated source is IDENTICAL across
+    * Lloyd iterations and Spark's codegen cache compiles the kernel
+    * once per fit. (The column form re-generates ~k·d literal-bearing
+    * expression nodes per iteration — ~30 s of janino at d = 64 — and
+    * an interpreted HOF chain cost ~1 s/iteration in pure lambda
+    * overhead.) */
   private def assignExprVec(cents: Array[Array[Double]],
-      vec: Column): Column = {
-    val cl = typedlit(cents.map(_.toSeq).toSeq)
-    val dists = transform(cl, c =>
-      aggregate(zip_with(vec, c, (a, b) => (a - b) * (a - b)),
-        lit(0.0), (s, t) => s + t))
-    (array_position(dists, array_min(dists)) - 1)
-      .cast(org.apache.spark.sql.types.IntegerType)
-  }
+      vec: Column): Column =
+    graft.functions.ArgminDist.argmin_dist(vec, cents)
 
   /** fit over an array<double> column of fixed dimension `d` (the
     * embedding shape). Identical mathematics to `fit` — quantile-row

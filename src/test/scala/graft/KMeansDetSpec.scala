@@ -62,7 +62,7 @@ class KMeansDetSpec extends AnyFunSuite {
     assert(out.filter(col("cluster").isNotNull).count() == 4)
   }
 
-  test("fitVec (array path, interpreted HOF argmin) produces the same " +
+  test("fitVec (array path, native ArgminDist kernel) produces the same " +
     "model and labels as fit (column path, codegen argmin)") {
     val rows = (0 until 60).map(i =>
       Seq[Any](i.toLong, math.sin(i.toDouble) * 10, (i % 13).toDouble))
