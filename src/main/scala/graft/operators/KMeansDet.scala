@@ -31,13 +31,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * any pipeline that joins on cluster id silently reshuffles on upgrade;
   * this one re-derives identically anywhere.
   *
-  * Scale: fit is `iters`+2 passes — one count, one range-partitioned
-  * ordinal scan (operators.Ordinals — no single-partition stage) of which
-  * only k quantile rows are collected, then per-iteration a codegen'd
-  * narrow-map assignment (centroids are literals, k·d doubles broadcast
-  * in the plan itself) feeding a map-side-combined aggregate that returns
-  * k rows to the driver. The labeled output is a PURE PROJECTION — no
-  * join, no shuffle — so labeling 100 TB costs one narrow pass.
+  * Scale: fit is `iters`+1 passes — one range-partitioned ordinal scan
+  * (operators.Ordinals — no single-partition stage; its per-partition
+  * count job doubles as the row count, so there is no separate count
+  * pass) of which only k quantile rows are collected, then per-iteration
+  * a codegen'd narrow-map assignment (centroids ride as literals /
+  * ArgminDist's reference object) feeding a map-side-combined aggregate
+  * that returns k rows to the driver. The labeled output is a PURE
+  * PROJECTION — no join, no shuffle — so labeling 100 TB costs one
+  * narrow pass.
   */
 object KMeansDet {
 
@@ -69,11 +71,14 @@ object KMeansDet {
       .filter(features.map(f => usable(col(f))).reduce(_ && _))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = pts.count()
+      // the ordinal pass counts per partition anyway — its total IS n,
+      // so no separate count() job (and the range-sample pass fills the
+      // cache instead)
+      val order = features.map(col(_).asc) :+ col("__tb").asc
+      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
-      val order = features.map(col(_).asc) :+ col("__tb").asc
-      val initRows = Ordinals.withGlobalOrdinal(pts, "__rn", order)
+      val initRows = ordDf
         .filter(col("__rn").isin(ranks: _*))
         .orderBy("__rn")
         .select(features.map(col): _*)
@@ -188,11 +193,12 @@ object KMeansDet {
       .filter(usableVec(col("__vec"), d))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val n = pts.count()
+      // see fit: the ordinal pass's total is n, no separate count() job
+      val order = (0 until d).map(i => el(i).asc) :+ col("__tb").asc
+      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
-      val order = (0 until d).map(i => el(i).asc) :+ col("__tb").asc
-      val initRows = Ordinals.withGlobalOrdinal(pts, "__rn", order)
+      val initRows = ordDf
         .filter(col("__rn").isin(ranks: _*))
         .orderBy("__rn")
         .select(col("__vec"))

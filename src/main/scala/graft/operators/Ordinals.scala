@@ -30,6 +30,14 @@ object Ordinals {
     * (unique tie-break) for deterministic output. */
   def withGlobalOrdinal(df: DataFrame, name: String,
       order: Seq[Column], numPartitions: Int = 0): DataFrame =
+    withGlobalOrdinalTotal(df, name, order, numPartitions)._1
+
+  /** As withGlobalOrdinal, but also returns the TOTAL row count — the
+    * per-partition count job computes it anyway (eagerly, at call time),
+    * so callers that would otherwise run a separate `df.count()` first
+    * (KMeansDet's quantile init) save a full pass. */
+  def withGlobalOrdinalTotal(df: DataFrame, name: String,
+      order: Seq[Column], numPartitions: Int = 0): (DataFrame, Long) =
     zipOrdered(df, order, numPartitions) { (ordinal, _) => ordinal }(
       f => StructField(name, LongType, nullable = false))
 
@@ -45,7 +53,7 @@ object Ordinals {
       val cut = r * (q + 1)
       val b = if (i < cut) i / (q + 1) else r + (i - cut) / math.max(q, 1L)
       (b + 1).toInt
-    }(f => StructField(name, IntegerType, nullable = false))
+    }(f => StructField(name, IntegerType, nullable = false))._1
 
   /** Range-repartition + in-partition sort by `order`, then append
     * `value(globalOrdinal, totalRows)` as a new column. One count job
@@ -53,7 +61,7 @@ object Ordinals {
     * per-partition numbering pass. */
   private def zipOrdered[T](df: DataFrame, order: Seq[Column],
       numPartitions: Int)(value: (Long, Long) => T)(
-      field: Unit => StructField): DataFrame = {
+      field: Unit => StructField): (DataFrame, Long) = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -70,6 +78,6 @@ object Ordinals {
       var ord = offsets(i)
       it.map { r => ord += 1; Row.fromSeq(r.toSeq :+ value(ord, total)) }
     }
-    spark.createDataFrame(zipped, schema)
+    (spark.createDataFrame(zipped, schema), total)
   }
 }
