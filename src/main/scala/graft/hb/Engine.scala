@@ -255,8 +255,12 @@ object Engine {
       // CASE). The !isnan guard matches KMeansDet.usable — a NaN feature
       // passes isNotNull but would get a null cluster from withCluster
       // and surface as a spurious null-key group
-      val fit = f.df.filter(nums.map(c =>
-        col(c).isNotNull && !isnan(col(c).cast(DoubleType))).reduce(_ && _))
+      val fit = f.df.filter(nums.map { c =>
+        val x = col(c).cast(DoubleType)
+        col(c).isNotNull && !isnan(x) &&
+          x =!= lit(Double.PositiveInfinity) &&
+          x =!= lit(Double.NegativeInfinity)
+      }.reduce(_ && _))
       val clustered = graft.operators.KMeansDet
         .withCluster(fit, nums, Seq(col(KEY)), n, out = "__cluster")
         .groupBy(col("__cluster").as(KEY))

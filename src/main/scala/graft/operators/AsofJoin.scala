@@ -69,18 +69,24 @@ object AsofJoin {
       tolerance: Option[Column], forward: Boolean): DataFrame = {
     require(leftKeys.size == rightKeys.size,
       s"by-key arity mismatch: $leftKeys vs $rightKeys")
-    val reserved = Seq("__t", "__side", "__rv")
+    val reserved = Seq("__t", "__side", "__rv", "__m")
     require(!left.columns.exists(reserved.contains),
       s"left must not contain ${reserved.mkString("/")}")
 
     // the right row travels as one struct: time first (it doubles as the
-    // in-timestamp tie-break), then the value columns
-    val r = right.select(
-      rightKeys.zip(leftKeys).map { case (rk, lk) => col(rk).as(lk) } ++ Seq(
-        col(rightTime).as("__t"),
-        struct((col(rightTime).as(rightTime) +:
-          rightVals.map(col)): _*).as("__rv"),
-        lit(0).as("__side")): _*)
+    // in-timestamp tie-break), then the value columns. A NULL right time
+    // matches nothing in SQL/pandas asof semantics — but under the
+    // backward sort it would order FIRST (nulls-first asc) with a
+    // non-null struct and become everyone's fallback match, so those
+    // rows must drop here
+    val r = right
+      .filter(col(rightTime).isNotNull)
+      .select(
+        rightKeys.zip(leftKeys).map { case (rk, lk) => col(rk).as(lk) } ++ Seq(
+          col(rightTime).as("__t"),
+          struct((col(rightTime).as(rightTime) +:
+            rightVals.map(col)): _*).as("__rv"),
+          lit(0).as("__side")): _*)
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))

@@ -47,9 +47,15 @@ object KMeansDet {
 
   final case class Model(centroids: Array[Array[Double]], perm: Array[Int])
 
-  /** A feature cell the fit/label passes can use: castable to a real
-    * double (NULL, non-numeric strings and NaN are all unusable). */
-  private def usable(f: Column): Column = f.isNotNull && !isnan(f)
+  /** A feature cell the fit/label passes can use: castable to a FINITE
+    * double — NULL, non-numeric strings, NaN and ±Infinity are all
+    * unusable. (An Infinity would pass an isnan-only guard, then
+    * cast(inf AS DECIMAL) is NULL with ANSI off: the value vanishes
+    * from the mean's sum while still counting in count() — a silently
+    * biased centroid, and a DuckDB-side cast error in the oracle.) */
+  private def usable(f: Column): Column =
+    f.isNotNull && !isnan(f) &&
+      f =!= lit(Double.PositiveInfinity) && f =!= lit(Double.NegativeInfinity)
 
   /** Fit on the non-null feature rows of `df`. `tieBreak` must complete
     * the feature columns to a total order (any unique row id). */
@@ -158,8 +164,7 @@ object KMeansDet {
 
   /** A usable vector row: non-null, exactly `d` elements, all finite. */
   private def usableVec(vec: Column, d: Int): Column =
-    vec.isNotNull && size(vec) === d &&
-      forall(vec, x => x.isNotNull && !isnan(x))
+    vec.isNotNull && size(vec) === d && forall(vec, usable)
 
   /** Argmin assignment over an ARRAY column — the high-dimension form.
     * Same semantics as assignExpr (left-fold squared distance in dim
@@ -305,10 +310,10 @@ object KMeansDet {
     val rawCols = (idCols ++ features.map(f => s"TRY_CAST($f AS DOUBLE) AS $f"))
       .mkString(", ")
     val usableSql = features
-      .map(f => s"$f IS NOT NULL AND NOT isnan($f)")
+      .map(f => s"$f IS NOT NULL AND NOT isnan($f) AND NOT isinf($f)")
       .mkString(" AND ")
     val unusableR = features
-      .map(f => s"r.$f IS NULL OR isnan(r.$f)")
+      .map(f => s"r.$f IS NULL OR isnan(r.$f) OR isinf(r.$f)")
       .mkString("(", ") OR (", ")")
     val ids = idCols.mkString(", ")
     def qids(q: String) = idCols.map(i => s"$q.$i").mkString(", ")
@@ -335,7 +340,7 @@ object KMeansDet {
     // DuckDB 1.0 inlines CTEs as subqueries, and the __c chain (each
     // iteration references the previous twice) re-expands exponentially
     // — the un-hinted form never finished at iters = 10
-    sb ++= s"__raw AS (SELECT $rawCols FROM $fromSql),\n"
+    sb ++= s"__raw AS MATERIALIZED (SELECT $rawCols FROM $fromSql),\n"
     sb ++= s"__pts AS MATERIALIZED (SELECT * FROM __raw WHERE $usableSql),\n"
     sb ++= s"__rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY $ord) AS __rn" +
       s" FROM __pts),\n"

@@ -77,6 +77,5 @@ object RangeJoin {
       .select(points.columns.map(pts(_)) ++
         intervals.columns.filterNot(dupIvalCols.contains)
           .map(ivals(_)): _*)
-      .drop("__bin")
   }
 }

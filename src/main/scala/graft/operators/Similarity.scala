@@ -28,6 +28,18 @@ object Similarity {
   def cosine(a: Column, an: Column, b: Column, bn: Column): Column =
     ddot(a, b) / (an * bn)
 
+  /** Dimension of a vector column: the max element count over the
+    * (cached) frame — null-safe, loud on an empty or all-null corpus,
+    * and rows of any OTHER length are later dropped by the fit's
+    * usable-vector filter rather than trusted blindly (a first-row
+    * probe would crash on an empty corpus and silently mis-size a
+    * ragged one). One aggregate job over the already-persisted frame. */
+  private def vecDim(df: DataFrame, vecCol: String): Int = {
+    val r = df.select(max(size(col(vecCol)))).head()
+    require(!r.isNullAt(0), s"no non-null vectors in $vecCol")
+    r.getInt(0)
+  }
+
   /** Fixed-point quantization of a float vector to longs (1e-6 steps),
     * computed ONCE per row so every pairwise dot is a pure long
     * multiply-add. The scale cancels out of cosine
@@ -111,7 +123,7 @@ object Similarity {
     // assigned feeds the probe and the scoring joins — cache it, return
     // the (queries × k)-row result eagerly, release the cache
     val (assigned, cents) = if (deterministic) {
-      val d = corpus.select(size(col(vecCol))).head.getInt(0)
+      val d = vecDim(e, "__na")
       val m = KMeansDet.fitVec(e, "__na", d, Seq(col(idCol)), nCells,
         iters = 5)
       val asg = e
@@ -359,7 +371,7 @@ object Similarity {
     // IVF regime — at open scale you never fit on the full corpus);
     // falls back to the full frame when the sample can't seed k cells
     val cents = if (deterministic) {
-      val d = df.select(size(col(vecCol))).head.getInt(0)
+      val d = vecDim(e, "__na")
       val m = KMeansDet.fitVec(e, "__na", d, Seq(col("__id")), nCells,
         iters = 5)
       KMeansDet.canonicalCentroids(m).zipWithIndex

@@ -84,6 +84,17 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(out.isNullAt(3))
   }
 
+  test("asof: a right row with NULL time matches nothing — it must not " +
+    "become the nulls-first fallback match") {
+    val right = Ingest.localData(spark, Seq("k", "px"), Seq(Seq("a", 9.0)))
+      .withColumn("t", lit(null).cast("bigint"))
+      .select("k", "t", "px")
+    val trades = Ingest.localData(spark, Seq("k", "t"), Seq(Seq("a", 5L)))
+    val out = AsofJoin.backward(trades, right, "t", "t",
+      Seq("k"), Seq("k"), Seq("px")).collect().head
+    assert(out.isNullAt(2) && out.isNullAt(3))
+  }
+
   test("asof: NULL left key or NULL left time matches nothing " +
     "(SQL comparison parity)") {
     val trades = Ingest.localData(spark, Seq("k", "t"), Seq(Seq("a", 25L)))

@@ -50,16 +50,29 @@ class KMeansDetSpec extends AnyFunSuite {
     assert(math.abs(cents(0)._2 - cents(1)._2) > 20.0)
   }
 
-  test("rows with a null feature get a null cluster and are excluded " +
-    "from the fit") {
+  test("rows with a null, NaN or Infinity feature get a null cluster " +
+    "and are excluded from the fit") {
+    // Infinity would pass an isnan-only guard, then vanish from the
+    // decimal mean while still counting — and crash the DuckDB oracle's
+    // strict decimal cast (advice-class hole closed in r5's review pass)
     val df = Ingest.localData(spark, Seq("id", "x"),
-      Seq(Seq(1L, 1.0), Seq(2L, 2.0), Seq(3L, 100.0), Seq(4L, 101.0)))
+      Seq(Seq[Any](1L, 1.0), Seq[Any](2L, 2.0), Seq[Any](3L, 100.0),
+        Seq[Any](4L, 101.0), Seq[Any](6L, Double.NaN),
+        Seq[Any](7L, Double.PositiveInfinity),
+        Seq[Any](8L, Double.NegativeInfinity)))
       .union(Ingest.localData(spark, Seq("id", "x"),
-        Seq(Seq(5L, 0.0))).withColumn("x", lit(null).cast("double")))
+        Seq(Seq[Any](5L, 0.0))).withColumn("x", lit(null).cast("double")))
     val out = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), k = 2)
-    assert(out.filter(col("id") === 5L).collect()
-      .head.isNullAt(out.columns.indexOf("cluster")))
+    val byId = out.collect()
+      .map(r => r.getLong(0) -> r.isNullAt(out.columns.indexOf("cluster")))
+      .toMap
+    assert(Seq(5L, 6L, 7L, 8L).forall(byId(_)), byId.toString)
     assert(out.filter(col("cluster").isNotNull).count() == 4)
+    // and the means stayed clean (no vanished-infinity bias)
+    val cents = KMeansDet.fit(df, Seq("x"), Seq(col("id")), k = 2)
+      .centroids.map(_.head).sorted
+    assert(math.abs(cents(0) - 1.5) < 0.01 &&
+      math.abs(cents(1) - 100.5) < 0.01, cents.toSeq)
   }
 
   test("fitVec (array path, native ArgminDist kernel) produces the same " +
@@ -89,11 +102,14 @@ class KMeansDetSpec extends AnyFunSuite {
     val out = KMeansDet.withCluster(df, Seq("x"), Seq(col("id")), k = 1)
     assert(out.select("cluster").collect().map(_.getInt(0)).toSeq
       == Seq(0, 0, 0))
-    // and the unrolled oracle SQL for k = 1 must be syntactically sound:
-    // a zero-arm CASE would be invalid — the argmin degenerates to 0
+    // and the generated oracle SQL for k = 1 must keep its structure:
+    // single-centroid init, both iteration centroid CTEs, the final
+    // assignment and the labeled output (the old string checks guarded a
+    // zero-arm CASE the long-layout generator no longer emits)
     val sql = KMeansDet.oracleSql("t", Seq("id"), Seq("x"), k = 1, iters = 2)
-    assert(!sql.contains("CASE  "), sql)
-    assert(!sql.contains("CASE WHEN  THEN"), sql)
+    for (frag <- Seq("range(0, 1)", "__c0 AS", "__c1 AS", "__c2 AS",
+        "__aF AS", "__km AS", "// 2 + 1"))
+      assert(sql.contains(frag), s"missing $frag in:\n$sql")
   }
 
   test("fewer rows than k raises") {
