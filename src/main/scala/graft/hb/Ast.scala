@@ -126,6 +126,34 @@ object Ast {
     * engine (hobbes.YAML-tmLanguage:24-27). */
   case class Comment(text: String) extends Statement
 
+  // ---- training-pipeline extension statements -------------------------
+  // No .hb analogue exists in the reference corpus (these operators are
+  // this engine's extensions); the surface follows the reference's
+  // statement style — lowercase keyword, bare/quoted column names,
+  // bracketed expressions — so extension pipelines read like the rest of
+  // a program and round-trip through the same Printer/parser validation.
+
+  /** `dedup exact <col>` — keep the lowest-key row per normalized text
+    * fingerprint (operators.Dedup.exactSurvivors). */
+  case class DedupExact(col: String) extends Statement
+  /** `dedup minhash <col> <threshold>` — MinHash+LSH near-dup survivors
+    * (operators.Dedup.minhashLsh, portable hasher: the text surface is
+    * the cross-engine contract, so signatures must re-derive anywhere). */
+  case class DedupMinhash(col: String, threshold: Double) extends Statement
+  /** `split <tr>/<va>/<te> by <col> ['salt']` — deterministic hash split
+    * (operators.Sampling.hashSplit). 2 percents = train/test, 3 =
+    * train/val/test; they must sum to 100. */
+  case class SplitBy(percents: Seq[Double], col: String,
+      salt: String = "split") extends Statement
+  /** `pack <tokensCol> <budget> [shards]` — sequence-packing layout
+    * keyed on the frame index (operators.Packing.packedLayout). */
+  case class Pack(tokensCol: String, budget: Long, shards: Int = 64)
+      extends Statement
+  /** `neighbors <k> [<vecCol>] [<queryPred>]` — exact cosine top-k of
+    * every row matching the predicate against the whole frame
+    * (operators.Similarity.bruteForceTopK; ids are the frame index). */
+  case class Neighbors(k: Int, vec: Expr, pred: Expr) extends Statement
+
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values
     * (`url:` with `- …` items) and one nested block (`meta:`). */

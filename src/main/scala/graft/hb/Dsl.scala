@@ -93,6 +93,20 @@ object Dsl {
       nTrain: Int): Statement =
     LinearExtrapolation(name, known, nPredict, nTrain)
 
+  // ---- training-pipeline extension statements (Ast.scala) ----------
+  def dedupExact(col: String): Statement = DedupExact(col)
+  def dedupMinhash(col: String, threshold: Double): Statement =
+    DedupMinhash(col, threshold)
+  /** `split(by = "id", 80, 10, 10)` → `split 80/10/10 by id`. */
+  def split(by: String, percents: Double*): Statement =
+    SplitBy(percents, by)
+  def splitSalted(by: String, salt: String, percents: Double*): Statement =
+    SplitBy(percents, by, salt)
+  def pack(tokensCol: String, budget: Long, shards: Int = 64): Statement =
+    Pack(tokensCol, budget, shards)
+  def neighbors(k: Int, vec: Expr, pred: Expr): Statement =
+    Neighbors(k, vec, pred)
+
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))
     def maxby(e: Expr): Statement = GroupBy(cols, MaxBy(e))

@@ -276,6 +276,53 @@ object Engine {
 
     case LinearExtrapolation(name, known, nPred, nTrain) =>
       extrapolate(f, name, known, nPred, nTrain)
+
+    // ---- training-pipeline extension statements (Ast.scala) --------
+    // All are keyed on the frame index (`__key`), per the reference's
+    // key discipline ("joins are always done on the index") — programs
+    // `index rows by <id>` first so survival/placement is deterministic
+    // (ingest ordinals are partitioning-dependent).
+
+    case DedupExact(c) =>
+      // row-set filter: columns, order and series all survive
+      f.copy(df = graft.operators.Dedup.exactSurvivors(f.df, c, KEY))
+
+    case DedupMinhash(c, th) =>
+      // portable hasher: a .hb program is a cross-engine artifact, so
+      // its near-dup signatures must re-derive bit-for-bit anywhere
+      // (same contract as the k-means statement's KMeansDet)
+      f.copy(df = graft.operators.Dedup.minhashLsh(f.df, c, KEY, th,
+        portable = true))
+
+    case SplitBy(pcts, by, salt) =>
+      val labels = pcts.length match {
+        case 2 => Seq("train", "test")
+        case 3 => Seq("train", "val", "test")
+        case n => throw new IllegalArgumentException(
+          s"split expects 2 or 3 percentages (train[/val]/test), got $n")
+      }
+      require(math.abs(pcts.sum - 100.0) < 1e-9,
+        s"split percentages must sum to 100, got ${pcts.sum}")
+      f.copy(df = graft.operators.Sampling.hashSplit(f.df, by, salt,
+        labels.zip(pcts.map(_ / 100.0)), name = "split"))
+
+    case Pack(tc, budget, shards) =>
+      // the layout REPLACES the frame (like group by): key + placement
+      val packed = graft.operators.Packing
+        .packedLayout(f.df, KEY, tc, budget, shards)
+      HbFrame(packed, Seq(col(KEY).asc), Nil)
+
+    case Neighbors(k, vecE, predE) =>
+      val vecCol = vecE match {
+        case ColRef(n) => n
+        case other => throw new IllegalArgumentException(
+          s"neighbors expects a vector column reference, got $other")
+      }
+      val queries = f.df.filter(compileExpr(predE, f))
+      val res = graft.operators.Similarity
+        .bruteForceTopK(f.df, queries, KEY, vecCol, k)
+      HbFrame(res.withColumn(KEY, struct(col("query_id"), col("rank"))),
+        Seq(col(KEY).asc), Nil)
   }
 
   // ------------------------------------------------------------ reductions

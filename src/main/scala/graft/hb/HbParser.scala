@@ -20,7 +20,8 @@ object HbParser {
 
   private val statementStart = Set(
     "create", "rename", "slice", "only", "dense", "numeric", "index",
-    "sort", "group", "pivot", "buckets", "k-means", "each")
+    "sort", "group", "pivot", "buckets", "k-means", "each",
+    "dedup", "split", "pack", "neighbors")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -208,6 +209,10 @@ object HbParser {
     def int(): Int = next() match {
       case TNum(v) if v == v.toInt => v.toInt
       case other => err(s"expected integer, got $other")
+    }
+    def num(): Double = next() match {
+      case TNum(v) => v
+      case other => err(s"expected number, got $other")
     }
     def reduction(): Reduction = {
       val n = ident()
@@ -417,6 +422,35 @@ object HbParser {
         p.eat("("); val r = p.reduction(); p.eat(")")
         KMeansCluster(n, r)
       case "each" => Each(p.reduction())
+      // ---- training-pipeline extension statements (Ast.scala) ----
+      case "dedup" => p.ident() match {
+        case "exact" => DedupExact(p.colName())
+        case "minhash" => DedupMinhash(p.colName(), p.num())
+        case other => p.err(s"expected exact|minhash, got $other")
+      }
+      case "split" =>
+        val pcts = mutable.ArrayBuffer[Double](p.num())
+        while (p.atSym("/")) { p.next(); pcts += p.num() }
+        p.eat("by")
+        val c = p.colName()
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "split"
+        }
+        SplitBy(pcts.toSeq, c, salt)
+      case "pack" =>
+        val c = p.colName()
+        val budget = p.int().toLong
+        val shards = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 64
+        }
+        Pack(c, budget, shards)
+      case "neighbors" =>
+        val k = p.int()
+        val vec = p.bracketed()
+        val pred = p.bracketed()
+        Neighbors(k, vec, pred)
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

@@ -49,6 +49,16 @@ object Printer {
     case Each(r) => s"each ${r.name}"
     case LinearExtrapolation(n, known, p, t) =>
       s"create column ${name(n)} (linear extrapolation [${print(known)}] $p $t)"
+    case DedupExact(c) => s"dedup exact ${name(c)}"
+    case DedupMinhash(c, th) => s"dedup minhash ${name(c)} ${num(th)}"
+    case SplitBy(pcts, c, salt) =>
+      val s = if (salt == "split") "" else s" '$salt'"
+      s"split ${pcts.map(num).mkString("/")} by ${name(c)}$s"
+    case Pack(c, budget, shards) =>
+      val sh = if (shards == 64) "" else s" $shards"
+      s"pack ${name(c)} $budget$sh"
+    case Neighbors(k, vec, pred) =>
+      s"neighbors $k [${print(vec)}] [${print(pred)}]"
     case Comment(text) => s"!#$text!#"
   }
 
@@ -87,6 +97,9 @@ object Printer {
     case other => throw new IllegalArgumentException(s"unprintable $other")
   }
 
+  private def num(v: Double): String =
+    if (v == v.toLong) v.toLong.toString else v.toString
+
   /** Bare identifier when safe, double-quoted otherwise. */
   private def name(n: String): String = {
     val bareOk = n.nonEmpty && (n.head.isLetter || n.head == '_') &&
@@ -100,6 +113,7 @@ object Printer {
       "format", "date", "moving", "expanding", "linear", "contains",
       "true", "only", "create", "rename", "slice", "column", "columns",
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
-      "buckets", "k-means", "each", "maxby", "minby") ++
+      "buckets", "k-means", "each", "maxby", "minby",
+      "dedup", "exact", "minhash", "split", "pack", "neighbors") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

@@ -52,6 +52,20 @@ object Dedup {
     df.groupBy(fingerprint(col(textCol)).as("fingerprint"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Survivor form of [[exact]]: the input minus every row whose
+    * normalized text already appears under a lower id — all columns kept.
+    * One digest-partitioned window `min` (no orderBy → no sort, no join):
+    * a single hash shuffle keyed on the 16-byte digest decides survival,
+    * documents move once. */
+  def exactSurvivors(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(fingerprint(col(textCol)))
+    df.withColumn("__minId", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__minId"))
+      .drop("__minId")
+  }
+
   /** Distinct word n-gram shingle hashes for a text column — one
     * generated pass (graft.functions.ShingleHashes): each token hashed
     * once, windows combined polynomially, sort-deduped. Hash labels are

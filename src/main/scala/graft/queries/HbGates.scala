@@ -177,6 +177,47 @@ object HbGates {
       |sort by column day
       |""".stripMargin
 
+  // ---- training-pipeline extension statements through the text surface.
+  // Each compiles to the operator the library gates already prove
+  // (Dedup/Sampling/Packing/Similarity) and shares that gate's FULL
+  // oracle — these pin the parser → engine wiring end-to-end. Programs
+  // `index rows by <id>` first (the reference's key discipline): the
+  // extension statements key survival/placement on the frame index.
+
+  private val dedupExactHb =
+    """index rows by doc_id
+      |dedup exact text
+      |slice columns doc_id n_chars
+      |""".stripMargin
+
+  private val dedupMinhashHb =
+    """index rows by doc_id
+      |dedup minhash text 0.5
+      |slice columns doc_id
+      |""".stripMargin
+
+  // The t_pipeline_e2e twin: dedup → salted split → keep train → pack,
+  // entirely as DSL text. `split` takes the s1 salt so the two surfaces
+  // share one oracle; `pack` runs on the doc_id index with the library
+  // gate's budget/shard geometry.
+  private val dedupPipelineHb =
+    """index rows by doc_id
+      |dedup exact text
+      |split 80/10/10 by doc_id 's1'
+      |only (split = 'train')
+      |pack n_chars 4096 8
+      |create column doc_id keys
+      |slice columns doc_id shard seq_first seq_last seq_offset
+      |""".stripMargin
+
+  // The s_ann_topk twin: exact cosine top-10 for the first five vectors
+  // against the whole corpus, ids = the vec_id index, query set chosen
+  // by a predicate over `keys`.
+  private val neighborsHb =
+    """index rows by vec_id
+      |neighbors 10 [embedding] [keys < 5]
+      |""".stripMargin
+
   // Velocity.hb:24 shape: regex group extraction + int cast + arithmetic.
   private val regexHb =
     """create column brand_num (int (regex [p_brand] /Brand#(\d+)/ [$1]))
@@ -352,6 +393,31 @@ object HbGates {
              |  CAST(SUM(m2) AS BIGINT) AS m2, day
              |FROM w WHERE m2 IS NOT NULL GROUP BY day
              |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_dedup_exact",
+      (s, d) => Graft.runHb(dedupExactHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH win AS (
+             |  SELECT MIN(doc_id) AS doc_id FROM documents
+             |  GROUP BY md5(lower(${TextGates.normSql})))
+             |SELECT d.doc_id, d.n_chars
+             |FROM documents d JOIN win USING (doc_id)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_dedup_minhash",
+      (s, d) => Graft.runHb(dedupMinhashHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(SimilarityGates.minhashLshOracleSql)),
+
+    Gate("hb_dedup_pipeline",
+      (s, d) => Graft.runHb(dedupPipelineHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.pipelineOracleSql)),
+
+    Gate("hb_neighbors",
+      (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(SimilarityGates.annTopkOracleSql)),
 
     Gate("hb_extrapolate",
       (s, d) => Graft.runHb(extrapHb, t(s, d, "part"))

@@ -59,23 +59,11 @@ object SimilarityGates {
        |__h4 AS (SELECT doc_id, i, ${mul64USql("u", "14181476777654086739")} AS u FROM __h3),
        |__th AS (SELECT doc_id, i, xor(u, u >> 33) AS u FROM __h4)""".stripMargin
 
-  val gates: Seq[Gate] = Seq(
-
-    // MinHash + LSH near-dup dedup: shingle → 64-perm signature → 16
-    // bands → band-hash equi-join candidates → exact Jaccard verify.
-    // FULL oracle (rows-only until r5): with the portable token hasher
-    // every stage — shingle fold, the 64 permutation mins (wrapping
-    // multiply split into int128-safe halves, SIGNED min like Java),
-    // band-slice candidate join, exact set-Jaccard verify — is integer
-    // or exactly-representable-double arithmetic DuckDB reproduces
-    // bit-for-bit. The oracle is the whole algorithm from first
-    // principles, not a shortcut: ~20 CTEs generated from the same
-    // constants (Dedup.perms) the Spark expression uses.
-    Gate("d_minhash_lsh",
-      (s, d) => Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
-        threshold = 0.5, portable = true)
-        .select("doc_id").orderBy(col("doc_id")),
-      Some {
+  /** The d_minhash_lsh survivor oracle — the whole MinHash+LSH algorithm
+    * (portable hasher, threshold 0.5) re-derived in DuckDB CTEs. Shared
+    * with the `.hb`-surface twin `hb_dedup_minhash` in HbGates, whose
+    * output (surviving doc_id, ascending) is identical by construction. */
+  private[queries] lazy val minhashLshOracleSql: String = {
         val m = "CAST(18446744073709551616 AS HUGEINT)"
         val ps = graft.operators.Dedup.perms(64)
         val mins = ps.zipWithIndex.map { case ((a, b), j) =>
@@ -126,7 +114,48 @@ object SimilarityGates {
            |SELECT doc_id FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
            |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
-      }),
+  }
+
+  /** The s_ann_topk oracle — exact quantized-cosine top-10 for queries
+    * vec_id < 5 against the whole embeddings corpus. Shared with the
+    * `.hb`-surface twin `hb_neighbors` in HbGates (identical output
+    * schema: query_id, rank, neighbor_id, cosine). */
+  private[queries] lazy val annTopkOracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+       |  FROM e0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+       |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 10
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+
+  val gates: Seq[Gate] = Seq(
+
+    // MinHash + LSH near-dup dedup: shingle → 64-perm signature → 16
+    // bands → band-hash equi-join candidates → exact Jaccard verify.
+    // FULL oracle (rows-only until r5): with the portable token hasher
+    // every stage — shingle fold, the 64 permutation mins (wrapping
+    // multiply split into int128-safe halves, SIGNED min like Java),
+    // band-slice candidate join, exact set-Jaccard verify — is integer
+    // or exactly-representable-double arithmetic DuckDB reproduces
+    // bit-for-bit. The oracle is the whole algorithm from first
+    // principles, not a shortcut: ~20 CTEs generated from the same
+    // constants (Dedup.perms) the Spark expression uses.
+    Gate("d_minhash_lsh",
+      (s, d) => Dedup.minhashLsh(t(s, d, "documents"), "text", "doc_id",
+        threshold = 0.5, portable = true)
+        .select("doc_id").orderBy(col("doc_id")),
+      Some(SimilarityGates.minhashLshOracleSql)),
 
     // SimHash near-dup dedup: per-row bit votes (no shuffle), 4×16-bit
     // chunk banding, bit_count(xor) ≤ 3 verify. FULL oracle (rows-only
@@ -304,23 +333,7 @@ object SimilarityGates {
         "vec_id", "embedding", k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-      Some(s"""WITH e0 AS (
-             |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
-             |e AS (
-             |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
-             |  FROM e0),
-             |scored AS (
-             |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-             |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
-             |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
-             |ranked AS (
-             |  SELECT query_id, neighbor_id, cosine,
-             |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-             |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-             |  FROM scored)
-             |SELECT query_id, rank, neighbor_id, cosine FROM ranked
-             |WHERE rank <= 10
-             |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+      Some(SimilarityGates.annTopkOracleSql)),
 
     // IVF ANN (the scale path): 16 coarse cells, nprobe=4. FULL oracle
     // (rows-only until r5): deterministic mode fits the cells with

@@ -15,7 +15,37 @@ object TextGates {
   // Shared normalizer: collapse whitespace runs to single spaces.
   // (DuckDB regexp_replace needs the 'g' flag for replace-all parity.)
   private def normText = regexp_replace(col("text"), "\\s+", " ")
-  private val normSql = "regexp_replace(text, '\\s+', ' ', 'g')"
+  private[queries] val normSql = "regexp_replace(text, '\\s+', ' ', 'g')"
+
+  /** The t_pipeline_e2e oracle — exact dedup → 80/10/10 salted hash
+    * split (salt s1) → train-shard packing (budget 4096, 8 shards), all
+    * from first principles. Shared with the `.hb`-surface twin
+    * `hb_dedup_pipeline` in HbGates, whose program compiles to the same
+    * operator chain keyed on the doc_id index. */
+  private[queries] lazy val pipelineOracleSql: String =
+    s"""WITH win AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(lower($normSql))),
+       |trn AS (
+       |  SELECT d.doc_id, d.n_chars
+       |  FROM documents d JOIN win USING (doc_id)
+       |  WHERE CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || ':s1'), 1, 8)
+       |      AS BIGINT) % 10000 < 8000),
+       |s AS (
+       |  SELECT doc_id, n_chars,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+       |      AS BIGINT) % 8 AS shard
+       |  FROM trn),
+       |c AS (
+       |  SELECT doc_id, shard, n_chars,
+       |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+       |  FROM s)
+       |SELECT doc_id, shard,
+       |  CAST(bef // 4096 AS BIGINT) AS seq_first,
+       |  CAST((bef + greatest(n_chars, 1) - 1) // 4096 AS BIGINT) AS seq_last,
+       |  CAST(bef % 4096 AS BIGINT) AS seq_offset
+       |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   val gates: Seq[Gate] = Seq(
 
@@ -298,29 +328,7 @@ object TextGates {
           budget = 4096L, shards = 8)
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH win AS (
-             |  SELECT MIN(doc_id) AS doc_id FROM documents
-             |  GROUP BY md5(lower($normSql))),
-             |trn AS (
-             |  SELECT d.doc_id, d.n_chars
-             |  FROM documents d JOIN win USING (doc_id)
-             |  WHERE CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || ':s1'), 1, 8)
-             |      AS BIGINT) % 10000 < 8000),
-             |s AS (
-             |  SELECT doc_id, n_chars,
-             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
-             |      AS BIGINT) % 8 AS shard
-             |  FROM trn),
-             |c AS (
-             |  SELECT doc_id, shard, n_chars,
-             |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
-             |  FROM s)
-             |SELECT doc_id, shard,
-             |  CAST(bef // 4096 AS BIGINT) AS seq_first,
-             |  CAST((bef + greatest(n_chars, 1) - 1) // 4096 AS BIGINT) AS seq_last,
-             |  CAST(bef % 4096 AS BIGINT) AS seq_offset
-             |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(TextGates.pipelineOracleSql)),
 
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at

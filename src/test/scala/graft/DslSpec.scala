@@ -30,6 +30,28 @@ class DslSpec extends AnyFunSuite {
     assert(t.run(src).count() == 2)
   }
 
+  test("extension statements build, round-trip and run") {
+    import Dsl._
+    val tr = transformation(
+      indexBy(c("id")),
+      dedupExact("txt"),
+      splitSalted("id", "s1", 80, 10, 10),
+      pack("ntok", 128, 4),
+      create("id", keys))
+    assert(tr.toHb.contains("dedup exact txt"))
+    assert(tr.toHb.contains("split 80/10/10 by id 's1'"))
+    assert(tr.toHb.contains("pack ntok 128 4"))
+    val src = graft.sources.Ingest.localData(spark,
+      Seq("id", "txt", "ntok"),
+      Seq(Seq(1L, "a b", 10L), Seq(2L, "a  b", 20L), Seq(3L, "c", 30L)))
+    val out = tr.run(src)
+    // "a  b" normalizes to "a b" → doc 2 is the exact-dup, dropped
+    assert(out.columns.toSet ==
+      Set("id", "shard", "seq_first", "seq_last", "seq_offset"))
+    assert(out.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("DSL rejects non-round-trippable constructions") {
     import Dsl._
     intercept[Exception] {
@@ -106,7 +128,21 @@ class DslSpec extends AnyFunSuite {
       yield KMeansCluster(k, r),
     genRed.map(Each),
     for { nm <- genName; e <- genExpr(1); p <- Gen.chooseNum(1, 20);
-      t <- Gen.chooseNum(2, 50) } yield LinearExtrapolation(nm, e, p, t))
+      t <- Gen.chooseNum(2, 50) } yield LinearExtrapolation(nm, e, p, t),
+    // training-pipeline extension statements
+    genName.map(DedupExact),
+    for { nm <- genName; th <- Gen.chooseNum(1, 99) }
+      yield DedupMinhash(nm, th / 100.0),
+    for { nm <- genName; tr <- Gen.chooseNum(50, 98);
+      va <- Gen.chooseNum(1, 99 - tr); threeWay <- Gen.oneOf(true, false);
+      salt <- Gen.oneOf("split", "s1", "seed42") }
+      yield SplitBy(
+        if (threeWay) Seq(tr.toDouble, va.toDouble, (100 - tr - va).toDouble)
+        else Seq(tr.toDouble, (100 - tr).toDouble), nm, salt),
+    for { nm <- genName; b <- Gen.chooseNum(128, 8192);
+      sh <- Gen.oneOf(64, 8, 16) } yield Pack(nm, b.toLong, sh),
+    for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
+      yield Neighbors(k, ColRef(v), e))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

@@ -118,6 +118,25 @@ class ParserSpec extends AnyFunSuite {
       Only(Not(Bin("=", ColRef("x"), MissingLit))))
   }
 
+  test("training-pipeline extension statements") {
+    assert(HbParser.parseStatement("dedup exact text") == DedupExact("text"))
+    assert(HbParser.parseStatement("dedup minhash text 0.5") ==
+      DedupMinhash("text", 0.5))
+    assert(HbParser.parseStatement("split 80/10/10 by doc_id") ==
+      SplitBy(Seq(80.0, 10.0, 10.0), "doc_id"))
+    assert(HbParser.parseStatement("split 98/1/1 by doc_id 's1'") ==
+      SplitBy(Seq(98.0, 1.0, 1.0), "doc_id", "s1"))
+    assert(HbParser.parseStatement("split 90/10 by \"my id\"") ==
+      SplitBy(Seq(90.0, 10.0), "my id"))
+    assert(HbParser.parseStatement("pack n_chars 4096") ==
+      Pack("n_chars", 4096L))
+    assert(HbParser.parseStatement("pack n_chars 4096 8") ==
+      Pack("n_chars", 4096L, 8))
+    assert(HbParser.parseStatement("neighbors 10 [embedding] [keys < 5]") ==
+      Neighbors(10, ColRef("embedding"),
+        Bin("<", KeysExpr, NumLit(5))))
+  }
+
   test("regex unescaping: corpus double-backslash becomes single") {
     HbParser.parseStatement(
       """create column n (regex [s] /[Ss]print [^\\d]*([\\d]+).*/ [$1])""") match {
