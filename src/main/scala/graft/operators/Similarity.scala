@@ -78,21 +78,49 @@ object Similarity {
         col("cosine"))
   }
 
+  /** Driver-side memo for deterministic cell models. The IVF index and
+    * the KMeans cosine dedup quantize the SAME (corpus, L2-normalized,
+    * k, iters) cells; a pipeline that runs both in one JVM should pay
+    * for one Lloyd fit, not two — each fit is `iters`+1 full passes of
+    * driver-loop jobs, the dominant cost of both operators. The
+    * operator cannot see data identity, so sharing is OPT-IN via an
+    * explicit caller-provided corpus key (callers must change the key
+    * when the corpus changes); k/iters/d are folded into the map key so
+    * differently-parameterized fits never collide. Entries are k·d
+    * doubles — bounded. */
+  private val cellModels =
+    new java.util.concurrent.ConcurrentHashMap[String, KMeansDet.Model]
+
+  private def fitCellsMemo(modelKey: Option[String], e: DataFrame,
+      vecCol: String, d: Int, tieBreak: Seq[Column], k: Int,
+      iters: Int): KMeansDet.Model = modelKey match {
+    case Some(key) =>
+      cellModels.computeIfAbsent(s"$key|k=$k|it=$iters|d=$d",
+        _ => KMeansDet.fitVec(e, vecCol, d, tieBreak, k, iters))
+    case None => KMeansDet.fitVec(e, vecCol, d, tieBreak, k, iters)
+  }
+
   /** IVF ANN: KMeans coarse quantization, probe the `nprobe` nearest
     * cells per query, exact cosine within probed cells. The only full
     * scan is cell assignment; centroids broadcast. */
   /** `deterministic = true` swaps the MLlib cell quantizer for
-    * operators.KMeansDet over the normalized vectors (fitVec, 5 fixed
-    * iterations — matching MLlib's maxIter): cell ids become a pure
-    * function of the corpus, so the whole index — normalization, fit,
-    * assignment, probe ranking, final top-k — is re-derivable in SQL
-    * (the s_ann_ivf oracle) and stable across engine versions. Costs a
-    * few seconds of driver-loop fit vs kmeans||; the default stays
-    * MLlib. */
+    * operators.KMeansDet over the normalized vectors (fitVec, a fixed
+    * `fitIters` Lloyd iterations): cell ids become a pure function of
+    * the corpus, so the whole index — normalization, fit, assignment,
+    * probe ranking, final top-k — is re-derivable in SQL (the s_ann_ivf
+    * oracle) and stable across engine versions. Costs a driver-loop
+    * fit vs kmeans||; the default stays MLlib. `fitIters` defaults to
+    * 3, not MLlib's 5: coarse cells need STABILITY (a fixed, engine-
+    * reproducible partition of the sphere), not convergence — recall
+    * depends on multi-probe covering boundary pairs, not on the cells
+    * being the k-means optimum — and each extra iteration is a full
+    * corpus pass in the driver loop. `modelKey` opts into the shared
+    * cell-model memo (see cellModels). */
   def ivfTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       fitFraction: Double = 1.0, seed: Long = 42L,
-      deterministic: Boolean = false): DataFrame = {
+      deterministic: Boolean = false, fitIters: Int = 3,
+      modelKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -124,8 +152,8 @@ object Similarity {
     // the (queries × k)-row result eagerly, release the cache
     val (assigned, cents) = if (deterministic) {
       val d = vecDim(e, "__na")
-      val m = KMeansDet.fitVec(e, "__na", d, Seq(col(idCol)), nCells,
-        iters = 5)
+      val m = fitCellsMemo(modelKey, e, "__na", d, Seq(col(idCol)),
+        nCells, fitIters)
       val asg = e
         .withColumn("__cell", KMeansDet.labelExprVec(m, col("__na"), d))
         .select(col(idCol), col("__v"), col("__nrm"), col("__cell"))
@@ -348,7 +376,8 @@ object Similarity {
   def cosineDedupKMeans(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
       fitFraction: Double = 0.2, seed: Long = 42L,
-      deterministic: Boolean = false): DataFrame = {
+      deterministic: Boolean = false, fitIters: Int = 3,
+      modelKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -372,8 +401,12 @@ object Similarity {
     // falls back to the full frame when the sample can't seed k cells
     val cents = if (deterministic) {
       val d = vecDim(e, "__na")
-      val m = KMeansDet.fitVec(e, "__na", d, Seq(col("__id")), nCells,
-        iters = 5)
+      // same cells as ivfTopK's deterministic index (fitVec is a pure
+      // function of the vector multiset + tieBreak values, and both
+      // operators feed it the same L2-normalized corpus) — so a shared
+      // modelKey makes the dedup reuse the index's fit verbatim
+      val m = fitCellsMemo(modelKey, e, "__na", d, Seq(col("__id")),
+        nCells, fitIters)
       KMeansDet.canonicalCentroids(m).zipWithIndex
         .map { case (c, i) => (i, c) }.toSeq
     } else {

@@ -273,11 +273,12 @@ object SimilarityGates {
     // survivor-equality test covers it.)
     Gate("d_embed_cosine_kmeans",
       (s, d) => Similarity.cosineDedupKMeans(t(s, d, "embeddings"),
-        "vec_id", "embedding", threshold = 0.95, deterministic = true)
+        "vec_id", "embedding", threshold = 0.95, deterministic = true,
+        modelKey = Some(s"$d/embeddings|l2"))
         .select("vec_id").orderBy(col("vec_id")),
       Some {
         val dim = 64
-        val iters = 5 // __cIters / __rel below are oracleSql's CTE names
+        val iters = 3 // __cIters / __rel below are oracleSql's CTE names
         val feats = (0 until dim).map(i => s"f$i")
         val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
           .mkString(", ")
@@ -338,20 +339,24 @@ object SimilarityGates {
     // IVF ANN (the scale path): 16 coarse cells, nprobe=4. FULL oracle
     // (rows-only until r5): deterministic mode fits the cells with
     // KMeansDet over the L2-normalized vectors, so the ENTIRE index —
-    // normalization folds, 5 Lloyd iterations, canonical cell ids,
-    // quantized-cosine probe ranking, final top-k — re-derives in SQL.
-    // The oracle chains the KMeansDet CTEs (referencing its __c5/__rel/
-    // __km internals) with the probe/scoring stages, all in the exact
-    // arithmetic the Spark side uses. MLlib remains ivfTopK's default
-    // fit; DedupSpec's recall tests cover that path.
+    // normalization folds, 3 Lloyd iterations (cells need stability,
+    // not convergence — see ivfTopK's fitIters note), canonical cell
+    // ids, quantized-cosine probe ranking, final top-k — re-derives in
+    // SQL. The oracle chains the KMeansDet CTEs (referencing its
+    // __c3/__rel/__km internals) with the probe/scoring stages, all in
+    // the exact arithmetic the Spark side uses. The cell model is
+    // SHARED with d_embed_cosine_kmeans via modelKey: same corpus, same
+    // normalization, same (k, iters) → one Lloyd fit per JVM serves
+    // both gates. MLlib remains ivfTopK's default fit; DedupSpec's
+    // recall tests cover that path.
     Gate("s_ann_ivf",
       (s, d) => Similarity.ivfTopK(t(s, d, "embeddings"),
         id => id < 5, "vec_id", "embedding", k = 10,
-        deterministic = true)
+        deterministic = true, modelKey = Some(s"$d/embeddings|l2"))
         .orderBy(col("query_id"), col("rank")),
       Some {
         val dim = 64
-        val iters = 5 // __cIters / __rel below are oracleSql's CTE names
+        val iters = 3 // __cIters / __rel below are oracleSql's CTE names
         val feats = (0 until dim).map(i => s"f$i")
         val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
           .mkString(", ")
