@@ -5,6 +5,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    RoundArtifacts.warnIfStale()
     val spark = Sessions.local()
     // JIT/codegen warmup at the smallest sf so timed runs measure
     // steady-state query throughput, not first-call class loading

@@ -11,6 +11,7 @@ object Verify {
       case Array(s, o)    => (s, o, Option.empty[Set[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
     }
+    RoundArtifacts.warnIfStale()
     val spark = Sessions.local()
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

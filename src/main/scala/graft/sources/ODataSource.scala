@@ -106,9 +106,15 @@ private[sources] final case class ODataOptions(raw: Map[String, String]) {
     * `requiredCols` are the columns the QUERY needs: a user-pinned
     * `select` is widened to include them — honoring a narrower pin
     * would make the residual filters evaluate against NULLs and
-    * silently drop every row. */
+    * silently drop every row. `requiredExpand` are the navigation
+    * (struct-typed) properties the query needs: OData omits navigation
+    * properties unless `$expand` names them, so they merge into the
+    * user-pinned expand the same way — the derived form of the
+    * `$expand` clause the reference assembles by hand
+    * (tools/visualizer/cli/src/ODataProvider.fs:89-105). */
   def pageUrl(pushedFilter: Option[String], requiredCols: Seq[String],
-      skipTop: Option[(Long, Long)] = None): String = {
+      skipTop: Option[(Long, Long)] = None,
+      requiredExpand: Seq[String] = Nil): String = {
     val sel = select match {
       case Some(u) if requiredCols.nonEmpty =>
         val pinned = u.split(",").map(_.trim).filter(_.nonEmpty)
@@ -122,8 +128,14 @@ private[sources] final case class ODataOptions(raw: Map[String, String]) {
       case (Some(u), Some(p)) => Some(s"($u) and ($p)")
       case (u, p) => u.orElse(p)
     }
+    val exp = {
+      val pinned = expand.toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val merged = pinned ++ requiredExpand.filterNot(pinned.toSet)
+      if (merged.isEmpty) None else Some(merged.mkString(","))
+    }
     Providers.withQuery(url,
-      Providers.odataQuery(sel, fil, expand, skipTop))
+      Providers.odataQuery(sel, fil, exp, skipTop))
   }
 }
 
@@ -195,11 +207,23 @@ private final class ODataScan(fullSchema: StructType, required: StructType,
     // columns must always widen it — even unpruned reads (e.g. load()
     // .filter(...) over the full schema) would otherwise evaluate their
     // residual filters against server-omitted NULLs.
+    // Navigation (struct-typed) properties ride `$expand`, not
+    // `$select`: OData services omit them unless expanded, so ANY read
+    // that needs a nested column derives its $expand here — the
+    // user-pinned `expand` option stays as the escape hatch for
+    // services with non-property expansion names.
+    val nestedNames: Set[String] = required.fields.collect {
+      case StructField(n, _: StructType, _, _) => n
+      case StructField(n, ArrayType(_: StructType, _), _, _) => n
+    }.toSet
+    val requiredExpand: Seq[String] =
+      required.fieldNames.toSeq.filter(nestedNames) // schema order
+    val plainFields = required.fieldNames.toSeq.filterNot(nestedNames)
     val requiredCols: Seq[String] =
       if (required.isEmpty) Nil
       else if (opts.select.isEmpty && required.length == fullSchema.length)
         Nil
-      else required.fieldNames.toSeq
+      else plainFields
     opts.count match {
       case Some(n) if n > 0 =>
         val pages = (n + opts.pageSize - 1) / opts.pageSize
@@ -217,11 +241,14 @@ private final class ODataScan(fullSchema: StructType, required: StructType,
           // any client-paged design)
           ODataPartition(
             opts.pageUrl(pushedFilter, requiredCols,
-              Some((i * opts.pageSize, opts.pageSize.toLong))),
+              Some((i * opts.pageSize, opts.pageSize.toLong)),
+              requiredExpand),
             maxRows = opts.pageSize.toLong): InputPartition
         }.toArray
       case _ =>
-        Array(ODataPartition(opts.pageUrl(pushedFilter, requiredCols),
+        Array(ODataPartition(
+          opts.pageUrl(pushedFilter, requiredCols,
+            requiredExpand = requiredExpand),
           maxRows = Long.MaxValue))
     }
   }

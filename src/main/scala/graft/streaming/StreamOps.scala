@@ -154,7 +154,26 @@ object StreamOps {
     * bounded by the horizon's event volume, not the stream's lifetime —
     * the property that makes this runnable forever at 100 TB/day. Inner
     * join ⇒ the emitted match set equals the batch join exactly (late
-    * data aside), so the gate oracle is plain SQL. */
+    * data aside), so the gate oracle is plain SQL.
+    *
+    * Why the plan shows TWO file-source scans (and must): both sides
+    * derive from one `readEventsStream`, but a stream-stream join's
+    * sides are independent logical branches — each applies its own
+    * filter, projection and (crucially) watermark on a
+    * differently-named event-time column below the stateful join, so
+    * the branches are not identical subtrees and no ReusedExchange/
+    * scan-sharing applies; micro-batch planning instantiates a scan per
+    * branch (source OFFSETS are tracked once — the batch's files are
+    * just read twice, a narrow columnar re-read of page-cache-hot
+    * data). The single-scan alternatives all lose the thing that makes
+    * this operator correct at scale: `foreachBatch` + persist + batch
+    * join reads once per trigger but can only match WITHIN a
+    * micro-batch (a purchase in batch N+1 never meets its click from
+    * batch N), and a hand-rolled flatMapGroupsWithState buffer
+    * re-implements exactly the watermark-bounded join state Spark
+    * already manages, minus the declarative eviction proof. Two narrow
+    * re-reads of each micro-batch is the cheap side of that trade at
+    * any scale — scan cost is O(batch), state cost is O(horizon). */
   def intervalJoin(spark: SparkSession, dir: String, queryName: String,
       maxDelayMinutes: Int = 60, horizon: String = "2 hours"): DataFrame = {
     val ev = readEventsStream(spark, dir)

@@ -106,6 +106,32 @@ object DateFeedFetcher {
   val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
 
+/** A feed with a navigation property (`iteration`, a struct like the
+  * reference's WorkItem `Iteration`): the nav property is OMITTED
+  * unless the request carries `$expand=iteration` — standard OData
+  * service behavior, which is what makes the derived-$expand test
+  * meaningful. Records every URL. */
+class NavPropFetcher extends Providers.Fetcher {
+  import NavPropFetcher._
+  def get(url0: String, auth: Option[(String, String)]): String = {
+    val url = java.net.URLDecoder.decode(url0, "UTF-8")
+    calls.add(url)
+    val expanded = "\\$expand=([^&]*)".r.findFirstMatchIn(url)
+      .exists(_.group(1).split(",").map(_.trim).contains("iteration"))
+    val vals = (1 to 3).map { i =>
+      val it = if (expanded)
+        s""", "iteration": {"path": "sprint-$i", "start": "2020-0$i-01"}"""
+      else ""
+      s"""{"id": $i$it}"""
+    }.mkString("[", ",", "]")
+    s"""{"value": $vals}"""
+  }
+}
+
+object NavPropFetcher {
+  val calls = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+}
+
 /** Serves a valid schema-probe page but an error payload (no `value`
   * array) for every paged scan request. */
 class ErrorPayloadFetcher extends Providers.Fetcher {
@@ -168,6 +194,59 @@ class ODataSourceSpec extends AnyFunSuite {
       .filter(_.contains("$select="))
     assert(scanCalls.nonEmpty, "no request carried $select")
     assert(scanCalls.forall(_.contains("$select=name")))
+  }
+
+  test("a nested-column projection derives $expand for the navigation " +
+    "property (and keeps $select to the plain fields)") {
+    import org.apache.spark.sql.types._
+    NavPropFetcher.calls.clear()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("iteration", StructType(Seq(
+        StructField("path", StringType),
+        StructField("start", StringType))))))
+    val df = spark.read
+      .format(classOf[ODataSource].getName)
+      .schema(schema)
+      .option("url", "http://nav/items")
+      .option("fetcher", classOf[NavPropFetcher].getName)
+      .load()
+      .select(col("id"), col("iteration.path").as("path"))
+    val rows = df.collect()
+    // the fake service omits the nav property without $expand, so
+    // non-null paths prove the derived clause reached the wire
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).sorted.toSeq ==
+      Seq("sprint-1", "sprint-2", "sprint-3"))
+    val scanCalls = NavPropFetcher.calls.toArray(Array.empty[String])
+    assert(scanCalls.exists(_.contains("$expand=iteration")),
+      s"no request carried \\$$expand: ${scanCalls.mkString(" | ")}")
+    // the nav property rides $expand, not $select
+    assert(scanCalls.filter(_.contains("$select="))
+      .forall(u => !u.contains("$select=iteration") &&
+        !u.contains(",iteration")))
+  }
+
+  test("a user-pinned expand merges with the derived one (no dup)") {
+    import org.apache.spark.sql.types._
+    NavPropFetcher.calls.clear()
+    val schema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("iteration", StructType(Seq(
+        StructField("path", StringType))))))
+    spark.read
+      .format(classOf[ODataSource].getName)
+      .schema(schema)
+      .option("url", "http://nav/items")
+      .option("fetcher", classOf[NavPropFetcher].getName)
+      .option("expand", "iteration")
+      .load()
+      .select("iteration.path").collect()
+    val expands = NavPropFetcher.calls.toArray(Array.empty[String])
+      .flatMap(u => "\\$expand=([^&]*)".r.findFirstMatchIn(u)
+        .map(_.group(1)))
+    assert(expands.nonEmpty)
+    assert(expands.forall(_ == "iteration"), expands.mkString(" | "))
   }
 
   test("count(*) over a pruned-to-empty schema still pages correctly") {
