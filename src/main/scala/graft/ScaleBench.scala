@@ -1,0 +1,52 @@
+package graft
+
+/** Dev tool: measured scaling evidence — run a gate list at two scale
+  * factors (default the 10 most expensive gates at sf0.01 vs sf0.1, a
+  * 10× data ratio), interleaved reps, and print a per-gate median table
+  * with the scaling ratio. Feeds SCALE.md §"Measured scaling".
+  *
+  *   sbt "runMain graft.ScaleBench [names] [reps]"
+  */
+object ScaleBench {
+
+  val DefaultNames: Seq[String] = Seq(
+    "s_ann_ivf", "st_stream_join", "d_embed_cosine_kmeans", "a7_kmeans",
+    "a6_buckets", "d_ngram_jaccard", "d_minhash_lsh",
+    "st_stateful_sessions", "a2_group_maxby", "d_simhash")
+
+  def main(args: Array[String]): Unit = {
+    val names =
+      if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSeq
+      else DefaultNames
+    val reps = if (args.length > 1) args(1).toInt else 3
+    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = Sessions.local()
+    // warmup pass (janino/codegen, file listing) at the small sf
+    names.foreach { n =>
+      try SparkEntry.queries(n)(spark, dirs.head).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] warmup $n failed: ${e.getMessage}")
+      }
+    }
+    val times = scala.collection.mutable
+      .Map[(String, String), List[Double]]().withDefaultValue(Nil)
+    for (_ <- 1 to reps; n <- names; d <- dirs) {
+      spark.sharedState.cacheManager.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(n)(spark, d).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[scale] $n @ $d failed: ${e.getMessage}")
+      }
+      times((n, d)) ::= (System.nanoTime() - t0) / 1e9
+    }
+    def med(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
+    println(f"| gate | sf0.01 (s) | sf0.1 (s) | ratio (10x data) |")
+    println("|---|---|---|---|")
+    names.foreach { n =>
+      val a = med(times((n, dirs(0))))
+      val b = med(times((n, dirs(1))))
+      println(f"| $n | $a%.2f | $b%.2f | ${b / a}%.1fx |")
+    }
+    spark.stop()
+  }
+}

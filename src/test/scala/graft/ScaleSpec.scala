@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** Plan-shape scale invariance (SCALE.md §"Measured scaling"): the same
+  * gate planned against sf0.01 and sf0.1 must produce the same plan
+  * SHAPE — same number of exchanges, same number of whole-frame
+  * (no-partition) windows. A shape that degrades with input size (an
+  * extra shuffle, a window collapsing to one partition) is exactly the
+  * failure mode that turns a working sf0.01 query into a 100 TB
+  * scale-killer, and it cannot hide behind timing noise the way a
+  * wall-clock ratio can.
+  *
+  * Gates here are the LAZY ones (plan construction runs no jobs beyond
+  * tiny driver probes); the fit/checkpoint-eager operators are covered
+  * by the measured-ratio table in SCALE.md instead.
+  */
+class ScaleSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+
+  private val sfs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  /** (exchanges, whole-frame windows) — the two shape degradations that
+    * matter at scale. Counted on the pre-execution physical plan (AQE
+    * unwrapped), so nothing is executed. */
+  private def signature(df: DataFrame): (Int, Int) = {
+    val p: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exch = PlanChecks.shuffles(df).size
+    val wholeFrameWindows = p.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }.size
+    (exch, wholeFrameWindows)
+  }
+
+  // gates whose construction is lazy (no eager fit / localCheckpoint):
+  // core relational, window, hb-surface, text/sampling/packing, ANN
+  // brute-force
+  private val lazyGates = Seq(
+    "a1_group_sum", "a2_group_maxby", "a4_reductions", "a5_pivot",
+    "a6_buckets", "a8_each_mean", "p4_only_filter", "p5_dense_rows",
+    "p9_sort_by", "j1_join_outer", "j1_join_broadcast_agg",
+    "j2_asof_join", "j3_range_join", "j4_salted_skew", "w1_moving_avg",
+    "w2_expanding_sum", "w6_ordinals", "hb_velocity", "hb_series_window",
+    "t_token_count", "t_quality_score", "t_hash_split", "t_pack_layout",
+    "t_top_ngrams", "d_exact_dedup", "s_ann_topk")
+
+  test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
+    "(same exchanges, same whole-frame windows)") {
+    lazyGates.foreach { name =>
+      val sigs = sfs.map(d =>
+        signature(SparkEntry.queries(name)(spark, d)))
+      assert(sigs.distinct.size == 1,
+        s"$name plan shape changed with scale: " +
+          s"${sfs.zip(sigs).map { case (d, s) =>
+            s"$d -> (exchanges=${s._1}, wholeFrameWindows=${s._2})"
+          }.mkString("; ")}")
+    }
+  }
+
+  test("whole-frame windows appear only where the series opt-out or " +
+    "post-aggregation smallness makes them bounded") {
+    // hb_series_window opted into keyed execution: ZERO whole-frame
+    // windows at either sf — the 100 TB path stays keyed as data grows
+    sfs.foreach { d =>
+      val (_, wf) = signature(SparkEntry.queries("hb_series_window")(spark, d))
+      assert(wf == 0, s"hb_series_window has $wf whole-frame windows at $d")
+    }
+  }
+}
