@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the transitive
+  * closure a real corpus dedup needs. Pairwise near-dup dropping ("drop
+  * the higher id of each verified pair") is not transitive grouping:
+  * with A~B and B~C but A≁C, the pair form never relates A and C, yet
+  * they are one duplicate CLUSTER. Labeling every node with its
+  * component representative (the component's MINIMUM id) is the primitive
+  * that turns pair evidence into clusters — and because min-reachable-id
+  * is a pure function of the graph, the output is deterministic no
+  * matter how the iteration schedules or the data partitions.
+  *
+  * Algorithm: iterated neighbor-min + pointer jumping.
+  * Each round (1) lowers every node's label to the minimum over its own
+  * and its neighbors' labels (one equi-join + map-side-combined min
+  * aggregate), then (2) jumps `lbl := lbl(lbl)` (one self-join), which
+  * contracts label chains geometrically — the path graph that takes a
+  * plain label-propagation O(diameter) rounds converges in O(log n)
+  * here, the same round complexity class as the alternating-star
+  * MapReduce CC algorithms (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC '14; public). Per round: two shuffles on
+  * node ids + one changed-count scalar to the driver; no other
+  * driver-side graph state, so the operator is bounded by O(log n)
+  * keyed shuffles of the (id, label) relation at any scale. Each
+  * round's frame is checkpointed eagerly — iterative DataFrames must
+  * truncate lineage or the doubled-per-round logical plan (the jump
+  * references the frame twice) goes exponential; on a cluster swap
+  * `localCheckpoint` for a reliable `checkpoint` dir if executor loss
+  * during the iteration must be recoverable.
+  */
+object Components {
+
+  /** (id, `out`) for every node appearing in `edges`; `out` is the
+    * minimum id reachable from `id`. Self-loops and NULL endpoints are
+    * dropped. Fails loudly (not silently-partial) if `maxRounds` is hit
+    * before the fixpoint. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+      out: String = "component", maxRounds: Int = 40): DataFrame = {
+    val e0 = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+    // localCheckpoint (not persist): iterative DataFrames must TRUNCATE
+    // lineage every round — each round joins the previous round's frame
+    // twice (the pointer jump), so an un-truncated logical plan doubles
+    // per round and analysis/explain go exponential long before the data
+    // does (measured: OOM at ~10 rounds on a 200-node path)
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      // (1) neighbor min: lbl'(u) = min(lbl(u), min_{v in N(u)} lbl(v))
+      val nbrMin = sym
+        .join(labels.select(col("id").as("v2"), col("lbl").as("vl")),
+          col("v") === col("v2"))
+        .groupBy(col("u").as("nid")).agg(min(col("vl")).as("nl"))
+      val l1 = labels
+        .join(nbrMin, col("id") === col("nid"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      // (2) pointer jump: lbl''(u) = lbl'(lbl'(u)) — label values are
+      // node ids, so the lookup is a self-join; chains halve every round
+      val next = l1.as("x")
+        .join(l1.select(col("id").as("jid"), col("lbl").as("jl")).as("y"),
+          col("x.lbl") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("jl"), col("x.lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.select(col("id"), col("lbl").as("ol")).as("o"), "id")
+        .filter(col("lbl") =!= col("ol")).count()
+      labels = next
+      round += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds")
+    // checkpoint blocks are GC-cleaned and live outside the
+    // CacheManager (Dedup-family lifecycle): nothing stays registered
+    labels.select(col("id"), col("lbl").as(out))
+  }
+
+  /** Cluster every row of `df` by near-dup component: (all columns of
+    * `df`) + `out` = the minimum id of the row's component under the
+    * pair evidence in `edges` (rows in no pair are their own
+    * component). */
+  def withComponents(df: DataFrame, idCol: String, edges: DataFrame,
+      aCol: String, bCol: String, out: String = "component"): DataFrame = {
+    // internal join key renamed away from "id": drop-by-name after a
+    // join removes EVERY column with that name, so a df whose idCol is
+    // literally "id" would lose its own column too
+    val comp = connectedComponents(edges, aCol, bCol, out)
+      .withColumnRenamed("id", "__cc_id")
+    df.join(comp, df(idCol) === col("__cc_id"), "left")
+      .withColumn(out, coalesce(col(out), df(idCol)))
+      .drop("__cc_id")
+  }
+}

@@ -163,10 +163,12 @@ object Dedup {
     materializeThenRelease(bandPairs(bandFrame(sig, numPerms, bands)), sig)
   }
 
-  /** MinHash LSH near-dup survivors: drop the higher id of every candidate
-    * pair whose exact shingle Jaccard ≥ threshold. `portable` picks the
-    * token hasher (see shingles). */
-  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+  /** VERIFIED MinHash near-dup pairs: (id_a < id_b) candidate pairs from
+    * LSH banding whose exact shingle Jaccard ≥ threshold — the edge list
+    * for transitive grouping (Components.connectedComponents) and the
+    * drop evidence for [[minhashLsh]]. Eagerly materialized; signature
+    * caches released. */
+  def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 64,
       bands: Int = 16, portable: Boolean = false): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh",
@@ -175,15 +177,28 @@ object Dedup {
     // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
     // mismatched set sizes cannot reach the threshold — cheap integer
     // comparisons ahead of the O(|A|+|B|) intersect
-    val drops = bandPairs(bandFrame(sig, numPerms, bands))
+    val pairs = bandPairs(bandFrame(sig, numPerms, bands))
       .join(sh.as("sa"), col("id_a") === col("sa.__id"))
       .join(sh.as("sb"), col("id_b") === col("sb.__id"))
       .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
         size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
         jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    materializeThenRelease(pairs, sh, sig)
+  }
+
+  /** MinHash LSH near-dup survivors: drop the higher id of every candidate
+    * pair whose exact shingle Jaccard ≥ threshold. `portable` picks the
+    * token hasher (see shingles). For CLUSTERS instead of survivors
+    * (pair dropping is not transitive grouping) feed [[minhashPairs]]
+    * to Components.connectedComponents. */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.5, numPerms: Int = 64,
+      bands: Int = 16, portable: Boolean = false): DataFrame = {
+    val drops = minhashPairs(df, textCol, idCol, threshold, numPerms,
+      bands, portable)
       .select(col("id_b").as("__drop")).distinct()
-    df.join(materializeThenRelease(drops, sh, sig),
-      col(idCol) === col("__drop"), "left_anti")
+    df.join(drops, col(idCol) === col("__drop"), "left_anti")
   }
 
   /** 64-bit SimHash signature: per-row bit votes over the distinct token

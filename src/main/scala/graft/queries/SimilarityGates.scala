@@ -59,11 +59,11 @@ object SimilarityGates {
        |__h4 AS (SELECT doc_id, i, ${mul64USql("u", "14181476777654086739")} AS u FROM __h3),
        |__th AS (SELECT doc_id, i, xor(u, u >> 33) AS u FROM __h4)""".stripMargin
 
-  /** The d_minhash_lsh survivor oracle — the whole MinHash+LSH algorithm
-    * (portable hasher, threshold 0.5) re-derived in DuckDB CTEs. Shared
-    * with the `.hb`-surface twin `hb_dedup_minhash` in HbGates, whose
-    * output (surviving doc_id, ascending) is identical by construction. */
-  private[queries] lazy val minhashLshOracleSql: String = {
+  /** The MinHash+LSH CTE chain (portable hasher) up to `__pairs` — the
+    * VERIFIED near-dup pairs (ida < idb, shingle Jaccard ≥ 0.5). The
+    * survivor oracle (d_minhash_lsh / hb_dedup_minhash) and the
+    * connected-components oracle (d_minhash_cc) both build on it. */
+  private[queries] lazy val minhashCtesSql: String = {
         val m = "CAST(18446744073709551616 AS HUGEINT)"
         val ps = graft.operators.Dedup.perms(64)
         val mins = ps.zipWithIndex.map { case ((a, b), j) =>
@@ -76,7 +76,7 @@ object SimilarityGates {
           s"SELECT doc_id, $k AS bidx, m${4 * k} AS e0, m${4 * k + 1} AS e1," +
             s" m${4 * k + 2} AS e2, m${4 * k + 3} AS e3 FROM __sg")
           .mkString("\n  UNION ALL ")
-        s"""WITH __tk AS (
+        s"""__tk AS (
            |  SELECT doc_id,
            |    unnest(string_split_regex(lower(text), '\\s+')) AS tok,
            |    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
@@ -104,17 +104,47 @@ object SimilarityGates {
            |    AND a.doc_id < b.doc_id),
            |__sets AS (SELECT doc_id, list(sh) AS s, COUNT(*) AS sz
            |           FROM __shs GROUP BY doc_id),
-           |__drops AS (
-           |  SELECT DISTINCT c.idb AS doc_id
+           |__pairs AS (
+           |  SELECT c.ida, c.idb
            |  FROM __cand c JOIN __sets x ON x.doc_id = c.ida
            |    JOIN __sets y ON y.doc_id = c.idb
            |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
            |        / (x.sz + y.sz - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE))
-           |        >= 0.5)
-           |SELECT doc_id FROM documents
-           |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
-           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+           |        >= 0.5)""".stripMargin
   }
+
+  /** The d_minhash_lsh survivor oracle — the whole MinHash+LSH algorithm
+    * (portable hasher, threshold 0.5) re-derived in DuckDB CTEs. Shared
+    * with the `.hb`-surface twin `hb_dedup_minhash` in HbGates, whose
+    * output (surviving doc_id, ascending) is identical by construction. */
+  private[queries] lazy val minhashLshOracleSql: String =
+    s"""WITH $minhashCtesSql,
+       |__drops AS (SELECT DISTINCT idb AS doc_id FROM __pairs)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The d_minhash_cc oracle: component = min doc_id reachable through
+    * the verified near-dup pairs — a recursive transitive closure over
+    * the symmetrized `__pairs` (tiny at oracle scale), so the oracle
+    * states the SEMANTIC (min reachable id) while the Spark operator is
+    * free to iterate however it likes (Components.connectedComponents
+    * uses neighbor-min + pointer jumping); any disagreement is a real
+    * clustering bug, not an iteration-order artifact. */
+  private[queries] lazy val minhashCcOracleSql: String =
+    s"""WITH RECURSIVE $minhashCtesSql,
+       |__symp AS (SELECT ida AS a, idb AS b FROM __pairs
+       |           UNION SELECT idb, ida FROM __pairs),
+       |__reach AS (
+       |  SELECT a, b FROM __symp
+       |  UNION
+       |  SELECT r.a, e.b FROM __reach r JOIN __symp e ON r.b = e.a)
+       |SELECT d.doc_id,
+       |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+       |    AS component
+       |FROM documents d LEFT JOIN __reach r ON r.a = d.doc_id
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
   /** The s_ann_topk oracle — exact quantized-cosine top-10 for queries
     * vec_id < 5 against the whole embeddings corpus. Shared with the
@@ -156,6 +186,25 @@ object SimilarityGates {
         threshold = 0.5, portable = true)
         .select("doc_id").orderBy(col("doc_id")),
       Some(SimilarityGates.minhashLshOracleSql)),
+
+    // Near-dup CLUSTERING: connected components over the verified
+    // MinHash pair graph — pair dropping is not transitive grouping
+    // (A~B, B~C leaves A,C unrelated), so corpus dedup that keeps one
+    // representative per CLUSTER needs the closure. The Spark side
+    // iterates neighbor-min + pointer jumping (O(log n) keyed-shuffle
+    // rounds, operators.Components); the oracle states the semantic —
+    // component = min doc_id reachable — as a recursive CTE, so any
+    // disagreement is a clustering bug, not iteration-order noise.
+    Gate("d_minhash_cc",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+          threshold = 0.5, portable = true)
+        graft.operators.Components.withComponents(
+          docs.select("doc_id"), "doc_id", pairs, "id_a", "id_b")
+          .orderBy(col("doc_id"))
+      },
+      Some(SimilarityGates.minhashCcOracleSql)),
 
     // SimHash near-dup dedup: per-row bit votes (no shuffle), 4×16-bit
     // chunk banding, bit_count(xor) ≤ 3 verify. FULL oracle (rows-only
