@@ -140,6 +140,15 @@ object Ast {
     * (operators.Dedup.minhashLsh, portable hasher: the text surface is
     * the cross-engine contract, so signatures must re-derive anywhere). */
   case class DedupMinhash(col: String, threshold: Double) extends Statement
+  /** `dedup simhash <col> <maxHamming>` — SimHash near-dup survivors
+    * (operators.Dedup.simhashDedup, portable hasher). */
+  case class DedupSimhash(col: String, maxHamming: Int) extends Statement
+  /** `cluster minhash <col> <threshold>` — adds a `component` column:
+    * the minimum key of the row's near-dup cluster under verified
+    * MinHash pair evidence (operators.Components over
+    * Dedup.minhashPairs) — the transitive form of `dedup minhash`. */
+  case class ClusterMinhash(col: String, threshold: Double)
+      extends Statement
   /** `split <tr>/<va>/<te> by <col> ['salt']` — deterministic hash split
     * (operators.Sampling.hashSplit). 2 percents = train/test, 3 =
     * train/val/test; they must sum to 100. */

@@ -97,6 +97,10 @@ object Dsl {
   def dedupExact(col: String): Statement = DedupExact(col)
   def dedupMinhash(col: String, threshold: Double): Statement =
     DedupMinhash(col, threshold)
+  def dedupSimhash(col: String, maxHamming: Int): Statement =
+    DedupSimhash(col, maxHamming)
+  def clusterMinhash(col: String, threshold: Double): Statement =
+    ClusterMinhash(col, threshold)
   /** `split(by = "id", 80, 10, 10)` → `split 80/10/10 by id`. */
   def split(by: String, percents: Double*): Statement =
     SplitBy(percents, by)

@@ -294,6 +294,19 @@ object Engine {
       f.copy(df = graft.operators.Dedup.minhashLsh(f.df, c, KEY, th,
         portable = true))
 
+    case DedupSimhash(c, h) =>
+      f.copy(df = graft.operators.Dedup.simhashDedup(f.df, c, KEY, h,
+        portable = true))
+
+    case ClusterMinhash(c, th) =>
+      // adds `component` = the minimum key of the row's near-dup
+      // cluster (transitive closure over verified MinHash pairs) — the
+      // clustering form of `dedup minhash`; row set unchanged
+      val pairs = graft.operators.Dedup.minhashPairs(f.df, c, KEY, th,
+        portable = true)
+      f.copy(df = graft.operators.Components.withComponents(f.df, KEY,
+        pairs, "id_a", "id_b"))
+
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {
         case 2 => Seq("train", "test")

@@ -21,7 +21,7 @@ object HbParser {
   private val statementStart = Set(
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
-    "dedup", "split", "pack", "neighbors")
+    "dedup", "cluster", "split", "pack", "neighbors")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -426,7 +426,12 @@ object HbParser {
       case "dedup" => p.ident() match {
         case "exact" => DedupExact(p.colName())
         case "minhash" => DedupMinhash(p.colName(), p.num())
-        case other => p.err(s"expected exact|minhash, got $other")
+        case "simhash" => DedupSimhash(p.colName(), p.int())
+        case other => p.err(s"expected exact|minhash|simhash, got $other")
+      }
+      case "cluster" => p.ident() match {
+        case "minhash" => ClusterMinhash(p.colName(), p.num())
+        case other => p.err(s"expected minhash, got $other")
       }
       case "split" =>
         val pcts = mutable.ArrayBuffer[Double](p.num())

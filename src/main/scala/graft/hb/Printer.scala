@@ -51,6 +51,8 @@ object Printer {
       s"create column ${name(n)} (linear extrapolation [${print(known)}] $p $t)"
     case DedupExact(c) => s"dedup exact ${name(c)}"
     case DedupMinhash(c, th) => s"dedup minhash ${name(c)} ${num(th)}"
+    case DedupSimhash(c, h) => s"dedup simhash ${name(c)} $h"
+    case ClusterMinhash(c, th) => s"cluster minhash ${name(c)} ${num(th)}"
     case SplitBy(pcts, c, salt) =>
       val s = if (salt == "split") "" else s" '$salt'"
       s"split ${pcts.map(num).mkString("/")} by ${name(c)}$s"
@@ -114,6 +116,7 @@ object Printer {
       "true", "only", "create", "rename", "slice", "column", "columns",
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
-      "dedup", "exact", "minhash", "split", "pack", "neighbors") ++
+      "dedup", "exact", "minhash", "simhash", "cluster", "split", "pack",
+      "neighbors") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

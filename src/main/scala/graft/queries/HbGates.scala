@@ -196,6 +196,21 @@ object HbGates {
       |slice columns doc_id
       |""".stripMargin
 
+  private val dedupSimhashHb =
+    """index rows by doc_id
+      |dedup simhash text 3
+      |slice columns doc_id
+      |""".stripMargin
+
+  // The d_minhash_cc twin: transitive near-dup clustering as a
+  // statement — `component` = min key of the row's verified-pair
+  // cluster.
+  private val clusterMinhashHb =
+    """index rows by doc_id
+      |cluster minhash text 0.5
+      |slice columns doc_id component
+      |""".stripMargin
+
   // The t_pipeline_e2e twin: dedup → salted split → keep train → pack,
   // entirely as DSL text. `split` takes the s1 salt so the two surfaces
   // share one oracle; `pack` runs on the doc_id index with the library
@@ -408,6 +423,16 @@ object HbGates {
       (s, d) => Graft.runHb(dedupMinhashHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),
       Some(SimilarityGates.minhashLshOracleSql)),
+
+    Gate("hb_dedup_simhash",
+      (s, d) => Graft.runHb(dedupSimhashHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(SimilarityGates.simhashOracleSql)),
+
+    Gate("hb_cluster_minhash",
+      (s, d) => Graft.runHb(clusterMinhashHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(SimilarityGates.minhashCcOracleSql)),
 
     Gate("hb_dedup_pipeline",
       (s, d) => Graft.runHb(dedupPipelineHb, t(s, d, "documents"))

@@ -169,6 +169,41 @@ object SimilarityGates {
        |WHERE rank <= 10
        |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
 
+  /** The d_simhash survivor oracle (portable hasher, hamming ≤ 3).
+    * Tokens as ROWS (not a list lambda): each fmix64 stage is a CTE
+    * evaluated once per token; distinct applies to HASHES like the
+    * Spark side's array_distinct-after-transform. Shared with the
+    * `.hb`-surface twin `hb_dedup_simhash`. */
+  private[queries] lazy val simhashOracleSql: String = {
+    val voteBits = (0 until 64).map(j =>
+      s"CASE WHEN 2*SUM(CAST((h >> $j) & 1 AS BIGINT)) > n" +
+        s" THEN CAST(1 AS HUGEINT) << $j ELSE CAST(0 AS HUGEINT) END")
+      .mkString(" + ")
+    s"""WITH __tk AS (
+       |  SELECT doc_id,
+       |    unnest(string_split_regex(lower(text), '\\s+')) AS tok,
+       |    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
+       |  FROM documents),
+       |${fmixChainSql("__tk")},
+       |__hs AS (SELECT DISTINCT doc_id, u AS h FROM __th),
+       |__nn AS (SELECT doc_id, COUNT(*) AS n FROM __hs GROUP BY doc_id),
+       |__sig AS (
+       |  SELECT doc_id, $voteBits AS su
+       |  FROM __hs JOIN __nn USING (doc_id) GROUP BY doc_id, n),
+       |__s AS (SELECT doc_id, ${signed64("su")} AS sig FROM __sig),
+       |__ch AS (
+       |  SELECT doc_id, sig, k AS cidx, (sig >> (16*k)) & 65535 AS chash
+       |  FROM __s CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) __k),
+       |__drops AS (
+       |  SELECT DISTINCT b.doc_id
+       |  FROM __ch a JOIN __ch b
+       |    ON a.cidx = b.cidx AND a.chash = b.chash AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
   val gates: Seq[Gate] = Seq(
 
     // MinHash + LSH near-dup dedup: shingle → 64-perm signature → 16
@@ -218,38 +253,7 @@ object SimilarityGates {
       (s, d) => Dedup.simhashDedup(t(s, d, "documents"), "text", "doc_id",
         maxHamming = 3, portable = true)
         .select("doc_id").orderBy(col("doc_id")),
-      Some {
-        val voteBits = (0 until 64).map(j =>
-          s"CASE WHEN 2*SUM(CAST((h >> $j) & 1 AS BIGINT)) > n" +
-            s" THEN CAST(1 AS HUGEINT) << $j ELSE CAST(0 AS HUGEINT) END")
-          .mkString(" + ")
-        // tokens as ROWS (not a list lambda): each fmix64 stage is a CTE
-        // evaluated once per token; distinct applies to HASHES like the
-        // Spark side's array_distinct-after-transform
-        s"""WITH __tk AS (
-           |  SELECT doc_id,
-           |    unnest(string_split_regex(lower(text), '\\s+')) AS tok,
-           |    generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS i
-           |  FROM documents),
-           |${fmixChainSql("__tk")},
-           |__hs AS (SELECT DISTINCT doc_id, u AS h FROM __th),
-           |__nn AS (SELECT doc_id, COUNT(*) AS n FROM __hs GROUP BY doc_id),
-           |__sig AS (
-           |  SELECT doc_id, $voteBits AS su
-           |  FROM __hs JOIN __nn USING (doc_id) GROUP BY doc_id, n),
-           |__s AS (SELECT doc_id, ${signed64("su")} AS sig FROM __sig),
-           |__ch AS (
-           |  SELECT doc_id, sig, k AS cidx, (sig >> (16*k)) & 65535 AS chash
-           |  FROM __s CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) __k),
-           |__drops AS (
-           |  SELECT DISTINCT b.doc_id
-           |  FROM __ch a JOIN __ch b
-           |    ON a.cidx = b.cidx AND a.chash = b.chash AND a.doc_id < b.doc_id
-           |  WHERE bit_count(xor(a.sig, b.sig)) <= 3)
-           |SELECT doc_id FROM documents
-           |WHERE doc_id NOT IN (SELECT doc_id FROM __drops)
-           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
-      }),
+      Some(SimilarityGates.simhashOracleSql)),
 
     // Exact n-gram Jaccard dedup: LSH-banded candidates, (lang, source)
     // block equality, exact shingle-Jaccard verify. Jaccard is invariant

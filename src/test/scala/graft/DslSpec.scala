@@ -133,6 +133,10 @@ class DslSpec extends AnyFunSuite {
     genName.map(DedupExact),
     for { nm <- genName; th <- Gen.chooseNum(1, 99) }
       yield DedupMinhash(nm, th / 100.0),
+    for { nm <- genName; h <- Gen.chooseNum(0, 8) }
+      yield DedupSimhash(nm, h),
+    for { nm <- genName; th <- Gen.chooseNum(1, 99) }
+      yield ClusterMinhash(nm, th / 100.0),
     for { nm <- genName; tr <- Gen.chooseNum(50, 98);
       va <- Gen.chooseNum(1, 99 - tr); threeWay <- Gen.oneOf(true, false);
       salt <- Gen.oneOf("split", "s1", "seed42") }

@@ -122,6 +122,10 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement("dedup exact text") == DedupExact("text"))
     assert(HbParser.parseStatement("dedup minhash text 0.5") ==
       DedupMinhash("text", 0.5))
+    assert(HbParser.parseStatement("dedup simhash text 3") ==
+      DedupSimhash("text", 3))
+    assert(HbParser.parseStatement("cluster minhash text 0.5") ==
+      ClusterMinhash("text", 0.5))
     assert(HbParser.parseStatement("split 80/10/10 by doc_id") ==
       SplitBy(Seq(80.0, 10.0, 10.0), "doc_id"))
     assert(HbParser.parseStatement("split 98/1/1 by doc_id 's1'") ==
