@@ -80,4 +80,25 @@ object Sampling {
     df.filter(hashBucket(col(idCol), salt) <
       math.round(fraction * Buckets))
   }
+
+  /** Deterministic STRATIFIED sample — the domain-mixing primitive: each
+    * stratum (language, source, quality band …) keeps its own fraction,
+    * e.g. `Map("en" -> 1.0, "de" -> 0.5)`, so a training mix is a pure
+    * function of (id, salt, fractions) — re-runnable, engine-portable,
+    * and monotone per stratum like [[hashSample]]. Strata not in the map
+    * fall back to `default`. Still a narrow map: the per-row threshold
+    * is a literal CASE over the stratum column; no shuffle, no
+    * per-stratum scan. */
+  def stratifiedSample(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String, fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    (default +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"bad fraction $f"))
+    val cut = fractions.foldLeft(lit(math.round(default * Buckets))) {
+      case (rest, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit(math.round(f * Buckets)))
+          .otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), salt) < cut)
+  }
 }

@@ -262,6 +262,86 @@ object TextGates {
              |SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
              |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin)),
 
+    // Repetition signals — the Gopher/C4-family quality rules every
+    // pretraining corpus filters on: token-level duplicate mass (pure
+    // narrow HOF, no shuffle) and the most-frequent-bigram mass (the
+    // wordcount shape: explode → per-(doc,gram) map-side-combined count
+    // → per-doc max; shuffle volume = distinct (doc,gram) pairs, linear
+    // in corpus size). All-integer numerators/denominators, so the
+    // double divisions are bit-exact in both engines.
+    Gate("t_repetition",
+      (s, d) => {
+        val tk = split(lower(normText), "\\s+")
+        val base = t(s, d, "documents")
+          .select(col("doc_id"), tk.as("tk"))
+          .withColumn("n_tokens", size(col("tk")))
+          .withColumn("dup_token_frac",
+            (col("n_tokens") - size(array_distinct(col("tk"))))
+              .cast(DoubleType) / col("n_tokens"))
+        val top = base
+          .select(col("doc_id"), col("tk"),
+            slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0)))
+              .as("s2"))
+          .select(col("doc_id"),
+            explode(arrays_zip(col("tk"), col("s2"))).as("g"))
+          .filter(col("g.s2").isNotNull) // zip pads the tail position
+          .select(col("doc_id"),
+            concat_ws(" ", col("g.tk"), col("g.s2")).as("gram"))
+          .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_bigram_n"))
+        base.drop("tk")
+          .join(top, Seq("doc_id"), "left")
+          .withColumn("top_bigram_frac",
+            when(col("n_tokens") >= 2,
+              col("top_bigram_n").cast(DoubleType) / (col("n_tokens") - 1)))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH toks AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower($normSql), '\\s+') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, CAST(len(tk) AS INTEGER) AS n_tokens,
+             |    CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk)
+             |      AS dup_token_frac
+             |  FROM toks),
+             |bi AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, len(tk)),
+             |      i -> tk[i] || ' ' || tk[i+1])) AS gram
+             |  FROM toks),
+             |cnt AS (SELECT doc_id, gram, COUNT(*) AS c
+             |        FROM bi GROUP BY doc_id, gram),
+             |top AS (SELECT doc_id, MAX(c) AS top_bigram_n
+             |        FROM cnt GROUP BY doc_id)
+             |SELECT b.doc_id, b.n_tokens, b.dup_token_frac,
+             |  t.top_bigram_n,
+             |  CASE WHEN b.n_tokens >= 2
+             |    THEN CAST(t.top_bigram_n AS DOUBLE) / (b.n_tokens - 1)
+             |  END AS top_bigram_frac
+             |FROM base b LEFT JOIN top t USING (doc_id)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Deterministic domain mixing (operators.Sampling.stratifiedSample):
+    // per-stratum keep fractions — the training-mix curation primitive.
+    // Same engine-portable salted-md5 bucket as the split; the
+    // per-row threshold is a literal CASE, so the plan stays a
+    // shuffle-free narrow map at any scale.
+    Gate("t_mix_sample",
+      (s, d) => Sampling.stratifiedSample(t(s, d, "documents"),
+        "doc_id", "mix1", "lang",
+        Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), default = 0.1)
+        .select("doc_id", "lang")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, lang FROM (
+             |  SELECT doc_id, lang,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)
+             |      AS BIGINT) % 10000 AS b
+             |  FROM documents)
+             |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+             |               WHEN 'fr' THEN 2500 ELSE 1000 END
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
     // replicates it exactly), shuffle-free narrow map, stable under any

@@ -87,4 +87,28 @@ class SamplingSpec extends AnyFunSuite {
       Seq("a" -> 0.5, "b" -> 0.5))
     assert(PlanChecks.shuffles(df).isEmpty, "hashSplit must not shuffle")
   }
+
+  test("stratifiedSample: per-stratum fractions, equals hashSample per " +
+    "stratum, default for unknown strata, still shuffle-free") {
+    import spark.implicits._
+    val df = (0L until 400L)
+      .map(i => (i, Seq("en", "de", "fr", "xx")((i % 4).toInt)))
+      .toDF("id", "lang")
+    val fr = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25)
+    val got = Sampling.stratifiedSample(df, "id", "m", "lang", fr,
+      default = 0.1)
+    // each stratum's kept set must equal hashSample at that fraction —
+    // stratification composes from the same primitive, no new hashing
+    (fr + ("xx" -> 0.1)).foreach { case (lang, f) =>
+      val expect = Sampling.hashSample(df.filter(col("lang") === lang),
+        "id", "m", f).select("id").collect().map(_.getLong(0)).toSet
+      val actual = got.filter(col("lang") === lang)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(actual == expect, s"stratum $lang")
+    }
+    // en at 1.0 keeps everything
+    assert(got.filter(col("lang") === "en").count() == 100)
+    assert(PlanChecks.shuffles(got).isEmpty,
+      "stratifiedSample must not shuffle")
+  }
 }
