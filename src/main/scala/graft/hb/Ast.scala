@@ -158,6 +158,14 @@ object Ast {
     * keyed on the frame index (operators.Packing.packedLayout). */
   case class Pack(tokensCol: String, budget: Long, shards: Int = 64)
       extends Statement
+  /** `chunk <textCol> <window> [stride]` — fixed-window token chunking
+    * with stride (operators.Chunking.chunkLayout). The frame key stays
+    * the SOURCE document key (one doc → many chunk rows; `chunk_id`
+    * disambiguates), so `create column <id> keys` re-materializes the
+    * doc id exactly like after `pack`. stride defaults to window
+    * (disjoint chunks). */
+  case class Chunk(textCol: String, window: Int, stride: Int)
+      extends Statement
   /** `neighbors <k> [<vecCol>] [<queryPred>]` — exact cosine top-k of
     * every row matching the predicate against the whole frame
     * (operators.Similarity.bruteForceTopK; ids are the frame index). */

@@ -108,6 +108,10 @@ object Dsl {
     SplitBy(percents, by, salt)
   def pack(tokensCol: String, budget: Long, shards: Int = 64): Statement =
     Pack(tokensCol, budget, shards)
+  def chunk(textCol: String, window: Int, stride: Int): Statement =
+    Chunk(textCol, window, stride)
+  def chunk(textCol: String, window: Int): Statement =
+    Chunk(textCol, window, window)
   def neighbors(k: Int, vec: Expr, pred: Expr): Statement =
     Neighbors(k, vec, pred)
 

@@ -325,6 +325,14 @@ object Engine {
         .packedLayout(f.df, KEY, tc, budget, shards)
       HbFrame(packed, Seq(col(KEY).asc), Nil)
 
+    case Chunk(tc, w, stride) =>
+      // the layout REPLACES the frame (like pack); the key stays the
+      // source doc key — not unique (chunk_id disambiguates), which is
+      // fine for the layout-consuming tail of a pipeline
+      val chunks = graft.operators.Chunking
+        .chunkLayout(f.df, KEY, tc, w, stride)
+      HbFrame(chunks, Seq(col(KEY).asc, col("chunk_id").asc), Nil)
+
     case Neighbors(k, vecE, predE) =>
       val vecCol = vecE match {
         case ColRef(n) => n

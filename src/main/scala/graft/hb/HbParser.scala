@@ -21,7 +21,7 @@ object HbParser {
   private val statementStart = Set(
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
-    "dedup", "cluster", "split", "pack", "neighbors")
+    "dedup", "cluster", "split", "pack", "chunk", "neighbors")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -451,6 +451,14 @@ object HbParser {
           case _ => 64
         }
         Pack(c, budget, shards)
+      case "chunk" =>
+        val c = p.colName()
+        val w = p.int()
+        val stride = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => w
+        }
+        Chunk(c, w, stride)
       case "neighbors" =>
         val k = p.int()
         val vec = p.bracketed()

@@ -59,6 +59,9 @@ object Printer {
     case Pack(c, budget, shards) =>
       val sh = if (shards == 64) "" else s" $shards"
       s"pack ${name(c)} $budget$sh"
+    case Chunk(c, w, stride) =>
+      val st = if (stride == w) "" else s" $stride"
+      s"chunk ${name(c)} $w$st"
     case Neighbors(k, vec, pred) =>
       s"neighbors $k [${print(vec)}] [${print(pred)}]"
     case Comment(text) => s"!#$text!#"
@@ -117,6 +120,6 @@ object Printer {
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split", "pack",
-      "neighbors") ++
+      "chunk", "neighbors") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag corpus documents sharing any word
+  * n-gram with an evaluation set (the GPT-3/Llama-style contamination
+  * filter every pretraining corpus runs before training).
+  *
+  * 100 TB shape: the eval side is a benchmark (thousands of documents,
+  * not billions), so its distinct gram set is BROADCAST and the corpus
+  * side never shuffles for the membership test — corpus grams are a
+  * narrow explode feeding a broadcast-hash semi-join inside the scan
+  * stage. The only exchange is the distinct over MATCHED doc ids
+  * (bounded by the contamination rate, not the corpus), plus the
+  * left join of that small hit set back onto the corpus (AQE
+  * broadcasts it). Grams are built from aligned array slices +
+  * arrays_zip, not a lambda over the tokenizer chain — see the
+  * re-evaluation note on TextGates.t_top_ngrams.
+  */
+object Decontaminate {
+
+  /** Whitespace tokens of the normalized, lowercased text. */
+  def tokens(textCol: Column): Column =
+    split(lower(regexp_replace(textCol, "\\s+", " ")), " ")
+
+  /** Explode `df` into one row per word n-gram: (idCol, gram).
+    * Documents with fewer than `n` tokens contribute no rows. */
+  def ngramRows(df: DataFrame, idCol: String, toks: Column, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val sliced = df.select(col(idCol) +: (0 until n).map { i =>
+      val c = if (i == 0) toks
+              else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+      c.as(s"__g$i")
+    }: _*)
+    // arrays_zip pads the (shorter) shifted slices with null, so a null
+    // last field marks the tail positions with no complete n-gram.
+    sliced
+      .select(col(idCol),
+        explode(arrays_zip((0 until n).map(i => col(s"__g$i")): _*)).as("__z"))
+      .filter(col(s"__z.__g${n - 1}").isNotNull)
+      .select(col(idCol),
+        concat_ws(" ", (0 until n).map(i => col(s"__z.__g$i")): _*).as("gram"))
+  }
+
+  /** All corpus rows plus a `contaminated` flag: true iff the document
+    * shares at least one word n-gram with any document in `evalSet`. */
+  def flag(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    // The eval-side id is never used downstream (only distinct grams
+    // survive) — a constant keeps the projection deterministic.
+    val evalGrams = ngramRows(
+      evalSet.select(lit(0L).as("__eid"), col(textCol)),
+      "__eid", tokens(col(textCol)), n)
+      .select("gram").distinct()
+    val hits = ngramRows(corpus.select(col(idCol), col(textCol)),
+      idCol, tokens(col(textCol)), n)
+      .join(broadcast(evalGrams), "gram")
+      .select(idCol).distinct()
+    corpus
+      .join(hits.withColumn("__hit", lit(true)), Seq(idCol), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__hit")
+  }
+
+  /** The removal form: corpus rows with every contaminated document
+    * dropped (an anti-join against the hit set). */
+  def clean(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame =
+    flag(corpus, evalSet, idCol, textCol, n)
+      .filter(!col("contaminated")).drop("contaminated")
+}

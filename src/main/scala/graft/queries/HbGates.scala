@@ -225,6 +225,16 @@ object HbGates {
       |slice columns doc_id shard seq_first seq_last seq_offset
       |""".stripMargin
 
+  // The t_chunk twin: fixed-window chunking as DSL text — same geometry
+  // (64-token windows, stride 48) keyed on the doc_id index, the id
+  // re-materialized from keys.
+  private val chunkHb =
+    """index rows by doc_id
+      |chunk text 64 48
+      |create column doc_id keys
+      |slice columns doc_id chunk_id tok_start n_chunk_tokens chunk_md5
+      |""".stripMargin
+
   // The s_ann_topk twin: exact cosine top-10 for the first five vectors
   // against the whole corpus, ids = the vec_id index, query set chosen
   // by a predicate over `keys`.
@@ -438,6 +448,11 @@ object HbGates {
       (s, d) => Graft.runHb(dedupPipelineHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),
       Some(TextGates.pipelineOracleSql)),
+
+    Gate("hb_chunk",
+      (s, d) => Graft.runHb(chunkHb, t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(TextGates.chunkOracleSql)),
 
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))

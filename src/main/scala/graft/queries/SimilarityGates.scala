@@ -389,6 +389,60 @@ object SimilarityGates {
     },
       Some(SimilarityGates.annTopkOracleSql)),
 
+    // Symmetric int8 embedding quantization — the storage/shuffle
+    // compressor for vector search at scale (4× smaller vectors to
+    // shuffle or cache than float32). q_i = floor(x_i·127/max|x| + 0.5),
+    // a pure narrow map. Determinism: every division/floor is IEEE
+    // double (identical in both engines), the checksums are integer
+    // sums (order-free), and the reconstruction error is fixed-point
+    // floored BEFORE summing so the aggregate is order-free too. The
+    // outer-column reference (`ma`) inside the lambdas can be inlined
+    // per element by CollapseProject — bounded at O(dim²)=64² trivial
+    // ops per row, worth it to stay whole-stage-codegen.
+    Gate("s_embed_quantize",
+      (s, d) => {
+        import org.apache.spark.sql.types._
+        val v = col("embedding")
+        val ma = array_max(transform(v, x => abs(x.cast(DoubleType))))
+        val scale = ma / lit(127.0)
+        val q = transform(v, x =>
+          when(ma > 0, floor(x.cast(DoubleType) * lit(127.0) / ma + lit(0.5)))
+            .otherwise(lit(0.0)).cast(LongType))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), v.as("embedding"), ma.as("ma"), q.as("qv"))
+          .select(col("vec_id"),
+            (col("ma") / lit(127.0)).as("scale"),
+            aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+            aggregate(transform(col("qv"), x => abs(x)), lit(0L), (a, x) => a + x)
+              .as("q_l1"),
+            aggregate(
+              zip_with(col("embedding"), col("qv"), (x, qq) =>
+                floor(abs(x.cast(DoubleType) -
+                  qq.cast(DoubleType) * (col("ma") / lit(127.0))) * lit(1e9))
+                  .cast(LongType)),
+              lit(0L), (a, x) => a + x).as("recon_l1_fp"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS ma
+             |  FROM embeddings),
+             |q AS (
+             |  SELECT vec_id, embedding, ma,
+             |    CASE WHEN ma > 0
+             |      THEN list_transform(embedding,
+             |        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+             |      ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+             |  FROM m)
+             |SELECT vec_id,
+             |  ma / 127.0 AS scale,
+             |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+             |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+             |  CAST(list_sum(list_transform(list_zip(embedding, qv),
+             |    p -> CAST(FLOOR(ABS(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * (ma / 127.0)) * 1e9) AS BIGINT)))
+             |    AS BIGINT) AS recon_l1_fp
+             |FROM q ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+
     // IVF ANN (the scale path): 16 coarse cells, nprobe=4. FULL oracle
     // (rows-only until r5): deterministic mode fits the cells with
     // KMeansDet over the L2-normalized vectors, so the ENTIRE index —

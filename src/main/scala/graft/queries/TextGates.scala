@@ -47,6 +47,27 @@ object TextGates {
        |  CAST(bef % 4096 AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_chunk oracle — 64-token windows every 48 tokens over the
+    * documents table. Shared with the `.hb`-surface twin `hb_chunk` in
+    * HbGates (`chunk text 64 48` on the doc_id index compiles to the
+    * same Chunking.chunkLayout call). */
+  private[queries] lazy val chunkOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    string_split(regexp_replace(text, '\s+', ' ', 'g'), ' ') AS tk
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, tk, len(tk) AS n,
+      |    unnest(range(0, greatest(len(tk) - 1, 0) + 1, 48)) AS tok_start
+      |  FROM toks)
+      |SELECT doc_id,
+      |  CAST(tok_start // 48 AS BIGINT) AS chunk_id,
+      |  CAST(tok_start AS BIGINT) AS tok_start,
+      |  CAST(least(64, n - tok_start) AS BIGINT) AS n_chunk_tokens,
+      |  md5(array_to_string(tk[tok_start + 1 : tok_start + 64], ' ')) AS chunk_md5
+      |FROM st
+      |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC""".stripMargin
+
   val gates: Seq[Gate] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish subword proxy
@@ -341,6 +362,59 @@ object TextGates {
              |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
              |               WHEN 'fr' THEN 2500 ELSE 1000 END
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Benchmark decontamination (operators.Decontaminate): flag corpus
+    // docs sharing any word 4-gram with a (deterministic 5%-sample)
+    // eval set. At 100 TB the eval side is a benchmark — thousands of
+    // docs — so its distinct grams BROADCAST and the corpus never
+    // shuffles for the membership test; only matched doc ids (the
+    // contamination rate, ~3% here) reach an exchange. Full oracle:
+    // same bucket, same tokenization, same gram windows in DuckDB.
+    Gate("t_decontaminate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val b = Sampling.hashBucket(col("doc_id"), "eval")
+        graft.operators.Decontaminate.flag(
+          docs.filter(b >= 500), docs.filter(b < 500),
+          "doc_id", "text", n = 4)
+          .select(col("doc_id"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bkt AS (
+             |  SELECT doc_id, text,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)
+             |      AS BIGINT) % 10000 AS b
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, b,
+             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM bkt),
+             |grams AS (
+             |  SELECT doc_id, b,
+             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+             |  FROM tok),
+             |eg AS (SELECT DISTINCT gram FROM grams WHERE b < 500),
+             |hits AS (
+             |  SELECT DISTINCT g.doc_id
+             |  FROM grams g JOIN eg USING (gram) WHERE g.b >= 500)
+             |SELECT k.doc_id AS doc_id,
+             |  (h.doc_id IS NOT NULL) AS contaminated
+             |FROM bkt k LEFT JOIN hits h ON k.doc_id = h.doc_id
+             |WHERE k.b >= 500
+             |ORDER BY k.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Fixed-window chunking with stride (operators.Chunking): 64-token
+    // windows every 48 tokens (25% overlap). Pure narrow map + explode —
+    // a document's chunk layout depends only on its own tokens, so the
+    // plan has ZERO shuffles at any scale. chunk_id = tok_start/stride
+    // (no ordinal window needed). Full oracle: DuckDB range() replays
+    // the same start positions and slices.
+    Gate("t_chunk",
+      (s, d) => graft.operators.Chunking.chunkLayout(
+        t(s, d, "documents"), "doc_id", "text", window = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(TextGates.chunkOracleSql)),
 
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB

@@ -145,6 +145,9 @@ class DslSpec extends AnyFunSuite {
         else Seq(tr.toDouble, (100 - tr).toDouble), nm, salt),
     for { nm <- genName; b <- Gen.chooseNum(128, 8192);
       sh <- Gen.oneOf(64, 8, 16) } yield Pack(nm, b.toLong, sh),
+    for { nm <- genName; w <- Gen.chooseNum(2, 4096);
+      full <- Gen.oneOf(true, false); st <- Gen.chooseNum(1, 4096) }
+      yield Chunk(nm, w, if (full) math.min(st, w) else w),
     for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
       yield Neighbors(k, ColRef(v), e))
 

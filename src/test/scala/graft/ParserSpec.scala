@@ -136,6 +136,10 @@ class ParserSpec extends AnyFunSuite {
       Pack("n_chars", 4096L))
     assert(HbParser.parseStatement("pack n_chars 4096 8") ==
       Pack("n_chars", 4096L, 8))
+    assert(HbParser.parseStatement("chunk text 64 48") ==
+      Chunk("text", 64, 48))
+    assert(HbParser.parseStatement("chunk text 64") == // stride defaults
+      Chunk("text", 64, 64))
     assert(HbParser.parseStatement("neighbors 10 [embedding] [keys < 5]") ==
       Neighbors(10, ColRef("embedding"),
         Bin("<", KeysExpr, NumLit(5))))

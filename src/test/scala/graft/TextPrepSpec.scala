@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.{Chunking, Decontaminate}
+
+/** Decontamination + chunking semantics on hand-built corpora where the
+  * expected flags/layout are enumerable by eye.
+  */
+class TextPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local()
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("decontaminate flags exactly the docs sharing an n-gram") {
+    val corpus = docs(
+      1L -> "the quick brown fox jumps over the dog",
+      2L -> "entirely different words appear here now",
+      3L -> "ends with quick brown fox jumps")
+    val eval = docs(
+      100L -> "a quick brown fox jumps far away")
+    val out = Decontaminate.flag(corpus, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // "quick brown fox jumps" is the shared 4-gram of docs 1 and 3.
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true))
+  }
+
+  test("decontaminate matching is case/whitespace-normalized") {
+    val corpus = docs(1L -> "Alpha  Beta\tGamma Delta tail")
+    val eval = docs(9L -> "alpha beta gamma delta")
+    val out = Decontaminate.flag(corpus, eval, "doc_id", "text", n = 4)
+      .select("contaminated").head().getBoolean(0)
+    assert(out)
+  }
+
+  test("docs shorter than n never match; clean drops flagged docs") {
+    val corpus = docs(1L -> "too short", 2L -> "one two three four")
+    val eval = docs(9L -> "too short", 10L -> "one two three four")
+    val flags = Decontaminate.flag(corpus, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> false, 2L -> true))
+    val kept = Decontaminate.clean(corpus, eval, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+  }
+
+  test("chunk layout covers every token and respects window/stride") {
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9; lengths 4,4,4,1.
+    val d = docs(1L -> (1 to 10).map(i => s"t$i").mkString(" "))
+    val rows = Chunking.chunkLayout(d, "doc_id", "text", window = 4,
+      stride = 3).orderBy("chunk_id")
+      .select("chunk_id", "tok_start", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L),
+      (3L, 9L, 1L)))
+  }
+
+  test("stride == window gives a disjoint partition of the tokens") {
+    val d = docs(1L -> (1 to 9).map(i => s"t$i").mkString(" "))
+    val rows = Chunking.chunkLayout(d, "doc_id", "text", window = 3,
+      stride = 3).select("tok_start", "n_chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.toSeq.sorted == Seq((0L, 3L), (3L, 3L), (6L, 3L)))
+    assert(rows.map(_._2).sum == 9) // total coverage, no overlap
+  }
+
+  test("chunking a single-token doc yields one chunk") {
+    val rows = Chunking.chunkLayout(docs(1L -> "solo"), "doc_id", "text",
+      window = 64, stride = 48).collect()
+    assert(rows.length == 1)
+  }
+
+  test("neither operator shuffles the corpus for its narrow stages") {
+    // Chunking: zero exchanges at all.
+    val chunkPlan = Chunking.chunkLayout(docs(1L -> "a b c"), "doc_id",
+      "text", 4, 2).queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunk plan should be shuffle-free:\n$chunkPlan")
+    // Decontaminate: the eval-gram membership test must be a broadcast
+    // join (the corpus-gram side never hash-partitions for it).
+    val plan = Decontaminate.flag(docs(1L -> "a b c d e"),
+      docs(9L -> "a b c d"), "doc_id", "text", n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"eval grams should broadcast:\n$plan")
+  }
+}
