@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Passage-level (sub-document) duplication — repeated k-token windows
+  * ACROSS the corpus, the signal behind suffix-array training-data
+  * dedup ("a 50-token passage appearing twice is memorization fuel").
+  * Document-level dedup (exact/MinHash/SimHash) misses passages pasted
+  * into otherwise-distinct documents; this operator counts them.
+  *
+  * 100 TB shape: windows are a narrow explode (the same aligned-slice
+  * gram construction as [[Decontaminate]]); only a 32-byte digest per
+  * window reaches the exchange, map-side combine collapses within-
+  * partition repeats, and the `sampleMod` knob keeps 1/p of windows by
+  * digest bucket (MOSS-winnowing-style fingerprint sampling, p = 1 =
+  * exhaustive) when even digests-per-window is too much shuffle — the
+  * repeated-mass ESTIMATE is unbiased because selection is by content
+  * hash, never by position. The windows frame is persisted across its
+  * two consumers (count + join back) and released after materializing
+  * the small per-doc stats, the [[Dedup]] signature-cache discipline.
+  */
+object PassageDedup {
+
+  /** (doc, window-fingerprint) rows: every k-token window of the
+    * normalized lowercased text, md5-digested; optionally winnowed to
+    * digests ≡ 0 (mod sampleMod). */
+  def windows(df: DataFrame, idCol: String, textCol: String, k: Int,
+      sampleMod: Int = 1): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
+    val w = Decontaminate.ngramRows(df.select(col(idCol), col(textCol)),
+      idCol, Decontaminate.tokens(col(textCol)), k)
+      .select(col(idCol), md5(col("gram")).as("fp"))
+    if (sampleMod <= 1) w
+    else w.filter(
+      conv(substring(col("fp"), 1, 8), 16, 10).cast(LongType)
+        % sampleMod === 0)
+  }
+
+  /** Corpus-level repeated-passage table: one row per window fingerprint
+    * occurring more than once — how many documents and occurrences. */
+  def repeatedPassages(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, sampleMod: Int = 1): DataFrame =
+    windows(df, idCol, textCol, k, sampleMod)
+      .groupBy("fp")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1)
+
+  /** Per-document repeated-passage mass: of the doc's (sampled) windows,
+    * how many have a fingerprint seen elsewhere in the corpus (or again
+    * in the same doc). `repeated_frac` is the filterable Lee-et-al-style
+    * signal; docs with fewer than k tokens have no windows and a null
+    * fraction. */
+  def docStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, sampleMod: Int = 1): DataFrame = {
+    val w = windows(df, idCol, textCol, k, sampleMod)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = w.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("fp")
+    val perDoc = w.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
+    val repPerDoc = w.join(rep, "fp")
+      .groupBy(idCol).agg(count(lit(1)).as("n_repeated"))
+    val stats = df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(repPerDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"))
+      .withColumn("repeated_frac",
+        when(col("n_windows") > 0,
+          col("n_repeated").cast(DoubleType) / col("n_windows")))
+    val out = stats.localCheckpoint(true)
+    w.unpersist(false)
+    out
+  }
+}

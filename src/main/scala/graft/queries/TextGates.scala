@@ -484,6 +484,38 @@ object TextGates {
       },
       Some(TextGates.pipelineOracleSql)),
 
+    // Passage-level dedup (operators.PassageDedup): per-doc repeated
+    // 8-token-window mass — the sub-document duplication signal doc-level
+    // dedup misses (Lee-et-al-style). Shuffle = one 32-byte digest per
+    // window (map-side combined); the winnowing `sampleMod` knob (1 here
+    // = exhaustive) cuts that by 1/p at corpus scale. Full oracle: same
+    // windows, digests, repeat counts in DuckDB.
+    Gate("d_passage_dedup",
+      (s, d) => graft.operators.PassageDedup.docStats(
+        t(s, d, "documents"), "doc_id", "text", k = 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM documents),
+             |w AS (
+             |  SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+             |  FROM tok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+             |rep AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+             |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+             |rpd AS (
+             |  SELECT w.doc_id, count(*) AS n_repeated
+             |  FROM w JOIN rep USING (fp) GROUP BY w.doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(t.n_windows, 0) AS n_windows,
+             |  COALESCE(r.n_repeated, 0) AS n_repeated,
+             |  CASE WHEN COALESCE(t.n_windows, 0) > 0
+             |    THEN CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / t.n_windows
+             |  END AS repeated_frac
+             |FROM documents d
+             |LEFT JOIN tot t USING (doc_id) LEFT JOIN rpd r USING (doc_id)
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).

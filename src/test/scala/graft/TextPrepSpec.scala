@@ -76,6 +76,54 @@ class TextPrepSpec extends AnyFunSuite {
     assert(rows.length == 1)
   }
 
+  test("passage dedup counts cross-doc repeated windows, not unique ones") {
+    import graft.operators.PassageDedup
+    // docs 1 and 2 share the 4-token passage "w x y z" inside otherwise
+    // different texts; doc 3 shares nothing.
+    val corpus = docs(
+      1L -> "a b c w x y z d e",
+      2L -> "p q w x y z r s t",
+      3L -> "m n o u v k l")
+    val stats = PassageDedup.docStats(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    // doc 1: 6 windows, exactly 1 repeated ("w x y z"); same for doc 2.
+    assert(stats(1L) == ((6L, 1L)))
+    assert(stats(2L) == ((6L, 1L)))
+    assert(stats(3L) == ((4L, 0L)))
+    val rep = PassageDedup.repeatedPassages(corpus, "doc_id", "text", k = 4)
+      .collect()
+    assert(rep.length == 1 && rep.head.getLong(1) == 2 // n_docs
+      && rep.head.getLong(2) == 2) // n_occ
+  }
+
+  test("within-doc repetition also counts as repeated passage mass") {
+    import graft.operators.PassageDedup
+    val corpus = docs(1L -> "x y x y x y x y") // "x y x y" repeats inside
+    val rep = PassageDedup.repeatedPassages(corpus, "doc_id", "text", k = 4)
+      .collect()
+    assert(rep.nonEmpty && rep.forall(_.getLong(1) == 1)) // one doc
+    assert(rep.map(_.getLong(2)).sum >= 4) // multiple occurrences
+  }
+
+  test("winnowed windows are a content-stable subset of the full set") {
+    import graft.operators.PassageDedup
+    val corpus = docs(
+      1L -> (1 to 200).map(i => s"tok${i % 37}").mkString(" "),
+      2L -> (1 to 150).map(i => s"tok${i % 23}").mkString(" "))
+    val full = PassageDedup.windows(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val sampled = PassageDedup.windows(corpus, "doc_id", "text", k = 4,
+      sampleMod = 4).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sampled.subsetOf(full))
+    assert(sampled.size < full.size && sampled.nonEmpty)
+    // selection is by digest, so the SAME passages are kept everywhere:
+    // fingerprints selected in doc 1 are selected in doc 2 too
+    val fp1 = sampled.filter(_._1 == 1L).map(_._2)
+    val both = full.filter(_._1 == 2L).map(_._2).intersect(fp1)
+    assert(both.forall(fp => sampled.contains((2L, fp))))
+  }
+
   test("neither operator shuffles the corpus for its narrow stages") {
     // Chunking: zero exchanges at all.
     val chunkPlan = Chunking.chunkLayout(docs(1L -> "a b c"), "doc_id",
