@@ -484,6 +484,82 @@ object TextGates {
       },
       Some(TextGates.pipelineOracleSql)),
 
+    // Lexical retrieval: BM25-shaped ranking of the corpus against a
+    // literal query term set. The plan is wordcount-shaped: tokenize →
+    // explode → FILTER TO QUERY TERMS inside the scan stage (only query
+    // term hits ever shuffle) → per-(doc,term) tf → term df joined back
+    // by broadcast (the df frame is |query| rows). Engine-portability
+    // deviations, documented: idf is the odds ratio (N-df+0.5)/(df+0.5)
+    // WITHOUT the log (libm ln differs in last ULPs across engines;
+    // ranking for fixed weights is unaffected in spirit, and the oracle
+    // must hash-match bits), and per-term scores are fixed-point floored
+    // BEFORE the per-doc sum so the aggregate is order-free. k1=1.2,
+    // b=0.75.
+    Gate("t_bm25", (s, d) => {
+      val terms = Seq("data", "model", "system")
+      val k1 = 1.2; val b = 0.75
+      val docs = t(s, d, "documents")
+      val tk = split(lower(normText), "\\s+")
+      val base = docs.select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"), size(col("tk")).as("dl"),
+          explode(col("tk")).as("term"))
+        .filter(col("term").isin(terms: _*))
+      val tf = base.groupBy(col("doc_id"), col("term"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val n = docs.select(count(lit(1)).as("n_docs"))
+      // explicit exact-integer sum / count (an engine's avg() may
+      // accumulate in doubles — order-dependent bits)
+      val avg = docs.select(
+        (sum(size(split(lower(normText), "\\s+"))).cast(DoubleType) /
+          count(lit(1))).as("avgdl"))
+      val df_ = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val scored = tf
+        .join(broadcast(df_), "term")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(avg))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        .withColumn("tfn",
+          col("tf") * (lit(k1) + 1) /
+            (col("tf") + lit(k1) *
+              (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .withColumn("term_fp",
+          floor(col("idf") * col("tfn") * lit(1e9)).cast(LongType))
+      scored.groupBy("doc_id")
+        .agg(sum(col("term_fp")).as("score_fp"),
+          count(lit(1)).as("n_terms_hit"))
+        .orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(20)
+    },
+      Some(s"""WITH tok AS (
+             |  SELECT doc_id,
+             |    string_split_regex(lower($normSql), '\\s+') AS tk
+             |  FROM documents),
+             |base AS (
+             |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM tok),
+             |hits AS (
+             |  SELECT doc_id, dl, term FROM base
+             |  WHERE term IN ('data', 'model', 'system')),
+             |tf AS (
+             |  SELECT doc_id, term, dl, count(*) AS tf
+             |  FROM hits GROUP BY doc_id, term, dl),
+             |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |a AS (SELECT CAST(SUM(len(string_split_regex(lower($normSql), '\\s+'))) AS DOUBLE)
+             |        / COUNT(*) AS avgdl
+             |      FROM documents),
+             |sc AS (
+             |  SELECT t.doc_id,
+             |    CAST(FLOOR(
+             |      ((n.n_docs - d.df + 0.5) / (d.df + 0.5))
+             |      * (t.tf * (1.2 + 1) / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / a.avgdl)))
+             |      * 1e9) AS BIGINT) AS term_fp
+             |  FROM tf t JOIN dfq d USING (term), n, a)
+             |SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp,
+             |  count(*) AS n_terms_hit
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // Passage-level dedup (operators.PassageDedup): per-doc repeated
     // 8-token-window mass — the sub-document duplication signal doc-level
     // dedup misses (Lee-et-al-style). Shuffle = one 32-byte digest per
