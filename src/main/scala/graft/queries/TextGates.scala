@@ -283,6 +283,120 @@ object TextGates {
              |SELECT gram, COUNT(*) AS n FROM grams GROUP BY gram
              |ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin)),
 
+    // Grouped top-k: top-5 trigrams PER LANGUAGE — the keyed form of
+    // t_top_ngrams. The rank window partitions by lang (keyed shuffle,
+    // never a global sort/TakeOrdered), so the pattern survives any
+    // number of groups at any scale. Ties broken (count desc, gram asc);
+    // rank cast to long on both sides (DuckDB row_number is BIGINT).
+    Gate("t_top_ngrams_by_lang",
+      (s, d) => {
+        val tk = split(lower(normText), "\\s+")
+        val counts = t(s, d, "documents")
+          .select(col("lang"), tk.as("tk"),
+            slice(tk, lit(2), greatest(size(tk) - 1, lit(0))).as("s2"),
+            slice(tk, lit(3), greatest(size(tk) - 2, lit(0))).as("s3"))
+          .select(col("lang"),
+            explode(arrays_zip(col("tk"), col("s2"), col("s3"))).as("g"))
+          .filter(col("g.s3").isNotNull)
+          .select(col("lang"),
+            concat_ws(" ", col("g.tk"), col("g.s2"), col("g.s3"))
+              .as("gram"))
+          .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n").desc, col("gram"))
+        counts
+          .withColumn("rank", row_number().over(w).cast(LongType))
+          .filter(col("rank") <= 5)
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH toks AS (
+             |  SELECT lang, string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), '\s+') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT lang, unnest(list_transform(
+             |    range(0, greatest(len(tk)-3, 0) + CASE WHEN len(tk) >= 3 THEN 1 ELSE 0 END),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) AS gram
+             |  FROM toks),
+             |cnt AS (SELECT lang, gram, COUNT(*) AS n FROM grams GROUP BY lang, gram),
+             |rk AS (
+             |  SELECT lang, gram, n,
+             |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+             |  FROM cnt)
+             |SELECT lang, gram, n, rank FROM rk WHERE rank <= 5
+             |ORDER BY lang ASC NULLS FIRST, rank ASC""".stripMargin)),
+
+    // Mixture report: docs/tokens per (lang, source) with corpus
+    // fractions — the table domain-mix sampling weights are set from.
+    // One map-side-combined groupBy; the totals come from an
+    // unpartitioned window over the TINY aggregated frame (bounded by
+    // the number of (lang, source) cells, a documented post-aggregation
+    // smallness). All-integer sums; fractions are single divisions.
+    Gate("t_mix_report",
+      (s, d) => {
+        val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        val agg = t(s, d, "documents")
+          .select(col("lang"), col("source"), nTok.as("nt"))
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy()
+        agg
+          .withColumn("doc_frac",
+            col("n_docs").cast(DoubleType) / sum(col("n_docs")).over(w))
+          .withColumn("token_frac",
+            col("n_tokens").cast(DoubleType) / sum(col("n_tokens")).over(w))
+          .orderBy(col("lang"), col("source"))
+      },
+      Some("""WITH agg AS (
+             |  SELECT lang, source, COUNT(*) AS n_docs,
+             |    CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+             |  FROM documents GROUP BY lang, source)
+             |SELECT lang, source, n_docs, n_tokens,
+             |  CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS BIGINT) AS doc_frac,
+             |  CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT) AS token_frac
+             |FROM agg
+             |ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST""".stripMargin)),
+
+    // The composite C4/Gopher-style KEEP/DROP filter — the curation
+    // decision every pretraining corpus applies, composed from the
+    // engine's own signals (token count, stopword density, duplicate
+    // token mass) with a `reason` column for auditability. Entirely a
+    // narrow codegen'd expression pipeline: the signals are per-row,
+    // so the filter runs inside the scan stage at any scale.
+    Gate("t_c4_filter",
+      (s, d) => {
+        val tk = split(lower(normText), "\\s+")
+        val nTok = size(tk)
+        val nStop = size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+        val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+        val reason =
+          when(nTok < 20, lit("too_short"))
+            .when(dupFrac > 0.3, lit("repetitive"))
+            .when(nStop * lit(1.0) / nTok < 0.01, lit("no_stopwords"))
+            .otherwise(lit("keep"))
+        t(s, d, "documents")
+          .select(col("doc_id"), reason.as("reason"),
+            (reason === "keep").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH sig AS (
+             |  SELECT doc_id,
+             |    len(string_split_regex(lower($normSql), '\\s+')) AS nt,
+             |    len(list_distinct(string_split_regex(lower($normSql), '\\s+'))) AS nd,
+             |    len(regexp_extract_all(lower(text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b')) AS ns
+             |  FROM documents),
+             |lab AS (
+             |  SELECT doc_id,
+             |    CASE WHEN nt < 20 THEN 'too_short'
+             |         WHEN CAST(nt - nd AS DOUBLE) / nt > 0.3 THEN 'repetitive'
+             |         WHEN ns * 1.0 / nt < 0.01 THEN 'no_stopwords'
+             |         ELSE 'keep' END AS reason
+             |  FROM sig)
+             |SELECT doc_id, reason, (reason = 'keep') AS keep
+             |FROM lab ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Repetition signals — the Gopher/C4-family quality rules every
     // pretraining corpus filters on: token-level duplicate mass (pure
     // narrow HOF, no shuffle) and the most-frequent-bigram mass (the

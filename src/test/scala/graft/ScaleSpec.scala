@@ -51,8 +51,8 @@ class ScaleSpec extends AnyFunSuite {
     "w2_expanding_sum", "w6_ordinals", "hb_velocity", "hb_series_window",
     "t_token_count", "t_quality_score", "t_hash_split", "t_pack_layout",
     "t_top_ngrams", "t_mix_sample", "t_repetition", "t_chunk", "hb_chunk",
-    "t_decontaminate", "t_bm25", "d_exact_dedup", "s_ann_topk",
-    "s_embed_quantize")
+    "t_decontaminate", "t_bm25", "t_top_ngrams_by_lang", "t_mix_report",
+    "t_c4_filter", "d_exact_dedup", "s_ann_topk", "s_embed_quantize")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {

@@ -124,6 +124,73 @@ class TextPrepSpec extends AnyFunSuite {
     assert(both.forall(fp => sampled.contains((2L, fp))))
   }
 
+  test("property: chunk layout covers all tokens, starts step by stride") {
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.chooseNum(1, 300)
+      w <- Gen.chooseNum(1, 80)
+      s <- Gen.chooseNum(1, w)
+    } yield (n, w, s)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 30).foreach { i =>
+      gen(params, org.scalacheck.rng.Seed(i.toLong)).foreach {
+        case (n, w, s) =>
+          val d = docs(1L -> (1 to n).map(j => s"t$j").mkString(" "))
+          val rows = Chunking.chunkLayout(d, "doc_id", "text", w, s)
+            .select("tok_start", "n_chunk_tokens")
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          // starts are exactly the multiples of stride below n
+          assert(rows.map(_._1).toSeq ==
+            (0L until n.toLong by s.toLong).toSeq,
+            s"n=$n w=$w s=$s starts=${rows.map(_._1).toSeq}")
+          // every token is inside at least one chunk; no chunk overruns
+          val covered = rows.flatMap { case (st, len) =>
+            st until (st + len) }.toSet
+          assert(covered == (0L until n.toLong).toSet, s"n=$n w=$w s=$s")
+          assert(rows.forall { case (st, len) =>
+            len >= 1 && len <= w && st + len <= n }, s"n=$n w=$w s=$s")
+      }
+    }
+  }
+
+  test("decontamination is monotone: smaller n flags a superset") {
+    // sharing an n-gram implies sharing every (n-1)-gram inside it, so
+    // shrinking n can only ADD flags — the knob is safe to tighten.
+    val corpus = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "one two three alpha beta gamma end",
+      3L -> "unrelated words only here today now")
+    val eval = docs(9L -> "alpha beta gamma delta")
+    def flagged(n: Int) =
+      Decontaminate.flag(corpus, eval, "doc_id", "text", n)
+        .filter(col("contaminated")).select("doc_id")
+        .as[Long].collect().toSet
+    val f2 = flagged(2); val f3 = flagged(3); val f4 = flagged(4)
+    assert(f4.subsetOf(f3) && f3.subsetOf(f2))
+    assert(f4 == Set(1L)) // only doc 1 shares a full 4-gram
+    assert(f3 == Set(1L, 2L)) // doc 2 shares "alpha beta gamma"
+  }
+
+  test("winnowed passage stats are bounded by the exhaustive stats") {
+    import graft.operators.PassageDedup
+    val corpus = docs(
+      1L -> ((1 to 100).map(j => s"t${j % 11}").mkString(" ")),
+      2L -> ((1 to 100).map(j => s"t${j % 11}").mkString(" ")))
+    def stats(mod: Int) =
+      PassageDedup.docStats(corpus, "doc_id", "text", k = 4, sampleMod = mod)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+    val full = stats(1); val sampled = stats(4)
+    sampled.foreach { case (id, (nw, nr)) =>
+      assert(nw <= full(id)._1 && nr <= full(id)._2)
+      assert(nr <= nw)
+    }
+    // identical docs: every window fingerprint occurs twice, so ALL
+    // (sampled) windows are repeated in both views
+    full.foreach { case (_, (nw, nr)) => assert(nw == nr) }
+    sampled.foreach { case (_, (nw, nr)) => assert(nw == nr) }
+  }
+
   test("neither operator shuffles the corpus for its narrow stages") {
     // Chunking: zero exchanges at all.
     val chunkPlan = Chunking.chunkLayout(docs(1L -> "a b c"), "doc_id",
