@@ -10,7 +10,8 @@ object PlanAudit {
         "d_exact_dedup", "w1_moving_avg", "d_ngram_jaccard", "w6_ordinals",
         "a6_buckets", "d_embed_cosine_kmeans", "hb_linreg",
         "hb_series_pipeline", "s_ann_rplsh", "t_top_ngrams",
-        "t_hash_split", "t_pack_layout",
+        "t_hash_split", "t_pack_layout", "t_decontaminate", "t_chunk",
+        "d_passage_dedup", "t_bm25", "t_top_ngrams_by_lang",
         "a7_kmeans", "s2_rest_provider", "s5_localdata")
     names.foreach { q =>
       println(s"===== $q =====")

@@ -52,6 +52,23 @@ class DslSpec extends AnyFunSuite {
       Seq(1L, 3L))
   }
 
+  test("chunk statement builds, round-trips and runs") {
+    import Dsl._
+    val tr = transformation(
+      indexBy(c("id")),
+      chunk("txt", 3, 2),
+      create("id", keys))
+    assert(tr.toHb.contains("chunk txt 3 2"))
+    val src = graft.sources.Ingest.localData(spark,
+      Seq("id", "txt"),
+      Seq(Seq(1L, "a b c d e"), Seq(2L, "x y")))
+    val out = tr.run(src)
+    // doc 1: 5 tokens, starts 0,2,4; doc 2: 2 tokens, start 0
+    assert(out.count() == 4)
+    assert(out.columns.contains("chunk_id") &&
+      out.columns.contains("chunk_md5"))
+  }
+
   test("DSL rejects non-round-trippable constructions") {
     import Dsl._
     intercept[Exception] {
