@@ -150,6 +150,37 @@ object SimilarityGates {
     * vec_id < 5 against the whole embeddings corpus. Shared with the
     * `.hb`-surface twin `hb_neighbors` in HbGates (identical output
     * schema: query_id, rank, neighbor_id, cosine). */
+  /** The s_ann_topk_q8 oracle: identical shape to [[annTopkOracleSql]]
+    * but over symmetric-int8 vectors (the per-vector scale cancels out
+    * of cosine, so no dequantization appears anywhere). */
+  private[queries] lazy val annTopkQ8OracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, embedding,
+       |    CAST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) AS ma
+       |  FROM embeddings),
+       |e1 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN ma > 0
+       |      THEN list_transform(embedding,
+       |        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / ma + 0.5) AS BIGINT))
+       |      ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+       |  FROM e0),
+       |e AS (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+       |  FROM e1),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+       |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 10
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+
   private[queries] lazy val annTopkOracleSql: String =
     s"""WITH e0 AS (
        |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
@@ -388,6 +419,21 @@ object SimilarityGates {
         .orderBy(col("query_id"), col("rank"))
     },
       Some(SimilarityGates.annTopkOracleSql)),
+
+    // QUANTIZED retrieval: the s_ann_topk plan over symmetric-int8
+    // vectors (quantizeInt8) — 4× less vector data in the broadcast and
+    // scan than float32/fixed-point, the cosine computed directly on the
+    // int8 codes (per-vector scale cancels). Approximate ranking
+    // (recall@10 ≥ 0.9 vs exact, DedupSpec); this gate pins the
+    // quantized ranking itself bit-for-bit against the oracle.
+    Gate("s_ann_topk_q8", (s, d) => {
+      val e = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10,
+        quantizer = Similarity.quantizeInt8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+      Some(SimilarityGates.annTopkQ8OracleSql)),
 
     // Symmetric int8 embedding quantization — the storage/shuffle
     // compressor for vector search at scale (4× smaller vectors to

@@ -178,6 +178,21 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"rp-lsh clustered recall@10 = $recall")
   }
 
+  test("int8-quantized top-k recall@10 >= 0.9 vs exact on sf0.01 " +
+    "embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10))
+    val q8 = pairs(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10,
+      quantizer = Similarity.quantizeInt8))
+    val recall = bf.intersect(q8).size.toDouble / bf.size
+    assert(recall >= 0.9, s"int8 recall@10 = $recall")
+  }
+
   test("IVF ANN beats the random-cell baseline on near-random sf0.01 " +
     "embeddings") {
     // the driver's synthetic embeddings are ~uniform on the sphere (top-1
