@@ -706,6 +706,94 @@ object TextGates {
              |LEFT JOIN tot t USING (doc_id) LEFT JOIN rpd r USING (doc_id)
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // The r7 curation operators composed END-TO-END: decontaminate
+    // (drop docs overlapping the 5%-sample eval set) → C4-style quality
+    // filter (keep reason = 'keep') → passage-dedup threshold on the
+    // SURVIVORS (repeated_frac computed post-filter — the interaction
+    // this gate pins: repeat counts change when the corpus shrinks) →
+    // deterministic 90/10 split. Every stage has its own gate; this one
+    // checks the composition, like t_pipeline_e2e does for
+    // dedup → split → pack.
+    Gate("t_curation_e2e",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val b = Sampling.hashBucket(col("doc_id"), "eval")
+        val decon = graft.operators.Decontaminate.flag(
+          docs.filter(b >= 500), docs.filter(b < 500),
+          "doc_id", "text", n = 4)
+          .filter(!col("contaminated")).drop("contaminated")
+        val tk = split(lower(normText), "\\s+")
+        val nTok = size(tk)
+        val nStop = size(regexp_extract_all(lower(col("text")),
+          lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+        val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+        val quality = decon.filter(nTok >= 20 && dupFrac <= 0.3 &&
+          nStop * lit(1.0) / nTok >= 0.01)
+        val stats = graft.operators.PassageDedup.docStats(
+          quality, "doc_id", "text", k = 8)
+          .filter(col("n_windows") === 0 || col("repeated_frac") <= 0.5)
+          .select("doc_id")
+        graft.operators.Sampling.hashSplit(
+          quality.join(stats, "doc_id").select(col("doc_id")),
+          "doc_id", "cur1", Seq("train" -> 0.9, "holdout" -> 0.1))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH bkt AS (
+             |  SELECT doc_id, text,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)
+             |      AS BIGINT) % 10000 AS b
+             |  FROM documents),
+             |tok AS (
+             |  SELECT doc_id, b,
+             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM bkt),
+             |grams AS (
+             |  SELECT doc_id, b,
+             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+             |  FROM tok),
+             |eg AS (SELECT DISTINCT gram FROM grams WHERE b < 500),
+             |hits AS (
+             |  SELECT DISTINCT g.doc_id
+             |  FROM grams g JOIN eg USING (gram) WHERE g.b >= 500),
+             |decon AS (
+             |  SELECT k.doc_id, k.text FROM bkt k
+             |  LEFT JOIN hits h ON k.doc_id = h.doc_id
+             |  WHERE k.b >= 500 AND h.doc_id IS NULL),
+             |sig AS (
+             |  SELECT doc_id, text,
+             |    len(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), '\s+')) AS nt,
+             |    len(list_distinct(string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), '\s+'))) AS nd,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS ns
+             |  FROM decon),
+             |quality AS (
+             |  SELECT doc_id, text FROM sig
+             |  WHERE nt >= 20 AND CAST(nt - nd AS DOUBLE) / nt <= 0.3
+             |    AND ns * 1.0 / nt >= 0.01),
+             |qtok AS (
+             |  SELECT doc_id,
+             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM quality),
+             |w AS (
+             |  SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+             |  FROM qtok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+             |rep AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+             |tot AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+             |rpd AS (
+             |  SELECT w.doc_id, count(*) AS n_repeated
+             |  FROM w JOIN rep USING (fp) GROUP BY w.doc_id),
+             |surv AS (
+             |  SELECT q.doc_id FROM quality q
+             |  LEFT JOIN tot t ON q.doc_id = t.doc_id
+             |  LEFT JOIN rpd r ON q.doc_id = r.doc_id
+             |  WHERE COALESCE(t.n_windows, 0) = 0
+             |     OR CAST(COALESCE(r.n_repeated, 0) AS DOUBLE) / t.n_windows <= 0.5)
+             |SELECT doc_id,
+             |  CASE WHEN CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':cur1'), 1, 8)
+             |      AS BIGINT) % 10000 < 9000 THEN 'train' ELSE 'holdout' END AS split
+             |FROM surv
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).
