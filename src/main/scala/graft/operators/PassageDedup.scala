@@ -6,7 +6,9 @@ import org.apache.spark.sql.types._
 
 /** Passage-level (sub-document) duplication — repeated k-token windows
   * ACROSS the corpus, the signal behind suffix-array training-data
-  * dedup ("a 50-token passage appearing twice is memorization fuel").
+  * dedup (Lee et al., "Deduplicating Training Data Makes Language
+  * Models Better", ACL '22 — public; their ExactSubstr uses a suffix
+  * array, this is the distributed window-fingerprint equivalent).
   * Document-level dedup (exact/MinHash/SimHash) misses passages pasted
   * into otherwise-distinct documents; this operator counts them.
   *
@@ -14,8 +16,10 @@ import org.apache.spark.sql.types._
   * gram construction as [[Decontaminate]]); only a 32-byte digest per
   * window reaches the exchange, map-side combine collapses within-
   * partition repeats, and the `sampleMod` knob keeps 1/p of windows by
-  * digest bucket (MOSS-winnowing-style fingerprint sampling, p = 1 =
-  * exhaustive) when even digests-per-window is too much shuffle — the
+  * digest bucket (0-mod-p fingerprint selection as in Schleimer et
+  * al., "Winnowing: Local Algorithms for Document Fingerprinting",
+  * SIGMOD '03 — public; p = 1 = exhaustive) when even
+  * digests-per-window is too much shuffle — the
   * repeated-mass ESTIMATE is unbiased because selection is by content
   * hash, never by position. The windows frame is persisted across its
   * two consumers (count + join back) and released after materializing
