@@ -326,6 +326,43 @@ object TextGates {
              |SELECT lang, gram, n, rank FROM rk WHERE rank <= 5
              |ORDER BY lang ASC NULLS FIRST, rank ASC""".stripMargin)),
 
+    // Exact per-group quantiles: p50/p90/p99 of document length per
+    // language — the exact-order-statistics answer to approx_percentile
+    // (which is engine-private and not oracle-able). The rank window
+    // partitions by lang (keyed shuffle, no global sort); the quantile
+    // index is pure integer arithmetic (ceil(cnt·p/100) as
+    // (cnt·p+99) DIV 100), so both engines pick the identical row, and
+    // the n_chars/doc_id tie-break makes the pick total-ordered.
+    Gate("t_length_quantiles",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val cw = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
+        t(s, d, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(w).cast(LongType))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .select(col("lang"), col("rn"), col("cnt"), col("n_chars"),
+            explode(array(lit(50), lit(90), lit(99))).as("pct"))
+          .filter(col("rn") === expr("(cnt * pct + 99) DIV 100"))
+          .select(col("lang"), col("pct"), col("n_chars").as("value"))
+          .orderBy(col("lang"), col("pct"))
+      },
+      Some("""WITH r AS (
+             |  SELECT lang, n_chars,
+             |    row_number() OVER (PARTITION BY lang
+             |      ORDER BY n_chars, doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY lang) AS cnt
+             |  FROM documents),
+             |x AS (
+             |  SELECT lang, n_chars, rn, cnt, unnest([50, 90, 99]) AS pct
+             |  FROM r)
+             |SELECT lang, pct, n_chars AS value FROM x
+             |WHERE rn = (cnt * pct + 99) // 100
+             |ORDER BY lang ASC NULLS FIRST, pct ASC""".stripMargin)),
+
     // Mixture report: docs/tokens per (lang, source) with corpus
     // fractions — the table domain-mix sampling weights are set from.
     // One map-side-combined groupBy; the totals come from an
