@@ -154,6 +154,17 @@ object Ast {
     * train/val/test; they must sum to 100. */
   case class SplitBy(percents: Seq[Double], col: String,
       salt: String = "split") extends Statement
+  /** `sample <pct> by <col> ['salt']` — deterministic hash sample
+    * keeping pct% of rows (operators.Sampling.hashSample; percentages
+    * to match `split`). */
+  case class SampleBy(percent: Double, col: String,
+      salt: String = "sample") extends Statement
+  /** `mix by <stratumCol> [s1 p1; s2 p2; …] <defaultPct> ['salt']` —
+    * stratified domain-mix sample: each listed stratum keeps its own
+    * percentage, others keep defaultPct; ids are the frame index
+    * (operators.Sampling.stratifiedSample). */
+  case class MixBy(stratumCol: String, percents: Seq[(String, Double)],
+      defaultPercent: Double, salt: String = "mix") extends Statement
   /** `pack <tokensCol> <budget> [shards]` — sequence-packing layout
     * keyed on the frame index (operators.Packing.packedLayout). */
   case class Pack(tokensCol: String, budget: Long, shards: Int = 64)

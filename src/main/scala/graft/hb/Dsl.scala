@@ -108,6 +108,11 @@ object Dsl {
     SplitBy(percents, by, salt)
   def pack(tokensCol: String, budget: Long, shards: Int = 64): Statement =
     Pack(tokensCol, budget, shards)
+  def sampleSalted(col: String, salt: String, pct: Double): Statement =
+    SampleBy(pct, col, salt)
+  def mixSalted(stratumCol: String, salt: String, defaultPct: Double,
+      percents: (String, Double)*): Statement =
+    MixBy(stratumCol, percents, defaultPct, salt)
   def chunk(textCol: String, window: Int, stride: Int): Statement =
     Chunk(textCol, window, stride)
   def chunk(textCol: String, window: Int): Statement =

@@ -319,6 +319,19 @@ object Engine {
       f.copy(df = graft.operators.Sampling.hashSplit(f.df, by, salt,
         labels.zip(pcts.map(_ / 100.0)), name = "split"))
 
+    case SampleBy(pct, by, salt) =>
+      require(pct >= 0 && pct <= 100,
+        s"sample percentage must be in [0,100], got $pct")
+      f.copy(df = graft.operators.Sampling.hashSample(f.df, by, salt,
+        pct / 100.0))
+
+    case MixBy(strat, ps, dflt, salt) =>
+      // ids are the frame index (key discipline: `index rows by` the
+      // stable id first); percentages to match `split`/`sample`
+      f.copy(df = graft.operators.Sampling.stratifiedSample(f.df, KEY,
+        salt, strat, ps.map { case (s2, v) => s2 -> v / 100.0 }.toMap,
+        dflt / 100.0))
+
     case Pack(tc, budget, shards) =>
       // the layout REPLACES the frame (like group by): key + placement
       val packed = graft.operators.Packing

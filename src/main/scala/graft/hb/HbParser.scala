@@ -21,7 +21,8 @@ object HbParser {
   private val statementStart = Set(
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
-    "dedup", "cluster", "split", "pack", "chunk", "neighbors")
+    "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
+    "neighbors")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -443,6 +444,31 @@ object HbParser {
           case _ => "split"
         }
         SplitBy(pcts.toSeq, c, salt)
+      case "sample" =>
+        val pct = p.num()
+        p.eat("by")
+        val c = p.colName()
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "sample"
+        }
+        SampleBy(pct, c, salt)
+      case "mix" =>
+        p.eat("by")
+        val c = p.colName()
+        p.eat("[")
+        val ps = mutable.ArrayBuffer[(String, Double)]()
+        while (!p.atSym("]")) {
+          if (p.atSym(";")) p.next()
+          else { val s = p.colName(); ps += s -> p.num() }
+        }
+        p.eat("]")
+        val dflt = p.num()
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "mix"
+        }
+        MixBy(c, ps.toSeq, dflt, salt)
       case "pack" =>
         val c = p.colName()
         val budget = p.int().toLong

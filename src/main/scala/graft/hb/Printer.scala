@@ -56,6 +56,14 @@ object Printer {
     case SplitBy(pcts, c, salt) =>
       val s = if (salt == "split") "" else s" '$salt'"
       s"split ${pcts.map(num).mkString("/")} by ${name(c)}$s"
+    case SampleBy(pct, c, salt) =>
+      val s = if (salt == "sample") "" else s" '$salt'"
+      s"sample ${num(pct)} by ${name(c)}$s"
+    case MixBy(c, ps, dflt, salt) =>
+      val s = if (salt == "mix") "" else s" '$salt'"
+      val pairs = ps.map { case (k, v) => s"${name(k)} ${num(v)}" }
+        .mkString("; ")
+      s"mix by ${name(c)} [$pairs] ${num(dflt)}$s"
     case Pack(c, budget, shards) =>
       val sh = if (shards == 64) "" else s" $shards"
       s"pack ${name(c)} $budget$sh"
@@ -119,7 +127,7 @@ object Printer {
       "true", "only", "create", "rename", "slice", "column", "columns",
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
-      "dedup", "exact", "minhash", "simhash", "cluster", "split", "pack",
-      "chunk", "neighbors") ++
+      "dedup", "exact", "minhash", "simhash", "cluster", "split",
+      "sample", "mix", "pack", "chunk", "neighbors") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

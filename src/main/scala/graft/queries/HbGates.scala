@@ -225,6 +225,23 @@ object HbGates {
       |slice columns doc_id shard seq_first seq_last seq_offset
       |""".stripMargin
 
+  // The t_mix_sample twin: stratified domain mixing as DSL text — same
+  // per-stratum percentages and salt, ids = the doc_id index.
+  private val mixHb =
+    """index rows by doc_id
+      |mix by lang [en 100; de 50; fr 25] 10 'mix1'
+      |create column doc_id keys
+      |slice columns doc_id lang
+      |""".stripMargin
+
+  // Deterministic 80% hash sample as DSL text (`sample` statement) —
+  // the train threshold of the s1 split, so the kept set equals the
+  // split gate's train rows by construction (monotone bucket).
+  private val sampleHb =
+    """sample 80 by doc_id 's1'
+      |slice columns doc_id
+      |""".stripMargin
+
   // The t_chunk twin: fixed-window chunking as DSL text — same geometry
   // (64-token windows, stride 48) keyed on the doc_id index, the id
   // re-materialized from keys.
@@ -448,6 +465,22 @@ object HbGates {
       (s, d) => Graft.runHb(dedupPipelineHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),
       Some(TextGates.pipelineOracleSql)),
+
+    Gate("hb_mix",
+      (s, d) => Graft.runHb(mixHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.mixOracleSql)),
+
+    Gate("hb_sample",
+      (s, d) => Graft.runHb(sampleHb, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id FROM (
+             |  SELECT doc_id,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':s1'), 1, 8)
+             |      AS BIGINT) % 10000 AS b
+             |  FROM documents)
+             |WHERE b < 8000
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     Gate("hb_chunk",
       (s, d) => Graft.runHb(chunkHb, t(s, d, "documents"))

@@ -68,6 +68,20 @@ object TextGates {
       |FROM st
       |ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC""".stripMargin
 
+  /** The t_mix_sample oracle — en 100% / de 50% / fr 25% / default 10%
+    * under salt mix1. Shared with the `.hb`-surface twin `hb_mix`
+    * (`mix by lang [en 100; de 50; fr 25] 10 'mix1'` on the doc_id
+    * index compiles to the same stratifiedSample call). */
+  private[queries] lazy val mixOracleSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)
+      |      AS BIGINT) % 10000 AS b
+      |  FROM documents)
+      |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+      |               WHEN 'fr' THEN 2500 ELSE 1000 END
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   val gates: Seq[Gate] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish subword proxy
@@ -505,14 +519,7 @@ object TextGates {
         Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25), default = 0.1)
         .select("doc_id", "lang")
         .orderBy(col("doc_id")),
-      Some("""SELECT doc_id, lang FROM (
-             |  SELECT doc_id, lang,
-             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':mix1'), 1, 8)
-             |      AS BIGINT) % 10000 AS b
-             |  FROM documents)
-             |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
-             |               WHEN 'fr' THEN 2500 ELSE 1000 END
-             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(TextGates.mixOracleSql)),
 
     // Benchmark decontamination (operators.Decontaminate): flag corpus
     // docs sharing any word 4-gram with a (deterministic 5%-sample)

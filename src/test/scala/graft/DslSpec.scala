@@ -165,6 +165,15 @@ class DslSpec extends AnyFunSuite {
     for { nm <- genName; w <- Gen.chooseNum(2, 4096);
       full <- Gen.oneOf(true, false); st <- Gen.chooseNum(1, 4096) }
       yield Chunk(nm, w, if (full) math.min(st, w) else w),
+    for { nm <- genName; pct <- Gen.chooseNum(1, 99);
+      salt <- Gen.oneOf("sample", "s1") }
+      yield SampleBy(pct.toDouble, nm, salt),
+    for { nm <- genName; k <- Gen.chooseNum(1, 3);
+      pairs <- Gen.listOfN(k,
+        for { s2 <- genName; v <- Gen.chooseNum(1, 100) }
+          yield (s2, v.toDouble));
+      d <- Gen.chooseNum(0, 99); salt <- Gen.oneOf("mix", "m1") }
+      yield MixBy(nm, pairs, d.toDouble, salt),
     for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
       yield Neighbors(k, ColRef(v), e))
 

@@ -136,6 +136,16 @@ class ParserSpec extends AnyFunSuite {
       Pack("n_chars", 4096L))
     assert(HbParser.parseStatement("pack n_chars 4096 8") ==
       Pack("n_chars", 4096L, 8))
+    assert(HbParser.parseStatement("sample 25 by doc_id") ==
+      SampleBy(25.0, "doc_id"))
+    assert(HbParser.parseStatement("sample 80 by doc_id 's1'") ==
+      SampleBy(80.0, "doc_id", "s1"))
+    assert(HbParser.parseStatement(
+      "mix by lang [en 100; de 50; fr 25] 10 'mix1'") ==
+      MixBy("lang", Seq("en" -> 100.0, "de" -> 50.0, "fr" -> 25.0),
+        10.0, "mix1"))
+    assert(HbParser.parseStatement("mix by lang [] 10") ==
+      MixBy("lang", Nil, 10.0))
     assert(HbParser.parseStatement("chunk text 64 48") ==
       Chunk("text", 64, 48))
     assert(HbParser.parseStatement("chunk text 64") == // stride defaults
