@@ -28,7 +28,11 @@ object Chunking {
     require(window >= 1 && stride >= 1 && stride <= window,
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     val tk = split(regexp_replace(col(textCol), "\\s+", " "), " ")
-    df.select(col(idCol), tk.as("__tk"), size(tk).as("__n"))
+    // a NULL text has no tokens and must emit no chunks — without the
+    // filter, greatest(NULL - 1, 0) IGNORES the null (greatest skips
+    // nulls) and sequence() would emit one garbage start position
+    df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tk.as("__tk"), size(tk).as("__n"))
       .select(col(idCol), col("__tk"), col("__n"),
         explode(sequence(lit(0), greatest(col("__n") - 1, lit(0)),
           lit(stride))).as("tok_start"))

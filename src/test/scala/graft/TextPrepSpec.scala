@@ -191,6 +191,34 @@ class TextPrepSpec extends AnyFunSuite {
     sampled.foreach { case (_, (nw, nr)) => assert(nw == nr) }
   }
 
+  test("null text: chunking emits no rows, decontaminate flags false, " +
+    "passage stats are zero-windows") {
+    import graft.operators.PassageDedup
+    val corpus = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "alpha beta gamma delta"),
+        org.apache.spark.sql.Row(2L, null))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType, nullable = true))))
+    // chunking: a null text has no tokens — zero chunk rows, not a crash
+    val chunks = Chunking.chunkLayout(corpus, "doc_id", "text", 4, 2)
+    assert(chunks.filter(col("doc_id") === 2L).count() == 0)
+    assert(chunks.filter(col("doc_id") === 1L).count() > 0)
+    // decontaminate: a null text shares no grams — flagged false
+    val eval = docs(9L -> "alpha beta gamma delta")
+    val flags = Decontaminate.flag(corpus, eval, "doc_id", "text", n = 4)
+      .select("doc_id", "contaminated")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags == Map(1L -> true, 2L -> false))
+    // passage stats: null text contributes zero windows, null fraction
+    val st = PassageDedup.docStats(corpus, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 2L).head()
+    assert(st.getLong(1) == 0L && st.getLong(2) == 0L && st.isNullAt(3))
+  }
+
   test("neither operator shuffles the corpus for its narrow stages") {
     // Chunking: zero exchanges at all.
     val chunkPlan = Chunking.chunkLayout(docs(1L -> "a b c"), "doc_id",
