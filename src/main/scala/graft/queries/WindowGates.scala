@@ -170,6 +170,50 @@ object WindowGates {
     // W6 `ordinals` — row ordinal reification (hobbes.YAML-tmLanguage:10).
     // Scale-safe: range-partitioned ordinal (operators.Ordinals), not a
     // single-partition global window.
+    // Resample + forward-fill onto a regular daily grid — the gap-fill
+    // every time-series dashboard needs, composed from the engine's own
+    // primitives: a per-user grid (distinct users × broadcast one-row
+    // bounds × sequence explode — narrow) forward-filled by
+    // AsofJoin.backward (ONE co-shuffle on user_id, no inequality
+    // join). Events are pre-deduped to one row per (user, ts) with
+    // max(value) so the as-of tie-break is moot on both engines; the
+    // fill COPIES a value (no arithmetic), so doubles pass through
+    // bit-exactly. Oracle: DuckDB's native ASOF LEFT JOIN over the
+    // same grid.
+    Gate("w7_resample_ffill", (s, d) => {
+      val ev0 = t(s, d, "events").select(col("user_id"), col("ts"),
+        col("value"))
+      val ev = ev0.groupBy("user_id", "ts").agg(max("value").as("value"))
+      val bounds = ev0.agg(
+        to_date(min("ts")).cast(TimestampType).as("t0"),
+        to_date(max("ts")).cast(TimestampType).as("t1"))
+      val grid = ev0.select("user_id").distinct()
+        .crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("interval 1 day")))
+            .as("grid_ts"))
+      graft.operators.AsofJoin.backward(grid, ev, "grid_ts", "ts",
+        Seq("user_id"), Seq("user_id"), Seq("value"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+      Some("""WITH ev AS (
+             |  SELECT user_id, ts, max(value) AS value
+             |  FROM events GROUP BY user_id, ts),
+             |b AS (
+             |  SELECT CAST(CAST(min(ts) AS DATE) AS TIMESTAMP) AS t0,
+             |         CAST(CAST(max(ts) AS DATE) AS TIMESTAMP) AS t1
+             |  FROM events),
+             |u AS (SELECT DISTINCT user_id FROM events),
+             |g AS (
+             |  SELECT u.user_id, b.t0 + i * INTERVAL 1 DAY AS grid_ts
+             |  FROM u, b, range(0, 100000) AS t(i)
+             |  WHERE b.t0 + i * INTERVAL 1 DAY <= b.t1)
+             |SELECT g.user_id, g.grid_ts, e.ts AS asof_ts,
+             |  e.value AS asof_value
+             |FROM g ASOF LEFT JOIN ev e
+             |  ON g.user_id = e.user_id AND g.grid_ts >= e.ts
+             |ORDER BY g.user_id ASC NULLS FIRST, g.grid_ts ASC""".stripMargin)),
+
     Gate("w6_ordinals", (s, d) =>
       graft.operators.Ordinals.withGlobalOrdinal(t(s, d, "events"),
         "ordinal", Seq(col("ts").asc, col("event_id").asc))

@@ -48,7 +48,8 @@ class ScaleSpec extends AnyFunSuite {
     "a6_buckets", "a8_each_mean", "p4_only_filter", "p5_dense_rows",
     "p9_sort_by", "j1_join_outer", "j1_join_broadcast_agg",
     "j2_asof_join", "j3_range_join", "j4_salted_skew", "w1_moving_avg",
-    "w2_expanding_sum", "w6_ordinals", "hb_velocity", "hb_series_window",
+    "w2_expanding_sum", "w6_ordinals", "w7_resample_ffill", "hb_velocity",
+    "hb_series_window",
     "t_token_count", "t_quality_score", "t_hash_split", "t_pack_layout",
     "t_top_ngrams", "t_mix_sample", "t_repetition", "t_chunk", "hb_chunk",
     "t_decontaminate", "t_bm25", "t_top_ngrams_by_lang", "t_mix_report",
