@@ -17,6 +17,43 @@ object TextGates {
   private def normText = regexp_replace(col("text"), "\\s+", " ")
   private[queries] val normSql = "regexp_replace(text, '\\s+', ' ', 'g')"
 
+  /** The C4-style quality signals, shared by t_c4_filter and
+    * t_curation_e2e so the two gates can never drift: whitespace token
+    * count, stopword hits, duplicate-token mass. */
+  private def c4Signals: (org.apache.spark.sql.Column,
+      org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
+    val tk = split(lower(normText), "\\s+")
+    val nTok = size(tk)
+    val nStop = size(regexp_extract_all(lower(col("text")),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+    val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+    (nTok, nStop, dupFrac)
+  }
+
+  /** The decontamination CTE chain (bucket → tokens → 4-grams → eval
+    * grams → hit set), shared by the t_decontaminate and t_curation_e2e
+    * oracles. Ends with `hits(doc_id)` = corpus docs sharing a 4-gram
+    * with the 5%-sample eval set. */
+  private lazy val deconCtesSql: String =
+    """bkt AS (
+      |  SELECT doc_id, text,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)
+      |      AS BIGINT) % 10000 AS b
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, b,
+      |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM bkt),
+      |grams AS (
+      |  SELECT doc_id, b,
+      |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+      |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+      |  FROM tok),
+      |eg AS (SELECT DISTINCT gram FROM grams WHERE b < 500),
+      |hits AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM grams g JOIN eg USING (gram) WHERE g.b >= 500)""".stripMargin
+
   /** The t_pipeline_e2e oracle — exact dedup → 80/10/10 salted hash
     * split (salt s1) → train-shard packing (budget 4096, 8 shards), all
     * from first principles. Shared with the `.hb`-surface twin
@@ -417,11 +454,7 @@ object TextGates {
     // so the filter runs inside the scan stage at any scale.
     Gate("t_c4_filter",
       (s, d) => {
-        val tk = split(lower(normText), "\\s+")
-        val nTok = size(tk)
-        val nStop = size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
-        val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+        val (nTok, nStop, dupFrac) = c4Signals
         val reason =
           when(nTok < 20, lit("too_short"))
             .when(dupFrac > 0.3, lit("repetitive"))
@@ -538,29 +571,12 @@ object TextGates {
           .select(col("doc_id"), col("contaminated"))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH bkt AS (
-             |  SELECT doc_id, text,
-             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)
-             |      AS BIGINT) % 10000 AS b
-             |  FROM documents),
-             |tok AS (
-             |  SELECT doc_id, b,
-             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-             |  FROM bkt),
-             |grams AS (
-             |  SELECT doc_id, b,
-             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
-             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
-             |  FROM tok),
-             |eg AS (SELECT DISTINCT gram FROM grams WHERE b < 500),
-             |hits AS (
-             |  SELECT DISTINCT g.doc_id
-             |  FROM grams g JOIN eg USING (gram) WHERE g.b >= 500)
-             |SELECT k.doc_id AS doc_id,
-             |  (h.doc_id IS NOT NULL) AS contaminated
-             |FROM bkt k LEFT JOIN hits h ON k.doc_id = h.doc_id
-             |WHERE k.b >= 500
-             |ORDER BY k.doc_id ASC NULLS FIRST""".stripMargin)),
+      Some("WITH " + deconCtesSql + "\n" +
+        """SELECT k.doc_id AS doc_id,
+          |  (h.doc_id IS NOT NULL) AS contaminated
+          |FROM bkt k LEFT JOIN hits h ON k.doc_id = h.doc_id
+          |WHERE k.b >= 500
+          |ORDER BY k.doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Fixed-window chunking with stride (operators.Chunking): 64-token
     // windows every 48 tokens (25% overlap). Pure narrow map + explode —
@@ -766,11 +782,7 @@ object TextGates {
           docs.filter(b >= 500), docs.filter(b < 500),
           "doc_id", "text", n = 4)
           .filter(!col("contaminated")).drop("contaminated")
-        val tk = split(lower(normText), "\\s+")
-        val nTok = size(tk)
-        val nStop = size(regexp_extract_all(lower(col("text")),
-          lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
-        val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+        val (nTok, nStop, dupFrac) = c4Signals
         val quality = decon.filter(nTok >= 20 && dupFrac <= 0.3 &&
           nStop * lit(1.0) / nTok >= 0.01)
         val stats = graft.operators.PassageDedup.docStats(
@@ -782,25 +794,8 @@ object TextGates {
           "doc_id", "cur1", Seq("train" -> 0.9, "holdout" -> 0.1))
           .orderBy(col("doc_id"))
       },
-      Some("""WITH bkt AS (
-             |  SELECT doc_id, text,
-             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)
-             |      AS BIGINT) % 10000 AS b
-             |  FROM documents),
-             |tok AS (
-             |  SELECT doc_id, b,
-             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-             |  FROM bkt),
-             |grams AS (
-             |  SELECT doc_id, b,
-             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
-             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
-             |  FROM tok),
-             |eg AS (SELECT DISTINCT gram FROM grams WHERE b < 500),
-             |hits AS (
-             |  SELECT DISTINCT g.doc_id
-             |  FROM grams g JOIN eg USING (gram) WHERE g.b >= 500),
-             |decon AS (
+      Some("WITH " + deconCtesSql + ",\n" +
+        """decon AS (
              |  SELECT k.doc_id, k.text FROM bkt k
              |  LEFT JOIN hits h ON k.doc_id = h.doc_id
              |  WHERE k.b >= 500 AND h.doc_id IS NULL),
