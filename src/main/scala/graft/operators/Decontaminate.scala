@@ -47,6 +47,13 @@ object Decontaminate {
     * shares at least one word n-gram with any document in `evalSet`. */
   def flag(corpus: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
+    // Reserved output/scratch names must not already exist on the
+    // corpus — a pre-existing column would be silently overwritten
+    // (same guard AsofJoin applies to its reserved names).
+    Seq("contaminated", "__hit").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"corpus already has a '$c' column — rename it before Decontaminate.flag")
+    }
     // The eval-side id is never used downstream (only distinct grams
     // survive) — a constant keeps the projection deterministic.
     val evalGrams = ngramRows(

@@ -150,6 +150,25 @@ object SimilarityGates {
     * vec_id < 5 against the whole embeddings corpus. Shared with the
     * `.hb`-surface twin `hb_neighbors` in HbGates (identical output
     * schema: query_id, rank, neighbor_id, cosine). */
+  private[queries] lazy val annTopkOracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+       |  FROM e0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+       |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 10
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+
   /** The s_ann_topk_q8 oracle: identical shape to [[annTopkOracleSql]]
     * but over symmetric-int8 vectors (the per-vector scale cancels out
     * of cosine, so no dequantization appears anywhere). */
@@ -168,25 +187,6 @@ object SimilarityGates {
        |e AS (
        |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
        |  FROM e1),
-       |scored AS (
-       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
-       |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cosine,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
-       |WHERE rank <= 10
-       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
-
-  private[queries] lazy val annTopkOracleSql: String =
-    s"""WITH e0 AS (
-       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
-       |e AS (
-       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
-       |  FROM e0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
        |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
@@ -445,15 +445,14 @@ object SimilarityGates {
     // outer-column reference (`ma`) inside the lambdas can be inlined
     // per element by CollapseProject — bounded at O(dim²)=64² trivial
     // ops per row, worth it to stay whole-stage-codegen.
+    // The quantizer IS Similarity.quantizeInt8 (the retrieval twin's
+    // codec) — only the checksum/reconstruction expressions are local.
     Gate("s_embed_quantize",
       (s, d) => {
         import org.apache.spark.sql.types._
         val v = col("embedding")
         val ma = array_max(transform(v, x => abs(x.cast(DoubleType))))
-        val scale = ma / lit(127.0)
-        val q = transform(v, x =>
-          when(ma > 0, floor(x.cast(DoubleType) * lit(127.0) / ma + lit(0.5)))
-            .otherwise(lit(0.0)).cast(LongType))
+        val q = Similarity.quantizeInt8(v)
         t(s, d, "embeddings")
           .select(col("vec_id"), v.as("embedding"), ma.as("ma"), q.as("qv"))
           .select(col("vec_id"),

@@ -17,16 +17,27 @@ object TextGates {
   private def normText = regexp_replace(col("text"), "\\s+", " ")
   private[queries] val normSql = "regexp_replace(text, '\\s+', ' ', 'g')"
 
+  /** Null-safe array size: with ANSI off Spark's legacy `size(null)`
+    * is -1 while DuckDB's `len(NULL)` is NULL, so a null `text` would
+    * make a token count -1 here and NULL in the oracle (mislabeling the
+    * doc 'too_short' / skewing token sums). Mapping the -1 sentinel
+    * back to null restores oracle parity for null inputs; non-null
+    * arrays are untouched. */
+  private def sizeNS(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = size(arr)
+    when(s >= 0, s)
+  }
+
   /** The C4-style quality signals, shared by t_c4_filter and
     * t_curation_e2e so the two gates can never drift: whitespace token
     * count, stopword hits, duplicate-token mass. */
   private def c4Signals: (org.apache.spark.sql.Column,
       org.apache.spark.sql.Column, org.apache.spark.sql.Column) = {
     val tk = split(lower(normText), "\\s+")
-    val nTok = size(tk)
-    val nStop = size(regexp_extract_all(lower(col("text")),
+    val nTok = sizeNS(tk)
+    val nStop = sizeNS(regexp_extract_all(lower(col("text")),
       lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
-    val dupFrac = (nTok - size(array_distinct(tk))).cast(DoubleType) / nTok
+    val dupFrac = (nTok - sizeNS(array_distinct(tk))).cast(DoubleType) / nTok
     (nTok, nStop, dupFrac)
   }
 
@@ -422,7 +433,7 @@ object TextGates {
     // smallness). All-integer sums; fractions are single divisions.
     Gate("t_mix_report",
       (s, d) => {
-        val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        val nTok = sizeNS(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
         val agg = t(s, d, "documents")
           .select(col("lang"), col("source"), nTok.as("nt"))
           .groupBy("lang", "source")
@@ -684,7 +695,7 @@ object TextGates {
       // explicit exact-integer sum / count (an engine's avg() may
       // accumulate in doubles — order-dependent bits)
       val avg = docs.select(
-        (sum(size(split(lower(normText), "\\s+"))).cast(DoubleType) /
+        (sum(sizeNS(split(lower(normText), "\\s+"))).cast(DoubleType) /
           count(lit(1))).as("avgdl"))
       val df_ = tf.groupBy("term")
         .agg(countDistinct(col("doc_id")).as("df"))
