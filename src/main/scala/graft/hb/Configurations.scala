@@ -26,6 +26,26 @@ object Configurations {
   /** Outer index join of two configurations' outputs on a field (S7). */
   case class JoinOf(left: String, right: String, field: String)
       extends ConfSource
+  /** Corpus configuration flagged against an eval-set configuration
+    * (Graft.decontaminate): corpus rows + `contaminated`. The eval side
+    * is a second configuration, mirroring how the reference's
+    * join/merge providers bind other configurations as operands
+    * (Types.fs:97-104) — two-frame ops are SOURCES, not statements. */
+  case class DeconOf(corpus: String, evalSet: String, idField: String,
+      textField: String, n: Int = 8) extends ConfSource
+  /** Backward as-of join of two configurations' outputs
+    * (Graft.asof): left rows + `prefix`-named most-recent right
+    * values. */
+  case class AsofOf(left: String, right: String,
+      leftTime: String, rightTime: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      rightVals: Seq[String], prefix: String = "asof_") extends ConfSource
+  /** Point-in-interval (binned range) join of two configurations'
+    * outputs (Graft.rangeJoin). Bounds are longs. */
+  case class RangeOf(points: String, intervals: String,
+      pointField: String, startField: String, endField: String,
+      pointKeys: Seq[String], intervalKeys: Seq[String],
+      binWidth: Long) extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -51,6 +71,16 @@ object Configurations {
           cs.map(lineageKey(configs, _)).mkString("merge(", ",", ")")
         case JoinOf(l, r, f) =>
           s"join(${lineageKey(configs, l)},${lineageKey(configs, r)},$f)"
+        case DeconOf(cp, ev, id, tx, n) =>
+          s"decon(${lineageKey(configs, cp)},${lineageKey(configs, ev)}," +
+            s"$id,$tx,$n)"
+        case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
+          s"asof(${lineageKey(configs, l)},${lineageKey(configs, r)}," +
+            s"$lt,$rt,${lk.mkString("+")},${rk.mkString("+")}," +
+            s"${rv.mkString("+")},$px)"
+        case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
+          s"range(${lineageKey(configs, pt)},${lineageKey(configs, iv)}," +
+            s"$pf,$sf,$ef,${pk.mkString("+")},${ik.mkString("+")},$w)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -66,13 +96,17 @@ object Configurations {
         val c = configs.getOrElse(name,
           throw new NoSuchElementException(s"no configuration '$name'"))
         def compute: DataFrame = {
+          def sub(n0: String) = runRec(configs, n0, visiting + name)
           val source = c.source match {
             case TableSource(t) => resolveTable(t)
-            case MergeOf(cs) =>
-              Graft.merge(cs.map(runRec(configs, _, visiting + name)))
-            case JoinOf(l, r, f) =>
-              Graft.join(runRec(configs, l, visiting + name),
-                runRec(configs, r, visiting + name), f)
+            case MergeOf(cs) => Graft.merge(cs.map(sub))
+            case JoinOf(l, r, f) => Graft.join(sub(l), sub(r), f)
+            case DeconOf(cp, ev, id, tx, n) =>
+              Graft.decontaminate(sub(cp), sub(ev), id, tx, n)
+            case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
+              Graft.asof(sub(l), sub(r), lt, rt, lk, rk, rv, px)
+            case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
+              Graft.rangeJoin(sub(pt), sub(iv), pf, sf, ef, pk, ik, w)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

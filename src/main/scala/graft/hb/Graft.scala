@@ -40,4 +40,42 @@ object Graft {
     val r = collisions.foldLeft(right)((df, c) => df.drop(c))
     left.join(r, Seq(field), "full_outer")
   }
+
+  // ---- two-frame extension combinators -------------------------------
+  // The reference solves two-dataset operations at the CONFIGURATION
+  // level: `join`/`merge` providers name other configurations as
+  // operands (tools/workbench/src/Types.fs:97-104,182-202) rather than
+  // adding statement syntax. These follow the same shape — a second
+  // frame bound as the right/eval operand of an extension operator —
+  // so `.hb` authors reach them through Configurations sources, and the
+  // statement grammar stays single-frame.
+
+  /** Decontaminate provider: every `corpus` row plus a `contaminated`
+    * flag (shares a word n-gram with any `evalSet` row). The flag form
+    * (not the removal form) so a `.hb` author decides the policy in the
+    * chain — `only (! contaminated)` — the way `only` consumes any
+    * other column. */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idField: String,
+      textField: String, n: Int = 8): DataFrame =
+    graft.operators.Decontaminate.flag(corpus, evalSet, idField, textField, n)
+
+  /** As-of provider: backward as-of join (most recent right row at or
+    * before each left row's time, per key) of two configurations'
+    * outputs. One co-shuffle on the keys — see operators.AsofJoin. */
+  def asof(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String,
+      leftKeys: Seq[String], rightKeys: Seq[String],
+      rightVals: Seq[String], prefix: String = "asof_"): DataFrame =
+    graft.operators.AsofJoin.backward(left, right, leftTime, rightTime,
+      leftKeys, rightKeys, rightVals, prefix)
+
+  /** Range provider: point-in-interval join of two configurations'
+    * outputs via the binning decomposition (no nested-loop plan) — see
+    * operators.RangeJoin. Bounds are longs (epoch micros, ordinals). */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointField: String, startField: String, endField: String,
+      pointKeys: Seq[String], intervalKeys: Seq[String],
+      binWidth: Long): DataFrame =
+    graft.operators.RangeJoin.binned(points, intervals, pointField,
+      startField, endField, pointKeys, intervalKeys, binWidth)
 }

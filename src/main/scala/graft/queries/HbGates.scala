@@ -542,6 +542,73 @@ object HbGates {
              |FROM part WHERE p_size > 20 GROUP BY p_brand
              |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
 
+    // The two-frame extension combinators at the CONFIGURATION level
+    // (the reference's join/merge-provider shape, Types.fs:97-104): the
+    // eval set is a second configuration bound as the DeconOf operand,
+    // corpus/eval are both pure `.hb` filters over the same table, and
+    // the downstream projection is a `.hb` statement chain. The
+    // broadcast-eval-grams plan is the same as t_decontaminate — only
+    // the authoring surface changed.
+    Gate("hb_decontaminate_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "eval" -> conf(TableSource("documents"), "only (doc_id < 25)"),
+          "corpus" -> conf(TableSource("documents"), "only (doc_id >= 25)"),
+          "flagged" -> conf(DeconOf("corpus", "eval", "doc_id", "text", n = 4),
+            "slice columns doc_id contaminated"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "flagged")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+             |  FROM tok),
+             |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25),
+             |hits AS (
+             |  SELECT DISTINCT g.doc_id
+             |  FROM grams g JOIN eg USING (gram) WHERE g.doc_id >= 25)
+             |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+             |FROM documents d LEFT JOIN hits h USING (doc_id)
+             |WHERE d.doc_id >= 25
+             |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // As-of join as a configuration source (AsofOf): the purchases side
+    // is a `.hb`-authored filter configuration, bound as the right
+    // operand; output columns are then a `.hb` slice. Identical
+    // union-window plan (one co-shuffle on user_id) and identical
+    // oracle to the Scala-surface twin j2_asof_join.
+    Gate("hb_asof_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "events_all" -> conf(TableSource("events"),
+            "slice columns event_id user_id ts"),
+          "purchases" -> conf(TableSource("events"),
+            """only (event_type = 'purchase')
+              |slice columns user_id ts value
+              |""".stripMargin),
+          "enriched" -> conf(
+            AsofOf("events_all", "purchases", "ts", "ts",
+              Seq("user_id"), Seq("user_id"), Seq("value"), prefix = "ref_"),
+            "slice columns event_id user_id ref_ts ref_value"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "enriched")
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH r AS (
+             |  SELECT user_id, ts, value FROM events
+             |  WHERE event_type = 'purchase')
+             |SELECT l.event_id, l.user_id,
+             |  r.ts AS ref_ts, r.value AS ref_value
+             |FROM events l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
     // S2 REST provider, driver-checked end-to-end in-process (the same
     // move as s10: zero-egress sandbox, so the HTTP layer is a fake
     // Fetcher with a deterministic two-URL payload, but the parse →
