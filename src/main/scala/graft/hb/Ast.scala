@@ -67,6 +67,25 @@ object Ast {
   /** `contains <e> [v1; v2; …]` (tutorial/transformations.fsx:110-126). */
   case class Contains(e: Expr, values: Seq[Expr]) extends Expr
 
+  /** Text-analysis signal functions — this engine's extension
+    * vocabulary, `int (e)`-shaped so curation signals are first-class
+    * expressions in `create column`/`only` like everything else in the
+    * reference's closed DSL (hobbes-autocomplete.code-snippets:3-213):
+    * `tokens (e)` whitespace token count, `quality (e)` bounded quality
+    * score, `langid (e)` language guess, `repetition (e)`
+    * duplicate-token fraction. Compiled to the canonical
+    * graft.functions.TextSignals columns. */
+  sealed abstract class TextSigKind(val name: String)
+  object TextSigKind {
+    case object Tokens extends TextSigKind("tokens")
+    case object Quality extends TextSigKind("quality")
+    case object LangId extends TextSigKind("langid")
+    case object Repetition extends TextSigKind("repetition")
+    val all: Seq[TextSigKind] = Seq(Tokens, Quality, LangId, Repetition)
+    def byName(n: String): Option[TextSigKind] = all.find(_.name == n)
+  }
+  case class TextSig(kind: TextSigKind, e: Expr) extends Expr
+
   /** `regex [e] /re/ [tok…]` — result is the concatenation of group
     * captures and literal tokens (snippets:158-165; Velocity.hb:24). */
   sealed trait RegexTok

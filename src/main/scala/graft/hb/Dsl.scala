@@ -64,6 +64,11 @@ object Dsl {
 
   def iff(cond: Expr)(t: Expr)(f: Expr): Expr = IfElse(cond, t, f)
   def int(e: Expr): Expr = IntCast(e)
+  // text-analysis signal expressions (Ast.TextSig)
+  def tokens(e: Expr): Expr = TextSig(TextSigKind.Tokens, e)
+  def quality(e: Expr): Expr = TextSig(TextSigKind.Quality, e)
+  def langid(e: Expr): Expr = TextSig(TextSigKind.LangId, e)
+  def repetition(e: Expr): Expr = TextSig(TextSigKind.Repetition, e)
   def contains(e: Expr, vs: Expr*): Expr = Contains(e, vs)
   def regex(e: Expr, pattern: String, toks: RegexTok*): Expr =
     RegexExtract(e, pattern, if (toks.isEmpty) Seq(GroupTok(1)) else toks)

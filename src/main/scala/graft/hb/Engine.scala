@@ -487,6 +487,17 @@ object Engine {
         case NumLit(n) => n
         case other => throw new IllegalArgumentException(s"contains $other")
       }: _*)
+    case TextSig(kind, x) =>
+      // the canonical signal columns (graft.functions.TextSignals) —
+      // the same formulas the gate catalogue pins against full oracles
+      val src = compileExpr(x, f).cast(StringType)
+      kind match {
+        case TextSigKind.Tokens => graft.functions.TextSignals.tokens(src)
+        case TextSigKind.Quality => graft.functions.TextSignals.quality(src)
+        case TextSigKind.LangId => graft.functions.TextSignals.langid(src)
+        case TextSigKind.Repetition =>
+          graft.functions.TextSignals.repetition(src)
+      }
     case RegexExtract(x, pat, toks) =>
       val src = compileExpr(x, f).cast(StringType)
       val parts = toks.map {
@@ -573,6 +584,7 @@ object Engine {
     case IfElse(c, t, e2) =>
       collectLinRegs(c) ++ collectLinRegs(t) ++ collectLinRegs(e2)
     case IntCast(x) => collectLinRegs(x)
+    case TextSig(_, x) => collectLinRegs(x)
     case Contains(x, _) => collectLinRegs(x)
     case RegexExtract(x, _, _) => collectLinRegs(x)
     case FormatDate(x, _) => collectLinRegs(x)
@@ -590,6 +602,7 @@ object Engine {
       case IfElse(c, t, e2) => IfElse(substitute(c, from, to),
         substitute(t, from, to), substitute(e2, from, to))
       case IntCast(x) => IntCast(substitute(x, from, to))
+      case TextSig(k, x) => TextSig(k, substitute(x, from, to))
       case Contains(x, vs) => Contains(substitute(x, from, to), vs)
       case RegexExtract(x, p, ts) =>
         RegexExtract(substitute(x, from, to), p, ts)

@@ -274,6 +274,9 @@ object HbParser {
         case "ordinals" => next(); OrdinalsExpr
         case "true" | "True" => next(); TrueLit
         case "int" => next(); eat("("); val e = expr(); eat(")"); IntCast(e)
+        case "tokens" | "quality" | "langid" | "repetition" =>
+          next(); eat("("); val e = expr(); eat(")")
+          TextSig(TextSigKind.byName(w).get, e)
         case "if" =>
           next()
           val c = bracketed()

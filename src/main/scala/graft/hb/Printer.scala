@@ -91,6 +91,7 @@ object Printer {
     case IfElse(c, t, f) =>
       s"if [${print(c)}] {${print(t)}} else {${print(f)}}"
     case IntCast(x) => s"int (${print(x)})"
+    case TextSig(k, x) => s"${k.name} (${print(x)})"
     case Contains(x, vs) =>
       s"contains ${print(x)} [${vs.map(print).mkString("; ")}]"
     case RegexExtract(x, pat, toks) =>
@@ -128,6 +129,7 @@ object Printer {
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
-      "sample", "mix", "pack", "chunk", "neighbors") ++
+      "sample", "mix", "pack", "chunk", "neighbors",
+      "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

@@ -542,6 +542,77 @@ object HbGates {
              |FROM part WHERE p_size > 20 GROUP BY p_brand
              |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)),
 
+    // Text-analysis signals as first-class `.hb` EXPRESSIONS
+    // (Ast.TextSig → functions.TextSignals): a curation author writes
+    // `only (quality (text) > 0.3)` the way the reference's closed DSL
+    // lets them write any other expression — no Scala required. This
+    // program composes tokens/repetition/quality in create column AND
+    // only; the oracle re-derives all three signals from first
+    // principles.
+    Gate("hb_quality_filter",
+      (s, d) => Graft.runHb(
+        """create column nt (tokens (text))
+          |create column rep (repetition (text))
+          |create column q (quality (text))
+          |only (q > 0.3 && rep < 0.55)
+          |slice columns doc_id nt rep q
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH sig AS (
+             |  SELECT doc_id,
+             |    len(regexp_extract_all(text, '\S+')) AS nt0,
+             |    len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS ns,
+             |    string_split_regex(lower(regexp_replace(text, '\s+', ' ', 'g')), '\s+') AS tk
+             |  FROM documents),
+             |sc AS (
+             |  SELECT doc_id,
+             |    CAST(nt0 AS INTEGER) AS nt,
+             |    CAST(len(tk) - len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep,
+             |    LEAST(nt0 * 1.0 / 100.0, 1.0)
+             |      * (1.0 - LEAST(np * 1.0 / (nt0 + 1), 1.0))
+             |      * (0.5 + LEAST(ns * 1.0 / (nt0 + 1), 0.5)) AS q
+             |  FROM sig)
+             |SELECT doc_id, nt, rep, q FROM sc
+             |WHERE q > 0.3 AND rep < 0.55
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // `langid (e)` in expression position, composed with if/else and a
+    // `quality` predicate inside `only` — the language-aware filter
+    // shape (keep high-quality docs, record the prediction vs the
+    // labeled lang).
+    Gate("hb_langid_signal",
+      (s, d) => Graft.runHb(
+        """create column lp (langid (text))
+          |create column hit (if [lp = lang] {1} else {0})
+          |only (quality (text) > 0.3)
+          |slice columns doc_id lang lp hit
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH sig AS (
+             |  SELECT doc_id, lang,
+             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+             |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+             |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS es,
+             |    len(regexp_extract_all(text, '\S+')) AS nt0,
+             |    len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+             |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS ns
+             |  FROM documents),
+             |lp AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+             |         ELSE CASE WHEN de >= fr AND de >= es THEN 'de'
+             |              ELSE CASE WHEN fr >= es THEN 'fr' ELSE 'es' END END END AS lp,
+             |    LEAST(nt0 * 1.0 / 100.0, 1.0)
+             |      * (1.0 - LEAST(np * 1.0 / (nt0 + 1), 1.0))
+             |      * (0.5 + LEAST(ns * 1.0 / (nt0 + 1), 0.5)) AS q
+             |  FROM sig)
+             |SELECT doc_id, lang, lp,
+             |  CAST(CASE WHEN lp = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+             |FROM lp WHERE q > 0.3
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // The two-frame extension combinators at the CONFIGURATION level
     // (the reference's join/merge-provider shape, Types.fs:97-104): the
     // eval set is a second configuration bound as the DeconOf operand,

@@ -153,11 +153,14 @@ object TextGates {
 
     // Quality scoring: length, punctuation and stopword ratios folded into
     // a single bounded score. All-double arithmetic (deterministic bits).
+    // The counts and composite ARE functions.TextSignals — the same
+    // columns the `.hb` `quality (e)` expression compiles to, so the two
+    // surfaces can't drift.
     Gate("t_quality_score", (s, d) => {
-      val nTok = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-      val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0)))
-      val nStop = size(regexp_extract_all(lower(col("text")),
-        lit("\\b(the|a|an|and|or|of|to|in|is|it)\\b"), lit(0)))
+      import graft.functions.TextSignals
+      val nTok = TextSignals.tokens(col("text"))
+      val nPunct = TextSignals.punctCount(col("text"))
+      val nStop = TextSignals.stopwordCount(col("text"))
       val avgTokLen =
         length(regexp_replace(col("text"), "\\s+", "")) * lit(1.0) / (nTok + lit(1))
       val punctRatio = nPunct * lit(1.0) / (nTok + lit(1))
@@ -168,9 +171,7 @@ object TextGates {
           punctRatio.as("punct_ratio"),
           stopRatio.as("stop_ratio"),
           avgTokLen.as("avg_tok_len"),
-          (least(nTok * lit(1.0) / lit(100.0), lit(1.0)) *
-            (lit(1.0) - least(punctRatio, lit(1.0))) *
-            (lit(0.5) + least(stopRatio, lit(0.5)))).as("quality"))
+          TextSignals.quality(col("text")).as("quality"))
         .orderBy(col("doc_id"))
     },
       Some("""SELECT doc_id, n_tokens, punct_ratio, stop_ratio, avg_tok_len,
@@ -190,22 +191,13 @@ object TextGates {
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Language ID: n-gram/stopword-marker heuristic with a deterministic
-    // argmax tie-break (en > de > fr > es).
-    Gate("t_langid", (s, d) => {
-      def hits(pat: String) =
-        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
-      val en = hits("\\b(the|and|of|to|in|is)\\b")
-      val de = hits("\\b(der|die|das|und|ist|nicht)\\b")
-      val fr = hits("\\b(le|la|les|et|est|une)\\b")
-      val es = hits("\\b(el|los|las|y|es|una)\\b")
+    // argmax tie-break (en > de > fr > es). The heuristic IS
+    // functions.TextSignals.langid — what `.hb` `langid (e)` compiles to.
+    Gate("t_langid", (s, d) =>
       t(s, d, "documents")
         .select(col("doc_id"), col("lang"),
-          when(en >= de && en >= fr && en >= es, lit("en"))
-            .otherwise(when(de >= fr && de >= es, lit("de"))
-              .otherwise(when(fr >= es, lit("fr")).otherwise(lit("es"))))
-            .as("lang_pred"))
-        .orderBy(col("doc_id"))
-    },
+          graft.functions.TextSignals.langid(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
       Some("""SELECT doc_id, lang,
              |  CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
              |       ELSE CASE WHEN de >= fr AND de >= es THEN 'de'
@@ -501,13 +493,14 @@ object TextGates {
     // double divisions are bit-exact in both engines.
     Gate("t_repetition",
       (s, d) => {
+        // dup_token_frac IS functions.TextSignals.repetition — what the
+        // `.hb` `repetition (e)` expression compiles to
         val tk = split(lower(normText), "\\s+")
         val base = t(s, d, "documents")
-          .select(col("doc_id"), tk.as("tk"))
+          .select(col("doc_id"), tk.as("tk"),
+            graft.functions.TextSignals.repetition(col("text"))
+              .as("dup_token_frac"))
           .withColumn("n_tokens", size(col("tk")))
-          .withColumn("dup_token_frac",
-            (col("n_tokens") - size(array_distinct(col("tk"))))
-              .cast(DoubleType) / col("n_tokens"))
         val top = base
           .select(col("doc_id"), col("tk"),
             slice(col("tk"), lit(2), greatest(size(col("tk")) - 1, lit(0)))

@@ -107,6 +107,8 @@ class DslSpec extends AnyFunSuite {
         1 -> (for { cnd <- sub; t <- sub; f <- sub }
           yield IfElse(cnd, t, f)),
         1 -> sub.map(IntCast(_)),
+        1 -> (for { k <- Gen.oneOf(TextSigKind.all); e <- sub }
+          yield TextSig(k, e)),
         1 -> (for { e <- sub; vs <- Gen.nonEmptyListOf(
           Gen.oneOf(Gen.alphaNumStr.map(s => StrLit(s.take(6))),
             Gen.chooseNum(0, 999).map(i => NumLit(i.toDouble)))) }
