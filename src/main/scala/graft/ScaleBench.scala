@@ -12,7 +12,8 @@ object ScaleBench {
   val DefaultNames: Seq[String] = Seq(
     "s_ann_ivf", "st_stream_join", "d_embed_cosine_kmeans", "a7_kmeans",
     "a6_buckets", "d_ngram_jaccard", "d_minhash_lsh",
-    "st_stateful_sessions", "a2_group_maxby", "d_simhash")
+    "st_stateful_sessions", "a2_group_maxby", "d_simhash",
+    "t_curation_e2e")
 
   def main(args: Array[String]): Unit = {
     val names =

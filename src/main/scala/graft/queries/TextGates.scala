@@ -787,8 +787,14 @@ object TextGates {
           "doc_id", "text", n = 4)
           .filter(!col("contaminated")).drop("contaminated")
         val (nTok, nStop, dupFrac) = c4Signals
+        // the survivor frame fans out twice (PassageDedup stats + the
+        // final join) — checkpoint it so the broadcast-decontamination
+        // + C4-signal subtree computes ONCE, the same lineage-truncation
+        // discipline PassageDedup applies to its windows frame. Only the
+        // two columns the fan-out needs survive the checkpoint.
         val quality = decon.filter(nTok >= 20 && dupFrac <= 0.3 &&
           nStop * lit(1.0) / nTok >= 0.01)
+          .select("doc_id", "text").localCheckpoint()
         val stats = graft.operators.PassageDedup.docStats(
           quality, "doc_id", "text", k = 8)
           .filter(col("n_windows") === 0 || col("repeated_frac") <= 0.5)
