@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * here, the same round complexity class as the alternating-star
   * MapReduce CC algorithms (Kiveris et al., "Connected Components in
   * MapReduce and Beyond", SoCC '14; public). Per round: two shuffles on
-  * node ids + one changed-count scalar to the driver; no other
-  * driver-side graph state, so the operator is bounded by O(log n)
-  * keyed shuffles of the (id, label) relation at any scale. Each
+  * node ids + one changed-count scalar to the driver — the count is a
+  * filter over the jump output itself (the round-start label rides
+  * along), not a third join; no other driver-side graph state, so the
+  * operator is bounded by O(log n) keyed shuffles of the (id, label)
+  * relation at any scale. Each
   * round's frame is checkpointed eagerly — iterative DataFrames must
   * truncate lineage or the doubled-per-round logical plan (the jump
   * references the frame twice) goes exponential; on a cluster swap
@@ -62,22 +64,23 @@ object Components {
         .join(labels.select(col("id").as("v2"), col("lbl").as("vl")),
           col("v") === col("v2"))
         .groupBy(col("u").as("nid")).agg(min(col("vl")).as("nl"))
+      // the round-start label rides along as `ol` so convergence
+      // detection is a filter+count over the (already materialized)
+      // jump output — no third join per round
       val l1 = labels
         .join(nbrMin, col("id") === col("nid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lbl").as("ol"),
           least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
       // (2) pointer jump: lbl''(u) = lbl'(lbl'(u)) — label values are
       // node ids, so the lookup is a self-join; chains halve every round
       val next = l1.as("x")
         .join(l1.select(col("id").as("jid"), col("lbl").as("jl")).as("y"),
           col("x.lbl") === col("jid"), "left")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("x.ol").as("ol"),
           coalesce(col("jl"), col("x.lbl")).as("lbl"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.select(col("id"), col("lbl").as("ol")).as("o"), "id")
-        .filter(col("lbl") =!= col("ol")).count()
-      labels = next
+      changed = next.filter(col("lbl") =!= col("ol")).count()
+      labels = next.select("id", "lbl")
       round += 1
     }
     require(changed == 0,
