@@ -163,14 +163,55 @@ object Dedup {
     materializeThenRelease(bandPairs(bandFrame(sig, numPerms, bands)), sig)
   }
 
+  /** JVM-wide memo for verified minhash pair frames, keyed by the
+    * corpus's CANONICALIZED analyzed plan + every signature/verify
+    * parameter — the same plan-identity scheme Spark's own CacheManager
+    * uses for cache lookup, so a near-dup dedup and the clustering pass
+    * over the same corpus (e.g. `dedup minhash` + `cluster minhash`, or
+    * a survivors query next to a components query) pay for ONE
+    * shingle→signature→band→verify computation. Bounded-memory
+    * contract: only the VERIFIED edge list is memoized — its size is
+    * bounded by the corpus's true near-dup rate (every row is a real
+    * pair at ≥ threshold), never by band-collision volume; the
+    * unverified candidate frame and the signature frames are NOT
+    * memoized (signatures are released per computation as before). The
+    * memoized frame is localCheckpoint-backed, so Verify's per-gate
+    * `clearCache()` does not invalidate it. A plan-hash collision
+    * cannot return wrong pairs: hits re-verify deep plan equality.
+    * Like any plan-keyed cache, entries go stale if the underlying
+    * files are rewritten mid-JVM — call [[clearPairsMemo]] then. */
+  private val pairsMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      DataFrame)]
+
+  /** Drop every memoized pair frame (e.g. after overwriting a corpus
+    * path within one JVM). */
+  def clearPairsMemo(): Unit = pairsMemo.clear()
+
   /** VERIFIED MinHash near-dup pairs: (id_a < id_b) candidate pairs from
     * LSH banding whose exact shingle Jaccard ≥ threshold — the edge list
     * for transitive grouping (Components.connectedComponents) and the
     * drop evidence for [[minhashLsh]]. Eagerly materialized; signature
-    * caches released. */
+    * caches released; memoized per corpus plan (see [[pairsMemo]]). */
   def minhashPairs(df: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.5, numPerms: Int = 64,
       bands: Int = 16, portable: Boolean = false): DataFrame = {
+    val plan = df.queryExecution.analyzed.canonicalized
+    val key = s"${plan.hashCode}|$textCol|$idCol|$threshold|$numPerms|" +
+      s"$bands|$portable"
+    val hit = pairsMemo.get(key)
+    if (hit != null && hit._1 == plan) hit._2
+    else {
+      val pairs = computeMinhashPairs(df, textCol, idCol, threshold,
+        numPerms, bands, portable)
+      pairsMemo.put(key, (plan, pairs))
+      pairs
+    }
+  }
+
+  private def computeMinhashPairs(df: DataFrame, textCol: String,
+      idCol: String, threshold: Double, numPerms: Int,
+      bands: Int, portable: Boolean): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh",
       portable))
     val sig = cached(sigFrame(sh, "__sh", numPerms))

@@ -107,6 +107,36 @@ class DedupSpec extends AnyFunSuite {
       s"only-lsh=${lsh -- ref} only-blocked=${ref -- lsh}")
   }
 
+  test("minhashPairs memoizes per corpus plan: a same-plan re-request " +
+    "is job-free; changed params or corpus recompute") {
+    Dedup.clearPairsMemo()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p1 = Dedup.minhashPairs(docs, "text", "doc_id",
+      threshold = 0.5, portable = true)
+    val baseline = JobCounter.count(spark) {}
+    // a FRESH read of the same path canonicalizes to the same plan —
+    // the memo returns the already-materialized frame, launching no jobs
+    // (the read itself goes outside the counter: parquet schema
+    // discovery runs its own small job)
+    val fresh = spark.read.parquet(s"$dir/documents.parquet")
+    val hits = JobCounter.count(spark) {
+      val p2 = Dedup.minhashPairs(fresh, "text", "doc_id",
+        threshold = 0.5, portable = true)
+      assert(p2 eq p1, "same plan + params must return the memoized frame")
+    }
+    assert(hits == baseline,
+      s"memo hit must launch zero jobs (got $hits vs baseline $baseline)")
+    // different threshold → different verify → fresh computation
+    val p3 = Dedup.minhashPairs(docs, "text", "doc_id",
+      threshold = 0.9, portable = true)
+    assert(!(p3 eq p1))
+    // different corpus plan → fresh computation
+    val p4 = Dedup.minhashPairs(docs.filter(col("doc_id") > 2), "text",
+      "doc_id", threshold = 0.5, portable = true)
+    assert(!(p4 eq p1))
+    Dedup.clearPairsMemo()
+  }
+
   test("operators leave no cached relations behind") {
     spark.sharedState.cacheManager.clearCache()
     gate("d_minhash_lsh").collect()
