@@ -109,13 +109,56 @@ object Similarity {
   private val cellModels =
     new java.util.concurrent.ConcurrentHashMap[String, KMeansDet.Model]
 
-  private def fitCellsMemo(modelKey: Option[String], e: DataFrame,
+  /** Test hook: forget every in-JVM model (simulates a fresh session —
+    * the persistent tier below is what must survive this). */
+  private[graft] def clearCellModels(): Unit = cellModels.clear()
+
+  /** Persistent tier under the in-memory memo: with `modelStore` set,
+    * a fitted model is ALSO saved as a k×d-row parquet artifact keyed
+    * by `LineageCache.key("cellmodel", modelKey|k|iters|d)` — the same
+    * content-keyed scheme that checkpoints transformation chains — and
+    * a later SESSION (new JVM, same store root) loads the centroids
+    * instead of re-running the Lloyd driver loop, so incremental ingest
+    * re-probes the SAME cells across restarts (the reuse the
+    * reference's CouchDB cache gives its transformations,
+    * workers/calculator.worker/src/Program.fs:86-88). The caller owns
+    * key hygiene exactly as with `modelKey`: change the key when the
+    * corpus changes. Artifact size is k·d doubles — trivially bounded. */
+  private def fitCellsMemo(modelKey: Option[String],
+      store: Option[graft.cache.LineageCache], e: DataFrame,
       vecCol: String, d: Int, tieBreak: Seq[Column], k: Int,
-      iters: Int): KMeansDet.Model = modelKey match {
-    case Some(key) =>
-      cellModels.computeIfAbsent(s"$key|k=$k|it=$iters|d=$d",
-        _ => KMeansDet.fitVec(e, vecCol, d, tieBreak, k, iters))
-    case None => KMeansDet.fitVec(e, vecCol, d, tieBreak, k, iters)
+      iters: Int): KMeansDet.Model = {
+    def fit(): KMeansDet.Model =
+      KMeansDet.fitVec(e, vecCol, d, tieBreak, k, iters)
+    modelKey match {
+      case Some(key) =>
+        cellModels.computeIfAbsent(s"$key|k=$k|it=$iters|d=$d",
+          _ => store match {
+            case Some(lc) =>
+              val ak = lc.key("cellmodel",
+                Seq(key, k.toString, iters.toString, d.toString))
+              modelFromDf(lc.getOrCompute(ak)(
+                modelToDf(e.sparkSession, fit())))
+            case None => fit()
+          })
+      case None => fit()
+    }
+  }
+
+  /** One row per original cluster index: (idx, perm, centroid). */
+  private def modelToDf(spark: org.apache.spark.sql.SparkSession,
+      m: KMeansDet.Model): DataFrame = {
+    import spark.implicits._
+    m.centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, m.perm(i), c.toSeq) }
+      .toDF("idx", "perm", "centroid")
+  }
+
+  private def modelFromDf(df: DataFrame): KMeansDet.Model = {
+    val rows = df.orderBy("idx").collect() // k rows — bounded by contract
+    KMeansDet.Model(
+      rows.map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray),
+      rows.map(_.getAs[Int]("perm")))
   }
 
   /** IVF ANN: KMeans coarse quantization, probe the `nprobe` nearest
@@ -138,7 +181,8 @@ object Similarity {
       vecCol: String, k: Int, nCells: Int = 16, nprobe: Int = 4,
       fitFraction: Double = 1.0, seed: Long = 42L,
       deterministic: Boolean = false, fitIters: Int = 3,
-      modelKey: Option[String] = None): DataFrame = {
+      modelKey: Option[String] = None,
+      modelStore: Option[graft.cache.LineageCache] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
@@ -170,8 +214,8 @@ object Similarity {
     // the (queries × k)-row result eagerly, release the cache
     val (assigned, cents) = if (deterministic) {
       val d = vecDim(e, "__na")
-      val m = fitCellsMemo(modelKey, e, "__na", d, Seq(col(idCol)),
-        nCells, fitIters)
+      val m = fitCellsMemo(modelKey, modelStore, e, "__na", d,
+        Seq(col(idCol)), nCells, fitIters)
       val asg = e
         .withColumn("__cell", KMeansDet.labelExprVec(m, col("__na"), d))
         .select(col(idCol), col("__v"), col("__nrm"), col("__cell"))
@@ -395,7 +439,8 @@ object Similarity {
       threshold: Double = 0.95, nCells: Int = 16, nAssign: Int = 2,
       fitFraction: Double = 0.2, seed: Long = 42L,
       deterministic: Boolean = false, fitIters: Int = 3,
-      modelKey: Option[String] = None): DataFrame = {
+      modelKey: Option[String] = None,
+      modelStore: Option[graft.cache.LineageCache] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = df.sparkSession
@@ -423,8 +468,8 @@ object Similarity {
       // function of the vector multiset + tieBreak values, and both
       // operators feed it the same L2-normalized corpus) — so a shared
       // modelKey makes the dedup reuse the index's fit verbatim
-      val m = fitCellsMemo(modelKey, e, "__na", d, Seq(col("__id")),
-        nCells, fitIters)
+      val m = fitCellsMemo(modelKey, modelStore, e, "__na", d,
+        Seq(col("__id")), nCells, fitIters)
       KMeansDet.canonicalCentroids(m).zipWithIndex
         .map { case (c, i) => (i, c) }.toSeq
     } else {

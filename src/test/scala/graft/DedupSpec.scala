@@ -137,6 +137,40 @@ class DedupSpec extends AnyFunSuite {
     Dedup.clearPairsMemo()
   }
 
+  test("cell models persist under the lineage-cache key: a fresh " +
+    "session loads the artifact instead of re-running the Lloyd fit") {
+    import graft.cache.LineageCache
+    val lc = new LineageCache(spark,
+      java.nio.file.Files.createTempDirectory("graftmodel").toString)
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    def run(store: LineageCache) =
+      Similarity.ivfTopK(e, id => id < 2, "vec_id", "embedding",
+        k = 2, nCells = 2, nprobe = 2, deterministic = true,
+        modelKey = Some("spec-corpus|l2"), modelStore = Some(store))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+    Similarity.clearCellModels()
+    val first = run(lc) // fits, persists the k×d artifact
+    assert(lc.contains(
+      lc.key("cellmodel", Seq("spec-corpus|l2", "2", "3", "64"))),
+      "fit must write the keyed model artifact")
+    Similarity.clearCellModels() // simulate a NEW session (fresh JVM memo)
+    var second: Seq[(Long, Int, Long)] = null
+    val loadJobs = JobCounter.count(spark) { second = run(lc) }
+    // an EMPTY store forces the full driver-loop fit — the baseline the
+    // loaded path must beat by at least the fit's corpus passes
+    Similarity.clearCellModels()
+    val lc2 = new LineageCache(spark,
+      java.nio.file.Files.createTempDirectory("graftmodel2").toString)
+    var third: Seq[(Long, Int, Long)] = null
+    val fitJobs = JobCounter.count(spark) { third = run(lc2) }
+    assert(second == first && third == first,
+      "loaded and re-fitted models must produce identical results")
+    assert(loadJobs < fitJobs,
+      s"store hit must skip the fit jobs ($loadJobs vs $fitJobs)")
+    Similarity.clearCellModels()
+  }
+
   test("operators leave no cached relations behind") {
     spark.sharedState.cacheManager.clearCache()
     gate("d_minhash_lsh").collect()
