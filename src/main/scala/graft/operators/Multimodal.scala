@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * typed metadata, processed in partition-sized batches.
   *
   * The Spark-side plumbing is real — schema contract, mapPartitions batch
-  * shape, partition sizing — while the codec itself is a deterministic
-  * stub: the image/audio libraries are not in this container, so
-  * `decodeStub` derives metadata from the payload bytes. Swapping in a real
-  * decoder changes only the function body, not the plumbing or the plan.
+  * shape, partition sizing — and the codec is PLUGGABLE ([[ImageCodec]]):
+  * [[StubCodec]] (default) derives deterministic metadata from the
+  * payload bytes so every pipeline stays byte-exactly oracle-checkable
+  * against synthetic payloads, and [[ImageIOCodec]] is a real JVM decoder
+  * (javax.imageio, on every JDK — no container dependency) exercised by
+  * the m_decode_meta_real / m_resize_real gates over genuine PNG bytes.
+  * Heavier codecs (vision encoders, ffmpeg bindings) implement the same
+  * trait; the plumbing and the plan never change.
   *
   * Scale design: decode is a narrow map — no shuffle, no driver data.
   * Payloads stay in the executor; only fixed-width metadata (and
@@ -29,19 +33,100 @@ object Multimodal {
     StructField("height", IntegerType, nullable = false),
     StructField("n_channels", IntegerType, nullable = false)))
 
-  /** STUB decoder — deterministic fake: metadata derived from payload
-    * bytes. A real implementation would parse the image header here. */
-  private def decodeStub(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
-    val len = bytes.length.toLong
-    val fmt = if (len % 3 == 0) "png" else if (len % 3 == 1) "jpeg" else "webp"
-    val width = 64 + (len % 1024).toInt
-    val height = 64 + ((len * 31) % 768).toInt
-    (len, fmt, width, height, 3)
+  /** The pluggable codec seam: decode metadata and resample, each
+    * returning None for an undecodable payload. Implementations must be
+    * Serializable (they ship to executors inside the mapPartitions
+    * closures). */
+  trait ImageCodec extends Serializable {
+    /** (content_length, format, width, height, n_channels). */
+    def decode(bytes: Array[Byte]): Option[(Long, String, Int, Int, Int)]
+    /** Resample to a w×h budget: (output bytes, unsigned byte sum). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Array[Byte], Long)]
+  }
+
+  /** Deterministic stub — metadata from payload byte arithmetic, resize
+    * by stride-sampling payload bytes. Every step is replicable in SQL,
+    * which is what lets the m_decode_meta / m_resize gates hash-check
+    * the full pipeline over synthetic (non-image) payloads. */
+  object StubCodec extends ImageCodec {
+    def decode(bytes: Array[Byte]): Option[(Long, String, Int, Int, Int)] = {
+      val len = bytes.length.toLong
+      val fmt = if (len % 3 == 0) "png" else if (len % 3 == 1) "jpeg" else "webp"
+      val width = 64 + (len % 1024).toInt
+      val height = 64 + ((len * 31) % 768).toInt
+      Some((len, fmt, width, height, 3))
+    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Array[Byte], Long)] = {
+      val budget = w * h
+      val len = bytes.length
+      if (len == 0) return Some((Array.empty[Byte], 0L))
+      val stride = math.max(1, len / budget)
+      val n = math.min(budget.toLong, (len + stride - 1L) / stride).toInt
+      val out = new Array[Byte](n)
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val b = bytes(i * stride)
+        out(i) = b
+        sum += (b & 0xFF)
+        i += 1
+      }
+      Some((out, sum))
+    }
+  }
+
+  /** Real JVM image codec via javax.imageio: header-driven metadata
+    * (format name, dimensions, raster bands) and a Graphics2D resample
+    * whose output is the RED channel byte per pixel — channel
+    * extraction, not a colorspace conversion, so a solid-color fixture
+    * resamples to exactly its color under ANY interpolation (what makes
+    * m_resize_real oracle-checkable against real pixels). */
+  object ImageIOCodec extends ImageCodec {
+    def decode(bytes: Array[Byte]): Option[(Long, String, Int, Int, Int)] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(iis)
+          try {
+            val img = r.read(0)
+            Some((bytes.length.toLong, r.getFormatName.toLowerCase,
+              img.getWidth, img.getHeight, img.getRaster.getNumBands))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Array[Byte], Long)] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try g.drawImage(img, 0, 0, w, h, null) finally g.dispose()
+        val res = new Array[Byte](w * h)
+        var sum = 0L
+        var i = 0
+        while (i < w * h) {
+          val red = (out.getRGB(i % w, i / w) >> 16) & 0xFF
+          res(i) = red.toByte
+          sum += red
+          i += 1
+        }
+        Some((res, sum))
+      }
+    }
   }
 
   /** Attach decoded metadata columns to `df`, reading binary `binCol`.
-    * Batched per partition; output schema = input ++ imageMetaSchema. */
-  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
+    * Batched per partition; output schema = input ++ imageMetaSchema.
+    * Null or undecodable payloads yield (0, 'none', 0, 0, 0). */
+  def decodeImageMeta(df: DataFrame, binCol: String,
+      codec: ImageCodec = StubCodec): DataFrame = {
     val schema = StructType(df.schema.fields ++ imageMetaSchema.fields)
     val binIdx = df.schema.fieldIndex(binCol)
     implicit val enc = org.apache.spark.sql.Encoders.row(schema)
@@ -49,7 +134,8 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
         val (len, fmt, w, h, c) =
-          if (bytes == null) (0L, "none", 0, 0, 0) else decodeStub(bytes)
+          (if (bytes == null) None else codec.decode(bytes))
+            .getOrElse((0L, "none", 0, 0, 0))
         Row.fromSeq(r.toSeq ++ Seq(len, fmt, w, h, c))
       }
     }
@@ -81,14 +167,13 @@ object Multimodal {
     }
   }
 
-  /** STUB resize: a real implementation decodes and resamples pixels; the
-    * stub keeps the full contract — a fixed `w*h`-byte output budget per
-    * image — by stride-sampling the payload bytes (deterministic, so the
-    * oracle replicates the byte selection and checksum). Swapping in a
-    * real resampler changes only this body. Narrow map: payloads never
-    * shuffle; `byte_sum` is the sampled-byte checksum the gate verifies. */
-  def resizeImage(df: DataFrame, binCol: String, w: Int, h: Int): DataFrame = {
-    val budget = w * h
+  /** Resample every payload to a `w`×`h` output budget through the
+    * codec ([[StubCodec]] stride-samples payload bytes; [[ImageIOCodec]]
+    * decodes and resamples real pixels). Narrow map: payloads never
+    * shuffle; `byte_sum` is the output-byte checksum the gates verify.
+    * Null, empty or undecodable payloads yield an empty output. */
+  def resizeImage(df: DataFrame, binCol: String, w: Int, h: Int,
+      codec: ImageCodec = StubCodec): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
       StructField("out_w", IntegerType, nullable = false),
       StructField("out_h", IntegerType, nullable = false),
@@ -99,24 +184,11 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        if (bytes == null || bytes.isEmpty)
-          Row.fromSeq(r.toSeq ++ Seq(w, h, Array.empty[Byte], 0L))
-        else {
-          val len = bytes.length
-          val stride = math.max(1, len / budget)
-          val n = math.min(budget.toLong,
-            (len + stride - 1L) / stride).toInt
-          val out = new Array[Byte](n)
-          var sum = 0L
-          var i = 0
-          while (i < n) {
-            val b = bytes(i * stride)
-            out(i) = b
-            sum += (b & 0xFF)
-            i += 1
-          }
-          Row.fromSeq(r.toSeq ++ Seq(w, h, out, sum))
-        }
+        val (out, sum) =
+          (if (bytes == null || bytes.isEmpty) None
+           else codec.resize(bytes, w, h))
+            .getOrElse((Array.empty[Byte], 0L))
+        Row.fromSeq(r.toSeq ++ Seq(w, h, out, sum))
       }
     }
   }

@@ -11,7 +11,63 @@ import Gate.t
   */
 object MultimodalGates {
 
+  /** Real-PNG fixture: one deterministic solid-color image per doc —
+    * dimensions and color are pure functions of doc_id, so an oracle
+    * can state the DECODED properties without being able to parse PNG.
+    * Solid color is the key trick for the resize gate: a constant image
+    * resamples to exactly its color under any interpolation. Encoding
+    * happens executor-side (narrow map), like any real ingest. */
+  private def pngFixture(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    docs.select("doc_id").as[Long].map { id =>
+      val w = 8 + (id % 32).toInt
+      val h = 8 + ((id * 7) % 24).toInt
+      val red = (id % 256).toInt
+      val rgb = (red << 16) | (((id * 3) % 256).toInt << 8) |
+        ((id * 5) % 256).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var i = 0
+      while (i < w * h) { img.setRGB(i % w, i / w, rgb); i += 1 }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (id, bos.toByteArray)
+    }.toDF("doc_id", "payload")
+  }
+
   val gates: Seq[Gate] = Seq(
+
+    // The REAL codec path (operators.Multimodal.ImageIOCodec —
+    // javax.imageio, on every JDK): decode genuine PNG bytes and check
+    // the decoded header properties against the fixture's generating
+    // functions. content_length is excluded (encoded size is
+    // encoder-private); everything else is a decoded fact.
+    Gate("m_decode_meta_real",
+      (s, d) => Multimodal.decodeImageMeta(
+        pngFixture(s, t(s, d, "documents")), "payload",
+        Multimodal.ImageIOCodec)
+        .select("doc_id", "format", "width", "height", "n_channels")
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 'png' AS format,
+             |  CAST(8 + doc_id % 32 AS INTEGER) AS width,
+             |  CAST(8 + (doc_id * 7) % 24 AS INTEGER) AS height,
+             |  3 AS n_channels
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Real resample: decode the PNG, Graphics2D-resample to 16×16,
+    // emit the red channel — solid-color inputs make every output byte
+    // equal the generating red value, so the pixel checksum is exact.
+    Gate("m_resize_real",
+      (s, d) => Multimodal.resizeImage(
+        pngFixture(s, t(s, d, "documents")), "payload", w = 16, h = 16,
+        Multimodal.ImageIOCodec)
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          length(col("resized")).as("out_len"), col("byte_sum"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 16 AS out_w, 16 AS out_h, 256 AS out_len,
+             |  CAST(256 * (doc_id % 256) AS BIGINT) AS byte_sum
+             |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // decode → typed metadata over mapPartitions; the stub derives
     // metadata from byte length, which DuckDB can replicate exactly.
