@@ -680,6 +680,55 @@ object HbGates {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
 
+    // The third two-frame combinator (RangeOf) end-to-end from pure
+    // `.hb`+configuration input: clicks inside the 30 minutes before
+    // each purchase, per user — the j3_range_join shape, but both sides
+    // are `.hb`-authored configurations (`int ("ts")` = epoch seconds;
+    // the window arithmetic is plain expression math) and the
+    // aggregation is an `.hb` group-by. Same binned equi-join plan —
+    // no nested loop.
+    Gate("hb_range_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "clicks" -> conf(TableSource("events"),
+            """only (event_type = 'click')
+              |create column pt (int ("ts"))
+              |slice columns user_id pt
+              |""".stripMargin),
+          "purchase_windows" -> conf(TableSource("events"),
+            """only (event_type = 'purchase')
+              |create column we (int ("ts"))
+              |create column ws (we - 1800)
+              |rename column event_id purchase_id
+              |slice columns purchase_id user_id ws we
+              |""".stripMargin),
+          "in_window" -> conf(
+            RangeOf("clicks", "purchase_windows", "pt", "ws", "we",
+              Seq("user_id"), Seq("user_id"), binWidth = 1800L),
+            """create column tick 1
+              |slice columns purchase_id tick
+              |group by purchase_id -> sum
+              |create column purchase_id keys
+              |sort by column purchase_id
+              |""".stripMargin))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "in_window")
+          .orderBy(col("purchase_id"))
+      },
+      Some("""WITH p AS (
+             |  SELECT user_id, CAST(date_part('epoch', ts) AS INTEGER) AS pt
+             |  FROM events WHERE event_type = 'click'),
+             |i AS (
+             |  SELECT event_id AS purchase_id, user_id,
+             |    CAST(date_part('epoch', ts) AS INTEGER) - 1800 AS ws,
+             |    CAST(date_part('epoch', ts) AS INTEGER) AS we
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT CAST(COUNT(*) AS BIGINT) AS tick, i.purchase_id
+             |FROM i JOIN p
+             |  ON p.user_id = i.user_id AND p.pt BETWEEN i.ws AND i.we
+             |GROUP BY i.purchase_id
+             |ORDER BY purchase_id ASC NULLS FIRST""".stripMargin)),
+
     // S2 REST provider, driver-checked end-to-end in-process (the same
     // move as s10: zero-egress sandbox, so the HTTP layer is a fake
     // Fetcher with a deterministic two-URL payload, but the parse →

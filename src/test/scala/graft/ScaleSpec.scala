@@ -54,7 +54,10 @@ class ScaleSpec extends AnyFunSuite {
     "t_top_ngrams", "t_mix_sample", "t_repetition", "t_chunk", "hb_chunk",
     "t_decontaminate", "t_bm25", "t_top_ngrams_by_lang", "t_mix_report",
     "t_c4_filter", "t_length_quantiles", "d_exact_dedup", "s_ann_topk",
-    "s_embed_quantize", "s_ann_topk_q8")
+    "s_embed_quantize", "s_ann_topk_q8",
+    // r8: configuration combinators + text-signal expressions
+    "hb_decontaminate_cfg", "hb_asof_cfg", "hb_range_cfg",
+    "hb_quality_filter", "hb_langid_signal")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
