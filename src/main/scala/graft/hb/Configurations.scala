@@ -33,6 +33,11 @@ object Configurations {
     * (Types.fs:97-104) — two-frame ops are SOURCES, not statements. */
   case class DeconOf(corpus: String, evalSet: String, idField: String,
       textField: String, n: Int = 8) extends ConfSource
+  /** Fuzzy twin of [[DeconOf]] (Graft.nearDups): corpus rows +
+    * `neardup` = verified MinHash Jaccard ≥ threshold against any row
+    * of the reference configuration. */
+  case class NearDupOf(corpus: String, reference: String, idField: String,
+      textField: String, threshold: Double = 0.5) extends ConfSource
   /** Backward as-of join of two configurations' outputs
     * (Graft.asof): left rows + `prefix`-named most-recent right
     * values. */
@@ -74,6 +79,9 @@ object Configurations {
         case DeconOf(cp, ev, id, tx, n) =>
           s"decon(${lineageKey(configs, cp)},${lineageKey(configs, ev)}," +
             s"$id,$tx,$n)"
+        case NearDupOf(cp, rf, id, tx, th) =>
+          s"neardup(${lineageKey(configs, cp)},${lineageKey(configs, rf)}," +
+            s"$id,$tx,$th)"
         case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
           s"asof(${lineageKey(configs, l)},${lineageKey(configs, r)}," +
             s"$lt,$rt,${lk.mkString("+")},${rk.mkString("+")}," +
@@ -103,6 +111,8 @@ object Configurations {
             case JoinOf(l, r, f) => Graft.join(sub(l), sub(r), f)
             case DeconOf(cp, ev, id, tx, n) =>
               Graft.decontaminate(sub(cp), sub(ev), id, tx, n)
+            case NearDupOf(cp, rf, id, tx, th) =>
+              Graft.nearDups(sub(cp), sub(rf), id, tx, th)
             case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
               Graft.asof(sub(l), sub(r), lt, rt, lk, rk, rv, px)
             case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>

@@ -59,6 +59,18 @@ object Graft {
       textField: String, n: Int = 8): DataFrame =
     graft.operators.Decontaminate.flag(corpus, evalSet, idField, textField, n)
 
+  /** Fuzzy (near-dup) decontamination provider: every `corpus` row plus
+    * a `neardup` flag — verified MinHash Jaccard ≥ threshold against any
+    * `reference` row. Catches near-verbatim contamination the exact
+    * n-gram form misses; also the incremental-ingest dedup primitive
+    * (new batch × already-ingested corpus). Portable hasher: a
+    * configuration is a cross-engine artifact, like the `dedup`
+    * statements. */
+  def nearDups(corpus: DataFrame, reference: DataFrame, idField: String,
+      textField: String, threshold: Double = 0.5): DataFrame =
+    graft.operators.Dedup.flagNearDupsAgainst(corpus, reference, idField,
+      textField, threshold, portable = true)
+
   /** As-of provider: backward as-of join (most recent right row at or
     * before each left row's time, per key) of two configurations'
     * outputs. One co-shuffle on the keys — see operators.AsofJoin. */

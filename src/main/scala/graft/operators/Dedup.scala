@@ -228,6 +228,66 @@ object Dedup {
     materializeThenRelease(pairs, sh, sig)
   }
 
+  /** VERIFIED cross-frame MinHash near-dup pairs: (id_l, id_r) with
+    * id_l from `left`, id_r from `right`, sharing at least one band hash
+    * and with exact shingle Jaccard ≥ threshold. The two-frame form of
+    * [[minhashPairs]] — the primitive behind FUZZY decontamination
+    * (corpus × benchmark eval set: near-verbatim contamination that
+    * exact n-gram overlap misses) and INCREMENTAL dedup (new batch ×
+    * already-ingested corpus: only cross pairs matter, the reference
+    * side is already deduped). 100 TB shape: both sides reduce to
+    * narrow signature frames; candidates are a (band, bandHash)
+    * equi-join — when one side is small (a benchmark) AQE broadcasts
+    * it, when both are large it is a plain shuffled equi-join — and
+    * only candidate ids reach the verify. Never an all-pairs product. */
+  def minhashPairsAgainst(left: DataFrame, right: DataFrame,
+      textCol: String, leftId: String, rightId: String,
+      threshold: Double = 0.5, numPerms: Int = 64,
+      bands: Int = 16, portable: Boolean = false): DataFrame = {
+    val shL = cached(shingleFrame(left, textCol, leftId, Nil, 3, "__sh",
+      portable))
+    val shR = cached(shingleFrame(right, textCol, rightId, Nil, 3, "__sh",
+      portable))
+    val sigL = cached(sigFrame(shL, "__sh", numPerms))
+    val sigR = cached(sigFrame(shR, "__sh", numPerms))
+    val bandL = bandFrame(sigL, numPerms, bands)
+    val bandR = bandFrame(sigR, numPerms, bands)
+    val cand = bandL.as("a").join(bandR.as("b"),
+      col("a.bidx") === col("b.bidx") && col("a.bhash") === col("b.bhash"))
+      .select(col("a.__id").as("id_l"), col("b.__id").as("id_r"))
+      .distinct()
+    val pairs = cand
+      .join(shL.as("sa"), col("id_l") === col("sa.__id"))
+      .join(shR.as("sb"), col("id_r") === col("sb.__id"))
+      .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
+        size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
+        jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
+      .select(col("id_l"), col("id_r"))
+    materializeThenRelease(pairs, shL, shR, sigL, sigR)
+  }
+
+  /** Every `corpus` row plus a `neardup` flag: true iff the row is a
+    * verified MinHash near-dup (Jaccard ≥ threshold) of ANY `reference`
+    * row — the fuzzy twin of Decontaminate.flag. The removal policy
+    * stays with the caller (`filter(!col(out))`), like the exact form. */
+  def flagNearDupsAgainst(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.5,
+      numPerms: Int = 64, bands: Int = 16, portable: Boolean = false,
+      out: String = "neardup"): DataFrame = {
+    Seq(out, "__nd_hit").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"corpus already has a '$c' column — rename it first")
+    }
+    val hits = minhashPairsAgainst(corpus, reference, textCol, idCol,
+      idCol, threshold, numPerms, bands, portable)
+      .select(col("id_l").as("__nd_id")).distinct()
+    corpus
+      .join(hits.withColumn("__nd_hit", lit(true)),
+        col(idCol) === col("__nd_id"), "left")
+      .withColumn(out, coalesce(col("__nd_hit"), lit(false)))
+      .drop("__nd_hit", "__nd_id")
+  }
+
   /** MinHash LSH near-dup survivors: drop the higher id of every candidate
     * pair whose exact shingle Jaccard ≥ threshold. `portable` picks the
     * token hasher (see shingles). For CLUSTERS instead of survivors

@@ -649,6 +649,24 @@ object HbGates {
              |WHERE d.doc_id >= 25
              |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Fuzzy decontamination as a configuration source (NearDupOf): the
+    // d_minhash_decon operator with BOTH sides .hb-authored — the
+    // near-dup twin of hb_decontaminate_cfg, same doc_id split, same
+    // verified-pairs oracle machinery filtered to straddling pairs.
+    Gate("hb_neardup_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "eval" -> conf(TableSource("documents"), "only (doc_id < 25)"),
+          "corpus" -> conf(TableSource("documents"), "only (doc_id >= 25)"),
+          "flagged" -> conf(
+            NearDupOf("corpus", "eval", "doc_id", "text", threshold = 0.5),
+            "slice columns doc_id neardup"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "flagged")
+          .orderBy(col("doc_id"))
+      },
+      Some(SimilarityGates.minhashCrossOracleSql("doc_id < 25"))),
+
     // As-of join as a configuration source (AsofOf): the purchases side
     // is a `.hb`-authored filter configuration, bound as the right
     // operand; output columns are then a `.hb` slice. Identical

@@ -113,6 +113,27 @@ object SimilarityGates {
            |        >= 0.5)""".stripMargin
   }
 
+  /** Cross-side near-dup oracle (d_minhash_decon / hb_neardup_cfg):
+    * [[minhashCtesSql]]'s verified `__pairs` over the whole documents
+    * table, filtered to pairs STRADDLING `evalCond` (the SQL boolean
+    * over doc_id that marks the reference side), flagging the corpus
+    * side. Candidate discovery is per-pair (a band collision between
+    * two docs involves only those two), so all-pairs-then-filter here
+    * equals the operator's cross-only computation exactly. */
+  private[queries] def minhashCrossOracleSql(evalCond: String): String =
+    s"""WITH $minhashCtesSql,
+       |__side AS (SELECT doc_id, ($evalCond) AS ev FROM documents),
+       |__hits AS (
+       |  SELECT DISTINCT CASE WHEN sa.ev THEN p.idb ELSE p.ida END AS doc_id
+       |  FROM __pairs p
+       |  JOIN __side sa ON sa.doc_id = p.ida
+       |  JOIN __side sb ON sb.doc_id = p.idb
+       |  WHERE sa.ev != sb.ev)
+       |SELECT s.doc_id, (h.doc_id IS NOT NULL) AS neardup
+       |FROM __side s LEFT JOIN __hits h USING (doc_id)
+       |WHERE NOT s.ev
+       |ORDER BY s.doc_id ASC NULLS FIRST""".stripMargin
+
   /** The d_minhash_lsh survivor oracle — the whole MinHash+LSH algorithm
     * (portable hasher, threshold 0.5) re-derived in DuckDB CTEs. Shared
     * with the `.hb`-surface twin `hb_dedup_minhash` in HbGates, whose
@@ -271,6 +292,28 @@ object SimilarityGates {
           .orderBy(col("doc_id"))
       },
       Some(SimilarityGates.minhashCcOracleSql)),
+
+    // FUZZY decontamination / incremental-ingest dedup: corpus docs
+    // flagged as verified MinHash near-dups (J ≥ 0.5) of ANY doc in the
+    // (hash-bucket 5%-sample) reference set — the cross-frame form of
+    // d_minhash_lsh, catching near-verbatim contamination that exact
+    // n-gram overlap (t_decontaminate) misses. Candidates are a banded
+    // equi-join between the two signature frames (AQE broadcasts a
+    // small benchmark side; two big sides shuffle on the band key) —
+    // never an all-pairs product. Oracle: the same verified-pairs CTEs,
+    // filtered to straddling pairs.
+    Gate("d_minhash_decon",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val b = graft.operators.Sampling.hashBucket(col("doc_id"), "eval")
+        Dedup.flagNearDupsAgainst(docs.filter(b >= 500), docs.filter(b < 500),
+          "doc_id", "text", threshold = 0.5, portable = true)
+          .select(col("doc_id"), col("neardup"))
+          .orderBy(col("doc_id"))
+      },
+      Some(SimilarityGates.minhashCrossOracleSql(
+        "CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'), 1, 8)" +
+          " AS BIGINT) % 10000 < 500"))),
 
     // SimHash near-dup dedup: per-row bit votes (no shuffle), 4×16-bit
     // chunk banding, bit_count(xor) ≤ 3 verify. FULL oracle (rows-only

@@ -107,6 +107,18 @@ class DedupSpec extends AnyFunSuite {
       s"only-lsh=${lsh -- ref} only-blocked=${ref -- lsh}")
   }
 
+  test("flagNearDupsAgainst flags cross-side near-dups only") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val flagged = Dedup.flagNearDupsAgainst(
+      docs.filter(col("doc_id") > 0), docs.filter(col("doc_id") === 0),
+      "doc_id", "text", threshold = 0.5, portable = true)
+      .select("doc_id", "neardup").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flagged(1L), "near-dup of the reference doc must flag")
+    assert(flagged(2L), "exact dup of the reference doc must flag")
+    assert((3L to 32L).forall(!flagged(_)), "noise docs must not flag")
+  }
+
   test("minhashPairs memoizes per corpus plan: a same-plan re-request " +
     "is job-free; changed params or corpus recompute") {
     Dedup.clearPairsMemo()
