@@ -53,6 +53,72 @@ object PassageDedup {
         count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1)
 
+  /** (doc, 1-based window start, fp) — the positioned form of
+    * [[windows]] (no winnowing: removal needs every occurrence). Same
+    * aligned-slice gram construction; posexplode keeps the start. */
+  def positionedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"window size must be >= 1, got $k")
+    val toks = Decontaminate.tokens(col(textCol))
+    val sliced = df.select(col(idCol) +: (0 until k).map { i =>
+      val c = if (i == 0) toks
+              else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+      c.as(s"__g$i")
+    }: _*)
+    sliced
+      .select(col(idCol),
+        posexplode(arrays_zip((0 until k).map(i => col(s"__g$i")): _*))
+          .as(Seq("__p", "__z")))
+      .filter(col(s"__z.__g${k - 1}").isNotNull)
+      .select(col(idCol), (col("__p") + 1).as("start"),
+        md5(concat_ws(" ",
+          (0 until k).map(i => col(s"__z.__g$i")): _*)).as("fp"))
+  }
+
+  /** REMOVAL form (Lee et al.'s ExactSubstr policy — duplicated spans
+    * are dropped wherever they appear, all copies): every row of `df`
+    * plus `scrubbed` = the normalized lowercased text with every token
+    * covered by any corpus-repeated k-window removed, `n_tokens` and
+    * `n_removed`. The scrubbed text is the NORMALIZED form — the same
+    * identity the whole dedup family fingerprints; original casing and
+    * spacing do not survive (by design: the output feeds training-data
+    * pipelines keyed on that identity, not a display surface).
+    *
+    * 100 TB shape: windows and their digests are the usual narrow
+    * explode; only digests reach the repeat-count exchange; covered
+    * POSITIONS exist only for repeated windows, so the position
+    * shuffle and the per-doc coverage sets are bounded by the corpus's
+    * repeated-passage mass (per doc by its own length), never by
+    * corpus size. Reconstruction is a per-row HOF filter — narrow. */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    Seq("scrubbed", "n_tokens", "n_removed", "__cov").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before scrub")
+    }
+    val w = positionedWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rep = w.groupBy("fp").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select("fp")
+    val cov = w.join(rep, "fp")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + lit(k - 1)))
+          .as("__pos"))
+      .groupBy(idCol).agg(collect_set(col("__pos")).as("__cov"))
+      .localCheckpoint(true)
+    w.unpersist(false)
+    val tk = Decontaminate.tokens(col(textCol))
+    df.join(cov, Seq(idCol), "left")
+      .withColumn("__tk", tk)
+      .withColumn("__kept", filter(col("__tk"), (x, i) =>
+        col("__cov").isNull || !array_contains(col("__cov"), i + 1)))
+      .withColumn("scrubbed", concat_ws(" ", col("__kept")))
+      .withColumn("n_tokens", size(col("__tk")).cast(LongType))
+      .withColumn("n_removed",
+        (size(col("__tk")) - size(col("__kept"))).cast(LongType))
+      .drop("__cov", "__tk", "__kept")
+  }
+
   /** Per-document repeated-passage mass: of the doc's (sampled) windows,
     * how many have a fingerprint seen elsewhere in the corpus (or again
     * in the same doc). `repeated_frac` is the filterable Lee-et-al-style

@@ -97,6 +97,22 @@ class TextPrepSpec extends AnyFunSuite {
       && rep.head.getLong(2) == 2) // n_occ
   }
 
+  test("scrub removes exactly the tokens covered by repeated windows") {
+    import graft.operators.PassageDedup
+    val corpus = docs(
+      1L -> "a b c w x y z d e",
+      2L -> "p q w x y z r s t",
+      3L -> "m n o u v k l")
+    val out = PassageDedup.scrub(corpus, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("scrubbed"), r.getAs[Long]("n_removed")))).toMap
+    // the shared "w x y z" window goes from BOTH docs (all copies);
+    // surrounding unique tokens survive in order
+    assert(out(1L) == (("a b c d e", 4L)))
+    assert(out(2L) == (("p q r s t", 4L)))
+    assert(out(3L) == (("m n o u v k l", 0L)))
+  }
+
   test("within-doc repetition also counts as repeated passage mass") {
     import graft.operators.PassageDedup
     val corpus = docs(1L -> "x y x y x y x y") // "x y x y" repeats inside
