@@ -200,6 +200,11 @@ object Ast {
     * every row matching the predicate against the whole frame
     * (operators.Similarity.bruteForceTopK; ids are the frame index). */
   case class Neighbors(k: Int, vec: Expr, pred: Expr) extends Statement
+  /** `scrub <textCol> [k]` — passage removal: drop every token covered
+    * by a corpus-repeated k-token window, all copies (the Lee-et-al
+    * ExactSubstr policy; operators.PassageDedup.scrub). Adds
+    * `scrubbed`/`n_tokens`/`n_removed`; row set and key unchanged. */
+  case class Scrub(textCol: String, k: Int = 8) extends Statement
 
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values

@@ -124,6 +124,7 @@ object Dsl {
     Chunk(textCol, window, window)
   def neighbors(k: Int, vec: Expr, pred: Expr): Statement =
     Neighbors(k, vec, pred)
+  def scrub(textCol: String, k: Int = 8): Statement = Scrub(textCol, k)
 
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))

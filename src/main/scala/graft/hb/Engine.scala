@@ -307,6 +307,11 @@ object Engine {
       f.copy(df = graft.operators.Components.withComponents(f.df, KEY,
         pairs, "id_a", "id_b"))
 
+    case Scrub(c, k) =>
+      // passage removal on the frame key (all columns + scrubbed/
+      // n_tokens/n_removed survive; row set and key unchanged)
+      f.copy(df = graft.operators.PassageDedup.scrub(f.df, KEY, c, k))
+
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {
         case 2 => Seq("train", "test")

@@ -22,7 +22,7 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors")
+    "neighbors", "scrub")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -493,6 +493,13 @@ object HbParser {
         val vec = p.bracketed()
         val pred = p.bracketed()
         Neighbors(k, vec, pred)
+      case "scrub" =>
+        val c = p.colName()
+        val k = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 8
+        }
+        Scrub(c, k)
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

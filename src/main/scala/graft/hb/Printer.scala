@@ -72,6 +72,9 @@ object Printer {
       s"chunk ${name(c)} $w$st"
     case Neighbors(k, vec, pred) =>
       s"neighbors $k [${print(vec)}] [${print(pred)}]"
+    case Scrub(c, k) =>
+      val kk = if (k == 8) "" else s" $k"
+      s"scrub ${name(c)}$kk"
     case Comment(text) => s"!#$text!#"
   }
 
@@ -129,7 +132,7 @@ object Printer {
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
-      "sample", "mix", "pack", "chunk", "neighbors",
+      "sample", "mix", "pack", "chunk", "neighbors", "scrub",
       "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

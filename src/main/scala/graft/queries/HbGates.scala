@@ -466,6 +466,23 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.pipelineOracleSql)),
 
+    // The t_passage_scrub twin through the text surface: `scrub text`
+    // on the doc_id index compiles to the same PassageDedup.scrub call;
+    // the full scrubbed string itself is hash-compared (not just a
+    // digest), so the reconstruction is pinned character-for-character.
+    Gate("hb_scrub",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |scrub text
+          |slice columns doc_id n_tokens n_removed scrubbed
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.scrubCtesSql + "\n" +
+        """SELECT doc_id, n_tokens,
+          |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+          |  COALESCE(array_to_string(kept, ' '), '') AS scrubbed
+          |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     Gate("hb_mix",
       (s, d) => Graft.runHb(mixHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),

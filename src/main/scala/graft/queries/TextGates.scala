@@ -130,6 +130,32 @@ object TextGates {
       |               WHEN 'fr' THEN 2500 ELSE 1000 END
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The passage-scrub CTE chain (tokens → positioned 8-windows →
+    * repeated fps → covered positions → kept tokens), ending with
+    * `cl(doc_id, n_tokens, kept)`. Shared by t_passage_scrub and the
+    * `.hb`-surface twin `hb_scrub` in HbGates. */
+  private[queries] lazy val scrubCtesSql: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+      |  FROM tok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+      |rep AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
+      |cov AS (
+      |  SELECT DISTINCT w.doc_id, w.i + j.j AS pos
+      |  FROM w JOIN rep USING (fp), unnest(range(0, 8)) AS j(j)),
+      |cva AS (SELECT doc_id, list(pos) AS cv FROM cov GROUP BY doc_id),
+      |cl AS (
+      |  SELECT t.doc_id,
+      |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |    list_transform(
+      |      list_filter(range(1, len(t.tk) + 1),
+      |        p -> c.cv IS NULL OR NOT list_contains(c.cv, p)),
+      |      p -> t.tk[p]) AS kept
+      |  FROM tok t LEFT JOIN cva c USING (doc_id))""".stripMargin
+
   val gates: Seq[Gate] = Seq(
 
     // Token counting: whitespace tokens + a BPE-ish subword proxy
@@ -783,31 +809,12 @@ object TextGates {
         .select(col("doc_id"), col("n_tokens"), col("n_removed"),
           md5(col("scrubbed")).as("scrubbed_md5"))
         .orderBy(col("doc_id")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-             |  FROM documents),
-             |w AS (
-             |  SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS fp
-             |  FROM tok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
-             |rep AS (SELECT fp FROM w GROUP BY fp HAVING count(*) > 1),
-             |cov AS (
-             |  SELECT DISTINCT w.doc_id, w.i + j.j AS pos
-             |  FROM w JOIN rep USING (fp), unnest(range(0, 8)) AS j(j)),
-             |cva AS (SELECT doc_id, list(pos) AS cv FROM cov GROUP BY doc_id),
-             |cl AS (
-             |  SELECT t.doc_id,
-             |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
-             |    list_transform(
-             |      list_filter(range(1, len(t.tk) + 1),
-             |        p -> c.cv IS NULL OR NOT list_contains(c.cv, p)),
-             |      p -> t.tk[p]) AS kept
-             |  FROM tok t LEFT JOIN cva c USING (doc_id))
-             |SELECT doc_id, n_tokens,
-             |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
-             |  -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
-             |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
-             |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some("WITH " + TextGates.scrubCtesSql + "\n" +
+        """SELECT doc_id, n_tokens,
+          |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+          |  -- DuckDB array_to_string([]) is NULL; Spark concat_ws is ''
+          |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+          |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // The r7 curation operators composed END-TO-END: decontaminate
     // (drop docs overlapping the 5%-sample eval set) → C4-style quality

@@ -177,7 +177,8 @@ class DslSpec extends AnyFunSuite {
       d <- Gen.chooseNum(0, 99); salt <- Gen.oneOf("mix", "m1") }
       yield MixBy(nm, pairs, d.toDouble, salt),
     for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
-      yield Neighbors(k, ColRef(v), e))
+      yield Neighbors(k, ColRef(v), e),
+    for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default
