@@ -132,6 +132,40 @@ object StreamGates {
              |  CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |GROUP BY c_mktsegment
-             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin))
+             |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)),
+
+    // `.hb` authoring over a STREAM (StreamHb): the same program text a
+    // batch author writes, run as a real streaming query (append mode —
+    // all statements compile to stateless narrow ops). Oracle = plain
+    // SQL over the same events table.
+    Gate("st_hb_narrow",
+      (s, d) => graft.streaming.StreamHb.runEvents(s, d,
+        """create column v2 (value * 2)
+          |only (event_type = 'purchase')
+          |slice columns event_id user_id v2
+          |""".stripMargin, "st_hb_narrow_out")
+        .orderBy(col("event_id")),
+      Some("""SELECT event_id, user_id, value * 2 AS v2
+             |FROM events WHERE event_type = 'purchase'
+             |ORDER BY event_id ASC NULLS FIRST""".stripMargin)),
+
+    // `.hb` aggregation over a stream: `group by -> sum` runs as a
+    // complete-mode streaming aggregation with the Engine's decimal-
+    // exact sums, so even the streamed double aggregate hash-matches
+    // the DuckDB oracle; `keys` re-materializes the group key exactly
+    // as in the batch twin hb_group_mean.
+    Gate("st_hb_agg",
+      (s, d) => graft.streaming.StreamHb.runEvents(s, d,
+        """create column day (format date "ts" date)
+          |slice columns day value
+          |group by day -> sum
+          |create column day keys
+          |""".stripMargin, "st_hb_agg_out")
+        .orderBy(col("day")),
+      Some("""SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+             |    AS value,
+             |  CAST(ts AS DATE) AS day
+             |FROM events GROUP BY CAST(ts AS DATE)
+             |ORDER BY day ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -1,0 +1,178 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.hb.{Engine, HbParser, Printer}
+import graft.hb.Ast._
+
+/** `.hb` authoring surface for Structured Streaming.
+  *
+  * The reference is batch-only (SURVEY §2.8 — one-shot sync jobs,
+  * kubernetes/sync-job.yaml:1-16), so this is beyond-parity polish: the
+  * SAME program text an author runs in batch drives an incremental
+  * streaming query, for the statement subset whose Engine translation is
+  * incremental-safe. Everything else — whole-frame sorts and windows,
+  * corpus-wide dedup/cluster/scrub, pivot/buckets/k-means,
+  * extrapolation, two-pass dense-columns — is rejected UP FRONT with the
+  * offending statement named (via [[Printer]]), instead of surfacing as
+  * Spark's UnsupportedOperationChecker error at `start()`.
+  *
+  * Admissible statements and their streaming semantics:
+  *  - narrow row ops (`create column` / `rename` / `slice` / `only` /
+  *    `dense rows` / `numeric columns` / `each` / `chunk` / `sample` /
+  *    `mix` / `split` / `index rows by`): identical to batch, append
+  *    mode — all compile to stateless projections/filters.
+  *  - `group by <cols> -> <reduction>`: the Engine's decimal-exact
+  *    aggregation in COMPLETE output mode (the memory/console sink
+  *    shape; a production job would add a watermarked event-time window
+  *    for append).
+  *  - `dedup exact <col>`: streaming-native arrival-order survivor via
+  *    `dropDuplicates` on the SAME normalized-text fingerprint as the
+  *    batch operator (Dedup.fingerprint). Documented deviation: batch
+  *    keeps the minimum frame key, a stream keeps the first arrival —
+  *    on an ordered replay they agree; state is bounded by the
+  *    watermark if the caller sets one upstream.
+  *
+  * Key discipline: a streaming source has no ingest ordinal
+  * (monotonically_increasing_id is not allowed on streaming frames), so
+  * the frame key starts null and `keys` is only meaningful after an
+  * `index rows by` or `group by` has set it — validated here, loudly.
+  */
+object StreamHb {
+
+  /** Expressions whose compilation needs frame order or a whole-frame
+    * window — inadmissible anywhere in a streaming program. */
+  private def badExpr(e: Expr): Option[String] = e match {
+    case _: Moving | _: Expanding | _: LinReg => Some(Printer.print(e))
+    case OrdinalsExpr => Some("ordinals")
+    case Bin(_, l, r) => badExpr(l).orElse(badExpr(r))
+    case Not(x) => badExpr(x)
+    case IfElse(c, t, f) =>
+      badExpr(c).orElse(badExpr(t)).orElse(badExpr(f))
+    case IntCast(x) => badExpr(x)
+    case Contains(x, vs) =>
+      (x +: vs).flatMap(badExpr).headOption
+    case TextSig(_, x) => badExpr(x)
+    case RegexExtract(x, _, _) => badExpr(x)
+    case FormatDate(x, _) => badExpr(x)
+    case _ => None
+  }
+
+  private def usesKeys(e: Expr): Boolean = e match {
+    case KeysExpr => true
+    case Bin(_, l, r) => usesKeys(l) || usesKeys(r)
+    case Not(x) => usesKeys(x)
+    case IfElse(c, t, f) => usesKeys(c) || usesKeys(t) || usesKeys(f)
+    case IntCast(x) => usesKeys(x)
+    case Contains(x, vs) => (x +: vs).exists(usesKeys)
+    case TextSig(_, x) => usesKeys(x)
+    case RegexExtract(x, _, _) => usesKeys(x)
+    case FormatDate(x, _) => usesKeys(x)
+    case _ => false
+  }
+
+  private def exprsOf(st: Statement): Seq[Expr] = st match {
+    case CreateColumn(_, e) => Seq(e)
+    case Only(e) => Seq(e)
+    case IndexBy(e) => Seq(e)
+    case GroupBy(_, MaxBy(e)) => Seq(e)
+    case GroupBy(_, MinBy(e)) => Seq(e)
+    case _ => Nil
+  }
+
+  /** Reject a statement whose plan cannot run incrementally; returns the
+    * human-readable reason, None if admissible. */
+  private def inadmissible(st: Statement): Option[String] = st match {
+    case _: Comment | _: CreateColumn | _: RenameColumn |
+        _: SliceColumns | _: Only | DenseRows | NumericColumns |
+        _: IndexBy | _: Each | _: Chunk | _: SampleBy | _: MixBy |
+        _: SplitBy | _: DedupExact => None
+    case GroupBy(_, RowsBy(_)) => None
+    case GroupBy(_, _) =>
+      Some("maxby/minby needs a whole-group ordering window")
+    case _: SortByColumn => Some("global sort is not incremental")
+    case DenseColumns => Some("dense columns needs a full-frame pass")
+    case _: Pivot => Some("pivot aggregates the whole frame")
+    case _: Buckets => Some("buckets rank the whole frame")
+    case _: KMeansCluster => Some("k-means fits on the whole frame")
+    case _: LinearExtrapolation =>
+      Some("extrapolation fits on the whole frame")
+    case _: DedupMinhash | _: DedupSimhash | _: ClusterMinhash |
+        _: Scrub =>
+      Some("near-dup/scrub evidence spans the whole corpus")
+    case _: Pack => Some("packing scans the whole frame in key order")
+    case _: Neighbors => Some("neighbors scans the whole frame")
+  }
+
+  /** Loudly validate a program for streaming execution. */
+  def validate(program: Program): Unit = {
+    var keyed = false
+    program.transformations.foreach { st =>
+      inadmissible(st).foreach { why =>
+        throw new IllegalArgumentException(
+          s"not streamable: `${Printer.print(st).trim}` — $why")
+      }
+      exprsOf(st).flatMap(badExpr).headOption.foreach { bad =>
+        throw new IllegalArgumentException(
+          s"not streamable: `${Printer.print(st).trim}` — " +
+            s"`$bad` needs frame order / a whole-frame window")
+      }
+      if (!keyed && exprsOf(st).exists(usesKeys))
+        throw new IllegalArgumentException(
+          s"`keys` before any `index rows by`/`group by` in " +
+            s"`${Printer.print(st).trim}`: a stream has no ingest ordinal")
+      if (st.isInstanceOf[IndexBy] || st.isInstanceOf[GroupBy])
+        keyed = true
+    }
+  }
+
+  /** Complete mode iff the program aggregates; append otherwise. */
+  def outputMode(program: Program): String =
+    if (program.transformations.exists(_.isInstanceOf[GroupBy]))
+      "complete"
+    else "append"
+
+  /** Apply a validated program to a streaming frame (no sink — the
+    * caller picks sink/trigger). The returned frame is streaming. */
+  def apply(program: Program, stream: DataFrame): DataFrame = {
+    validate(program)
+    val start = Engine.HbFrame(
+      stream.withColumn(Engine.KEY, lit(null).cast("long")),
+      Seq(col(Engine.KEY).asc))
+    program.transformations.foldLeft(start) {
+      // streaming-native exact dedup: first arrival survives, state on
+      // the 16-byte fingerprint only (documents never enter state)
+      case (f, DedupExact(c)) =>
+        f.copy(df = f.df
+          .withColumn("__fp", graft.operators.Dedup.fingerprint(col(c)))
+          .dropDuplicates("__fp")
+          .drop("__fp"))
+      case (f, st) => Engine.applyStatement(f, st)
+    }.result
+  }
+
+  /** Parse + validate + run to a memory sink synchronously (the gate /
+    * test shape — AvailableNow over the batch fixtures); returns the
+    * completed result table. */
+  def runToMemory(spark: SparkSession, text: String, stream: DataFrame,
+      queryName: String): DataFrame = {
+    val program = HbParser.parse(text)
+    val out = apply(program, stream)
+    val q = out.writeStream
+      .outputMode(outputMode(program))
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Convenience: run a program over the streamed events table. */
+  def runEvents(spark: SparkSession, dir: String, text: String,
+      queryName: String): DataFrame =
+    runToMemory(spark, text,
+      StreamOps.readEventsStream(spark, dir), queryName)
+}

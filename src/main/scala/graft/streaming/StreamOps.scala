@@ -30,7 +30,8 @@ object StreamOps {
     * normalized from long nanos (nanosAsLong, see Sessions) to a
     * microsecond timestamp. One definition for every streaming entry
     * point so the encoding invariant lives in exactly one place. */
-  private def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[streaming] def readEventsStream(spark: SparkSession,
+      dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamHb
+import graft.hb.{Graft, HbParser}
+
+/** `.hb` programs over Structured Streaming: batch/stream agreement for
+  * the admissible subset, loud rejection for the rest. */
+class StreamHbSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docsStream = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  test("narrow program: streamed result equals the batch run") {
+    val program =
+      """create column v2 (value * 2)
+        |only (event_type = 'purchase')
+        |slice columns event_id user_id v2
+        |""".stripMargin
+    val streamed = StreamHb.runEvents(spark, dir, program,
+      "streamhb_narrow").orderBy("event_id").collect()
+    val batch = Graft.runHb(program, queries.Gate.t(spark, dir, "events"))
+      .orderBy("event_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("group by -> sum: complete-mode aggregate equals the batch run") {
+    val program =
+      """create column day (format date "ts" date)
+        |slice columns day value
+        |group by day -> sum
+        |create column day keys
+        |""".stripMargin
+    val streamed = StreamHb.runEvents(spark, dir, program,
+      "streamhb_agg").orderBy("day").collect()
+    val batch = Graft.runHb(program, queries.Gate.t(spark, dir, "events"))
+      .orderBy("day").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("dedup exact on a stream keeps one row per fingerprint") {
+    val out = StreamHb.runToMemory(spark,
+      "dedup exact text\nslice columns doc_id text\n",
+      docsStream, "streamhb_dedup")
+    val batchDistinct = spark.read.parquet(s"$dir/documents.parquet")
+      .select(graft.operators.Dedup.fingerprint(col("text")))
+      .distinct().count()
+    assert(out.count() == batchDistinct)
+  }
+
+  test("whole-frame statements are rejected up front, by name") {
+    val cases = Seq(
+      "sort by column value\n" -> "sort by column",
+      "dedup minhash text 0.8\n" -> "dedup minhash",
+      "buckets (4) -> (sum)\n" -> "buckets",
+      "pivot [user_id] [event_type] -> sum [value]\n" -> "pivot",
+      "group by user_id -> maxby value\n" -> "maxby")
+    cases.foreach { case (program, what) =>
+      val e = intercept[IllegalArgumentException] {
+        StreamHb.validate(HbParser.parse(program))
+      }
+      assert(e.getMessage.contains("not streamable"), program)
+      assert(e.getMessage.contains(what), program)
+    }
+  }
+
+  test("window expressions inside create column are rejected") {
+    val e = intercept[IllegalArgumentException] {
+      StreamHb.validate(HbParser.parse(
+        "create column m (moving mean 5 [value])\n"))
+    }
+    assert(e.getMessage.contains("not streamable"))
+  }
+
+  test("`keys` before any index rows by / group by is rejected") {
+    val e = intercept[IllegalArgumentException] {
+      StreamHb.validate(HbParser.parse("create column k keys\n"))
+    }
+    assert(e.getMessage.contains("ingest ordinal"))
+    // …and admissible once the frame is keyed
+    StreamHb.validate(HbParser.parse(
+      "index rows by event_id\ncreate column k keys\n"))
+  }
+}
