@@ -51,6 +51,12 @@ object Configurations {
       pointField: String, startField: String, endField: String,
       pointKeys: Seq[String], intervalKeys: Seq[String],
       binWidth: Long) extends ConfSource
+  /** DSIR importance selection (Graft.dsirSelect): the raw
+    * configuration's rows scoring in the top pct% under the target
+    * configuration's smoothed unigram model, plus `score_fp`. */
+  case class DsirOf(raw: String, target: String, idField: String,
+      textField: String, pct: Double, buckets: Int = 0)
+      extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -89,6 +95,9 @@ object Configurations {
         case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
           s"range(${lineageKey(configs, pt)},${lineageKey(configs, iv)}," +
             s"$pf,$sf,$ef,${pk.mkString("+")},${ik.mkString("+")},$w)"
+        case DsirOf(rw, tg, id, tx, pct, b) =>
+          s"dsir(${lineageKey(configs, rw)},${lineageKey(configs, tg)}," +
+            s"$id,$tx,$pct,$b)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -117,6 +126,8 @@ object Configurations {
               Graft.asof(sub(l), sub(r), lt, rt, lk, rk, rv, px)
             case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
               Graft.rangeJoin(sub(pt), sub(iv), pf, sf, ef, pk, ik, w)
+            case DsirOf(rw, tg, id, tx, pct, b) =>
+              Graft.dsirSelect(sub(rw), sub(tg), id, tx, pct, b)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

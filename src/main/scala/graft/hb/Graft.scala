@@ -90,4 +90,14 @@ object Graft {
       binWidth: Long): DataFrame =
     graft.operators.RangeJoin.binned(points, intervals, pointField,
       startField, endField, pointKeys, intervalKeys, binWidth)
+
+  /** DSIR provider: importance-select the raw configuration toward a
+    * target configuration's token distribution — keep the top `pct`% of
+    * raw rows by smoothed target-vs-raw unigram likelihood ratio
+    * (operators.Dsir; Xie et al. NeurIPS '23). Raw columns survive,
+    * plus `score_fp`. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, idField: String,
+      textField: String, pct: Double, buckets: Int = 0): DataFrame =
+    graft.operators.Dsir.select(raw, target, idField, textField, pct,
+      buckets)
 }

@@ -684,6 +684,27 @@ object HbGates {
       },
       Some(SimilarityGates.minhashCrossOracleSql("doc_id < 25"))),
 
+    // DSIR importance selection as a configuration source (DsirOf):
+    // raw and target are both `.hb`-authored source filters, the
+    // selection binds them as operands, and the projection is a `.hb`
+    // slice — same fixed-point score and Ordinals rank as the
+    // Scala-surface twin t_dsir_select, same oracle.
+    Gate("hb_dsir_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "target" -> conf(TableSource("documents"),
+            "only ((source = 'src0') || (source = 'src1'))"),
+          "raw" -> conf(TableSource("documents"),
+            "only ((source != 'src0') && (source != 'src1'))"),
+          "selected" -> conf(
+            DsirOf("raw", "target", "doc_id", "text", pct = 20),
+            "slice columns doc_id source score_fp"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "selected")
+          .orderBy(col("doc_id"))
+      },
+      Some(TextGates.dsirOracleSql)),
+
     // As-of join as a configuration source (AsofOf): the purchases side
     // is a `.hb`-authored filter configuration, bound as the right
     // operand; output columns are then a `.hb` slice. Identical

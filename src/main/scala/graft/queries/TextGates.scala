@@ -95,6 +95,51 @@ object TextGates {
        |  CAST(bef % 4096 AS BIGINT) AS seq_offset
        |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_dsir_select oracle — DSIR importance selection of the
+    * 18-source raw slice toward the src0/src1 target slice, replaying
+    * the fixed-point likelihood-ratio score (operators.Dsir) exactly:
+    * IEEE-identical double products/division, floor at 1e-6, integer
+    * per-doc sum, rank by (score desc, id). Shared with the
+    * configuration-surface twin `hb_dsir_cfg` in HbGates. */
+  private[queries] lazy val dsirOracleSql: String =
+    """WITH rtok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |ttok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |rc AS (SELECT tok, count(*) AS cr FROM rtok GROUP BY tok),
+      |tc AS (SELECT tok, count(*) AS ct FROM ttok GROUP BY tok),
+      |model AS (
+      |  SELECT coalesce(rc.tok, tc.tok) AS tok,
+      |    coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+      |  FROM rc FULL OUTER JOIN tc ON rc.tok = tc.tok),
+      |st AS (SELECT SUM(cr) AS rawtot, SUM(ct) AS tgttot,
+      |         COUNT(*) AS v FROM model),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf
+      |       FROM rtok GROUP BY doc_id, tok),
+      |sc AS (
+      |  SELECT tf.doc_id,
+      |    CAST(FLOOR(tf.tf *
+      |      (((2.0 * m.ct + 1.0) * (2.0 * st.rawtot + st.v)) /
+      |       ((2.0 * m.cr + 1.0) * (2.0 * st.tgttot + st.v)))
+      |      * 1e6) AS BIGINT) AS term_fp
+      |  FROM tf JOIN model m USING (tok), st),
+      |agg AS (SELECT doc_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp
+      |        FROM sc GROUP BY doc_id),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source, a.score_fp,
+      |    ROW_NUMBER() OVER (ORDER BY a.score_fp DESC NULLS LAST,
+      |      d.doc_id ASC) AS rk
+      |  FROM documents d LEFT JOIN agg a USING (doc_id)
+      |  WHERE d.source NOT IN ('src0', 'src1')),
+      |n AS (SELECT CEIL(COUNT(*) * 0.2) AS keep FROM ranked)
+      |SELECT doc_id, source, score_fp FROM ranked, n
+      |WHERE rk <= n.keep
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_chunk oracle — 64-token windows every 48 tokens over the
     * documents table. Shared with the `.hb`-surface twin `hb_chunk` in
     * HbGates (`chunk text 64 48` on the doc_id index compiles to the
@@ -607,6 +652,24 @@ object TextGates {
           |FROM bkt k LEFT JOIN hits h ON k.doc_id = h.doc_id
           |WHERE k.b >= 500
           |ORDER BY k.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // DSIR-shaped importance selection (operators.Dsir, Xie et al.
+    // NeurIPS '23): target = two sources' documents, raw = the other
+    // eighteen; keep the top 20% of raw docs by smoothed target-vs-raw
+    // unigram likelihood ratio, fixed-point quantized per token before
+    // the order-free integer sum (the t_bm25 discipline — no logs, no
+    // float accumulation, so DuckDB replays the score bit-for-bit).
+    Gate("t_dsir_select",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Dsir.select(
+          docs.filter(!col("source").isin("src0", "src1")),
+          docs.filter(col("source").isin("src0", "src1")),
+          "doc_id", "text", pct = 20)
+          .select(col("doc_id"), col("source"), col("score_fp"))
+          .orderBy(col("doc_id"))
+      },
+      Some(TextGates.dsirOracleSql)),
 
     // Fixed-window chunking with stride (operators.Chunking): 64-token
     // windows every 48 tokens (25% overlap). Pure narrow map + explode —

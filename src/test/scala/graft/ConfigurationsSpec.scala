@@ -122,9 +122,12 @@ class ConfigurationsSpec extends AnyFunSuite {
       "as1" -> Conf(AsofOf("a", "b", "t", "t", Seq("k"), Seq("k"),
         Seq("v"), "p_"), Nil),
       "r1" -> Conf(RangeOf("a", "b", "t", "s", "e", Seq("k"), Seq("k"),
-        10L), Nil))
+        10L), Nil),
+      "ds1" -> Conf(DsirOf("a", "b", "id", "text", 20), Nil),
+      "ds2" -> Conf(DsirOf("a", "b", "id", "text", 20, buckets = 64), Nil))
     val r = new Runner(spark, _ => fail("not resolved"))
-    val keys = Seq("d1", "d2", "as1", "r1").map(r.lineageKey(cfgs, _))
+    val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2")
+      .map(r.lineageKey(cfgs, _))
     assert(keys.distinct.size == keys.size)
     assert(keys.forall(_.contains("table:t1")))
   }
