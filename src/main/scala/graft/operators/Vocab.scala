@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Frequency vocabulary + token-id encoding — the step between raw text
+  * and the packing/chunking operators: fit a top-N token vocabulary on
+  * a corpus, then encode each document as its id sequence (OOV → 0),
+  * the way a training pipeline materializes token ids once and ships
+  * integers to every downstream consumer.
+  *
+  * Determinism contract: vocabulary rank orders by (count DESC, token
+  * ASC) — a total order, so ids are stable under any partitioning and
+  * any engine replays them (the gate's DuckDB oracle re-derives the
+  * whole vocabulary). Id 0 is reserved for out-of-vocabulary tokens.
+  *
+  * 100 TB shape: token counts are one map-side-combined aggregate of
+  * (token, count) pairs — the corpus shuffles counts, not text. The
+  * top-N cut is a TakeOrdered (per-partition top-N, then a bounded
+  * merge — no global sort materializes), and the id-assigning window
+  * runs on that ≤ N-row frame (post-aggregation smallness, the same
+  * bounded-window discipline as the pivot/group gates). Encoding
+  * broadcasts the ≤ N-row vocabulary; the only keyed exchange is the
+  * per-document re-assembly on the doc id.
+  */
+object Vocab {
+
+  /** Top-`size` tokens of `textCol` by frequency: (token, id, n) with
+    * id 1..size in (n DESC, token ASC) rank order. */
+  def fit(df: DataFrame, textCol: String, size: Int): DataFrame = {
+    require(size > 0, s"vocab size must be > 0, got $size")
+    val counts = df
+      .select(explode(Decontaminate.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    // TakeOrdered keeps the frame ≤ size rows from here on; the
+    // ranking window is bounded by the vocab-size contract
+    val top = counts.orderBy(col("n").desc, col("token").asc).limit(size)
+    top.withColumn("id",
+      row_number().over(Window.orderBy(col("n").desc, col("token").asc)))
+      .select(col("token"), col("id"), col("n"))
+  }
+
+  /** Encode `textCol` as `token_ids` (array<int>, OOV → 0, null text →
+    * null) against a fitted vocabulary. All input columns survive. */
+  def encode(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol),
+      posexplode(Decontaminate.tokens(col(textCol)))
+        .as(Seq("__pos", "__tok")))
+    val ids = toks
+      .join(broadcast(vocab.select(col("token").as("__tok"),
+        col("id").cast(IntegerType).as("__id"))), Seq("__tok"), "left")
+      .select(col(idCol), col("__pos"),
+        coalesce(col("__id"), lit(0)).as("__id"))
+      .groupBy(col(idCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__id")))),
+        x => x("__id")).as("token_ids"))
+    df.join(ids, Seq(idCol), "left")
+  }
+
+  /** fit + encode in one call (the vocabulary is fit on `df` itself). */
+  def fitEncode(df: DataFrame, idCol: String, textCol: String,
+      size: Int): DataFrame =
+    encode(df, idCol, textCol, fit(df, textCol, size))
+}

@@ -683,6 +683,36 @@ object TextGates {
         .orderBy(col("doc_id"), col("chunk_id")),
       Some(TextGates.chunkOracleSql)),
 
+    // Frequency vocabulary + token-id encoding (operators.Vocab): fit
+    // the top-64 tokens by (count desc, token asc) — a total order, so
+    // ids are partitioning- and engine-stable — then encode every doc
+    // as its id sequence (OOV → 0). Counts shuffle (token, count)
+    // pairs, the top-N cut is a TakeOrdered, the ≤64-row vocab is
+    // broadcast for encoding; full oracle re-derives the vocabulary
+    // and the per-position id arrays in DuckDB.
+    Gate("t_vocab_encode",
+      (s, d) => graft.operators.Vocab.fitEncode(
+        t(s, d, "documents"), "doc_id", "text", size = 64)
+        .select(col("doc_id"), col("token_ids"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+             |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+             |  FROM documents),
+             |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+             |vocab AS (
+             |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+             |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+             |enc AS (
+             |  SELECT t.doc_id,
+             |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
+             |  FROM tok t LEFT JOIN vocab v USING (tok)
+             |  GROUP BY t.doc_id)
+             |SELECT d.doc_id, e.token_ids
+             |FROM documents d LEFT JOIN enc e USING (doc_id)
+             |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
     // replicates it exactly), shuffle-free narrow map, stable under any

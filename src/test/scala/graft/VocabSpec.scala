@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Vocab
+
+/** Vocabulary fit + token-id encoding: rank determinism, OOV, nulls. */
+class VocabSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "b a a c"), (2L, "a b rare"), (3L, null.asInstanceOf[String]))
+    .toDF("id", "text")
+
+  test("fit ranks by (count desc, token asc) with ids from 1") {
+    val v = Vocab.fit(docs, "text", size = 3).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // a:3, b:2, c:1/rare:1 → tie broken by token asc
+    assert(v == Seq(("a", 1, 3L), ("b", 2, 2L), ("c", 3, 1L)))
+  }
+
+  test("encode maps OOV to 0, keeps positions, null text → null") {
+    val out = Vocab.fitEncode(docs, "id", "text", size = 3)
+      .select("id", "token_ids").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Int](1))).toMap
+    assert(out(1L) == Seq(2, 1, 1, 3))  // b a a c
+    assert(out(2L) == Seq(1, 2, 0))     // rare is OOV
+    assert(out(3L) == null)
+  }
+
+  test("encoding is stable under repartitioning") {
+    val a = Vocab.fitEncode(docs.repartition(7), "id", "text", 3)
+      .select("id", "token_ids").collect().map(_.toString).sorted.toSeq
+    val b = Vocab.fitEncode(docs, "id", "text", 3)
+      .select("id", "token_ids").collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+}
