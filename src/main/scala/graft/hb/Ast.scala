@@ -205,6 +205,10 @@ object Ast {
     * ExactSubstr policy; operators.PassageDedup.scrub). Adds
     * `scrubbed`/`n_tokens`/`n_removed`; row set and key unchanged. */
   case class Scrub(textCol: String, k: Int = 8) extends Statement
+  /** `encode <textCol> <size>` — fit a top-`size` frequency vocabulary
+    * on the frame and add `token_ids` (OOV → 0, null text → null;
+    * operators.Vocab.fitEncode on the frame key). */
+  case class Encode(textCol: String, size: Int) extends Statement
 
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values

@@ -125,6 +125,7 @@ object Dsl {
   def neighbors(k: Int, vec: Expr, pred: Expr): Statement =
     Neighbors(k, vec, pred)
   def scrub(textCol: String, k: Int = 8): Statement = Scrub(textCol, k)
+  def encode(textCol: String, size: Int): Statement = Encode(textCol, size)
 
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))

@@ -312,6 +312,11 @@ object Engine {
       // n_tokens/n_removed survive; row set and key unchanged)
       f.copy(df = graft.operators.PassageDedup.scrub(f.df, KEY, c, k))
 
+    case Encode(c, n) =>
+      // vocabulary fit on the frame itself, token_ids keyed on the
+      // frame key (row set and key unchanged)
+      f.copy(df = graft.operators.Vocab.fitEncode(f.df, KEY, c, n))
+
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {
         case 2 => Seq("train", "test")

@@ -22,7 +22,7 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors", "scrub")
+    "neighbors", "scrub", "encode")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -122,13 +122,15 @@ object HbParser {
         out += (if (q == '"') TQuoted(sb.toString) else TStr(sb.toString))
       } else if (c == '/' && {
         // a regex literal appears only right after `regex [e]`: previous
-        // token is `]` AND a `regex` keyword is still awaiting its
-        // pattern. `(moving sum 3 [x] / r)` is division.
-        out.lastOption.contains(TSym("]")) && {
-          val kw = out.lastIndexWhere(_ == TIdent("regex"))
-          val lit = out.lastIndexWhere(_.isInstanceOf[TRegex])
-          kw >= 0 && kw > lit
-        }
+        // token is `]` AND some `regex` keyword is still awaiting its
+        // pattern — counted, not last-index, so a regex NESTED inside
+        // another's operand (`regex [regex [x] /a/ [$1]] /b/ [$1]`)
+        // still gets its outer pattern. `(moving sum 3 [x] / r)` and a
+        // division between two completed regexes stay division (counts
+        // balanced).
+        out.lastOption.contains(TSym("]")) &&
+          out.count(_ == TIdent("regex")) >
+            out.count(_.isInstanceOf[TRegex])
       }) {
         val sb = new StringBuilder
         p += 1
@@ -493,6 +495,10 @@ object HbParser {
         val vec = p.bracketed()
         val pred = p.bracketed()
         Neighbors(k, vec, pred)
+      case "encode" =>
+        val c = p.colName()
+        val n = p.int()
+        Encode(c, n)
       case "scrub" =>
         val c = p.colName()
         val k = p.peek match {

@@ -75,6 +75,8 @@ object Printer {
     case Scrub(c, k) =>
       val kk = if (k == 8) "" else s" $k"
       s"scrub ${name(c)}$kk"
+    case Encode(c, n) =>
+      s"encode ${name(c)} $n"
     case Comment(text) => s"!#$text!#"
   }
 
@@ -132,7 +134,7 @@ object Printer {
       "group", "by", "sort", "index", "rows", "dense", "numeric", "pivot",
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
-      "sample", "mix", "pack", "chunk", "neighbors", "scrub",
+      "sample", "mix", "pack", "chunk", "neighbors", "scrub", "encode",
       "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

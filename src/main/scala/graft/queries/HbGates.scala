@@ -504,6 +504,18 @@ object HbGates {
         .orderBy(col("doc_id"), col("chunk_id")),
       Some(TextGates.chunkOracleSql)),
 
+    // `encode text 64` through the text surface — same Vocab.fitEncode
+    // call and same oracle as the Scala-surface twin t_vocab_encode.
+    Gate("hb_encode",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |encode text 64
+          |create column doc_id keys
+          |slice columns doc_id token_ids
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.vocabOracleSql)),
+
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))
         .orderBy(col("query_id"), col("rank")),

@@ -140,6 +140,30 @@ object TextGates {
       |WHERE rk <= n.keep
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_vocab_encode oracle — top-64 frequency vocabulary ranked by
+    * the (count DESC, token ASC) total order, every document encoded as
+    * its id sequence (OOV → 0). Shared with the `.hb`-surface twin
+    * `hb_encode` in HbGates (`encode text 64` on the doc_id index
+    * compiles to the same Vocab.fitEncode call). */
+  private[queries] lazy val vocabOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+      |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+      |enc AS (
+      |  SELECT t.doc_id,
+      |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
+      |  FROM tok t LEFT JOIN vocab v USING (tok)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, e.token_ids
+      |FROM documents d LEFT JOIN enc e USING (doc_id)
+      |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_chunk oracle — 64-token windows every 48 tokens over the
     * documents table. Shared with the `.hb`-surface twin `hb_chunk` in
     * HbGates (`chunk text 64 48` on the doc_id index compiles to the
@@ -695,23 +719,7 @@ object TextGates {
         t(s, d, "documents"), "doc_id", "text", size = 64)
         .select(col("doc_id"), col("token_ids"))
         .orderBy(col("doc_id")),
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
-             |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
-             |  FROM documents),
-             |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
-             |vocab AS (
-             |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
-             |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
-             |enc AS (
-             |  SELECT t.doc_id,
-             |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
-             |  FROM tok t LEFT JOIN vocab v USING (tok)
-             |  GROUP BY t.doc_id)
-             |SELECT d.doc_id, e.token_ids
-             |FROM documents d LEFT JOIN enc e USING (doc_id)
-             |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(TextGates.vocabOracleSql)),
 
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB

@@ -103,6 +103,7 @@ object StreamHb {
       Some("near-dup/scrub evidence spans the whole corpus")
     case _: Pack => Some("packing scans the whole frame in key order")
     case _: Neighbors => Some("neighbors scans the whole frame")
+    case _: Encode => Some("vocabulary fit scans the whole frame")
   }
 
   /** Loudly validate a program for streaming execution. */

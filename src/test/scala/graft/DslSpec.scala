@@ -178,7 +178,9 @@ class DslSpec extends AnyFunSuite {
       yield MixBy(nm, pairs, d.toDouble, salt),
     for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
       yield Neighbors(k, ColRef(v), e),
-    for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k))
+    for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k),
+    for { nm <- genName; n <- Gen.chooseNum(1, 65536) }
+      yield Encode(nm, n))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

@@ -153,6 +153,19 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement("neighbors 10 [embedding] [keys < 5]") ==
       Neighbors(10, ColRef("embedding"),
         Bin("<", KeysExpr, NumLit(5))))
+    assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
+    // a regex nested inside another regex's operand still gets its
+    // OUTER pattern lexed as a literal (count-based lexer rule), while
+    // division between completed regexes stays division
+    assert(HbParser.parseStatement(
+      "create column x (regex [regex [y] /a/ [$1]] /b/ [$1])") ==
+      CreateColumn("x", RegexExtract(
+        RegexExtract(ColRef("y"), "a", Seq(GroupTok(1))),
+        "b", Seq(GroupTok(1)))))
+    assert(HbParser.parseStatement(
+      "create column x (regex [y] /a/ [$1] / z)") ==
+      CreateColumn("x", Bin("/",
+        RegexExtract(ColRef("y"), "a", Seq(GroupTok(1))), ColRef("z"))))
   }
 
   test("regex unescaping: corpus double-backslash becomes single") {
