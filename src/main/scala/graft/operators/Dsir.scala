@@ -63,8 +63,12 @@ object Dsir {
     val rawTok = feat(raw)
     val tgtCnt = feat(target).groupBy("__tok")
       .agg(count(lit(1)).as("__ct"))
-    val rawCnt = rawTok.groupBy("__tok")
-      .agg(count(lit(1)).as("__cr"))
+    val tf = rawTok.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    // corpus counts re-aggregate the per-doc tf frame rather than
+    // re-tokenizing the corpus: both branches consume the same (doc,
+    // token) exchange (ReuseExchange), so the raw text is scanned once
+    val rawCnt = tf.groupBy("__tok").agg(sum(col("__tf")).as("__cr"))
     // union-vocabulary model: raw-only tokens keep ct=0, target-only
     // tokens keep cr=0 (they still shape V and the totals)
     val model = rawCnt.join(tgtCnt, Seq("__tok"), "full_outer")
@@ -75,8 +79,6 @@ object Dsir {
       sum(col("__cr")).as("__rawTot"),
       sum(col("__ct")).as("__tgtTot"),
       count(lit(1)).as("__v"))
-    val tf = rawTok.groupBy(col(idCol), col("__tok"))
-      .agg(count(lit(1)).as("__tf"))
     val ratio =
       ((lit(2D) * col("__ct") + lit(1D)) *
         (lit(2D) * col("__rawTot") + col("__v"))) /

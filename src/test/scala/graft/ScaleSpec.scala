@@ -57,7 +57,11 @@ class ScaleSpec extends AnyFunSuite {
     "s_embed_quantize", "s_ann_topk_q8",
     // r8: configuration combinators + text-signal expressions
     "hb_decontaminate_cfg", "hb_asof_cfg", "hb_range_cfg",
-    "hb_quality_filter", "hb_langid_signal")
+    "hb_quality_filter", "hb_langid_signal",
+    // r8: vocab encode (DSIR gates are Ordinals-eager — covered by the
+    // SCALE.md measured-ratio table; streaming gates execute on
+    // construction)
+    "t_vocab_encode", "hb_encode")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
