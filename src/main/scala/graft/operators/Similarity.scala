@@ -270,6 +270,152 @@ object Similarity {
     topk
   }
 
+  /** Product-quantization ANN with asymmetric distance (Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * split the L2-normalized vector into `m` subspaces, vector-quantize
+    * each with its own deterministic KMeansDet codebook (`codes`
+    * entries), keep only the m small codes per corpus vector, and rank
+    * by ADC — the query stays full precision and reads per-subspace
+    * partial dots from a per-query lookup table, so approximate cosine
+    * is a sum of m table entries, never a d-dim dot.
+    *
+    * 100 TB shape: after encoding, a corpus vector is m ints + one
+    * long (~20 B vs 256 B floats) — the index that fits in memory when
+    * vectors don't. Codebooks are m·codes centroid rows fit once
+    * (memoizable via `modelKey`/`modelStore`, same contract as
+    * [[ivfTopK]]); encoding is a NARROW map (codegen'd argmin literal
+    * expression per subspace — no join); the per-query LUT is built on
+    * a (queries × m·codes)-row broadcast frame; scoring is a narrow
+    * zip of codes against the broadcast LUT plus one per-query top-k
+    * window. The corpus never shuffles. Compose with [[ivfTopK]] cells
+    * for candidate pruning (IVF-PQ) when even the narrow scan is too
+    * much.
+    *
+    * `rerank = R > 0` adds the standard second stage: the ADC scan
+    * SHORTLISTS the top R per query, then the shortlist alone is
+    * re-ranked by exact quantized cosine on the full vectors (a
+    * queries×R-row join — bounded, never the corpus). Pure ADC ranks
+    * by a 16-byte reconstruction and tops out near recall@10 ≈ 0.6 on
+    * tight clusters (DedupSpec); the shortlist+re-rank form is how PQ
+    * deploys, and recovers ≥ 0.9.
+    *
+    * Determinism contract (the oracle replays everything): codebooks
+    * from KMeansDet on the normalized slices; centroids and queries in
+    * 1e-6 fixed point, so every partial dot is an exact integer and
+    * the score sum is order-free; approximate cosine =
+    * dot(q, x̂) / (‖q‖·max(‖x̂‖, 1e-30)) with x̂ the concatenated
+    * centroid reconstruction; ties rank by neighbor id at both
+    * stages. */
+  def pqTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
+      vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
+      fitIters: Int = 3, rerank: Int = 0, modelKey: Option[String] = None,
+      modelStore: Option[graft.cache.LineageCache] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val e0 = corpus
+      .select(col(idCol),
+        transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
+      .withColumn("__l2",
+        sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("__na", transform(col("__dv"),
+        x => x / greatest(col("__l2"), lit(1e-30))))
+    val d = vecDim(e0, "__na")
+    require(m > 0 && d % m == 0, s"dim $d must split into m=$m subspaces")
+    val sub = d / m
+    val sliced = (0 until m).foldLeft(e0) { (df, s) =>
+      df.withColumn(s"__pq$s", slice(col("__na"), s * sub + 1, sub))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sequential fits: concurrent submission was measured SLOWER on
+    // local[32] (racing materialization of `sliced` + scheduler
+    // contention between the per-iteration driver jobs); each fit is
+    // memoizable via modelKey, so the cold cost is paid once per
+    // (corpus, m, codes) anyway
+    val models = (0 until m).map { s =>
+      fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
+        sliced, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+    }
+    // quantized codebooks + per-code self-dots, driver-side (m·codes·sub
+    // longs — bounded by the codebook contract)
+    val cq: Seq[Seq[Seq[Long]]] = models.map(mod =>
+      KMeansDet.canonicalCentroids(mod).toSeq
+        .map(_.toSeq.map(x => math.floor(x * 1e6).toLong)))
+    val cn2: Seq[Seq[Long]] =
+      cq.map(_.map(cv => cv.map(v => v * v).sum))
+    val cn2Lit = typedlit(cn2)
+    val coded = sliced.withColumn("__codes",
+      array((0 until m).map(s =>
+        KMeansDet.labelExprVec(models(s), col(s"__pq$s"), sub)): _*))
+    // corpus index: id + m codes + reconstruction self-dot
+    val enc = coded.filter(forall(col("__codes"), _.isNotNull))
+      .withColumn("__xn2", aggregate(
+        zip_with(col("__codes"), cn2Lit,
+          (c, row) => element_at(row, c + 1)),
+        lit(0L), (a, x) => a + x))
+      .select(col(idCol), col("__codes"), col("__xn2"))
+    val q0 = coded.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("query_id"), quantize(col("__dv")).as("__qv"))
+      .withColumn("__qn", normQ(col("__qv")))
+    // per-query LUT: partial dot of each query slice with each codebook
+    // entry, reshaped to lut[s][j] (m·codes longs per query)
+    val centDf = spark.createDataFrame(
+      for { s <- 0 until m; j <- 0 until codes }
+        yield (s, j, cq(s)(j))).toDF("__s", "__j", "__cq")
+    val lut = q0.crossJoin(broadcast(centDf))
+      .withColumn("__pdot",
+        dotQ(slice(col("__qv"), col("__s") * sub + 1, lit(sub)),
+          col("__cq")).cast(LongType))
+      .groupBy(col("query_id"), col("__qn"), col("__s"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__j"), col("__pdot")))),
+        x => x("__pdot")).as("__row"))
+      .groupBy(col("query_id"), col("__qn"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__s"), col("__row")))),
+        x => x("__row")).as("__lut"))
+    val scored = enc.crossJoin(broadcast(lut))
+      .filter(col("query_id") =!= col(idCol))
+      .withColumn("__dot", aggregate(
+        zip_with(col("__codes"), col("__lut"),
+          (c, row) => element_at(row, c + 1)),
+        lit(0L), (a, x) => a + x))
+      .withColumn("cosine",
+        col("__dot").cast(DoubleType) /
+          (col("__qn") *
+            greatest(sqrt(col("__xn2").cast(DoubleType)), lit(1e-30))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col(idCol))
+    val topk = (if (rerank <= 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"),
+          col(idCol).as("neighbor_id"), col("cosine"))
+    } else {
+      // exact re-rank of the ADC shortlist: queries×R rows pull their
+      // full quantized vectors back in — bounded by the shortlist, the
+      // corpus itself never re-enters
+      val shortlist = scored
+        .withColumn("__arank", row_number().over(w))
+        .filter(col("__arank") <= rerank)
+        .select(col("query_id"), col(idCol))
+      val ev = coded.select(col(idCol), quantize(col("__dv")).as("__v"))
+        .withColumn("__nrm", normQ(col("__v")))
+      val qv = q0.select(col("query_id").as("__qid"), col("__qv"),
+        col("__qn"))
+      val exact = shortlist
+        .join(ev, Seq(idCol))
+        .join(broadcast(qv), col("query_id") === col("__qid"))
+        .withColumn("cosine",
+          dotQ(col("__qv"), col("__v")) / (col("__qn") * col("__nrm")))
+      val wx = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col(idCol))
+      exact.withColumn("rank", row_number().over(wx))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("rank"),
+          col(idCol).as("neighbor_id"), col("cosine"))
+    }).localCheckpoint(true)
+    sliced.unpersist(false)
+    topk
+  }
+
   /** RP-LSH signature projection shared by the three entry points below:
     * (idCol, __sig 64-bit signature, __v quantized vector, __nrm).
     *

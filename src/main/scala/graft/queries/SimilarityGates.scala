@@ -17,6 +17,110 @@ object SimilarityGates {
   private val dotQSql: (String, String) => String = (a, b) =>
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS DOUBLE)"
 
+  /** Prefix the CTE names of one KMeansDet.oracleSql chain so several
+    * chains (one per PQ subspace) coexist in a single WITH clause.
+    * Column aliases (__rn/__n/__rank) and subquery aliases stay as-is —
+    * they are scoped to their own CTE. */
+  private def prefixKmCtes(sql: String, p: String): String =
+    sql.replaceAll(
+      "__(raw|pts|rk|nn|dims|ini|pl|cw|rel|km|dF|aF|c\\d+|d\\d+|a\\d+)\\b",
+      p + "$1")
+
+  /** The s_ann_pq oracle: m prefixed KMeansDet chains fit the subspace
+    * codebooks over slices of the L2-normalized vectors, then pure SQL
+    * replays PQ encoding, the per-query integer LUT, ADC ranking, the
+    * shortlist cut, and the exact quantized-cosine re-rank — the same
+    * arithmetic Similarity.pqTopK runs, expression for expression. */
+  private def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int,
+      rerank: Int, k: Int): String = {
+    val sub = dim / m
+    val chains = (0 until m).map { s =>
+      val feats = (0 until sub).map(i => s"f$i")
+      val extract = (0 until sub)
+        .map(i => s"xn[${s * sub + i + 1}] AS f$i").mkString(", ")
+      prefixKmCtes(
+        graft.operators.KMeansDet.oracleSql(
+          s"(SELECT vec_id, $extract FROM __xn)",
+          Seq("vec_id"), feats, k = codes, iters = iters),
+        s"__p${s}_")
+    }.mkString(",\n")
+    val cdUnion = (0 until m).map(s =>
+      s"SELECT $s AS s, vec_id, cluster AS code FROM __p${s}_km")
+      .mkString("\n  UNION ALL ")
+    val cqUnion = (0 until m).map(s =>
+      s"SELECT $s AS s, rel.__rank AS j," +
+        s" list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv" +
+        s" FROM __p${s}_c$iters c JOIN __p${s}_rel rel ON rel.j = c.j" +
+        s" GROUP BY rel.__rank")
+      .mkString("\n  UNION ALL ")
+    s"""WITH __xd AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |__xl AS (
+       |  SELECT vec_id, xd,
+       |    sqrt(list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(xd, x -> x*x)),
+       |      (a, b) -> a + b)) AS l2
+       |  FROM __xd),
+       |__xn AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(xd, x -> x / greatest(l2, 1e-30)) AS xn
+       |  FROM __xl),
+       |$chains,
+       |cd AS MATERIALIZED ($cdUnion),
+       |bad AS (SELECT DISTINCT vec_id FROM cd WHERE code IS NULL),
+       |cq AS MATERIALIZED ($cqUnion),
+       |cn2 AS (SELECT s, j,
+       |  CAST(list_sum(list_transform(cqv, x -> x*x)) AS BIGINT) AS n2
+       |  FROM cq),
+       |ev AS MATERIALIZED (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |evn AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm
+       |  FROM ev),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id, qv, nrm AS qn FROM evn WHERE vec_id < 5),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.s, c.j,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(q.qv[c.s*$sub+1 : c.s*$sub+$sub], c.cqv),
+       |      x -> x[1]*x[2])) AS BIGINT) AS pdot
+       |  FROM q CROSS JOIN cq c),
+       |xn2 AS (
+       |  SELECT c.vec_id, CAST(SUM(n.n2) AS BIGINT) AS xn2
+       |  FROM cd c JOIN cn2 n ON n.s = c.s AND n.j = c.code
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+       |  GROUP BY c.vec_id),
+       |adc AS (
+       |  SELECT l.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
+       |  FROM cd c JOIN lut l ON l.s = c.s AND l.j = c.code
+       |  WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
+       |  GROUP BY l.query_id, c.vec_id),
+       |ascore AS (
+       |  SELECT a.query_id, a.vec_id,
+       |    CAST(a.dot AS DOUBLE) /
+       |      (q.qn * GREATEST(SQRT(CAST(x.xn2 AS DOUBLE)), 1e-30)) AS acos
+       |  FROM adc a JOIN q ON q.vec_id = a.query_id
+       |  JOIN xn2 x ON x.vec_id = a.vec_id
+       |  WHERE a.vec_id != a.query_id),
+       |short AS (
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT query_id, vec_id, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY acos DESC, vec_id) AS ar
+       |    FROM ascore) WHERE ar <= $rerank),
+       |ex AS (
+       |  SELECT s.query_id, s.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.qn * b.nrm) AS cosine
+       |  FROM short s JOIN q ON q.vec_id = s.query_id
+       |  JOIN evn b ON b.vec_id = s.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM ex)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= $k
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+  }
+
   /** DuckDB replica of graft.functions.RollingHash over the string held
     * in lambda variable `v`, as an UNSIGNED HUGEINT in [0, 2^64): Java's
     * wrapping h·base+byte fold via an explicit mod 2^64 (the worst
@@ -604,6 +708,22 @@ object SimilarityGates {
            |WHERE rank <= 10
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
       }),
+
+    // Product-quantization ANN with exact re-rank (Jégou et al. TPAMI
+    // 2011): 8 subspace codebooks of 16 codes fit with KMeansDet on the
+    // normalized slices, corpus stored as 8 codes + one self-dot, ADC
+    // scan shortlists top-50 per query, exact quantized cosine re-ranks
+    // to top-10. FULL oracle: eight prefixed KMeansDet CTE chains
+    // re-derive every codebook, then DuckDB replays code assignment,
+    // the per-query LUT (integer partial dots), the ADC ranking, the
+    // shortlist cut, and the exact re-rank — bit-for-bit.
+    Gate("s_ann_pq",
+      (s, d) => Similarity.pqTopK(t(s, d, "embeddings"),
+        id => id < 5, "vec_id", "embedding", k = 10, m = 8, codes = 16,
+        rerank = 50, modelKey = Some(s"$d/embeddings|l2"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(pqOracleSql(m = 8, dim = 64, codes = 16, iters = 3,
+        rerank = 50, k = 10))),
 
     // Random-hyperplane LSH ANN (the fit-free scale path): 64-bit
     // sign-projection signatures (native RpSig64), 16×4-bit banded

@@ -227,6 +227,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"clustered recall@10 = $recall")
   }
 
+  test("PQ ADC recall@10 on clustered embeddings (m=16, 16 codes)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 8)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5),
+      "vec_id", "embedding", k = 10))
+    val pq = pairs(Similarity.pqTopK(e, id => id < 5,
+      "vec_id", "embedding", k = 10, m = 16, codes = 16))
+    val recall = bf.intersect(pq).size.toDouble / bf.size
+    info(s"pure-ADC PQ recall@10 = $recall")
+    assert(recall >= 0.5, s"clustered pure-ADC PQ recall@10 = $recall")
+    // the deployment shape: ADC shortlist + exact re-rank
+    val rr = pairs(Similarity.pqTopK(e, id => id < 5,
+      "vec_id", "embedding", k = 10, m = 16, codes = 16, rerank = 50))
+    val recallRr = bf.intersect(rr).size.toDouble / bf.size
+    info(s"rerank-50 PQ recall@10 = $recallRr")
+    assert(recallRr >= 0.9, s"rerank PQ recall@10 = $recallRr")
+  }
+
   test("random-hyperplane LSH ANN recall@10 >= 0.9 on clustered " +
     "embeddings") {
     import spark.implicits._
