@@ -416,6 +416,110 @@ object Similarity {
     topk
   }
 
+  /** MMR diversity re-rank (Carbonell & Goldstein, "The Use of MMR…",
+    * SIGIR 1998): greedy-select k results per query from a relevance
+    * pool, each step taking the candidate maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected — the
+    * standard redundancy cut for retrieval-augmented pipelines (near-dup
+    * passages crowd out coverage under plain top-k).
+    *
+    * Shape: the pool is the exact quantized-cosine top-`pool` per query
+    * (one corpus scan, same plan as [[bruteForceTopK]]); the greedy
+    * stage then touches only queries×pool rows — grouped by query and
+    * walked SEQUENTIALLY inside each group (flatMapGroups), because the
+    * selection is inherently order-dependent in k. One keyed shuffle of
+    * the pool on query_id; the corpus never re-enters. This is the
+    * documented mapGroups exception: per-group bounded (≤ pool rows),
+    * sequential by definition — a k-step driver loop of joins would
+    * run the same arithmetic in k jobs instead.
+    *
+    * Determinism contract (the oracle unrolls the k steps in SQL):
+    * relevance and pairwise similarity are floor(1e9·cosine) fixed
+    * point over 1e-6-quantized vectors; the MMR objective is the exact
+    * integer `lambdaTenths·rel_fp − (10−lambdaTenths)·maxsim_fp`; ties
+    * pick the lowest id; the first pick per query is the most relevant
+    * candidate. */
+  def mmrTopK(corpus: DataFrame, queryIds: Column => Column,
+      idCol: String, vecCol: String, k: Int, pool: Int = 50,
+      lambdaTenths: Int = 7): DataFrame = {
+    require(lambdaTenths >= 0 && lambdaTenths <= 10,
+      s"lambdaTenths in [0,10], got $lambdaTenths")
+    require(k <= pool, s"k=$k must be <= pool=$pool")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val e = corpus.select(col(idCol), quantize(col(vecCol)).as("__v"))
+      .withColumn("__nrm", normQ(col("__v")))
+    val q2 = e.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("query_id"), col("__v").as("__qv"),
+        col("__nrm").as("__qn"))
+    val rel = broadcast(q2).join(e, col("query_id") =!= col(idCol))
+      .withColumn("__rel_fp",
+        floor(dotQ(col("__qv"), col("__v")) /
+          (col("__qn") * col("__nrm")) * lit(1e9)).cast(LongType))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__rel_fp").desc, col(idCol))
+    val cand = rel.withColumn("__pr", row_number().over(wp))
+      .filter(col("__pr") <= pool)
+      .select(col("query_id"), col(idCol).as("__cid"),
+        col("__rel_fp"), col("__v"))
+    val lam = lambdaTenths.toLong
+    val out = cand
+      .as[(Long, Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cs = it.toArray // ≤ pool rows by construction
+        val n = cs.length
+        def dot(a: Seq[Long], b: Seq[Long]): Long = {
+          var s = 0L; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val self = cs.map(c => dot(c._4, c._4))
+        def simFp(i: Int, j: Int): Long =
+          math.floor(dot(cs(i)._4, cs(j)._4).toDouble /
+            (math.sqrt(self(i).toDouble) *
+              math.sqrt(self(j).toDouble)) * 1e9).toLong
+        val selected = scala.collection.mutable.ArrayBuffer[Int]()
+        val maxSim = Array.fill(n)(Long.MinValue)
+        val picked = Array.fill(n)(false)
+        val res = scala.collection.mutable.ArrayBuffer[
+          (Long, Int, Long, Long, Long)]()
+        var rank = 1
+        while (rank <= k && rank <= n) {
+          var best = -1; var bestScore = Long.MinValue
+          var i = 0
+          while (i < n) {
+            if (!picked(i)) {
+              val score =
+                if (selected.isEmpty) lam * cs(i)._3
+                else lam * cs(i)._3 - (10L - lam) * maxSim(i)
+              if (score > bestScore ||
+                (score == bestScore && best >= 0 &&
+                  cs(i)._2 < cs(best)._2)) {
+                best = i; bestScore = score
+              }
+            }
+            i += 1
+          }
+          picked(best) = true
+          res += ((qid, rank, cs(best)._2, cs(best)._3,
+            if (selected.isEmpty) lam * cs(best)._3 else bestScore))
+          selected += best
+          var j = 0
+          while (j < n) {
+            if (!picked(j)) {
+              val s2 = simFp(j, best)
+              if (s2 > maxSim(j)) maxSim(j) = s2
+            }
+            j += 1
+          }
+          rank += 1
+        }
+        res.iterator
+      }
+      .toDF("query_id", "rank", "neighbor_id", "rel_fp", "mmr_fp")
+    out
+  }
+
   /** RP-LSH signature projection shared by the three entry points below:
     * (idCol, __sig 64-bit signature, __v quantized vector, __nrm).
     *

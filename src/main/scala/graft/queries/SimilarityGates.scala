@@ -26,6 +26,73 @@ object SimilarityGates {
       "__(raw|pts|rk|nn|dims|ini|pl|cw|rel|km|dF|aF|c\\d+|d\\d+|a\\d+)\\b",
       p + "$1")
 
+  /** The s_ann_mmr oracle: the greedy MMR selection unrolled as k SQL
+    * step-blocks (the KMeansDet unrolling discipline) — step t computes
+    * each remaining candidate's max fixed-point similarity to the
+    * selected set u(t−1), ranks the exact integer objective
+    * λ·rel − (1−λ)·maxsim with ties to the lowest id, and appends the
+    * winner. Every number matches Similarity.mmrTopK's group walk. */
+  private def mmrOracleSql(k: Int, pool: Int, lamTenths: Int): String = {
+    val lam = lamTenths
+    val unlam = 10 - lamTenths
+    val simFp = "CAST(FLOOR(CAST(list_sum(list_transform(" +
+      "list_zip(c.qv, s.qv), x -> x[1]*x[2])) AS DOUBLE)" +
+      " / (SQRT(CAST(c.self AS DOUBLE)) * SQRT(CAST(s.self AS DOUBLE)))" +
+      " * 1e9) AS BIGINT)"
+    val steps = (2 to k).map { t =>
+      s"""m$t AS (
+         |  SELECT c.query_id, c.cid, c.rel, c.qv, c.self,
+         |    MAX($simFp) AS ms
+         |  FROM cand c JOIN u${t - 1} s ON s.query_id = c.query_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM u${t - 1} x
+         |    WHERE x.query_id = c.query_id AND x.cid = c.cid)
+         |  GROUP BY c.query_id, c.cid, c.rel, c.qv, c.self),
+         |s$t AS MATERIALIZED (
+         |  SELECT query_id, cid, rel, qv, self,
+         |    CAST($lam*rel - $unlam*ms AS BIGINT) AS mmr,
+         |    CAST($t AS INTEGER) AS rank
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ($lam*rel - $unlam*ms) DESC, cid) AS rn
+         |    FROM m$t) WHERE rn = 1),
+         |u$t AS MATERIALIZED (
+         |  SELECT query_id, cid, qv, self FROM u${t - 1}
+         |  UNION ALL SELECT query_id, cid, qv, self FROM s$t)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to k).map(t => s"SELECT query_id, rank, cid, rel, mmr" +
+      s" FROM s$t").mkString("\n  UNION ALL ")
+    s"""WITH ev AS MATERIALIZED (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |evn AS MATERIALIZED (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm,
+       |    CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS self
+       |  FROM ev),
+       |q AS (SELECT vec_id AS query_id, qv, nrm FROM evn
+       |  WHERE vec_id < 5),
+       |relv AS (
+       |  SELECT q.query_id, e.vec_id AS cid,
+       |    CAST(FLOOR(${dotQSql("q.qv", "e.qv")} / (q.nrm * e.nrm) * 1e9)
+       |      AS BIGINT) AS rel
+       |  FROM q JOIN evn e ON e.vec_id != q.query_id),
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, cid, rel, qv, self FROM (
+       |    SELECT r.query_id, r.cid, r.rel, e.qv, e.self,
+       |      ROW_NUMBER() OVER (PARTITION BY r.query_id
+       |        ORDER BY r.rel DESC, r.cid) AS pr
+       |    FROM relv r JOIN evn e ON e.vec_id = r.cid) WHERE pr <= $pool),
+       |s1 AS MATERIALIZED (
+       |  SELECT query_id, cid, rel, qv, self,
+       |    CAST($lam*rel AS BIGINT) AS mmr, CAST(1 AS INTEGER) AS rank
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rel DESC, cid) AS rn FROM cand) WHERE rn = 1),
+       |u1 AS MATERIALIZED (
+       |  SELECT query_id, cid, qv, self FROM s1),
+       |$steps
+       |SELECT query_id, rank, cid AS neighbor_id, rel AS rel_fp,
+       |  mmr AS mmr_fp
+       |FROM ($sel)
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+  }
+
   /** The s_ann_pq oracle: m prefixed KMeansDet chains fit the subspace
     * codebooks over slices of the L2-normalized vectors, then pure SQL
     * replays PQ encoding, the per-query integer LUT, ADC ranking, the
@@ -724,6 +791,19 @@ object SimilarityGates {
         .orderBy(col("query_id"), col("rank")),
       Some(pqOracleSql(m = 8, dim = 64, codes = 16, iters = 3,
         rerank = 50, k = 10))),
+
+    // MMR diversity re-rank (Carbonell & Goldstein SIGIR '98): exact
+    // cosine pool of 50 per query, then greedy λ=0.7 selection of 10 —
+    // each step trades relevance against max similarity to what's
+    // already selected, in exact fixed-point integers. FULL oracle: the
+    // 10 greedy steps unroll as SQL blocks, every objective value and
+    // tie-break replayed.
+    Gate("s_ann_mmr",
+      (s, d) => Similarity.mmrTopK(t(s, d, "embeddings"),
+        id => id < 5, "vec_id", "embedding", k = 10, pool = 50,
+        lambdaTenths = 7)
+        .orderBy(col("query_id"), col("rank")),
+      Some(mmrOracleSql(k = 10, pool = 50, lamTenths = 7))),
 
     // Random-hyperplane LSH ANN (the fit-free scale path): 64-bit
     // sign-projection signatures (native RpSig64), 16×4-bit banded

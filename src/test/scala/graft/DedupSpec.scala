@@ -260,6 +260,49 @@ class DedupSpec extends AnyFunSuite {
     assert(recallRr >= 0.9, s"rerank PQ recall@10 = $recallRr")
   }
 
+  test("MMR re-rank breaks up a redundant cluster that plain top-k " +
+    "returns wholesale") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def unit(seed: Array[Double]): Array[Float] = {
+      val n = math.sqrt(seed.map(x => x * x).sum)
+      seed.map(x => (x / n).toFloat)
+    }
+    def norm1(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = norm1(Array.fill(64)(rnd.nextGaussian()))
+    // query 0; ids 1-3 near-identical to the query (a dup cluster);
+    // ids 4-9 moderately relevant (cos ≈ 0.6) along MUTUALLY
+    // independent directions (pairwise cos ≈ 0.36)
+    val rows = Seq((0L, unit(base), 0)) ++
+      (1 to 3).map(i => (i.toLong,
+        unit(base.map(x => x + 0.01 * rnd.nextGaussian())), 0)) ++
+      (4 to 9).map { i =>
+        val g = norm1(Array.fill(64)(rnd.nextGaussian()))
+        val mix = base.zip(g).map { case (a, b) => 0.6 * a + 0.8 * b }
+        (i.toLong, unit(mix), 1)
+      }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val plain = Similarity.bruteForceTopK(e, e.filter(col("vec_id") === 0),
+      "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(plain == Set(1L, 2L, 3L), "plain top-3 is the dup cluster")
+    val mmr = Similarity.mmrTopK(e, id => id === 0, "vec_id", "embedding",
+      k = 3, pool = 9, lambdaTenths = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert((mmr -- Set(1L, 2L, 3L)).nonEmpty,
+      s"MMR must diversify beyond the dup cluster, got $mmr")
+    assert(mmr.intersect(Set(1L, 2L, 3L)).size == 1,
+      s"exactly one representative of the dup cluster, got $mmr")
+    // deterministic: a second run returns the identical selection order
+    val a = Similarity.mmrTopK(e, id => id === 0, "vec_id", "embedding",
+      k = 3, pool = 9, lambdaTenths = 5).collect().map(_.toString).toSeq
+    val b = Similarity.mmrTopK(e, id => id === 0, "vec_id", "embedding",
+      k = 3, pool = 9, lambdaTenths = 5).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("random-hyperplane LSH ANN recall@10 >= 0.9 on clustered " +
     "embeddings") {
     import spark.implicits._
