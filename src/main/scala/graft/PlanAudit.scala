@@ -12,7 +12,8 @@ object PlanAudit {
         "hb_series_pipeline", "s_ann_rplsh", "t_top_ngrams",
         "t_hash_split", "t_pack_layout", "t_decontaminate", "t_chunk",
         "d_passage_dedup", "t_bm25", "t_top_ngrams_by_lang",
-        "a7_kmeans", "s2_rest_provider", "s5_localdata")
+        "a7_kmeans", "s2_rest_provider", "s5_localdata",
+        "t_dsir_select", "t_vocab_encode")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
