@@ -306,9 +306,17 @@ object Similarity {
     * dot(q, x̂) / (‖q‖·max(‖x̂‖, 1e-30)) with x̂ the concatenated
     * centroid reconstruction; ties rank by neighbor id at both
     * stages. */
+  /** `nCells = C > 0` composes IVF-PQ: a coarse KMeansDet cell model
+    * (SHARED with [[ivfTopK]] via the same modelKey — one Lloyd fit
+    * serves both indexes) assigns every corpus vector a cell as a
+    * narrow literal expression, queries probe their `nprobe` best
+    * cells against the quantized cell centroids, and the ADC zip runs
+    * only on rows whose cell was probed — the candidate-pruned scan
+    * that makes PQ a two-level index at corpus scale. */
   def pqTopK(corpus: DataFrame, queryIds: Column => Column, idCol: String,
       vecCol: String, k: Int, m: Int = 4, codes: Int = 16,
-      fitIters: Int = 3, rerank: Int = 0, modelKey: Option[String] = None,
+      fitIters: Int = 3, rerank: Int = 0, nCells: Int = 0,
+      nprobe: Int = 4, modelKey: Option[String] = None,
       modelStore: Option[graft.cache.LineageCache] = None): DataFrame = {
     val spark = corpus.sparkSession
     val e0 = corpus
@@ -341,16 +349,27 @@ object Similarity {
     val cn2: Seq[Seq[Long]] =
       cq.map(_.map(cv => cv.map(v => v * v).sum))
     val cn2Lit = typedlit(cn2)
-    val coded = sliced.withColumn("__codes",
+    // optional IVF level: coarse cells over the full normalized vector,
+    // same model-memo key shape as ivfTopK so one fit serves both
+    val cellModel =
+      if (nCells > 0) Some(fitCellsMemo(modelKey, modelStore, sliced,
+        "__na", d, Seq(col(idCol)), nCells, fitIters))
+      else None
+    val coded0 = sliced.withColumn("__codes",
       array((0 until m).map(s =>
         KMeansDet.labelExprVec(models(s), col(s"__pq$s"), sub)): _*))
-    // corpus index: id + m codes + reconstruction self-dot
+    val coded = cellModel match {
+      case Some(cm) => coded0.withColumn("__cell",
+        KMeansDet.labelExprVec(cm, col("__na"), d))
+      case None => coded0.withColumn("__cell", lit(0))
+    }
+    // corpus index: id + m codes + reconstruction self-dot (+ cell)
     val enc = coded.filter(forall(col("__codes"), _.isNotNull))
       .withColumn("__xn2", aggregate(
         zip_with(col("__codes"), cn2Lit,
           (c, row) => element_at(row, c + 1)),
         lit(0L), (a, x) => a + x))
-      .select(col(idCol), col("__codes"), col("__xn2"))
+      .select(col(idCol), col("__codes"), col("__xn2"), col("__cell"))
     val q0 = coded.filter(queryIds(col(idCol)))
       .select(col(idCol).as("query_id"), quantize(col("__dv")).as("__qv"))
       .withColumn("__qn", normQ(col("__qv")))
@@ -371,8 +390,30 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("__s"), col("__row")))),
         x => x("__row")).as("__lut"))
-    val scored = enc.crossJoin(broadcast(lut))
+    // probed cells per query (IVF level only): rank quantized cell
+    // centroids by cosine against the query, keep nprobe
+    val lutP = cellModel match {
+      case Some(cm) =>
+        val cells = KMeansDet.canonicalCentroids(cm).zipWithIndex.map {
+          case (c, i) => (i, c.toSeq.map(x => math.floor(x * 1e6).toLong))
+        }.toSeq
+        val cellDf = spark.createDataFrame(cells).toDF("__cl", "__cv")
+          .withColumn("__cn", normQ(col("__cv")))
+        val wc = Window.partitionBy(col("query_id"))
+          .orderBy(col("__ccos").desc, col("__cl"))
+        val probed = q0.crossJoin(broadcast(cellDf))
+          .withColumn("__ccos",
+            dotQ(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+          .withColumn("__crank", row_number().over(wc))
+          .filter(col("__crank") <= nprobe)
+          .groupBy(col("query_id"))
+          .agg(collect_set(col("__cl")).as("__cells"))
+        lut.join(probed, Seq("query_id"))
+      case None => lut.withColumn("__cells", array(lit(0)))
+    }
+    val scored = enc.crossJoin(broadcast(lutP))
       .filter(col("query_id") =!= col(idCol))
+      .filter(array_contains(col("__cells"), col("__cell")))
       .withColumn("__dot", aggregate(
         zip_with(col("__codes"), col("__lut"),
           (c, row) => element_at(row, c + 1)),

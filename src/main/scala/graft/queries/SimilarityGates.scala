@@ -99,9 +99,9 @@ object SimilarityGates {
     * shortlist cut, and the exact quantized-cosine re-rank — the same
     * arithmetic Similarity.pqTopK runs, expression for expression. */
   private def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int,
-      rerank: Int, k: Int): String = {
+      rerank: Int, k: Int, nCells: Int = 0, nprobe: Int = 0): String = {
     val sub = dim / m
-    val chains = (0 until m).map { s =>
+    val chains0 = (0 until m).map { s =>
       val feats = (0 until sub).map(i => s"f$i")
       val extract = (0 until sub)
         .map(i => s"xn[${s * sub + i + 1}] AS f$i").mkString(", ")
@@ -110,7 +110,45 @@ object SimilarityGates {
           s"(SELECT vec_id, $extract FROM __xn)",
           Seq("vec_id"), feats, k = codes, iters = iters),
         s"__p${s}_")
-    }.mkString(",\n")
+    }
+    // IVF level: one more chain over the FULL normalized vector (the
+    // same cells s_ann_ivf fits), plus the probe/pruning CTEs spliced
+    // into the ADC join below
+    val ivChain =
+      if (nCells == 0) Nil
+      else {
+        val feats = (0 until dim).map(i => s"f$i")
+        val extract = (0 until dim)
+          .map(i => s"xn[${i + 1}] AS f$i").mkString(", ")
+        Seq(prefixKmCtes(
+          graft.operators.KMeansDet.oracleSql(
+            s"(SELECT vec_id, $extract FROM __xn)",
+            Seq("vec_id"), feats, k = nCells, iters = iters),
+          "__iv_"))
+      }
+    val chains = (chains0 ++ ivChain).mkString(",\n")
+    val pruneCtes =
+      if (nCells == 0) ""
+      else s"""ccq AS (
+         |  SELECT rel.__rank AS cell,
+         |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
+         |  FROM __iv_c$iters c JOIN __iv_rel rel ON rel.j = c.j
+         |  GROUP BY rel.__rank),
+         |ccn AS (SELECT cell, cqv,
+         |  SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM ccq),
+         |probe AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.vec_id AS query_id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dotQSql("q.qv", "c.cqv")} / (q.qn * c.cnrm)
+         |          DESC, c.cell) AS crank
+         |    FROM q CROSS JOIN ccn c) WHERE crank <= $nprobe),
+         |vcell AS (SELECT vec_id, cluster AS cell FROM __iv_km),
+         |""".stripMargin
+    val pruneJoin =
+      if (nCells == 0) ""
+      else "\n  JOIN vcell vc ON vc.vec_id = c.vec_id" +
+        "\n  JOIN probe p ON p.query_id = l.query_id AND p.cell = vc.cell"
     val cdUnion = (0 until m).map(s =>
       s"SELECT $s AS s, vec_id, cluster AS code FROM __p${s}_km")
       .mkString("\n  UNION ALL ")
@@ -151,14 +189,14 @@ object SimilarityGates {
        |      list_zip(q.qv[c.s*$sub+1 : c.s*$sub+$sub], c.cqv),
        |      x -> x[1]*x[2])) AS BIGINT) AS pdot
        |  FROM q CROSS JOIN cq c),
-       |xn2 AS (
+       |${pruneCtes}xn2 AS (
        |  SELECT c.vec_id, CAST(SUM(n.n2) AS BIGINT) AS xn2
        |  FROM cd c JOIN cn2 n ON n.s = c.s AND n.j = c.code
        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
        |  GROUP BY c.vec_id),
        |adc AS (
        |  SELECT l.query_id, c.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS dot
-       |  FROM cd c JOIN lut l ON l.s = c.s AND l.j = c.code
+       |  FROM cd c JOIN lut l ON l.s = c.s AND l.j = c.code$pruneJoin
        |  WHERE c.vec_id NOT IN (SELECT vec_id FROM bad)
        |  GROUP BY l.query_id, c.vec_id),
        |ascore AS (
@@ -791,6 +829,21 @@ object SimilarityGates {
         .orderBy(col("query_id"), col("rank")),
       Some(pqOracleSql(m = 8, dim = 64, codes = 16, iters = 3,
         rerank = 50, k = 10))),
+
+    // IVF-PQ composition: the same 16 coarse cells s_ann_ivf fits (one
+    // shared Lloyd fit via the model memo) prune the ADC scan to the
+    // nprobe=4 probed cells per query before the 8-codebook PQ scoring
+    // and exact re-rank — the two-level index shape vector stores run
+    // at corpus scale. FULL oracle: the IVF chain + probe CTEs splice
+    // into the PQ oracle's ADC join.
+    Gate("s_ann_ivfpq",
+      (s, d) => Similarity.pqTopK(t(s, d, "embeddings"),
+        id => id < 5, "vec_id", "embedding", k = 10, m = 8, codes = 16,
+        rerank = 50, nCells = 16, nprobe = 4,
+        modelKey = Some(s"$d/embeddings|l2"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(pqOracleSql(m = 8, dim = 64, codes = 16, iters = 3,
+        rerank = 50, k = 10, nCells = 16, nprobe = 4))),
 
     // MMR diversity re-rank (Carbonell & Goldstein SIGIR '98): exact
     // cosine pool of 50 per query, then greedy λ=0.7 selection of 10 —

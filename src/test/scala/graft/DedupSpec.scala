@@ -258,6 +258,13 @@ class DedupSpec extends AnyFunSuite {
     val recallRr = bf.intersect(rr).size.toDouble / bf.size
     info(s"rerank-50 PQ recall@10 = $recallRr")
     assert(recallRr >= 0.9, s"rerank PQ recall@10 = $recallRr")
+    // two-level IVF-PQ: cell pruning before the ADC scan
+    val ivfpq = pairs(Similarity.pqTopK(e, id => id < 5,
+      "vec_id", "embedding", k = 10, m = 16, codes = 16, rerank = 50,
+      nCells = 8, nprobe = 2))
+    val recallIp = bf.intersect(ivfpq).size.toDouble / bf.size
+    info(s"IVF-PQ (8 cells, probe 2) recall@10 = $recallIp")
+    assert(recallIp >= 0.85, s"IVF-PQ recall@10 = $recallIp")
   }
 
   test("MMR re-rank breaks up a redundant cluster that plain top-k " +
