@@ -59,6 +59,31 @@ object Sinks {
       .saveAsTable(table)
   }
 
+  /** Training-data shard writer: the dataset laid out as `shards`
+    * roughly equal parquet files, each internally ordered by `orderCol`
+    * — the layout a data loader streams sequentially (shard = worker
+    * unit; deterministic shard membership when `orderCol` is salted-
+    * hash-assigned upstream, e.g. Packing.packedLayout's `shard`
+    * column, so re-runs produce byte-stable shards).
+    *
+    * 100 TB shape: one range exchange on (shardCol, orderCol) does
+    * both the placement and the in-file ordering;
+    * `maxRecordsPerFile` caps file size so a hot shard splits instead
+    * of producing a multi-GB file. */
+  def writeShards(df: DataFrame, path: String, shardCol: String,
+      orderCol: String, maxRecordsPerFile: Long = 0): Unit = {
+    require(df.columns.contains(shardCol), s"no column '$shardCol'")
+    val w = df
+      .repartitionByRange(col(shardCol), col(orderCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile)
+    else w)
+      .partitionBy(shardCol)
+      .parquet(path)
+  }
+
   private def cell(r: Row, i: Int): String =
     if (r.isNullAt(i)) "null"
     else r.get(i) match {
