@@ -89,6 +89,43 @@ object Sampling {
     * fall back to `default`. Still a narrow map: the per-row threshold
     * is a literal CASE over the stratum column; no shuffle, no
     * per-stratum scan. */
+  /** Domain-mix rebalancing: derive the per-stratum keep-rates that
+    * move the corpus to the TARGET proportions by downsampling only —
+    * the largest achievable dataset with exactly that mix. With
+    * C = min over strata of (n_s / t_s), stratum s keeps
+    * rate_s = C·t_s / n_s (= 1 for the binding stratum); strata absent
+    * from `targets` drop. This closes the loop the mix-report gate
+    * opens: measure actual proportions, then sample to the prescribed
+    * ones.
+    *
+    * Rates are derived IN-PLAN from a per-stratum count aggregate (the
+    * stratum cardinality is bounded by contract — domains, not rows —
+    * so the cut frame broadcasts), quantized to the same 10k hash
+    * buckets as [[stratifiedSample]] via floor(r·10⁴ + ½), and applied
+    * with the same salted-md5 bucket — deterministic under any
+    * partitioning and replayable by a SQL engine end to end. */
+  def rebalance(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String, targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty, "rebalance needs at least one target")
+    targets.values.foreach(t =>
+      require(t > 0.0, s"target proportions must be > 0, got $t"))
+    val spark = df.sparkSession
+    val tgtDf = spark.createDataFrame(targets.toSeq.sortBy(_._1))
+      .toDF("__st", "__t")
+    val cnt = df.groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).as("__n"))
+    val j = cnt.join(tgtDf, "__st")
+    val cap = j.agg(min(col("__n") / col("__t")).as("__cap"))
+    val cut = j.crossJoin(broadcast(cap))
+      .withColumn("__cut",
+        floor(least(col("__cap") * col("__t") / col("__n"), lit(1.0)) *
+          lit(Buckets) + lit(0.5)).cast("long"))
+      .select(col("__st"), col("__cut"))
+    df.join(broadcast(cut), df(stratumCol) === col("__st"))
+      .filter(hashBucket(col(idCol), salt) < col("__cut"))
+      .drop("__st", "__cut")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, fractions: Map[String, Double],
       default: Double = 0.0): DataFrame = {

@@ -653,6 +653,35 @@ object TextGates {
         .orderBy(col("doc_id")),
       Some(TextGates.mixOracleSql)),
 
+    // Domain-mix rebalancing (operators.Sampling.rebalance): derive
+    // per-source keep-rates in-plan so the kept corpus has exactly the
+    // prescribed source mix (downsampling only — the binding stratum
+    // keeps everything), then apply the salted-md5 bucket cut. Full
+    // oracle: DuckDB re-derives counts, the C = min(n/t) cap, the
+    // floor-quantized cuts, and the bucket filter.
+    Gate("t_mix_rebalance",
+      (s, d) => Sampling.rebalance(t(s, d, "documents"),
+        "doc_id", "reb1", "source",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select("doc_id", "source")
+        .orderBy(col("doc_id")),
+      Some("""WITH cnt AS (
+             |  SELECT source AS st, count(*) AS n
+             |  FROM documents GROUP BY source),
+             |tgt(st, t) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+             |  ('src2', 0.2), ('src3', 0.1)),
+             |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+             |cap AS (SELECT MIN(n / t) AS cap FROM j),
+             |cut AS (SELECT st,
+             |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+             |      AS BIGINT) AS cut
+             |  FROM j, cap)
+             |SELECT d.doc_id, d.source FROM documents d
+             |JOIN cut ON cut.st = d.source
+             |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+             |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Benchmark decontamination (operators.Decontaminate): flag corpus
     // docs sharing any word 4-gram with a (deterministic 5%-sample)
     // eval set. At 100 TB the eval side is a benchmark — thousands of

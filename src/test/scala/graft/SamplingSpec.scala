@@ -111,4 +111,36 @@ class SamplingSpec extends AnyFunSuite {
     assert(PlanChecks.shuffles(got).isEmpty,
       "stratifiedSample must not shuffle")
   }
+
+  test("rebalance: binding strata keep everything, rates follow " +
+    "C*t/n, absent strata drop") {
+    import spark.implicits._
+    // sizes 100/200/50/50, equal targets -> C = 200, keep 50 each:
+    // rates a=0.5, b=0.25, c=1.0, d=1.0
+    val df = (0L until 400L).map { i =>
+      val s = if (i < 100) "a" else if (i < 300) "b"
+              else if (i < 350) "c" else "d"
+      (i, s)
+    }.toDF("id", "src") union Seq((400L, "zz")).toDF("id", "src")
+    val got = Sampling.rebalance(df, "id", "r1", "src",
+      Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.25, "d" -> 0.25))
+    val counts = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("zz", 0L) == 0L, "untargeted stratum drops")
+    assert(counts("c") == 50 && counts("d") == 50,
+      s"binding strata keep everything: $counts")
+    // a at rate 0.5 of 100, b at 0.25 of 200 — expect ~50 each
+    // (salted-hash variance); the achieved mix approximates the target
+    assert(math.abs(counts("a") - 50) <= 15, s"a: $counts")
+    assert(math.abs(counts("b") - 50) <= 15, s"b: $counts")
+    // deterministic: identical on re-run
+    val again = Sampling.rebalance(df, "id", "r1", "src",
+      Map("a" -> 0.25, "b" -> 0.25, "c" -> 0.25, "d" -> 0.25))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+    intercept[IllegalArgumentException] {
+      Sampling.rebalance(df, "id", "r1", "src", Map.empty)
+    }
+  }
 }
