@@ -209,6 +209,13 @@ object Ast {
     * on the frame and add `token_ids` (OOV → 0, null text → null;
     * operators.Vocab.fitEncode on the frame key). */
   case class Encode(textCol: String, size: Int) extends Statement
+  /** `rebalance by <stratumCol> [s1 p1; s2 p2; …] ['salt']` — keep the
+    * largest deterministic subsample whose stratum mix is exactly the
+    * listed percentages; unlisted strata drop
+    * (operators.Sampling.rebalance on the frame key). */
+  case class RebalanceBy(stratumCol: String,
+      targets: Seq[(String, Double)], salt: String = "rebalance")
+      extends Statement
 
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values

@@ -126,6 +126,9 @@ object Dsl {
     Neighbors(k, vec, pred)
   def scrub(textCol: String, k: Int = 8): Statement = Scrub(textCol, k)
   def encode(textCol: String, size: Int): Statement = Encode(textCol, size)
+  def rebalanceSalted(stratumCol: String, salt: String,
+      targets: (String, Double)*): Statement =
+    RebalanceBy(stratumCol, targets, salt)
 
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))

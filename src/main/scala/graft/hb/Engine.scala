@@ -317,6 +317,14 @@ object Engine {
       // frame key (row set and key unchanged)
       f.copy(df = graft.operators.Vocab.fitEncode(f.df, KEY, c, n))
 
+    case RebalanceBy(strat, ts, salt) =>
+      // ids are the frame index; percentages to match `mix`/`split`
+      // (the /100 cancels out of the rate ratios — and x/100.0 is the
+      // correctly-rounded double the equivalent literal parses to, so
+      // the shared oracle sees identical arithmetic)
+      f.copy(df = graft.operators.Sampling.rebalance(f.df, KEY, salt,
+        strat, ts.map { case (s2, v) => s2 -> v / 100.0 }.toMap))
+
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {
         case 2 => Seq("train", "test")

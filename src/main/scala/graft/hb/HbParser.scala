@@ -22,7 +22,7 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors", "scrub", "encode")
+    "neighbors", "scrub", "encode", "rebalance")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -499,6 +499,21 @@ object HbParser {
         val c = p.colName()
         val n = p.int()
         Encode(c, n)
+      case "rebalance" =>
+        p.eat("by")
+        val c = p.colName()
+        p.eat("[")
+        val ts = mutable.ArrayBuffer[(String, Double)]()
+        while (!p.atSym("]")) {
+          if (p.atSym(";")) p.next()
+          else { val s = p.colName(); ts += s -> p.num() }
+        }
+        p.eat("]")
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "rebalance"
+        }
+        RebalanceBy(c, ts.toSeq, salt)
       case "scrub" =>
         val c = p.colName()
         val k = p.peek match {

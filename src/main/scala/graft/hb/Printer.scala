@@ -77,6 +77,11 @@ object Printer {
       s"scrub ${name(c)}$kk"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
+    case RebalanceBy(c, ts, salt) =>
+      val s = if (salt == "rebalance") "" else s" '$salt'"
+      val pairs = ts.map { case (k, v) => s"${name(k)} ${num(v)}" }
+        .mkString("; ")
+      s"rebalance by ${name(c)} [$pairs]$s"
     case Comment(text) => s"!#$text!#"
   }
 
@@ -135,6 +140,7 @@ object Printer {
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
       "sample", "mix", "pack", "chunk", "neighbors", "scrub", "encode",
+      "rebalance",
       "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

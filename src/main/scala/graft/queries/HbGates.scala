@@ -504,6 +504,20 @@ object HbGates {
         .orderBy(col("doc_id"), col("chunk_id")),
       Some(TextGates.chunkOracleSql)),
 
+    // `rebalance by source [...]` through the text surface — same
+    // Sampling.rebalance call (x/100.0 is the correctly-rounded double
+    // of the literal the library twin passes) and same oracle as
+    // t_mix_rebalance.
+    Gate("hb_rebalance",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |rebalance by source [src0 40; src1 30; src2 20; src3 10] 'reb1'
+          |create column doc_id keys
+          |slice columns doc_id source
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.rebalanceOracleSql)),
+
     // `encode text 64` through the text surface — same Vocab.fitEncode
     // call and same oracle as the Scala-surface twin t_vocab_encode.
     Gate("hb_encode",

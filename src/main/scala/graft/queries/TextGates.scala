@@ -199,6 +199,28 @@ object TextGates {
       |               WHEN 'fr' THEN 2500 ELSE 1000 END
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_mix_rebalance oracle — counts, the C = min(n/t) cap, the
+    * floor-quantized per-source cuts and the salted bucket filter for
+    * targets 40/30/20/10 over src0..src3 under salt reb1. Shared with
+    * the `.hb`-surface twin `hb_rebalance`. */
+  private[queries] lazy val rebalanceOracleSql: String =
+    """WITH cnt AS (
+      |  SELECT source AS st, count(*) AS n
+      |  FROM documents GROUP BY source),
+      |tgt(st, t) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+      |  ('src2', 0.2), ('src3', 0.1)),
+      |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+      |cap AS (SELECT MIN(n / t) AS cap FROM j),
+      |cut AS (SELECT st,
+      |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+      |      AS BIGINT) AS cut
+      |  FROM j, cap)
+      |SELECT d.doc_id, d.source FROM documents d
+      |JOIN cut ON cut.st = d.source
+      |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+      |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The passage-scrub CTE chain (tokens → positioned 8-windows →
     * repeated fps → covered positions → kept tokens), ending with
     * `cl(doc_id, n_tokens, kept)`. Shared by t_passage_scrub and the
@@ -665,22 +687,7 @@ object TextGates {
         Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
         .select("doc_id", "source")
         .orderBy(col("doc_id")),
-      Some("""WITH cnt AS (
-             |  SELECT source AS st, count(*) AS n
-             |  FROM documents GROUP BY source),
-             |tgt(st, t) AS (VALUES ('src0', 0.4), ('src1', 0.3),
-             |  ('src2', 0.2), ('src3', 0.1)),
-             |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
-             |cap AS (SELECT MIN(n / t) AS cap FROM j),
-             |cut AS (SELECT st,
-             |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
-             |      AS BIGINT) AS cut
-             |  FROM j, cap)
-             |SELECT d.doc_id, d.source FROM documents d
-             |JOIN cut ON cut.st = d.source
-             |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
-             |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
-             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(TextGates.rebalanceOracleSql)),
 
     // Benchmark decontamination (operators.Decontaminate): flag corpus
     // docs sharing any word 4-gram with a (deterministic 5%-sample)

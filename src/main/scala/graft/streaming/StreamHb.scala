@@ -104,6 +104,8 @@ object StreamHb {
     case _: Pack => Some("packing scans the whole frame in key order")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
+    case _: RebalanceBy =>
+      Some("rebalancing rates derive from whole-frame counts")
   }
 
   /** Loudly validate a program for streaming execution. */

@@ -180,7 +180,13 @@ class DslSpec extends AnyFunSuite {
       yield Neighbors(k, ColRef(v), e),
     for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k),
     for { nm <- genName; n <- Gen.chooseNum(1, 65536) }
-      yield Encode(nm, n))
+      yield Encode(nm, n),
+    for { nm <- genName; k <- Gen.chooseNum(1, 3)
+      pairs <- Gen.listOfN(k,
+        for { s2 <- genName; v <- Gen.chooseNum(1, 100) }
+          yield (s2, v.toDouble))
+      salt <- Gen.oneOf("rebalance", "r1") }
+      yield RebalanceBy(nm, pairs, salt))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

@@ -154,6 +154,9 @@ class ParserSpec extends AnyFunSuite {
       Neighbors(10, ColRef("embedding"),
         Bin("<", KeysExpr, NumLit(5))))
     assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
+    assert(HbParser.parseStatement(
+      "rebalance by source [src0 40; src1 30] 'r1'") ==
+      RebalanceBy("source", Seq("src0" -> 40.0, "src1" -> 30.0), "r1"))
     // a regex nested inside another regex's operand still gets its
     // OUTER pattern lexed as a literal (count-based lexer rule), while
     // division between completed regexes stays division
