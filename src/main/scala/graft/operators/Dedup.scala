@@ -224,7 +224,13 @@ object Dedup {
       .filter(size(col("sa.__sh")) >= size(col("sb.__sh")) * threshold &&
         size(col("sb.__sh")) >= size(col("sa.__sh")) * threshold &&
         jaccard(col("sa.__sh"), col("sb.__sh")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      // jacc_fp makes the edge list an EXPLAINABLE artifact (which doc
+      // matched what, how strongly) at no extra pass — fixed point so
+      // the d_minhash_pairs oracle compares it exactly
+      .withColumn("jacc_fp",
+        floor(jaccard(col("sa.__sh"), col("sb.__sh")) * lit(1e9))
+          .cast("long"))
+      .select(col("id_a"), col("id_b"), col("jacc_fp"))
     materializeThenRelease(pairs, sh, sig)
   }
 

@@ -483,6 +483,26 @@ object SimilarityGates {
         .select("doc_id").orderBy(col("doc_id")),
       Some(SimilarityGates.minhashLshOracleSql)),
 
+    // The verified pair EDGE LIST itself, with its fixed-point Jaccard
+    // strength — the explainability surface behind dedup/clustering
+    // (which doc matched what, how strongly). Same candidates, same
+    // verify, one extra projected column.
+    Gate("d_minhash_pairs",
+      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "text",
+        "doc_id", threshold = 0.5, portable = true)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $minhashCtesSql,
+           |scored AS (
+           |  SELECT p.ida AS id_a, p.idb AS id_b,
+           |    CAST(FLOOR(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+           |      / (x.sz + y.sz
+           |         - CAST(len(list_intersect(x.s, y.s)) AS DOUBLE))
+           |      * 1e9) AS BIGINT) AS jacc_fp
+           |  FROM __pairs p JOIN __sets x ON x.doc_id = p.ida
+           |    JOIN __sets y ON y.doc_id = p.idb)
+           |SELECT id_a, id_b, jacc_fp FROM scored
+           |ORDER BY id_a ASC NULLS FIRST, id_b ASC NULLS FIRST""".stripMargin)),
+
     // Near-dup CLUSTERING: connected components over the verified
     // MinHash pair graph — pair dropping is not transitive grouping
     // (A~B, B~C leaves A,C unrelated), so corpus dedup that keeps one
