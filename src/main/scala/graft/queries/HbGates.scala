@@ -504,6 +504,30 @@ object HbGates {
         .orderBy(col("doc_id"), col("chunk_id")),
       Some(TextGates.chunkOracleSql)),
 
+    // Leakage-safe split, pure `.hb`: split BY the near-dup COMPONENT
+    // instead of the doc id, so a train/test boundary can never run
+    // through a near-dup cluster (the contamination a doc-keyed split
+    // permits silently). One statement composition: cluster minhash →
+    // split by component. Oracle = the CC component chain + the salted
+    // bucket cut on the COMPONENT value.
+    Gate("hb_leakage_safe_split",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |cluster minhash text 0.5
+          |split 90/10 by component 'ls1'
+          |create column doc_id keys
+          |slice columns doc_id component split
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE ${SimilarityGates.minhashCcCompCtesSql}
+           |SELECT doc_id, component,
+           |  CASE WHEN b < 9000 THEN 'train' ELSE 'test' END AS split
+           |FROM (SELECT doc_id, component,
+           |  CAST('0x' || SUBSTR(md5(CAST(component AS VARCHAR)
+           |    || ':ls1'), 1, 8) AS BIGINT) % 10000 AS b
+           |  FROM __comp)
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // `rebalance by source [...]` through the text surface — same
     // Sampling.rebalance call (x/100.0 is the correctly-rounded double
     // of the literal the library twin passes) and same oracle as

@@ -361,20 +361,27 @@ object SimilarityGates {
     * free to iterate however it likes (Components.connectedComponents
     * uses neighbor-min + pointer jumping); any disagreement is a real
     * clustering bug, not an iteration-order artifact. */
-  private[queries] lazy val minhashCcOracleSql: String =
-    s"""WITH RECURSIVE $minhashCtesSql,
+  /** The chain up to per-doc `__comp(doc_id, component)` — shared by
+    * the clustering oracle and the leakage-safe-split oracle. */
+  private[queries] lazy val minhashCcCompCtesSql: String =
+    s"""$minhashCtesSql,
        |__symp AS (SELECT ida AS a, idb AS b FROM __pairs
        |           UNION SELECT idb, ida FROM __pairs),
        |__reach AS (
        |  SELECT a, b FROM __symp
        |  UNION
-       |  SELECT r.a, e.b FROM __reach r JOIN __symp e ON r.b = e.a)
-       |SELECT d.doc_id,
-       |  CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
-       |    AS component
-       |FROM documents d LEFT JOIN __reach r ON r.a = d.doc_id
-       |GROUP BY d.doc_id
-       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+       |  SELECT r.a, e.b FROM __reach r JOIN __symp e ON r.b = e.a),
+       |__comp AS (
+       |  SELECT d.doc_id,
+       |    CAST(LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS BIGINT)
+       |      AS component
+       |  FROM documents d LEFT JOIN __reach r ON r.a = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
+  private[queries] lazy val minhashCcOracleSql: String =
+    s"""WITH RECURSIVE $minhashCcCompCtesSql
+       |SELECT doc_id, component FROM __comp
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** The s_ann_topk oracle — exact quantized-cosine top-10 for queries
     * vec_id < 5 against the whole embeddings corpus. Shared with the
