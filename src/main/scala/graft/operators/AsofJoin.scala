@@ -118,7 +118,7 @@ object AsofJoin {
     // filtered frame would run the window over left rows only
     u.withColumn("__m", matched)
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toIndexedSeq.map(col) ++
         (rightTime +: rightVals).map(v =>
           col("__m")(v).as(prefix + v)): _*)
   }

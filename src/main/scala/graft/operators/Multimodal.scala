@@ -200,7 +200,7 @@ object Multimodal {
       stride: Int): DataFrame = {
     val keyCols = df.schema.fields.map(_.name).filterNot(_ == binCol)
     df.select(
-      (keyCols.map(col) :+
+      (keyCols.toIndexedSeq.map(col) :+
         posexplode(sliceBinary(col(binCol), frameBytes, stride))): _*)
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")

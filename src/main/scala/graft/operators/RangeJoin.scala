@@ -74,7 +74,7 @@ object RangeJoin {
     pts.join(ivals, joinCond, "inner")
       .filter(pts(pointCol) >= ivals(startCol) &&
         pts(pointCol) <= ivals(endCol))
-      .select(points.columns.map(pts(_)) ++
+      .select(points.columns.toIndexedSeq.map(pts(_)) ++
         intervals.columns.filterNot(dupIvalCols.contains)
           .map(ivals(_)): _*)
   }

@@ -45,7 +45,7 @@ object SkewJoin {
       explode(sequence(lit(0), lit(salts - 1))))
     f.join(x, f(factKey) === x(dimKey) && f("__salt") === x("__salt"),
         "inner")
-      .select(fact.columns.map(f(_)) ++
+      .select(fact.columns.toIndexedSeq.map(f(_)) ++
         dim.columns.filterNot(_ == dimKey).map(x(_)): _*)
   }
 }
