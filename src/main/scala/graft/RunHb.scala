@@ -11,10 +11,15 @@ import graft.sources.Providers
   *
   * Usage:
   *   runMain graft.RunHb <file.hb> [--data-dir DIR] [--out PATH]
-  *     [--format parquet|json|matrix|html|show]
+  *     [--format parquet|json|matrix|html|show|shards]
+  *     [--shard-col COL] [--order-col COL] [--max-records N]
   *
   * `html` renders the program's literate `!#…!#` blocks as prose around
   * the re-printed statements plus the result table (hb.Render).
+  * `shards` writes the training-shard layout (Sinks.writeShards): one
+  * parquet partition dir per `--shard-col` value (default `shard`, the
+  * `pack` statement's output), rows ordered by `--order-col` (default
+  * `seq_id` then the shard col itself if absent).
   */
 object RunHb {
 
@@ -31,6 +36,9 @@ object RunHb {
     val dataDir = opts.getOrElse("--data-dir", ".")
     val format = opts.getOrElse("--format", "show")
     val out = opts.get("--out")
+    shardOpts = (opts.getOrElse("--shard-col", "shard"),
+      opts.get("--order-col"),
+      opts.get("--max-records").map(_.toLong).getOrElse(0L))
 
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(args(0))), "UTF-8")
@@ -66,6 +74,17 @@ object RunHb {
         case None => println(json)
       }
     case "show" => df.show(50, truncate = false)
+    case "shards" =>
+      val (shardCol, orderOpt, maxRec) = shardOpts
+      val orderCol = orderOpt.getOrElse(
+        if (df.columns.contains("seq_id")) "seq_id" else shardCol)
+      Sinks.writeShards(df,
+        out.getOrElse(sys.error("--out required for shards")),
+        shardCol, orderCol, maxRec)
     case other => sys.error(s"unknown format '$other'")
   }
+
+  // (shardCol, orderCol, maxRecordsPerFile) for --format shards
+  private var shardOpts: (String, Option[String], Long) =
+    ("shard", None, 0L)
 }
