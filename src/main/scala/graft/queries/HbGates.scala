@@ -73,6 +73,43 @@ object HbGates {
   // snippets:109-116 shape with a DOUBLE column: the engine's grouped
   // mean goes through exact decimal accumulation (Engine.reduceDet), so
   // even floating .hb aggregates hash-match the DuckDB oracle.
+  /** Text signals inside a `.hb` program — langid prediction + quality
+    * filter. Shared (program AND oracle) by the batch gate
+    * `hb_langid_signal` and its streaming twin `st_hb_quality`: every
+    * statement is a narrow map, so the identical program runs
+    * incrementally. */
+  private[queries] val langidSignalHb: String =
+    """create column lp (langid (text))
+      |create column hit (if [lp = lang] {1} else {0})
+      |only (quality (text) > 0.3)
+      |slice columns doc_id lang lp hit
+      |""".stripMargin
+
+  private[queries] lazy val langidSignalOracleSql: String =
+    """WITH sig AS (
+      |  SELECT doc_id, lang,
+      |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
+      |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
+      |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
+      |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS es,
+      |    len(regexp_extract_all(text, '\S+')) AS nt0,
+      |    len(regexp_extract_all(text, '[.,;:!?]')) AS np,
+      |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS ns
+      |  FROM documents),
+      |lp AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+      |         ELSE CASE WHEN de >= fr AND de >= es THEN 'de'
+      |              ELSE CASE WHEN fr >= es THEN 'fr' ELSE 'es' END END END AS lp,
+      |    LEAST(nt0 * 1.0 / 100.0, 1.0)
+      |      * (1.0 - LEAST(np * 1.0 / (nt0 + 1), 1.0))
+      |      * (0.5 + LEAST(ns * 1.0 / (nt0 + 1), 0.5)) AS q
+      |  FROM sig)
+      |SELECT doc_id, lang, lp,
+      |  CAST(CASE WHEN lp = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
+      |FROM lp WHERE q > 0.3
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   private val groupMeanHb =
     """create column day (format date "ts" date)
       |slice columns day value
@@ -649,36 +686,9 @@ object HbGates {
     // shape (keep high-quality docs, record the prediction vs the
     // labeled lang).
     Gate("hb_langid_signal",
-      (s, d) => Graft.runHb(
-        """create column lp (langid (text))
-          |create column hit (if [lp = lang] {1} else {0})
-          |only (quality (text) > 0.3)
-          |slice columns doc_id lang lp hit
-          |""".stripMargin, t(s, d, "documents"))
+      (s, d) => Graft.runHb(HbGates.langidSignalHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),
-      Some("""WITH sig AS (
-             |  SELECT doc_id, lang,
-             |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is)\b')) AS en,
-             |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS de,
-             |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|une)\b')) AS fr,
-             |    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una)\b')) AS es,
-             |    len(regexp_extract_all(text, '\S+')) AS nt0,
-             |    len(regexp_extract_all(text, '[.,;:!?]')) AS np,
-             |    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS ns
-             |  FROM documents),
-             |lp AS (
-             |  SELECT doc_id, lang,
-             |    CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
-             |         ELSE CASE WHEN de >= fr AND de >= es THEN 'de'
-             |              ELSE CASE WHEN fr >= es THEN 'fr' ELSE 'es' END END END AS lp,
-             |    LEAST(nt0 * 1.0 / 100.0, 1.0)
-             |      * (1.0 - LEAST(np * 1.0 / (nt0 + 1), 1.0))
-             |      * (0.5 + LEAST(ns * 1.0 / (nt0 + 1), 0.5)) AS q
-             |  FROM sig)
-             |SELECT doc_id, lang, lp,
-             |  CAST(CASE WHEN lp = lang THEN 1 ELSE 0 END AS BIGINT) AS hit
-             |FROM lp WHERE q > 0.3
-             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(HbGates.langidSignalOracleSql)),
 
     // The two-frame extension combinators at the CONFIGURATION level
     // (the reference's join/merge-provider shape, Types.fs:97-104): the

@@ -154,6 +154,17 @@ object StreamGates {
     // exact sums, so even the streamed double aggregate hash-matches
     // the DuckDB oracle; `keys` re-materializes the group key exactly
     // as in the batch twin hb_group_mean.
+    // Streaming text curation: the EXACT program (and oracle) of the
+    // batch gate hb_langid_signal, run as an incremental streaming
+    // query over the documents stream — langid prediction and the
+    // quality filter are narrow signal expressions, so curation runs
+    // on live ingest unchanged.
+    Gate("st_hb_quality",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        HbGates.langidSignalHb, "st_hb_quality_out")
+        .orderBy(col("doc_id")),
+      Some(HbGates.langidSignalOracleSql)),
+
     Gate("st_hb_agg",
       (s, d) => graft.streaming.StreamHb.runEvents(s, d,
         """create column day (format date "ts" date)

@@ -178,4 +178,15 @@ object StreamHb {
       queryName: String): DataFrame =
     runToMemory(spark, text,
       StreamOps.readEventsStream(spark, dir), queryName)
+
+  /** Convenience: run a program over any streamed test table (schema
+    * from the batch file, glob-filtered file source — the same shape
+    * readEventsStream uses, minus the events-only ts normalization). */
+  def runTable(spark: SparkSession, dir: String, table: String,
+      text: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/$table.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+    runToMemory(spark, text, stream, queryName)
+  }
 }
