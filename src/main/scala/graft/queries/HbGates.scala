@@ -581,6 +581,8 @@ object HbGates {
 
     // `encode text 64` through the text surface — same Vocab.fitEncode
     // call and same oracle as the Scala-surface twin t_vocab_encode.
+    // The gate projects the id array to its space-joined string form
+    // (null-preserving scalar) for the comparison harness.
     Gate("hb_encode",
       (s, d) => Graft.runHb(
         """index rows by doc_id
@@ -588,6 +590,9 @@ object HbGates {
           |create column doc_id keys
           |slice columns doc_id token_ids
           |""".stripMargin, t(s, d, "documents"))
+        .select(col("doc_id"),
+          when(col("token_ids").isNotNull,
+            concat_ws(" ", col("token_ids"))).as("token_ids_str"))
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 

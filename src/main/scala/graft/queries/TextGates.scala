@@ -160,7 +160,8 @@ object TextGates {
       |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS token_ids
       |  FROM tok t LEFT JOIN vocab v USING (tok)
       |  GROUP BY t.doc_id)
-      |SELECT d.doc_id, e.token_ids
+      |SELECT d.doc_id,
+      |  array_to_string(e.token_ids, ' ') AS token_ids_str
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
@@ -749,11 +750,16 @@ object TextGates {
     // as its id sequence (OOV → 0). Counts shuffle (token, count)
     // pairs, the top-N cut is a TakeOrdered, the ≤64-row vocab is
     // broadcast for encoding; full oracle re-derives the vocabulary
-    // and the per-position id arrays in DuckDB.
+    // and the per-position id arrays in DuckDB. The gate projects the
+    // id array to its space-joined string form (null-preserving) so
+    // the comparison harness gets a scalar column; library users get
+    // the array from Vocab.encode directly.
     Gate("t_vocab_encode",
       (s, d) => graft.operators.Vocab.fitEncode(
         t(s, d, "documents"), "doc_id", "text", size = 64)
-        .select(col("doc_id"), col("token_ids"))
+        .select(col("doc_id"),
+          when(col("token_ids").isNotNull,
+            concat_ws(" ", col("token_ids"))).as("token_ids_str"))
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
