@@ -196,10 +196,30 @@ object Ast {
     * (disjoint chunks). */
   case class Chunk(textCol: String, window: Int, stride: Int)
       extends Statement
-  /** `neighbors <k> [<vecCol>] [<queryPred>]` — exact cosine top-k of
-    * every row matching the predicate against the whole frame
-    * (operators.Similarity.bruteForceTopK; ids are the frame index). */
-  case class Neighbors(k: Int, vec: Expr, pred: Expr) extends Statement
+  /** Index mode for `neighbors` — which ANN path the statement compiles
+    * to. `exact` (the default, no trailing clause) is the brute-force
+    * cosine baseline; the indexed modes are the scale paths:
+    * `pq <m>` product quantization with exact re-rank, `ivf <cells>`
+    * coarse-cell pruning, `mmr <lambdaTenths>` diversity re-rank over
+    * the exact pool. Indexed modes take their query set as a predicate
+    * over `keys` ONLY (the index operators filter on the id column). */
+  sealed trait AnnIndex
+  object AnnIndex {
+    case object Exact extends AnnIndex
+    /** `pq <m>`: m subspace codebooks, 16 codes, exact re-rank of 50. */
+    case class Pq(m: Int) extends AnnIndex
+    /** `ivf <cells>`: deterministic coarse cells, nprobe = 4. */
+    case class Ivf(cells: Int) extends AnnIndex
+    /** `mmr <lambdaTenths>`: greedy λ/10 trade over a pool of 50. */
+    case class Mmr(lambdaTenths: Int) extends AnnIndex
+  }
+  /** `neighbors <k> [<vecCol>] [<queryPred>] [pq <m>|ivf <n>|mmr <λ>]`
+    * — cosine top-k of every row matching the predicate against the
+    * whole frame (ids are the frame index). No trailing mode → exact
+    * brute force (operators.Similarity.bruteForceTopK); the indexed
+    * modes compile to pqTopK / ivfTopK / mmrTopK. */
+  case class Neighbors(k: Int, vec: Expr, pred: Expr,
+      index: AnnIndex = AnnIndex.Exact) extends Statement
   /** `scrub <textCol> [k]` — passage removal: drop every token covered
     * by a corpus-repeated k-token window, all copies (the Lee-et-al
     * ExactSubstr policy; operators.PassageDedup.scrub). Adds

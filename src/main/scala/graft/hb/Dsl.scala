@@ -124,6 +124,9 @@ object Dsl {
     Chunk(textCol, window, window)
   def neighbors(k: Int, vec: Expr, pred: Expr): Statement =
     Neighbors(k, vec, pred)
+  def neighbors(k: Int, vec: Expr, pred: Expr,
+      index: AnnIndex): Statement =
+    Neighbors(k, vec, pred, index)
   def scrub(textCol: String, k: Int = 8): Statement = Scrub(textCol, k)
   def encode(textCol: String, size: Int): Statement = Encode(textCol, size)
   def rebalanceSalted(stratumCol: String, salt: String,

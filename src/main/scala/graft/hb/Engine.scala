@@ -364,15 +364,62 @@ object Engine {
         .chunkLayout(f.df, KEY, tc, w, stride)
       HbFrame(chunks, Seq(col(KEY).asc, col("chunk_id").asc), Nil)
 
-    case Neighbors(k, vecE, predE) =>
+    case Neighbors(k, vecE, predE, mode) =>
       val vecCol = vecE match {
         case ColRef(n) => n
         case other => throw new IllegalArgumentException(
           s"neighbors expects a vector column reference, got $other")
       }
-      val queries = f.df.filter(compileExpr(predE, f))
-      val res = graft.operators.Similarity
-        .bruteForceTopK(f.df, queries, KEY, vecCol, k)
+      // Indexed modes hand the query set to the operator as a predicate
+      // on the id column (the index operators filter their own internal
+      // projections, which carry only the key + index columns), so the
+      // predicate must reference `keys` alone; the exact path filters
+      // the full frame and allows any row predicate. `keys` compiles to
+      // col(KEY) and the operators' idCol IS the frame key, so the same
+      // compiled Column resolves against the internal frames.
+      def keyPred: Column => Column = { _ =>
+        def keysOnly(e: Expr): Boolean = e match {
+          case KeysExpr | MissingLit | TrueLit => true
+          case _: NumLit | _: StrLit => true
+          case Bin(_, a, b) => keysOnly(a) && keysOnly(b)
+          case Not(a) => keysOnly(a)
+          case IfElse(c, t2, e2) =>
+            keysOnly(c) && keysOnly(t2) && keysOnly(e2)
+          case IntCast(a) => keysOnly(a)
+          case Contains(a, vs) => keysOnly(a) && vs.forall(keysOnly)
+          case _ => false // column refs / regex / signals / windows
+        }
+        if (!keysOnly(predE)) throw new IllegalArgumentException(
+          "indexed neighbors (pq/ivf/mmr) restrict the query predicate" +
+            s" to `keys`, got ${Printer.print(predE)}")
+        compileExpr(predE, f)
+      }
+      // plan-keyed model memo (the Dedup.minhashPairs discipline): the
+      // statement can't name its corpus, but the canonicalized plan
+      // identifies it within the session, so repeated programs over the
+      // same frame share one Lloyd fit per (k, iters, d) configuration
+      lazy val planKey = Some(
+        s"hb|${f.df.queryExecution.analyzed.canonicalized.hashCode}|$vecCol")
+      val res = mode match {
+        case AnnIndex.Exact =>
+          val queries = f.df.filter(compileExpr(predE, f))
+          graft.operators.Similarity
+            .bruteForceTopK(f.df, queries, KEY, vecCol, k)
+        case AnnIndex.Pq(m) =>
+          // the statement pins the oracle-checked configuration: 16
+          // codes per subspace, exact re-rank of a 50-row shortlist
+          graft.operators.Similarity.pqTopK(f.df, keyPred, KEY, vecCol,
+            k, m = m, codes = 16, rerank = 50, modelKey = planKey)
+        case AnnIndex.Ivf(n) =>
+          // deterministic cells: the .hb surface promises the engine-
+          // replayable ranking (the gate oracle re-derives the fit)
+          graft.operators.Similarity.ivfTopK(f.df, keyPred, KEY, vecCol,
+            k, nCells = n, nprobe = 4, deterministic = true,
+            modelKey = planKey)
+        case AnnIndex.Mmr(lam) =>
+          graft.operators.Similarity.mmrTopK(f.df, keyPred, KEY, vecCol,
+            k, pool = 50, lambdaTenths = lam)
+      }
       HbFrame(res.withColumn(KEY, struct(col("query_id"), col("rank"))),
         Seq(col(KEY).asc), Nil)
   }

@@ -494,7 +494,13 @@ object HbParser {
         val k = p.int()
         val vec = p.bracketed()
         val pred = p.bracketed()
-        Neighbors(k, vec, pred)
+        val mode = p.peek match {
+          case Some(TIdent("pq")) => p.ident(); AnnIndex.Pq(p.int())
+          case Some(TIdent("ivf")) => p.ident(); AnnIndex.Ivf(p.int())
+          case Some(TIdent("mmr")) => p.ident(); AnnIndex.Mmr(p.int())
+          case _ => AnnIndex.Exact
+        }
+        Neighbors(k, vec, pred, mode)
       case "encode" =>
         val c = p.colName()
         val n = p.int()

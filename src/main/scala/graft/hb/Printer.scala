@@ -70,8 +70,14 @@ object Printer {
     case Chunk(c, w, stride) =>
       val st = if (stride == w) "" else s" $stride"
       s"chunk ${name(c)} $w$st"
-    case Neighbors(k, vec, pred) =>
-      s"neighbors $k [${print(vec)}] [${print(pred)}]"
+    case Neighbors(k, vec, pred, mode) =>
+      val m = mode match {
+        case AnnIndex.Exact => ""
+        case AnnIndex.Pq(sub) => s" pq $sub"
+        case AnnIndex.Ivf(n) => s" ivf $n"
+        case AnnIndex.Mmr(lam) => s" mmr $lam"
+      }
+      s"neighbors $k [${print(vec)}] [${print(pred)}]$m"
     case Scrub(c, k) =>
       val kk = if (k == 8) "" else s" $k"
       s"scrub ${name(c)}$kk"

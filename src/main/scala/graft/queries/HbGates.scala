@@ -601,6 +601,40 @@ object HbGates {
         .orderBy(col("query_id"), col("rank")),
       Some(SimilarityGates.annTopkOracleSql)),
 
+    // The s_ann_pq twin through the closed DSL: `neighbors … pq 8`
+    // compiles to Similarity.pqTopK with the statement-pinned
+    // configuration (16 codes, re-rank 50) — same oracle, so the
+    // surface cannot drift from the Scala path.
+    Gate("hb_neighbors_pq",
+      (s, d) => Graft.runHb(
+        """index rows by vec_id
+          |neighbors 10 [embedding] [keys < 5] pq 8
+          |""".stripMargin, t(s, d, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(SimilarityGates.pqOracleSql(m = 8, dim = 64, codes = 16,
+        iters = 3, rerank = 50, k = 10))),
+
+    // The s_ann_mmr twin: `neighbors … mmr 7` — greedy λ=0.7 diversity
+    // re-rank over the exact pool of 50, sharing the unrolled oracle.
+    Gate("hb_neighbors_mmr",
+      (s, d) => Graft.runHb(
+        """index rows by vec_id
+          |neighbors 10 [embedding] [keys < 5] mmr 7
+          |""".stripMargin, t(s, d, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(SimilarityGates.mmrOracleSql(k = 10, pool = 50,
+        lamTenths = 7))),
+
+    // The s_ann_ivf twin: `neighbors … ivf 16` — deterministic coarse
+    // cells, nprobe=4, sharing the IVF chain oracle.
+    Gate("hb_neighbors_ivf",
+      (s, d) => Graft.runHb(
+        """index rows by vec_id
+          |neighbors 10 [embedding] [keys < 5] ivf 16
+          |""".stripMargin, t(s, d, "embeddings"))
+        .orderBy(col("query_id"), col("rank")),
+      Some(SimilarityGates.ivfOracleSql)),
+
     Gate("hb_extrapolate",
       (s, d) => Graft.runHb(extrapHb, t(s, d, "part"))
         .orderBy(col("fc")),

@@ -32,7 +32,7 @@ object SimilarityGates {
     * selected set u(t−1), ranks the exact integer objective
     * λ·rel − (1−λ)·maxsim with ties to the lowest id, and appends the
     * winner. Every number matches Similarity.mmrTopK's group walk. */
-  private def mmrOracleSql(k: Int, pool: Int, lamTenths: Int): String = {
+  private[queries] def mmrOracleSql(k: Int, pool: Int, lamTenths: Int): String = {
     val lam = lamTenths
     val unlam = 10 - lamTenths
     val simFp = "CAST(FLOOR(CAST(list_sum(list_transform(" +
@@ -98,7 +98,7 @@ object SimilarityGates {
     * replays PQ encoding, the per-query integer LUT, ADC ranking, the
     * shortlist cut, and the exact quantized-cosine re-rank — the same
     * arithmetic Similarity.pqTopK runs, expression for expression. */
-  private def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int,
+  private[queries] def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int,
       rerank: Int, k: Int, nCells: Int = 0, nprobe: Int = 0): String = {
     val sub = dim / m
     val chains0 = (0 until m).map { s =>
@@ -405,6 +405,68 @@ object SimilarityGates {
        |SELECT query_id, rank, neighbor_id, cosine FROM ranked
        |WHERE rank <= 10
        |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+
+  /** The s_ann_ivf oracle — deterministic coarse cells (KMeansDet over
+    * the L2-normalized vectors, 3 Lloyd iterations), quantized-cosine
+    * probe ranking (nprobe=4), final exact top-10. Shared with the
+    * `.hb`-surface twin `hb_neighbors_ivf` in HbGates (`neighbors 10
+    * [embedding] [keys < 5] ivf 16` compiles to the same
+    * deterministic ivfTopK configuration). */
+  private[queries] lazy val ivfOracleSql: String = {
+    val dim = 64
+    val iters = 3 // __cIters / __rel below are oracleSql's CTE names
+    val feats = (0 until dim).map(i => s"f$i")
+    val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
+      .mkString(", ")
+    val km = graft.operators.KMeansDet.oracleSql(
+      s"(SELECT vec_id, $extract FROM __xn)",
+      Seq("vec_id"), feats, k = 16, iters = iters)
+    s"""WITH __xd AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
+       |  FROM embeddings),
+       |__xl AS (
+       |  SELECT vec_id, xd,
+       |    sqrt(list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(xd, x -> x*x)),
+       |      (a, b) -> a + b)) AS l2
+       |  FROM __xd),
+       |__xn AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(xd, x -> x / greatest(l2, 1e-30)) AS xn
+       |  FROM __xl),
+       |$km,
+       |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS MATERIALIZED (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+       |__cq AS (
+       |  SELECT rel.__rank AS cell,
+       |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
+       |  FROM __c${iters} c JOIN __rel rel ON rel.j = c.j
+       |  GROUP BY rel.__rank),
+       |__cn AS (
+       |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),
+       |__pr AS (
+       |  SELECT q.vec_id AS query_id, q.qv, q.nrm, c.cell,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotQSql("q.qv", "c.cqv")} / (q.nrm * c.cnrm) DESC,
+       |        c.cell) AS crank
+       |  FROM e q CROSS JOIN __cn c WHERE q.vec_id < 5),
+       |__probe AS (SELECT query_id, qv, nrm, cell FROM __pr WHERE crank <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |    ${dotQSql("p.qv", "b.qv")} / (p.nrm * b.nrm) AS cosine
+       |  FROM __probe p
+       |  JOIN (SELECT vec_id, cluster AS cell FROM __km) a
+       |    ON a.cell = p.cell AND a.vec_id != p.query_id
+       |  JOIN e b ON b.vec_id = a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, cosine FROM ranked
+       |WHERE rank <= 10
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+  }
 
   /** The s_ann_topk_q8 oracle: identical shape to [[annTopkOracleSql]]
     * but over symmetric-int8 vectors (the per-vector scale cancels out
@@ -785,62 +847,7 @@ object SimilarityGates {
         id => id < 5, "vec_id", "embedding", k = 10,
         deterministic = true, modelKey = Some(s"$d/embeddings|l2"))
         .orderBy(col("query_id"), col("rank")),
-      Some {
-        val dim = 64
-        val iters = 3 // __cIters / __rel below are oracleSql's CTE names
-        val feats = (0 until dim).map(i => s"f$i")
-        val extract = (0 until dim).map(i => s"xn[${i + 1}] AS f$i")
-          .mkString(", ")
-        val km = graft.operators.KMeansDet.oracleSql(
-          s"(SELECT vec_id, $extract FROM __xn)",
-          Seq("vec_id"), feats, k = 16, iters = iters)
-        s"""WITH __xd AS MATERIALIZED (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd
-           |  FROM embeddings),
-           |__xl AS (
-           |  SELECT vec_id, xd,
-           |    sqrt(list_reduce(
-           |      list_prepend(CAST(0.0 AS DOUBLE), list_transform(xd, x -> x*x)),
-           |      (a, b) -> a + b)) AS l2
-           |  FROM __xd),
-           |__xn AS MATERIALIZED (
-           |  SELECT vec_id, list_transform(xd, x -> x / greatest(l2, 1e-30)) AS xn
-           |  FROM __xl),
-           |$km,
-           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
-           |e AS MATERIALIZED (
-           |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
-           |__cq AS (
-           |  SELECT rel.__rank AS cell,
-           |    list(CAST(FLOOR(c.c * 1e6) AS BIGINT) ORDER BY c.dim) AS cqv
-           |  FROM __c${iters} c JOIN __rel rel ON rel.j = c.j
-           |  GROUP BY rel.__rank),
-           |__cn AS (
-           |  SELECT cell, cqv, SQRT(${dotQSql("cqv", "cqv")}) AS cnrm FROM __cq),
-           |__pr AS (
-           |  SELECT q.vec_id AS query_id, q.qv, q.nrm, c.cell,
-           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-           |      ORDER BY ${dotQSql("q.qv", "c.cqv")} / (q.nrm * c.cnrm) DESC,
-           |        c.cell) AS crank
-           |  FROM e q CROSS JOIN __cn c WHERE q.vec_id < 5),
-           |__probe AS (SELECT query_id, qv, nrm, cell FROM __pr WHERE crank <= 4),
-           |scored AS (
-           |  SELECT p.query_id, a.vec_id AS neighbor_id,
-           |    ${dotQSql("p.qv", "b.qv")} / (p.nrm * b.nrm) AS cosine
-           |  FROM __probe p
-           |  JOIN (SELECT vec_id, cluster AS cell FROM __km) a
-           |    ON a.cell = p.cell AND a.vec_id != p.query_id
-           |  JOIN e b ON b.vec_id = a.vec_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id, cosine,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-           |  FROM scored)
-           |SELECT query_id, rank, neighbor_id, cosine FROM ranked
-           |WHERE rank <= 10
-           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
-      }),
-
+      Some(SimilarityGates.ivfOracleSql)),
     // Product-quantization ANN with exact re-rank (Jégou et al. TPAMI
     // 2011): 8 subspace codebooks of 16 codes fit with KMeansDet on the
     // normalized slices, corpus stored as 8 codes + one self-dot, ADC

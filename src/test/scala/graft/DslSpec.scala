@@ -176,8 +176,11 @@ class DslSpec extends AnyFunSuite {
           yield (s2, v.toDouble));
       d <- Gen.chooseNum(0, 99); salt <- Gen.oneOf("mix", "m1") }
       yield MixBy(nm, pairs, d.toDouble, salt),
-    for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1) }
-      yield Neighbors(k, ColRef(v), e),
+    for { k <- Gen.chooseNum(1, 50); v <- genName; e <- genExpr(1);
+      mode <- Gen.oneOf[AnnIndex](AnnIndex.Exact,
+        AnnIndex.Pq(8), AnnIndex.Pq(4), AnnIndex.Ivf(16),
+        AnnIndex.Mmr(7), AnnIndex.Mmr(0)) }
+      yield Neighbors(k, ColRef(v), e, mode),
     for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k),
     for { nm <- genName; n <- Gen.chooseNum(1, 65536) }
       yield Encode(nm, n),

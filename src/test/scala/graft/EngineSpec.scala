@@ -409,4 +409,26 @@ class EngineSpec extends AnyFunSuite {
     assert(discovered.columns.toSet ==
       Set("Sprint", "Done", "Doing", "Todo"))
   }
+
+  test("indexed neighbors restrict the query predicate to keys") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), "a"), (1L, Seq(0.9f, 0.1f), "b"),
+      (2L, Seq(0.0f, 1.0f), "a"), (3L, Seq(0.1f, 0.9f), "b"))
+      .toDF("vid", "vec", "tag")
+    // a predicate over a non-key column passes the exact path...
+    val exact = run(
+      "index rows by vid\nneighbors 2 [vec] [tag = 'a']", emb)
+    assert(exact.select("query_id").distinct().count() == 2)
+    // ...but the indexed paths hand the operator an id-column
+    // predicate, so anything beyond `keys` must be rejected up front
+    val e = intercept[IllegalArgumentException] {
+      run("index rows by vid\nneighbors 2 [vec] [tag = 'a'] mmr 7", emb)
+    }
+    assert(e.getMessage.contains("keys"))
+    // a keys-only predicate runs the indexed path end-to-end
+    val mmr = run(
+      "index rows by vid\nneighbors 2 [vec] [keys < 2] mmr 7", emb)
+    assert(mmr.select("query_id").distinct().count() == 2)
+  }
 }

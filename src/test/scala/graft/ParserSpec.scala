@@ -153,6 +153,18 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement("neighbors 10 [embedding] [keys < 5]") ==
       Neighbors(10, ColRef("embedding"),
         Bin("<", KeysExpr, NumLit(5))))
+    assert(HbParser.parseStatement(
+      "neighbors 10 [embedding] [keys < 5] pq 8") ==
+      Neighbors(10, ColRef("embedding"),
+        Bin("<", KeysExpr, NumLit(5)), AnnIndex.Pq(8)))
+    assert(HbParser.parseStatement(
+      "neighbors 10 [embedding] [keys < 5] ivf 16") ==
+      Neighbors(10, ColRef("embedding"),
+        Bin("<", KeysExpr, NumLit(5)), AnnIndex.Ivf(16)))
+    assert(HbParser.parseStatement(
+      "neighbors 10 [embedding] [keys < 5] mmr 7") ==
+      Neighbors(10, ColRef("embedding"),
+        Bin("<", KeysExpr, NumLit(5)), AnnIndex.Mmr(7)))
     assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
     assert(HbParser.parseStatement(
       "rebalance by source [src0 40; src1 30] 'r1'") ==
