@@ -125,6 +125,16 @@ object Ast {
   case class IndexBy(e: Expr) extends Statement
   case class SortByColumn(name: String) extends Statement
   case class GroupBy(cols: Seq[String], red: GroupReduction) extends Statement
+  /** `window <tsCol> <minutes> [<delayMinutes>] group by <cols…> ->
+    * <reduction>` — tumbling event-time aggregation: every remaining
+    * numeric column reduces per (time bucket, group cols), the bucket
+    * bounds surface as `window_start`/`window_end`. One translation for
+    * batch and streaming: the watermark tag (delay defaults to 0 —
+    * emit a bucket as soon as event time passes its end; production
+    * authors raise it to admit late data) is a no-op under batch
+    * execution and bounds state in append-mode streaming. */
+  case class WindowAgg(tsCol: String, minutes: Int, delayMinutes: Int,
+      cols: Seq[String], red: Reduction) extends Statement
   /** `pivot [rowE] [colE] -> red [valueE]` (Velocity.hb:28), with an
     * optional trailing explicit value list `['a'; 'b'; …]`. With values
     * the output schema is declared up front and no distinct-discovery job

@@ -139,6 +139,10 @@ object Dsl {
     def minby(e: Expr): Statement = GroupBy(cols, MinBy(e))
   }
   def groupBy(cols: String*): GroupByBuilder = GroupByBuilder(cols)
+  /** `window <ts> <minutes> [<delay>] group by <cols…> -> <red>`. */
+  def windowAgg(tsCol: String, minutes: Int, cols: Seq[String],
+      red: Reduction, delayMinutes: Int = 0): Statement =
+    WindowAgg(tsCol, minutes, delayMinutes, cols, red)
 
   final case class PivotBuilder(rowE: Expr, colE: Expr,
       values: Seq[Expr] = Nil) {

@@ -155,6 +155,32 @@ object Engine {
       // a later window would key on sums
       HbFrame(grouped, Seq(col(KEY).asc), f.series.filter(cols.contains))
 
+    case WindowAgg(tsCol, mins, delay, cols, red) =>
+      // tumbling event-time aggregation — ONE translation for batch and
+      // streaming. The watermark tag is erased under batch execution
+      // (EliminateEventTimeWatermark) and bounds state in append-mode
+      // streaming; grouping directly on the window() expression (not a
+      // pre-projected bucket column) is what lets Spark's unsupported-
+      // operation checker admit the append-mode aggregation. Bucket
+      // bounds flatten to window_start/window_end AFTER the agg — a
+      // narrow projection. The key becomes (window_start, group cols).
+      val nums = f.numericCols.filterNot(cols.contains)
+      require(nums.nonEmpty,
+        "window group by needs at least one numeric column to reduce")
+      val aggs = nums.map(c =>
+        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
+      val wm = f.df.withWatermark(tsCol, s"$delay minutes")
+      val grouped = wm
+        .groupBy(window(col(tsCol), s"$mins minutes").as("__w") +:
+          cols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("__w.start").as("window_start") +:
+          col("__w.end").as("window_end") +:
+          (cols.map(col) ++ nums.map(col)): _*)
+      val keyed = grouped.withColumn(KEY,
+        struct(col("window_start") +: cols.map(col): _*))
+      HbFrame(keyed, Seq(col(KEY).asc), f.series.filter(cols.contains))
+
     case GroupBy(cols, sel) =>
       // maxby/minby keep the full extremal row (snippets:117-132;
       // 1_General.fs:51-58 "keep the latest change of the work item")

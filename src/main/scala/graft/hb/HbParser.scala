@@ -22,7 +22,7 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors", "scrub", "encode", "rebalance")
+    "neighbors", "scrub", "encode", "rebalance", "window")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -386,6 +386,18 @@ object HbParser {
         p.eat("by")
         if (p.atIdent("column")) p.next()
         SortByColumn(p.colName())
+      case "window" =>
+        val ts = p.colName()
+        val mins = p.int()
+        val delay = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 0
+        }
+        p.eat("group"); p.eat("by")
+        val wcols = mutable.ArrayBuffer[String]()
+        while (!p.atSym("->")) wcols += p.colName()
+        p.eat("->")
+        WindowAgg(ts, mins, delay, wcols.toSeq, p.reduction())
       case "group" =>
         p.eat("by")
         val cols = mutable.ArrayBuffer[String]()

@@ -70,6 +70,10 @@ object Printer {
     case Chunk(c, w, stride) =>
       val st = if (stride == w) "" else s" $stride"
       s"chunk ${name(c)} $w$st"
+    case WindowAgg(ts, mins, delay, cols, red) =>
+      val d = if (delay == 0) "" else s" $delay"
+      s"window ${name(ts)} $mins$d group by " +
+        s"${cols.map(name).mkString(" ")} -> ${red.name}"
     case Neighbors(k, vec, pred, mode) =>
       val m = mode match {
         case AnnIndex.Exact => ""

@@ -165,6 +165,32 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.langidSignalOracleSql)),
 
+    // `.hb` watermarked event-time aggregation — the APPEND-mode
+    // production sink shape: `window ts 60 group by event_type -> sum`
+    // compiles to a tumbling watermarked window agg (delay 0), so a
+    // bucket emits exactly once, when the watermark (max event time
+    // seen) passes its end. The oracle replays that contract in batch
+    // SQL: the tumbling agg CUT AT THE WATERMARK — buckets still open
+    // when the finite replay ends are withheld in both engines.
+    Gate("st_hb_window",
+      (s, d) => graft.streaming.StreamHb.runEvents(s, d,
+        """slice columns ts event_type value
+          |window ts 60 group by event_type -> sum
+          |""".stripMargin, "st_hb_window_out")
+        .orderBy(col("window_start"), col("event_type")),
+      Some("""WITH agg AS (
+             |  SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+             |    time_bucket(INTERVAL '60 minutes', ts)
+             |      + INTERVAL '60 minutes' AS window_end,
+             |    event_type,
+             |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS value
+             |  FROM events GROUP BY 1, 2, 3),
+             |wm AS (SELECT max(ts) AS w FROM events)
+             |SELECT window_start, window_end, event_type, value
+             |FROM agg, wm WHERE window_end <= wm.w
+             |ORDER BY window_start ASC NULLS FIRST,
+             |  event_type ASC NULLS FIRST""".stripMargin)),
+
     Gate("st_hb_agg",
       (s, d) => graft.streaming.StreamHb.runEvents(s, d,
         """create column day (format date "ts" date)

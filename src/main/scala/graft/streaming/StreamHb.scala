@@ -25,8 +25,13 @@ import graft.hb.Ast._
   *    mode — all compile to stateless projections/filters.
   *  - `group by <cols> -> <reduction>`: the Engine's decimal-exact
   *    aggregation in COMPLETE output mode (the memory/console sink
-  *    shape; a production job would add a watermarked event-time window
-  *    for append).
+  *    shape).
+  *  - `window <ts> <minutes> [<delay>] group by <cols> -> <reduction>`:
+  *    watermarked tumbling event-time aggregation in APPEND mode — the
+  *    production sink shape. A bucket emits once the watermark (max
+  *    event time − delay) passes its end; buckets still open when a
+  *    finite replay ends stay in state (exactly the streaming
+  *    semantics), so a replayed batch oracle must cut at the watermark.
   *  - `dedup exact <col>`: streaming-native arrival-order survivor via
   *    `dropDuplicates` on the SAME normalized-text fingerprint as the
   *    batch operator (Dedup.fingerprint). Documented deviation: batch
@@ -88,6 +93,7 @@ object StreamHb {
         _: SliceColumns | _: Only | DenseRows | NumericColumns |
         _: IndexBy | _: Each | _: Chunk | _: SampleBy | _: MixBy |
         _: SplitBy | _: DedupExact => None
+    case _: WindowAgg => None // watermarked event-time agg — append-safe
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -125,12 +131,23 @@ object StreamHb {
         throw new IllegalArgumentException(
           s"`keys` before any `index rows by`/`group by` in " +
             s"`${Printer.print(st).trim}`: a stream has no ingest ordinal")
-      if (st.isInstanceOf[IndexBy] || st.isInstanceOf[GroupBy])
+      // `mix` consumes the frame KEY (stratified sampling salts the row
+      // id), which is null on an un-keyed stream — reject it up front
+      // with the statement named instead of failing later inside the
+      // running query (the same contract the `keys` expression gets)
+      if (!keyed && st.isInstanceOf[MixBy])
+        throw new IllegalArgumentException(
+          s"`${Printer.print(st).trim}` before any `index rows by`/" +
+            s"`group by`: mix salts the frame key and a stream has no " +
+            s"ingest ordinal")
+      if (st.isInstanceOf[IndexBy] || st.isInstanceOf[GroupBy] ||
+        st.isInstanceOf[WindowAgg])
         keyed = true
     }
   }
 
-  /** Complete mode iff the program aggregates; append otherwise. */
+  /** Complete mode iff the program aggregates without an event-time
+    * window; a watermarked `window … group by` runs in append. */
   def outputMode(program: Program): String =
     if (program.transformations.exists(_.isInstanceOf[GroupBy]))
       "complete"

@@ -135,6 +135,10 @@ class DslSpec extends AnyFunSuite {
     genName.map(SortByColumn),
     for { cols <- Gen.nonEmptyListOf(genName); r <- genRed }
       yield GroupBy(cols.take(3), RowsBy(r)),
+    for { ts <- genName; m <- Gen.chooseNum(1, 1440);
+      d <- Gen.oneOf(0, 15, 60); cols <- Gen.nonEmptyListOf(genName);
+      r <- genRed }
+      yield WindowAgg(ts, m, d, cols.take(3), r),
     for { cols <- Gen.nonEmptyListOf(genName); e <- genExpr(1) }
       yield GroupBy(cols.take(3), MaxBy(e)),
     for { r <- genExpr(1); cl <- genExpr(1); red <- genRed; v <- genExpr(1);

@@ -167,6 +167,13 @@ class ParserSpec extends AnyFunSuite {
         Bin("<", KeysExpr, NumLit(5)), AnnIndex.Mmr(7)))
     assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
     assert(HbParser.parseStatement(
+      "window ts 60 group by event_type -> sum") ==
+      WindowAgg("ts", 60, 0, Seq("event_type"), Reduction.Sum))
+    assert(HbParser.parseStatement(
+      "window ts 60 15 group by event_type region -> mean") ==
+      WindowAgg("ts", 60, 15, Seq("event_type", "region"),
+        Reduction.Mean))
+    assert(HbParser.parseStatement(
       "rebalance by source [src0 40; src1 30] 'r1'") ==
       RebalanceBy("source", Seq("src0" -> 40.0, "src1" -> 30.0), "r1"))
     // a regex nested inside another regex's operand still gets its

@@ -88,4 +88,38 @@ class StreamHbSpec extends AnyFunSuite {
     StreamHb.validate(HbParser.parse(
       "index rows by event_id\ncreate column k keys\n"))
   }
+
+  test("`mix` before any index rows by / group by is rejected by name") {
+    // mix salts the frame KEY — on an un-keyed stream it must fail in
+    // validate() with the statement named, not later inside the
+    // running query (ADVICE r8)
+    val e = intercept[IllegalArgumentException] {
+      StreamHb.validate(HbParser.parse(
+        "mix by event_type [purchase 50] 10\n"))
+    }
+    assert(e.getMessage.contains("mix by"))
+    assert(e.getMessage.contains("ingest ordinal"))
+    StreamHb.validate(HbParser.parse(
+      "index rows by event_id\nmix by event_type [purchase 50] 10\n"))
+  }
+
+  test("window group by: append-mode event-time agg cut at the watermark") {
+    val program =
+      """slice columns ts event_type value
+        |window ts 60 group by event_type -> sum
+        |""".stripMargin
+    assert(StreamHb.outputMode(HbParser.parse(program)) == "append")
+    val streamed = StreamHb.runEvents(spark, dir, program,
+      "streamhb_window").orderBy("window_start", "event_type").collect()
+    // the batch twin of the append contract: the same tumbling agg cut
+    // at the final watermark (max event time, delay 0) — buckets still
+    // open when the finite replay ends are withheld in both engines
+    val events = queries.Gate.t(spark, dir, "events")
+    val wm = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = Graft.runHb(program, events)
+      .filter(col("window_end") <= lit(wm))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
 }
