@@ -69,6 +69,57 @@ object MultimodalGates {
              |  CAST(256 * (doc_id % 256) AS BIGINT) AS byte_sum
              |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // REAL-codec feature extraction — the production composition:
+    // decode + resample to a 16×16 red-channel thumbnail through
+    // javax.imageio, then the folded byte histogram over the DECODED
+    // pixels (a color-histogram feature, the classic pre-encoder
+    // baseline). Solid-color fixtures decode to 256 identical bytes,
+    // so the whole histogram lands in bucket (red % 16) and the oracle
+    // states the decoded feature vector exactly.
+    Gate("m_feature_extract_real",
+      (s, d) => Multimodal.extractFeatures(
+        Multimodal.resizeImage(
+          pngFixture(s, t(s, d, "documents")), "payload", w = 16, h = 16,
+          Multimodal.ImageIOCodec)
+          .select(col("doc_id"), col("resized")),
+        "resized", dim = 16)
+        .select(col("doc_id"),
+          length(col("resized")).as("len"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("integer").as("dim"),
+          round(col("col").cast("double") * col("len"))
+            .cast("bigint").as("cnt"))
+        .orderBy(col("doc_id"), col("dim")),
+      Some("""WITH dims AS (SELECT UNNEST(range(0, 16)) AS dim)
+             |SELECT d.doc_id, CAST(m.dim AS INTEGER) AS dim,
+             |  CAST(CASE WHEN m.dim = (d.doc_id % 256) % 16
+             |    THEN 256 ELSE 0 END AS BIGINT) AS cnt
+             |FROM documents d CROSS JOIN dims m
+             |ORDER BY doc_id ASC NULLS FIRST, dim ASC NULLS FIRST""".stripMargin)),
+
+    // REAL-codec frame sampling: the decoded 16×16 thumbnail's pixel
+    // buffer (256 red-channel bytes) frame-slices into 32-byte chunks,
+    // every 2nd kept — 4 frames per doc, each byte the generating red
+    // value, so the oracle can state every frame's full hex content.
+    Gate("m_frame_sample_real",
+      (s, d) => Multimodal.sampleFrames(
+        Multimodal.resizeImage(
+          pngFixture(s, t(s, d, "documents")), "payload", w = 16, h = 16,
+          Multimodal.ImageIOCodec)
+          .select(col("doc_id"), col("resized")),
+        "resized", frameBytes = 32, stride = 2)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame")).as("frame_len"),
+          lower(hex(col("frame"))).as("frame_hex"))
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""WITH fr AS (SELECT UNNEST(range(0, 4)) AS i)
+             |SELECT d.doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+             |  32 AS frame_len,
+             |  repeat(lpad(lower(to_hex(d.doc_id % 256)), 2, '0'), 32)
+             |    AS frame_hex
+             |FROM documents d CROSS JOIN fr f
+             |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin)),
+
     // decode → typed metadata over mapPartitions; the stub derives
     // metadata from byte length, which DuckDB can replicate exactly.
     Gate("m_decode_meta",
