@@ -94,9 +94,11 @@ object Sampling {
     * the largest achievable dataset with exactly that mix. With
     * C = min over strata of (n_s / t_s), stratum s keeps
     * rate_s = C·t_s / n_s (= 1 for the binding stratum); strata absent
-    * from `targets` drop. This closes the loop the mix-report gate
-    * opens: measure actual proportions, then sample to the prescribed
-    * ones.
+    * from `targets` drop, and every TARGET stratum must be present in
+    * the frame (an absent one raises in-plan — the mix would otherwise
+    * silently renormalize over the present strata). This closes the
+    * loop the mix-report gate opens: measure actual proportions, then
+    * sample to the prescribed ones.
     *
     * Rates are derived IN-PLAN from a per-stratum count aggregate (the
     * stratum cardinality is bounded by contract — domains, not rows —
@@ -115,10 +117,21 @@ object Sampling {
     val cnt = df.groupBy(col(stratumCol).as("__st"))
       .agg(count(lit(1)).as("__n"))
     val j = cnt.join(tgtDf, "__st")
-    val cap = j.agg(min(col("__n") / col("__t")).as("__cap"))
+    // every listed stratum must exist in the frame: the inner join
+    // would otherwise silently DROP absent targets and the kept mix
+    // would be the targets renormalized over the present strata, not
+    // the listed percentages — fail in-plan (no extra job) instead
+    val cap = j.agg(min(col("__n") / col("__t")).as("__cap"),
+      count(lit(1)).as("__nst"))
+    val capChecked = when(col("__nst") < lit(targets.size),
+      raise_error(concat(
+        lit("rebalance: only "), col("__nst").cast("string"),
+        lit(s" of ${targets.size} target strata present in the frame" +
+          " — the kept mix would silently renormalize"))))
+      .otherwise(col("__cap"))
     val cut = j.crossJoin(broadcast(cap))
       .withColumn("__cut",
-        floor(least(col("__cap") * col("__t") / col("__n"), lit(1.0)) *
+        floor(least(capChecked * col("__t") / col("__n"), lit(1.0)) *
           lit(Buckets) + lit(0.5)).cast("long"))
       .select(col("__st"), col("__cut"))
     df.join(broadcast(cut), df(stratumCol) === col("__st"))

@@ -464,10 +464,17 @@ object Similarity {
     * standard redundancy cut for retrieval-augmented pipelines (near-dup
     * passages crowd out coverage under plain top-k).
     *
-    * Shape: the pool is the exact quantized-cosine top-`pool` per query
-    * (one corpus scan, same plan as [[bruteForceTopK]]); the greedy
-    * stage then touches only queries×pool rows — grouped by query and
-    * walked SEQUENTIALLY inside each group (flatMapGroups), because the
+    * Shape: by default the pool is the exact quantized-cosine
+    * top-`pool` per query (one corpus scan, same plan as
+    * [[bruteForceTopK]] — a broadcast nested-loop against the full
+    * corpus, the EXACT-pool regime for small/medium corpora). At corpus
+    * scale, pass `poolOf` — a (query_id, neighbor_id) shortlist from
+    * [[pqTopK]]/[[ivfTopK]]/[[rpLshTopK]] — and the corpus is instead
+    * touched by ONE broadcast-hash join that pulls the shortlisted
+    * vectors (pairs are queries×pool rows — always broadcastable); the
+    * diversity walk is identical in both regimes. The greedy stage
+    * touches only queries×pool rows — grouped by query and walked
+    * SEQUENTIALLY inside each group (flatMapGroups), because the
     * selection is inherently order-dependent in k. One keyed shuffle of
     * the pool on query_id; the corpus never re-enters. This is the
     * documented mapGroups exception: per-group bounded (≤ pool rows),
@@ -477,12 +484,15 @@ object Similarity {
     * Determinism contract (the oracle unrolls the k steps in SQL):
     * relevance and pairwise similarity are floor(1e9·cosine) fixed
     * point over 1e-6-quantized vectors; the MMR objective is the exact
-    * integer `lambdaTenths·rel_fp − (10−lambdaTenths)·maxsim_fp`; ties
-    * pick the lowest id; the first pick per query is the most relevant
-    * candidate. */
+    * integer `lambdaTenths·rel_fp − (10−lambdaTenths)·maxsim_fp`; the
+    * first pick per query is the most relevant candidate (ties to the
+    * lowest id — this holds at every λ including 0, matching the
+    * oracle's `ORDER BY rel DESC, cid`); later picks break objective
+    * ties to the lowest id. */
   def mmrTopK(corpus: DataFrame, queryIds: Column => Column,
       idCol: String, vecCol: String, k: Int, pool: Int = 50,
-      lambdaTenths: Int = 7): DataFrame = {
+      lambdaTenths: Int = 7,
+      poolOf: Option[DataFrame] = None): DataFrame = {
     require(lambdaTenths >= 0 && lambdaTenths <= 10,
       s"lambdaTenths in [0,10], got $lambdaTenths")
     require(k <= pool, s"k=$k must be <= pool=$pool")
@@ -493,7 +503,18 @@ object Similarity {
     val q2 = e.filter(queryIds(col(idCol)))
       .select(col(idCol).as("query_id"), col("__v").as("__qv"),
         col("__nrm").as("__qn"))
-    val rel = broadcast(q2).join(e, col("query_id") =!= col(idCol))
+    val paired = poolOf match {
+      case None => broadcast(q2).join(e, col("query_id") =!= col(idCol))
+      case Some(p) =>
+        // indexed-pool regime: the shortlist REPLACES the corpus scan
+        e.join(broadcast(p.select(col("query_id"),
+            col("neighbor_id").as(s"__sl_$idCol"))),
+          col(idCol) === col(s"__sl_$idCol"))
+          .drop(s"__sl_$idCol")
+          .filter(col("query_id") =!= col(idCol))
+          .join(broadcast(q2), Seq("query_id"))
+    }
+    val rel = paired
       .withColumn("__rel_fp",
         floor(dotQ(col("__qv"), col("__v")) /
           (col("__qn") * col("__nrm")) * lit(1e9)).cast(LongType))
@@ -533,11 +554,21 @@ object Similarity {
               val score =
                 if (selected.isEmpty) lam * cs(i)._3
                 else lam * cs(i)._3 - (10L - lam) * maxSim(i)
-              if (score > bestScore ||
-                (score == bestScore && best >= 0 &&
-                  cs(i)._2 < cs(best)._2)) {
-                best = i; bestScore = score
-              }
+              // first pick: objective ties break by (rel desc, id asc)
+              // — at λ=0 every first-pick score is 0, and the contract
+              // (and the oracle's s1 `ORDER BY rel DESC, cid`) still
+              // selects the most relevant candidate; at λ≥1 the score
+              // is a bijection of rel, so this is the same order.
+              // Later picks: ties to the lowest id, as the oracle's
+              // step blocks do.
+              val better = score > bestScore ||
+                (score == bestScore && best >= 0 && {
+                  if (selected.isEmpty)
+                    cs(i)._3 > cs(best)._3 ||
+                      (cs(i)._3 == cs(best)._3 && cs(i)._2 < cs(best)._2)
+                  else cs(i)._2 < cs(best)._2
+                })
+              if (better) { best = i; bestScore = score }
             }
             i += 1
           }

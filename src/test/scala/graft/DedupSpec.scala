@@ -308,6 +308,53 @@ class DedupSpec extends AnyFunSuite {
     val b = Similarity.mmrTopK(e, id => id === 0, "vec_id", "embedding",
       k = 3, pool = 9, lambdaTenths = 5).collect().map(_.toString).toSeq
     assert(a == b)
+    // λ=0 boundary: the first pick is STILL the most relevant candidate
+    // (the documented contract / the oracle's s1 block), not an
+    // id-order artifact of all-zero scores (ADVICE r8)
+    val lam0 = Similarity.mmrTopK(e, id => id === 0, "vec_id",
+      "embedding", k = 3, pool = 9, lambdaTenths = 0)
+    val first = lam0.filter(col("rank") === 1)
+      .select("neighbor_id").as[Long].head()
+    val top1 = Similarity.bruteForceTopK(e,
+      e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(first == top1, s"λ=0 first pick $first != most relevant $top1")
+  }
+
+  test("MMR over an indexed PQ pool matches the exact-pool selection " +
+    "on clustered embeddings") {
+    // the corpus-scale composition (VERDICT r8 task 8): the diversity
+    // re-rank draws its pool from the PQ shortlist instead of the
+    // brute-force corpus scan; on clustered data with exact re-rank the
+    // shortlists agree almost everywhere, so the MMR selections must too
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = Array.fill(8)(unit())
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => (x + 0.1 * rnd.nextGaussian()).toFloat)
+      (i.toLong, v, i % 8)
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val shortlist = Similarity.pqTopK(e, id => id < 5, "vec_id",
+      "embedding", k = 50, m = 16, codes = 16, rerank = 100)
+    val viaPq = Similarity.mmrTopK(e, id => id < 5, "vec_id",
+      "embedding", k = 10, pool = 50, lambdaTenths = 7,
+      poolOf = Some(shortlist))
+    val exact = Similarity.mmrTopK(e, id => id < 5, "vec_id",
+      "embedding", k = 10, pool = 50, lambdaTenths = 7)
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (p, x) = (sel(viaPq), sel(exact))
+    val parity = p.intersect(x).size.toDouble / x.size
+    info(s"MMR-over-PQ selection parity = $parity")
+    assert(parity >= 0.9, s"indexed-pool MMR parity $parity < 0.9")
   }
 
   test("random-hyperplane LSH ANN recall@10 >= 0.9 on clustered " +

@@ -142,5 +142,13 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.rebalance(df, "id", "r1", "src", Map.empty)
     }
+    // a target stratum absent from the frame must raise, not silently
+    // renormalize the mix over the present strata (ADVICE r8)
+    val e = intercept[Exception] {
+      Sampling.rebalance(df, "id", "r1", "src",
+        Map("a" -> 0.5, "ghost" -> 0.5)).count()
+    }
+    assert(e.getMessage.contains("target strata"),
+      s"wrong error: ${e.getMessage}")
   }
 }
