@@ -110,8 +110,16 @@ object PassageDedup {
     val tk = Decontaminate.tokens(col(textCol))
     df.join(cov, Seq(idCol), "left")
       .withColumn("__tk", tk)
-      .withColumn("__kept", filter(col("__tk"), (x, i) =>
-        col("__cov").isNull || !array_contains(col("__cov"), i + 1)))
+      // kept positions via array_except (hash-set membership, one pass
+      // over positions + coverage) with O(1) element_at back-mapping —
+      // NOT an array_contains per token, which is O(|cov|·|tokens|)
+      // per doc and quadratic on pathological all-repeated documents
+      .withColumn("__kept",
+        when(col("__cov").isNull || size(col("__tk")) === 0, col("__tk"))
+          .otherwise(transform(
+            array_except(sequence(lit(1), size(col("__tk"))),
+              col("__cov")),
+            p => element_at(col("__tk"), p))))
       .withColumn("scrubbed", concat_ws(" ", col("__kept")))
       .withColumn("n_tokens", size(col("__tk")).cast(LongType))
       .withColumn("n_removed",
