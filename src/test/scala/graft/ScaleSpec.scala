@@ -61,7 +61,11 @@ class ScaleSpec extends AnyFunSuite {
     // r8: vocab encode (DSIR gates are Ordinals-eager — covered by the
     // SCALE.md measured-ratio table; streaming gates execute on
     // construction)
-    "t_vocab_encode", "hb_encode")
+    "t_vocab_encode", "hb_encode",
+    // r9: the MMR pair is fit-free (exact pool + group walk — lazy);
+    // the pq/ivf neighbors gates run Lloyd fits at construction and
+    // are covered by SCALE.md's measured-ratio table instead
+    "s_ann_mmr", "hb_neighbors_mmr")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
