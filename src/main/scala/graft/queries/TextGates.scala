@@ -1044,6 +1044,71 @@ object TextGates {
       Some(s"""SELECT md5(lower($normSql)) AS fingerprint,
              |  MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
              |FROM documents GROUP BY 1
-             |ORDER BY keep_id ASC NULLS FIRST""".stripMargin))
+             |ORDER BY keep_id ASC NULLS FIRST""".stripMargin)),
+
+    // Stratified quality selection (r9): the post-scoring curation cut —
+    // keep the best k / best fraction of every stratum so no domain
+    // crowds the training budget (the CCNet/FineWeb quality-bucket
+    // shape). Score is fixed-point floor(quality·1e6) so the ranking is
+    // pure integer; ties resolve by the (score DESC, id ASC) total
+    // order in both engines.
+    Gate("t_select_topk", (s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("source"),
+        floor(graft.functions.TextSignals.quality(col("text")) * lit(1e6))
+          .as("score_fp"))
+      graft.operators.Selection
+        .topKPerStratum(scored, "source", "score_fp", "doc_id", 5)
+        .select(col("source"), col("rank"), col("doc_id"), col("score_fp"))
+        .orderBy(col("source"), col("rank"))
+    },
+      Some("WITH " + scoredCteSql + "\n" +
+        """SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, score_fp
+          |FROM (SELECT source, doc_id, score_fp,
+          |        ROW_NUMBER() OVER (PARTITION BY source
+          |          ORDER BY score_fp DESC, doc_id ASC) AS rank
+          |      FROM scored)
+          |WHERE rank <= 5
+          |ORDER BY source ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    Gate("t_select_topfrac", (s, d) => {
+      val scored = t(s, d, "documents").select(
+        col("doc_id"), col("lang"),
+        floor(graft.functions.TextSignals.quality(col("text")) * lit(1e6))
+          .as("score_fp"))
+      graft.operators.Selection
+        .topFracPerStratum(scored, "lang", "score_fp", "doc_id", 1, 4)
+        .select(col("lang"), col("rank"), col("doc_id"), col("score_fp"))
+        .orderBy(col("lang"), col("rank"))
+    },
+      Some("WITH " + scoredCteSql + "\n" +
+        """SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, score_fp
+          |FROM (SELECT lang, doc_id, score_fp,
+          |        ROW_NUMBER() OVER (PARTITION BY lang
+          |          ORDER BY score_fp DESC, doc_id ASC) AS rank,
+          |        COUNT(*) OVER (PARTITION BY lang) AS n
+          |      FROM scored)
+          |WHERE rank <= (n * 1 + 3) // 4
+          |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
   )
+
+  /** Fixed-point quality score CTE shared by the two selection gates —
+    * the t_quality_score composite quantized to an integer
+    * (floor(quality·10⁶)) before any ranking, per the parity rules. */
+  private lazy val scoredCteSql: String =
+    """scored AS (
+      |  SELECT doc_id, lang, source,
+      |    CAST(FLOOR(
+      |      LEAST(n_tokens * 1.0 / 100.0, 1.0)
+      |        * (1.0 - LEAST(punct_ratio, 1.0))
+      |        * (0.5 + LEAST(stop_ratio, 0.5)) * 1000000.0) AS BIGINT)
+      |      AS score_fp
+      |  FROM (
+      |    SELECT doc_id, lang, source,
+      |      CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+      |      len(regexp_extract_all(text, '[.,;:!?]')) * 1.0
+      |        / (len(regexp_extract_all(text, '\S+')) + 1) AS punct_ratio,
+      |      len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) * 1.0
+      |        / (len(regexp_extract_all(text, '\S+')) + 1) AS stop_ratio
+      |    FROM documents))""".stripMargin
 }
