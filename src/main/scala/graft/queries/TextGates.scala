@@ -1052,6 +1052,59 @@ object TextGates {
     // shape). Score is fixed-point floor(quality·1e6) so the ranking is
     // pure integer; ties resolve by the (score DESC, id ASC) total
     // order in both engines.
+    // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
+    // hashed bigram model on the src0/src1 reference slice, score the
+    // rest by integer milli-bits-per-bigram, keep the fluent slice.
+    // Unlike t_dsir_select (whose oracle replays the token-keyed mode),
+    // the salted-md5 bucket hash is engine-portable, so the oracle
+    // replays the HASHED scale path itself — model fit, bucket
+    // collisions and all.
+    Gate("t_lm_surprisal", (s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("source").isin("src0", "src1"))
+      val raw = docs.filter(!col("source").isin("src0", "src1"))
+      val model = graft.operators.Surprisal.fit(ref, "text", 4096, "lm")
+      graft.operators.Surprisal
+        .score(raw, model, "doc_id", "text", 4096, "lm")
+        .withColumn("kept", col("avg1000") <= lit(10200L))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH rtok AS (
+        |  SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |rpair AS (
+        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM rtok, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
+        |cp AS (
+        |  SELECT CAST('0x' || SUBSTR(md5(w1 || ' ' || w2 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
+        |    count(*) AS cp FROM rpair GROUP BY 1),
+        |cc AS (
+        |  SELECT CAST('0x' || SUBSTR(md5(w1 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
+        |    count(*) AS cc FROM rpair GROUP BY 1),
+        |qpair AS (
+        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents WHERE source NOT IN ('src0', 'src1')),
+        |    unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
+        |sc AS (
+        |  SELECT doc_id,
+        |    GREATEST(0, length(bin(COALESCE(cc.cc, 0) + 4096))
+        |              - length(bin(COALESCE(cp.cp, 0) + 1))) AS s
+        |  FROM qpair
+        |  LEFT JOIN cp ON cp.b =
+        |    CAST('0x' || SUBSTR(md5(qpair.w1 || ' ' || qpair.w2 || ':lm'), 1, 8) AS BIGINT) % 4096
+        |  LEFT JOIN cc ON cc.b =
+        |    CAST('0x' || SUBSTR(md5(qpair.w1 || ':lm'), 1, 8) AS BIGINT) % 4096),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_pairs,
+        |    CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+        |    (CAST(SUM(s) AS BIGINT) * 1000) // count(*) AS avg1000
+        |  FROM sc GROUP BY doc_id)
+        |SELECT doc_id, n_pairs, surprisal_sum, avg1000,
+        |  avg1000 <= 10200 AS kept
+        |FROM agg ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     Gate("t_select_topk", (s, d) => {
       val scored = t(s, d, "documents").select(
         col("doc_id"), col("source"),
