@@ -1052,6 +1052,49 @@ object TextGates {
     // shape). Score is fixed-point floor(quality·1e6) so the ranking is
     // pure integer; ties resolve by the (score DESC, id ASC) total
     // order in both engines.
+    // BPE tokenizer training (r9, Sennrich et al. ACL '16): learn the
+    // merge table ON the corpus, deterministically — integer pair
+    // counts, (count desc, left asc, right asc) total order, greedy
+    // left-to-right application via the run-parity rule. The oracle
+    // replays all 8 rounds as unrolled SQL (operators.Bpe scaladoc).
+    Gate("t_bpe_train", (s, d) => {
+      import s.implicits._
+      graft.operators.Bpe.fit(t(s, d, "documents"), "text", 8, minCount = 1L)
+        .map(m => (m.rank, m.left, m.right, m.merged))
+        .toDF("rank", "left", "right", "merged")
+        .orderBy(col("rank"))
+    },
+      Some("WITH " + bpeCtesSql(8) + "\n" +
+        """SELECT CAST("rank" AS INTEGER) AS "rank", l AS "left",
+          |  r AS "right", l || r AS merged
+          |FROM (""".stripMargin +
+        (1 to 8).map(k => s"""SELECT $k AS "rank", l, r FROM b$k""")
+          .mkString("\n", "\nUNION ALL\n", ")\n") +
+        """ORDER BY "rank" ASC NULLS FIRST""")),
+
+    Gate("t_bpe_encode", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.fit(docs, "text", 8, minCount = 1L)
+      docs.select(col("doc_id"),
+        graft.operators.Bpe.encodeCol(col("text"), merges).as("bpe"))
+        .orderBy(col("doc_id"))
+    },
+      Some("WITH " + bpeCtesSql(8) + ",\n" +
+        """enc AS (
+          |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
+          |  FROM st8 GROUP BY word),
+          |dtok AS (
+          |  SELECT doc_id, i AS tpos, tk[i] AS word
+          |  FROM (SELECT doc_id,
+          |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+          |        FROM documents),
+          |    unnest(range(1, len(tk) + 1)) AS t(i)
+          |  WHERE length(tk[i]) > 0)
+          |SELECT doc_id, string_agg(ws, ' ' ORDER BY tpos) AS bpe
+          |FROM dtok JOIN enc USING (word)
+          |GROUP BY doc_id
+          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.
@@ -1144,6 +1187,66 @@ object TextGates {
           |WHERE rank <= (n * 1 + 3) // 4
           |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
   )
+
+  /** The BPE oracle CTE chain: st0 = every distinct corpus word as its
+    * (pos, sym) character long-form plus the `</w>` marker; each round
+    * k appends CTEs that pick the best pair under (count DESC, left
+    * ASC, right ASC) and rewrite the vocabulary with the merge applied
+    * greedily left-to-right — the run-parity rule (merge at even
+    * offsets within each maximal run of consecutive matches, islands
+    * via pos − cumulative-candidate-count) replayed with window
+    * functions. Ends with `st<n>` (final vocabulary state) and
+    * `b1..bn` (the chosen merges). */
+  private[queries] def bpeCtesSql(n: Int): String = {
+    val base =
+      """w0 AS (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0
+        |  GROUP BY tok),
+        |st0 AS (
+        |  SELECT word, freq, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+        |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)
+        |  UNION ALL
+        |  SELECT word, freq, CAST(length(word) + 1 AS BIGINT), '</w>' FROM w0)""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""p$k AS (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM st${k - 1}),
+         |b$k AS (
+         |  SELECT sym AS l, nxt AS r
+         |  FROM p$k WHERE nxt IS NOT NULL
+         |  GROUP BY sym, nxt
+         |  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l ASC, r ASC LIMIT 1),
+         |m$k AS (
+         |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+         |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END AS cand
+         |  FROM p$k p CROSS JOIN b$k b),
+         |g$k AS (
+         |  SELECT word, freq, pos, sym, nxt, cand,
+         |    pos - SUM(cand) OVER (PARTITION BY word ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m$k),
+         |h$k AS (
+         |  SELECT word, freq, pos, sym, nxt, cand,
+         |    CASE WHEN cand = 1 AND (ROW_NUMBER() OVER (
+         |        PARTITION BY word, cand, grp ORDER BY pos) - 1) % 2 = 0
+         |      THEN 1 ELSE 0 END AS mrg
+         |  FROM g$k),
+         |i$k AS (
+         |  SELECT word, freq, pos, sym, nxt, mrg,
+         |    COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+         |  FROM h$k),
+         |st$k AS (
+         |  SELECT word, freq,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END AS sym
+         |  FROM i$k WHERE consumed = 0)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
 
   /** Fixed-point quality score CTE shared by the two selection gates —
     * the t_quality_score composite quantized to an integer
