@@ -239,6 +239,16 @@ object Ast {
     * on the frame and add `token_ids` (OOV → 0, null text → null;
     * operators.Vocab.fitEncode on the frame key). */
   case class Encode(textCol: String, size: Int) extends Statement
+  /** `top <k> by <scoreCol> per <stratumCol>` — stratified quality
+    * selection: keep the best k rows of every stratum by
+    * (score DESC, key ASC), plus a 1-based `rank` within the stratum
+    * (operators.Selection.topKPerStratum on the frame key). */
+  case class TopBy(k: Int, scoreCol: String, stratumCol: String)
+      extends Statement
+  /** `bpe <textCol> <nMerges>` — train a BPE merge table on the frame's
+    * text column (deterministic pair counts, operators.Bpe) and add
+    * `bpe` = the space-joined subword encoding. */
+  case class BpeEnc(textCol: String, nMerges: Int) extends Statement
   /** `rebalance by <stratumCol> [s1 p1; s2 p2; …] ['salt']` — keep the
     * largest deterministic subsample whose stratum mix is exactly the
     * listed percentages; unlisted strata drop

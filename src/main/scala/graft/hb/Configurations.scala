@@ -57,6 +57,13 @@ object Configurations {
   case class DsirOf(raw: String, target: String, idField: String,
       textField: String, pct: Double, buckets: Int = 0)
       extends ConfSource
+  /** LM-surprisal quality filter (Graft.surprisalKeep): the corpus
+    * configuration's rows whose hashed-bigram surprisal under the
+    * reference configuration's model is ≤ maxAvg1000 milli-bits per
+    * bigram, plus `avg1000`. */
+  case class SurprisalOf(corpus: String, reference: String,
+      idField: String, textField: String, buckets: Int, salt: String,
+      maxAvg1000: Long) extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -98,6 +105,9 @@ object Configurations {
         case DsirOf(rw, tg, id, tx, pct, b) =>
           s"dsir(${lineageKey(configs, rw)},${lineageKey(configs, tg)}," +
             s"$id,$tx,$pct,$b)"
+        case SurprisalOf(cp, rf, id, tx, b, sa, mx) =>
+          s"surprisal(${lineageKey(configs, cp)},${lineageKey(configs, rf)}," +
+            s"$id,$tx,$b,$sa,$mx)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -128,6 +138,8 @@ object Configurations {
               Graft.rangeJoin(sub(pt), sub(iv), pf, sf, ef, pk, ik, w)
             case DsirOf(rw, tg, id, tx, pct, b) =>
               Graft.dsirSelect(sub(rw), sub(tg), id, tx, pct, b)
+            case SurprisalOf(cp, rf, id, tx, b, sa, mx) =>
+              Graft.surprisalKeep(sub(cp), sub(rf), id, tx, b, sa, mx)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

@@ -343,6 +343,18 @@ object Engine {
       // frame key (row set and key unchanged)
       f.copy(df = graft.operators.Vocab.fitEncode(f.df, KEY, c, n))
 
+    case TopBy(k, sc, st) =>
+      // stratified selection keyed on the frame index (the tie-break);
+      // rows outside the per-stratum top-k drop, `rank` appears
+      f.copy(df = graft.operators.Selection
+        .topKPerStratum(f.df, st, sc, KEY, k))
+
+    case BpeEnc(c, n) =>
+      // merge table trained on the frame itself (bounded driver rows:
+      // one per merge), encoding a pure narrow map; row set unchanged
+      f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeCol(
+        col(c), graft.operators.Bpe.fit(f.df, c, n, minCount = 1L))))
+
     case RebalanceBy(strat, ts, salt) =>
       // ids are the frame index; percentages to match `mix`/`split`
       // (the /100 cancels out of the rate ratios — and x/100.0 is the

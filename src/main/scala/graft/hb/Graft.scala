@@ -91,6 +91,18 @@ object Graft {
     graft.operators.RangeJoin.binned(points, intervals, pointField,
       startField, endField, pointKeys, intervalKeys, binWidth)
 
+  /** LM-surprisal quality provider: `corpus` rows whose average
+    * hashed-bigram surprisal under the `reference` configuration's
+    * model is at most `maxAvg1000` milli-bits per bigram
+    * (operators.Surprisal — the CCNet filter as a configuration
+    * source). Corpus columns survive, plus `avg1000`; documents
+    * without bigram evidence drop. */
+  def surprisalKeep(corpus: DataFrame, reference: DataFrame,
+      idField: String, textField: String, buckets: Int, salt: String,
+      maxAvg1000: Long): DataFrame =
+    graft.operators.Surprisal.keep(corpus, reference, idField, textField,
+      buckets, salt, maxAvg1000)
+
   /** DSIR provider: importance-select the raw configuration toward a
     * target configuration's token distribution — keep the top `pct`% of
     * raw rows by smoothed target-vs-raw unigram likelihood ratio

@@ -22,7 +22,7 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors", "scrub", "encode", "rebalance", "window")
+    "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -539,6 +539,17 @@ object HbParser {
           case _ => 8
         }
         Scrub(c, k)
+      case "top" =>
+        val k = p.int()
+        p.eat("by")
+        val sc = p.colName()
+        p.eat("per")
+        val st = p.colName()
+        TopBy(k, sc, st)
+      case "bpe" =>
+        val c = p.colName()
+        val n = p.int()
+        BpeEnc(c, n)
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

@@ -85,6 +85,10 @@ object Printer {
     case Scrub(c, k) =>
       val kk = if (k == 8) "" else s" $k"
       s"scrub ${name(c)}$kk"
+    case TopBy(k, sc, st) =>
+      s"top $k by ${name(sc)} per ${name(st)}"
+    case BpeEnc(c, n) =>
+      s"bpe ${name(c)} $n"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
     case RebalanceBy(c, ts, salt) =>

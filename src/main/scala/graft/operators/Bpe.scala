@@ -142,8 +142,12 @@ object Bpe {
   }
 
   /** fit + encode on the same frame: adds `encCol` (space-joined
-    * subword stream) next to the input columns. */
+    * subword stream) next to the input columns. `minCount` defaults to
+    * 1 here (merge while any pair repeats at all — the SQL-replayable
+    * unconditional-N semantic the gates pin); pass 2 for the classic
+    * trainer threshold. */
   def fitEncode(df: DataFrame, textCol: String, nMerges: Int,
-      encCol: String = "bpe"): DataFrame =
-    df.withColumn(encCol, encodeCol(col(textCol), fit(df, textCol, nMerges)))
+      encCol: String = "bpe", minCount: Long = 1L): DataFrame =
+    df.withColumn(encCol,
+      encodeCol(col(textCol), fit(df, textCol, nMerges, minCount)))
 }

@@ -596,6 +596,56 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
+    // r9 statement twins: stratified selection and BPE through the
+    // closed DSL, and the LM-surprisal filter as a configuration
+    // source — each sharing the library gate's oracle machinery.
+    Gate("hb_select_topk",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |top 5 by n_chars per source
+          |create column doc_id keys
+          |slice columns source rank doc_id n_chars
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("source"), col("rank")),
+      Some("""SELECT source, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+        |FROM (SELECT source, doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rank
+        |      FROM documents)
+        |WHERE rank <= 5
+        |ORDER BY source ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    Gate("hb_bpe",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |bpe text 8
+          |create column doc_id keys
+          |slice columns doc_id bpe
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.bpeEncodeOracleSql)),
+
+    Gate("hb_surprisal_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "ref" -> conf(TableSource("documents"),
+            "only ((source = 'src0') || (source = 'src1'))"),
+          "corpus" -> conf(TableSource("documents"),
+            "only ((source != 'src0') && (source != 'src1'))"),
+          "fluent" -> conf(
+            SurprisalOf("corpus", "ref", "doc_id", "text",
+              buckets = 4096, salt = "lm", maxAvg1000 = 10200L),
+            "slice columns doc_id source avg1000"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "fluent")
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH " + TextGates.surprisalCtesSql + "\n" +
+        """SELECT a.doc_id, d.source, a.avg1000
+          |FROM agg a JOIN documents d ON a.doc_id = d.doc_id
+          |WHERE a.avg1000 <= 10200
+          |ORDER BY a.doc_id ASC NULLS FIRST""".stripMargin)),
+
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))
         .orderBy(col("query_id"), col("rank")),

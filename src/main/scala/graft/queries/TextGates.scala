@@ -1079,21 +1079,7 @@ object TextGates {
         graft.operators.Bpe.encodeCol(col("text"), merges).as("bpe"))
         .orderBy(col("doc_id"))
     },
-      Some("WITH " + bpeCtesSql(8) + ",\n" +
-        """enc AS (
-          |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
-          |  FROM st8 GROUP BY word),
-          |dtok AS (
-          |  SELECT doc_id, i AS tpos, tk[i] AS word
-          |  FROM (SELECT doc_id,
-          |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-          |        FROM documents),
-          |    unnest(range(1, len(tk) + 1)) AS t(i)
-          |  WHERE length(tk[i]) > 0)
-          |SELECT doc_id, string_agg(ws, ' ' ORDER BY tpos) AS bpe
-          |FROM dtok JOIN enc USING (word)
-          |GROUP BY doc_id
-          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(bpeEncodeOracleSql)),
 
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
@@ -1112,41 +1098,10 @@ object TextGates {
         .withColumn("kept", col("avg1000") <= lit(10200L))
         .orderBy(col("doc_id"))
     },
-      Some("""WITH rtok AS (
-        |  SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-        |  FROM documents WHERE source IN ('src0', 'src1')),
-        |rpair AS (
-        |  SELECT tk[i] AS w1, tk[i + 1] AS w2
-        |  FROM rtok, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
-        |cp AS (
-        |  SELECT CAST('0x' || SUBSTR(md5(w1 || ' ' || w2 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
-        |    count(*) AS cp FROM rpair GROUP BY 1),
-        |cc AS (
-        |  SELECT CAST('0x' || SUBSTR(md5(w1 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
-        |    count(*) AS cc FROM rpair GROUP BY 1),
-        |qpair AS (
-        |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
-        |  FROM (SELECT doc_id,
-        |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-        |        FROM documents WHERE source NOT IN ('src0', 'src1')),
-        |    unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
-        |sc AS (
-        |  SELECT doc_id,
-        |    GREATEST(0, length(bin(COALESCE(cc.cc, 0) + 4096))
-        |              - length(bin(COALESCE(cp.cp, 0) + 1))) AS s
-        |  FROM qpair
-        |  LEFT JOIN cp ON cp.b =
-        |    CAST('0x' || SUBSTR(md5(qpair.w1 || ' ' || qpair.w2 || ':lm'), 1, 8) AS BIGINT) % 4096
-        |  LEFT JOIN cc ON cc.b =
-        |    CAST('0x' || SUBSTR(md5(qpair.w1 || ':lm'), 1, 8) AS BIGINT) % 4096),
-        |agg AS (
-        |  SELECT doc_id, count(*) AS n_pairs,
-        |    CAST(SUM(s) AS BIGINT) AS surprisal_sum,
-        |    (CAST(SUM(s) AS BIGINT) * 1000) // count(*) AS avg1000
-        |  FROM sc GROUP BY doc_id)
-        |SELECT doc_id, n_pairs, surprisal_sum, avg1000,
-        |  avg1000 <= 10200 AS kept
-        |FROM agg ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some("WITH " + surprisalCtesSql + "\n" +
+        """SELECT doc_id, n_pairs, surprisal_sum, avg1000,
+          |  avg1000 <= 10200 AS kept
+          |FROM agg ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     Gate("t_select_topk", (s, d) => {
       val scored = t(s, d, "documents").select(
@@ -1187,6 +1142,65 @@ object TextGates {
           |WHERE rank <= (n * 1 + 3) // 4
           |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
   )
+
+  /** The t_lm_surprisal oracle CTE chain, ending at
+    * `agg(doc_id, n_pairs, surprisal_sum, avg1000)` — the hashed-
+    * bigram model fit on the src0/src1 reference slice and the rest of
+    * the corpus scored in integer milli-bits per bigram. Shared with
+    * the configuration-surface twin `hb_surprisal_cfg` in HbGates. */
+  private[queries] lazy val surprisalCtesSql: String =
+    """rtok AS (
+      |  SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents WHERE source IN ('src0', 'src1')),
+      |rpair AS (
+      |  SELECT tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM rtok, unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
+      |cp AS (
+      |  SELECT CAST('0x' || SUBSTR(md5(w1 || ' ' || w2 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
+      |    count(*) AS cp FROM rpair GROUP BY 1),
+      |cc AS (
+      |  SELECT CAST('0x' || SUBSTR(md5(w1 || ':lm'), 1, 8) AS BIGINT) % 4096 AS b,
+      |    count(*) AS cc FROM rpair GROUP BY 1),
+      |qpair AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |        FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |    unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
+      |sc AS (
+      |  SELECT doc_id,
+      |    GREATEST(0, length(bin(COALESCE(cc.cc, 0) + 4096))
+      |              - length(bin(COALESCE(cp.cp, 0) + 1))) AS s
+      |  FROM qpair
+      |  LEFT JOIN cp ON cp.b =
+      |    CAST('0x' || SUBSTR(md5(qpair.w1 || ' ' || qpair.w2 || ':lm'), 1, 8) AS BIGINT) % 4096
+      |  LEFT JOIN cc ON cc.b =
+      |    CAST('0x' || SUBSTR(md5(qpair.w1 || ':lm'), 1, 8) AS BIGINT) % 4096),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_pairs,
+      |    CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+      |    (CAST(SUM(s) AS BIGINT) * 1000) // count(*) AS avg1000
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** The t_bpe_encode oracle — 8 unrolled merge rounds, then every doc
+    * re-joined to its words' final subword streams. Shared with the
+    * `.hb` statement twin `hb_bpe` in HbGates. */
+  private[queries] lazy val bpeEncodeOracleSql: String =
+    "WITH " + bpeCtesSql(8) + ",\n" +
+      """enc AS (
+        |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
+        |  FROM st8 GROUP BY word),
+        |dtok AS (
+        |  SELECT doc_id, i AS tpos, tk[i] AS word
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents),
+        |    unnest(range(1, len(tk) + 1)) AS t(i)
+        |  WHERE length(tk[i]) > 0)
+        |SELECT doc_id, string_agg(ws, ' ' ORDER BY tpos) AS bpe
+        |FROM dtok JOIN enc USING (word)
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** The BPE oracle CTE chain: st0 = every distinct corpus word as its
     * (pos, sym) character long-form plus the `</w>` marker; each round

@@ -112,6 +112,8 @@ object StreamHb {
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>
       Some("rebalancing rates derive from whole-frame counts")
+    case _: TopBy => Some("top-per-stratum ranks the whole frame")
+    case _: BpeEnc => Some("BPE merges fit on the whole frame")
   }
 
   /** Loudly validate a program for streaming execution. */

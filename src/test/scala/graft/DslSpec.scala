@@ -188,6 +188,10 @@ class DslSpec extends AnyFunSuite {
     for { nm <- genName; k <- Gen.oneOf(8, 4, 50) } yield Scrub(nm, k),
     for { nm <- genName; n <- Gen.chooseNum(1, 65536) }
       yield Encode(nm, n),
+    for { k <- Gen.chooseNum(1, 50); sc <- genName; st <- genName }
+      yield TopBy(k, sc, st),
+    for { nm <- genName; n <- Gen.chooseNum(1, 512) }
+      yield BpeEnc(nm, n),
     for { nm <- genName; k <- Gen.chooseNum(1, 3)
       pairs <- Gen.listOfN(k,
         for { s2 <- genName; v <- Gen.chooseNum(1, 100) }

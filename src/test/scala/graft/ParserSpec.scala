@@ -166,6 +166,9 @@ class ParserSpec extends AnyFunSuite {
       Neighbors(10, ColRef("embedding"),
         Bin("<", KeysExpr, NumLit(5)), AnnIndex.Mmr(7)))
     assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
+    assert(HbParser.parseStatement("top 5 by n_chars per source") ==
+      TopBy(5, "n_chars", "source"))
+    assert(HbParser.parseStatement("bpe text 8") == BpeEnc("text", 8))
     assert(HbParser.parseStatement(
       "window ts 60 group by event_type -> sum") ==
       WindowAgg("ts", 60, 0, Seq("event_type"), Reduction.Sum))

@@ -61,7 +61,9 @@ class StreamHbSpec extends AnyFunSuite {
       "dedup minhash text 0.8\n" -> "dedup minhash",
       "buckets (4) -> (sum)\n" -> "buckets",
       "pivot [user_id] [event_type] -> sum [value]\n" -> "pivot",
-      "group by user_id -> maxby value\n" -> "maxby")
+      "group by user_id -> maxby value\n" -> "maxby",
+      "top 5 by value per user_id\n" -> "top 5 by",
+      "bpe text 8\n" -> "bpe text")
     cases.foreach { case (program, what) =>
       val e = intercept[IllegalArgumentException] {
         StreamHb.validate(HbParser.parse(program))
