@@ -17,6 +17,11 @@ object Sessions {
     * - nanosAsLong: the driver-generated `events` table stores
     *   TIMESTAMP(NANOS) which Spark's vectorized reader otherwise
     *   rejects; tables.scala rescales to microseconds on load.
+    * - inferTimestampNTZ off: parquet timestamps written without the
+    *   isAdjustedToUTC flag (pyarrow `timestamp[us]`) must surface as
+    *   TIMESTAMP, not TIMESTAMP_NTZ — watermarks and epoch casts
+    *   require the instant type, and with a UTC session zone the two
+    *   readings denote the same instant (DuckDB oracle parity holds).
     */
   def builder(master: String, cores: String): SparkSession.Builder =
     SparkSession.builder()
@@ -25,6 +30,7 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
 

@@ -20,11 +20,16 @@ object Ingest {
   /** TIMESTAMP(NANOS) parquet columns surface as longs under
     * spark.sql.legacy.parquet.nanosAsLong; rescale the conventional `ts`
     * column to a microsecond timestamp (`div 1000` floors — the same
-    * truncation DuckDB's microsecond reader applies). */
+    * truncation DuckDB's microsecond reader applies). A `ts` that
+    * surfaces as TIMESTAMP_NTZ (parquet written without isAdjustedToUTC,
+    * read with NTZ inference on) is cast to the instant type — with the
+    * UTC session zone the wall-clock reading IS the instant. */
   def normalizeNanos(df: DataFrame): DataFrame =
     df.schema.fields.find(_.name == "ts") match {
       case Some(f) if f.dataType == LongType =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(f) if f.dataType == TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
 
