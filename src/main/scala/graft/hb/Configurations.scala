@@ -64,6 +64,15 @@ object Configurations {
   case class SurprisalOf(corpus: String, reference: String,
       idField: String, textField: String, buckets: Int, salt: String,
       maxAvg1000: Long) extends ConfSource
+  /** Hashed-NB quality classifier (Graft.classifierKeep): the corpus
+    * configuration's rows whose per-token log-likelihood margin under
+    * the model fitted on the positive-seed vs negative-seed
+    * configurations is ≥ minMargin1000 milli-bits, plus `margin1000`.
+    * The first THREE-configuration combinator — seeds are sources,
+    * like every two-frame operand (Types.fs:97-104). */
+  case class ClassifierOf(corpus: String, posSeed: String, negSeed: String,
+      idField: String, textField: String, buckets: Int, salt: String,
+      minMargin1000: Long) extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -108,6 +117,9 @@ object Configurations {
         case SurprisalOf(cp, rf, id, tx, b, sa, mx) =>
           s"surprisal(${lineageKey(configs, cp)},${lineageKey(configs, rf)}," +
             s"$id,$tx,$b,$sa,$mx)"
+        case ClassifierOf(cp, ps, ns, id, tx, b, sa, mn) =>
+          s"classifier(${lineageKey(configs, cp)},${lineageKey(configs, ps)}," +
+            s"${lineageKey(configs, ns)},$id,$tx,$b,$sa,$mn)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -140,6 +152,9 @@ object Configurations {
               Graft.dsirSelect(sub(rw), sub(tg), id, tx, pct, b)
             case SurprisalOf(cp, rf, id, tx, b, sa, mx) =>
               Graft.surprisalKeep(sub(cp), sub(rf), id, tx, b, sa, mx)
+            case ClassifierOf(cp, ps, ns, id, tx, b, sa, mn) =>
+              Graft.classifierKeep(sub(cp), sub(ps), sub(ns), id, tx, b,
+                sa, mn)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

@@ -103,6 +103,18 @@ object Graft {
     graft.operators.Surprisal.keep(corpus, reference, idField, textField,
       buckets, salt, maxAvg1000)
 
+  /** Hashed-NB classifier provider: `corpus` rows whose per-token
+    * log-likelihood margin under the model fitted on `posSeed` vs
+    * `negSeed` is at least `minMargin1000` milli-bits
+    * (operators.Classifier — the GPT-3/FineWeb "seed classifier"
+    * filter as a configuration source). Corpus columns survive, plus
+    * `margin1000`; documents without token evidence drop. */
+  def classifierKeep(corpus: DataFrame, posSeed: DataFrame,
+      negSeed: DataFrame, idField: String, textField: String,
+      buckets: Int, salt: String, minMargin1000: Long): DataFrame =
+    graft.operators.Classifier.keep(corpus, posSeed, negSeed, idField,
+      textField, buckets, salt, minMargin1000)
+
   /** DSIR provider: importance-select the raw configuration toward a
     * target configuration's token distribution — keep the top `pct`% of
     * raw rows by smoothed target-vs-raw unigram likelihood ratio

@@ -646,6 +646,33 @@ object HbGates {
           |WHERE a.avg1000 <= 10200
           |ORDER BY a.doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Three-configuration combinator: the corpus filtered by the NB
+    // margin under positive/negative seed configurations — the Scala
+    // t_nb_classify path as a configuration source, sharing its CTEs.
+    Gate("hb_classifier_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "posseed" -> conf(TableSource("documents"),
+            "only ((source = 'src0') || (source = 'src1'))"),
+          "negseed" -> conf(TableSource("documents"),
+            "only ((source = 'src2') || (source = 'src3'))"),
+          "corpus" -> conf(TableSource("documents"),
+            "only ((source != 'src0') && (source != 'src1') && " +
+              "(source != 'src2') && (source != 'src3'))"),
+          "edu" -> conf(
+            ClassifierOf("corpus", "posseed", "negseed", "doc_id", "text",
+              buckets = 4096, salt = "nb", minMargin1000 = 0L),
+            "slice columns doc_id source margin1000"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "edu")
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH " + TextGates.classifierCtesSql + "\n" +
+        """SELECT f.doc_id, d.source, f.margin1000
+          |FROM fin f JOIN documents d ON f.doc_id = d.doc_id
+          |WHERE f.margin1000 >= 0
+          |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin)),
+
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))
         .orderBy(col("query_id"), col("rank")),

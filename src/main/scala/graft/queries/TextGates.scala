@@ -1140,7 +1140,24 @@ object TextGates {
           |        COUNT(*) OVER (PARTITION BY lang) AS n
           |      FROM scored)
           |WHERE rank <= (n * 1 + 3) // 4
-          |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+          |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    Gate("t_nb_classify", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pos = docs.filter(col("source").isin("src0", "src1"))
+      val neg = docs.filter(col("source").isin("src2", "src3"))
+      val raw = docs.filter(
+        !col("source").isin("src0", "src1", "src2", "src3"))
+      val model = graft.operators.Classifier.fit(pos, neg, "text", 4096, "nb")
+      graft.operators.Classifier
+        .score(raw, model, "doc_id", "text", 4096, "nb")
+        .withColumn("kept", col("margin1000") >= lit(0L))
+        .orderBy(col("doc_id"))
+    },
+      Some("WITH " + classifierCtesSql + "\n" +
+        """SELECT doc_id, n_tokens, margin_sum, margin1000,
+          |  margin1000 >= 0 AS kept
+          |FROM fin ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
   )
 
   /** The t_lm_surprisal oracle CTE chain, ending at
@@ -1181,6 +1198,62 @@ object TextGates {
       |    CAST(SUM(s) AS BIGINT) AS surprisal_sum,
       |    (CAST(SUM(s) AS BIGINT) * 1000) // count(*) AS avg1000
       |  FROM sc GROUP BY doc_id)""".stripMargin
+
+  /** The t_nb_classify oracle CTE chain, ending at `fin(doc_id,
+    * n_tokens, margin_sum, margin1000)` — the hashed two-class NB model
+    * fit on src0/src1 (positive) vs src2/src3 (negative) and the rest
+    * of the corpus scored in integer milli-bits of log-likelihood
+    * margin per token. Shared with the configuration-surface twin
+    * `hb_classifier_cfg` in HbGates. */
+  private[queries] lazy val classifierCtesSql: String =
+    """ptok AS (
+      |  SELECT tk[i] AS w
+      |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |        FROM documents WHERE source IN ('src0', 'src1')),
+      |    unnest(range(1, len(tk) + 1)) AS t(i)
+      |  WHERE length(tk[i]) > 0),
+      |ntok AS (
+      |  SELECT tk[i] AS w
+      |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |        FROM documents WHERE source IN ('src2', 'src3')),
+      |    unnest(range(1, len(tk) + 1)) AS t(i)
+      |  WHERE length(tk[i]) > 0),
+      |cpos AS (
+      |  SELECT CAST('0x' || SUBSTR(md5(w || ':nb'), 1, 8) AS BIGINT) % 4096 AS b,
+      |    count(*) AS cp FROM ptok GROUP BY 1),
+      |cneg AS (
+      |  SELECT CAST('0x' || SUBSTR(md5(w || ':nb'), 1, 8) AS BIGINT) % 4096 AS b,
+      |    count(*) AS cn FROM ntok GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT count(*) FROM ptok) AS np,
+      |         (SELECT count(*) FROM ntok) AS nn),
+      |qtok AS (
+      |  SELECT doc_id, tk[i] AS w
+      |  FROM (SELECT doc_id,
+      |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |        FROM documents
+      |        WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+      |    unnest(range(1, len(tk) + 1)) AS t(i)
+      |  WHERE length(tk[i]) > 0),
+      |sc AS (
+      |  SELECT doc_id,
+      |    length(bin(COALESCE(cpos.cp, 0) + 1))
+      |      - length(bin(COALESCE(cneg.cn, 0) + 1)) AS m
+      |  FROM qtok
+      |  LEFT JOIN cpos ON cpos.b =
+      |    CAST('0x' || SUBSTR(md5(qtok.w || ':nb'), 1, 8) AS BIGINT) % 4096
+      |  LEFT JOIN cneg ON cneg.b =
+      |    CAST('0x' || SUBSTR(md5(qtok.w || ':nb'), 1, 8) AS BIGINT) % 4096),
+      |agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(SUM(m) AS BIGINT) AS msum
+      |  FROM sc GROUP BY doc_id),
+      |fin AS (
+      |  SELECT doc_id, n_tokens,
+      |    msum + n_tokens * (length(bin(nn + 4096)) - length(bin(np + 4096))) AS margin_sum,
+      |    ((msum + n_tokens * (length(bin(nn + 4096)) - length(bin(np + 4096)))) * 1000)
+      |      // n_tokens AS margin1000
+      |  FROM agg, tot)""".stripMargin
 
   /** The t_bpe_encode oracle — 8 unrolled merge rounds, then every doc
     * re-joined to its words' final subword streams. Shared with the
