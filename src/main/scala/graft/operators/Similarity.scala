@@ -592,6 +592,83 @@ object Similarity {
     out
   }
 
+  /** Greedy k-center coreset selection (farthest-first traversal,
+    * Gonzalez '85): pick the corpus row most dissimilar to everything
+    * selected so far, k times — the diversity-maximizing seed set a
+    * pipeline uses to cover an embedding space (cluster seeding,
+    * eval-panel picking, dedup canaries). The selected set is a
+    * 2-approximation of the optimal k-center cover.
+    *
+    * Deterministic: similarity is the fixed-point cosine (quantized
+    * dot, ·1e9 floor — the [[mmrTopK]] scale), the seed is the LOWEST
+    * id (a stated convention, not an arbitrary first partition), and
+    * every later pick minimizes (max-sim-to-selected ASC, id ASC) — a
+    * total order, so the output is a pure function of the corpus.
+    * Zero-norm vectors carry no direction and are dropped up front.
+    *
+    * Output: (rank 1-based, idCol, maxsim_fp) — maxsim_fp is the
+    * fixed-point cosine to the nearest already-selected center at pick
+    * time (the coverage radius trace; NULL for the seed). Fewer than k
+    * rows when the usable corpus is smaller.
+    *
+    * 100 TB shape: k sequential passes, each a NARROW map over the
+    * persisted quantized frame (one broadcast center literal folded
+    * into the comparison) followed by a TakeOrdered(1) — no shuffle
+    * anywhere, driver state exactly k (id, vector) rows. Sequential-in-k
+    * is inherent to the greedy objective (each pick conditions the
+    * next); k is a small constant by contract, as in [[mmrTopK]]. */
+  def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = corpus.sparkSession
+    val idType = corpus.schema(idCol).dataType
+    val e = corpus
+      .select(col(idCol), quantize(col(vecCol)).as("__v"))
+      .withColumn("__nrm", normQ(col("__v")))
+      .filter(col("__nrm") > 0)
+      .persist()
+    try {
+      def simFp(cv: Seq[Long]): Column = {
+        val cl = typedlit(cv)
+        floor(dotQ(col("__v"), cl) / (col("__nrm") * normQ(cl)) * lit(1e9))
+          .cast(LongType)
+      }
+      val seed = e.orderBy(col(idCol)).limit(1)
+        .select(col(idCol), col("__v")).collect()
+      val picked = scala.collection.mutable.ArrayBuffer[
+        (Any, Seq[Long], Option[Long])]()
+      seed.foreach(r => picked += ((r.get(0), r.getSeq[Long](1), None)))
+      var cur = e.filter(seed.map(r => col(idCol) =!= lit(r.get(0)))
+        .foldLeft(lit(true))(_ && _))
+        .withColumn("__ms", lit(Long.MinValue))
+      var rank = picked.size
+      while (rank >= 1 && rank < k) {
+        val lastVec = picked.last._2
+        cur = cur.withColumn("__ms", greatest(col("__ms"), simFp(lastVec)))
+        val next = cur.orderBy(col("__ms").asc, col(idCol).asc).limit(1)
+          .select(col(idCol), col("__v"), col("__ms")).collect()
+        if (next.isEmpty) rank = -1 // corpus exhausted
+        else {
+          val r = next.head
+          picked += ((r.get(0), r.getSeq[Long](1), Some(r.getLong(2))))
+          cur = cur.filter(col(idCol) =!= lit(r.get(0)))
+          rank += 1
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("maxsim_fp", LongType)))
+      val rows = picked.zipWithIndex.map { case ((id, _, ms), i) =>
+        org.apache.spark.sql.Row(i + 1, id,
+          ms.map(java.lang.Long.valueOf).orNull)
+      }
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toList.asJava, schema)
+    } finally e.unpersist()
+  }
+
   /** RP-LSH signature projection shared by the three entry points below:
     * (idCol, __sig 64-bit signature, __v quantized vector, __nrm).
     *

@@ -26,6 +26,46 @@ object SimilarityGates {
       "__(raw|pts|rk|nn|dims|ini|pl|cw|rel|km|dF|aF|c\\d+|d\\d+|a\\d+)\\b",
       p + "$1")
 
+  /** The s_kcenter oracle: greedy farthest-first traversal unrolled as
+    * k SQL step-blocks (the mmrOracleSql discipline) — c1 is the
+    * lowest-id seed, m(t) carries every remaining row's running max
+    * fixed-point cosine to the selected set, and c(t+1) takes the
+    * (maxsim ASC, id ASC) minimum. Every number matches
+    * Similarity.kCenterSelect's pass. */
+  private[queries] def kCenterOracleSql(k: Int): String = {
+    def sim(cv: String, cn: String) =
+      s"CAST(FLOOR(${dotQSql("b.qv", cv)} / (b.nrm * $cn) * 1e9) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH e0 AS (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0
+       |  WHERE SQRT(${dotQSql("qv", "qv")}) > 0),
+       |c1 AS (
+       |  SELECT vec_id, qv, nrm, CAST(NULL AS BIGINT) AS ms
+       |  FROM e ORDER BY vec_id LIMIT 1),
+       |m1 AS (
+       |  SELECT b.vec_id, b.qv, b.nrm, ${sim("c.qv", "c.nrm")} AS ms
+       |  FROM e b, c1 c WHERE b.vec_id != c.vec_id),""".stripMargin
+    for (i <- 2 to k) {
+      sb ++= s"""
+       |c$i AS (
+       |  SELECT vec_id, qv, nrm, ms FROM m${i - 1}
+       |  ORDER BY ms ASC, vec_id ASC LIMIT 1),""".stripMargin
+      if (i < k) sb ++= s"""
+       |m$i AS (
+       |  SELECT b.vec_id, b.qv, b.nrm,
+       |    GREATEST(b.ms, ${sim("c.qv", "c.nrm")}) AS ms
+       |  FROM m${i - 1} b, c$i c WHERE b.vec_id != c.vec_id),""".stripMargin
+    }
+    sb ++= "\nsel AS (\n  " + (1 to k).map(i =>
+      s"SELECT $i AS rank, vec_id, ms AS maxsim_fp FROM c$i")
+      .mkString("\n  UNION ALL ") + ")"
+    sb ++= "\nSELECT CAST(rank AS INTEGER) AS rank, vec_id, maxsim_fp" +
+      "\nFROM sel ORDER BY rank ASC NULLS FIRST"
+    sb.toString
+  }
+
   /** The s_ann_mmr oracle: the greedy MMR selection unrolled as k SQL
     * step-blocks (the KMeansDet unrolling discipline) — step t computes
     * each remaining candidate's max fixed-point similarity to the
@@ -891,6 +931,16 @@ object SimilarityGates {
         lambdaTenths = 7)
         .orderBy(col("query_id"), col("rank")),
       Some(mmrOracleSql(k = 10, pool = 50, lamTenths = 7))),
+
+    // Greedy k-center coreset (farthest-first traversal): the 8 most
+    // mutually-dissimilar embeddings, selection trace fully replayed by
+    // the unrolled oracle — the diversity-seed dual of s_ann_mmr's
+    // per-query re-rank (corpus-global, no query set).
+    Gate("s_kcenter",
+      (s, d) => Similarity.kCenterSelect(t(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8)
+        .orderBy(col("rank")),
+      Some(kCenterOracleSql(k = 8))),
 
     // Random-hyperplane LSH ANN (the fit-free scale path): 64-bit
     // sign-projection signatures (native RpSig64), 16×4-bit banded
