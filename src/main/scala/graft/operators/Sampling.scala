@@ -107,7 +107,31 @@ object Sampling {
     * with the same salted-md5 bucket — deterministic under any
     * partitioning and replayable by a SQL engine end to end. */
   def rebalance(df: DataFrame, idCol: String, salt: String,
-      stratumCol: String, targets: Map[String, Double]): DataFrame = {
+      stratumCol: String, targets: Map[String, Double]): DataFrame =
+    rebalanceWeighted(df, idCol, salt, stratumCol, lit(1L), targets)
+
+  /** [[rebalance]] with per-row mass: the target mix is hit over the
+    * SUM of `weightCol` per stratum (token or char budgets — the unit a
+    * training run actually allocates), not the document count. The
+    * keep-decision stays per-row (salted hash < stratum cut), so each
+    * stratum retains rate·mass in hash-expectation; a null or
+    * non-positive weight raises in-plan (it would silently corrupt the
+    * budget). Same single count-aggregate + broadcast-cut shape. */
+  def rebalanceByWeight(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String, weightCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val w = col(weightCol)
+    val checked = when(w.isNull || w <= 0,
+      raise_error(lit(s"rebalanceByWeight: null or non-positive " +
+        s"$weightCol — weigh rows before mixing"))
+        .cast(df.schema(weightCol).dataType))
+      .otherwise(w)
+    rebalanceWeighted(df, idCol, salt, stratumCol, checked, targets)
+  }
+
+  private def rebalanceWeighted(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String, mass: Column,
+      targets: Map[String, Double]): DataFrame = {
     require(targets.nonEmpty, "rebalance needs at least one target")
     targets.values.foreach(t =>
       require(t > 0.0, s"target proportions must be > 0, got $t"))
@@ -115,7 +139,7 @@ object Sampling {
     val tgtDf = spark.createDataFrame(targets.toSeq.sortBy(_._1))
       .toDF("__st", "__t")
     val cnt = df.groupBy(col(stratumCol).as("__st"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(sum(mass.cast("long")).as("__n"))
     val j = cnt.join(tgtDf, "__st")
     // every listed stratum must exist in the frame: the inner join
     // would otherwise silently DROP absent targets and the kept mix
@@ -138,6 +162,25 @@ object Sampling {
       .filter(hashBucket(col(idCol), salt) < col("__cut"))
       .drop("__st", "__cut")
   }
+
+  /** Deterministic global training-order shuffle: 1-based `shuffle_pos`
+    * following (salted-md5 hash of the id, id) — a reproducible
+    * decorrelated read order for training shards, the same salt-keyed
+    * discipline as [[split]]/[[sampleByHash]] (change the salt, get an
+    * independent epoch order).
+    *
+    * The position comes from [[Ordinals.withGlobalOrdinal]]'s
+    * range-exchange numbering — no single-partition window anywhere, so
+    * the order materializes at any scale; write the result partitioned
+    * by `shuffle_pos` ranges and the shard files ARE the shuffled
+    * epoch. Ties on the 32-bit hash (expected at billions of rows)
+    * break by id, keeping the order total and replayable. */
+  def shuffleOrder(df: DataFrame, idCol: String, salt: String,
+      numPartitions: Int = 0): DataFrame =
+    Ordinals.withGlobalOrdinal(
+      df.withColumn("__sh", hash32(col(idCol), salt)),
+      "shuffle_pos", Seq(col("__sh"), col(idCol)), numPartitions)
+      .drop("__sh")
 
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, fractions: Map[String, Double],

@@ -222,6 +222,26 @@ object TextGates {
       |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_rebalance_tokens oracle — rebalanceOracleSql with the
+    * per-stratum mass as SUM(n_chars) under salt reb2. */
+  private[queries] lazy val rebalanceTokensOracleSql: String =
+    """WITH cnt AS (
+      |  SELECT source AS st, CAST(SUM(n_chars) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |tgt(st, t) AS (VALUES ('src0', 0.4), ('src1', 0.3),
+      |  ('src2', 0.2), ('src3', 0.1)),
+      |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+      |cap AS (SELECT MIN(n / t) AS cap FROM j),
+      |cut AS (SELECT st,
+      |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+      |      AS BIGINT) AS cut
+      |  FROM j, cap)
+      |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      |JOIN cut ON cut.st = d.source
+      |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+      |    || ':reb2'), 1, 8) AS BIGINT) % 10000 < cut.cut
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The passage-scrub CTE chain (tokens → positioned 8-windows →
     * repeated fps → covered positions → kept tokens), ending with
     * `cl(doc_id, n_tokens, kept)`. Shared by t_passage_scrub and the
@@ -689,6 +709,34 @@ object TextGates {
         .select("doc_id", "source")
         .orderBy(col("doc_id")),
       Some(TextGates.rebalanceOracleSql)),
+
+    // Deterministic epoch shuffle: every document's global training
+    // position under salt ep0 — range-exchange ordinals (no
+    // single-partition window), replayed by the oracle's ROW_NUMBER
+    // over the same salted hash with id tie-break.
+    Gate("t_shuffle_order",
+      (s, d) => Sampling.shuffleOrder(t(s, d, "documents"),
+        "doc_id", "ep0")
+        .select("doc_id", "source", "shuffle_pos")
+        .orderBy(col("shuffle_pos")),
+      Some(
+        """SELECT doc_id, source,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY
+          |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':ep0'),
+          |      1, 8) AS BIGINT), doc_id) AS BIGINT) AS shuffle_pos
+          |FROM documents
+          |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin)),
+
+    // Weighted twin: the same 40/30/20/10 mix hit over CHAR MASS
+    // (n_chars sums, the unit a token budget allocates) instead of
+    // document counts — per-stratum cuts derive from SUM(n_chars).
+    Gate("t_rebalance_tokens",
+      (s, d) => Sampling.rebalanceByWeight(t(s, d, "documents"),
+        "doc_id", "reb2", "source", "n_chars",
+        Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+        .select("doc_id", "source", "n_chars")
+        .orderBy(col("doc_id")),
+      Some(TextGates.rebalanceTokensOracleSql)),
 
     // Benchmark decontamination (operators.Decontaminate): flag corpus
     // docs sharing any word 4-gram with a (deterministic 5%-sample)

@@ -151,4 +151,41 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("target strata"),
       s"wrong error: ${e.getMessage}")
   }
+
+  test("rebalanceByWeight: cuts follow mass, not document count") {
+    import spark.implicits._
+    // stratum a: 10 heavy docs (100 each = 1000); b: 100 light (10 each
+    // = 1000). Equal mass targets → both keep everything (cap binds
+    // equally); with COUNT-based rebalance b would be cut to ~10 docs.
+    val df = (Seq.tabulate(10)(i => (i.toLong, "a", 100L)) ++
+      Seq.tabulate(100)(i => (100L + i, "b", 10L)))
+      .toDF("id", "src", "w")
+    val got = Sampling.rebalanceByWeight(df, "id", "rw", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(got.count() == 110, "equal mass → nothing cut")
+    // null/non-positive weights raise instead of corrupting the budget
+    val bad = Seq((1L, "a", 0L), (2L, "b", 5L)).toDF("id", "src", "w")
+    val e = intercept[Exception] {
+      Sampling.rebalanceByWeight(bad, "id", "rw", "src", "w",
+        Map("a" -> 0.5, "b" -> 0.5)).count()
+    }
+    assert(e.getMessage.contains("non-positive"), e.getMessage)
+  }
+
+  test("shuffleOrder: a deterministic permutation, invariant under " +
+      "partitioning, decorrelated across salts") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i => (i.toLong, s"d$i")).toDF("id", "v")
+    def run(d: org.apache.spark.sql.DataFrame, salt: String) =
+      Sampling.shuffleOrder(d, "id", salt)
+        .select("id", "shuffle_pos").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(df.repartition(13), "e0")
+    assert(a == run(df.coalesce(1), "e0"), "partitioning must not matter")
+    assert(a.values.toSeq.sorted == (1L to 200L), "a 1..n permutation")
+    val b = run(df, "e1")
+    // different salt → a genuinely different epoch order
+    assert(a.count { case (id, p) => b(id) == p } < 20,
+      "salts must decorrelate the order")
+  }
 }
