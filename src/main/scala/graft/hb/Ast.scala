@@ -249,13 +249,21 @@ object Ast {
     * text column (deterministic pair counts, operators.Bpe) and add
     * `bpe` = the space-joined subword encoding. */
   case class BpeEnc(textCol: String, nMerges: Int) extends Statement
-  /** `rebalance by <stratumCol> [s1 p1; s2 p2; …] ['salt']` — keep the
-    * largest deterministic subsample whose stratum mix is exactly the
-    * listed percentages; unlisted strata drop
-    * (operators.Sampling.rebalance on the frame key). */
+  /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
+    * ['salt']` — keep the largest deterministic subsample whose stratum
+    * mix is exactly the listed percentages, measured over document
+    * counts or, with the `weight` clause, over SUM(wcol) mass (token /
+    * char budgets); unlisted strata drop (operators.Sampling.rebalance
+    * / rebalanceByWeight on the frame key). */
   case class RebalanceBy(stratumCol: String,
-      targets: Seq[(String, Double)], salt: String = "rebalance")
+      targets: Seq[(String, Double)], salt: String = "rebalance",
+      weightCol: Option[String] = None)
       extends Statement
+  /** `shuffle ['salt']` — add `shuffle_pos`, the row's 1-based global
+    * training-epoch position under (salted hash of the key, key)
+    * (operators.Sampling.shuffleOrder on the frame key; a different
+    * salt is an independent epoch order). */
+  case class Shuffle(salt: String = "epoch") extends Statement
 
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values

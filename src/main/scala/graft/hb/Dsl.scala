@@ -134,6 +134,10 @@ object Dsl {
   def rebalanceSalted(stratumCol: String, salt: String,
       targets: (String, Double)*): Statement =
     RebalanceBy(stratumCol, targets, salt)
+  def rebalanceWeighted(stratumCol: String, weightCol: String,
+      salt: String, targets: (String, Double)*): Statement =
+    RebalanceBy(stratumCol, targets, salt, Some(weightCol))
+  def shuffle(salt: String = "epoch"): Statement = Shuffle(salt)
 
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))

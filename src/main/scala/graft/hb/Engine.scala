@@ -355,13 +355,23 @@ object Engine {
       f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeCol(
         col(c), graft.operators.Bpe.fit(f.df, c, n, minCount = 1L))))
 
-    case RebalanceBy(strat, ts, salt) =>
+    case RebalanceBy(strat, ts, salt, w) =>
       // ids are the frame index; percentages to match `mix`/`split`
       // (the /100 cancels out of the rate ratios — and x/100.0 is the
       // correctly-rounded double the equivalent literal parses to, so
       // the shared oracle sees identical arithmetic)
-      f.copy(df = graft.operators.Sampling.rebalance(f.df, KEY, salt,
-        strat, ts.map { case (s2, v) => s2 -> v / 100.0 }.toMap))
+      val tgts = ts.map { case (s2, v) => s2 -> v / 100.0 }.toMap
+      f.copy(df = w match {
+        case None => graft.operators.Sampling.rebalance(
+          f.df, KEY, salt, strat, tgts)
+        case Some(wc) => graft.operators.Sampling.rebalanceByWeight(
+          f.df, KEY, salt, strat, wc, tgts)
+      })
+
+    case Shuffle(salt) =>
+      // global epoch position keyed on the frame index — a
+      // range-exchange ordinal, never a single-partition window
+      f.copy(df = graft.operators.Sampling.shuffleOrder(f.df, KEY, salt))
 
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {

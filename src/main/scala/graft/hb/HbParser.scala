@@ -22,7 +22,8 @@ object HbParser {
     "create", "rename", "slice", "only", "dense", "numeric", "index",
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
-    "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe")
+    "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
+    "shuffle")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -520,6 +521,10 @@ object HbParser {
       case "rebalance" =>
         p.eat("by")
         val c = p.colName()
+        val w = p.peek match {
+          case Some(TIdent("weight")) => p.ident(); Some(p.colName())
+          case _ => None
+        }
         p.eat("[")
         val ts = mutable.ArrayBuffer[(String, Double)]()
         while (!p.atSym("]")) {
@@ -531,7 +536,13 @@ object HbParser {
           case Some(TStr(s)) => p.next(); s
           case _ => "rebalance"
         }
-        RebalanceBy(c, ts.toSeq, salt)
+        RebalanceBy(c, ts.toSeq, salt, w)
+      case "shuffle" =>
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "epoch"
+        }
+        Shuffle(salt)
       case "scrub" =>
         val c = p.colName()
         val k = p.peek match {

@@ -91,11 +91,14 @@ object Printer {
       s"bpe ${name(c)} $n"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
-    case RebalanceBy(c, ts, salt) =>
+    case RebalanceBy(c, ts, salt, w) =>
       val s = if (salt == "rebalance") "" else s" '$salt'"
+      val wc = w.map(x => s" weight ${name(x)}").getOrElse("")
       val pairs = ts.map { case (k, v) => s"${name(k)} ${num(v)}" }
         .mkString("; ")
-      s"rebalance by ${name(c)} [$pairs]$s"
+      s"rebalance by ${name(c)}$wc [$pairs]$s"
+    case Shuffle(salt) =>
+      if (salt == "epoch") "shuffle" else s"shuffle '$salt'"
     case Comment(text) => s"!#$text!#"
   }
 
@@ -154,7 +157,7 @@ object Printer {
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
       "sample", "mix", "pack", "chunk", "neighbors", "scrub", "encode",
-      "rebalance",
+      "rebalance", "weight", "shuffle",
       "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

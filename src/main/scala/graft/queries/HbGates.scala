@@ -579,6 +579,38 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.rebalanceOracleSql)),
 
+    // The weighted rebalance clause through the text surface — same
+    // rebalanceByWeight call (char-mass mix) and same oracle as the
+    // Scala-surface twin t_rebalance_tokens.
+    Gate("hb_rebalance_weight",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |rebalance by source weight n_chars [src0 40; src1 30; src2 20; src3 10] 'reb2'
+          |create column doc_id keys
+          |slice columns doc_id source n_chars
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.rebalanceTokensOracleSql)),
+
+    // `shuffle 'ep0'` through the text surface — the deterministic
+    // epoch order as a statement, same range-exchange ordinals and same
+    // oracle as t_shuffle_order.
+    Gate("hb_shuffle",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |shuffle 'ep0'
+          |create column doc_id keys
+          |slice columns doc_id source shuffle_pos
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shuffle_pos")),
+      Some(
+        """SELECT doc_id, source,
+          |  CAST(ROW_NUMBER() OVER (ORDER BY
+          |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':ep0'),
+          |      1, 8) AS BIGINT), doc_id) AS BIGINT) AS shuffle_pos
+          |FROM documents
+          |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin)),
+
     // `encode text 64` through the text surface — same Vocab.fitEncode
     // call and same oracle as the Scala-surface twin t_vocab_encode.
     // The gate projects the id array to its space-joined string form

@@ -114,6 +114,7 @@ object StreamHb {
       Some("rebalancing rates derive from whole-frame counts")
     case _: TopBy => Some("top-per-stratum ranks the whole frame")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
+    case _: Shuffle => Some("epoch order numbers the whole frame")
   }
 
   /** Loudly validate a program for streaming execution. */

@@ -196,8 +196,10 @@ class DslSpec extends AnyFunSuite {
       pairs <- Gen.listOfN(k,
         for { s2 <- genName; v <- Gen.chooseNum(1, 100) }
           yield (s2, v.toDouble))
-      salt <- Gen.oneOf("rebalance", "r1") }
-      yield RebalanceBy(nm, pairs, salt))
+      salt <- Gen.oneOf("rebalance", "r1")
+      w <- Gen.option(genName) }
+      yield RebalanceBy(nm, pairs, salt, w),
+    for { salt <- Gen.oneOf("epoch", "ep1") } yield Shuffle(salt))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

@@ -179,6 +179,12 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement(
       "rebalance by source [src0 40; src1 30] 'r1'") ==
       RebalanceBy("source", Seq("src0" -> 40.0, "src1" -> 30.0), "r1"))
+    assert(HbParser.parseStatement(
+      "rebalance by source weight n_chars [src0 40; src1 30] 'r1'") ==
+      RebalanceBy("source", Seq("src0" -> 40.0, "src1" -> 30.0), "r1",
+        Some("n_chars")))
+    assert(HbParser.parseStatement("shuffle") == Shuffle())
+    assert(HbParser.parseStatement("shuffle 'ep1'") == Shuffle("ep1"))
     // a regex nested inside another regex's operand still gets its
     // OUTER pattern lexed as a literal (count-based lexer rule), while
     // division between completed regexes stays division
