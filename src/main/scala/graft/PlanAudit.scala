@@ -13,7 +13,9 @@ object PlanAudit {
         "t_hash_split", "t_pack_layout", "t_decontaminate", "t_chunk",
         "d_passage_dedup", "t_bm25", "t_top_ngrams_by_lang",
         "a7_kmeans", "s2_rest_provider", "s5_localdata",
-        "t_dsir_select", "t_vocab_encode")
+        "t_dsir_select", "t_vocab_encode",
+        "t_lm_surprisal", "t_nb_classify", "t_select_topk",
+        "t_shuffle_order", "t_rebalance_tokens")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -65,7 +65,14 @@ class ScaleSpec extends AnyFunSuite {
     // r9: the MMR pair is fit-free (exact pool + group walk — lazy);
     // the pq/ivf neighbors gates run Lloyd fits at construction and
     // are covered by SCALE.md's measured-ratio table instead
-    "s_ann_mmr", "hb_neighbors_mmr")
+    "s_ann_mmr", "hb_neighbors_mmr",
+    // r9: surprisal/classifier (broadcast hashed models, lazy joins),
+    // stratified selection (pure windows), weighted rebalance (in-plan
+    // cuts). BPE/shuffle/k-center fit or number eagerly at
+    // construction — covered by SCALE.md's measured-ratio table.
+    "t_lm_surprisal", "hb_surprisal_cfg", "t_select_topk",
+    "t_select_topfrac", "hb_select_topk", "t_nb_classify",
+    "hb_classifier_cfg", "t_rebalance_tokens", "hb_rebalance_weight")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
