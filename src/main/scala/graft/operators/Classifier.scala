@@ -98,6 +98,54 @@ object Classifier {
         col("margin1000"))
   }
 
+  /** The fitted model as driver-side state for the narrow scoring path:
+    * (pos map, neg map, pos total, neg total). Bounded by the fit
+    * contract (≤ `buckets` rows); zero counts dropped — a map miss
+    * reads back as 0. */
+  def modelMaps(model: DataFrame): (Map[Long, Long], Map[Long, Long],
+      Long, Long) = {
+    val rows = model.collect() // ≤ B rows by Classifier.fit construction
+    val mp = rows.iterator.map(r => r.getLong(0) -> r.getLong(1))
+      .filter(_._2 > 0).toMap
+    val mn = rows.iterator.map(r => r.getLong(0) -> r.getLong(2))
+      .filter(_._2 > 0).toMap
+    (mp, mn, mp.valuesIterator.sum, mn.valuesIterator.sum)
+  }
+
+  /** Zero-shuffle scoring: the same (n_tokens, margin_sum, margin1000)
+    * statistics as [[score]], computed per ROW by a HOF over the token
+    * array with the hashed class models embedded as literal maps — no
+    * explode, no exchange, STREAM-SAFE (fit offline on the seeds, score
+    * the live firehose). Rows are never dropped: documents without
+    * token evidence keep NULL statistics (a stream cannot drop rows by
+    * aggregation). Values match [[score]] bit-for-bit where both exist
+    * (ClassifierSpec). */
+  def withMarginsNarrow(df: DataFrame, mp: Map[Long, Long],
+      mn: Map[Long, Long], nPos: Long, nNeg: Long, textCol: String,
+      buckets: Int, salt: String): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
+    val mpLit = typedlit(mp)
+    val mnLit = typedlit(mn)
+    val tk = filter(Decontaminate.tokens(col(textCol)),
+      w => length(w) > 0)
+    val mArr = transform(tk, w => {
+      val b = bucket(w, salt, buckets)
+      (length(bin(coalesce(element_at(mpLit, b), lit(0L)) + lit(1L)))
+        - length(bin(coalesce(element_at(mnLit, b), lit(0L)) + lit(1L))))
+        .cast(LongType)
+    })
+    val constTerm = bitlenL(nNeg + buckets) - bitlenL(nPos + buckets)
+    val np = when(tk.isNotNull, size(tk))
+    val hasEvidence = np > 0
+    df.withColumn("n_tokens", when(hasEvidence, np.cast(LongType)))
+      .withColumn("margin_sum", when(hasEvidence,
+        aggregate(mArr, lit(0L), _ + _) +
+          col("n_tokens") * lit(constTerm)))
+      .withColumn("margin1000",
+        when(hasEvidence, expr("(margin_sum * 1000) div n_tokens")))
+  }
+
   /** The filter: fit on the seed frames, keep the documents of `df`
     * whose per-token margin is at least `minMargin1000` milli-bits
     * (0 = "closer to the positive seed than the negative"). Documents

@@ -96,6 +96,60 @@ object Surprisal {
       .withColumn("avg1000", expr("(surprisal_sum * 1000) div n_pairs"))
   }
 
+  /** The fitted model as driver-side maps (pair-bucket → count,
+    * context-bucket → count) for the narrow scoring path. The collect
+    * is bounded by the fit contract: ≤ `buckets` rows, zero-count
+    * entries dropped (they read back as 0 via the map miss). */
+  def modelMaps(model: DataFrame): (Map[Long, Long], Map[Long, Long]) = {
+    val rows = model.collect() // ≤ B rows by Surprisal.fit construction
+    (rows.iterator.map(r => r.getLong(0) -> r.getLong(1))
+       .filter(_._2 > 0).toMap,
+     rows.iterator.map(r => r.getLong(0) -> r.getLong(2))
+       .filter(_._2 > 0).toMap)
+  }
+
+  /** Zero-shuffle scoring: the same (n_pairs, surprisal_sum, avg1000)
+    * statistics as [[score]], computed per ROW by a HOF over the token
+    * array with the hashed model embedded as a literal map — no
+    * explode, no exchange, so the scorer is STREAM-SAFE (fit offline on
+    * the reference corpus, score the live firehose) and, in batch, the
+    * whole quality gate stays inside the scan stage. Differences from
+    * [[score]], both forced by streaming: rows are never dropped —
+    * documents without bigram evidence keep NULL statistics — and the
+    * model is a driver map ([[modelMaps]]) instead of a broadcast
+    * frame. Values match [[score]] bit-for-bit where both exist
+    * (SurprisalSpec). */
+  def withScoresNarrow(df: DataFrame, mp: Map[Long, Long],
+      mc: Map[Long, Long], textCol: String, buckets: Int,
+      salt: String): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val mpLit = typedlit(mp)
+    val mcLit = typedlit(mc)
+    val tk = Decontaminate.tokens(col(textCol))
+    val n = size(tk)
+    val prs = arrays_zip(
+      slice(tk, lit(1), greatest(n - 1, lit(0))).as("__w1"),
+      slice(tk, lit(2), greatest(n - 1, lit(0))).as("__w2"))
+    val sArr = transform(prs, p => {
+      val cp = coalesce(element_at(mpLit,
+        bucket(concat_ws(" ", p.getField("__w1"), p.getField("__w2")),
+          salt, buckets)), lit(0L))
+      val cc = coalesce(element_at(mcLit,
+        bucket(p.getField("__w1"), salt, buckets)), lit(0L))
+      greatest(lit(0L),
+        length(bin(cc + lit(buckets.toLong))).cast(LongType) -
+          length(bin(cp + lit(1L))).cast(LongType))
+    })
+    val np = when(tk.isNotNull, greatest(n - 1, lit(0)))
+    val hasEvidence = np > 0
+    df.withColumn("n_pairs",
+        when(hasEvidence, np.cast(LongType)))
+      .withColumn("surprisal_sum",
+        when(hasEvidence, aggregate(sArr, lit(0L), _ + _)))
+      .withColumn("avg1000",
+        when(hasEvidence, expr("(surprisal_sum * 1000) div n_pairs")))
+  }
+
   /** The filter: fit on `ref`, keep the documents of `df` whose average
     * surprisal is at most `maxAvg1000` milli-bits per bigram. Documents
     * without bigram evidence drop (no fluency signal — the conservative

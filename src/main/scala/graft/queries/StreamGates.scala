@@ -203,6 +203,31 @@ object StreamGates {
              |    AS value,
              |  CAST(ts AS DATE) AS day
              |FROM events GROUP BY CAST(ts AS DATE)
-             |ORDER BY day ASC NULLS FIRST""".stripMargin))
+             |ORDER BY day ASC NULLS FIRST""".stripMargin)),
+
+    // Offline-fit / online-score: the LM-surprisal model fits in batch
+    // on the reference slice, then the LIVE documents stream is scored
+    // by the zero-shuffle narrow path (literal-map model, stateless,
+    // append mode). Every document flows through — no-evidence docs
+    // keep NULL stats (a stream cannot drop rows by aggregation) —
+    // and the oracle replays the whole thing with a LEFT JOIN.
+    Gate("st_surprisal_score",
+      (s, d) => StreamOps.surprisalScoreStream(s, d,
+        "st_surprisal_score_out")
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.surprisalCtes("") + "\n" +
+        """SELECT d.doc_id, a.n_pairs, a.surprisal_sum, a.avg1000
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // The hashed-NB twin: seed classifier fit in batch, margins scored
+    // on the live stream through the same stateless narrow-map shape.
+    Gate("st_nb_score",
+      (s, d) => StreamOps.classifierScoreStream(s, d, "st_nb_score_out")
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.classifierCtes("") + "\n" +
+        """SELECT d.doc_id, f.n_tokens, f.margin_sum, f.margin1000
+          |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin))
   )
 }

@@ -1214,7 +1214,14 @@ object TextGates {
     * the corpus scored in integer milli-bits per bigram. Shared with
     * the configuration-surface twin `hb_surprisal_cfg` in HbGates. */
   private[queries] lazy val surprisalCtesSql: String =
-    """rtok AS (
+    surprisalCtes("WHERE source NOT IN ('src0', 'src1')")
+
+  /** [[surprisalCtesSql]] with the scored-corpus predicate as a
+    * parameter — the streaming scorer gate scores EVERY document
+    * (empty `corpusWhere`), the batch gates exclude the reference
+    * slice. */
+  private[queries] def surprisalCtes(corpusWhere: String): String =
+    raw"""rtok AS (
       |  SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
       |  FROM documents WHERE source IN ('src0', 'src1')),
       |rpair AS (
@@ -1230,7 +1237,7 @@ object TextGates {
       |  SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
       |  FROM (SELECT doc_id,
       |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-      |        FROM documents WHERE source NOT IN ('src0', 'src1')),
+      |        FROM documents $corpusWhere),
       |    unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS t(i)),
       |sc AS (
       |  SELECT doc_id,
@@ -1254,7 +1261,13 @@ object TextGates {
     * margin per token. Shared with the configuration-surface twin
     * `hb_classifier_cfg` in HbGates. */
   private[queries] lazy val classifierCtesSql: String =
-    """ptok AS (
+    classifierCtes(
+      "WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')")
+
+  /** [[classifierCtesSql]] with the scored-corpus predicate as a
+    * parameter (the streaming scorer gate scores every document). */
+  private[queries] def classifierCtes(corpusWhere: String): String =
+    raw"""ptok AS (
       |  SELECT tk[i] AS w
       |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
       |        FROM documents WHERE source IN ('src0', 'src1')),
@@ -1280,7 +1293,7 @@ object TextGates {
       |  FROM (SELECT doc_id,
       |          string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
       |        FROM documents
-      |        WHERE source NOT IN ('src0', 'src1', 'src2', 'src3')),
+      |        $corpusWhere),
       |    unnest(range(1, len(tk) + 1)) AS t(i)
       |  WHERE length(tk[i]) > 0),
       |sc AS (

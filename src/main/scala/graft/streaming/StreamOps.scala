@@ -229,4 +229,60 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
+
+  /** The documents table as a stream (schema from the batch file, same
+    * glob-filtered file source as readEventsStream). */
+  private def readDocsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
+  private def runAppend(df: DataFrame, queryName: String): DataFrame = {
+    val spark = df.sparkSession
+    val q = df.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Offline-fit / online-score: the LM-surprisal quality signal over
+    * the LIVE documents stream. The hashed-bigram model fits in batch
+    * on the reference slice (src0/src1 — yesterday's curated corpus),
+    * collapses to driver maps (≤ B entries by contract), and the stream
+    * is scored by [[graft.operators.Surprisal.withScoresNarrow]] — a
+    * pure narrow map, so the scorer is stateless, append-mode, and
+    * every micro-batch cost is the scan. The batch/stream pairing a
+    * production quality gate actually runs (CCNet online). */
+  def surprisalScoreStream(spark: SparkSession, dir: String,
+      queryName: String, buckets: Int = 4096,
+      salt: String = "lm"): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("source").isin("src0", "src1"))
+    val (mp, mc) = graft.operators.Surprisal.modelMaps(
+      graft.operators.Surprisal.fit(ref, "text", buckets, salt))
+    runAppend(graft.operators.Surprisal.withScoresNarrow(
+        readDocsStream(spark, dir), mp, mc, "text", buckets, salt)
+      .select(col("doc_id"), col("n_pairs"), col("surprisal_sum"),
+        col("avg1000")), queryName)
+  }
+
+  /** Offline-fit / online-score twin for the hashed-NB seed classifier:
+    * positive/negative seed models fit in batch, the stream scored by
+    * [[graft.operators.Classifier.withMarginsNarrow]] — same stateless
+    * narrow-map shape as [[surprisalScoreStream]]. */
+  def classifierScoreStream(spark: SparkSession, dir: String,
+      queryName: String, buckets: Int = 4096,
+      salt: String = "nb"): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pos = docs.filter(col("source").isin("src0", "src1"))
+    val neg = docs.filter(col("source").isin("src2", "src3"))
+    val (mp, mn, np, nn) = graft.operators.Classifier.modelMaps(
+      graft.operators.Classifier.fit(pos, neg, "text", buckets, salt))
+    runAppend(graft.operators.Classifier.withMarginsNarrow(
+        readDocsStream(spark, dir), mp, mn, np, nn, "text", buckets, salt)
+      .select(col("doc_id"), col("n_tokens"), col("margin_sum"),
+        col("margin1000")), queryName)
+  }
 }

@@ -55,4 +55,25 @@ class ClassifierSpec extends AnyFunSuite {
     assert(Classifier.keep(docs, pos, neg, "doc_id", "text", 1024, "c",
       minMargin1000 = Long.MaxValue).count() == 0)
   }
+
+  test("narrow (literal-map) scoring matches the exploded path bit-for-bit") {
+    val docs = Seq(
+      (1L, "the careful experiment explains the result"),
+      (2L, "buy cheap spam deal win free now"),
+      (3L, ""), (4L, "mixed careful cheap words here"))
+      .toDF("doc_id", "text")
+    val m = Classifier.fit(pos, neg, "text", 1024, "c")
+    val exploded = Classifier.score(docs, m, "doc_id", "text", 1024, "c")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (mp, mn, np, nn) = Classifier.modelMaps(m)
+    val narrow = Classifier
+      .withMarginsNarrow(docs, mp, mn, np, nn, "text", 1024, "c")
+      .collect().map { r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getLong(3), r.getLong(4)))) }.toMap
+    assert(narrow.keySet == Set(1L, 2L, 3L, 4L))
+    exploded.foreach { case (id, st) => assert(narrow(id).contains(st)) }
+    assert(narrow(3L).isEmpty)
+  }
 }

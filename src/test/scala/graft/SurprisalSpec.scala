@@ -51,4 +51,27 @@ class SurprisalSpec extends AnyFunSuite {
     assert(Surprisal.keep(docs, ref, "doc_id", "text", 1024, "s",
       maxAvg1000 = -1L).count() == 0)
   }
+
+  test("narrow (literal-map) scoring matches the exploded path bit-for-bit") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "zxq wvu tsr qpo nml kji"),
+      (3L, "single"), (4L, ""), (5L, "the dog ran off"))
+      .toDF("doc_id", "text")
+    val m = Surprisal.fit(ref, "text", 1024, "s")
+    val exploded = Surprisal.score(docs, m, "doc_id", "text", 1024, "s")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val (mp, mc) = Surprisal.modelMaps(m)
+    val narrow = Surprisal
+      .withScoresNarrow(docs, mp, mc, "text", 1024, "s")
+      .collect().map { r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getLong(3), r.getLong(4)))) }.toMap
+    // every doc flows through narrow; stats agree exactly where the
+    // exploded path has evidence, NULL where it has none
+    assert(narrow.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    exploded.foreach { case (id, st) => assert(narrow(id).contains(st)) }
+    assert(narrow(3L).isEmpty && narrow(4L).isEmpty)
+  }
 }
