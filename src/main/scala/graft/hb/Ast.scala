@@ -259,6 +259,11 @@ object Ast {
       targets: Seq[(String, Double)], salt: String = "rebalance",
       weightCol: Option[String] = None)
       extends Statement
+  /** `diverse <k> [vec]` — greedy k-center coreset selection over the
+    * vector column: the frame collapses to the k most mutually
+    * dissimilar rows as (rank, key, maxsim_fp)
+    * (operators.Similarity.kCenterSelect on the frame key). */
+  case class Diverse(k: Int, vec: Expr) extends Statement
   /** `shuffle ['salt']` — add `shuffle_pos`, the row's 1-based global
     * training-epoch position under (salted hash of the key, key)
     * (operators.Sampling.shuffleOrder on the frame key; a different

@@ -138,6 +138,7 @@ object Dsl {
       salt: String, targets: (String, Double)*): Statement =
     RebalanceBy(stratumCol, targets, salt, Some(weightCol))
   def shuffle(salt: String = "epoch"): Statement = Shuffle(salt)
+  def diverse(k: Int, vec: Expr): Statement = Diverse(k, vec)
 
   final case class GroupByBuilder(cols: Seq[String]) {
     def reduce(red: Reduction): Statement = GroupBy(cols, RowsBy(red))

@@ -470,6 +470,17 @@ object Engine {
       }
       HbFrame(res.withColumn(KEY, struct(col("query_id"), col("rank"))),
         Seq(col(KEY).asc), Nil)
+
+    case Diverse(k, vecE) =>
+      val vecCol = vecE match {
+        case ColRef(n) => n
+        case other => throw new IllegalArgumentException(
+          s"diverse expects a vector column reference, got $other")
+      }
+      // frame collapses to the k selected rows; the selected id IS the
+      // frame key, rank the natural order
+      HbFrame(graft.operators.Similarity.kCenterSelect(f.df, KEY, vecCol, k),
+        Seq(col("rank").asc), Nil)
   }
 
   // ------------------------------------------------------------ reductions

@@ -23,7 +23,7 @@ object HbParser {
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
-    "shuffle")
+    "shuffle", "diverse")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -543,6 +543,9 @@ object HbParser {
           case _ => "epoch"
         }
         Shuffle(salt)
+      case "diverse" =>
+        val k = p.int()
+        Diverse(k, p.bracketed())
       case "scrub" =>
         val c = p.colName()
         val k = p.peek match {

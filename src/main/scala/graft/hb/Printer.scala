@@ -82,6 +82,8 @@ object Printer {
         case AnnIndex.Mmr(lam) => s" mmr $lam"
       }
       s"neighbors $k [${print(vec)}] [${print(pred)}]$m"
+    case Diverse(k, vec) =>
+      s"diverse $k [${print(vec)}]"
     case Scrub(c, k) =>
       val kk = if (k == 8) "" else s" $k"
       s"scrub ${name(c)}$kk"
@@ -157,7 +159,7 @@ object Printer {
       "buckets", "k-means", "each", "maxby", "minby",
       "dedup", "exact", "minhash", "simhash", "cluster", "split",
       "sample", "mix", "pack", "chunk", "neighbors", "scrub", "encode",
-      "rebalance", "weight", "shuffle",
+      "rebalance", "weight", "shuffle", "diverse",
       "tokens", "quality", "langid", "repetition") ++
       Reduction.all.map(_.name) ++ DatePart.all.map(_.name)
 }

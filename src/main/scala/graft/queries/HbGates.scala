@@ -705,6 +705,18 @@ object HbGates {
           |WHERE f.margin1000 >= 0
           |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // `diverse 8 [embedding]` — the k-center coreset through the
+    // closed DSL, sharing s_kcenter's unrolled selection-trace oracle.
+    Gate("hb_diverse",
+      (s, d) => Graft.runHb(
+        """index rows by vec_id
+          |diverse 8 [embedding]
+          |create column vec_id keys
+          |slice columns rank vec_id maxsim_fp
+          |""".stripMargin, t(s, d, "embeddings"))
+        .orderBy(col("rank")),
+      Some(SimilarityGates.kCenterOracleSql(k = 8))),
+
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))
         .orderBy(col("query_id"), col("rank")),

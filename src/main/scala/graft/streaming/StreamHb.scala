@@ -115,6 +115,7 @@ object StreamHb {
     case _: TopBy => Some("top-per-stratum ranks the whole frame")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: Shuffle => Some("epoch order numbers the whole frame")
+    case _: Diverse => Some("k-center selection scans the whole frame")
   }
 
   /** Loudly validate a program for streaming execution. */

@@ -199,7 +199,9 @@ class DslSpec extends AnyFunSuite {
       salt <- Gen.oneOf("rebalance", "r1")
       w <- Gen.option(genName) }
       yield RebalanceBy(nm, pairs, salt, w),
-    for { salt <- Gen.oneOf("epoch", "ep1") } yield Shuffle(salt))
+    for { salt <- Gen.oneOf("epoch", "ep1") } yield Shuffle(salt),
+    for { k <- Gen.chooseNum(1, 50); nm <- genName }
+      yield Diverse(k, ColRef(nm)))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

@@ -185,6 +185,8 @@ class ParserSpec extends AnyFunSuite {
         Some("n_chars")))
     assert(HbParser.parseStatement("shuffle") == Shuffle())
     assert(HbParser.parseStatement("shuffle 'ep1'") == Shuffle("ep1"))
+    assert(HbParser.parseStatement("diverse 8 [embedding]") ==
+      Diverse(8, ColRef("embedding")))
     // a regex nested inside another regex's operand still gets its
     // OUTER pattern lexed as a literal (count-based lexer rule), while
     // division between completed regexes stays division
