@@ -249,13 +249,31 @@ object Dedup {
   def minhashPairsAgainst(left: DataFrame, right: DataFrame,
       textCol: String, leftId: String, rightId: String,
       threshold: Double = 0.5, numPerms: Int = 64,
-      bands: Int = 16, portable: Boolean = false): DataFrame = {
+      bands: Int = 16, portable: Boolean = false,
+      refStore: Option[(graft.cache.LineageCache, String)] = None)
+      : DataFrame = {
     val shL = cached(shingleFrame(left, textCol, leftId, Nil, 3, "__sh",
       portable))
-    val shR = cached(shingleFrame(right, textCol, rightId, Nil, 3, "__sh",
-      portable))
+    // Incremental-ingest tier: with `refStore = (cache, refKey)` set,
+    // the REFERENCE side's shingle and signature frames persist as
+    // parquet artifacts under LineageCache content keys (the cell-model
+    // discipline, Similarity.fitCellsMemo) — a later session dedups a
+    // new batch against yesterday's corpus by scanning the stored
+    // frames instead of re-shingling/re-signing the whole reference.
+    // The caller owns key hygiene: change refKey when the reference
+    // corpus changes. Artifact size is one compact row per reference
+    // doc (shingle digests + 64 sig longs) — disk-bounded, never
+    // driver-bounded.
+    def stored(part: String)(compute: => DataFrame): DataFrame =
+      refStore match {
+        case Some((lc, refKey)) => lc.getOrCompute(lc.key("minhashref",
+          Seq(refKey, part, numPerms.toString, portable.toString)))(compute)
+        case None => compute
+      }
+    val shR = cached(stored("shingles")(
+      shingleFrame(right, textCol, rightId, Nil, 3, "__sh", portable)))
     val sigL = cached(sigFrame(shL, "__sh", numPerms))
-    val sigR = cached(sigFrame(shR, "__sh", numPerms))
+    val sigR = cached(stored("sigs")(sigFrame(shR, "__sh", numPerms)))
     val bandL = bandFrame(sigL, numPerms, bands)
     val bandR = bandFrame(sigR, numPerms, bands)
     val cand = bandL.as("a").join(bandR.as("b"),
@@ -279,13 +297,15 @@ object Dedup {
   def flagNearDupsAgainst(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.5,
       numPerms: Int = 64, bands: Int = 16, portable: Boolean = false,
-      out: String = "neardup"): DataFrame = {
+      out: String = "neardup",
+      refStore: Option[(graft.cache.LineageCache, String)] = None)
+      : DataFrame = {
     Seq(out, "__nd_hit").foreach { c =>
       require(!corpus.columns.contains(c),
         s"corpus already has a '$c' column — rename it first")
     }
     val hits = minhashPairsAgainst(corpus, reference, textCol, idCol,
-      idCol, threshold, numPerms, bands, portable)
+      idCol, threshold, numPerms, bands, portable, refStore)
       .select(col("id_l").as("__nd_id")).distinct()
     corpus
       .join(hits.withColumn("__nd_hit", lit(true)),

@@ -119,6 +119,38 @@ class DedupSpec extends AnyFunSuite {
     assert((3L to 32L).forall(!flagged(_)), "noise docs must not flag")
   }
 
+  test("reference signatures persist under the lineage-cache key: a " +
+    "later session dedups a new batch against stored frames") {
+    import graft.cache.LineageCache
+    val lc = new LineageCache(spark,
+      java.nio.file.Files.createTempDirectory("graftsig").toString)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ref = docs.filter(col("doc_id") === 0)
+    val batch = docs.filter(col("doc_id") > 0)
+    def run(r: org.apache.spark.sql.DataFrame,
+        store: Option[(LineageCache, String)]) =
+      Dedup.flagNearDupsAgainst(batch, r, "doc_id", "text",
+        threshold = 0.5, portable = true, refStore = store)
+        .select("doc_id", "neardup").collect()
+        .map(r2 => r2.getLong(0) -> r2.getBoolean(1)).toMap
+    val first = run(ref, Some(lc -> "spec-ref"))
+    assert(lc.contains(lc.key("minhashref",
+      Seq("spec-ref", "sigs", "64", "true"))),
+      "first run must write the keyed signature artifact")
+    // a "new session" re-runs against the store. The reference frame is
+    // POISONED (its text raises on evaluation): a store hit must serve
+    // the reference side entirely from the artifacts — if anything
+    // re-shingles/re-signs the reference data, this run blows up.
+    val poisoned = ref.withColumn("text",
+      raise_error(lit("reference must not be scanned")).cast("string"))
+    val second = run(poisoned, Some(lc -> "spec-ref"))
+    val third = run(ref, None)
+    assert(second == first && third == first,
+      "stored and recomputed reference frames must flag identically")
+    // sanity: without the store the poisoned reference DOES blow up
+    intercept[Exception] { run(poisoned, None) }
+  }
+
   test("minhashPairs memoizes per corpus plan: a same-plan re-request " +
     "is job-free; changed params or corpus recompute") {
     Dedup.clearPairsMemo()
