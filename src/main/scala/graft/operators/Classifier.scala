@@ -124,6 +124,10 @@ object Classifier {
       mn: Map[Long, Long], nPos: Long, nNeg: Long, textCol: String,
       buckets: Int, salt: String): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    Seq("n_tokens", "margin_sum", "margin1000").foreach { c =>
+      require(!df.columns.contains(c),
+        s"frame already has a '$c' column — rename it first")
+    }
     def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
     val mpLit = typedlit(mp)
     val mnLit = typedlit(mn)

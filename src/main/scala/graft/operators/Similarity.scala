@@ -625,7 +625,9 @@ object Similarity {
     val e = corpus
       .select(col(idCol), quantize(col(vecCol)).as("__v"))
       .withColumn("__nrm", normQ(col("__v")))
-      .filter(col("__nrm") > 0)
+      // zero-norm vectors carry no direction; a null id would poison
+      // the seed convention (nulls sort first) and the =!= removals
+      .filter(col("__nrm") > 0 && col(idCol).isNotNull)
       .persist()
     try {
       def simFp(cv: Seq[Long]): Column = {

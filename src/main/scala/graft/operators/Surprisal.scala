@@ -123,6 +123,10 @@ object Surprisal {
       mc: Map[Long, Long], textCol: String, buckets: Int,
       salt: String): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    Seq("n_pairs", "surprisal_sum", "avg1000").foreach { c =>
+      require(!df.columns.contains(c),
+        s"frame already has a '$c' column — rename it first")
+    }
     val mpLit = typedlit(mp)
     val mcLit = typedlit(mc)
     val tk = Decontaminate.tokens(col(textCol))
