@@ -41,6 +41,14 @@ import org.apache.spark.sql.types._
   * and the final per-doc sum are the only keyed exchanges, both on the
   * doc id. Selection ranks with the range-partitioned [[Ordinals]]
   * ordinal — no single-partition window anywhere.
+  *
+  * Unlike [[Surprisal]]/[[Classifier]], DSIR deliberately has NO
+  * literal-map narrow/streaming form: its contract is a global
+  * top-pct RANK (keep the best slice of the corpus), which no
+  * stream can express — a per-doc score alone doesn't select
+  * anything until every competitor is seen. Callers who want a
+  * streamable importance FILTER should threshold [[Surprisal]] or
+  * [[Classifier]] margins instead.
   */
 object Dsir {
 

@@ -66,6 +66,30 @@ object Vocab {
       size: Int): DataFrame =
     encode(df, idCol, textCol, fit(df, textCol, size))
 
+  /** Per-stratum vocabulary coverage: (stratumCol, n_tokens, n_oov,
+    * oov_permille) — the tokenizer-coverage sanity metric a pipeline
+    * checks before committing to a vocabulary (an OOV rate that
+    * differs sharply by domain/language means the vocab under-serves
+    * that stratum). `oov_permille = (n_oov·1000) div n_tokens` — pure
+    * integer, order-free. Same tokenization as [[fit]]/[[encode]], so
+    * the rate measures exactly what encoding would map to id 0.
+    *
+    * 100 TB shape: one narrow explode into a left join against the
+    * broadcast ≤size-row vocab, then a map-side-combined per-stratum
+    * aggregate — strata, not tokens, reach the exchange. */
+  def coverage(df: DataFrame, stratumCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(stratumCol),
+      explode(Decontaminate.tokens(col(textCol))).as("__tok"))
+    toks
+      .join(broadcast(vocab.select(col("token").as("__tok"),
+        lit(true).as("__inv"))), Seq("__tok"), "left")
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
+  }
+
   /** Persistent fit — the cell-model contract (Similarity.modelStore)
     * for vocabularies: the fitted (token, id, n) frame is saved as a
     * ≤`size`-row parquet artifact under a [[graft.cache.LineageCache]]

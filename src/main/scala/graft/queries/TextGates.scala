@@ -811,6 +811,32 @@ object TextGates {
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
+    // Vocabulary coverage: per-source OOV rate under the same top-64
+    // vocab t_vocab_encode fits — the tokenizer sanity metric checked
+    // before committing to a vocabulary. Integer milli-rate.
+    Gate("t_oov_rate",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Vocab.coverage(docs, "source", "text",
+          graft.operators.Vocab.fit(docs, "text", 64))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT source,
+        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT 64)
+        |SELECT t.source, count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // count(*) AS oov_permille
+        |FROM tok t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.source
+        |ORDER BY t.source ASC NULLS FIRST""".stripMargin)),
+
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
     // replicates it exactly), shuffle-free narrow map, stable under any

@@ -69,4 +69,22 @@ class VocabSpec extends AnyFunSuite {
       .select("id", "token_ids").collect().map(_.toString).sorted.toSeq
     assert(a == b)
   }
+
+  test("coverage counts exactly what encode would map to id 0") {
+    val strat = Seq(("x", "b a a c"), ("x", "a b rare"), ("y", "z q"))
+      .toDF("src", "text")
+    // counts: a:3 b:2, then c/q/rare/z tie at 1 → token-asc keeps c;
+    // vocab = {a, b, c}, so rare/z/q are the OOV mass
+    val v = Vocab.fit(strat, "text", size = 3)
+    val cov = Vocab.coverage(strat, "src", "text", v).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cov("x") == ((7L, 1L, 142L)), s"got ${cov("x")}") // 1/7 OOV
+    assert(cov("y") == ((2L, 2L, 1000L)), s"got ${cov("y")}") // all OOV
+    // a full vocabulary drives every stratum to zero
+    val full = Vocab.coverage(strat, "src", "text",
+      Vocab.fit(strat, "text", size = 100)).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(full.values.forall(_ == 0L), s"got $full")
+  }
 }
