@@ -1216,6 +1216,39 @@ object TextGates {
           |WHERE rank <= (n * 1 + 3) // 4
           |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
 
+    // CCNet's head/middle/tail diagnostic: the scored corpus cut into
+    // perplexity terciles (global NTILE over (avg1000, doc_id) — the
+    // range-partitioned Ordinals form, no single-partition window) and
+    // crossed with the source mix. The table a curation run reads to
+    // decide which slice of which domain to keep.
+    Gate("t_surprisal_terciles", (s, d) => {
+      val docs = t(s, d, "documents")
+      val ref = docs.filter(col("source").isin("src0", "src1"))
+      val raw = docs.filter(!col("source").isin("src0", "src1"))
+      val sc = graft.operators.Surprisal.score(raw,
+        graft.operators.Surprisal.fit(ref, "text", 4096, "lm"),
+        "doc_id", "text", 4096, "lm")
+      graft.operators.Ordinals.withGlobalNtile(sc, "tercile", 3,
+          Seq(col("avg1000").asc, col("doc_id").asc))
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"), col("tercile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg1000")).as("min_avg1000"),
+          max(col("avg1000")).as("max_avg1000"))
+        .orderBy(col("source"), col("tercile"))
+    },
+      Some("WITH " + surprisalCtesSql + "\n" +
+        """, t3 AS (
+          |  SELECT doc_id, avg1000,
+          |    CAST(NTILE(3) OVER (ORDER BY avg1000, doc_id) AS INTEGER)
+          |      AS tercile
+          |  FROM agg)
+          |SELECT d.source, t.tercile, count(*) AS n_docs,
+          |  MIN(t.avg1000) AS min_avg1000, MAX(t.avg1000) AS max_avg1000
+          |FROM t3 t JOIN documents d USING (doc_id)
+          |GROUP BY d.source, t.tercile
+          |ORDER BY d.source ASC NULLS FIRST, t.tercile ASC NULLS FIRST""".stripMargin)),
+
     Gate("t_nb_classify", (s, d) => {
       val docs = t(s, d, "documents")
       val pos = docs.filter(col("source").isin("src0", "src1"))
