@@ -245,6 +245,12 @@ object Ast {
     * (operators.Selection.topKPerStratum on the frame key). */
   case class TopBy(k: Int, scoreCol: String, stratumCol: String)
       extends Statement
+  /** `top <p> pct by <scoreCol> per <stratumCol>` — the fractional
+    * twin: keep the best ceil(p% of the stratum) rows of every stratum
+    * under the same (score DESC, key ASC) total order
+    * (operators.Selection.topFracPerStratum on the frame key). */
+  case class TopFracBy(pct: Int, scoreCol: String, stratumCol: String)
+      extends Statement
   /** `bpe <textCol> <nMerges>` — train a BPE merge table on the frame's
     * text column (deterministic pair counts, operators.Bpe) and add
     * `bpe` = the space-joined subword encoding. */

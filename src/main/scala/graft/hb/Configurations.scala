@@ -73,6 +73,11 @@ object Configurations {
   case class ClassifierOf(corpus: String, posSeed: String, negSeed: String,
       idField: String, textField: String, buckets: Int, salt: String,
       minMargin1000: Long) extends ConfSource
+  /** Corpus drift report (Graft.drift): the top-k rising and falling
+    * frequency movers between two configurations' outputs — snapshot
+    * QA as a configuration source. */
+  case class DriftOf(a: String, b: String, textField: String, k: Int)
+      extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -120,6 +125,9 @@ object Configurations {
         case ClassifierOf(cp, ps, ns, id, tx, b, sa, mn) =>
           s"classifier(${lineageKey(configs, cp)},${lineageKey(configs, ps)}," +
             s"${lineageKey(configs, ns)},$id,$tx,$b,$sa,$mn)"
+        case DriftOf(a, b, tx, k) =>
+          s"drift(${lineageKey(configs, a)},${lineageKey(configs, b)}," +
+            s"$tx,$k)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -155,6 +163,8 @@ object Configurations {
             case ClassifierOf(cp, ps, ns, id, tx, b, sa, mn) =>
               Graft.classifierKeep(sub(cp), sub(ps), sub(ns), id, tx, b,
                 sa, mn)
+            case DriftOf(a, b, tx, k) =>
+              Graft.drift(sub(a), sub(b), tx, k)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

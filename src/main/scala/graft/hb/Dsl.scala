@@ -130,6 +130,8 @@ object Dsl {
   def scrub(textCol: String, k: Int = 8): Statement = Scrub(textCol, k)
   def encode(textCol: String, size: Int): Statement = Encode(textCol, size)
   def top(k: Int, by: String, per: String): Statement = TopBy(k, by, per)
+  def topPct(pct: Int, by: String, per: String): Statement =
+    TopFracBy(pct, by, per)
   def bpe(textCol: String, nMerges: Int): Statement = BpeEnc(textCol, nMerges)
   def rebalanceSalted(stratumCol: String, salt: String,
       targets: (String, Double)*): Statement =

@@ -349,6 +349,10 @@ object Engine {
       f.copy(df = graft.operators.Selection
         .topKPerStratum(f.df, st, sc, KEY, k))
 
+    case TopFracBy(p, sc, st) =>
+      f.copy(df = graft.operators.Selection
+        .topFracPerStratum(f.df, st, sc, KEY, p, 100))
+
     case BpeEnc(c, n) =>
       // merge table trained on the frame itself (bounded driver rows:
       // one per merge), encoding a pure narrow map; row set unchanged

@@ -115,6 +115,14 @@ object Graft {
     graft.operators.Classifier.keep(corpus, posSeed, negSeed, idField,
       textField, buckets, salt, minMargin1000)
 
+  /** Drift provider: the top-k rising and falling frequency movers of
+    * configuration `b` relative to configuration `a`
+    * (operators.Drift.topMovers — snapshot QA as a configuration
+    * source). */
+  def drift(a: DataFrame, b: DataFrame, textField: String,
+      k: Int): DataFrame =
+    graft.operators.Drift.topMovers(a, b, textField, k)
+
   /** DSIR provider: importance-select the raw configuration toward a
     * target configuration's token distribution — keep the top `pct`% of
     * raw rows by smoothed target-vs-raw unigram likelihood ratio

@@ -555,11 +555,15 @@ object HbParser {
         Scrub(c, k)
       case "top" =>
         val k = p.int()
+        val frac = p.peek match {
+          case Some(TIdent("pct")) => p.ident(); true
+          case _ => false
+        }
         p.eat("by")
         val sc = p.colName()
         p.eat("per")
         val st = p.colName()
-        TopBy(k, sc, st)
+        if (frac) TopFracBy(k, sc, st) else TopBy(k, sc, st)
       case "bpe" =>
         val c = p.colName()
         val n = p.int()

@@ -89,6 +89,8 @@ object Printer {
       s"scrub ${name(c)}$kk"
     case TopBy(k, sc, st) =>
       s"top $k by ${name(sc)} per ${name(st)}"
+    case TopFracBy(p, sc, st) =>
+      s"top $p pct by ${name(sc)} per ${name(st)}"
     case BpeEnc(c, n) =>
       s"bpe ${name(c)} $n"
     case Encode(c, n) =>

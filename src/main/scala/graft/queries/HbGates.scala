@@ -579,6 +579,26 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.rebalanceOracleSql)),
 
+    // The fractional selection form through the text surface: keep the
+    // best quarter of every language by n_chars — compiles to
+    // Selection.topFracPerStratum(1/4 ≡ 25 pct).
+    Gate("hb_select_topfrac",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |top 25 pct by n_chars per lang
+          |create column doc_id keys
+          |slice columns lang rank doc_id n_chars
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("lang"), col("rank")),
+      Some("""SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, n_chars
+        |FROM (SELECT lang, doc_id, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY lang
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |        COUNT(*) OVER (PARTITION BY lang) AS n
+        |      FROM documents)
+        |WHERE rank <= (n * 25 + 99) // 100
+        |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
     // The weighted rebalance clause through the text surface — same
     // rebalanceByWeight call (char-mass mix) and same oracle as the
     // Scala-surface twin t_rebalance_tokens.
@@ -716,6 +736,24 @@ object HbGates {
           |""".stripMargin, t(s, d, "embeddings"))
         .orderBy(col("rank")),
       Some(SimilarityGates.kCenterOracleSql(k = 8))),
+
+    // Drift as a configuration source: snapshot QA between two
+    // configurations — same Drift.topMovers call and same oracle as
+    // the Scala-surface twin t_corpus_drift.
+    Gate("hb_drift_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "snap_a" -> conf(TableSource("documents"),
+            "only (contains source ['src0'; 'src1'; 'src2'; 'src3'; 'src4'])"),
+          "snap_b" -> conf(TableSource("documents"),
+            "only (!(contains source ['src0'; 'src1'; 'src2'; 'src3'; 'src4']))"),
+          "report" -> conf(DriftOf("snap_a", "snap_b", "text", k = 15),
+            "slice columns direction rank token cnt_a cnt_b ratio"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "report")
+          .orderBy(col("direction"), col("rank"))
+      },
+      Some(TextGates.driftOracleSql)),
 
     Gate("hb_neighbors",
       (s, d) => Graft.runHb(neighborsHb, t(s, d, "embeddings"))

@@ -222,6 +222,50 @@ object TextGates {
       |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_corpus_drift oracle — counts, smoothed ratios and the
+    * two TakeOrdered cuts. Shared with the configuration twin
+    * `hb_drift_cfg` in HbGates. */
+  private[queries] lazy val driftOracleSql: String =
+    """WITH ta AS (
+        |  SELECT tk[i] AS token
+        |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents
+        |        WHERE source IN ('src0','src1','src2','src3','src4')),
+        |    unnest(range(1, len(tk) + 1)) AS t(i)),
+        |tb AS (
+        |  SELECT tk[i] AS token
+        |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |        FROM documents
+        |        WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |    unnest(range(1, len(tk) + 1)) AS t(i)),
+        |ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY token),
+        |cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY token),
+        |m AS (
+        |  SELECT token, COALESCE(cnt_a, 0) AS cnt_a,
+        |    COALESCE(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb USING (token)),
+        |st AS (
+        |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta2,
+        |    CAST(SUM(cnt_b) AS BIGINT) AS tb2, count(*) AS v FROM m),
+        |sc AS (
+        |  SELECT token, cnt_a, cnt_b,
+        |    ((cnt_b + 1.0) * (ta2 + v)) / ((cnt_a + 1.0) * (tb2 + v))
+        |      AS ratio
+        |  FROM m, st),
+        |rising AS (
+        |  SELECT 'rising' AS direction,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, token ASC)
+        |      AS INTEGER) AS rank, token, cnt_a, cnt_b, ratio
+        |  FROM sc ORDER BY ratio DESC, token ASC LIMIT 15),
+        |falling AS (
+        |  SELECT 'falling' AS direction,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY ratio ASC, token ASC)
+        |      AS INTEGER) AS rank, token, cnt_a, cnt_b, ratio
+        |  FROM sc ORDER BY ratio ASC, token ASC LIMIT 15)
+        |SELECT * FROM (SELECT * FROM rising UNION ALL
+        |  SELECT * FROM falling)
+        |ORDER BY direction ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+
   /** The t_rebalance_tokens oracle — rebalanceOracleSql with the
     * per-stratum mass as SUM(n_chars) under salt reb2. */
   private[queries] lazy val rebalanceTokensOracleSql: String =
@@ -1228,45 +1272,7 @@ object TextGates {
       graft.operators.Drift.topMovers(a, b, "text", k = 15)
         .orderBy(col("direction"), col("rank"))
     },
-      Some("""WITH ta AS (
-        |  SELECT tk[i] AS token
-        |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-        |        FROM documents
-        |        WHERE source IN ('src0','src1','src2','src3','src4')),
-        |    unnest(range(1, len(tk) + 1)) AS t(i)),
-        |tb AS (
-        |  SELECT tk[i] AS token
-        |  FROM (SELECT string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-        |        FROM documents
-        |        WHERE source NOT IN ('src0','src1','src2','src3','src4')),
-        |    unnest(range(1, len(tk) + 1)) AS t(i)),
-        |ca AS (SELECT token, count(*) AS cnt_a FROM ta GROUP BY token),
-        |cb AS (SELECT token, count(*) AS cnt_b FROM tb GROUP BY token),
-        |m AS (
-        |  SELECT token, COALESCE(cnt_a, 0) AS cnt_a,
-        |    COALESCE(cnt_b, 0) AS cnt_b
-        |  FROM ca FULL OUTER JOIN cb USING (token)),
-        |st AS (
-        |  SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta2,
-        |    CAST(SUM(cnt_b) AS BIGINT) AS tb2, count(*) AS v FROM m),
-        |sc AS (
-        |  SELECT token, cnt_a, cnt_b,
-        |    ((cnt_b + 1.0) * (ta2 + v)) / ((cnt_a + 1.0) * (tb2 + v))
-        |      AS ratio
-        |  FROM m, st),
-        |rising AS (
-        |  SELECT 'rising' AS direction,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY ratio DESC, token ASC)
-        |      AS INTEGER) AS rank, token, cnt_a, cnt_b, ratio
-        |  FROM sc ORDER BY ratio DESC, token ASC LIMIT 15),
-        |falling AS (
-        |  SELECT 'falling' AS direction,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY ratio ASC, token ASC)
-        |      AS INTEGER) AS rank, token, cnt_a, cnt_b, ratio
-        |  FROM sc ORDER BY ratio ASC, token ASC LIMIT 15)
-        |SELECT * FROM (SELECT * FROM rising UNION ALL
-        |  SELECT * FROM falling)
-        |ORDER BY direction ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+      Some(driftOracleSql)),
 
     // CCNet's head/middle/tail diagnostic: the scored corpus cut into
     // perplexity terciles (global NTILE over (avg1000, doc_id) — the

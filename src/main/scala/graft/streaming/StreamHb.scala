@@ -113,6 +113,8 @@ object StreamHb {
     case _: RebalanceBy =>
       Some("rebalancing rates derive from whole-frame counts")
     case _: TopBy => Some("top-per-stratum ranks the whole frame")
+    case _: TopFracBy =>
+      Some("fractional selection ranks the whole stratum")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: Shuffle => Some("epoch order numbers the whole frame")
     case _: Diverse => Some("k-center selection scans the whole frame")

@@ -190,6 +190,8 @@ class DslSpec extends AnyFunSuite {
       yield Encode(nm, n),
     for { k <- Gen.chooseNum(1, 50); sc <- genName; st <- genName }
       yield TopBy(k, sc, st),
+    for { p2 <- Gen.chooseNum(1, 100); sc <- genName; st <- genName }
+      yield TopFracBy(p2, sc, st),
     for { nm <- genName; n <- Gen.chooseNum(1, 512) }
       yield BpeEnc(nm, n),
     for { nm <- genName; k <- Gen.chooseNum(1, 3)

@@ -168,6 +168,8 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement("encode text 64") == Encode("text", 64))
     assert(HbParser.parseStatement("top 5 by n_chars per source") ==
       TopBy(5, "n_chars", "source"))
+    assert(HbParser.parseStatement("top 25 pct by n_chars per lang") ==
+      TopFracBy(25, "n_chars", "lang"))
     assert(HbParser.parseStatement("bpe text 8") == BpeEnc("text", 8))
     assert(HbParser.parseStatement(
       "window ts 60 group by event_type -> sum") ==
