@@ -78,6 +78,12 @@ object Configurations {
     * QA as a configuration source. */
   case class DriftOf(a: String, b: String, textField: String, k: Int)
       extends ConfSource
+  /** Vocabulary-coverage report (Graft.vocabCoverage): per-stratum OOV
+    * mass of the corpus configuration under a size-capped vocabulary
+    * fitted on the vocab configuration. */
+  case class CoverageOf(corpus: String, vocabCorpus: String,
+      stratumField: String, textField: String, size: Int)
+      extends ConfSource
 
   case class Conf(source: ConfSource, statements: Seq[Statement])
 
@@ -128,6 +134,9 @@ object Configurations {
         case DriftOf(a, b, tx, k) =>
           s"drift(${lineageKey(configs, a)},${lineageKey(configs, b)}," +
             s"$tx,$k)"
+        case CoverageOf(cp, vc, st, tx, sz) =>
+          s"coverage(${lineageKey(configs, cp)},${lineageKey(configs, vc)}," +
+            s"$st,$tx,$sz)"
       }
       (src +: c.statements.map(Printer.print)).mkString(":")
     }
@@ -165,6 +174,8 @@ object Configurations {
                 sa, mn)
             case DriftOf(a, b, tx, k) =>
               Graft.drift(sub(a), sub(b), tx, k)
+            case CoverageOf(cp, vc, st, tx, sz) =>
+              Graft.vocabCoverage(sub(cp), sub(vc), st, tx, sz)
           }
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)

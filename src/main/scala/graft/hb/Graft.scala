@@ -123,6 +123,15 @@ object Graft {
       k: Int): DataFrame =
     graft.operators.Drift.topMovers(a, b, textField, k)
 
+  /** Coverage provider: per-stratum OOV report of the corpus
+    * configuration under a size-capped vocabulary fitted on the vocab
+    * configuration (operators.Vocab.coverage — the tokenizer sanity
+    * table as a configuration source). */
+  def vocabCoverage(corpus: DataFrame, vocabCorpus: DataFrame,
+      stratumField: String, textField: String, size: Int): DataFrame =
+    graft.operators.Vocab.coverage(corpus, stratumField, textField,
+      graft.operators.Vocab.fit(vocabCorpus, textField, size))
+
   /** DSIR provider: importance-select the raw configuration toward a
     * target configuration's token distribution — keep the top `pct`% of
     * raw rows by smoothed target-vs-raw unigram likelihood ratio

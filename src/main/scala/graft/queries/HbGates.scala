@@ -737,6 +737,22 @@ object HbGates {
         .orderBy(col("rank")),
       Some(SimilarityGates.kCenterOracleSql(k = 8))),
 
+    // Vocabulary coverage as a configuration source: the corpus scored
+    // against a vocab fitted on the full table — same Vocab.coverage
+    // call and same oracle as the Scala twin t_oov_rate.
+    Gate("hb_coverage_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "docs" -> conf(TableSource("documents"), ""),
+          "report" -> conf(
+            CoverageOf("docs", "docs", "source", "text", size = 64),
+            "slice columns source n_tokens n_oov oov_permille"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "report")
+          .orderBy(col("source"))
+      },
+      Some(TextGates.oovOracleSql)),
+
     // Drift as a configuration source: snapshot QA between two
     // configurations — same Drift.topMovers call and same oracle as
     // the Scala-surface twin t_corpus_drift.

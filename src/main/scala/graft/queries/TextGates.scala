@@ -222,6 +222,25 @@ object TextGates {
       |    || ':reb1'), 1, 8) AS BIGINT) % 10000 < cut.cut
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_oov_rate oracle — vocab fit + per-source OOV mass.
+    * Shared with the configuration twin `hb_coverage_cfg`. */
+  private[queries] lazy val oovOracleSql: String =
+    """WITH tok AS (
+        |  SELECT source,
+        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT 64)
+        |SELECT t.source, count(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000) // count(*) AS oov_permille
+        |FROM tok t LEFT JOIN vocab v USING (tok)
+        |GROUP BY t.source
+        |ORDER BY t.source ASC NULLS FIRST""".stripMargin
+
   /** The t_corpus_drift oracle — counts, smoothed ratios and the
     * two TakeOrdered cuts. Shared with the configuration twin
     * `hb_drift_cfg` in HbGates. */
@@ -865,21 +884,7 @@ object TextGates {
           graft.operators.Vocab.fit(docs, "text", 64))
           .orderBy(col("source"))
       },
-      Some("""WITH tok AS (
-        |  SELECT source,
-        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
-        |  FROM documents),
-        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
-        |vocab AS (
-        |  SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT 64)
-        |SELECT t.source, count(*) AS n_tokens,
-        |  CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    AS n_oov,
-        |  (CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-        |    * 1000) // count(*) AS oov_permille
-        |FROM tok t LEFT JOIN vocab v USING (tok)
-        |GROUP BY t.source
-        |ORDER BY t.source ASC NULLS FIRST""".stripMargin)),
+      Some(oovOracleSql)),
 
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB
@@ -1273,6 +1278,43 @@ object TextGates {
         .orderBy(col("direction"), col("rank"))
     },
       Some(driftOracleSql)),
+
+    // The r9 composition flagship: seed-classifier filter feeding the
+    // fractional stratified selection — keep the corpus docs that look
+    // like the positive seed, then the best half of every language by
+    // margin. Pins the operator INTERACTION (the selection ranks the
+    // classifier's survivors, not the raw corpus).
+    Gate("t_curation_v2", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pos = docs.filter(col("source").isin("src0", "src1"))
+      val neg = docs.filter(col("source").isin("src2", "src3"))
+      val raw = docs.filter(
+        !col("source").isin("src0", "src1", "src2", "src3"))
+      val kept = graft.operators.Classifier
+        .score(raw,
+          graft.operators.Classifier.fit(pos, neg, "text", 4096, "nb"),
+          "doc_id", "text", 4096, "nb")
+        .filter(col("margin1000") >= 0)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      graft.operators.Selection
+        .topFracPerStratum(kept, "lang", "margin1000", "doc_id", 1, 2)
+        .select(col("lang"), col("rank"), col("doc_id"), col("margin1000"))
+        .orderBy(col("lang"), col("rank"))
+    },
+      Some("WITH " + classifierCtesSql + "\n" +
+        """, kept AS (
+          |  SELECT f.doc_id, d.lang, f.margin1000
+          |  FROM fin f JOIN documents d USING (doc_id)
+          |  WHERE f.margin1000 >= 0),
+          |rk AS (
+          |  SELECT lang, doc_id, margin1000,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY margin1000 DESC, doc_id ASC) AS rank,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM kept)
+          |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, margin1000
+          |FROM rk WHERE rank <= (n * 1 + 1) // 2
+          |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
 
     // CCNet's head/middle/tail diagnostic: the scored corpus cut into
     // perplexity terciles (global NTILE over (avg1000, doc_id) — the
