@@ -124,9 +124,16 @@ class ConfigurationsSpec extends AnyFunSuite {
       "r1" -> Conf(RangeOf("a", "b", "t", "s", "e", Seq("k"), Seq("k"),
         10L), Nil),
       "ds1" -> Conf(DsirOf("a", "b", "id", "text", 20), Nil),
-      "ds2" -> Conf(DsirOf("a", "b", "id", "text", 20, buckets = 64), Nil))
+      "ds2" -> Conf(DsirOf("a", "b", "id", "text", 20, buckets = 64), Nil),
+      "cl1" -> Conf(ClassifierOf("a", "b", "b", "id", "text", 512, "nb",
+        0L), Nil),
+      "dr1" -> Conf(DriftOf("a", "b", "text", 10), Nil),
+      "cv1" -> Conf(CoverageOf("a", "b", "src", "text", 64), Nil),
+      "su1" -> Conf(SurprisalOf("a", "b", "id", "text", 512, "lm",
+        9999L), Nil))
     val r = new Runner(spark, _ => fail("not resolved"))
-    val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2")
+    val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2", "cl1", "dr1",
+      "cv1", "su1")
       .map(r.lineageKey(cfgs, _))
     assert(keys.distinct.size == keys.size)
     assert(keys.forall(_.contains("table:t1")))

@@ -63,7 +63,10 @@ class StreamHbSpec extends AnyFunSuite {
       "pivot [user_id] [event_type] -> sum [value]\n" -> "pivot",
       "group by user_id -> maxby value\n" -> "maxby",
       "top 5 by value per user_id\n" -> "top 5 by",
-      "bpe text 8\n" -> "bpe text")
+      "top 25 pct by value per user_id\n" -> "top 25 pct",
+      "bpe text 8\n" -> "bpe text",
+      "shuffle 'e1'\n" -> "shuffle",
+      "diverse 4 [vec]\n" -> "diverse")
     cases.foreach { case (program, what) =>
       val e = intercept[IllegalArgumentException] {
         StreamHb.validate(HbParser.parse(program))
