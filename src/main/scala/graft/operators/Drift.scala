@@ -65,4 +65,27 @@ object Drift {
       .select(col("direction"), col("rank"), col("token"),
         col("cnt_a"), col("cnt_b"), col("ratio"))
   }
+
+  /** Document-level snapshot diff — the doc-granularity complement of
+    * [[topMovers]]: every id in either snapshot labeled `added`
+    * (only in B), `removed` (only in A), `changed` (both, normalized
+    * content digest differs — [[Dedup.fingerprint]], the exact-dedup
+    * identity) or `unchanged`. The membership table an ingest review
+    * reads before promoting a new corpus version.
+    *
+    * 100 TB shape: each side reduces to (id, 32-byte digest) in the
+    * scan stage; the diff is one id-keyed full-outer join — documents
+    * never shuffle. */
+  def snapshotDiff(a: DataFrame, b: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fps(df: DataFrame, as: String) = df.select(col(idCol),
+      Dedup.fingerprint(col(textCol)).as(as))
+    fps(a, "__fa").join(fps(b, "__fb"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") === col("__fb"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col(idCol), col("status"))
+  }
 }

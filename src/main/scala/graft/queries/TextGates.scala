@@ -1279,6 +1279,44 @@ object TextGates {
     },
       Some(driftOracleSql)),
 
+    // Doc-level snapshot diff: v2 of the corpus built in-plan (every
+    // 7th doc removed, every 5th survivor's text edited, every 11th
+    // doc re-added under a new id) and diffed against v1 — the
+    // membership table an ingest review reads before promoting.
+    Gate("t_snapshot_diff", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.Drift.snapshotDiff(docs, v2, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH v1 AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fa
+        |  FROM documents),
+        |v2b AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fb
+        |  FROM v2b)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN fa = fb THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // The r9 composition flagship: seed-classifier filter feeding the
     // fractional stratified selection — keep the corpus docs that look
     // like the positive seed, then the best half of every language by

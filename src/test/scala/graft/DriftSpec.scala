@@ -24,6 +24,23 @@ class DriftSpec extends AnyFunSuite {
     assert(out.contains(("falling", 1, "oldspam")), out.mkString(", "))
   }
 
+  test("snapshotDiff labels membership and content changes") {
+    val a = Seq((1L, "same text"), (2L, "old  text"), (3L, "gone"))
+      .toDF("id", "text")
+    val b = Seq((1L, "same text"), (2L, "new text"), (4L, "fresh"))
+      .toDF("id", "text")
+    val out = Drift.snapshotDiff(a, b, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"), out.toString)
+    // whitespace-normalized identity: "old  text" vs "old text" is
+    // UNCHANGED (the exact-dedup fingerprint)
+    val c = Seq((2L, "old text")).toDF("id", "text")
+    val out2 = Drift.snapshotDiff(a, c, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2(2L) == "unchanged")
+  }
+
   test("report is invariant under partitioning") {
     val a = df(Seq("x y z"))
     val b = df(Seq("p q r"))
