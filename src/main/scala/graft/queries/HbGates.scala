@@ -579,6 +579,51 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.rebalanceOracleSql)),
 
+    // The r9 statements CHAINED through one parsed program: fractional
+    // selection feeds the weighted rebalance feeds the epoch shuffle —
+    // rank is computed on the selection's survivors, the mass cuts on
+    // the rebalance's input, the epoch positions on the final kept set.
+    // The whole pipeline replays as one SQL chain.
+    Gate("hb_pipeline_r9",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |top 50 pct by n_chars per lang
+          |rebalance by lang weight n_chars [en 40; de 30; fr 30] 'p9'
+          |shuffle 'ep9'
+          |create column doc_id keys
+          |slice columns doc_id lang n_chars rank shuffle_pos
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shuffle_pos")),
+      Some("""WITH sel AS (
+        |  SELECT doc_id, lang, n_chars, rank FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |      COUNT(*) OVER (PARTITION BY lang) AS n
+        |    FROM documents)
+        |  WHERE rank <= (n * 50 + 99) // 100),
+        |cnt AS (
+        |  SELECT lang AS st, CAST(SUM(n_chars) AS BIGINT) AS n
+        |  FROM sel GROUP BY lang),
+        |tgt(st, t) AS (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3)),
+        |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+        |cap AS (SELECT MIN(n / t) AS cap FROM j),
+        |cut AS (SELECT st,
+        |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+        |      AS BIGINT) AS cut
+        |  FROM j, cap),
+        |kept AS (
+        |  SELECT s2.doc_id, s2.lang, s2.n_chars, s2.rank FROM sel s2
+        |  JOIN cut ON cut.st = s2.lang
+        |  WHERE CAST('0x' || SUBSTR(md5(CAST(s2.doc_id AS VARCHAR)
+        |      || ':p9'), 1, 8) AS BIGINT) % 10000 < cut.cut)
+        |SELECT doc_id, lang, n_chars, CAST(rank AS INTEGER) AS rank,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':ep9'),
+        |      1, 8) AS BIGINT), doc_id) AS BIGINT) AS shuffle_pos
+        |FROM kept
+        |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin)),
+
     // The fractional selection form through the text surface: keep the
     // best quarter of every language by n_chars — compiles to
     // Selection.topFracPerStratum(1/4 ≡ 25 pct).
