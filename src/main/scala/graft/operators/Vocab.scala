@@ -66,6 +66,31 @@ object Vocab {
       size: Int): DataFrame =
     encode(df, idCol, textCol, fit(df, textCol, size))
 
+  /** The fitted vocabulary as a driver-side map for the narrow
+    * encoding path — bounded by the fit contract (≤ size rows). */
+  def vocabMap(vocab: DataFrame): Map[String, Int] = {
+    vocab.select(col("token"), col("id").cast(IntegerType))
+      .collect() // ≤ size rows by Vocab.fit construction
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+  }
+
+  /** Zero-shuffle encoding: `token_ids` as a per-row transform of the
+    * token array against the vocabulary embedded as a literal map — no
+    * explode, no aggregation, STREAM-SAFE (fit the vocabulary offline,
+    * encode the live stream; the [[Surprisal.withScoresNarrow]]
+    * discipline). OOV → 0, null text → null, identical values to
+    * [[encode]] (VocabSpec). The literal scales with the vocabulary —
+    * right for the ≤size fit contract; a 100k+ external vocabulary
+    * should use [[encode]]'s broadcast join in batch instead. */
+  def encodeNarrow(df: DataFrame, textCol: String,
+      vocab: Map[String, Int]): DataFrame = {
+    val vLit = typedlit(vocab)
+    val tk = Decontaminate.tokens(col(textCol))
+    df.withColumn("token_ids",
+      when(tk.isNotNull,
+        transform(tk, w => coalesce(element_at(vLit, w), lit(0)))))
+  }
+
   /** Per-stratum vocabulary coverage: (stratumCol, n_tokens, n_oov,
     * oov_permille) — the tokenizer-coverage sanity metric a pipeline
     * checks before committing to a vocabulary (an OOV rate that

@@ -220,6 +220,14 @@ object StreamGates {
           |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
           |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Offline-fit / online-encode: the vocabulary fits in batch, the
+    // live stream tokenizes through the narrow literal-map path —
+    // same ids as t_vocab_encode, same oracle.
+    Gate("st_vocab_encode",
+      (s, d) => StreamOps.vocabEncodeStream(s, d, "st_vocab_encode_out")
+        .orderBy(col("doc_id")),
+      Some(TextGates.vocabOracleSql)),
+
     // The hashed-NB twin: seed classifier fit in batch, margins scored
     // on the live stream through the same stateless narrow-map shape.
     Gate("st_nb_score",

@@ -268,6 +268,24 @@ object StreamOps {
         col("avg1000")), queryName)
   }
 
+  /** Offline-fit / online-encode: the frequency vocabulary fits in
+    * batch, the live documents stream encodes through
+    * [[graft.operators.Vocab.encodeNarrow]] — a stateless narrow map
+    * (the tokenize-the-firehose pairing). Emits the space-joined
+    * scalar form of the ids. */
+  def vocabEncodeStream(spark: SparkSession, dir: String,
+      queryName: String, size: Int = 64): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val vm = graft.operators.Vocab.vocabMap(
+      graft.operators.Vocab.fit(docs, "text", size))
+    runAppend(graft.operators.Vocab.encodeNarrow(
+        readDocsStream(spark, dir), "text", vm)
+      .select(col("doc_id"),
+        when(col("token_ids").isNotNull,
+          concat_ws(" ", col("token_ids"))).as("token_ids_str")),
+      queryName)
+  }
+
   /** Offline-fit / online-score twin for the hashed-NB seed classifier:
     * positive/negative seed models fit in batch, the stream scored by
     * [[graft.operators.Classifier.withMarginsNarrow]] — same stateless

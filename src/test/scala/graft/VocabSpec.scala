@@ -70,6 +70,17 @@ class VocabSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("narrow (literal-map) encoding matches the join path exactly") {
+    val v = Vocab.fit(docs, "text", size = 3)
+    val joined = Vocab.encode(docs, "id", "text", v)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Int](2).toList)).toMap
+    val narrow = Vocab.encodeNarrow(docs, "text", Vocab.vocabMap(v))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Int](2).toList)).toMap
+    assert(narrow == joined, s"narrow=$narrow joined=$joined")
+  }
+
   test("coverage counts exactly what encode would map to id 0") {
     val strat = Seq(("x", "b a a c"), ("x", "a b rare"), ("y", "z q"))
       .toDF("src", "text")
