@@ -356,7 +356,7 @@ object Engine {
     case BpeEnc(c, n) =>
       // merge table trained on the frame itself (bounded driver rows:
       // one per merge), encoding a pure narrow map; row set unchanged
-      f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeCol(
+      f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
         col(c), graft.operators.Bpe.fit(f.df, c, n, minCount = 1L))))
 
     case RebalanceBy(strat, ts, salt, w) =>

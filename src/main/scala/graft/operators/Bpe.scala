@@ -131,6 +131,15 @@ object Bpe {
     * with the merge count; for vocabularies beyond a few hundred
     * merges, materialize intermediate columns every ~64 folds to keep
     * codegen happy — still narrow.) */
+  /** [[encodeCol]] as the native single-pass expression
+    * (functions.BpeEncodeExpr) — identical output (BpeSpec pins the
+    * parity property), ~10× less work than the interpreted nested-HOF
+    * fold. The production encode path; the HOF form remains as the
+    * executable semantic specification. */
+  def encodeColFast(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncodeExpr.bpe_encode(text,
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
   def encodeCol(text: Column, merges: Seq[Merge]): Column = {
     val sorted = merges.sortBy(_.rank)
     concat_ws(" ",
@@ -149,5 +158,5 @@ object Bpe {
   def fitEncode(df: DataFrame, textCol: String, nMerges: Int,
       encCol: String = "bpe", minCount: Long = 1L): DataFrame =
     df.withColumn(encCol,
-      encodeCol(col(textCol), fit(df, textCol, nMerges, minCount)))
+      encodeColFast(col(textCol), fit(df, textCol, nMerges, minCount)))
 }

@@ -228,6 +228,14 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
+    // Offline-train / online-tokenize for BPE: the merge table trains
+    // in batch, the stream encodes through the pure column expression
+    // — same subword streams as t_bpe_encode, same oracle.
+    Gate("st_bpe_encode",
+      (s, d) => StreamOps.bpeEncodeStream(s, d, "st_bpe_encode_out")
+        .orderBy(col("doc_id")),
+      Some(TextGates.bpeEncodeOracleSql)),
+
     // The hashed-NB twin: seed classifier fit in batch, margins scored
     // on the live stream through the same stateless narrow-map shape.
     Gate("st_nb_score",

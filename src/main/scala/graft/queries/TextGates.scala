@@ -1199,7 +1199,7 @@ object TextGates {
       val docs = t(s, d, "documents")
       val merges = graft.operators.Bpe.fit(docs, "text", 8, minCount = 1L)
       docs.select(col("doc_id"),
-        graft.operators.Bpe.encodeCol(col("text"), merges).as("bpe"))
+        graft.operators.Bpe.encodeColFast(col("text"), merges).as("bpe"))
         .orderBy(col("doc_id"))
     },
       Some(bpeEncodeOracleSql)),

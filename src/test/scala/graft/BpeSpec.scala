@@ -56,4 +56,27 @@ class BpeSpec extends AnyFunSuite {
     val b = Bpe.fit(docs.repartition(11), "text", 6, minCount = 1L)
     assert(a == b)
   }
+
+  test("native encodeColFast matches the HOF form char-for-char") {
+    val train = Seq.tabulate(30)(i =>
+      (i.toLong, "low lower lowest newer wider")).toDF("doc_id", "text")
+    val merges = Bpe.fit(train, "text", 8, minCount = 1L)
+    val probes = Seq(
+      (1L, "low lower lowest"),
+      (2L, "  leading   and trailing  "),
+      (3L, "MiXeD CaSe LoWeR"),
+      (4L, "unseen新词 mixed 中文 tokens"),
+      (5L, ""), (6L, "   "),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = probes.select(col("doc_id"),
+      Bpe.encodeCol(col("text"), merges).as("hof"),
+      Bpe.encodeColFast(col("text"), merges).as("fast"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"doc ${r.getLong(0)}: hof='${r.getString(1)}' " +
+          s"fast='${r.getString(2)}'")
+    }
+  }
 }
