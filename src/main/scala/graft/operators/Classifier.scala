@@ -37,9 +37,10 @@ import org.apache.spark.sql.types._
   * broadcast one-row cross join (same discipline as [[Dsir]]).
   *
   * Reference scope: hobbes has no trainable scorer — its closest shape
-  * is `only` over hand-written predicates
-  * (/root/reference/src/hobbes.core/Transformers.fs `only`); this is
-  * the learned generalization a training-data pipeline needs.
+  * is `only` over hand-written predicates (`only (lhs) = (rhs)`,
+  * /root/reference/tools/hobbes-vscode/.vscode/
+  * hobbes-autocomplete.code-snippets:78-81); this is the learned
+  * generalization a training-data pipeline needs.
   */
 object Classifier {
 
@@ -119,11 +120,22 @@ object Classifier {
     * the live firehose). Rows are never dropped: documents without
     * token evidence keep NULL statistics (a stream cannot drop rows by
     * aggregation). Values match [[score]] bit-for-bit where both exist
-    * (ClassifierSpec). */
+    * (ClassifierSpec).
+    *
+    * Literal-map bound (the [[Vocab.encodeNarrow]] contract): the ≤2·B
+    * model entries ride in the expression tree as `typedlit` maps —
+    * right for the hashed-fit contract (B defaults to 4096) and
+    * necessary for the stream-stateless pairing, but the literal scales
+    * with B, so the path REQUIRES B ≤ 65536; a larger model belongs on
+    * [[score]]'s broadcast-join path in batch (the plan keeps a
+    * BroadcastHashJoin at any B — ClassifierSpec pins it). */
   def withMarginsNarrow(df: DataFrame, mp: Map[Long, Long],
       mn: Map[Long, Long], nPos: Long, nNeg: Long, textCol: String,
       buckets: Int, salt: String): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    require(buckets <= 65536, s"withMarginsNarrow embeds the model as " +
+      s"a literal map — bounded at 65536 buckets, got $buckets; use " +
+      s"Classifier.score's broadcast-join path for larger models")
     Seq("n_tokens", "margin_sum", "margin1000").foreach { c =>
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")

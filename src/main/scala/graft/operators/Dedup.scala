@@ -264,10 +264,17 @@ object Dedup {
     // corpus changes. Artifact size is one compact row per reference
     // doc (shingle digests + 64 sig longs) — disk-bounded, never
     // driver-bounded.
+    // The key folds in EVERY parameter the stored artifact was computed
+    // from — textCol, the reference id column, the shingle size, perms,
+    // portability — not just refKey: reusing a refKey with a different
+    // text column must MISS (recompute), never silently serve shingles
+    // computed from the wrong column. refKey itself still covers corpus
+    // identity (caller-owned hygiene, as documented above).
     def stored(part: String)(compute: => DataFrame): DataFrame =
       refStore match {
         case Some((lc, refKey)) => lc.getOrCompute(lc.key("minhashref",
-          Seq(refKey, part, numPerms.toString, portable.toString)))(compute)
+          Seq(refKey, part, textCol, rightId, "shingle=3",
+            numPerms.toString, portable.toString)))(compute)
         case None => compute
       }
     val shR = cached(stored("shingles")(

@@ -57,25 +57,36 @@ object RangeJoin {
     require(!points.columns.contains("__bin") &&
       !intervals.columns.contains("__bin"), "__bin is reserved")
 
+    // Both sides are ALIASED and every join/filter/projection column is
+    // plan-qualified: when points and intervals derive from the same
+    // frame (a self range-join), dataframe-column references on the two
+    // sides carry the SAME attribute ids and `pts(k) === ivals(k)`
+    // builds a trivially-true predicate that only works because Spark's
+    // dataset-id disambiguation repairs it (with a WARN). Qualified
+    // references resolve against the aliases at analysis — no repair,
+    // no WARN, stable across Spark upgrades.
+    def q(side: String, c: String) = col(s"$side.`$c`")
     val ivals = intervals
       .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
         col(startCol) <= col(endCol))
       .withColumn("__bin",
         explode(sequence(fdiv(col(startCol), binWidth),
           fdiv(col(endCol), binWidth))))
+      .alias("__rj_i")
     val pts = points
       .filter(col(pointCol).isNotNull)
       .withColumn("__bin", fdiv(col(pointCol), binWidth))
+      .alias("__rj_p")
 
     val joinCond = (pointKeys.zip(intervalKeys)
-      .map { case (pk, ik) => pts(pk) === ivals(ik) } :+
-      (pts("__bin") === ivals("__bin"))).reduce(_ && _)
+      .map { case (pk, ik) => q("__rj_p", pk) === q("__rj_i", ik) } :+
+      (q("__rj_p", "__bin") === q("__rj_i", "__bin"))).reduce(_ && _)
     val dupIvalCols = intervalKeys.toSet + "__bin"
     pts.join(ivals, joinCond, "inner")
-      .filter(pts(pointCol) >= ivals(startCol) &&
-        pts(pointCol) <= ivals(endCol))
-      .select(points.columns.toIndexedSeq.map(pts(_)) ++
+      .filter(q("__rj_p", pointCol) >= q("__rj_i", startCol) &&
+        q("__rj_p", pointCol) <= q("__rj_i", endCol))
+      .select(points.columns.toIndexedSeq.map(q("__rj_p", _)) ++
         intervals.columns.filterNot(dupIvalCols.contains)
-          .map(ivals(_)): _*)
+          .map(q("__rj_i", _)): _*)
   }
 }

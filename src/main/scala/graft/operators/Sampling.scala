@@ -116,7 +116,15 @@ object Sampling {
     * keep-decision stays per-row (salted hash < stratum cut), so each
     * stratum retains rate·mass in hash-expectation; a null or
     * non-positive weight raises in-plan (it would silently corrupt the
-    * budget). Same single count-aggregate + broadcast-cut shape. */
+    * budget). Same single count-aggregate + broadcast-cut shape.
+    *
+    * Fractional weights are summed in the column's NATIVE type and cast
+    * to long once after aggregation — the oracle's
+    * `CAST(SUM(w) AS BIGINT)` shape — never truncated per row (a
+    * stratum of sub-1.0 weights would otherwise sum to 0 mass and be
+    * silently dropped). A stratum whose total mass still rounds to
+    * zero raises in-plan: its keep-rate would be undefined and the mix
+    * would silently renormalize over the others. */
   def rebalanceByWeight(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, weightCol: String,
       targets: Map[String, Double]): DataFrame = {
@@ -138,8 +146,19 @@ object Sampling {
     val spark = df.sparkSession
     val tgtDf = spark.createDataFrame(targets.toSeq.sortBy(_._1))
       .toDF("__st", "__t")
+    // sum in the native weight type, cast ONCE after aggregation (the
+    // oracle's CAST(SUM(w) AS BIGINT)): casting per row truncates every
+    // fractional weight to 0 and can silently drop a whole stratum
     val cnt = df.groupBy(col(stratumCol).as("__st"))
-      .agg(sum(mass.cast("long")).as("__n"))
+      .agg(sum(mass).cast("long").as("__nraw"))
+      .withColumn("__n", when(col("__nraw") <= 0,
+        raise_error(concat(lit("rebalance: stratum "),
+          col("__st").cast("string"),
+          lit(" has non-positive total mass after the long cast — " +
+            "use a weight unit whose stratum totals are >= 1")))
+          .cast("long"))
+        .otherwise(col("__nraw")))
+      .drop("__nraw")
     val j = cnt.join(tgtDf, "__st")
     // every listed stratum must exist in the frame: the inner join
     // would otherwise silently DROP absent targets and the kept mix

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   * PER domain/language/source, so one over-represented stratum cannot
   * crowd the budget (the CCNet / FineWeb "quality bucket" shape, and the
   * reference's maxby-per-group generalized from 1 to k —
-  * /root/reference/src/hobbes.core/Transformers.fs group→maxby).
+  * `group by "col" -> maxby exp`, /root/reference/tools/hobbes-vscode/
+  * .vscode/hobbes-autocomplete.code-snippets:117-122).
   *
   * Determinism: ranking uses the total order (score DESC, id ASC) in
   * every engine — ties can never reorder across partitionings, and the

@@ -118,11 +118,22 @@ object Surprisal {
     * documents without bigram evidence keep NULL statistics — and the
     * model is a driver map ([[modelMaps]]) instead of a broadcast
     * frame. Values match [[score]] bit-for-bit where both exist
-    * (SurprisalSpec). */
+    * (SurprisalSpec).
+    *
+    * Literal-map bound (the [[Vocab.encodeNarrow]] contract): the ≤2·B
+    * model entries ride in the expression tree as `typedlit` maps —
+    * right for the hashed-fit contract (B defaults to 4096) and
+    * necessary for the stream-stateless pairing, but the literal scales
+    * with B, so the path REQUIRES B ≤ 65536; a larger model belongs on
+    * [[score]]'s broadcast-join path in batch (the plan keeps a
+    * BroadcastHashJoin at any B — SurprisalSpec pins it). */
   def withScoresNarrow(df: DataFrame, mp: Map[Long, Long],
       mc: Map[Long, Long], textCol: String, buckets: Int,
       salt: String): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    require(buckets <= 65536, s"withScoresNarrow embeds the model as a " +
+      s"literal map — bounded at 65536 buckets, got $buckets; use " +
+      s"Surprisal.score's broadcast-join path for larger models")
     Seq("n_pairs", "surprisal_sum", "avg1000").foreach { c =>
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")

@@ -288,9 +288,10 @@ object StreamOps {
 
   /** Offline-fit / online-encode twin for BPE: the merge table trains
     * in batch ([[graft.operators.Bpe.fit]], bounded driver rows — one
-    * per merge) and the live stream encodes through the pure
-    * column-expression [[graft.operators.Bpe.encodeCol]] — stateless,
-    * append-mode, nothing but the scan per micro-batch. */
+    * per merge) and the live stream encodes through the codegen'd
+    * native expression [[graft.operators.Bpe.encodeColFast]] (pinned
+    * bit-identical to the HOF spec `encodeCol` by BpeSpec) —
+    * stateless, append-mode, nothing but the scan per micro-batch. */
   def bpeEncodeStream(spark: SparkSession, dir: String,
       queryName: String, nMerges: Int = 8): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

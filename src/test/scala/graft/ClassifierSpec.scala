@@ -76,4 +76,22 @@ class ClassifierSpec extends AnyFunSuite {
     exploded.foreach { case (id, st) => assert(narrow(id).contains(st)) }
     assert(narrow(3L).isEmpty)
   }
+
+  test("beyond the literal-map bound the narrow path refuses and the " +
+      "batch path stays a broadcast join") {
+    val docs = Seq((1L, "the careful experiment")).toDF("doc_id", "text")
+    val bigB = 1 << 20
+    val e = intercept[IllegalArgumentException] {
+      Classifier.withMarginsNarrow(docs, Map(1L -> 1L), Map(1L -> 1L),
+        1L, 1L, "text", bigB, "c")
+    }
+    assert(e.getMessage.contains("literal map"), e.getMessage)
+    val m = Classifier.fit(pos, neg, "text", bigB, "c")
+    val plan = Classifier.score(docs, m, "doc_id", "text", bigB, "c")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, s"expected a broadcast model join:\n$plan")
+  }
 }

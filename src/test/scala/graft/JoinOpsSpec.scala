@@ -149,6 +149,47 @@ class JoinOpsSpec extends AnyFunSuite {
     noNestedLoop(out)
   }
 
+  test("range join: shared-lineage sides join cleanly — no trivially-" +
+    "true predicate repair (the sides are plan-qualified aliases)") {
+    // points and intervals derived from the SAME frame: before the
+    // alias fix, `pts(k) === ivals(k)` carried identical attribute ids
+    // and only worked because Spark's dataset-id disambiguation
+    // repaired the condition (logging a WARN from sql.Column) — a
+    // repair that is fragile across Spark upgrades. Capture that
+    // logger: the build must emit NO such warning.
+    import org.apache.logging.log4j.LogManager
+    import org.apache.logging.log4j.core.LogEvent
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    val captured = scala.collection.mutable.Buffer[String]()
+    val app = new AbstractAppender("graft-capture", null, null, false,
+      Array.empty[org.apache.logging.log4j.core.config.Property]) {
+      override def append(e: LogEvent): Unit =
+        captured.synchronized {
+          captured += e.getMessage.getFormattedMessage
+        }
+    }
+    app.start()
+    val logger = LogManager.getLogger("org.apache.spark.sql.Column")
+      .asInstanceOf[org.apache.logging.log4j.core.Logger]
+    logger.addAppender(app)
+    try {
+      val base = Ingest.localData(spark, Seq("k", "t"),
+        (0 until 50).map(i => Seq("k" + i % 3, i.toLong)))
+      val ivals = base.select(col("k"), col("t").as("s"),
+        (col("t") + 5L).as("e"))
+      val out = RangeJoin.binned(base, ivals, "t", "s", "e",
+        Seq("k"), Seq("k"), binWidth = 8L)
+      assert(out.count() > 0)
+      val bad = captured.synchronized {
+        captured.filter(_.contains("trivially true"))
+      }
+      assert(bad.isEmpty, s"trivially-true repair triggered: $bad")
+    } finally {
+      logger.removeAppender(app)
+      app.stop()
+    }
+  }
+
   test("range join: negative coordinates bin correctly (floor, not " +
     "truncate-toward-zero)") {
     val pts = Ingest.localData(spark, Seq("p"), Seq(Seq(-5L), Seq(-15L)))

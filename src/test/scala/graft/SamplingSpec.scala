@@ -172,6 +172,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-positive"), e.getMessage)
   }
 
+  test("rebalanceByWeight: fractional weights sum in the native type " +
+      "— a sub-1.0-weight stratum is never silently dropped") {
+    import spark.implicits._
+    // every weight in (0,1): per-row long-casting would truncate each
+    // to 0, sum the stratum to 0 mass and silently cut it entirely
+    // (ADVICE r9); native-sum-then-cast gives a=50, b=50 — equal mass,
+    // nothing cut
+    val df = (Seq.tabulate(100)(i => (i.toLong, "a", 0.5)) ++
+      Seq.tabulate(100)(i => (100L + i, "b", 0.5)))
+      .toDF("id", "src", "w")
+    val got = Sampling.rebalanceByWeight(df, "id", "rw", "src", "w",
+      Map("a" -> 0.5, "b" -> 0.5))
+    assert(got.count() == 200, "equal fractional mass → nothing cut")
+    // a stratum whose TOTAL mass still rounds to zero raises in-plan
+    // instead of silently renormalizing the mix
+    val tiny = (Seq.tabulate(3)(i => (i.toLong, "a", 0.1)) ++
+      Seq.tabulate(10)(i => (10L + i, "b", 5.0))).toDF("id", "src", "w")
+    val e2 = intercept[Exception] {
+      Sampling.rebalanceByWeight(tiny, "id", "rw", "src", "w",
+        Map("a" -> 0.5, "b" -> 0.5)).count()
+    }
+    assert(e2.getMessage.contains("non-positive total mass"),
+      e2.getMessage)
+  }
+
   test("shuffleOrder: a deterministic permutation, invariant under " +
       "partitioning, decorrelated across salts") {
     import spark.implicits._

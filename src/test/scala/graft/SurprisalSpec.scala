@@ -74,4 +74,26 @@ class SurprisalSpec extends AnyFunSuite {
     exploded.foreach { case (id, st) => assert(narrow(id).contains(st)) }
     assert(narrow(3L).isEmpty && narrow(4L).isEmpty)
   }
+
+  test("beyond the literal-map bound the narrow path refuses and the " +
+      "batch path stays a broadcast join") {
+    val docs = Seq((1L, "the cat sat")).toDF("doc_id", "text")
+    // a model too large to ride the expression tree as a literal map
+    val bigB = 1 << 20
+    val e = intercept[IllegalArgumentException] {
+      Surprisal.withScoresNarrow(docs, Map(1L -> 1L), Map(1L -> 1L),
+        "text", bigB, "s")
+    }
+    assert(e.getMessage.contains("literal map"), e.getMessage)
+    // the batch path at the same B: the model side is an explicit
+    // broadcast — the plan must keep BroadcastHashJoin, never flip to
+    // a shuffled join of corpus pairs against the model
+    val m = Surprisal.fit(ref, "text", bigB, "s")
+    val plan = Surprisal.score(docs, m, "doc_id", "text", bigB, "s")
+      .queryExecution.sparkPlan
+    val bhj = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.size == 2, s"expected 2 broadcast model joins:\n$plan")
+  }
 }
