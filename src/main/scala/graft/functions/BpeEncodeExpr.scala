@@ -42,10 +42,11 @@ case class BpeEncodeExpr(child: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"bpe_encode needs a string argument, got ${child.dataType}")
 
-  // flattened (left0, right0, left1, right1, …) in rank order — one
-  // flat reference object for codegen
-  private lazy val table: Array[String] =
-    merges.flatMap(m => Seq(m._1, m._2)).toArray
+  // one shared reference object for eval and codegen: the flat merge
+  // list plus its lazily-built (left → right → rank) lookup, so the
+  // per-word cost is independent of the merge count
+  private lazy val table: BpeEncodeExpr.Table =
+    new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(
@@ -53,7 +54,8 @@ case class BpeEncodeExpr(child: Expression,
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
-    val tbl = ctx.addReferenceObj("bpeMerges", table, "java.lang.String[]")
+    val tbl = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeEncodeExpr.Table].getName)
     nullSafeCodeGen(ctx, ev, str => {
       s"""
          |${ev.value} = UTF8String.fromString(
@@ -70,12 +72,66 @@ object BpeEncodeExpr {
 
   private val Eow = "</w>"
 
-  /** The whole per-row pipeline, shared by eval and codegen. `table`
-    * is the flattened (left0, right0, left1, right1, …) merge list in
-    * rank order. */
-  def encode(text: String, table: Array[String]): String = {
-    val norm = text.replaceAll("\\s+", " ")
-      .toLowerCase(java.util.Locale.ROOT)
+  /** The merge table as the expression's reference object: the flat
+    * (left0, right0, left1, right1, …) list in rank order plus a
+    * lazily-built nested (left → right → 1-based rank) hash lookup.
+    * The lookup is what makes encoding cost INDEPENDENT of the
+    * vocabulary size: a word only ever queries the ranks of its own
+    * ≤len adjacent pairs instead of scanning all merges. Nested maps
+    * (not a tuple key) so a pair lookup allocates nothing. The flat
+    * array is what serializes to executors; the lookup rebuilds lazily
+    * per JVM (Scala lazy val — thread-safe). */
+  final class Table(val flat: Array[String]) extends Serializable {
+    @transient lazy val ranks: java.util.HashMap[String,
+        java.util.HashMap[String, Array[Int]]] = {
+      val m = new java.util.HashMap[String,
+        java.util.HashMap[String, Array[Int]]]()
+      var i = 0
+      while (i < flat.length) {
+        val inner = m.computeIfAbsent(flat(i),
+          _ => new java.util.HashMap[String, Array[Int]]())
+        // a pair CAN legitimately recur at a later rank (a different
+        // derivation of the same left string re-creates occurrences
+        // after the first pass) — keep every rank, ascending, so the
+        // sequential semantics replay exactly
+        val prev = inner.get(flat(i + 1))
+        val rank = i / 2 + 1
+        inner.put(flat(i + 1),
+          if (prev == null) Array(rank) else prev :+ rank)
+        i += 2
+      }
+      m
+    }
+  }
+
+  /** Lowercase with EXACTLY `UTF8String.toLowerCase`'s semantics — the
+    * path the HOF form takes through Spark's `lower()`: a pure-ASCII
+    * string lowercases per-char (`Character.toLowerCase` on ASCII);
+    * any non-ASCII char routes the WHOLE string through
+    * `String.toLowerCase()` under the JVM default locale
+    * (UTF8String.toLowerCaseSlow). Locale.ROOT here would diverge from
+    * the HOF form on tr/az/lt default-locale JVMs for non-ASCII text
+    * containing 'I' — the two paths must be bit-identical on every
+    * JVM, so the quirk is replicated, not "fixed". */
+  private def lowerLikeUtf8(s: String): String = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      if (s.charAt(i) >= 0x80) return s.toLowerCase()
+      i += 1
+    }
+    val out = new Array[Char](n)
+    i = 0
+    while (i < n) {
+      out(i) = Character.toLowerCase(s.charAt(i))
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** The whole per-row pipeline, shared by eval and codegen. */
+  def encode(text: String, table: Table): String = {
+    val norm = lowerLikeUtf8(text.replaceAll("\\s+", " "))
     val out = new java.lang.StringBuilder(norm.length * 2)
     var start = 0
     val n = norm.length
@@ -99,9 +155,23 @@ object BpeEncodeExpr {
     out.toString
   }
 
-  /** One word [from, until) → its subword symbols after every merge. */
+  /** One word [from, until) → its subword symbols after every merge.
+    *
+    * Pair-rank lookup, NOT a scan over the merge list: the sequential
+    * spec ("for each merge in rank order, one greedy left-to-right
+    * pass") is equivalent to "repeatedly apply the lowest-rank merge
+    * STRICTLY ABOVE the last applied rank that is present among the
+    * word's adjacent pairs" — skipping an absent merge is a no-op pass,
+    * and one pass can never create new occurrences of its own pair
+    * (the merged symbol l⧺r equals neither l nor r), so nothing below
+    * the moving floor is ever missed. Each iteration scans the ≤len
+    * live pairs against the hash lookup; total cost is O(len·applied),
+    * independent of the vocabulary size — at a 32k-merge table this is
+    * the difference between ~len and ~32k·len array passes per word.
+    * Bit-identical to [[graft.operators.Bpe.encodeCol]]'s fold (BpeSpec
+    * pins parity at ≥256 merges). */
   private def encodeWord(s: String, from: Int, until: Int,
-      table: Array[String]): java.util.ArrayList[String] = {
+      table: Table): java.util.ArrayList[String] = {
     var syms = new java.util.ArrayList[String]((until - from) + 1)
     var i = from
     while (i < until) {
@@ -111,25 +181,49 @@ object BpeEncodeExpr {
       i += len
     }
     syms.add(Eow)
-    var m = 0
-    while (m < table.length) {
-      val left = table(m)
-      val right = table(m + 1)
-      // greedy left-to-right carry pass — operators.Bpe.applyMerge
-      val next = new java.util.ArrayList[String](syms.size())
-      var carry: String = null
+    val ranks = table.ranks
+    var last = 0
+    var done = ranks.isEmpty
+    while (!done) {
+      // lowest eligible (rank > last) among the word's adjacent pairs
+      var best = Integer.MAX_VALUE
       var j = 0
-      while (j < syms.size()) {
-        val x = syms.get(j)
-        if (carry == null) carry = x
-        else if (carry == left && x == right) {
-          next.add(left + right); carry = null
-        } else { next.add(carry); carry = x }
+      val n = syms.size()
+      while (j < n - 1) {
+        val inner = ranks.get(syms.get(j))
+        if (inner != null) {
+          val rs = inner.get(syms.get(j + 1))
+          if (rs != null) {
+            var k = 0
+            while (k < rs.length) {
+              val r = rs(k)
+              if (r > last && r < best) { best = r; k = rs.length }
+              else k += 1
+            }
+          }
+        }
         j += 1
       }
-      if (carry != null) next.add(carry)
-      syms = next
-      m += 2
+      if (best == Integer.MAX_VALUE) done = true
+      else {
+        val left = table.flat(2 * (best - 1))
+        val right = table.flat(2 * (best - 1) + 1)
+        // greedy left-to-right carry pass — operators.Bpe.applyMerge
+        val next = new java.util.ArrayList[String](syms.size())
+        var carry: String = null
+        var m = 0
+        while (m < syms.size()) {
+          val x = syms.get(m)
+          if (carry == null) carry = x
+          else if (carry == left && x == right) {
+            next.add(left + right); carry = null
+          } else { next.add(carry); carry = x }
+          m += 1
+        }
+        if (carry != null) next.add(carry)
+        syms = next
+        last = best
+      }
     }
     syms
   }

@@ -275,6 +275,33 @@ object Ast {
     * (operators.Sampling.shuffleOrder on the frame key; a different
     * salt is an independent epoch order). */
   case class Shuffle(salt: String = "epoch") extends Statement
+  /** `score <textCol> using <conf> [buckets] ['salt']` — the
+    * offline-fit/online-score pairing, authorable from the closed DSL:
+    * a hashed-bigram LM (operators.Surprisal) fits on the MODEL
+    * configuration named `conf`, and the frame — a live stream in
+    * StreamHb — gains (n_pairs, surprisal_sum, avg1000) through the
+    * zero-shuffle literal-map scorer. Model configurations resolve
+    * through the runner (StreamHb's `resolve`); a batch Engine run
+    * rejects the statement by name. */
+  case class ScoreUsing(textCol: String, conf: String,
+      buckets: Int = 4096, salt: String = "lm") extends Statement
+  /** `classify <textCol> using <posConf> <negConf> [buckets] ['salt']`
+    * — hashed-NB seed classifier (operators.Classifier) fit on the two
+    * seed configurations, margins scored on the frame through the
+    * stateless narrow path: (n_tokens, margin_sum, margin1000). */
+  case class ClassifyUsing(textCol: String, pos: String, neg: String,
+      buckets: Int = 4096, salt: String = "nb") extends Statement
+  /** `encode <textCol> using <conf> <size>` — the [[Encode]] twin with
+    * the vocabulary fit on a MODEL configuration instead of the frame
+    * itself (operators.Vocab.encodeNarrow): yesterday's ids tokenize
+    * today's stream. */
+  case class EncodeUsing(textCol: String, conf: String, size: Int)
+      extends Statement
+  /** `bpe <textCol> using <conf> <nMerges>` — the [[BpeEnc]] twin with
+    * the merge table trained on a MODEL configuration
+    * (operators.Bpe.fitDelta + the codegen'd native encode). */
+  case class BpeUsing(textCol: String, conf: String, nMerges: Int)
+      extends Statement
 
   /** Parsed program: YAML-ish header properties + statement list.
     * Header shape per tests/transformations/ .hb corpus: scalar keys, list values

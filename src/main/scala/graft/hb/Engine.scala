@@ -357,7 +357,7 @@ object Engine {
       // merge table trained on the frame itself (bounded driver rows:
       // one per merge), encoding a pure narrow map; row set unchanged
       f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
-        col(c), graft.operators.Bpe.fit(f.df, c, n, minCount = 1L))))
+        col(c), graft.operators.Bpe.fitDelta(f.df, c, n, minCount = 1L))))
 
     case RebalanceBy(strat, ts, salt, w) =>
       // ids are the frame index; percentages to match `mix`/`split`
@@ -376,6 +376,21 @@ object Engine {
       // global epoch position keyed on the frame index — a
       // range-exchange ordinal, never a single-partition window
       f.copy(df = graft.operators.Sampling.shuffleOrder(f.df, KEY, salt))
+
+    // the `using` statements bind a MODEL configuration by name — only
+    // a runner that owns a configuration resolver can translate them
+    // (StreamHb.apply with `resolve`: the offline-fit/online-score
+    // pairing). A plain batch Engine run has no configuration
+    // namespace, so reject by name instead of resolving something
+    // silently wrong. Batch authoring of the same semantics is the
+    // SurprisalOf/ClassifierOf configuration sources.
+    case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
+        _: BpeUsing) =>
+      throw new IllegalArgumentException(
+        s"`${Printer.print(st).trim}` binds a model configuration — " +
+          "run it through StreamHb.apply(program, stream, resolve) " +
+          "(or author the batch form with the SurprisalOf/ClassifierOf " +
+          "configuration sources)")
 
     case SplitBy(pcts, by, salt) =>
       val labels = pcts.length match {

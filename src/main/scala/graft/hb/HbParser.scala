@@ -23,7 +23,7 @@ object HbParser {
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
-    "shuffle", "diverse")
+    "shuffle", "diverse", "score", "classify")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -516,8 +516,38 @@ object HbParser {
         Neighbors(k, vec, pred, mode)
       case "encode" =>
         val c = p.colName()
-        val n = p.int()
-        Encode(c, n)
+        if (p.atIdent("using")) {
+          p.eat("using")
+          val conf = p.colName()
+          EncodeUsing(c, conf, p.int())
+        } else Encode(c, p.int())
+      case "score" =>
+        val c = p.colName()
+        p.eat("using")
+        val conf = p.colName()
+        val b = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 4096
+        }
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "lm"
+        }
+        ScoreUsing(c, conf, b, salt)
+      case "classify" =>
+        val c = p.colName()
+        p.eat("using")
+        val pos = p.colName()
+        val neg = p.colName()
+        val b = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 4096
+        }
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "nb"
+        }
+        ClassifyUsing(c, pos, neg, b, salt)
       case "rebalance" =>
         p.eat("by")
         val c = p.colName()
@@ -566,8 +596,11 @@ object HbParser {
         if (frac) TopFracBy(k, sc, st) else TopBy(k, sc, st)
       case "bpe" =>
         val c = p.colName()
-        val n = p.int()
-        BpeEnc(c, n)
+        if (p.atIdent("using")) {
+          p.eat("using")
+          val conf = p.colName()
+          BpeUsing(c, conf, p.int())
+        } else BpeEnc(c, p.int())
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

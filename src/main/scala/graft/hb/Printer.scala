@@ -103,6 +103,18 @@ object Printer {
       s"rebalance by ${name(c)}$wc [$pairs]$s"
     case Shuffle(salt) =>
       if (salt == "epoch") "shuffle" else s"shuffle '$salt'"
+    case ScoreUsing(c, conf, b, salt) =>
+      val bb = if (b == 4096) "" else s" $b"
+      val ss = if (salt == "lm") "" else s" '$salt'"
+      s"score ${name(c)} using ${name(conf)}$bb$ss"
+    case ClassifyUsing(c, pos, neg, b, salt) =>
+      val bb = if (b == 4096) "" else s" $b"
+      val ss = if (salt == "nb") "" else s" '$salt'"
+      s"classify ${name(c)} using ${name(pos)} ${name(neg)}$bb$ss"
+    case EncodeUsing(c, conf, n) =>
+      s"encode ${name(c)} using ${name(conf)} $n"
+    case BpeUsing(c, conf, n) =>
+      s"bpe ${name(c)} using ${name(conf)} $n"
     case Comment(text) => s"!#$text!#"
   }
 

@@ -80,18 +80,66 @@ object Bpe {
       })
   }
 
-  /** Learn `nMerges` merges from the corpus (fewer if the vocabulary
-    * runs out of repeated pairs before that: training stops when the
-    * best pair's weighted count drops below `minCount`). */
-  def fit(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[Merge] = {
-    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    val words = df
-      .select(explode(Decontaminate.tokens(col(textCol))).as("__w"))
+  /** The word-count frame behind both trainers: one pass over the
+    * corpus — the ONLY time the corpus is touched. */
+  private def wordFrame(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(Decontaminate.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .select(col("__w"), col("__f"), charSyms(col("__w")).as("__syms"))
-    var vocab = words.persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Adjacent-pair occurrences of a vocabulary frame, frequency-
+    * weighted: (__l, __r, __f) — one row per pair occurrence. */
+  private def pairRows(vocab: DataFrame): DataFrame = {
+    val n = size(col("__syms"))
+    vocab
+      .select(col("__f"), explode(arrays_zip(
+        slice(col("__syms"), lit(1), greatest(n - 1, lit(0))).as("__l"),
+        slice(col("__syms"), lit(2), greatest(n - 1, lit(0))).as("__r")))
+        .as("__p"))
+      .select(col("__p.__l").as("__l"), col("__p.__r").as("__r"),
+        col("__f"))
+  }
+
+  /** True iff a symbol array contains the adjacent pair (left, right)
+    * — the narrow pre-filter that keeps the delta trainer's per-round
+    * work on the words a merge actually touches. A plain substring
+    * probe of the NUL-joined symbol string, not an `exists` over an
+    * `arrays_zip` (which would allocate a zipped struct array per word
+    * per round — as expensive as the full pair explode it exists to
+    * avoid). NUL delimiters make symbol boundaries unfakeable for any
+    * text without embedded NULs; a text WITH embedded NULs can only
+    * produce false POSITIVES (an untouched word entering the touched
+    * slice contributes identical −/+ pair rows that cancel in the
+    * aggregate, and `applyMerge` on it is the identity), never false
+    * negatives — correctness holds either way. */
+  private def hasPair(syms: Column, left: String, right: String): Column =
+    concat(lit("\u0000"), array_join(syms, "\u0000"), lit("\u0000"))
+      .contains(lit("\u0000" + left + "\u0000" + right + "\u0000"))
+
+  /** Learn `nMerges` merges from the corpus (fewer if the vocabulary
+    * runs out of repeated pairs before that: training stops when the
+    * best pair's weighted count drops below `minCount`).
+    *
+    * The executable SPECIFICATION trainer: every round re-aggregates
+    * every adjacent pair over the whole vocabulary frame — exactly the
+    * shape the gate oracle unrolls in SQL. [[fitDelta]] is the
+    * production path (identical merge list, BpeSpec pins the parity
+    * property; per-round work proportional to the words the last merge
+    * TOUCHED, not the vocabulary). */
+  def fit(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    // localCheckpoint (eager), NOT persist: each round must start from
+    // a TRUNCATED plan. A persist chain keeps the full logical lineage,
+    // and nested InMemoryRelations print the prior round's plan twice —
+    // the explain string AQE renders per job DOUBLES per round
+    // (measured: 55 MB of plan text by round 14, OOM soon after).
+    // Truncation caps the plan at one round deep forever. Local (not
+    // reliable) checkpointing trades executor-loss recovery for speed —
+    // right for a driver-bounded iterative fit; a multi-tenant
+    // production cluster would use checkpoint() on a shared path.
+    var vocab = wordFrame(df, textCol).localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var done = false
@@ -111,26 +159,126 @@ object Bpe {
         case Some(row) =>
           val m = Merge(rank, row.getString(0), row.getString(1))
           merges += m
-          val next = vocab.select(col("__w"), col("__f"),
+          vocab = vocab.select(col("__w"), col("__f"),
             applyMerge(col("__syms"), m.left, m.right).as("__syms"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent
-          vocab.unpersist()
-          vocab = next
+            .localCheckpoint(true)
           rank += 1
       }
     }
-    vocab.unpersist()
     merges.result()
   }
 
-  /** Encode a text column with a learned merge list: per-token char
-    * split, the merges folded in rank order, subword streams joined by
-    * spaces. Pure narrow map — the merge table rides in the expression
-    * tree, nothing shuffles, nothing joins. (Expression depth grows
-    * with the merge count; for vocabularies beyond a few hundred
-    * merges, materialize intermediate columns every ~64 folds to keep
-    * codegen happy — still narrow.) */
+  /** [[fit]] with the pair-count frame maintained INCREMENTALLY — the
+    * classic delta trainer: after applying merge (l, r), only words
+    * that contained the adjacent pair (l, r) change their pair
+    * multiset, so each round (a) takes the best pair from the standing
+    * counts frame under the same (count DESC, left ASC, right ASC)
+    * total order, (b) recomputes pair rows for ONLY the touched words
+    * (old pairs negative, post-merge pairs positive) and (c) folds the
+    * deltas into the counts. Identical merge list to [[fit]] (BpeSpec
+    * pins the property); per-round exchanged bytes drop from every
+    * pair occurrence of every word to the compact (pair, count) frame
+    * plus the touched words' deltas (SCALE.md row), and per-round CPU
+    * drops from an interpreted merge fold over the whole vocabulary to
+    * a narrow `exists` scan plus the fold over the touched slice.
+    *
+    * Still one bounded driver row + one job chain per round —
+    * inherent to the greedy objective (each merge conditions the next
+    * round's counts). For the production 32k-merge regime, fit on a
+    * deterministic sample: `fitDelta(Sampling.hashSample(corpus, id,
+    * salt, f), …)` — pair statistics concentrate fast (Heap's law:
+    * the distinct-word frame saturates long before the corpus), so a
+    * fixed salted sample gives a reproducible merge table at a small
+    * fraction of the rounds' constant; the encode side is
+    * vocabulary-size-independent either way (BpeEncodeExpr).
+    * Lineage is truncated EVERY round (`localCheckpoint`, eager — see
+    * [[fit]] for why persist chains are not enough) so plan size and
+    * analysis stay O(1) per round at any `nMerges`. */
+  def fitDelta(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    var vocab = wordFrame(df, textCol).localCheckpoint(true)
+    var counts = pairRows(vocab)
+      .groupBy(col("__l"), col("__r")).agg(sum(col("__f")).as("__c"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      val best = counts
+        .orderBy(col("__c").desc, col("__l").asc, col("__r").asc)
+        .limit(1).collect() // exactly one row per round — bounded
+      best.headOption.filter(_.getLong(2) >= minCount) match {
+        case None => done = true
+        case Some(row) =>
+          val m = Merge(rank, row.getString(0), row.getString(1))
+          merges += m
+          val hp = hasPair(col("__syms"), m.left, m.right)
+          // ONE scan of the vocab frame produces both delta signs: each
+          // touched word explodes (old pairs, −f) ⧺ (post-merge pairs,
+          // +f); untouched words are filtered before any pair work
+          def signedPairs(syms: Column, sign: Int): Column = {
+            val n = size(syms)
+            transform(arrays_zip(
+              slice(syms, lit(1), greatest(n - 1, lit(0))).as("__l"),
+              slice(syms, lit(2), greatest(n - 1, lit(0))).as("__r")),
+              p => struct(p.getField("__l").as("__l"),
+                p.getField("__r").as("__r"),
+                (col("__f") * sign).as("__f")))
+          }
+          val deltas = vocab.filter(hp)
+            .select(explode(concat(
+              signedPairs(col("__syms"), -1),
+              signedPairs(applyMerge(col("__syms"), m.left, m.right), 1)))
+              .as("__p"))
+            .select(col("__p.__l").as("__l"), col("__p.__r").as("__r"),
+              col("__p.__f").as("__f"))
+          val nextCounts = counts
+            .select(col("__l"), col("__r"), col("__c").as("__f"))
+            .union(deltas)
+            .groupBy(col("__l"), col("__r"))
+            .agg(sum(col("__f")).as("__c"))
+            .filter(col("__c") > 0)
+            .localCheckpoint(true)
+          val nextVocab = vocab.select(col("__w"), col("__f"),
+            when(hp, applyMerge(col("__syms"), m.left, m.right))
+              .otherwise(col("__syms")).as("__syms"))
+            .localCheckpoint(true)
+          counts = nextCounts; vocab = nextVocab
+          rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Persistent fit — the [[Vocab.fitStored]] contract for merge
+    * tables: the learned (rank, left, right) list is saved as a
+    * ≤`nMerges`-row parquet artifact under a
+    * [[graft.cache.LineageCache]] content key, and a later SESSION
+    * (new JVM, same store root) loads it instead of re-training — so
+    * incremental ingest tokenizes today's batch with YESTERDAY's
+    * vocabulary (subword-id stability across runs is what makes
+    * shipped token streams meaningful). The caller owns key hygiene
+    * exactly as with `vocabKey`: change `bpeKey` when the fit corpus
+    * is supposed to change; otherwise corpus growth does NOT re-train
+    * the merges, by design. */
+  def fitStored(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long, bpeKey: String,
+      store: graft.cache.LineageCache): Seq[Merge] = {
+    val k = store.key("bpe",
+      Seq(bpeKey, textCol, nMerges.toString, minCount.toString))
+    val mdf = store.getOrCompute(k) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      fitDelta(df, textCol, nMerges, minCount)
+        .map(m => (m.rank, m.left, m.right))
+        .toDF("rank", "left", "right")
+    }
+    mdf.collect() // ≤ nMerges rows by the fit contract — bounded
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_.rank).toSeq
+  }
+
   /** [[encodeCol]] as the native single-pass expression
     * (functions.BpeEncodeExpr) — identical output (BpeSpec pins the
     * parity property), ~10× less work than the interpreted nested-HOF
@@ -140,6 +288,15 @@ object Bpe {
     graft.functions.BpeEncodeExpr.bpe_encode(text,
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
 
+  /** Encode a text column with a learned merge list: per-token char
+    * split, the merges folded in rank order, subword streams joined by
+    * spaces. Pure narrow map — the merge table rides in the expression
+    * tree, nothing shuffles, nothing joins. (Expression depth grows
+    * with the merge count; for vocabularies beyond a few hundred
+    * merges, materialize intermediate columns every ~64 folds to keep
+    * codegen happy — still narrow.) The executable semantic
+    * specification for [[encodeColFast]], which BpeSpec pins
+    * bit-identical. */
   def encodeCol(text: Column, merges: Seq[Merge]): Column = {
     val sorted = merges.sortBy(_.rank)
     concat_ws(" ",

@@ -616,7 +616,11 @@ object Similarity {
     * into the comparison) followed by a TakeOrdered(1) — no shuffle
     * anywhere, driver state exactly k (id, vector) rows. Sequential-in-k
     * is inherent to the greedy objective (each pick conditions the
-    * next); k is a small constant by contract, as in [[mmrTopK]]. */
+    * next); k is a small constant by contract, as in [[mmrTopK]].
+    * Lineage truncates every 32 picks (eager `localCheckpoint`), so
+    * plan analysis stays O(1) per pick and coreset-realistic k
+    * (hundreds+) completes without the driver drowning in plan
+    * analysis (KCenterSpec pins k=64 against a driver reference). */
   def kCenterSelect(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -655,6 +659,15 @@ object Similarity {
           picked += ((r.get(0), r.getSeq[Long](1), Some(r.getLong(2))))
           cur = cur.filter(col(idCol) =!= lit(r.get(0)))
           rank += 1
+          // bound the plan: each pick chains one Project + one Filter
+          // onto `cur`, so after k picks analysis is O(k) per round —
+          // O(k²) total, and at coreset-realistic k (hundreds+) the
+          // driver chokes on plan analysis before any data moves.
+          // Truncate the lineage every 32 picks (eager localCheckpoint:
+          // one bounded materialization of the running-max frame, which
+          // only ever SHRINKS). KCenterSpec runs k=64 against a
+          // driver-side reference across the truncation boundary.
+          if (rank % 32 == 0) cur = cur.localCheckpoint(true)
         }
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(

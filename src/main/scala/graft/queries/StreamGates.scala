@@ -244,6 +244,74 @@ object StreamGates {
       Some("WITH " + TextGates.classifierCtes("") + "\n" +
         """SELECT d.doc_id, f.n_tokens, f.margin_sum, f.margin1000
           |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
-          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin))
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // ----- `.hb`-authored offline-fit / online-score (r10): the four
+    // StreamOps pairings above, now written in the closed DSL — a
+    // `score/classify/encode/bpe … using <config>` statement fits its
+    // model on a batch MODEL configuration (resolver-bound, the
+    // Configurations discipline) and compiles the stream side to the
+    // same zero-shuffle narrow scorer. Same oracles as the StreamOps
+    // twins — the translation, not just the operator, is what these
+    // gates pin.
+    Gate("st_hb_surprisal",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """score text using ref
+          |slice columns doc_id n_pairs surprisal_sum avg1000
+          |""".stripMargin, "st_hb_surprisal_out",
+        resolve = {
+          case "ref" => Gate.t(s, d, "documents")
+            .filter(col("source").isin("src0", "src1"))
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.surprisalCtes("") + "\n" +
+        """SELECT d.doc_id, a.n_pairs, a.surprisal_sum, a.avg1000
+          |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    Gate("st_hb_classify",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """classify text using pos neg
+          |slice columns doc_id n_tokens margin_sum margin1000
+          |""".stripMargin, "st_hb_classify_out",
+        resolve = {
+          case "pos" => Gate.t(s, d, "documents")
+            .filter(col("source").isin("src0", "src1"))
+          case "neg" => Gate.t(s, d, "documents")
+            .filter(col("source").isin("src2", "src3"))
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.classifierCtes("") + "\n" +
+        """SELECT d.doc_id, f.n_tokens, f.margin_sum, f.margin1000
+          |FROM documents d LEFT JOIN fin f ON d.doc_id = f.doc_id
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
+    Gate("st_hb_encode",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """encode text using corpus 64
+          |""".stripMargin, "st_hb_encode_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .select(col("doc_id"),
+          when(col("token_ids").isNotNull,
+            concat_ws(" ", col("token_ids"))).as("token_ids_str"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.vocabOracleSql)),
+
+    Gate("st_hb_bpe",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """bpe text using corpus 8
+          |slice columns doc_id bpe
+          |""".stripMargin, "st_hb_bpe_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.bpeEncodeOracleSql))
   )
 }

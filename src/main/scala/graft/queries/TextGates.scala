@@ -1182,7 +1182,8 @@ object TextGates {
     // replays all 8 rounds as unrolled SQL (operators.Bpe scaladoc).
     Gate("t_bpe_train", (s, d) => {
       import s.implicits._
-      graft.operators.Bpe.fit(t(s, d, "documents"), "text", 8, minCount = 1L)
+      graft.operators.Bpe.fitDelta(t(s, d, "documents"), "text", 8,
+        minCount = 1L)
         .map(m => (m.rank, m.left, m.right, m.merged))
         .toDF("rank", "left", "right", "merged")
         .orderBy(col("rank"))
@@ -1197,12 +1198,49 @@ object TextGates {
 
     Gate("t_bpe_encode", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.Bpe.fit(docs, "text", 8, minCount = 1L)
+      val merges = graft.operators.Bpe.fitDelta(docs, "text", 8,
+        minCount = 1L)
       docs.select(col("doc_id"),
         graft.operators.Bpe.encodeColFast(col("text"), merges).as("bpe"))
         .orderBy(col("doc_id"))
     },
       Some(bpeEncodeOracleSql)),
+
+    // Production-vocab-scale BPE encode (r10): every document encoded
+    // under a ≥256-merge table in ONE codegen'd narrow pass — the
+    // regime where the r9 all-merges loop paid nMerges array passes
+    // per word and the pair-rank-lookup encoder pays only the word's
+    // own pairs. A 300-round trained table can't be replayed in
+    // tractable SQL, so (a) the merge table is a FIXED deterministic
+    // chain construction (char chains of a fixed word list — deep
+    // cascades, cross-word rank interactions, Scala-side, data-free)
+    // and (b) the oracle checks the segmentation INVARIANT that any
+    // correct BPE encode must satisfy: subwords concatenate back to
+    // exactly the normalized token stream, per document, plus the
+    // token count. Bit-exact ≥256-merge merge SEMANTICS (vs the
+    // sequential specification) are pinned by BpeSpec's
+    // driver-reference property; this gate pins the in-plan behavior
+    // at scale, hash-green.
+    Gate("t_bpe_encode_big", (s, d) => {
+      val enc = graft.operators.Bpe.encodeColFast(col("text"),
+        TextGates.bigMergeTable)
+      t(s, d, "documents").select(col("doc_id"),
+        lit(TextGates.bigMergeTable.size).as("n_merges"),
+        size(filter(graft.operators.Decontaminate.tokens(col("text")),
+          w => length(w) > 0)).as("n_words"),
+        rtrim(call_function("replace",
+          call_function("replace", enc, lit(" "), lit("")),
+          lit(graft.operators.Bpe.EndOfWord), lit(" "))).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""SELECT doc_id,
+             |  CAST(${bigMergeTable.size} AS INTEGER) AS n_merges,
+             |  CAST(len(regexp_extract_all(text, '\\S+')) AS INTEGER)
+             |    AS n_words,
+             |  trim(lower(regexp_replace(text, '\\s+', ' ', 'g')))
+             |    AS decoded
+             |FROM documents
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
@@ -1532,6 +1570,50 @@ object TextGates {
         |FROM dtok JOIN enc USING (word)
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_bpe_encode_big fixed merge table: the full char chain of
+    * every word in a fixed list — (w₀,w₁), (w₀w₁,w₂), …, (word,</w>) —
+    * first occurrence wins, ranks in construction order. Deterministic,
+    * data-independent, ≥256 entries (a require pins it), with deep
+    * per-word cascades and cross-word shared-prefix rank interactions —
+    * the access pattern a trained 32k table produces, at a size SQL can
+    * still oracle via the segmentation invariant. */
+  private[queries] lazy val bigMergeTable: Seq[graft.operators.Bpe.Merge] = {
+    val words = Seq(
+      // the corpus vocabulary (documents.parquet) — these chains FIRE
+      "join", "hash", "row", "batch", "scan", "customer", "column",
+      "filter", "small", "merge", "slow", "order", "vector", "line",
+      "data", "table", "agg", "value", "key", "stream", "window",
+      "spark", "a", "group", "part", "big", "sort", "query", "fast",
+      "the",
+      // padding words sharing prefixes/suffixes with the above, to
+      // push past 256 merges and exercise chain collisions
+      "lineitem", "supplier", "partition", "shuffle", "broadcast",
+      "exchange", "aggregate", "predicate", "pushdown", "codegen",
+      "parquet", "dataset", "dataframe", "catalyst", "tungsten",
+      "executor", "driver", "cluster", "storage", "memory", "compute",
+      "schema", "string", "double", "bigint", "decimal", "boolean",
+      "sample", "bucket", "index", "range", "nested", "struct",
+      "mapping", "reduce", "combine", "payload", "footer", "segment",
+      "logical", "physical", "planner", "metrics", "session", "context",
+      "barrier", "skewed", "salted", "sorted", "joined", "grouped")
+    val seen = scala.collection.mutable.LinkedHashSet[(String, String)]()
+    words.foreach { w =>
+      var acc = w.substring(0, 1)
+      (1 until w.length).foreach { i =>
+        val c = w.substring(i, i + 1)
+        seen += ((acc, c))
+        acc += c
+      }
+      seen += ((acc, graft.operators.Bpe.EndOfWord))
+    }
+    val merges = seen.toSeq.zipWithIndex.map { case ((l, r), i) =>
+      graft.operators.Bpe.Merge(i + 1, l, r)
+    }
+    require(merges.size >= 256,
+      s"big merge table must be >= 256 entries, got ${merges.size}")
+    merges
+  }
 
   /** The BPE oracle CTE chain: st0 = every distinct corpus word as its
     * (pos, sym) character long-form plus the `</w>` marker; each round

@@ -32,6 +32,12 @@ import graft.hb.Ast._
   *    event time − delay) passes its end; buckets still open when a
   *    finite replay ends stay in state (exactly the streaming
   *    semantics), so a replayed batch oracle must cut at the watermark.
+  *  - `score/classify/encode/bpe <col> using <config> …`: the
+  *    offline-fit/online-score pairing — the model fits at translation
+  *    time on the batch configuration the runner's `resolve` binds, and
+  *    the stream side is the corresponding zero-shuffle narrow scorer
+  *    (stateless, append-safe). Without a resolver the statement raises
+  *    with the configuration named.
   *  - `dedup exact <col>`: streaming-native arrival-order survivor via
   *    `dropDuplicates` on the SAME normalized-text fingerprint as the
   *    batch operator (Dedup.fingerprint). Documented deviation: batch
@@ -94,6 +100,11 @@ object StreamHb {
         _: IndexBy | _: Each | _: Chunk | _: SampleBy | _: MixBy |
         _: SplitBy | _: DedupExact => None
     case _: WindowAgg => None // watermarked event-time agg — append-safe
+    // offline-fit / online-score: the model fits on a BATCH
+    // configuration at translation time; the stream side is a
+    // stateless narrow map — append-safe by construction
+    case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
+        _: BpeUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -159,9 +170,27 @@ object StreamHb {
       "complete"
     else "append"
 
+  /** The no-model resolver: any `… using <conf>` statement raises with
+    * the configuration named. */
+  private def noResolver(name: String): DataFrame =
+    throw new IllegalArgumentException(
+      s"statement binds model configuration '$name' but no resolver " +
+        "was provided — use StreamHb.apply(program, stream, resolve)")
+
   /** Apply a validated program to a streaming frame (no sink — the
-    * caller picks sink/trigger). The returned frame is streaming. */
-  def apply(program: Program, stream: DataFrame): DataFrame = {
+    * caller picks sink/trigger). The returned frame is streaming.
+    *
+    * `resolve` binds the MODEL configurations the `score/classify/
+    * encode/bpe … using <name>` statements reference: each model fits
+    * EAGERLY at translation time on the resolved BATCH frame (the
+    * offline-fit half — bounded driver state by each operator's fit
+    * contract), and the stream side compiles to the corresponding
+    * zero-shuffle narrow scorer (Surprisal.withScoresNarrow /
+    * Classifier.withMarginsNarrow / Vocab.encodeNarrow /
+    * Bpe.encodeColFast) — the CCNet-online pairing, authorable from
+    * the closed DSL. */
+  def apply(program: Program, stream: DataFrame,
+      resolve: String => DataFrame = noResolver): DataFrame = {
     validate(program)
     val start = Engine.HbFrame(
       stream.withColumn(Engine.KEY, lit(null).cast("long")),
@@ -174,6 +203,26 @@ object StreamHb {
           .withColumn("__fp", graft.operators.Dedup.fingerprint(col(c)))
           .dropDuplicates("__fp")
           .drop("__fp"))
+      case (f, ScoreUsing(c, conf, b, salt)) =>
+        val (mp, mc) = graft.operators.Surprisal.modelMaps(
+          graft.operators.Surprisal.fit(resolve(conf), c, b, salt))
+        f.copy(df = graft.operators.Surprisal
+          .withScoresNarrow(f.df, mp, mc, c, b, salt))
+      case (f, ClassifyUsing(c, pos, neg, b, salt)) =>
+        val (mp, mn, np, nn) = graft.operators.Classifier.modelMaps(
+          graft.operators.Classifier.fit(resolve(pos), resolve(neg),
+            c, b, salt))
+        f.copy(df = graft.operators.Classifier
+          .withMarginsNarrow(f.df, mp, mn, np, nn, c, b, salt))
+      case (f, EncodeUsing(c, conf, size)) =>
+        val vm = graft.operators.Vocab.vocabMap(
+          graft.operators.Vocab.fit(resolve(conf), c, size))
+        f.copy(df = graft.operators.Vocab.encodeNarrow(f.df, c, vm))
+      case (f, BpeUsing(c, conf, n)) =>
+        val merges = graft.operators.Bpe.fitDelta(resolve(conf), c, n,
+          minCount = 1L)
+        f.copy(df = f.df.withColumn("bpe",
+          graft.operators.Bpe.encodeColFast(col(c), merges)))
       case (f, st) => Engine.applyStatement(f, st)
     }.result
   }
@@ -182,9 +231,10 @@ object StreamHb {
     * test shape — AvailableNow over the batch fixtures); returns the
     * completed result table. */
   def runToMemory(spark: SparkSession, text: String, stream: DataFrame,
-      queryName: String): DataFrame = {
+      queryName: String,
+      resolve: String => DataFrame = noResolver): DataFrame = {
     val program = HbParser.parse(text)
-    val out = apply(program, stream)
+    val out = apply(program, stream, resolve)
     val q = out.writeStream
       .outputMode(outputMode(program))
       .format("memory")
@@ -204,12 +254,15 @@ object StreamHb {
 
   /** Convenience: run a program over any streamed test table (schema
     * from the batch file, glob-filtered file source — the same shape
-    * readEventsStream uses, minus the events-only ts normalization). */
+    * readEventsStream uses, minus the events-only ts normalization).
+    * `resolve` binds model configurations for the `… using` statements
+    * (batch frames — the offline-fit half). */
   def runTable(spark: SparkSession, dir: String, table: String,
-      text: String, queryName: String): DataFrame = {
+      text: String, queryName: String,
+      resolve: String => DataFrame = noResolver): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    runToMemory(spark, text, stream, queryName)
+    runToMemory(spark, text, stream, queryName, resolve)
   }
 }

@@ -295,7 +295,7 @@ object StreamOps {
   def bpeEncodeStream(spark: SparkSession, dir: String,
       queryName: String, nMerges: Int = 8): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val merges = graft.operators.Bpe.fit(docs, "text", nMerges,
+    val merges = graft.operators.Bpe.fitDelta(docs, "text", nMerges,
       minCount = 1L)
     // The file source hands each micro-batch ONE task per file, which
     // serializes the CPU-heavy merge fold (measured 16 s vs the batch

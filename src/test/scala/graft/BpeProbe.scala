@@ -1,0 +1,59 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Scratch probe for trainer cost — not a spec.
+  * args: nMerges which(fit|delta) [parquetDir] */
+object BpeProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.local()
+    import spark.implicits._
+    val n = args.headOption.map(_.toInt).getOrElse(12)
+    val which = if (args.length > 1) args(1) else "fit"
+    val docs =
+      if (args.length > 2 && args(2).startsWith("synthhex:")) {
+        // distributed generation, ~millions of distinct 8-hex words
+        val nDocs = args(2).stripPrefix("synthhex:").toLong
+        spark.range(nDocs).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 10).map(p =>
+            substring(md5(concat(col("id"), lit(s":$p"))), 1, 8)): _*)
+            .as("text"))
+      } else if (args.length > 2 && args(2).startsWith("synthetic:")) {
+        val nDocs = args(2).stripPrefix("synthetic:").toInt
+        val rnd = new scala.util.Random(7)
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val pool = Array.fill(50000)(
+          Seq.fill(3 + rnd.nextInt(10))(
+            alpha(rnd.nextInt(26))).mkString)
+        Seq.tabulate(nDocs)(i =>
+          (i.toLong, Seq.fill(30)(
+            pool(rnd.nextInt(pool.length))).mkString(" ")))
+          .toDF("doc_id", "text").repartition(16)
+      } else if (args.length > 2)
+        spark.read.parquet(args(2) + "/documents.parquet")
+      else Seq.tabulate(25)(i =>
+        (i.toLong, s"low lower lowest aaaa baab wide wider widest " +
+          s"the then there row$i")).toDF("doc_id", "text")
+    val shuffleBytes = new AtomicLong
+    val shuffleRecs = new AtomicLong
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        shuffleBytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        shuffleRecs.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime
+    val m =
+      if (which == "fit") graft.operators.Bpe.fit(docs, "text", n, 1L)
+      else graft.operators.Bpe.fitDelta(docs, "text", n, 1L)
+    spark.range(1).count() // marker job, then drain
+    Thread.sleep(2000)
+    println(s"== $which n=$n merges=${m.size} " +
+      s"secs=${(System.nanoTime - t0) / 1e9} " +
+      s"shufMB=${shuffleBytes.get / 1048576.0} shufRecs=${shuffleRecs.get}")
+    spark.stop()
+  }
+}

@@ -57,6 +57,120 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("delta trainer produces the identical merge list to the " +
+      "specification trainer (incl. overlap runs and early stop)") {
+    // mixed corpus: repeated-char runs (the l==r run-parity case),
+    // shared prefixes/suffixes, ties — everything that could make an
+    // incrementally-maintained count diverge from recomputation
+    val docs = Seq.tabulate(25)(i =>
+      (i.toLong, s"low lower lowest aaaa baab wide wider widest " +
+        s"the then there row$i"))
+      .toDF("doc_id", "text")
+    val a = Bpe.fit(docs, "text", 24, minCount = 1L)
+    val b = Bpe.fitDelta(docs, "text", 24, minCount = 1L)
+    assert(a == b, s"naive=$a\ndelta=$b")
+    // early stop at minCount parity
+    val c = Bpe.fit(docs, "text", 24, minCount = 40L)
+    val dd = Bpe.fitDelta(docs, "text", 24, minCount = 40L)
+    assert(c == dd && c.size < 24)
+    // delta is invariant under repartitioning too
+    val e = Bpe.fitDelta(docs.repartition(13), "text", 24, minCount = 1L)
+    assert(e == b)
+  }
+
+  test("fitStored: a fresh session loads the merge table, no retrain") {
+    val root = java.nio.file.Files
+      .createTempDirectory("bpe_store").toString
+    val store = new graft.cache.LineageCache(spark, root)
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, "low lower lowest newer wider")).toDF("doc_id", "text")
+    var fitted: Seq[Bpe.Merge] = null
+    val fitJobs = JobCounter.count(spark) {
+      fitted = Bpe.fitStored(docs, "text", 6, 1L, "corpus@v1", store)
+    }
+    assert(fitted == Bpe.fitDelta(docs, "text", 6, minCount = 1L))
+    // a fresh store handle on the same root simulates a new session;
+    // the load may only pay parquet-footer reads, never the per-round
+    // trainer jobs
+    val store2 = new graft.cache.LineageCache(spark, root)
+    var loaded: Seq[Bpe.Merge] = null
+    val jobs = JobCounter.count(spark) {
+      loaded = Bpe.fitStored(docs, "text", 6, 1L, "corpus@v1", store2)
+    }
+    assert(fitJobs > jobs,
+      s"cached fitStored ran $jobs job(s) vs $fitJobs to fit — it retrained")
+    assert(loaded == fitted)
+    // the stored table is yesterday's: a GROWN corpus encodes with the
+    // same merges (key hygiene is the caller's, by contract)
+    val grown = docs.union(Seq((99L, "zzz zzz zzz zzz zzz zzz"))
+      .toDF("doc_id", "text"))
+    assert(Bpe.fitStored(grown, "text", 6, 1L, "corpus@v1", store2)
+      == fitted)
+  }
+
+  test("pair-rank encode replays a duplicate-pair table sequentially") {
+    // (ab,c) appears at ranks 1 AND 3; rank 1 is dead (no "ab" symbol
+    // exists yet) and only the rank-3 occurrence may fire — a
+    // lowest-rank-ever lookup would wrongly skip it after rank 2
+    val merges = Seq(Bpe.Merge(1, "ab", "c"), Bpe.Merge(2, "a", "b"),
+      Bpe.Merge(3, "ab", "c"))
+    val out = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(Bpe.encodeColFast(col("text"), merges)).head().getString(0)
+    assert(out == s"abc ${Bpe.EndOfWord}")
+    // and matches the HOF specification form exactly
+    val hof = Seq((1L, "abc")).toDF("doc_id", "text")
+      .select(Bpe.encodeCol(col("text"), merges)).head().getString(0)
+    assert(out == hof)
+  }
+
+  test("pair-rank encode is bit-identical to the sequential spec at " +
+      "a 256+-merge table") {
+    // deterministic pseudo-corpus over a small alphabet so pairs repeat
+    // enough to learn hundreds of merges
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    def word() = Seq.fill(3 + rnd.nextInt(7))(
+      alpha(rnd.nextInt(alpha.length))).mkString
+    val corpus = Seq.tabulate(400)(i =>
+      (i.toLong, Seq.fill(12)(word()).mkString(" "))).toDF("doc_id", "text")
+    val merges = Bpe.fitDelta(corpus, "text", 300, minCount = 1L)
+    assert(merges.size >= 256, s"only ${merges.size} merges learned")
+    // driver-side reference: the naive all-merges-in-rank-order greedy
+    // fold — the exact algorithm encodeCol's HOF expresses
+    def refEncode(text: String): String = {
+      val toks = text.replaceAll("\\s+", " ").toLowerCase
+        .split(" ", -1).filter(_.nonEmpty)
+      toks.flatMap { w =>
+        var syms = w.map(_.toString).toVector :+ Bpe.EndOfWord
+        merges.sortBy(_.rank).foreach { m =>
+          val next = Vector.newBuilder[String]
+          var carry: String = null
+          syms.foreach { x =>
+            if (carry == null) carry = x
+            else if (carry == m.left && x == m.right) {
+              next += m.left + m.right; carry = null
+            } else { next += carry; carry = x }
+          }
+          if (carry != null) next += carry
+          syms = next.result()
+        }
+        syms
+      }.mkString(" ")
+    }
+    val probes = (Seq.tabulate(120)(i =>
+      (i.toLong, Seq.fill(8)(word()).mkString(" "))) ++
+      Seq((900L, "aaaaaaa bbb"), (901L, ""), (902L, "unseen zz")))
+      .toDF("doc_id", "text")
+    val got = probes
+      .select(col("doc_id"), col("text"),
+        Bpe.encodeColFast(col("text"), merges).as("fast"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getString(2) == refEncode(r.getString(1)),
+        s"doc ${r.getLong(0)} diverged")
+    }
+  }
+
   test("native encodeColFast matches the HOF form char-for-char") {
     val train = Seq.tabulate(30)(i =>
       (i.toLong, "low lower lowest newer wider")).toDF("doc_id", "text")

@@ -203,7 +203,17 @@ class DslSpec extends AnyFunSuite {
       yield RebalanceBy(nm, pairs, salt, w),
     for { salt <- Gen.oneOf("epoch", "ep1") } yield Shuffle(salt),
     for { k <- Gen.chooseNum(1, 50); nm <- genName }
-      yield Diverse(k, ColRef(nm)))
+      yield Diverse(k, ColRef(nm)),
+    for { c <- genName; conf <- genName
+      b <- Gen.oneOf(4096, 1024); s <- Gen.oneOf("lm", "s1") }
+      yield ScoreUsing(c, conf, b, s),
+    for { c <- genName; p <- genName; n <- genName
+      b <- Gen.oneOf(4096, 512); s <- Gen.oneOf("nb", "c1") }
+      yield ClassifyUsing(c, p, n, b, s),
+    for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 100000) }
+      yield EncodeUsing(c, conf, n),
+    for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 32768) }
+      yield BpeUsing(c, conf, n))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default

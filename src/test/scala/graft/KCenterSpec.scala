@@ -45,6 +45,50 @@ class KCenterSpec extends AnyFunSuite {
     assert(trace == trace.sorted, s"maxsim trace must be non-decreasing: $trace")
   }
 
+  test("k=64 crosses the lineage-truncation boundary and matches a " +
+      "driver-side greedy reference exactly") {
+    // 200 deterministic unit-ish vectors; k=64 crosses the every-32-
+    // picks localCheckpoint twice, so the truncated plan must carry
+    // the running max and the picked-id filters across the boundary
+    val data = Seq.tabulate(200) { i =>
+      (i.toLong, Seq(math.cos(i * 0.41).toFloat,
+        math.sin(i * 0.29).toFloat, ((i % 11) + 1).toFloat / 11f,
+        math.cos(i * 0.13).toFloat))
+    }
+    val df = data.toDF("id", "vec")
+    val out = Similarity.kCenterSelect(df, "id", "vec", k = 64)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(out.size == 64)
+    // driver reference: the same fixed-point greedy, pure Scala
+    val q = data.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 1e6).toLong)
+    }
+    def normQ(v: Seq[Long]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    def simFp(a: Seq[Long], b: Seq[Long]): Long =
+      math.floor(a.zip(b).map { case (x, y) => x.toDouble * y }.sum /
+        (normQ(a) * normQ(b)) * 1e9).toLong
+    val usable = q.filter { case (_, v) => v.exists(_ != 0L) }
+    var picked = Vector(usable.minBy(_._1))
+    var ms = usable.filterNot(_._1 == picked.head._1)
+      .map { case (id, v) => (id, v, Long.MinValue) }
+    val ref = scala.collection.mutable.Buffer[
+      (Int, Long, Option[Long])]((1, picked.head._1, None))
+    var rank = 2
+    while (rank <= 64 && ms.nonEmpty) {
+      ms = ms.map { case (id, v, m) =>
+        (id, v, math.max(m, simFp(picked.last._2, v)))
+      }
+      val nxt = ms.minBy { case (id, _, m) => (m, id) }
+      ref += ((rank, nxt._1, Some(nxt._3)))
+      picked = picked :+ (nxt._1 -> nxt._2)
+      ms = ms.filterNot(_._1 == nxt._1)
+      rank += 1
+    }
+    assert(out == ref.toSeq, "Spark k-center diverged from the greedy reference")
+  }
+
   test("k beyond the usable corpus returns every usable row once") {
     val df = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
       (3L, Seq(0f, 0f))).toDF("id", "vec") // id 3 is zero-norm → dropped

@@ -108,6 +108,49 @@ class StreamHbSpec extends AnyFunSuite {
       "index rows by event_id\nmix by event_type [purchase 50] 10\n"))
   }
 
+  test("`… using` statements: admissible on streams, named error " +
+      "without a resolver, named rejection in a batch Engine run") {
+    // all four offline-fit/online-score statements validate as
+    // streamable (stateless narrow maps after the batch-side fit)
+    StreamHb.validate(HbParser.parse(
+      """score text using ref
+        |classify text using pos neg
+        |encode text using corpus 64
+        |bpe text using corpus 8
+        |""".stripMargin))
+    // running without a resolver names the missing configuration
+    val docs = queries.Gate.t(spark, dir, "documents")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      StreamHb(HbParser.parse("score text using ref\n"), stream)
+    }
+    assert(e.getMessage.contains("'ref'") &&
+      e.getMessage.contains("resolver"), e.getMessage)
+    // a batch Engine run rejects by name (models live in the runner's
+    // configuration namespace, which a bare batch run does not have)
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.runHb("score text using ref\n", docs)
+    }
+    assert(e2.getMessage.contains("score text using ref"), e2.getMessage)
+    // the resolved run scores the stream identically to the batch
+    // narrow scorer over the same model
+    val ref = docs.filter(col("source").isin("src0", "src1"))
+    val got = StreamHb.runTable(spark, dir, "documents",
+      """score text using ref
+        |slice columns doc_id avg1000
+        |""".stripMargin, "streamhb_score_using",
+      resolve = { case "ref" => ref })
+      .orderBy("doc_id").collect().toSeq
+    val (mp, mc) = operators.Surprisal.modelMaps(
+      operators.Surprisal.fit(ref, "text", 4096, "lm"))
+    val want = operators.Surprisal
+      .withScoresNarrow(docs, mp, mc, "text", 4096, "lm")
+      .select(col("doc_id"), col("avg1000"))
+      .orderBy("doc_id").collect().toSeq
+    assert(got == want)
+  }
+
   test("window group by: append-mode event-time agg cut at the watermark") {
     val program =
       """slice columns ts event_type value
