@@ -275,6 +275,12 @@ object Ast {
     * (operators.Sampling.shuffleOrder on the frame key; a different
     * salt is an independent epoch order). */
   case class Shuffle(salt: String = "epoch") extends Statement
+  /** `shards <n>` — balanced contiguous shard placement over the epoch
+    * order: requires a prior [[Shuffle]]'s `shuffle_pos` column and
+    * adds `shard`/`pos_in_shard`, the training-artifact layout
+    * [[graft.sinks.Sinks.writeShards]] materializes
+    * (operators.Sampling.epochShards). */
+  case class Shards(n: Int) extends Statement
   /** `score <textCol> using <conf> [buckets] ['salt']` — the
     * offline-fit/online-score pairing, authorable from the closed DSL:
     * a hashed-bigram LM (operators.Surprisal) fits on the MODEL

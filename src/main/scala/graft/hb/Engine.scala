@@ -377,6 +377,16 @@ object Engine {
       // range-exchange ordinal, never a single-partition window
       f.copy(df = graft.operators.Sampling.shuffleOrder(f.df, KEY, salt))
 
+    case Shards(n) =>
+      // training-artifact layout over the epoch order: needs the
+      // shuffle_pos ordinal — name the missing statement, don't fail
+      // later inside the placement arithmetic
+      if (!f.df.columns.contains("shuffle_pos"))
+        throw new IllegalArgumentException(
+          "`shards` needs a shuffle_pos column — `shuffle` first")
+      f.copy(df = graft.operators.Sampling
+        .epochShards(f.df, "shuffle_pos", n))
+
     // the `using` statements bind a MODEL configuration by name — only
     // a runner that owns a configuration resolver can translate them
     // (StreamHb.apply with `resolve`: the offline-fit/online-score

@@ -23,7 +23,7 @@ object HbParser {
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
-    "shuffle", "diverse", "score", "classify")
+    "shuffle", "shards", "diverse", "score", "classify")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -573,6 +573,8 @@ object HbParser {
           case _ => "epoch"
         }
         Shuffle(salt)
+      case "shards" =>
+        Shards(p.int())
       case "diverse" =>
         val k = p.int()
         Diverse(k, p.bracketed())

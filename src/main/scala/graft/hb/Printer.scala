@@ -103,6 +103,8 @@ object Printer {
       s"rebalance by ${name(c)}$wc [$pairs]$s"
     case Shuffle(salt) =>
       if (salt == "epoch") "shuffle" else s"shuffle '$salt'"
+    case Shards(n) =>
+      s"shards $n"
     case ScoreUsing(c, conf, b, salt) =>
       val bb = if (b == 4096) "" else s" $b"
       val ss = if (salt == "lm") "" else s" '$salt'"

@@ -201,6 +201,46 @@ object Sampling {
       "shuffle_pos", Seq(col("__sh"), col(idCol)), numPartitions)
       .drop("__sh")
 
+  /** Balanced contiguous shard placement over an epoch order — the
+    * step between [[shuffleOrder]] and the training artifact
+    * ([[graft.sinks.Sinks.writeShards]]): rows carrying the 1-based
+    * global position `posCol` (shuffle_pos) are cut into `numShards`
+    * CONTIGUOUS blocks whose sizes differ by at most one, so every
+    * data-loader worker streams one block of the shuffled epoch
+    * sequentially. Adds `shard` (0-based) and `pos_in_shard`
+    * (1-based): with n total rows,
+    * `shard = (pos−1)·S div n` and
+    * `pos_in_shard = pos − (shard·n + S − 1) div S`
+    * — pure integer arithmetic, identical in any engine.
+    *
+    * 100 TB shape: the total count derives IN-PLAN (one count
+    * aggregate broadcast into a narrow projection — no driver round
+    * trip, no window), so the placement composes into the same job as
+    * the shard write; `writeShards(placed, path, "shard",
+    * "pos_in_shard")` then does its single range exchange and the
+    * shard files ARE the epoch blocks. Deterministic: a pure function
+    * of (posCol, n, numShards).
+    *
+    * `posCol` must be the dense 1..n ordinal [[shuffleOrder]] emits —
+    * a null, non-positive, or >n position RAISES in-plan (it would
+    * silently place rows into a phantom shard). */
+  def epochShards(df: DataFrame, posCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"epochShards: need numShards > 0, got $numShards")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val p = col(posCol).cast(LongType)
+    val checked = when(p.isNull || p < 1 || p > col("__n"),
+      raise_error(concat(lit(s"epochShards: $posCol out of [1, n] — "),
+        lit("use shuffleOrder's dense ordinal"))).cast(LongType))
+      .otherwise(p)
+    df.crossJoin(broadcast(n))
+      .withColumn("__p", checked)
+      .withColumn("shard",
+        expr(s"(__p - 1L) * ${numShards}L div __n"))
+      .withColumn("pos_in_shard",
+        expr(s"__p - (shard * __n + ${numShards - 1}L) div ${numShards}L"))
+      .drop("__n", "__p")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, fractions: Map[String, Double],
       default: Double = 0.0): DataFrame = {

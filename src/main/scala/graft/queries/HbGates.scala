@@ -624,6 +624,62 @@ object HbGates {
         |FROM kept
         |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin)),
 
+    // The r10 artifact layout through the text surface: the pipeline
+    // chain extended one statement further — `shards 8` places the
+    // shuffled epoch into balanced contiguous blocks
+    // (Sampling.epochShards on shuffle_pos), the exact layout
+    // Sinks.writeShards materializes.
+    Gate("hb_epoch_shards",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |top 50 pct by n_chars per lang
+          |rebalance by lang weight n_chars [en 40; de 30; fr 30] 'p10'
+          |shuffle 'ep10h'
+          |shards 8
+          |create column doc_id keys
+          |slice columns shard pos_in_shard shuffle_pos doc_id lang
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+      Some("""WITH sel AS (
+        |  SELECT doc_id, lang, n_chars FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |      COUNT(*) OVER (PARTITION BY lang) AS n
+        |    FROM documents)
+        |  WHERE rank <= (n * 50 + 99) // 100),
+        |cnt AS (
+        |  SELECT lang AS st, CAST(SUM(n_chars) AS BIGINT) AS n
+        |  FROM sel GROUP BY lang),
+        |tgt(st, t) AS (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3)),
+        |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+        |cap AS (SELECT MIN(n / t) AS cap FROM j),
+        |cut AS (SELECT st,
+        |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+        |      AS BIGINT) AS cut
+        |  FROM j, cap),
+        |kept AS (
+        |  SELECT s2.doc_id, s2.lang FROM sel s2
+        |  JOIN cut ON cut.st = s2.lang
+        |  WHERE CAST('0x' || SUBSTR(md5(CAST(s2.doc_id AS VARCHAR)
+        |      || ':p10'), 1, 8) AS BIGINT) % 10000 < cut.cut),
+        |shuf AS (
+        |  SELECT doc_id, lang,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+        |        || ':ep10h'), 1, 8) AS BIGINT), doc_id) AS BIGINT)
+        |      AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM kept)
+        |SELECT ((shuffle_pos - 1) * 8) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 8) // nn) * nn + 7) // 8
+        |    AS pos_in_shard,
+        |  shuffle_pos, doc_id, lang
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
     // The fractional selection form through the text surface: keep the
     // best quarter of every language by n_chars — compiles to
     // Selection.topFracPerStratum(1/4 ≡ 25 pct).

@@ -1440,7 +1440,84 @@ object TextGates {
       Some("WITH " + classifierCtesSql + "\n" +
         """SELECT doc_id, n_tokens, margin_sum, margin1000,
           |  margin1000 >= 0 AS kept
-          |FROM fin ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
+          |FROM fin ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // The r10 integration flagship: the full curation chain down to the
+    // TRAINING ARTIFACT layout — seed-classifier gate → fractional
+    // stratified selection → token-mass rebalance → epoch shuffle →
+    // balanced contiguous shard placement. The output is the exact
+    // (shard, pos_in_shard, doc) assignment Sinks.writeShards
+    // materializes (EpochShardsSpec round-trips the files); every stage
+    // ranks/cuts/numbers the PREVIOUS stage's survivors, and the whole
+    // chain replays as one SQL pipeline.
+    Gate("t_epoch_shards", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pos = docs.filter(col("source").isin("src0", "src1"))
+      val neg = docs.filter(col("source").isin("src2", "src3"))
+      val raw = docs.filter(
+        !col("source").isin("src0", "src1", "src2", "src3"))
+      val kept = graft.operators.Classifier
+        .score(raw,
+          graft.operators.Classifier.fit(pos, neg, "text", 4096, "nb"),
+          "doc_id", "text", 4096, "nb")
+        .filter(col("margin1000") >= 0)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val sel = graft.operators.Selection
+        .topFracPerStratum(kept, "lang", "margin1000", "doc_id", 3, 4)
+      val reb = graft.operators.Sampling.rebalanceByWeight(
+        sel, "doc_id", "reb10", "lang", "n_tokens",
+        Map("en" -> 0.4, "de" -> 0.3, "fr" -> 0.3))
+      val shuffled = graft.operators.Sampling
+        .shuffleOrder(reb, "doc_id", "ep10")
+      graft.operators.Sampling.epochShards(shuffled, "shuffle_pos", 8)
+        .select(col("shard"), col("pos_in_shard"), col("shuffle_pos"),
+          col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    },
+      Some("WITH " + classifierCtesSql + "\n" +
+        """, kept AS (
+          |  SELECT f.doc_id, d.lang, f.n_tokens, f.margin1000
+          |  FROM fin f JOIN documents d USING (doc_id)
+          |  WHERE f.margin1000 >= 0),
+          |sel AS (
+          |  SELECT doc_id, lang, n_tokens, margin1000 FROM (
+          |    SELECT doc_id, lang, n_tokens, margin1000,
+          |      ROW_NUMBER() OVER (PARTITION BY lang
+          |        ORDER BY margin1000 DESC, doc_id ASC) AS rank,
+          |      COUNT(*) OVER (PARTITION BY lang) AS n
+          |    FROM kept)
+          |  WHERE rank <= (n * 3 + 3) // 4),
+          |cnt AS (
+          |  SELECT lang AS st, CAST(SUM(n_tokens) AS BIGINT) AS n
+          |  FROM sel GROUP BY lang),
+          |tgt(st, t) AS (VALUES ('en', 0.4), ('de', 0.3), ('fr', 0.3)),
+          |j AS (SELECT c.st, c.n, t.t FROM cnt c JOIN tgt t USING (st)),
+          |cap AS (SELECT MIN(n / t) AS cap FROM j),
+          |cut AS (SELECT st,
+          |    CAST(FLOOR(LEAST(cap * t / n, 1.0) * 10000 + 0.5)
+          |      AS BIGINT) AS cut
+          |  FROM j, cap),
+          |keptr AS (
+          |  SELECT s2.doc_id, s2.lang, s2.n_tokens FROM sel s2
+          |  JOIN cut ON cut.st = s2.lang
+          |  WHERE CAST('0x' || SUBSTR(md5(CAST(s2.doc_id AS VARCHAR)
+          |      || ':reb10'), 1, 8) AS BIGINT) % 10000 < cut.cut),
+          |shuf AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY
+          |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+          |        || ':ep10'), 1, 8) AS BIGINT), doc_id) AS BIGINT)
+          |      AS shuffle_pos,
+          |    COUNT(*) OVER () AS nn
+          |  FROM keptr)
+          |SELECT ((shuffle_pos - 1) * 8) // nn AS shard,
+          |  shuffle_pos
+          |    - ((((shuffle_pos - 1) * 8) // nn) * nn + 7) // 8
+          |    AS pos_in_shard,
+          |  shuffle_pos, doc_id, lang, n_tokens
+          |FROM shuf
+          |ORDER BY shard ASC NULLS FIRST,
+          |  pos_in_shard ASC NULLS FIRST""".stripMargin))
   )
 
   /** The t_lm_surprisal oracle CTE chain, ending at

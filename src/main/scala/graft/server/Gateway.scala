@@ -1,0 +1,262 @@
+package graft.server
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.net.{InetAddress, InetSocketAddress}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+import graft.hb.{Ast, Engine, Graft, HbParser}
+import graft.hb.Ast.{Header, Program, Statement}
+import graft.sources.{Ingest, Providers}
+
+/** The reference's HTTP gateway surface, reconstructed from its
+  * consuming sites (the gateway service itself ships binary-only, like
+  * hobbes.core — `services/gateway/` is empty in the checkout):
+  *
+  *   - `PUT /admin/configuration` with `{"name": …, "hb": …}` — a full
+  *     `.hb` program whose header names the provider
+  *     (tests/build.fsx:232-263, uploading tests/transformations/<n>.hb)
+  *     — or the workbench document shape `{"_id": …,
+  *     "transformations": [names…], "source": {"provider": …}}`
+  *     (tools/workbench/src/Program.fs:114-128, Types.fs:66-140).
+  *   - `PUT /admin/transformation` with `{"Name": …, "Statements":
+  *     [stmt…]}` — a named, reusable statement chain; statements are
+  *     validated at upload like the workbench does at construction
+  *     (Program.fs:99-110; Types.fs:147-157).
+  *   - `GET /data/json/<name>` — the configuration's result as a JSON
+  *     array of row objects (tests/build.fsx:309-315 asserts
+  *     `res.Length` and per-field values on it).
+  *
+  * Auth is HTTP Basic with the master key as USER and any password
+  * (`HttpRequestHeaders.BasicAuth masterkey ""`, build.fsx:72-74,238)
+  * on every route; wrong or missing key → 401.
+  *
+  * Spark-first shape: uploads only PARSE (cheap, validated); each GET
+  * declares the whole plan — provider scan through the fused statement
+  * chain — and runs it in the shared session, so Catalyst fuses the
+  * chain exactly as in library use. Workbench-shape configurations
+  * resolve recursively (merge/join of other configurations, with cycle
+  * detection); results are bounded by `maxRows` like
+  * [[graft.sinks.Sinks.matrixJson]] — the reference's gateway serves
+  * whole CouchDB documents, so gateway responses are BY CONTRACT
+  * document-sized (use the parquet/shard sinks for bulk output).
+  *
+  * The server binds the LOOPBACK interface only — the deployment
+  * surface of this library is the cluster driver, and the zero-egress
+  * build environment is respected by construction.
+  */
+final class Gateway(
+    spark: SparkSession,
+    masterKey: String,
+    dataDir: String = ".",
+    fetch: Providers.Fetcher = Providers.Fetcher.http,
+    maxRows: Int = 100000) {
+
+  private val mapper = new ObjectMapper()
+  /** `{name, hb}` uploads: full programs, header = provider. */
+  private val programs = TrieMap[String, Program]()
+  /** Workbench-shape uploads: source doc + transformation names. */
+  private val configurations = TrieMap[String, (JsonNode, Seq[String])]()
+  /** Named statement chains from `PUT /admin/transformation`. */
+  private val transformations = TrieMap[String, Seq[Statement]]()
+
+  private var server: Option[HttpServer] = None
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = synchronized {
+    require(server.isEmpty, "gateway already started")
+    val s = HttpServer.create(
+      new InetSocketAddress(InetAddress.getLoopbackAddress, port), 0)
+    s.createContext("/", handler _)
+    s.setExecutor(null) // single-threaded: Spark actions serialize anyway
+    s.start()
+    server = Some(s)
+    s.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    server.foreach(_.stop(0))
+    server = None
+  }
+
+  // ---- routing ----
+
+  private def handler(ex: HttpExchange): Unit =
+    try {
+      if (!authorized(ex)) {
+        ex.getResponseHeaders.set("WWW-Authenticate", "Basic realm=\"graft\"")
+        respond(ex, 401, "unauthorized")
+      } else {
+        val path = ex.getRequestURI.getPath
+        (ex.getRequestMethod, path) match {
+          case ("PUT", "/admin/configuration") => putConfiguration(ex)
+          case ("PUT", "/admin/transformation") => putTransformation(ex)
+          case ("GET", p) if p.startsWith("/data/json/") =>
+            getData(ex, java.net.URLDecoder.decode(
+              p.stripPrefix("/data/json/"), "UTF-8"))
+          case _ => respond(ex, 404, s"no route ${ex.getRequestMethod} $path")
+        }
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, Option(e.getMessage).getOrElse(e.toString))
+    } finally ex.close()
+
+  private def authorized(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Authorization")).exists { h =>
+      h.startsWith("Basic ") && {
+        val dec = new String(
+          Base64.getDecoder.decode(h.stripPrefix("Basic ")), UTF_8)
+        // BasicAuth <masterkey> "": user is the key, password ignored
+        dec.takeWhile(_ != ':') == masterKey
+      }
+    }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def respond(ex: HttpExchange, code: Int, text: String): Unit = {
+    val bytes = text.getBytes(UTF_8)
+    val ct = if (code == 200) "application/json" else "text/plain"
+    ex.getResponseHeaders.set("Content-Type", ct)
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  // ---- admin uploads (parse + validate only; execution is per-GET) ----
+
+  private def putConfiguration(ex: HttpExchange): Unit = {
+    val doc = mapper.readTree(body(ex))
+    val name = text(doc, "name").orElse(text(doc, "_id")).getOrElse(
+      return respond(ex, 400, "configuration needs a name or _id"))
+    text(doc, "hb") match {
+      case Some(hb) =>
+        try {
+          programs.put(name, HbParser.parse(hb))
+          configurations.remove(name)
+          respond(ex, 200, s"""{"ok":true,"id":"${escape(name)}"}""")
+        } catch {
+          case e: HbParser.ParseError => respond(ex, 400, e.getMessage)
+        }
+      case None =>
+        val src = doc.get("source")
+        if (src == null || !src.isObject)
+          return respond(ex, 400, "configuration needs hb or source")
+        val ts = Option(doc.get("transformations")).map(_.asScala.toSeq)
+          .getOrElse(Nil).map(_.asText())
+        configurations.put(name, (src, ts))
+        programs.remove(name)
+        respond(ex, 200, s"""{"ok":true,"id":"${escape(name)}"}""")
+    }
+  }
+
+  private def putTransformation(ex: HttpExchange): Unit = {
+    val doc = mapper.readTree(body(ex))
+    val name = text(doc, "Name").orElse(text(doc, "name"))
+      .orElse(text(doc, "_id")).getOrElse(
+        return respond(ex, 400, "transformation needs a Name"))
+    val stmts = Option(doc.get("Statements"))
+      .orElse(Option(doc.get("statements")))
+      .orElse(Option(doc.get("lines")))
+      .filter(_.isArray).map(_.asScala.toSeq.map(_.asText())).getOrElse(
+        return respond(ex, 400, "transformation needs Statements"))
+    try {
+      transformations.put(name,
+        stmts.zipWithIndex.map { case (l, i) =>
+          HbParser.parseStatement(l, i + 1)
+        })
+      respond(ex, 200, s"""{"ok":true,"id":"${escape(name)}"}""")
+    } catch {
+      case e: HbParser.ParseError => respond(ex, 400, e.getMessage)
+    }
+  }
+
+  // ---- data ----
+
+  private def getData(ex: HttpExchange, name: String): Unit =
+    resolve(name, Set.empty) match {
+      case None => respond(ex, 404, s"no configuration '$name'")
+      case Some(df) =>
+        val rows = df.toJSON.take(maxRows)
+        respond(ex, 200, rows.mkString("[", ",", "]"))
+    }
+
+  /** Run a configuration by name: `{name, hb}` programs resolve their
+    * provider from the header; workbench documents resolve their
+    * source (recursively for merge/join) and fold the named
+    * transformation chains in listed order. */
+  private def resolve(name: String, visiting: Set[String]): Option[DataFrame] = {
+    if (visiting.contains(name))
+      throw new IllegalArgumentException(
+        s"configuration cycle through '$name'")
+    programs.get(name) match {
+      case Some(p) =>
+        Some(Graft.run(p, Providers.fromHeader(spark, p.header, dataDir, fetch)))
+      case None => configurations.get(name).map { case (src, ts) =>
+        val source = resolveSource(src, visiting + name)
+        val stmts = ts.flatMap(t => transformations.getOrElse(t,
+          throw new NoSuchElementException(s"no transformation '$t'")))
+        Engine.run(Program(Header(Map(), Map(), Map()), stmts), source)
+      }
+    }
+  }
+
+  /** Workbench `Source.ToString()` document shapes (Types.fs:74-129):
+    * localdata carries inline columns+rows; merge/join reference OTHER
+    * configurations by name; anything else is a provider header
+    * (rest/odata/parquet/git) dispatched like an `.hb` upload. */
+  private def resolveSource(src: JsonNode, visiting: Set[String]): DataFrame =
+    text(src, "provider").getOrElse("parquet") match {
+      case "localdata" =>
+        val cols = src.get("columns").asScala.toSeq.map(_.asText())
+        val rows = src.get("rows").asScala.toSeq.map(_.asScala.toSeq.map {
+          case n if n.isIntegralNumber => n.asLong(): Any
+          case n if n.isFloatingPointNumber => n.asDouble(): Any
+          case n if n.isBoolean => n.asBoolean(): Any
+          case n if n.isNull => null: Any
+          case n => n.asText(): Any
+        })
+        Ingest.localData(spark, cols, rows)
+      case "merge" =>
+        val names = src.get("datasets").asScala.toSeq.map(_.asText())
+        Graft.merge(names.map(n => resolve(n, visiting).getOrElse(
+          throw new NoSuchElementException(s"no configuration '$n'"))))
+      case "join" =>
+        def side(k: String) = {
+          val n = text(src, k).getOrElse(
+            throw new IllegalArgumentException(s"join needs '$k'"))
+          resolve(n, visiting).getOrElse(
+            throw new NoSuchElementException(s"no configuration '$n'"))
+        }
+        Graft.join(side("left"), side("right"),
+          text(src, "field").getOrElse(
+            throw new IllegalArgumentException("join needs 'field'")))
+      case _ =>
+        val props = src.properties().asScala
+          .filter(e => e.getValue.isValueNode)
+          .map(e => e.getKey -> e.getValue.asText()).toMap
+        val lists = src.properties().asScala
+          .filter(e => e.getValue.isArray)
+          .map(e => e.getKey ->
+            e.getValue.asScala.toSeq.map(_.asText())).toMap
+        Providers.fromHeader(spark,
+          Header(props, lists, Map()), dataDir, fetch)
+    }
+
+  private def text(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filter(v => !v.isNull).map(_.asText())
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+}

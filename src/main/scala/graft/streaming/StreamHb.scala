@@ -128,6 +128,7 @@ object StreamHb {
       Some("fractional selection ranks the whole stratum")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: Shuffle => Some("epoch order numbers the whole frame")
+    case _: Shards => Some("shard placement needs the whole-frame count")
     case _: Diverse => Some("k-center selection scans the whole frame")
   }
 

@@ -135,7 +135,8 @@ class DedupSpec extends AnyFunSuite {
         .map(r2 => r2.getLong(0) -> r2.getBoolean(1)).toMap
     val first = run(ref, Some(lc -> "spec-ref"))
     assert(lc.contains(lc.key("minhashref",
-      Seq("spec-ref", "sigs", "64", "true"))),
+      Seq("spec-ref", "sigs", "text", "doc_id", "shingle=3",
+        "64", "true"))),
       "first run must write the keyed signature artifact")
     // a "new session" re-runs against the store. The reference frame is
     // POISONED (its text raises on evaluation): a store hit must serve

@@ -191,6 +191,14 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at least"))
   }
 
+  test("`shards` without a prior `shuffle` fails loudly, by name") {
+    val df = Ingest.localData(spark, Seq("x"), Seq(Seq(1.0), Seq(2.0)))
+    val e = intercept[IllegalArgumentException] {
+      run("index rows by x\nshards 4", df).collect()
+    }
+    assert(e.getMessage.contains("shuffle"))
+  }
+
   test("full Velocity-shaped program end-to-end") {
     val out = run(
       """only !(State = 'Todo')

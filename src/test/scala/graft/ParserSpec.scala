@@ -187,6 +187,7 @@ class ParserSpec extends AnyFunSuite {
         Some("n_chars")))
     assert(HbParser.parseStatement("shuffle") == Shuffle())
     assert(HbParser.parseStatement("shuffle 'ep1'") == Shuffle("ep1"))
+    assert(HbParser.parseStatement("shards 8") == Shards(8))
     assert(HbParser.parseStatement("diverse 8 [embedding]") ==
       Diverse(8, ColRef("embedding")))
     // a regex nested inside another regex's operand still gets its

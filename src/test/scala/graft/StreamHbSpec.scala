@@ -66,6 +66,7 @@ class StreamHbSpec extends AnyFunSuite {
       "top 25 pct by value per user_id\n" -> "top 25 pct",
       "bpe text 8\n" -> "bpe text",
       "shuffle 'e1'\n" -> "shuffle",
+      "shards 8\n" -> "shards",
       "diverse 4 [vec]\n" -> "diverse")
     cases.foreach { case (program, what) =>
       val e = intercept[IllegalArgumentException] {
