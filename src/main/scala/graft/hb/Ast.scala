@@ -275,6 +275,25 @@ object Ast {
     * (operators.Sampling.shuffleOrder on the frame key; a different
     * salt is an independent epoch order). */
   case class Shuffle(salt: String = "epoch") extends Statement
+  /** `curriculum by <score> <bands> ['salt']` — curriculum training
+    * order (operators.Sampling.curriculumOrder on the frame key):
+    * `shuffle_pos` follows the global quality band (NTILE over the
+    * score, low = early) with a salted decorrelated shuffle inside
+    * each band, so a following [[Shards]] puts the easiest band in
+    * the first shards. Emits `band` and `shuffle_pos` — the same
+    * ordinal contract as [[Shuffle]]. */
+  case class Curriculum(scoreCol: String, bands: Int,
+      salt: String = "curriculum") extends Statement
+  /** `upsample by <stratum> [s f; …] ['salt']` — deterministic
+    * fractional stratum upsampling
+    * (operators.Sampling.upsampleByFactor on the frame key): each row
+    * emits ⌊f⌋ replicas plus one more on a salted hash draw of the
+    * fractional remainder, so the stratum's mass scales by exactly f;
+    * f < 1 downsamples, 0 drops, unlisted strata pass through (factor
+    * 1). Adds 0-based `rep` and recomposes the frame key to key:rep,
+    * so a following [[Shuffle]]/[[Shards]] orders replicas totally. */
+  case class Upsample(stratumCol: String, factors: Seq[(String, Double)],
+      salt: String = "upsample") extends Statement
   /** `shards <n>` — balanced contiguous shard placement over the epoch
     * order: requires a prior [[Shuffle]]'s `shuffle_pos` column and
     * adds `shard`/`pos_in_shard`, the training-artifact layout

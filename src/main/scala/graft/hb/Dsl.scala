@@ -140,6 +140,13 @@ object Dsl {
       salt: String, targets: (String, Double)*): Statement =
     RebalanceBy(stratumCol, targets, salt, Some(weightCol))
   def shuffle(salt: String = "epoch"): Statement = Shuffle(salt)
+  def upsample(stratumCol: String, salt: String,
+      factors: (String, Double)*): Statement =
+    Upsample(stratumCol, factors, salt)
+  def shards(n: Int): Statement = Shards(n)
+  def curriculum(scoreCol: String, bands: Int,
+      salt: String = "curriculum"): Statement =
+    Curriculum(scoreCol, bands, salt)
   def diverse(k: Int, vec: Expr): Statement = Diverse(k, vec)
 
   final case class GroupByBuilder(cols: Seq[String]) {

@@ -377,6 +377,21 @@ object Engine {
       // range-exchange ordinal, never a single-partition window
       f.copy(df = graft.operators.Sampling.shuffleOrder(f.df, KEY, salt))
 
+    case Curriculum(score, bands, salt) =>
+      // banded epoch order on the frame key — emits band + shuffle_pos
+      // (the Shuffle ordinal contract), so `shards` composes unchanged
+      f.copy(df = graft.operators.Sampling.curriculumOrder(
+        f.df, KEY, salt, score, bands))
+
+    case Upsample(strat, fs, salt) =>
+      // replicas fork the frame key: recompose it to key:rep so the
+      // key stays unique and a later shuffle/shards orders replicas
+      // totally (Sampling.upsampleByFactor documents the collision)
+      val up = graft.operators.Sampling.upsampleByFactor(
+        f.df, KEY, salt, strat, fs.toMap)
+      f.copy(df = up.withColumn(KEY,
+        concat_ws(":", col(KEY).cast("string"), col("rep"))))
+
     case Shards(n) =>
       // training-artifact layout over the epoch order: needs the
       // shuffle_pos ordinal — name the missing statement, don't fail

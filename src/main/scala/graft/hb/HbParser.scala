@@ -23,7 +23,8 @@ object HbParser {
     "sort", "group", "pivot", "buckets", "k-means", "each",
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
-    "shuffle", "shards", "diverse", "score", "classify")
+    "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
+    "classify")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -575,6 +576,30 @@ object HbParser {
         Shuffle(salt)
       case "shards" =>
         Shards(p.int())
+      case "curriculum" =>
+        p.eat("by")
+        val c = p.colName()
+        val bands = p.int()
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "curriculum"
+        }
+        Curriculum(c, bands, salt)
+      case "upsample" =>
+        p.eat("by")
+        val c = p.colName()
+        p.eat("[")
+        val fs = mutable.ArrayBuffer[(String, Double)]()
+        while (!p.atSym("]")) {
+          if (p.atSym(";")) p.next()
+          else { val s = p.colName(); fs += s -> p.num() }
+        }
+        p.eat("]")
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "upsample"
+        }
+        Upsample(c, fs.toSeq, salt)
       case "diverse" =>
         val k = p.int()
         Diverse(k, p.bracketed())

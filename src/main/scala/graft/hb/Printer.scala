@@ -105,6 +105,14 @@ object Printer {
       if (salt == "epoch") "shuffle" else s"shuffle '$salt'"
     case Shards(n) =>
       s"shards $n"
+    case Curriculum(c, b, salt) =>
+      val s = if (salt == "curriculum") "" else s" '$salt'"
+      s"curriculum by ${name(c)} $b$s"
+    case Upsample(c, fs, salt) =>
+      val s = if (salt == "upsample") "" else s" '$salt'"
+      val pairs = fs.map { case (k, v) => s"${name(k)} ${num(v)}" }
+        .mkString("; ")
+      s"upsample by ${name(c)} [$pairs]$s"
     case ScoreUsing(c, conf, b, salt) =>
       val bb = if (b == 4096) "" else s" $b"
       val ss = if (salt == "lm") "" else s" '$salt'"

@@ -241,6 +241,153 @@ object Sampling {
       .drop("__n", "__p")
   }
 
+  /** Deterministic fractional stratum UPSAMPLING — the half of mixture
+    * building [[rebalance]] cannot do (it only cuts): production
+    * training mixes repeat high-quality domains for more than one
+    * epoch (factor 2.5 = every doc appears twice, half the docs a
+    * third time; reference analogue: the per-configuration dataset
+    * weighting a `.hb` curation program expresses by chaining `only`
+    * filters — upsampling is its additive dual). Each row in stratum
+    * s emits ⌊f_s⌋ replicas plus one more iff its salted hash bucket
+    * falls below the fractional remainder, so the stratum's expected
+    * mass scales by exactly f_s; factor < 1 subsumes downsampling
+    * (zero base copies) and factor 0 drops the stratum. Replicas
+    * carry 0-based `repCol` — downstream epoch machinery must key on
+    * (id, rep) or shuffle positions collide ([[shuffleOrder]] ties).
+    *
+    * Factors quantize to 1e-4 DRIVER-side (f1e4 = round(f·10⁴),
+    * base = f1e4 div 10⁴, cut = f1e4 mod 10⁴), so the per-row
+    * decision is pure integer arithmetic against the same
+    * [[Buckets]]-bucket salted md5 as [[hashSplit]] — deterministic
+    * under any partitioning, engine-portable, replayable in SQL as
+    * `unnest(range(base + (hash < cut)))`.
+    *
+    * 100 TB shape: a narrow map — literal CASE over the stratum
+    * column, explode of a ≤(base+1)-element sequence; no shuffle, no
+    * aggregate, no state, and therefore STREAM-safe in append mode
+    * (upsample at ingest). Output row count is the planned
+    * Σ f_s·|s| — the budget arithmetic that picks the factors is
+    * [[epochPlan]]'s job. */
+  def upsampleByFactor(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String, factors: Map[String, Double],
+      default: Double = 1.0, repCol: String = "rep"): DataFrame = {
+    require(factors.nonEmpty, "upsample needs at least one factor")
+    (default +: factors.values.toSeq).foreach(f =>
+      require(f >= 0.0 && f <= 1000.0,
+        s"upsample factor out of [0, 1000]: $f"))
+    def f1e4(f: Double): Long = math.round(f * Buckets)
+    def litCase(part: Long => Long): Column =
+      factors.toSeq.sortBy(_._1).foldRight(
+        lit(part(f1e4(default)))) { case ((s, f), rest) =>
+        when(col(stratumCol) === s, lit(part(f1e4(f)))).otherwise(rest)
+      }
+    val base = litCase(_ / Buckets)
+    val cut = litCase(_ % Buckets)
+    val n = (base + when(hashBucket(col(idCol), salt) < cut, 1L)
+      .otherwise(0L)).cast(IntegerType)
+    df.withColumn("__nrep", n)
+      .withColumn(repCol, explode(when(col("__nrep") > 0,
+        sequence(lit(0), col("__nrep") - 1))
+        .otherwise(array().cast("array<int>"))))
+      .drop("__nrep")
+  }
+
+  /** Token-budget mixture plan — the arithmetic that turns "train on
+    * B tokens at mix t̂" into [[upsampleByFactor]] factors: with m_s
+    * the stratum's total `weightCol` mass, stratum s must contribute
+    * B·t_s tokens, i.e. repeat for factor_s = B·t_s / m_s epochs.
+    * Returns the per-stratum plan frame (stratumCol, mass,
+    * factor1e4) with factor1e4 = ⌊B·t_s/m_s·10⁴ + ½⌋ — the exact
+    * fixed point [[upsampleByFactor]] quantizes to, so plan →
+    * upsample loses nothing ([[epochPlanFactors]] bridges them).
+    *
+    * Targets must sum to 1 (the [[hashSplit]] contract — normalizing
+    * here would sum doubles in arbitrary order and break oracle
+    * replay); every target stratum must be present with positive
+    * mass, or the plan RAISES in-plan (the [[rebalance]] discipline:
+    * an absent stratum would silently shift its share onto the rest).
+    *
+    * 100 TB shape: one (stratum, mass) aggregate joined to the
+    * broadcast ≤k-row target list — k is domain cardinality by
+    * contract, so the plan frame is driver-safe to collect. */
+  def epochPlan(df: DataFrame, stratumCol: String, weightCol: String,
+      targets: Map[String, Double], budget: Long): DataFrame = {
+    require(targets.nonEmpty, "epochPlan needs at least one target")
+    require(budget > 0, s"epochPlan: need budget > 0, got $budget")
+    targets.values.foreach(t =>
+      require(t > 0.0, s"target proportions must be > 0, got $t"))
+    val total = targets.values.sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"target proportions must sum to 1, got $total")
+    val spark = df.sparkSession
+    val tgtDf = spark.createDataFrame(targets.toSeq.sortBy(_._1))
+      .toDF("__st", "__t")
+    val cnt = df.groupBy(col(stratumCol).as("__st"))
+      .agg(sum(col(weightCol)).cast("long").as("__m"))
+    val j = cnt.join(broadcast(tgtDf), "__st")
+    // absent or massless target strata fail in-plan, never renormalize
+    val nst = j.agg(count(lit(1)).as("__nst"))
+    val mChecked = when(col("__m") <= 0,
+      raise_error(concat(lit("epochPlan: stratum "),
+        col("__st").cast("string"),
+        lit(" has non-positive total mass — weigh rows before planning")))
+        .cast("long"))
+      .otherwise(col("__m"))
+    j.crossJoin(broadcast(nst))
+      .withColumn("__mok", when(col("__nst") < lit(targets.size),
+        raise_error(concat(
+          lit("epochPlan: only "), col("__nst").cast("string"),
+          lit(s" of ${targets.size} target strata present in the frame")))
+          .cast("long"))
+        .otherwise(mChecked))
+      .select(col("__st").as(stratumCol), col("__mok").as("mass"),
+        floor(lit(budget) * col("__t") / col("__mok") * lit(Buckets) +
+          lit(0.5)).cast("long").as("factor1e4"))
+  }
+
+  /** The ≤k-row [[epochPlan]] frame as [[upsampleByFactor]] factors
+    * (k = domain cardinality by the plan contract — driver-bounded).
+    * factor1e4/10⁴ round-trips exactly through upsample's
+    * round(f·10⁴) quantization. */
+  def epochPlanFactors(plan: DataFrame, stratumCol: String)
+      : Map[String, Double] =
+    plan.select(col(stratumCol).cast(StringType), col("factor1e4"))
+      .collect() // ≤ stratum-cardinality rows by the epochPlan contract
+      .map(r => r.getString(0) -> r.getLong(1) / Buckets.toDouble).toMap
+
+  /** Curriculum training order (Bengio et al. 2009, "Curriculum
+    * Learning"): epoch positions ordered by quality BAND — a global
+    * NTILE over `scoreCol`, the coarse easy→hard progression — with a
+    * salted decorrelated shuffle INSIDE each band (annealing wants
+    * graded difficulty, not a global quality sort that would feed the
+    * model near-identical neighbors back to back). The output column
+    * is `shuffle_pos`, the same dense 1..n ordinal contract as
+    * [[shuffleOrder]], so [[epochShards]] / the `shards` statement
+    * compose unchanged — the FIRST shards hold the lowest band. The
+    * `band` column (1-based) survives for mix review.
+    *
+    * Low score = early. To anneal hardest-first, pass
+    * `ascending = false`. Change the salt for an independent in-band
+    * order next epoch.
+    *
+    * 100 TB shape: two range-exchange ordinal passes
+    * ([[Ordinals.withGlobalNtile]] + [[Ordinals.withGlobalOrdinal]] —
+    * no single-partition window anywhere); ties break by (hash, id),
+    * total and engine-replayable (SQL NTILE + ROW_NUMBER). */
+  def curriculumOrder(df: DataFrame, idCol: String, salt: String,
+      scoreCol: String, bands: Int, ascending: Boolean = true,
+      numPartitions: Int = 0): DataFrame = {
+    require(bands > 0, s"curriculumOrder: need bands > 0, got $bands")
+    val s = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    val banded = Ordinals.withGlobalNtile(df, "band", bands,
+      Seq(s, col(idCol).asc), numPartitions)
+    Ordinals.withGlobalOrdinal(
+      banded.withColumn("__sh", hash32(col(idCol), salt)),
+      "shuffle_pos", Seq(col("band").asc, col("__sh"), col(idCol)),
+      numPartitions)
+      .drop("__sh")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, fractions: Map[String, Double],
       default: Double = 0.0): DataFrame = {

@@ -680,6 +680,100 @@ object HbGates {
         |ORDER BY shard ASC NULLS FIRST,
         |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
 
+    // Fractional upsampling through the text surface — same salt and
+    // factors as t_upsample, so the library oracle replays verbatim
+    // (the statement compiles to Sampling.upsampleByFactor on the
+    // frame key, which `index rows by doc_id` sets to doc_id).
+    Gate("hb_upsample",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |upsample by lang [en 2.5; de 0.5; zh 0] 'up10'
+          |slice columns doc_id rep lang n_chars
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id"), col("rep")),
+      Some(graft.queries.TextGates.upsampleOracleSql)),
+
+    // Replica-aware epoch layout through the text surface: `upsample`
+    // recomposes the frame key to doc:rep, so the following
+    // `shuffle`/`shards` order REPLICAS totally — the key-recomposition
+    // contract proven end to end (`keys` exposes the composite).
+    Gate("hb_upsample_epoch",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |upsample by lang [en 1.5] 'uh10'
+          |shuffle 'ue10'
+          |shards 4
+          |create column rep_key keys
+          |slice columns shard pos_in_shard shuffle_pos rep_key lang
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+      Some("""WITH up AS (
+        |  SELECT doc_id, lang,
+        |    1 + (CASE WHEN CAST('0x' || SUBSTR(md5(
+        |          CAST(doc_id AS VARCHAR) || ':uh10'), 1, 8) AS BIGINT)
+        |          % 10000
+        |        < (CASE lang WHEN 'en' THEN 5000 ELSE 0 END)
+        |      THEN 1 ELSE 0 END) AS n
+        |  FROM documents),
+        |reps AS (
+        |  SELECT doc_id, lang,
+        |    CAST(unnest(range(n)) AS INTEGER) AS rep
+        |  FROM up),
+        |keyed AS (
+        |  SELECT lang,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)
+        |      AS rep_key
+        |  FROM reps),
+        |shuf AS (
+        |  SELECT rep_key, lang,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CAST('0x' || SUBSTR(md5(rep_key || ':ue10'), 1, 8)
+        |        AS BIGINT), rep_key) AS BIGINT) AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM keyed)
+        |SELECT ((shuffle_pos - 1) * 4) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 4) // nn) * nn + 3) // 4
+        |    AS pos_in_shard,
+        |  shuffle_pos, rep_key, lang
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
+    // Curriculum-ordered shards through the text surface: `curriculum`
+    // emits the same shuffle_pos ordinal contract as `shuffle`, so
+    // `shards` composes unchanged — the first shards hold the easiest
+    // band (an annealed run streams them in shard order).
+    Gate("hb_curriculum_shards",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |curriculum by n_chars 3 'cu10h'
+          |shards 4
+          |slice columns shard pos_in_shard band shuffle_pos doc_id
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+      Some("""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(NTILE(3) OVER (ORDER BY n_chars ASC, doc_id ASC)
+        |      AS INTEGER) AS band
+        |  FROM documents),
+        |shuf AS (
+        |  SELECT doc_id, band,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY band ASC,
+        |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+        |        || ':cu10h'), 1, 8) AS BIGINT), doc_id) AS BIGINT)
+        |      AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM b)
+        |SELECT ((shuffle_pos - 1) * 4) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 4) // nn) * nn + 3) // 4
+        |    AS pos_in_shard,
+        |  band, shuffle_pos, doc_id
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
     // The fractional selection form through the text surface: keep the
     // best quarter of every language by n_chars — compiles to
     // Selection.topFracPerStratum(1/4 ≡ 25 pct).

@@ -302,6 +302,19 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
+    // Upsampling over the live stream: the statement is a stateless
+    // narrow map (driver-literal factors, replica explode — no state,
+    // no aggregate), so it runs append-mode at ingest; same salt and
+    // factors as t_upsample, so the batch oracle replays verbatim.
+    Gate("st_hb_upsample",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """index rows by doc_id
+          |upsample by lang [en 2.5; de 0.5; zh 0] 'up10'
+          |slice columns doc_id rep lang n_chars
+          |""".stripMargin, "st_hb_upsample_out")
+        .orderBy(col("doc_id"), col("rep")),
+      Some(TextGates.upsampleOracleSql)),
+
     Gate("st_hb_bpe",
       (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
         """bpe text using corpus 8

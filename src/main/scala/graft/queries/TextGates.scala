@@ -1517,7 +1517,127 @@ object TextGates {
           |  shuffle_pos, doc_id, lang, n_tokens
           |FROM shuf
           |ORDER BY shard ASC NULLS FIRST,
-          |  pos_in_shard ASC NULLS FIRST""".stripMargin))
+          |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
+    // Fractional stratum upsampling — the additive half of mixture
+    // building (rebalance can only cut): en repeats 2.5 epochs, de
+    // keeps half, zh drops, unlisted strata pass through. The per-row
+    // replica count is pure integer arithmetic over the salted hash
+    // (base ⌊f⌋ + one more iff bucket < frac·10⁴), replayed in DuckDB
+    // as unnest(range(n)).
+    Gate("t_upsample", (s, d) =>
+      graft.operators.Sampling.upsampleByFactor(
+        t(s, d, "documents"), "doc_id", "up10", "lang",
+        Map("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0))
+        .select(col("doc_id"), col("rep"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"), col("rep")),
+      Some(upsampleOracleSql)),
+
+    // The token-budget mixture plan: "train on B units at mix t̂"
+    // becomes per-stratum repeat factors B·t_s/m_s in the exact fixed
+    // point upsampleByFactor consumes — one aggregate + a broadcast
+    // target join, the table a training run reviews before committing
+    // to a mix.
+    Gate("t_epoch_plan", (s, d) =>
+      graft.operators.Sampling.epochPlan(
+        t(s, d, "documents"), "lang", "n_chars",
+        Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3), budget = 1000000L)
+        .orderBy(col("lang")),
+      Some("""WITH cnt AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |  GROUP BY lang),
+        |tgt(st, t) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3))
+        |SELECT c.lang, c.mass,
+        |  CAST(FLOOR(1000000 * t.t / c.mass * 10000 + 0.5) AS BIGINT)
+        |    AS factor1e4
+        |FROM cnt c JOIN tgt t ON t.st = c.lang
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
+    // The r10 budget-to-artifact flagship: plan the mixture for a
+    // 1M-char budget, upsample to the planned factors (replicas keyed
+    // doc:rep), epoch-shuffle the replicated corpus and place it into
+    // 4 balanced contiguous shards — the complete "train on B tokens
+    // at mix t̂" layout, every stage replayed in one SQL pipeline.
+    Gate("t_budget_mix", (s, d) => {
+      val docs = t(s, d, "documents")
+      val plan = graft.operators.Sampling.epochPlan(docs, "lang",
+        "n_chars", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.3),
+        budget = 1000000L)
+      val fs = graft.operators.Sampling.epochPlanFactors(plan, "lang")
+      val up = graft.operators.Sampling.upsampleByFactor(docs, "doc_id",
+        "bm10", "lang", fs, default = 0.0)
+        .withColumn("rep_id",
+          concat_ws(":", col("doc_id"), col("rep")))
+      val shuffled = graft.operators.Sampling
+        .shuffleOrder(up, "rep_id", "bm10e")
+      graft.operators.Sampling.epochShards(shuffled, "shuffle_pos", 4)
+        .select(col("shard"), col("pos_in_shard"), col("shuffle_pos"),
+          col("doc_id"), col("rep"), col("lang"))
+        .orderBy(col("shard"), col("pos_in_shard"))
+    },
+      Some("""WITH cnt AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |  GROUP BY lang),
+        |tgt(st, t) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
+        |plan AS (
+        |  SELECT c.lang,
+        |    CAST(FLOOR(1000000 * t.t / c.mass * 10000 + 0.5) AS BIGINT)
+        |      AS f1e4
+        |  FROM cnt c JOIN tgt t ON t.st = c.lang),
+        |up AS (
+        |  SELECT d.doc_id, d.lang,
+        |    (p.f1e4 // 10000)
+        |    + (CASE WHEN CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)
+        |          || ':bm10'), 1, 8) AS BIGINT) % 10000
+        |        < (p.f1e4 % 10000) THEN 1 ELSE 0 END) AS n
+        |  FROM documents d JOIN plan p ON p.lang = d.lang),
+        |reps AS (
+        |  SELECT doc_id, lang,
+        |    CAST(unnest(range(n)) AS INTEGER) AS rep
+        |  FROM up),
+        |shuf AS (
+        |  SELECT doc_id, lang, rep,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':'
+        |        || CAST(rep AS VARCHAR) || ':bm10e'), 1, 8) AS BIGINT),
+        |      CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR))
+        |      AS BIGINT) AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM reps)
+        |SELECT ((shuffle_pos - 1) * 4) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 4) // nn) * nn + 3) // 4
+        |    AS pos_in_shard,
+        |  shuffle_pos, doc_id, rep, lang
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
+    // Curriculum training order (Bengio '09): epoch positions follow
+    // the global quality band (NTILE over the score — low = early)
+    // with a salted decorrelated shuffle inside each band, the graded
+    // easy→hard progression an annealed run streams. Both passes are
+    // range-exchange ordinals; NTILE + ROW_NUMBER replay it exactly.
+    Gate("t_curriculum", (s, d) =>
+      graft.operators.Sampling.curriculumOrder(
+        t(s, d, "documents"), "doc_id", "cu10", "n_chars", 3)
+        .select(col("doc_id"), col("band"), col("shuffle_pos"),
+          col("n_chars"), col("lang"))
+        .orderBy(col("shuffle_pos")),
+      Some("""WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(NTILE(3) OVER (ORDER BY n_chars ASC, doc_id ASC)
+        |      AS INTEGER) AS band
+        |  FROM documents)
+        |SELECT doc_id, band,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY band ASC,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':cu10'),
+        |      1, 8) AS BIGINT), doc_id) AS BIGINT) AS shuffle_pos,
+        |  n_chars, lang
+        |FROM b
+        |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin))
   )
 
   /** The t_lm_surprisal oracle CTE chain, ending at
@@ -1647,6 +1767,28 @@ object TextGates {
         |FROM dtok JOIN enc USING (word)
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_upsample oracle — the quantized replica rule (base ⌊f⌋ +
+    * one more iff salted bucket < frac·10⁴) replayed as
+    * unnest(range(n)); shared by hb_upsample (same salt through the
+    * statement surface) and the streaming twin st_hb_upsample (the
+    * stateless narrow map runs identically per micro-batch). */
+  private[queries] lazy val upsampleOracleSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 0
+      |       WHEN 'zh' THEN 0 ELSE 1 END)
+      |    + (CASE WHEN CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+      |          || ':up10'), 1, 8) AS BIGINT) % 10000
+      |        < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+      |           WHEN 'zh' THEN 0 ELSE 0 END)
+      |      THEN 1 ELSE 0 END) AS n
+      |  FROM documents)
+      |SELECT doc_id, CAST(unnest(range(n)) AS INTEGER) AS rep,
+      |  lang, n_chars
+      |FROM f
+      |ORDER BY doc_id ASC NULLS FIRST, rep ASC NULLS FIRST"""
+      .stripMargin
 
   /** The t_bpe_encode_big fixed merge table: the full char chain of
     * every word in a fixed list — (w₀,w₁), (w₀w₁,w₂), …, (word,</w>) —

@@ -100,6 +100,10 @@ object StreamHb {
         _: IndexBy | _: Each | _: Chunk | _: SampleBy | _: MixBy |
         _: SplitBy | _: DedupExact => None
     case _: WindowAgg => None // watermarked event-time agg — append-safe
+    // stateless narrow map over driver-literal factors (replica
+    // explode, no aggregate, no state) — upsample at ingest; the
+    // frame-key requirement is checked in validate like `mix`
+    case _: Upsample => None
     // offline-fit / online-score: the model fits on a BATCH
     // configuration at translation time; the stream side is a
     // stateless narrow map — append-safe by construction
@@ -128,6 +132,7 @@ object StreamHb {
       Some("fractional selection ranks the whole stratum")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: Shuffle => Some("epoch order numbers the whole frame")
+    case _: Curriculum => Some("curriculum bands rank the whole frame")
     case _: Shards => Some("shard placement needs the whole-frame count")
     case _: Diverse => Some("k-center selection scans the whole frame")
   }
@@ -153,11 +158,12 @@ object StreamHb {
       // id), which is null on an un-keyed stream — reject it up front
       // with the statement named instead of failing later inside the
       // running query (the same contract the `keys` expression gets)
-      if (!keyed && st.isInstanceOf[MixBy])
+      if (!keyed &&
+        (st.isInstanceOf[MixBy] || st.isInstanceOf[Upsample]))
         throw new IllegalArgumentException(
           s"`${Printer.print(st).trim}` before any `index rows by`/" +
-            s"`group by`: mix salts the frame key and a stream has no " +
-            s"ingest ordinal")
+            s"`group by`: mix/upsample salt the frame key and a " +
+            s"stream has no ingest ordinal")
       if (st.isInstanceOf[IndexBy] || st.isInstanceOf[GroupBy] ||
         st.isInstanceOf[WindowAgg])
         keyed = true

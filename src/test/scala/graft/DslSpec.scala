@@ -202,6 +202,17 @@ class DslSpec extends AnyFunSuite {
       w <- Gen.option(genName) }
       yield RebalanceBy(nm, pairs, salt, w),
     for { salt <- Gen.oneOf("epoch", "ep1") } yield Shuffle(salt),
+    for { n <- Gen.chooseNum(1, 1024) } yield Shards(n),
+    for { c <- genName; b <- Gen.chooseNum(1, 100)
+      salt <- Gen.oneOf("curriculum", "c1") }
+      yield Curriculum(c, b, salt),
+    for { nm <- genName; k <- Gen.chooseNum(1, 3)
+      pairs <- Gen.listOfN(k,
+        for { s2 <- genName;
+          v <- Gen.oneOf(0.0, 0.5, 1.0, 2.5, 12.25, 3.0) }
+          yield (s2, v))
+      salt <- Gen.oneOf("upsample", "u1") }
+      yield Upsample(nm, pairs, salt),
     for { k <- Gen.chooseNum(1, 50); nm <- genName }
       yield Diverse(k, ColRef(nm)),
     for { c <- genName; conf <- genName

@@ -188,6 +188,15 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement("shuffle") == Shuffle())
     assert(HbParser.parseStatement("shuffle 'ep1'") == Shuffle("ep1"))
     assert(HbParser.parseStatement("shards 8") == Shards(8))
+    assert(HbParser.parseStatement(
+      "upsample by lang [en 2.5; de 0.5; zh 0] 'u1'") ==
+      Upsample("lang", Seq("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0), "u1"))
+    assert(HbParser.parseStatement("upsample by lang [en 2]") ==
+      Upsample("lang", Seq("en" -> 2.0)))
+    assert(HbParser.parseStatement("curriculum by n_chars 3 'c1'") ==
+      Curriculum("n_chars", 3, "c1"))
+    assert(HbParser.parseStatement("curriculum by score 4") ==
+      Curriculum("score", 4))
     assert(HbParser.parseStatement("diverse 8 [embedding]") ==
       Diverse(8, ColRef("embedding")))
     // a regex nested inside another regex's operand still gets its

@@ -213,4 +213,126 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.count { case (id, p) => b(id) == p } < 20,
       "salts must decorrelate the order")
   }
+
+  test("curriculumOrder: bands partition the order (easy first), " +
+      "positions are a 1..n permutation, invariant under partitioning") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, (i * 37 % 100).toDouble)).toDF("id", "score")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sampling.curriculumOrder(d, "id", "c0", "score", 4)
+        .select("id", "band", "shuffle_pos", "score").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3)))
+    val a = run(df.repartition(11))
+    assert(a.map(_._3).sorted.toSeq == (1L to 300L))
+    assert(a.toSet == run(df.coalesce(1)).toSet,
+      "partitioning must not matter")
+    // every band-b position precedes every band-(b+1) position, and
+    // bands are NTILE-balanced
+    val byBand = a.groupBy(_._2)
+    (1 to 3).foreach { b =>
+      assert(byBand(b).map(_._3).max < byBand(b + 1).map(_._3).min) }
+    assert(byBand.values.map(_.length).toSet == Set(75))
+    // low scores land in early bands: band 1's max score <= band 4's min
+    assert(byBand(1).map(_._4).max <= byBand(4).map(_._4).min)
+    // hardest-first flips the band contents
+    val desc = Sampling.curriculumOrder(df, "id", "c0", "score", 4,
+      ascending = false).select("id", "band").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val asc = a.map(t => t._1 -> t._2).toMap
+    assert(asc.forall { case (id, b) => desc(id) == 5 - b })
+  }
+
+  test("upsampleByFactor: per-row replica count follows the quantized " +
+      "factor rule exactly; mass scales by the factor in expectation") {
+    import spark.implicits._
+    val df = Seq.tabulate(6000)(i =>
+      (i.toLong, Seq("en", "de", "fr")(i % 3))).toDF("id", "lang")
+    val up = Sampling.upsampleByFactor(df, "id", "up", "lang",
+      Map("en" -> 2.5, "de" -> 0.5, "fr" -> 1.0))
+    val reps = up.groupBy("id", "lang").agg(
+      count(lit(1)).as("n"), max("rep").as("mx"), min("rep").as("mn"))
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // replica indices are dense 0..n-1
+    reps.foreach { case (_, _, n, mx) => assert(mx == n - 1) }
+    // exact per-row rule: base + (hashBucket < cut)
+    val buckets = df.select(col("id"),
+      Sampling.hashBucket(col("id"), "up").as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byId = reps.map(t => t._1 -> t._3).toMap
+    df.collect().foreach { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      val (base, cut) = lang match {
+        case "en" => (2L, 5000L); case "de" => (0L, 5000L)
+        case "fr" => (1L, 0L)
+      }
+      val want = base + (if (buckets(id) < cut) 1L else 0L)
+      assert(byId.getOrElse(id, 0L) == want, s"id=$id lang=$lang")
+    }
+    // expectation: en ≈ 2000·2.5, de ≈ 2000·0.5, fr = 2000·1.0 exactly
+    val counts = up.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 5000) < 200)
+    assert(math.abs(counts("de") - 1000) < 200)
+    assert(counts("fr") == 2000)
+  }
+
+  test("upsampleByFactor: factor 0 drops the stratum, the default " +
+      "passes others through at rep 0, and the plan stays narrow") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i =>
+      (i.toLong, if (i % 2 == 0) "junk" else "keep")).toDF("id", "lang")
+    val up = Sampling.upsampleByFactor(df, "id", "s", "lang",
+      Map("junk" -> 0.0))
+    val langs = up.select("lang", "rep").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(langs.forall(_._1 == "keep"))
+    assert(langs.forall(_._2 == 0) && langs.length == 50)
+    // narrow: no exchange anywhere in the plan
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("epochPlan: factors hit the budget at the mix; plan→upsample " +
+      "round-trips through the fixed point; absent strata raise") {
+    import spark.implicits._
+    val df = Seq.tabulate(300)(i =>
+      (i.toLong, Seq("en", "de")(i % 2), 10L + (i % 7))).toDF(
+      "id", "lang", "w")
+    val plan = Sampling.epochPlan(df, "lang", "w",
+      Map("en" -> 0.75, "de" -> 0.25), budget = 10000L)
+    val rows = plan.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mass = df.groupBy("lang").agg(sum("w").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("en")._1 == mass("en") && rows("de")._1 == mass("de"))
+    assert(rows("en")._2 ==
+      math.floor(10000L * 0.75 / mass("en") * 10000 + 0.5).toLong)
+    assert(rows("de")._2 ==
+      math.floor(10000L * 0.25 / mass("de") * 10000 + 0.5).toLong)
+    // the factor map reproduces factor1e4 exactly through upsample's
+    // round(f·10⁴) quantization
+    val fs = Sampling.epochPlanFactors(plan, "lang")
+    fs.foreach { case (s, f) =>
+      assert(math.round(f * Sampling.Buckets) == rows(s)._2) }
+    // upsampled mass lands near the per-stratum budget share
+    val up = Sampling.upsampleByFactor(df, "id", "bm", "lang", fs,
+      default = 0.0)
+    val got = up.groupBy("lang").agg(sum("w").as("m")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got("en") - 7500) < 500, got.toString)
+    assert(math.abs(got("de") - 2500) < 500, got.toString)
+    // a target stratum missing from the frame raises in-plan, by name
+    val e = intercept[Exception] {
+      Sampling.epochPlan(df, "lang", "w",
+        Map("en" -> 0.5, "xx" -> 0.5), 1000L).collect()
+    }
+    assert(e.getMessage.contains("1 of 2"))
+    // non-unit target sums are rejected up front
+    intercept[IllegalArgumentException] {
+      Sampling.epochPlan(df, "lang", "w", Map("en" -> 0.5), 1000L)
+    }
+  }
 }

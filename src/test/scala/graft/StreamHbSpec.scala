@@ -67,6 +67,7 @@ class StreamHbSpec extends AnyFunSuite {
       "bpe text 8\n" -> "bpe text",
       "shuffle 'e1'\n" -> "shuffle",
       "shards 8\n" -> "shards",
+      "curriculum by score 3\n" -> "curriculum",
       "diverse 4 [vec]\n" -> "diverse")
     cases.foreach { case (program, what) =>
       val e = intercept[IllegalArgumentException] {
@@ -107,6 +108,17 @@ class StreamHbSpec extends AnyFunSuite {
     assert(e.getMessage.contains("ingest ordinal"))
     StreamHb.validate(HbParser.parse(
       "index rows by event_id\nmix by event_type [purchase 50] 10\n"))
+  }
+
+  test("`upsample`: streamable once keyed, rejected by name un-keyed") {
+    // same contract as mix — the replica draw salts the frame KEY
+    val e = intercept[IllegalArgumentException] {
+      StreamHb.validate(HbParser.parse("upsample by lang [en 2.5]\n"))
+    }
+    assert(e.getMessage.contains("upsample by"))
+    assert(e.getMessage.contains("ingest ordinal"))
+    StreamHb.validate(HbParser.parse(
+      "index rows by doc_id\nupsample by lang [en 2.5] 'u1'\n"))
   }
 
   test("`… using` statements: admissible on streams, named error " +
