@@ -1637,7 +1637,40 @@ object TextGates {
         |      1, 8) AS BIGINT), doc_id) AS BIGINT) AS shuffle_pos,
         |  n_chars, lang
         |FROM b
-        |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin))
+        |ORDER BY shuffle_pos ASC NULLS FIRST""".stripMargin)),
+
+    // The shard manifest — per-shard row counts, position ranges and
+    // char mass over an epoch placement: what a data loader reads
+    // before streaming the writeShards artifact, and the placement
+    // integrity check (a non-dense pos_in_shard raises in-plan,
+    // ShardSinkSpec).
+    Gate("t_shard_manifest", (s, d) => {
+      val shuffled = graft.operators.Sampling.shuffleOrder(
+        t(s, d, "documents"), "doc_id", "mf10")
+      val placed = graft.operators.Sampling
+        .epochShards(shuffled, "shuffle_pos", 6)
+      graft.sinks.Sinks.shardManifest(placed,
+        weightCols = Seq("n_chars")).orderBy(col("shard"))
+    },
+      Some("""WITH shuf AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+        |        || ':mf10'), 1, 8) AS BIGINT), doc_id) AS BIGINT)
+        |      AS pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM documents),
+        |placed AS (
+        |  SELECT n_chars, ((pos - 1) * 6) // nn AS shard,
+        |    pos - ((((pos - 1) * 6) // nn) * nn + 5) // 6
+        |      AS pos_in_shard
+        |  FROM shuf)
+        |SELECT shard, COUNT(*) AS n_rows,
+        |  MIN(pos_in_shard) AS first_pos,
+        |  MAX(pos_in_shard) AS last_pos,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM placed GROUP BY shard
+        |ORDER BY shard ASC NULLS FIRST""".stripMargin))
   )
 
   /** The t_lm_surprisal oracle CTE chain, ending at

@@ -84,6 +84,39 @@ object Sinks {
       .parquet(path)
   }
 
+  /** The per-shard manifest a data loader reads before streaming the
+    * [[writeShards]] artifact — and the placement INTEGRITY check: for
+    * each shard, the row count, position range and per-`weightCols`
+    * mass (`sum_<col>`). A shard whose `posCol` is not dense 1..n
+    * RAISES in-plan (a gapped or non-1-based shard means the
+    * placement upstream is broken — shipping its manifest would let a
+    * loader seek to positions that don't exist). One aggregate over
+    * (shard → stats); the manifest is ≤numShards rows, broadcast- and
+    * driver-safe by construction. */
+  def shardManifest(placed: DataFrame, shardCol: String = "shard",
+      posCol: String = "pos_in_shard",
+      weightCols: Seq[String] = Nil): DataFrame = {
+    require(placed.columns.contains(shardCol), s"no column '$shardCol'")
+    require(placed.columns.contains(posCol), s"no column '$posCol'")
+    val aggs = Seq(
+      count(lit(1)).as("n_rows"),
+      min(col(posCol)).cast("long").as("first_pos"),
+      max(col(posCol)).cast("long").as("last_pos"),
+      countDistinct(col(posCol)).as("__npos")) ++
+      weightCols.map(w => sum(col(w)).cast("long").as(s"sum_$w"))
+    placed.groupBy(col(shardCol)).agg(aggs.head, aggs.tail: _*)
+      // dense ⇔ first = 1 ∧ span = count ∧ no duplicate positions
+      .withColumn("n_rows",
+        when(col("first_pos") =!= 1L ||
+          col("last_pos") - col("first_pos") + 1L =!= col("n_rows") ||
+          col("__npos") =!= col("n_rows"),
+          raise_error(concat(lit("shardManifest: shard "),
+            col(shardCol).cast("string"),
+            lit(s" has a non-dense $posCol — placement is broken"))))
+          .otherwise(col("n_rows")))
+      .drop("__npos")
+  }
+
   private def cell(r: Row, i: Int): String =
     if (r.isNullAt(i)) "null"
     else r.get(i) match {

@@ -287,8 +287,8 @@ object StreamOps {
   }
 
   /** Offline-fit / online-encode twin for BPE: the merge table trains
-    * in batch ([[graft.operators.Bpe.fit]], bounded driver rows — one
-    * per merge) and the live stream encodes through the codegen'd
+    * in batch ([[graft.operators.Bpe.fitDelta]], bounded driver rows —
+    * one per merge) and the live stream encodes through the codegen'd
     * native expression [[graft.operators.Bpe.encodeColFast]] (pinned
     * bit-identical to the HOF spec `encodeCol` by BpeSpec) —
     * stateless, append-mode, nothing but the scan per micro-batch. */
