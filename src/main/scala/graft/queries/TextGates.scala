@@ -1670,7 +1670,39 @@ object TextGates {
         |  MAX(pos_in_shard) AS last_pos,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
         |FROM placed GROUP BY shard
-        |ORDER BY shard ASC NULLS FIRST""".stripMargin))
+        |ORDER BY shard ASC NULLS FIRST""".stripMargin)),
+
+    // Cluster-cap SOFT dedup — the middle ground between keeping every
+    // near-dup and hard dedup (one survivor per cluster): keep the k=2
+    // best exemplars of every verified near-dup cluster, preferring
+    // the longest text (near-identical docs often differ by
+    // truncation). Pure composition: connected components over the
+    // verified MinHash pairs → top-k per component stratum; the oracle
+    // composes the same two proofs (recursive-CTE closure +
+    // ROW_NUMBER cap).
+    Gate("t_cluster_cap", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.Dedup.minhashPairs(docs, "text",
+        "doc_id", threshold = 0.5, portable = true)
+      val withComp = graft.operators.Components.withComponents(
+        docs.select(col("doc_id"), col("n_chars")), "doc_id",
+        pairs, "id_a", "id_b")
+      graft.operators.Selection.topKPerStratum(withComp,
+        "component", "n_chars", "doc_id", 2)
+        .select(col("doc_id"), col("component"), col("n_chars"),
+          col("rank"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH RECURSIVE ${SimilarityGates.minhashCcCompCtesSql},
+        |__cap AS (
+        |  SELECT c.doc_id, c.component, d.n_chars,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS INTEGER)
+        |      AS rank
+        |  FROM __comp c JOIN documents d USING (doc_id))
+        |SELECT doc_id, component, n_chars, rank FROM __cap
+        |WHERE rank <= 2
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin))
   )
 
   /** The t_lm_surprisal oracle CTE chain, ending at
