@@ -774,6 +774,71 @@ object HbGates {
         |ORDER BY shard ASC NULLS FIRST,
         |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
 
+    // The r10 statement pipeline: the round's whole statement family
+    // chained through ONE parsed program — fractional selection →
+    // fractional upsampling (key forks to doc:rep) → curriculum
+    // banding over the replicated corpus → shard placement. Every
+    // stage consumes the previous stage's survivors/replicas, and the
+    // whole chain replays as one SQL pipeline.
+    Gate("hb_pipeline_r10",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |top 50 pct by n_chars per lang
+          |upsample by lang [en 2.5; de 1.5] 'pu10'
+          |curriculum by n_chars 3 'pc10'
+          |shards 4
+          |create column rep_key keys
+          |slice columns shard pos_in_shard band shuffle_pos rep_key lang n_chars
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+      Some("""WITH sel AS (
+        |  SELECT doc_id, lang, n_chars FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |      ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY n_chars DESC, doc_id ASC) AS rank,
+        |      COUNT(*) OVER (PARTITION BY lang) AS n
+        |    FROM documents)
+        |  WHERE rank <= (n * 50 + 99) // 100),
+        |up AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (CASE lang WHEN 'en' THEN 2 WHEN 'de' THEN 1 ELSE 1 END)
+        |    + (CASE WHEN CAST('0x' || SUBSTR(md5(
+        |          CAST(doc_id AS VARCHAR) || ':pu10'), 1, 8) AS BIGINT)
+        |          % 10000
+        |        < (CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 5000
+        |           ELSE 0 END)
+        |      THEN 1 ELSE 0 END) AS nrep
+        |  FROM sel),
+        |reps AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(unnest(range(nrep)) AS INTEGER) AS rep
+        |  FROM up),
+        |keyed AS (
+        |  SELECT lang, n_chars,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)
+        |      AS rep_key
+        |  FROM reps),
+        |banded AS (
+        |  SELECT lang, n_chars, rep_key,
+        |    CAST(NTILE(3) OVER (ORDER BY n_chars ASC, rep_key ASC)
+        |      AS INTEGER) AS band
+        |  FROM keyed),
+        |shuf AS (
+        |  SELECT lang, n_chars, rep_key, band,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY band ASC,
+        |      CAST('0x' || SUBSTR(md5(rep_key || ':pc10'), 1, 8)
+        |        AS BIGINT), rep_key) AS BIGINT) AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM banded)
+        |SELECT ((shuffle_pos - 1) * 4) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 4) // nn) * nn + 3) // 4
+        |    AS pos_in_shard,
+        |  band, shuffle_pos, rep_key, lang, n_chars
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
     // The fractional selection form through the text surface: keep the
     // best quarter of every language by n_chars — compiles to
     // Selection.topFracPerStratum(1/4 ≡ 25 pct).
