@@ -322,8 +322,17 @@ object Sampling {
     val spark = df.sparkSession
     val tgtDf = spark.createDataFrame(targets.toSeq.sortBy(_._1))
       .toDF("__st", "__t")
+    // a null or non-positive weight would silently vanish from the
+    // stratum mass (SUM skips nulls) and overstate every factor — the
+    // same corruption rebalanceByWeight guards against; raise in-plan
+    val w = col(weightCol)
+    val wChecked = when(w.isNull || w <= 0,
+      raise_error(lit(s"epochPlan: null or non-positive $weightCol — " +
+        "weigh rows before planning"))
+        .cast(df.schema(weightCol).dataType))
+      .otherwise(w)
     val cnt = df.groupBy(col(stratumCol).as("__st"))
-      .agg(sum(col(weightCol)).cast("long").as("__m"))
+      .agg(sum(wChecked).cast("long").as("__m"))
     val j = cnt.join(broadcast(tgtDf), "__st")
     // absent or massless target strata fail in-plan, never renormalize
     val nst = j.agg(count(lit(1)).as("__nst"))
@@ -378,7 +387,14 @@ object Sampling {
       scoreCol: String, bands: Int, ascending: Boolean = true,
       numPartitions: Int = 0): DataFrame = {
     require(bands > 0, s"curriculumOrder: need bands > 0, got $bands")
-    val s = if (ascending) col(scoreCol).asc else col(scoreCol).desc
+    // a null score would sort into band 1 silently (and engines
+    // disagree on null placement — Spark NULLS FIRST, SQL NULLS LAST):
+    // an unscored row is a data bug, surface it
+    val sc = when(col(scoreCol).isNull,
+      raise_error(lit(s"curriculumOrder: null $scoreCol — score rows " +
+        "before ordering")).cast(df.schema(scoreCol).dataType))
+      .otherwise(col(scoreCol))
+    val s = if (ascending) sc.asc else sc.desc
     val banded = Ordinals.withGlobalNtile(df, "band", bands,
       Seq(s, col(idCol).asc), numPartitions)
     Ordinals.withGlobalOrdinal(

@@ -334,5 +334,25 @@ class SamplingSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Sampling.epochPlan(df, "lang", "w", Map("en" -> 0.5), 1000L)
     }
+    // a null weight would silently vanish from SUM and overstate every
+    // factor — raises in-plan instead
+    val nulled = df.withColumn("w",
+      when(col("id") === 7L, lit(null)).otherwise(col("w")))
+    val e2 = intercept[Exception] {
+      Sampling.epochPlan(nulled, "lang", "w",
+        Map("en" -> 0.75, "de" -> 0.25), 1000L).collect()
+    }
+    assert(e2.getMessage.contains("null or non-positive"))
+  }
+
+  test("curriculumOrder: a null score raises in-plan (engines disagree " +
+      "on null placement)") {
+    import spark.implicits._
+    val df = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0)))
+      .toDF("id", "score")
+    val e = intercept[Exception] {
+      Sampling.curriculumOrder(df, "id", "s", "score", 2).collect()
+    }
+    assert(e.getMessage.contains("null score"))
   }
 }
