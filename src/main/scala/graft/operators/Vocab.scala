@@ -115,6 +115,34 @@ object Vocab {
       .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
   }
 
+  /** Decode `idsCol` (array<int> of token ids) back to a
+    * space-joined `text_decoded` string against a fitted vocabulary —
+    * the inspection path every shipped token stream needs (spot-check
+    * what the model actually trains on). The exact inverse of
+    * [[encode]] on in-vocabulary tokens; OOV id 0 decodes to the
+    * visible marker `<oov>` rather than silently dropping (a decoded
+    * doc must keep its token positions aligned with the id stream);
+    * ids outside [0, |vocab|] RAISE in-plan — they mean the stream was
+    * produced under a DIFFERENT vocabulary, the exact drift
+    * [[fitStored]] exists to prevent. Null ids → null. Zero-shuffle:
+    * a per-row transform against the ≤size-row vocab as a literal map
+    * (the [[encodeNarrow]] discipline — stream-safe). */
+  def decodeNarrow(df: DataFrame, idsCol: String,
+      vocab: Map[String, Int], out: String = "text_decoded"): DataFrame = {
+    val inv = typedlit(vocab.map { case (t, i) => i -> t })
+    val maxId = vocab.values.foldLeft(0)(math.max)
+    val ids = col(idsCol)
+    df.withColumn(out,
+      when(ids.isNotNull, concat_ws(" ",
+        transform(ids, i =>
+          when(i < 0 || i > maxId,
+            raise_error(concat(lit("decodeNarrow: token id "),
+              i.cast(StringType),
+              lit(" outside the fitted vocabulary — id stream and " +
+                "vocabulary are out of sync"))))
+            .otherwise(coalesce(element_at(inv, i), lit("<oov>")))))))
+  }
+
   /** Persistent fit — the cell-model contract (Similarity.modelStore)
     * for vocabularies: the fitted (token, id, n) frame is saved as a
     * ≤`size`-row parquet artifact under a [[graft.cache.LineageCache]]

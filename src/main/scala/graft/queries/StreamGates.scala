@@ -302,6 +302,31 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.vocabOracleSql)),
 
+    // Streaming ingestion writes the training store: each arriving doc
+    // appends under its deterministic hash shard — the continuous
+    // counterpart of writeShards (epoch placement runs batch-side over
+    // the accumulated store at training time). The gate round-trips
+    // the REAL parquet store and checks membership against the hash
+    // oracle.
+    Gate("st_shard_append", (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graftshardappend").toString
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val q = graft.streaming.StreamOps.shardAppendStream(
+        stream, "doc_id", "sa10", 4, s"$tmp/store", s"$tmp/ck")
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$tmp/store")
+        .select(col("doc_id"), col("shard").cast("long"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id,
+        |  CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':sa10'),
+        |    1, 8) AS BIGINT) % 4 AS shard
+        |FROM documents
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Upsampling over the live stream: the statement is a stateless
     // narrow map (driver-literal factors, replica explode — no state,
     // no aggregate), so it runs append-mode at ingest; same salt and

@@ -1672,6 +1672,40 @@ object TextGates {
         |FROM placed GROUP BY shard
         |ORDER BY shard ASC NULLS FIRST""".stripMargin)),
 
+    // Token-id round trip: encode under the fitted vocabulary, decode
+    // the id stream back — the inspection path for shipped token
+    // streams (what does the model actually train on). OOV ids decode
+    // to the visible <oov> marker so positions stay aligned; an id
+    // outside the vocabulary raises (wrong-vocabulary drift).
+    Gate("t_vocab_decode", (s, d) => {
+      val docs = t(s, d, "documents")
+      val vocab = graft.operators.Vocab.fit(docs, "text", 64)
+      val enc = graft.operators.Vocab.encode(docs, "doc_id", "text",
+        vocab)
+      graft.operators.Vocab.decodeNarrow(enc, "token_ids",
+        graft.operators.Vocab.vocabMap(vocab))
+        .select(col("doc_id"), col("text_decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+        |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+        |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+        |dec AS (
+        |  SELECT t.doc_id,
+        |    string_agg(CASE WHEN v.id IS NULL THEN '<oov>'
+        |      ELSE t.tok END, ' ' ORDER BY t.pos) AS text_decoded
+        |  FROM tok t LEFT JOIN vocab v USING (tok)
+        |  GROUP BY t.doc_id)
+        |SELECT d.doc_id, dec.text_decoded
+        |FROM documents d LEFT JOIN dec USING (doc_id)
+        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Cluster-cap SOFT dedup — the middle ground between keeping every
     // near-dup and hard dedup (one survivor per cluster): keep the k=2
     // best exemplars of every verified near-dup cluster, preferring

@@ -327,4 +327,34 @@ object StreamOps {
       .select(col("doc_id"), col("n_tokens"), col("margin_sum"),
         col("margin1000")), queryName)
   }
+
+  /** Streaming ingestion into the training-store layout — the
+    * continuous counterpart of [[graft.sinks.Sinks.writeShards]]:
+    * each arriving doc gets its deterministic salted-hash shard
+    * ([[graft.operators.Sampling.hash32]] mod `numShards` — the
+    * Packing shard discipline: membership stable under any arrival
+    * order or restart, no global state) and appends to a parquet
+    * store partitioned by shard. Global epoch positions don't exist
+    * on an unbounded stream, so in-shard order is arrival order; at
+    * training time the batch side reads the accumulated store and
+    * runs `shuffleOrder`/`epochShards` over it. Stateless append —
+    * no watermark, no aggregation, any scale; the checkpoint gives
+    * the file sink's exactly-once semantics across restarts. */
+  def shardAppendStream(docs: DataFrame, idCol: String, salt: String,
+      numShards: Int, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(numShards > 0,
+      s"shardAppendStream: need numShards > 0, got $numShards")
+    docs
+      .withColumn("shard",
+        graft.operators.Sampling.hash32(col(idCol), salt) % numShards)
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("shard")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

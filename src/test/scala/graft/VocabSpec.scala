@@ -98,4 +98,25 @@ class VocabSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     assert(full.values.forall(_ == 0L), s"got $full")
   }
+
+  test("decodeNarrow: the exact inverse of encode with a visible " +
+      "<oov> marker; out-of-vocabulary ids raise") {
+    val vocab = Vocab.fit(docs, "text", size = 3)
+    val enc = Vocab.encode(docs, "id", "text", vocab)
+    val dec = Vocab.decodeNarrow(enc, "token_ids", Vocab.vocabMap(vocab))
+      .select("id", "text_decoded").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(dec(1L) == "b a a c")
+    assert(dec(2L) == "a b <oov>")   // rare is OOV -> marker, aligned
+    assert(dec(3L) == null)          // null text -> null ids -> null
+    // an id beyond the fitted vocabulary is wrong-vocabulary drift
+    val drifted = enc.withColumn("token_ids",
+      org.apache.spark.sql.functions.array(lit(99)))
+    val e = intercept[Exception] {
+      Vocab.decodeNarrow(drifted, "token_ids",
+        Vocab.vocabMap(vocab)).collect()
+    }
+    assert(e.getMessage.contains("outside the fitted vocabulary"))
+  }
 }
