@@ -322,6 +322,14 @@ object Ast {
     * today's stream. */
   case class EncodeUsing(textCol: String, conf: String, size: Int)
       extends Statement
+  /** `decode <idsCol> using <conf> <size>` — the [[EncodeUsing]]
+    * inverse: the vocabulary fits on the MODEL configuration and the
+    * frame's id arrays decode back to the space-joined token stream
+    * (operators.Vocab.decodeNarrow — visible `<oov>` marker keeps
+    * positions aligned; an id outside the fitted vocabulary raises,
+    * the wrong-vocabulary drift signal). */
+  case class DecodeUsing(idsCol: String, conf: String, size: Int)
+      extends Statement
   /** `bpe <textCol> using <conf> <nMerges>` — the [[BpeEnc]] twin with
     * the merge table trained on a MODEL configuration
     * (operators.Bpe.fitDelta + the codegen'd native encode). */

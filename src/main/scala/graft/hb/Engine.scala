@@ -410,7 +410,7 @@ object Engine {
     // silently wrong. Batch authoring of the same semantics is the
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: BpeUsing) =>
+        _: DecodeUsing | _: BpeUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -24,7 +24,7 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify")
+    "classify", "decode")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -522,6 +522,11 @@ object HbParser {
           val conf = p.colName()
           EncodeUsing(c, conf, p.int())
         } else Encode(c, p.int())
+      case "decode" =>
+        val c = p.colName()
+        p.eat("using")
+        val conf = p.colName()
+        DecodeUsing(c, conf, p.int())
       case "score" =>
         val c = p.colName()
         p.eat("using")

@@ -123,6 +123,8 @@ object Printer {
       s"classify ${name(c)} using ${name(pos)} ${name(neg)}$bb$ss"
     case EncodeUsing(c, conf, n) =>
       s"encode ${name(c)} using ${name(conf)} $n"
+    case DecodeUsing(c, conf, n) =>
+      s"decode ${name(c)} using ${name(conf)} $n"
     case BpeUsing(c, conf, n) =>
       s"bpe ${name(c)} using ${name(conf)} $n"
     case Comment(text) => s"!#$text!#"

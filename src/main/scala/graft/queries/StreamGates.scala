@@ -340,6 +340,23 @@ object StreamGates {
         .orderBy(col("doc_id"), col("rep")),
       Some(TextGates.upsampleOracleSql)),
 
+    // encode→decode chained OVER THE LIVE STREAM through the closed
+    // DSL: the stream tokenizes under the batch-fitted vocabulary and
+    // immediately inverts — both stateless narrow maps, and the round
+    // trip shares the batch decode oracle.
+    Gate("st_hb_decode",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """encode text using corpus 64
+          |decode token_ids using corpus 64
+          |slice columns doc_id text_decoded
+          |""".stripMargin, "st_hb_decode_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.vocabDecodeOracleSql)),
+
     Gate("st_hb_bpe",
       (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
         """bpe text using corpus 8

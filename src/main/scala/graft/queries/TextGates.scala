@@ -1687,24 +1687,7 @@ object TextGates {
         .select(col("doc_id"), col("text_decoded"))
         .orderBy(col("doc_id"))
     },
-      Some("""WITH tok AS (
-        |  SELECT doc_id,
-        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
-        |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
-        |  FROM documents),
-        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
-        |vocab AS (
-        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
-        |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
-        |dec AS (
-        |  SELECT t.doc_id,
-        |    string_agg(CASE WHEN v.id IS NULL THEN '<oov>'
-        |      ELSE t.tok END, ' ' ORDER BY t.pos) AS text_decoded
-        |  FROM tok t LEFT JOIN vocab v USING (tok)
-        |  GROUP BY t.doc_id)
-        |SELECT d.doc_id, dec.text_decoded
-        |FROM documents d LEFT JOIN dec USING (doc_id)
-        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(vocabDecodeOracleSql)),
 
     // Cluster-cap SOFT dedup — the middle ground between keeping every
     // near-dup and hard dedup (one survivor per cluster): keep the k=2
@@ -1866,6 +1849,31 @@ object TextGates {
         |FROM dtok JOIN enc USING (word)
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_vocab_decode oracle — decode ∘ encode under the 64-token
+    * fitted vocabulary: every in-vocab token survives, OOV becomes the
+    * visible `<oov>` marker, positions aligned. Shared with the
+    * streaming twin st_hb_decode (encode→decode chained over the live
+    * stream through the closed DSL). */
+  private[queries] lazy val vocabDecodeOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+      |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+      |dec AS (
+      |  SELECT t.doc_id,
+      |    string_agg(CASE WHEN v.id IS NULL THEN '<oov>'
+      |      ELSE t.tok END, ' ' ORDER BY t.pos) AS text_decoded
+      |  FROM tok t LEFT JOIN vocab v USING (tok)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, dec.text_decoded
+      |FROM documents d LEFT JOIN dec USING (doc_id)
+      |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
   /** The t_upsample oracle — the quantized replica rule (base ⌊f⌋ +
     * one more iff salted bucket < frac·10⁴) replayed as

@@ -108,7 +108,7 @@ object StreamHb {
     // configuration at translation time; the stream side is a
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: BpeUsing => None
+        _: DecodeUsing | _: BpeUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -225,6 +225,12 @@ object StreamHb {
         val vm = graft.operators.Vocab.vocabMap(
           graft.operators.Vocab.fit(resolve(conf), c, size))
         f.copy(df = graft.operators.Vocab.encodeNarrow(f.df, c, vm))
+      case (f, DecodeUsing(c, conf, size)) =>
+        // the model fits on the configuration's TEXT column ("text" by
+        // the corpus contract); the stream side inverts the id arrays
+        val vm = graft.operators.Vocab.vocabMap(
+          graft.operators.Vocab.fit(resolve(conf), "text", size))
+        f.copy(df = graft.operators.Vocab.decodeNarrow(f.df, c, vm))
       case (f, BpeUsing(c, conf, n)) =>
         val merges = graft.operators.Bpe.fitDelta(resolve(conf), c, n,
           minCount = 1L)

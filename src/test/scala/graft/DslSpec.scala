@@ -223,6 +223,8 @@ class DslSpec extends AnyFunSuite {
       yield ClassifyUsing(c, p, n, b, s),
     for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 100000) }
       yield EncodeUsing(c, conf, n),
+    for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 100000) }
+      yield DecodeUsing(c, conf, n),
     for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 32768) }
       yield BpeUsing(c, conf, n))
 

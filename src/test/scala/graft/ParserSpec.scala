@@ -197,6 +197,8 @@ class ParserSpec extends AnyFunSuite {
       Curriculum("n_chars", 3, "c1"))
     assert(HbParser.parseStatement("curriculum by score 4") ==
       Curriculum("score", 4))
+    assert(HbParser.parseStatement("decode token_ids using corpus 64") ==
+      DecodeUsing("token_ids", "corpus", 64))
     assert(HbParser.parseStatement("diverse 8 [embedding]") ==
       Diverse(8, ColRef("embedding")))
     // a regex nested inside another regex's operand still gets its

@@ -129,6 +129,7 @@ class StreamHbSpec extends AnyFunSuite {
       """score text using ref
         |classify text using pos neg
         |encode text using corpus 64
+        |decode token_ids using corpus 64
         |bpe text using corpus 8
         |""".stripMargin))
     // running without a resolver names the missing configuration
