@@ -92,21 +92,59 @@ object PassageDedup {
     * corpus size. Reconstruction is a per-row HOF filter — narrow. */
   def scrub(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    Seq("scrubbed", "n_tokens", "n_removed", "__cov").foreach { c =>
-      require(!df.columns.contains(c),
-        s"input already has a '$c' column — rename it before scrub")
-    }
     val w = positionedWindows(df, idCol, textCol, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rep = w.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("fp")
-    val cov = w.join(rep, "fp")
+    val out = scrubWith(df, idCol, textCol, k, w, rep)
+    w.unpersist(false)
+    out
+  }
+
+  /** Cross-corpus REMOVAL — decontamination that EDITS instead of
+    * dropping (the ExactSubstr policy applied ACROSS frames): every
+    * token of `df` covered by a k-window that appears anywhere in
+    * `ref` (the eval/benchmark frame) is removed, and the rest of the
+    * document survives — the right call for long documents that merely
+    * QUOTE a benchmark item, where [[Decontaminate.flag]]'s doc-level
+    * verdict would discard the whole doc. Same output contract as
+    * [[scrub]] (`scrubbed`, `n_tokens`, `n_removed`).
+    *
+    * 100 TB shape: the reference side reduces to DISTINCT window
+    * digests — an eval suite is benchmark-items-sized by contract, so
+    * the digest set broadcasts into the corpus's positioned-window
+    * join; covered positions exist only where contamination exists, so
+    * the position shuffle and per-doc coverage sets are bounded by the
+    * contaminated mass, never by corpus size. */
+  def scrubAgainst(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refIdCol: String, refTextCol: String,
+      k: Int = 8): DataFrame = {
+    val w = positionedWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evid = broadcast(
+      positionedWindows(ref, refIdCol, refTextCol, k)
+        .select("fp").distinct())
+    val out = scrubWith(df, idCol, textCol, k, w, evid)
+    w.unpersist(false)
+    out
+  }
+
+  /** The shared removal core: coverage from `w ⋈ evid` (any frame of
+    * `fp`s to remove), then the narrow hash-set reconstruction. The
+    * coverage frame is eagerly checkpointed before the caller
+    * unpersists `w`. */
+  private def scrubWith(df: DataFrame, idCol: String, textCol: String,
+      k: Int, w: DataFrame, evid: DataFrame): DataFrame = {
+    Seq("scrubbed", "n_tokens", "n_removed", "__cov").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before scrub")
+    }
+    val cov = w.join(evid, "fp")
       .select(col(idCol),
         explode(sequence(col("start"), col("start") + lit(k - 1)))
           .as("__pos"))
       .groupBy(idCol).agg(collect_set(col("__pos")).as("__cov"))
       .localCheckpoint(true)
-    w.unpersist(false)
     val tk = Decontaminate.tokens(col(textCol))
     df.join(cov, Seq(idCol), "left")
       .withColumn("__tk", tk)

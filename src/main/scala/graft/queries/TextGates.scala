@@ -1082,6 +1082,54 @@ object TextGates {
           |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
           |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Cross-corpus scrub: decontamination that EDITS instead of drops
+    // — every train-side token covered by an 8-token window appearing
+    // anywhere in the (5%-sample) eval set is excised and the rest of
+    // the document survives, where t_decontaminate's doc-level flag
+    // would discard long docs that merely quote a benchmark item. The
+    // eval side reduces to distinct broadcast digests.
+    Gate("t_decon_scrub", (s, d) => {
+      val docs = t(s, d, "documents")
+      val b = Sampling.hashBucket(col("doc_id"), "eval")
+      graft.operators.PassageDedup.scrubAgainst(
+        docs.filter(b >= 500), "doc_id", "text",
+        docs.filter(b < 500), "doc_id", "text", k = 8)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          md5(col("scrubbed")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH bkt AS (
+        |  SELECT doc_id, text,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':eval'),
+        |      1, 8) AS BIGINT) % 10000 AS b
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, b,
+        |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM bkt),
+        |w AS (
+        |  SELECT doc_id, b, i, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+        |  FROM tok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+        |ev AS (SELECT DISTINCT fp FROM w WHERE b < 500),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.i + j.j AS pos
+        |  FROM w JOIN ev USING (fp), unnest(range(0, 8)) AS j(j)
+        |  WHERE w.b >= 500),
+        |cva AS (SELECT doc_id, list(pos) AS cv FROM cov GROUP BY doc_id),
+        |cl AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(1, len(t.tk) + 1),
+        |        p -> c.cv IS NULL OR NOT list_contains(c.cv, p)),
+        |      p -> t.tk[p]) AS kept
+        |  FROM tok t LEFT JOIN cva c USING (doc_id)
+        |  WHERE t.b >= 500)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+        |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // The r7 curation operators composed END-TO-END: decontaminate
     // (drop docs overlapping the 5%-sample eval set) → C4-style quality
     // filter (keep reason = 'keep') → passage-dedup threshold on the

@@ -113,6 +113,23 @@ class TextPrepSpec extends AnyFunSuite {
     assert(out(3L) == (("m n o u v k l", 0L)))
   }
 
+  test("scrubAgainst removes exactly the eval-quoted windows from the " +
+      "train side and leaves clean docs untouched") {
+    import graft.operators.PassageDedup
+    val train = docs(
+      1L -> "intro words w x y z closing remark",  // quotes the eval item
+      2L -> "completely unrelated training text here")
+    val eval = docs(10L -> "w x y z")
+    val out = PassageDedup.scrubAgainst(train, "doc_id", "text",
+      eval, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("scrubbed"), r.getAs[Long]("n_removed")))).toMap
+    assert(out(1L) == (("intro words closing remark", 4L)))
+    assert(out(2L) == (("completely unrelated training text here", 0L)))
+    // removal is one-sided: the eval frame itself is never rewritten
+    assert(!out.contains(10L))
+  }
+
   test("within-doc repetition also counts as repeated passage mass") {
     import graft.operators.PassageDedup
     val corpus = docs(1L -> "x y x y x y x y") // "x y x y" repeats inside
