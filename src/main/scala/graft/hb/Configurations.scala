@@ -38,6 +38,11 @@ object Configurations {
     * of the reference configuration. */
   case class NearDupOf(corpus: String, reference: String, idField: String,
       textField: String, threshold: Double = 0.5) extends ConfSource
+  /** Editing twin of [[DeconOf]] (Graft.scrubAgainst): corpus rows +
+    * `scrubbed`/`n_tokens`/`n_removed` — eval-quoted k-windows excised
+    * from the text, the rest of the doc kept. */
+  case class ScrubOf(corpus: String, evalSet: String, idField: String,
+      textField: String, k: Int = 8) extends ConfSource
   /** Backward as-of join of two configurations' outputs
     * (Graft.asof): left rows + `prefix`-named most-recent right
     * values. */
@@ -115,6 +120,9 @@ object Configurations {
         case NearDupOf(cp, rf, id, tx, th) =>
           s"neardup(${lineageKey(configs, cp)},${lineageKey(configs, rf)}," +
             s"$id,$tx,$th)"
+        case ScrubOf(cp, ev, id, tx, k) =>
+          s"scrubof(${lineageKey(configs, cp)},${lineageKey(configs, ev)}," +
+            s"$id,$tx,$k)"
         case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
           s"asof(${lineageKey(configs, l)},${lineageKey(configs, r)}," +
             s"$lt,$rt,${lk.mkString("+")},${rk.mkString("+")}," +
@@ -161,6 +169,8 @@ object Configurations {
               Graft.decontaminate(sub(cp), sub(ev), id, tx, n)
             case NearDupOf(cp, rf, id, tx, th) =>
               Graft.nearDups(sub(cp), sub(rf), id, tx, th)
+            case ScrubOf(cp, ev, id, tx, k) =>
+              Graft.scrubAgainst(sub(cp), sub(ev), id, tx, k)
             case AsofOf(l, r, lt, rt, lk, rk, rv, px) =>
               Graft.asof(sub(l), sub(r), lt, rt, lk, rk, rv, px)
             case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>

@@ -71,6 +71,17 @@ object Graft {
     graft.operators.Dedup.flagNearDupsAgainst(corpus, reference, idField,
       textField, threshold, portable = true)
 
+  /** Cross-corpus scrub provider: every `corpus` row plus `scrubbed` /
+    * `n_tokens` / `n_removed` — the exact-substring REMOVAL policy
+    * applied against the eval configuration (every token covered by a
+    * k-window appearing anywhere in `evalSet` is excised, the rest of
+    * the doc survives). The editing counterpart of [[decontaminate]]'s
+    * flag: quote-level contamination goes, the document stays. */
+  def scrubAgainst(corpus: DataFrame, evalSet: DataFrame, idField: String,
+      textField: String, k: Int = 8): DataFrame =
+    graft.operators.PassageDedup.scrubAgainst(corpus, idField, textField,
+      evalSet, idField, textField, k)
+
   /** As-of provider: backward as-of join (most recent right row at or
     * before each left row's time, per key) of two configurations'
     * outputs. One co-shuffle on the keys — see operators.AsofJoin. */

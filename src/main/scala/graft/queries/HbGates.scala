@@ -1218,6 +1218,53 @@ object HbGates {
       },
       Some(SimilarityGates.minhashCrossOracleSql("doc_id < 25"))),
 
+    // Cross-corpus scrub as a configuration source (ScrubOf): the
+    // editing decontamination with BOTH sides .hb-authored — corpus
+    // docs keep everything except eval-quoted 8-token windows. Same
+    // doc_id split as hb_neardup_cfg; oracle replays coverage +
+    // reconstruction on that split.
+    Gate("hb_scrub_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "eval" -> conf(TableSource("documents"), "only (doc_id < 25)"),
+          "corpus" -> conf(TableSource("documents"),
+            "only (doc_id >= 25)"),
+          "clean" -> conf(
+            ScrubOf("corpus", "eval", "doc_id", "text", 8),
+            "slice columns doc_id n_tokens n_removed scrubbed"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "clean")
+          .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+            md5(col("scrubbed")).as("scrubbed_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+        |  FROM tok, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+        |ev AS (SELECT DISTINCT fp FROM w WHERE doc_id < 25),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, w.i + j.j AS pos
+        |  FROM w JOIN ev USING (fp), unnest(range(0, 8)) AS j(j)
+        |  WHERE w.doc_id >= 25),
+        |cva AS (SELECT doc_id, list(pos) AS cv FROM cov GROUP BY doc_id),
+        |cl AS (
+        |  SELECT t.doc_id,
+        |    CAST(len(t.tk) AS BIGINT) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(1, len(t.tk) + 1),
+        |        p -> c.cv IS NULL OR NOT list_contains(c.cv, p)),
+        |      p -> t.tk[p]) AS kept
+        |  FROM tok t LEFT JOIN cva c USING (doc_id)
+        |  WHERE t.doc_id >= 25)
+        |SELECT doc_id, n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  md5(COALESCE(array_to_string(kept, ' '), '')) AS scrubbed_md5
+        |FROM cl ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // DSIR importance selection as a configuration source (DsirOf):
     // raw and target are both `.hb`-authored source filters, the
     // selection binds them as operands, and the projection is a `.hb`

@@ -130,10 +130,12 @@ class ConfigurationsSpec extends AnyFunSuite {
       "dr1" -> Conf(DriftOf("a", "b", "text", 10), Nil),
       "cv1" -> Conf(CoverageOf("a", "b", "src", "text", 64), Nil),
       "su1" -> Conf(SurprisalOf("a", "b", "id", "text", 512, "lm",
-        9999L), Nil))
+        9999L), Nil),
+      "sc1" -> Conf(ScrubOf("a", "b", "id", "text", 8), Nil),
+      "sc2" -> Conf(ScrubOf("a", "b", "id", "text", 4), Nil))
     val r = new Runner(spark, _ => fail("not resolved"))
     val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2", "cl1", "dr1",
-      "cv1", "su1")
+      "cv1", "su1", "sc1", "sc2")
       .map(r.lineageKey(cfgs, _))
     assert(keys.distinct.size == keys.size)
     assert(keys.forall(_.contains("table:t1")))
