@@ -99,6 +99,9 @@ final class Gateway(
           case ("GET", p) if p.startsWith("/data/json/") =>
             getData(ex, java.net.URLDecoder.decode(
               p.stripPrefix("/data/json/"), "UTF-8"))
+          case ("GET", p) if p.startsWith("/html/") =>
+            getHtml(ex, java.net.URLDecoder.decode(
+              p.stripPrefix("/html/"), "UTF-8"))
           case _ => respond(ex, 404, s"no route ${ex.getRequestMethod} $path")
         }
       }
@@ -185,6 +188,31 @@ final class Gateway(
       case Some(df) =>
         val rows = df.toJSON.take(maxRows)
         respond(ex, 200, rows.mkString("[", ",", "]"))
+    }
+
+  /** The visualizer surface over HTTP: a `{name, hb}` program's
+    * literate `!#…!#` blocks as prose around the re-printed statements
+    * plus the bounded result table (hb.Render — the same row-bounded
+    * contract as the JSON route). Workbench-shape configurations have
+    * no program text to render → 404 names the constraint. */
+  private def getHtml(ex: HttpExchange, name: String): Unit =
+    programs.get(name) match {
+      case Some(p) =>
+        val df = Graft.run(p,
+          Providers.fromHeader(spark, p.header, dataDir, fetch))
+        val html = graft.hb.Render.html(p, Some(df),
+          maxRows = math.min(maxRows, 1000))
+        val bytes = html.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html")
+        ex.sendResponseHeaders(200, bytes.length.toLong)
+        val os = ex.getResponseBody
+        try os.write(bytes) finally os.close()
+      case None =>
+        if (configurations.contains(name))
+          respond(ex, 404,
+            s"'$name' is a workbench-shape configuration — html render " +
+              "needs an hb program upload")
+        else respond(ex, 404, s"no configuration '$name'")
     }
 
   /** Run a configuration by name: `{name, hb}` programs resolve their

@@ -94,6 +94,37 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("GET /html renders a program's literate blocks + result table; " +
+      "workbench configurations 404 by constraint") {
+    withGateway { base =>
+      val hb = """provider: parquet
+        |table: documents
+        |
+        |!# German documents only. !#
+        |only (lang = 'de')
+        |index rows by doc_id
+        |slice columns doc_id lang
+        |""".stripMargin
+      assert(put(base, "/admin/configuration",
+        s"""{"name": "litde", "hb": ${quote(hb)}}""").statusCode() == 200)
+      val res = get(base, "/html/litde")
+      assert(res.statusCode() == 200, res.body())
+      assert(res.headers().firstValue("Content-Type").orElse("")
+        .startsWith("text/html"))
+      assert(res.body().contains("German documents only."))
+      assert(res.body().contains("only ((lang = 'de'))"))
+      assert(res.body().contains("<table"))
+      // a workbench-shape configuration has no program text to render
+      assert(put(base, "/admin/configuration",
+        """{"_id": "wb1", "source": {"provider": "localdata",
+          |"columns": ["id"], "rows": [[1]]}}""".stripMargin)
+        .statusCode() == 200)
+      val wb = get(base, "/html/wb1")
+      assert(wb.statusCode() == 404 && wb.body().contains("hb program"))
+      assert(get(base, "/html/nope").statusCode() == 404)
+    }
+  }
+
   test("workbench shape: localdata source + named transformation chain") {
     withGateway { base =>
       assert(put(base, "/admin/transformation",
