@@ -245,9 +245,10 @@ object Sampling {
     * building [[rebalance]] cannot do (it only cuts): production
     * training mixes repeat high-quality domains for more than one
     * epoch (factor 2.5 = every doc appears twice, half the docs a
-    * third time; reference analogue: the per-configuration dataset
-    * weighting a `.hb` curation program expresses by chaining `only`
-    * filters — upsampling is its additive dual). Each row in stratum
+    * third time — the per-dataset "epochs elapsed when training"
+    * weighting of Brown et al. 2020, "Language Models are Few-Shot
+    * Learners", Table 2.2, where Wikipedia runs 3.4 epochs while
+    * Common Crawl runs 0.44). Each row in stratum
     * s emits ⌊f_s⌋ replicas plus one more iff its salted hash bucket
     * falls below the fractional remainder, so the stratum's expected
     * mass scales by exactly f_s; factor < 1 subsumes downsampling
