@@ -931,6 +931,49 @@ object TextGates {
              |  CAST(bef % 4096 AS BIGINT) AS seq_offset
              |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Packing-efficiency report over the layout: per shard, the doc
+    // count, sequence count, token mass and integer fill rate — the
+    // utilization table a pipeline reads before committing to a
+    // sequence budget (a low fill_permille means the budget wastes
+    // context window on padding).
+    Gate("t_pack_stats", (s, d) =>
+      graft.operators.Packing.packedLayout(
+        t(s, d, "documents"), "doc_id", "n_chars",
+        budget = 4096L, shards = 8)
+        // the layout carries placement only; token mass joins back in
+        // on the id (one keyed exchange, both sides already id-keyed)
+        .join(t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          (max(col("seq_last")) + 1).as("n_seqs"),
+          sum(col("n_chars")).as("total_tokens"))
+        .withColumn("fill_permille",
+          expr("(total_tokens * 1000) div (n_seqs * 4096)"))
+        .orderBy(col("shard")),
+      Some("""WITH s AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+             |      AS BIGINT) % 8 AS shard
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, shard, n_chars,
+             |    COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+             |  FROM s),
+             |pl AS (
+             |  SELECT doc_id, shard, n_chars,
+             |    CAST((bef + greatest(n_chars, 1) - 1) // 4096 AS BIGINT)
+             |      AS seq_last
+             |  FROM c)
+             |SELECT shard, COUNT(*) AS n_docs,
+             |  MAX(seq_last) + 1 AS n_seqs,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_tokens,
+             |  (CAST(SUM(n_chars) AS BIGINT) * 1000)
+             |    // ((MAX(seq_last) + 1) * 4096) AS fill_permille
+             |FROM pl GROUP BY shard
+             |ORDER BY shard ASC NULLS FIRST""".stripMargin)),
+
     // The training-data pipeline END-TO-END: exact dedup → deterministic
     // 80/10/10 hash split → train-shard sequence packing, one hash-checked
     // composition. Each stage has its own gate; this one pins the
