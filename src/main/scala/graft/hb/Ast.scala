@@ -291,9 +291,17 @@ object Ast {
     * fractional remainder, so the stratum's mass scales by exactly f;
     * f < 1 downsamples, 0 drops, unlisted strata pass through (factor
     * 1). Adds 0-based `rep` and recomposes the frame key to key:rep,
-    * so a following [[Shuffle]]/[[Shards]] orders replicas totally. */
+    * so a following [[Shuffle]]/[[Shards]] orders replicas totally.
+    *
+    * BUDGET form: `upsample by <stratum> weight <w> [s pct; …]
+    * budget <B> ['salt']` — the factors are PLANNED instead of given
+    * (operators.Sampling.epochPlan): stratum s repeats for
+    * B·pct_s/mass_s epochs so the output holds B weight-units at the
+    * listed mix; strata outside the target list DROP (budget
+    * semantics). Percentages like `rebalance`; must sum to 100. */
   case class Upsample(stratumCol: String, factors: Seq[(String, Double)],
-      salt: String = "upsample") extends Statement
+      salt: String = "upsample",
+      plan: Option[(String, Long)] = None) extends Statement
   /** `shards <n>` — balanced contiguous shard placement over the epoch
     * order: requires a prior [[Shuffle]]'s `shuffle_pos` column and
     * adds `shard`/`pos_in_shard`, the training-artifact layout

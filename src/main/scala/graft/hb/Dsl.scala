@@ -143,6 +143,9 @@ object Dsl {
   def upsample(stratumCol: String, salt: String,
       factors: (String, Double)*): Statement =
     Upsample(stratumCol, factors, salt)
+  def upsampleBudget(stratumCol: String, weightCol: String, budget: Long,
+      salt: String, pcts: (String, Double)*): Statement =
+    Upsample(stratumCol, pcts, salt, Some(weightCol -> budget))
   def shards(n: Int): Statement = Shards(n)
   def curriculum(scoreCol: String, bands: Int,
       salt: String = "curriculum"): Statement =

@@ -383,12 +383,27 @@ object Engine {
       f.copy(df = graft.operators.Sampling.curriculumOrder(
         f.df, KEY, salt, score, bands))
 
-    case Upsample(strat, fs, salt) =>
+    case Upsample(strat, fs, salt, plan) =>
       // replicas fork the frame key: recompose it to key:rep so the
       // key stays unique and a later shuffle/shards orders replicas
       // totally (Sampling.upsampleByFactor documents the collision)
+      val factors = plan match {
+        case None => fs.toMap
+        case Some((wc, budget)) =>
+          // planned form: percentages (the rebalance /100 convention —
+          // x/100.0 is the correctly-rounded double of the equivalent
+          // literal, so a shared oracle sees identical arithmetic);
+          // the ≤k-row plan collect is bounded by stratum cardinality
+          graft.operators.Sampling.epochPlanFactors(
+            graft.operators.Sampling.epochPlan(f.df, strat, wc,
+              fs.map { case (s2, v) => s2 -> v / 100.0 }.toMap, budget),
+            strat)
+      }
+      // planned form drops unlisted strata (budget semantics); the
+      // factor form passes them through at 1
       val up = graft.operators.Sampling.upsampleByFactor(
-        f.df, KEY, salt, strat, fs.toMap)
+        f.df, KEY, salt, strat, factors,
+        default = if (plan.isDefined) 0.0 else 1.0)
       f.copy(df = up.withColumn(KEY,
         concat_ws(":", col(KEY).cast("string"), col("rep"))))
 

@@ -593,6 +593,10 @@ object HbParser {
       case "upsample" =>
         p.eat("by")
         val c = p.colName()
+        val w = p.peek match {
+          case Some(TIdent("weight")) => p.ident(); Some(p.colName())
+          case _ => None
+        }
         p.eat("[")
         val fs = mutable.ArrayBuffer[(String, Double)]()
         while (!p.atSym("]")) {
@@ -600,11 +604,25 @@ object HbParser {
           else { val s = p.colName(); fs += s -> p.num() }
         }
         p.eat("]")
-        val salt = p.peek match {
-          case Some(TStr(s)) => p.next(); s
-          case _ => "upsample"
+        val budget = p.peek match {
+          case Some(TIdent("budget")) => p.ident(); Some(p.int().toLong)
+          case _ => None
         }
-        Upsample(c, fs.toSeq, salt)
+        (w, budget) match {
+          case (Some(wc), Some(b)) =>
+            Upsample(c, fs.toSeq, p.peek match {
+              case Some(TStr(s)) => p.next(); s
+              case _ => "upsample"
+            }, Some(wc -> b))
+          case (None, None) =>
+            Upsample(c, fs.toSeq, p.peek match {
+              case Some(TStr(s)) => p.next(); s
+              case _ => "upsample"
+            })
+          case _ => throw ParseError(
+            "upsample: `weight <col>` and `budget <n>` go together " +
+              "(the planned form) — give both or neither", lineNo)
+        }
       case "diverse" =>
         val k = p.int()
         Diverse(k, p.bracketed())

@@ -108,11 +108,14 @@ object Printer {
     case Curriculum(c, b, salt) =>
       val s = if (salt == "curriculum") "" else s" '$salt'"
       s"curriculum by ${name(c)} $b$s"
-    case Upsample(c, fs, salt) =>
+    case Upsample(c, fs, salt, plan) =>
       val s = if (salt == "upsample") "" else s" '$salt'"
       val pairs = fs.map { case (k, v) => s"${name(k)} ${num(v)}" }
         .mkString("; ")
-      s"upsample by ${name(c)} [$pairs]$s"
+      val wc = plan.map { case (w, _) => s" weight ${name(w)}" }
+        .getOrElse("")
+      val bb = plan.map { case (_, b) => s" budget $b" }.getOrElse("")
+      s"upsample by ${name(c)}$wc [$pairs]$bb$s"
     case ScoreUsing(c, conf, b, salt) =>
       val bb = if (b == 4096) "" else s" $b"
       val ss = if (salt == "lm") "" else s" '$salt'"

@@ -774,6 +774,65 @@ object HbGates {
         |ORDER BY shard ASC NULLS FIRST,
         |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
 
+    // The budget-mix chain through the text surface: ONE statement
+    // plans the mixture ("hold 1M chars at en 50 / de 20 / fr 30")
+    // and upsamples to the planned factors (epochPlan →
+    // epochPlanFactors → upsampleByFactor, strata outside the target
+    // list dropped), then shuffle + shards place the replicated
+    // corpus — the t_budget_mix flagship authorable from the closed
+    // DSL, same salts, same oracle machinery.
+    Gate("hb_budget_mix",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |upsample by lang weight n_chars [en 50; de 20; fr 30] budget 1000000 'bm10'
+          |shuffle 'bm10e'
+          |shards 4
+          |create column rep_id keys
+          |slice columns shard pos_in_shard shuffle_pos rep_id lang
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("pos_in_shard")),
+      Some("""WITH cnt AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS mass
+        |  FROM documents WHERE lang IN ('en', 'de', 'fr')
+        |  GROUP BY lang),
+        |tgt(st, t) AS (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.3)),
+        |plan AS (
+        |  SELECT c.lang,
+        |    CAST(FLOOR(1000000 * t.t / c.mass * 10000 + 0.5) AS BIGINT)
+        |      AS f1e4
+        |  FROM cnt c JOIN tgt t ON t.st = c.lang),
+        |up AS (
+        |  SELECT d.doc_id, d.lang,
+        |    (p.f1e4 // 10000)
+        |    + (CASE WHEN CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR)
+        |          || ':bm10'), 1, 8) AS BIGINT) % 10000
+        |        < (p.f1e4 % 10000) THEN 1 ELSE 0 END) AS n
+        |  FROM documents d JOIN plan p ON p.lang = d.lang),
+        |reps AS (
+        |  SELECT doc_id, lang,
+        |    CAST(unnest(range(n)) AS INTEGER) AS rep
+        |  FROM up),
+        |keyed AS (
+        |  SELECT lang,
+        |    CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)
+        |      AS rep_id
+        |  FROM reps),
+        |shuf AS (
+        |  SELECT rep_id, lang,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY
+        |      CAST('0x' || SUBSTR(md5(rep_id || ':bm10e'), 1, 8)
+        |        AS BIGINT), rep_id) AS BIGINT) AS shuffle_pos,
+        |    COUNT(*) OVER () AS nn
+        |  FROM keyed)
+        |SELECT ((shuffle_pos - 1) * 4) // nn AS shard,
+        |  shuffle_pos
+        |    - ((((shuffle_pos - 1) * 4) // nn) * nn + 3) // 4
+        |    AS pos_in_shard,
+        |  shuffle_pos, rep_id, lang
+        |FROM shuf
+        |ORDER BY shard ASC NULLS FIRST,
+        |  pos_in_shard ASC NULLS FIRST""".stripMargin)),
+
     // The r10 statement pipeline: the round's whole statement family
     // chained through ONE parsed program — fractional selection →
     // fractional upsampling (key forks to doc:rep) → curriculum

@@ -100,9 +100,13 @@ object StreamHb {
         _: IndexBy | _: Each | _: Chunk | _: SampleBy | _: MixBy |
         _: SplitBy | _: DedupExact => None
     case _: WindowAgg => None // watermarked event-time agg — append-safe
-    // stateless narrow map over driver-literal factors (replica
-    // explode, no aggregate, no state) — upsample at ingest; the
-    // frame-key requirement is checked in validate like `mix`
+    // the planned (budget) form derives factors from whole-frame
+    // masses — not incremental; the factor form is a stateless narrow
+    // map (replica explode, no aggregate, no state) — upsample at
+    // ingest; its frame-key requirement is checked in validate like
+    // `mix`
+    case u: Upsample if u.plan.isDefined =>
+      Some("budget planning aggregates whole-frame masses")
     case _: Upsample => None
     // offline-fit / online-score: the model fits on a BATCH
     // configuration at translation time; the stream side is a

@@ -213,6 +213,13 @@ class DslSpec extends AnyFunSuite {
           yield (s2, v))
       salt <- Gen.oneOf("upsample", "u1") }
       yield Upsample(nm, pairs, salt),
+    for { nm <- genName; w <- genName; k <- Gen.chooseNum(1, 3)
+      pairs <- Gen.listOfN(k,
+        for { s2 <- genName; v <- Gen.chooseNum(1, 100) }
+          yield (s2, v.toDouble))
+      b <- Gen.chooseNum(100L, 100000L)
+      salt <- Gen.oneOf("upsample", "u2") }
+      yield Upsample(nm, pairs, salt, Some(w -> b)),
     for { k <- Gen.chooseNum(1, 50); nm <- genName }
       yield Diverse(k, ColRef(nm)),
     for { c <- genName; conf <- genName

@@ -193,6 +193,14 @@ class ParserSpec extends AnyFunSuite {
       Upsample("lang", Seq("en" -> 2.5, "de" -> 0.5, "zh" -> 0.0), "u1"))
     assert(HbParser.parseStatement("upsample by lang [en 2]") ==
       Upsample("lang", Seq("en" -> 2.0)))
+    assert(HbParser.parseStatement(
+      "upsample by lang weight n_chars [en 50; de 50] budget 1000 'b1'")
+      == Upsample("lang", Seq("en" -> 50.0, "de" -> 50.0), "b1",
+        Some("n_chars" -> 1000L)))
+    // weight without budget (or vice versa) is a named parse error
+    intercept[HbParser.ParseError] {
+      HbParser.parseStatement("upsample by lang weight n_chars [en 50]")
+    }
     assert(HbParser.parseStatement("curriculum by n_chars 3 'c1'") ==
       Curriculum("n_chars", 3, "c1"))
     assert(HbParser.parseStatement("curriculum by score 4") ==

@@ -68,6 +68,9 @@ class StreamHbSpec extends AnyFunSuite {
       "shuffle 'e1'\n" -> "shuffle",
       "shards 8\n" -> "shards",
       "curriculum by score 3\n" -> "curriculum",
+      // the PLANNED upsample form aggregates whole-frame masses; the
+      // factor form stays streamable (its own keyed-stream test below)
+      "upsample by lang weight w [en 100] budget 1000\n" -> "upsample",
       "diverse 4 [vec]\n" -> "diverse")
     cases.foreach { case (program, what) =>
       val e = intercept[IllegalArgumentException] {
