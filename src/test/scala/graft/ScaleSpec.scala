@@ -72,7 +72,14 @@ class ScaleSpec extends AnyFunSuite {
     // construction — covered by SCALE.md's measured-ratio table.
     "t_lm_surprisal", "hb_surprisal_cfg", "t_select_topk",
     "t_select_topfrac", "hb_select_topk", "t_nb_classify",
-    "hb_classifier_cfg", "t_rebalance_tokens", "hb_rebalance_weight")
+    "hb_classifier_cfg", "t_rebalance_tokens", "hb_rebalance_weight",
+    // r10: upsampling is a pure narrow plan, the mixture plan is one
+    // in-plan aggregate, pack stats extend the lazy layout cumsum.
+    // The rest of the r10 wave collects or numbers eagerly at
+    // construction (epochPlanFactors/vocabMap collect, Ordinals,
+    // scrub checkpoints, streaming) — covered by SCALE.md's
+    // measured-ratio table instead.
+    "t_upsample", "hb_upsample", "t_epoch_plan", "t_pack_stats")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
