@@ -130,8 +130,9 @@ object Sampling {
       targets: Map[String, Double]): DataFrame = {
     val w = col(weightCol)
     val checked = when(w.isNull || w <= 0,
-      raise_error(lit(s"rebalanceByWeight: null or non-positive " +
-        s"$weightCol — weigh rows before mixing"))
+      raise_error(concat(lit(s"rebalanceByWeight: bad $weightCol "),
+        coalesce(w.cast(StringType), lit("null")),
+        lit(" — weigh rows before mixing")))
         .cast(df.schema(weightCol).dataType))
       .otherwise(w)
     rebalanceWeighted(df, idCol, salt, stratumCol, checked, targets)
@@ -228,9 +229,13 @@ object Sampling {
     require(numShards > 0, s"epochShards: need numShards > 0, got $numShards")
     val n = df.agg(count(lit(1)).as("__n"))
     val p = col(posCol).cast(LongType)
+    // the raise carries the offending position and the bound: at scale a
+    // one-in-a-billion bad row must be debuggable from the message alone
     val checked = when(p.isNull || p < 1 || p > col("__n"),
-      raise_error(concat(lit(s"epochShards: $posCol out of [1, n] — "),
-        lit("use shuffleOrder's dense ordinal"))).cast(LongType))
+      raise_error(concat(lit(s"epochShards: $posCol "),
+        coalesce(p.cast(StringType), lit("null")),
+        lit(" out of [1, "), col("__n").cast(StringType),
+        lit("] — use shuffleOrder's dense ordinal"))).cast(LongType))
       .otherwise(p)
     df.crossJoin(broadcast(n))
       .withColumn("__p", checked)
@@ -332,25 +337,32 @@ object Sampling {
         "weigh rows before planning"))
         .cast(df.schema(weightCol).dataType))
       .otherwise(w)
+    // the stratum mass aggregates in the weight column's NATIVE type and
+    // feeds the factor arithmetic UNTRUNCATED — casting the sum to long
+    // first (the display shape) would silently overstate every repeat
+    // factor for fractional weight columns (a double score used as the
+    // budget unit); only the reported `mass` column rounds
     val cnt = df.groupBy(col(stratumCol).as("__st"))
-      .agg(sum(wChecked).cast("long").as("__m"))
+      .agg(sum(wChecked).as("__msum"))
+    val massType = cnt.schema("__msum").dataType
     val j = cnt.join(broadcast(tgtDf), "__st")
     // absent or massless target strata fail in-plan, never renormalize
     val nst = j.agg(count(lit(1)).as("__nst"))
-    val mChecked = when(col("__m") <= 0,
+    val mChecked = when(col("__msum") <= 0,
       raise_error(concat(lit("epochPlan: stratum "),
         col("__st").cast("string"),
         lit(" has non-positive total mass — weigh rows before planning")))
-        .cast("long"))
-      .otherwise(col("__m"))
+        .cast(massType))
+      .otherwise(col("__msum"))
     j.crossJoin(broadcast(nst))
       .withColumn("__mok", when(col("__nst") < lit(targets.size),
         raise_error(concat(
           lit("epochPlan: only "), col("__nst").cast("string"),
           lit(s" of ${targets.size} target strata present in the frame")))
-          .cast("long"))
+          .cast(massType))
         .otherwise(mChecked))
-      .select(col("__st").as(stratumCol), col("__mok").as("mass"),
+      .select(col("__st").as(stratumCol),
+        col("__mok").cast("long").as("mass"),
         floor(lit(budget) * col("__t") / col("__mok") * lit(Buckets) +
           lit(0.5)).cast("long").as("factor1e4"))
   }
@@ -360,10 +372,20 @@ object Sampling {
     * factor1e4/10⁴ round-trips exactly through upsample's
     * round(f·10⁴) quantization. */
   def epochPlanFactors(plan: DataFrame, stratumCol: String)
-      : Map[String, Double] =
-    plan.select(col(stratumCol).cast(StringType), col("factor1e4"))
+      : Map[String, Double] = {
+    val rows = plan
+      .select(col(stratumCol).cast(StringType), col("factor1e4"))
       .collect() // ≤ stratum-cardinality rows by the epochPlan contract
-      .map(r => r.getString(0) -> r.getLong(1) / Buckets.toDouble).toMap
+    // an EMPTY input frame yields an empty aggregate, so epochPlan's
+    // in-plan absent-stratum raise never fires — fail here with the
+    // real cause instead of upsampleByFactor's unrelated
+    // "needs at least one factor" much later
+    if (rows.isEmpty)
+      throw new IllegalStateException(
+        "epochPlanFactors: no target strata present — empty plan " +
+          "(was the input frame empty?)")
+    rows.map(r => r.getString(0) -> r.getLong(1) / Buckets.toDouble).toMap
+  }
 
   /** Curriculum training order (Bengio et al. 2009, "Curriculum
     * Learning"): epoch positions ordered by quality BAND — a global

@@ -115,8 +115,12 @@ final class Gateway(
       h.startsWith("Basic ") && {
         val dec = new String(
           Base64.getDecoder.decode(h.stripPrefix("Basic ")), UTF_8)
-        // BasicAuth <masterkey> "": user is the key, password ignored
-        dec.takeWhile(_ != ':') == masterKey
+        // BasicAuth <masterkey> "": user is the key, password ignored.
+        // Constant-time compare — == short-circuits at the first
+        // differing byte and leaks key-prefix length through timing;
+        // this equality is the admin surface's only auth gate.
+        java.security.MessageDigest.isEqual(
+          dec.takeWhile(_ != ':').getBytes(UTF_8), masterKey.getBytes(UTF_8))
       }
     }
 
@@ -186,8 +190,14 @@ final class Gateway(
     resolve(name, Set.empty) match {
       case None => respond(ex, 404, s"no configuration '$name'")
       case Some(df) =>
-        val rows = df.toJSON.take(maxRows)
-        respond(ex, 200, rows.mkString("[", ",", "]"))
+        // take one past the bound: a client must be able to tell a
+        // complete result from a clipped one, so when the plan yields
+        // more than maxRows the response carries X-Truncated and the
+        // extra row is dropped
+        val rows = df.toJSON.take(maxRows + 1)
+        if (rows.length > maxRows)
+          ex.getResponseHeaders.set("X-Truncated", "true")
+        respond(ex, 200, rows.take(maxRows).mkString("[", ",", "]"))
     }
 
   /** The visualizer surface over HTTP: a `{name, hb}` program's
@@ -198,8 +208,8 @@ final class Gateway(
   private def getHtml(ex: HttpExchange, name: String): Unit =
     programs.get(name) match {
       case Some(p) =>
-        val df = Graft.run(p,
-          Providers.fromHeader(spark, p.header, dataDir, fetch))
+        val df = Graft.run(p, Providers.fromHeader(spark, p.header,
+          dataDir, fetch, resolveEnv = false))
         val html = graft.hb.Render.html(p, Some(df),
           maxRows = math.min(maxRows, 1000))
         val bytes = html.getBytes(UTF_8)
@@ -225,7 +235,8 @@ final class Gateway(
         s"configuration cycle through '$name'")
     programs.get(name) match {
       case Some(p) =>
-        Some(Graft.run(p, Providers.fromHeader(spark, p.header, dataDir, fetch)))
+        Some(Graft.run(p, Providers.fromHeader(spark, p.header, dataDir,
+          fetch, resolveEnv = false)))
       case None => configurations.get(name).map { case (src, ts) =>
         val source = resolveSource(src, visiting + name)
         val stmts = ts.flatMap(t => transformations.getOrElse(t,
@@ -273,8 +284,11 @@ final class Gateway(
           .filter(e => e.getValue.isArray)
           .map(e => e.getKey ->
             e.getValue.asScala.toSeq.map(_.asText())).toMap
-        Providers.fromHeader(spark,
-          Header(props, lists, Map()), dataDir, fetch)
+        // resolveEnv OFF for every uploaded header: a client-chosen
+        // `user: $GRAFT_MASTER_KEY` + client-chosen url would exfiltrate
+        // arbitrary server environment variables as basic auth
+        Providers.fromHeader(spark, Header(props, lists, Map()), dataDir,
+          fetch, resolveEnv = false)
     }
 
   private def text(n: JsonNode, field: String): Option[String] =

@@ -112,7 +112,12 @@ object Sinks {
           col("__npos") =!= col("n_rows"),
           raise_error(concat(lit("shardManifest: shard "),
             col(shardCol).cast("string"),
-            lit(s" has a non-dense $posCol — placement is broken"))))
+            lit(s" has a non-dense $posCol (first="),
+            col("first_pos").cast("string"),
+            lit(", last="), col("last_pos").cast("string"),
+            lit(", rows="), col("n_rows").cast("string"),
+            lit(", distinct="), col("__npos").cast("string"),
+            lit(") — placement is broken"))))
           .otherwise(col("n_rows")))
       .drop("__npos")
   }

@@ -140,10 +140,11 @@ object Providers {
     * `fetch` injects the HTTP layer; `dataDir` grounds the parquet/test
     * providers. */
   def fromHeader(spark: SparkSession, h: Header, dataDir: String = ".",
-      fetch: Fetcher = Fetcher.http): DataFrame = {
+      fetch: Fetcher = Fetcher.http, resolveEnv: Boolean = true): DataFrame = {
     val auth = for {
       u <- h.props.get("user"); p <- h.props.get("pwd")
-    } yield (resolveEnv(u), resolveEnv(p))
+    } yield
+      if (resolveEnv) (envValue(u), envValue(p)) else (u, p)
     h.props.getOrElse("provider", "parquet") match {
       case "odata" =>
         odata(spark, h.props("url"), h.props.get("select"),
@@ -166,8 +167,13 @@ object Providers {
   }
 
   /** `$VAR` header values resolve from the environment
-    * (`user: $AZURE_DEVOPS_PAT` pattern in every corpus program). */
-  private def resolveEnv(v: String): String =
+    * (`user: $AZURE_DEVOPS_PAT` pattern in every corpus program).
+    * Library-use default; callers serving UNTRUSTED uploaded headers
+    * (the Gateway) pass `resolveEnv = false` — a client-chosen header
+    * could otherwise name any env var (the master key included) as
+    * `user:`/`pwd:` and receive it as basic auth at a client-chosen
+    * `url`, an environment-exfiltration channel. */
+  private def envValue(v: String): String =
     if (v.startsWith("$")) sys.env.getOrElse(v.drop(1), v) else v
 
   /** Pull `prop` (an array of row objects) out of each JSON body. */

@@ -67,6 +67,10 @@ class EpochShardsSpec extends AnyFunSuite {
       Sampling.epochShards(bad, "shuffle_pos", 2).collect()
     }
     assert(e.getMessage.contains("epochShards"))
+    // the message carries the offending value and the bound — at scale
+    // a one-in-a-billion bad row must be debuggable from the error alone
+    assert(e.getMessage.contains("17"), e.getMessage)
+    assert(e.getMessage.contains("[1, 3]"), e.getMessage)
   }
 
   test("placement is one broadcast-count over a narrow map — no extra " +

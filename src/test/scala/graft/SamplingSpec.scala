@@ -169,7 +169,9 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.rebalanceByWeight(bad, "id", "rw", "src", "w",
         Map("a" -> 0.5, "b" -> 0.5)).count()
     }
-    assert(e.getMessage.contains("non-positive"), e.getMessage)
+    // the message names the operator AND carries the offending value
+    assert(e.getMessage.contains("rebalanceByWeight: bad w 0"),
+      e.getMessage)
   }
 
   test("rebalanceByWeight: fractional weights sum in the native type " +
@@ -343,6 +345,46 @@ class SamplingSpec extends AnyFunSuite {
         Map("en" -> 0.75, "de" -> 0.25), 1000L).collect()
     }
     assert(e2.getMessage.contains("null or non-positive"))
+  }
+
+  test("epochPlan: fractional weight masses feed the factor arithmetic " +
+      "untruncated — B·t_s/m_s exactly, not B·t_s/⌊m_s⌋") {
+    import spark.implicits._
+    // 100 rows of weight 0.75 per stratum: m_s = 75.0; a per-stratum
+    // long cast before the division would use 75 too — so split masses
+    // so truncation would visibly shift the factor (m_en = 90.5)
+    val df = (Seq.tabulate(100)(i => (i.toLong, "en", 0.905)) ++
+      Seq.tabulate(100)(i => (100L + i, "de", 0.515))).toDF(
+      "id", "lang", "w")
+    val plan = Sampling.epochPlan(df, "lang", "w",
+      Map("en" -> 0.5, "de" -> 0.5), budget = 1000L)
+    val rows = plan.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // exact double sums: 100·0.905 = 90.5, 100·0.515 = 51.5 (both exact
+    // in binary? 0.905 is not — use the ACTUAL double sum as the spec)
+    val mEn = df.filter($"lang" === "en").agg(sum("w")).head.getDouble(0)
+    val mDe = df.filter($"lang" === "de").agg(sum("w")).head.getDouble(0)
+    assert(rows("en")._2 ==
+      math.floor(1000L * 0.5 / mEn * 10000 + 0.5).toLong)
+    assert(rows("de")._2 ==
+      math.floor(1000L * 0.5 / mDe * 10000 + 0.5).toLong)
+    // truncated-mass arithmetic would differ — prove the test has teeth
+    assert(rows("en")._2 !=
+      math.floor(1000L * 0.5 / mEn.toLong * 10000 + 0.5).toLong)
+    // the reported mass column is the display-rounded long
+    assert(rows("en")._1 == mEn.toLong && rows("de")._1 == mDe.toLong)
+  }
+
+  test("epochPlanFactors: an empty plan names the real cause instead of " +
+      "failing later in upsampleByFactor") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("id", "lang", "w")
+    val plan = Sampling.epochPlan(empty, "lang", "w",
+      Map("en" -> 1.0), budget = 1000L)
+    val e = intercept[IllegalStateException] {
+      Sampling.epochPlanFactors(plan, "lang")
+    }
+    assert(e.getMessage.contains("empty plan"), e.getMessage)
   }
 
   test("curriculumOrder: a null score raises in-plan (engines disagree " +
