@@ -55,7 +55,8 @@ final class Gateway(
     masterKey: String,
     dataDir: String = ".",
     fetch: Providers.Fetcher = Providers.Fetcher.http,
-    maxRows: Int = 100000) {
+    maxRows: Int = 100000,
+    cache: Option[graft.cache.LineageCache] = None) {
 
   private val mapper = new ObjectMapper()
   /** `{name, hb}` uploads: full programs, header = provider. */
@@ -64,6 +65,14 @@ final class Gateway(
   private val configurations = TrieMap[String, (JsonNode, Seq[String])]()
   /** Named statement chains from `PUT /admin/transformation`. */
   private val transformations = TrieMap[String, Seq[Statement]]()
+  /** Rendered `/data/json` responses by LINEAGE key (body, truncated) —
+    * the zero-job fast path for repeated dashboard polls. Content-keyed,
+    * so uploading a changed program or transformation simply computes a
+    * new key; stale entries are never consulted. Bounded: one entry per
+    * distinct configuration content, each ≤ maxRows rendered rows (the
+    * gateway's document-sized response contract). Active only when a
+    * [[graft.cache.LineageCache]] is configured. */
+  private val responses = TrieMap[String, (String, Boolean)]()
 
   private var server: Option[HttpServer] = None
 
@@ -186,19 +195,29 @@ final class Gateway(
 
   // ---- data ----
 
-  private def getData(ex: HttpExchange, name: String): Unit =
-    resolve(name, Set.empty) match {
-      case None => respond(ex, 404, s"no configuration '$name'")
-      case Some(df) =>
-        // take one past the bound: a client must be able to tell a
-        // complete result from a clipped one, so when the plan yields
-        // more than maxRows the response carries X-Truncated and the
-        // extra row is dropped
-        val rows = df.toJSON.take(maxRows + 1)
-        if (rows.length > maxRows)
-          ex.getResponseHeaders.set("X-Truncated", "true")
-        respond(ex, 200, rows.take(maxRows).mkString("[", ",", "]"))
+  private def getData(ex: HttpExchange, name: String): Unit = {
+    val lk = if (cache.isDefined) lineageKeyOf(name, Set.empty) else None
+    lk.flatMap(responses.get) match {
+      case Some((body, truncated)) =>
+        // repeat GET of unchanged content: zero Spark jobs
+        if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
+        respond(ex, 200, body)
+      case None => resolve(name, Set.empty) match {
+        case None => respond(ex, 404, s"no configuration '$name'")
+        case Some(df) =>
+          // take one past the bound: a client must be able to tell a
+          // complete result from a clipped one, so when the plan yields
+          // more than maxRows the response carries X-Truncated and the
+          // extra row is dropped
+          val rows = df.toJSON.take(maxRows + 1)
+          val truncated = rows.length > maxRows
+          val body = rows.take(maxRows).mkString("[", ",", "]")
+          lk.foreach(k => responses.put(k, (body, truncated)))
+          if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
+          respond(ex, 200, body)
+      }
     }
+  }
 
   /** The visualizer surface over HTTP: a `{name, hb}` program's
     * literate `!#…!#` blocks as prose around the re-printed statements
@@ -228,12 +247,24 @@ final class Gateway(
   /** Run a configuration by name: `{name, hb}` programs resolve their
     * provider from the header; workbench documents resolve their
     * source (recursively for merge/join) and fold the named
-    * transformation chains in listed order. */
+    * transformation chains in listed order.
+    *
+    * With a [[graft.cache.LineageCache]] configured, every resolved
+    * configuration — nested merge/join operands included — goes through
+    * `getOrCompute` under its recursive lineage key: the reference's
+    * per-stage CouchDB cache (workers/calculator.worker/src/
+    * Program.fs:86-88; tools/workbench/src/Types.fs:182-190),
+    * re-expressed as content-keyed parquet. Shared operands across
+    * configurations compute once; a changed upload derives a new key,
+    * so invalidation is structural, not TTL-based. Caveat (by design,
+    * like the reference): a cached REST/OData provider frame is served
+    * until its configuration text changes — the gateway caches
+    * LINEAGE, not upstream freshness. */
   private def resolve(name: String, visiting: Set[String]): Option[DataFrame] = {
     if (visiting.contains(name))
       throw new IllegalArgumentException(
         s"configuration cycle through '$name'")
-    programs.get(name) match {
+    def compute: Option[DataFrame] = programs.get(name) match {
       case Some(p) =>
         Some(Graft.run(p, Providers.fromHeader(spark, p.header, dataDir,
           fetch, resolveEnv = false)))
@@ -242,6 +273,56 @@ final class Gateway(
         val stmts = ts.flatMap(t => transformations.getOrElse(t,
           throw new NoSuchElementException(s"no transformation '$t'")))
         Engine.run(Program(Header(Map(), Map(), Map()), stmts), source)
+      }
+    }
+    (cache, lineageKeyOf(name, visiting)) match {
+      case (Some(lc), Some(lk)) =>
+        Some(lc.getOrCompute(lc.key("gateway", Seq(lk)))(compute.get))
+      case _ => compute
+    }
+  }
+
+  /** Recursive content key of a configuration: provider header (or
+    * source document) plus the printed statement chain, with merge/join
+    * operands replaced by THEIR lineage keys — the
+    * [[graft.hb.Configurations.Runner.lineageKey]] scheme applied to
+    * the gateway's upload store. None for unknown names (the 404
+    * path). Pure — computes no Spark plan. */
+  private def lineageKeyOf(name: String, visiting: Set[String]): Option[String] = {
+    if (visiting.contains(name))
+      throw new IllegalArgumentException(
+        s"configuration cycle through '$name'")
+    programs.get(name) match {
+      case Some(p) =>
+        val h = p.header
+        val hdr = (h.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" } ++
+          h.lists.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"$k=[${v.mkString(" ")}]" } ++
+          h.meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta.$k=$v" })
+          .mkString(";")
+        Some((s"hb{$hdr}" +: p.transformations.map(graft.hb.Printer.print))
+          .mkString(":"))
+      case None => configurations.get(name).map { case (src, ts) =>
+        def subKey(n: String): String =
+          lineageKeyOf(n, visiting + name).getOrElse(
+            throw new NoSuchElementException(s"no configuration '$n'"))
+        val srcKey = text(src, "provider").getOrElse("parquet") match {
+          case "merge" =>
+            src.get("datasets").asScala.toSeq.map(_.asText())
+              .map(subKey).mkString("merge(", ",", ")")
+          case "join" =>
+            val l = text(src, "left").getOrElse("")
+            val r = text(src, "right").getOrElse("")
+            s"join(${subKey(l)},${subKey(r)}," +
+              s"${text(src, "field").getOrElse("")})"
+          // localdata/provider documents are self-contained: the JSON
+          // text IS the content (inline rows, urls, paths included)
+          case _ => s"src:${src.toString}"
+        }
+        val stmts = ts.flatMap(t => transformations.getOrElse(t,
+          throw new NoSuchElementException(s"no transformation '$t'"))
+          .map(graft.hb.Printer.print))
+        (srcKey +: stmts).mkString(":")
       }
     }
   }

@@ -200,6 +200,63 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("LineageCache-backed gateway: second GET of unchanged content " +
+      "runs ZERO Spark jobs; a changed upload recomputes; a fresh " +
+      "gateway serves from the parquet cache without recomputing") {
+    val tmp = java.nio.file.Files.createTempDirectory("gwcache").toString
+    val lc = new graft.cache.LineageCache(spark, tmp)
+    val gw = new Gateway(spark, Key, dataDir = "/root/testdata/sf0.001",
+      cache = Some(lc))
+    val port = gw.start(0)
+    val base = s"http://127.0.0.1:$port"
+    try {
+      val hb = """provider: parquet
+        |table: documents
+        |
+        |only (lang = 'de')
+        |slice columns doc_id lang
+        |""".stripMargin
+      assert(put(base, "/admin/configuration",
+        s"""{"name": "cached1", "hb": ${quote(hb)}}""").statusCode() == 200)
+      val r1 = get(base, "/data/json/cached1")
+      assert(r1.statusCode() == 200, r1.body())
+      // the job-count proof: JobCounter includes its marker's constant
+      // cost, which an empty body measures as the baseline
+      val baseline = JobCounter.count(spark) {}
+      val n2 = JobCounter.count(spark) {
+        val r2 = get(base, "/data/json/cached1")
+        assert(r2.statusCode() == 200 && r2.body() == r1.body())
+      }
+      assert(n2 == baseline,
+        s"repeat GET launched ${n2 - baseline} Spark jobs, expected 0")
+      // uploading a CHANGED program under the same name derives a new
+      // lineage key — the next GET recomputes (different result proves
+      // it was not served from the stale entry)
+      val hb2 = hb.replace("'de'", "'en'")
+      assert(put(base, "/admin/configuration",
+        s"""{"name": "cached1", "hb": ${quote(hb2)}}""").statusCode() == 200)
+      val n3 = JobCounter.count(spark) {
+        val r3 = get(base, "/data/json/cached1")
+        assert(r3.statusCode() == 200 && r3.body() != r1.body())
+      }
+      assert(n3 > baseline, "changed upload must recompute")
+      // cross-instance reuse: a FRESH gateway on the same cache root
+      // with a BROKEN dataDir can only answer from the parquet cache —
+      // success proves no recompute happened
+      val gw2 = new Gateway(spark, Key, dataDir = s"$tmp/nonexistent",
+        cache = Some(lc))
+      val port2 = gw2.start(0)
+      try {
+        val base2 = s"http://127.0.0.1:$port2"
+        assert(put(base2, "/admin/configuration",
+          s"""{"name": "cached1", "hb": ${quote(hb)}}""").statusCode() == 200)
+        val r4 = get(base2, "/data/json/cached1")
+        assert(r4.statusCode() == 200, r4.body())
+        assert(r4.body() == r1.body())
+      } finally gw2.stop()
+    } finally gw.stop()
+  }
+
   private def quote(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
