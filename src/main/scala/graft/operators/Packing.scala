@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence-packing layout for LLM training: documents are concatenated
   * in id order and chopped into fixed `budget`-token sequences (the
@@ -59,5 +60,110 @@ object Packing {
         expr(s"__before div ${budget}L").as("seq_first"),
         expr(s"__end div ${budget}L").as("seq_last"),
         (col("__before") % budget).as("seq_offset"))
+  }
+
+  /** DOCUMENT-ALIGNED sequence bins — the other packing regime: each
+    * document is placed WHOLE into one fixed-`budget` sequence
+    * (SFT/instruction-tuning packing, where a document crossing a
+    * sequence boundary corrupts the loss mask), so unlike
+    * [[packedLayout]] the layout policy now decides real padding waste.
+    * Adds `shard`, `bin` (0-based sequence ordinal within the shard)
+    * and `bin_offset` (the document's first-token offset in its bin).
+    *
+    * Two policy axes, both deterministic per shard:
+    *   - order: `decreasing = false` packs in id order (arrival);
+    *     `decreasing = true` packs largest-first (`tokens` DESC, id
+    *     ASC) — the decreasing heuristic of the bin-packing literature
+    *     (Johnson 1973).
+    *   - placement: `bestFit = false` is next-fit (append to the one
+    *     open bin, open a new one when the doc doesn't fit — O(1)
+    *     state); `bestFit = true` keeps every open bin and places each
+    *     doc into the bin with the SMALLEST remainder that still fits
+    *     (lowest bin index on ties) — with the decreasing order this
+    *     is best-fit-decreasing, the classic ≤ 11/9·OPT + 1 policy,
+    *     which backfills early bins with the small tail (the
+    *     `t_pack_bfd` gate measures the fill recovered vs arrival
+    *     next-fit on the same corpus).
+    *
+    * Scale shape: ONE exchange keyed by the salted-hash shard, then a
+    * linear per-shard fold. The fold is inherently sequential (each
+    * placement conditions the next bin state), so this is the
+    * documented `mapPartitions` exception: shards are the parallel
+    * unit, rows stream through — no buffering of documents, no window,
+    * no driver round trip. State per shard: O(1) for next-fit; one
+    * (remainder, bin) tree entry PER OPEN BIN for best-fit — ~16 bytes
+    * per bin, i.e. bounded by the shard's packed OUTPUT size over
+    * `budget`, so shard count sizes both the parallelism and the
+    * packer state. Deterministic: (salt, shards, budget, policy) fully
+    * determine the layout under any cluster or partitioning, and both
+    * folds replay in SQL as recursive CTEs (the gate oracle does,
+    * list-state for best-fit).
+    *
+    * A null/negative token count raises with the value ([[packedLayout]]
+    * discipline); a document LARGER than the budget also raises — a
+    * non-spanning layout cannot place it, and silently overflowing a
+    * bin would corrupt the loss mask downstream. */
+  def binLayout(df: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, shards: Int = 64, salt: String = "pack",
+      decreasing: Boolean = false, bestFit: Boolean = false): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val tokens = col(tokensCol).cast(LongType)
+    val guarded = when(tokens.isNull || tokens < 0 || tokens > budget,
+      raise_error(concat(lit("binLayout: token count "),
+        coalesce(tokens.cast("string"), lit("null")),
+        lit(s" outside [0, budget=$budget] — documents must fit a " +
+          "sequence whole"))).cast(LongType))
+      .otherwise(tokens)
+    val prepared = df
+      .withColumn("__shard", Sampling.hash32(col(idCol), salt) % shards)
+      .withColumn("__t", guarded)
+    val order =
+      if (decreasing) Seq(col("__t").desc, col(idCol).asc)
+      else Seq(col(idCol).asc)
+    val ordered = prepared
+      .repartition(shards, col("__shard"))
+      .sortWithinPartitions(col("__shard").asc +: order: _*)
+    val outSchema = ordered.schema
+      .add("bin", LongType).add("bin_offset", LongType)
+    val shardIdx = ordered.schema.fieldIndex("__shard")
+    val tIdx = ordered.schema.fieldIndex("__t")
+    val placed = ordered.mapPartitions { it =>
+      // multiple shards may hash into one partition; the sort keys the
+      // fold by shard, so state resets on every shard change
+      var curShard = Long.MinValue
+      var bin = -1L
+      var rem = 0L
+      // best-fit state: (remainder, bin) per open bin; minAfter((t, …))
+      // is "smallest remainder ≥ t, lowest bin on ties" in O(log bins)
+      val open = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+      var nextBin = 0L
+      it.map { r =>
+        val sh = r.getLong(shardIdx)
+        val t = r.getLong(tIdx)
+        if (sh != curShard) {
+          curShard = sh; bin = -1L; rem = 0L; open.clear(); nextBin = 0L
+        }
+        if (bestFit) {
+          val (b, off) = open.minAfter((t, Long.MinValue)) match {
+            case Some(e @ (r0, idx)) =>
+              open.remove(e); open.add((r0 - t, idx))
+              (idx, budget - r0)
+            case None =>
+              val idx = nextBin; nextBin += 1
+              open.add((budget - t, idx))
+              (idx, 0L)
+          }
+          Row.fromSeq(r.toSeq :+ b :+ off)
+        } else {
+          if (bin < 0 || t > rem) { bin += 1; rem = budget }
+          val off = budget - rem
+          rem -= t
+          Row.fromSeq(r.toSeq :+ bin :+ off)
+        }
+      }
+    }(Encoders.row(outSchema))
+    placed.select(col(idCol), col("__shard").as("shard"),
+      col("bin"), col("bin_offset"))
   }
 }

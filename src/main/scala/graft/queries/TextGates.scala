@@ -974,6 +974,96 @@ object TextGates {
              |FROM pl GROUP BY shard
              |ORDER BY shard ASC NULLS FIRST""".stripMargin)),
 
+    // Document-ALIGNED packing (r11): the SFT regime where documents
+    // must not cross sequence boundaries, so the layout policy decides
+    // real padding waste — t_pack_stats measures fill but the spanning
+    // layout's fill is order-invariant; this gate packs the same corpus
+    // under both arrival-order next-fit and BEST-FIT-DECREASING
+    // (Johnson '73) and pins per-shard bins + fill for both, plus the
+    // improvement bit. The oracle replays both sequential folds as
+    // recursive CTEs advancing every shard one document per step —
+    // scalar (bin, rem) state for next-fit, a remainders LIST for
+    // best-fit (position = bin, smallest-fit via
+    // list_min∘list_filter, lowest-index ties via list_position).
+    Gate("t_pack_bfd", (s, d) => {
+      val docs = t(s, d, "documents")
+      def fill(dec: Boolean, bf: Boolean, bins: String, fp: String) =
+        graft.operators.Packing.binLayout(docs, "doc_id", "n_chars",
+          budget = 1024L, shards = 8, salt = "packbins",
+          decreasing = dec, bestFit = bf)
+          .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            (max(col("bin")) + 1).as(bins),
+            sum(col("n_chars").cast("long")).as("__tok"))
+          .withColumn(fp,
+            expr(s"(__tok * 1000) div ($bins * 1024)"))
+      fill(dec = false, bf = false, "n_bins_nf", "fill_nf")
+        .join(fill(dec = true, bf = true, "n_bins_bfd", "fill_bfd")
+          .select(col("shard"), col("n_bins_bfd"), col("fill_bfd")),
+          "shard")
+        .withColumn("improved", col("fill_bfd") >= col("fill_nf"))
+        .select(col("shard"), col("n_docs"), col("n_bins_nf"),
+          col("fill_nf"), col("n_bins_bfd"), col("fill_bfd"),
+          col("improved"))
+        .orderBy(col("shard"))
+    },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id, n_chars,
+             |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':packbins'), 1, 8)
+             |      AS BIGINT) % 8 AS shard
+             |  FROM documents),
+             |a AS (SELECT n_chars, shard,
+             |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+             |  FROM s),
+             |dd AS (SELECT n_chars, shard,
+             |    ROW_NUMBER() OVER (PARTITION BY shard
+             |      ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM s),
+             |fa AS (
+             |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+             |    CAST(-1 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS rem
+             |  FROM (SELECT DISTINCT shard FROM s)
+             |  UNION ALL
+             |  SELECT a.shard, fa.rn + 1,
+             |    CASE WHEN fa.bin < 0 OR a.n_chars > fa.rem
+             |      THEN fa.bin + 1 ELSE fa.bin END,
+             |    CASE WHEN fa.bin < 0 OR a.n_chars > fa.rem
+             |      THEN 1024 - a.n_chars ELSE fa.rem - a.n_chars END
+             |  FROM fa JOIN a ON a.shard = fa.shard AND a.rn = fa.rn + 1),
+             |fd AS (
+             |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+             |    CAST([] AS BIGINT[]) AS rems
+             |  FROM (SELECT DISTINCT shard FROM s)
+             |  UNION ALL
+             |  SELECT dd.shard, fd.rn + 1,
+             |    CASE WHEN list_min(list_filter(fd.rems,
+             |        r -> r >= dd.n_chars)) IS NULL
+             |      THEN list_append(fd.rems, 1024 - dd.n_chars)
+             |      ELSE fd.rems[:list_position(fd.rems, list_min(
+             |          list_filter(fd.rems, r -> r >= dd.n_chars))) - 1]
+             |        || [list_min(list_filter(fd.rems,
+             |             r -> r >= dd.n_chars)) - dd.n_chars]
+             |        || fd.rems[list_position(fd.rems, list_min(
+             |          list_filter(fd.rems, r -> r >= dd.n_chars))) + 1:]
+             |    END
+             |  FROM fd JOIN dd ON dd.shard = fd.shard AND dd.rn = fd.rn + 1),
+             |ga AS (SELECT shard, MAX(bin) + 1 AS n_bins FROM fa GROUP BY shard),
+             |tot AS (SELECT shard, COUNT(*) AS n_docs,
+             |    CAST(SUM(n_chars) AS BIGINT) AS tok
+             |  FROM s GROUP BY shard),
+             |gd AS (SELECT fd.shard, CAST(len(fd.rems) AS BIGINT) AS n_bins
+             |  FROM fd JOIN tot t ON fd.shard = t.shard AND fd.rn = t.n_docs)
+             |SELECT t.shard, t.n_docs,
+             |  ga.n_bins AS n_bins_nf,
+             |  (t.tok * 1000) // (ga.n_bins * 1024) AS fill_nf,
+             |  gd.n_bins AS n_bins_bfd,
+             |  (t.tok * 1000) // (gd.n_bins * 1024) AS fill_bfd,
+             |  (t.tok * 1000) // (gd.n_bins * 1024) >=
+             |    (t.tok * 1000) // (ga.n_bins * 1024) AS improved
+             |FROM tot t JOIN ga USING (shard) JOIN gd USING (shard)
+             |ORDER BY shard ASC NULLS FIRST""".stripMargin)),
+
     // The training-data pipeline END-TO-END: exact dedup → deterministic
     // 80/10/10 hash split → train-shard sequence packing, one hash-checked
     // composition. Each stage has its own gate; this one pins the
