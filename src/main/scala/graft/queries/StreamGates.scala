@@ -317,7 +317,12 @@ object StreamGates {
       val q = graft.streaming.StreamOps.shardAppendStream(
         stream, "doc_id", "sa10", 4, s"$tmp/store", s"$tmp/ck")
       q.processAllAvailable(); q.stop()
-      s.read.parquet(s"$tmp/store")
+      // r11: the gate reads THROUGH the compactor — one file per shard,
+      // and the oracle's membership law must survive the rewrite
+      // unchanged (the compaction-preserves-membership proof, hash-green)
+      graft.streaming.StreamOps.compactShardStore(s, s"$tmp/store",
+        s"$tmp/compact", sortCols = Seq("doc_id"))
+      s.read.parquet(s"$tmp/compact")
         .select(col("doc_id"), col("shard").cast("long"))
         .orderBy(col("doc_id"))
     },

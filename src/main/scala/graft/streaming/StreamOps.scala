@@ -357,4 +357,52 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Batch compaction for a [[shardAppendStream]] store — the missing
+    * half of the streaming-lake lifecycle: the file sink appends one
+    * parquet file set per micro-batch per shard FOREVER, so a
+    * long-running ingest accumulates unbounded small files (the
+    * classic small-files failure; every downstream scan pays a task
+    * per file). This job rewrites the accumulated store into
+    * `outPath` with each shard's rows in ONE task → one file per
+    * shard (`maxRecordsPerFile` splits oversized shards further, the
+    * standard parquet-sizing control), preserving shard membership
+    * and row content exactly.
+    *
+    * Why a NEW root instead of in-place: the append store's
+    * `_spark_metadata` file-sink log is the stream's exactly-once
+    * ledger — batch reads of the store trust it as the committed-file
+    * list, and the resumed stream appends through it. Rewriting data
+    * files under a live log would either orphan the new files
+    * (invisible to readers) or double-count on restart; the robust
+    * lifecycle is the one every streaming lake uses: the append store
+    * is the WAL, compaction emits the read-optimized store, training
+    * reads the compacted root. (A log-rewriting in-place compaction is
+    * what table formats like Delta/Iceberg exist for; hand-editing
+    * Spark's sink log format here would couple us to an internal
+    * layout.)
+    *
+    * In-shard physical order normalizes to `sortCols` (pass the id for
+    * a canonical layout): the append store's arrival order is an
+    * artifact of micro-batch boundaries, not a contract — epoch order
+    * comes from [[graft.operators.Sampling.shuffleOrder]] at training
+    * time, the store is a SET. One shuffle keyed by shard; linear in
+    * store size. */
+  def compactShardStore(spark: SparkSession, storePath: String,
+      outPath: String, sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val df = spark.read.parquet(storePath)
+    require(df.columns.contains("shard"),
+      s"compactShardStore: no 'shard' partition column under $storePath")
+    val oneTaskPerShard = df.repartition(col("shard"))
+    val ordered =
+      if (sortCols.nonEmpty)
+        oneTaskPerShard.sortWithinPartitions(
+          col("shard") +: sortCols.map(col): _*)
+      else oneTaskPerShard
+    val writer = ordered.write.mode("overwrite").partitionBy("shard")
+    (if (maxRecordsPerFile > 0)
+      writer.option("maxRecordsPerFile", maxRecordsPerFile)
+    else writer).parquet(outPath)
+  }
 }

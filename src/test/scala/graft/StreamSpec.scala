@@ -77,4 +77,61 @@ class StreamSpec extends AnyFunSuite {
       .join(b, Seq("user_id", "session_start", "n_events"))
     assert(joined.count() == stateful.count())
   }
+
+  test("compactShardStore: >=5 micro-batches of appends collapse to one " +
+    "file per shard with membership and content unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graftcompact").toString
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "txt")
+    val q = docs
+      .withColumn("shard",
+        graft.operators.Sampling.hash32(col("doc_id"), "cp11") % 4)
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", s"$tmp/store")
+      .option("checkpointLocation", s"$tmp/ck")
+      .partitionBy("shard")
+      .start()
+    // five distinct micro-batches — the accumulation regime the
+    // compactor exists for
+    (0 until 5).foreach { b =>
+      mem.addData((0 until 40).map(i => (b * 40L + i, s"doc-$b-$i")): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    def files(root: String): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+          p.toString.endsWith(".parquet") &&
+            !p.toString.contains("_spark_metadata")).toSeq
+      } finally s.close()
+    }
+    val before = files(s"$tmp/store")
+    assert(before.size >= 5 * 4 - 4, // ≥1 file per batch per touched shard
+      s"expected a small-files pile, got ${before.size}")
+    StreamOps.compactShardStore(spark, s"$tmp/store", s"$tmp/compact",
+      sortCols = Seq("doc_id"))
+    val after = files(s"$tmp/compact")
+    assert(after.size == 4, s"expected one file per shard, got $after")
+    // membership hash unchanged: the full (doc_id, shard, txt) set is
+    // identical before and after
+    def content(root: String) = spark.read.parquet(root)
+      .select(col("doc_id"), col("shard").cast("long"), col("txt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .toSet
+    val cBefore = content(s"$tmp/store")
+    assert(cBefore.size == 200)
+    assert(content(s"$tmp/compact") == cBefore)
+    // membership law intact: shard = hash32(id, salt) % 4 for every row
+    val expected = spark.createDataset(cBefore.map(_._1).toSeq).toDF("doc_id")
+      .withColumn("shard",
+        graft.operators.Sampling.hash32(col("doc_id"), "cp11") % 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cBefore.forall { case (id, sh, _) => expected(id) == sh })
+  }
 }
