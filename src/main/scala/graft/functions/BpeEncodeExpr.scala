@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * to `""` — the `concat_ws` behavior of the HOF form, so the two
   * paths can never diverge on a null. */
 case class BpeEncodeExpr(child: Expression,
-    merges: Seq[(String, String)]) extends UnaryExpression {
+    merges: Seq[(String, String)],
+    byteLevel: Boolean = false) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -48,18 +49,22 @@ case class BpeEncodeExpr(child: Expression,
   private lazy val table: BpeEncodeExpr.Table =
     new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
 
-  override def nullSafeEval(input: Any): Any =
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
     UTF8String.fromString(
-      BpeEncodeExpr.encode(input.asInstanceOf[UTF8String].toString, table))
+      if (byteLevel) BpeEncodeExpr.encodeBytes(s, table)
+      else BpeEncodeExpr.encode(s, table))
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
     val tbl = ctx.addReferenceObj("bpeMerges", table,
       classOf[BpeEncodeExpr.Table].getName)
+    val fn = if (byteLevel) "encodeBytes" else "encode"
     nullSafeCodeGen(ctx, ev, str => {
       s"""
          |${ev.value} = UTF8String.fromString(
-         |  graft.functions.BpeEncodeExpr.encode($str.toString(), $tbl));
+         |  graft.functions.BpeEncodeExpr.$fn($str.toString(), $tbl));
        """.stripMargin
     })
   }
@@ -68,9 +73,101 @@ case class BpeEncodeExpr(child: Expression,
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** Lossless inverse of the BYTE-LEVEL encode: strips the single-space
+  * subword separators, maps each alphabet char back to its byte, and
+  * UTF-8-decodes — `decode ∘ encode` is byte-identical to the input
+  * for any string (BpeSpec pins the property). A character outside the
+  * 324-char byte alphabet raises with the character: the stream being
+  * decoded was produced under a DIFFERENT tokenizer, the same drift
+  * class [[graft.operators.Vocab.decodeNarrow]] raises on. */
+case class BpeByteDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_bytes needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      BpeEncodeExpr.decodeBytes(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = UTF8String.fromString(
+         |  graft.functions.BpeEncodeExpr.decodeBytes($str.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** A string's byte-alphabet spelling (one mapped char per UTF-8 byte,
+  * [[BpeEncodeExpr.byteAlphabet]]) — the trainer-side symbol speller
+  * ([[graft.operators.Bpe]] byteFrame); exact for every byte, unlike a
+  * `translate` chain, which cannot expand a multi-byte char. */
+case class BpeByteMapExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_byte_map needs a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      BpeEncodeExpr.byteMap(input.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} = UTF8String.fromString(
+         |  graft.functions.BpeEncodeExpr.byteMap($str.toString()));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 object BpeEncodeExpr {
 
   private val Eow = "</w>"
+
+  /** The GPT-2 byte→printable-unicode alphabet (Radford et al. 2019,
+    * `encoder.py bytes_to_unicode`, public): printable latin bytes map
+    * to themselves (`!`..`~`, `¡`..`¬`, `®`..`ÿ`), the 68 others
+    * (controls, space, DEL, soft hyphen …) shift to 256+n in byte
+    * order — so space is `Ġ` (U+0120), newline `Ċ`, tab `ĉ`. Every
+    * byte gets a DISTINCT printable char, which is what makes merge
+    * symbols plain strings and the single-space subword separator
+    * unambiguous (0x20 never maps to itself). */
+  val byteAlphabet: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    arr
+  }
+
+  /** alphabet char → byte value, -1 for chars outside the alphabet. */
+  private val inverseAlphabet: Array[Int] = {
+    val arr = Array.fill(324)(-1)
+    var b = 0
+    while (b < 256) { arr(byteAlphabet(b).toInt) = b; b += 1 }
+    arr
+  }
 
   /** The merge table as the expression's reference object: the flat
     * (left0, right0, left1, right1, …) list in rank order plus a
@@ -172,7 +269,7 @@ object BpeEncodeExpr {
     * pins parity at ≥256 merges). */
   private def encodeWord(s: String, from: Int, until: Int,
       table: Table): java.util.ArrayList[String] = {
-    var syms = new java.util.ArrayList[String]((until - from) + 1)
+    val syms = new java.util.ArrayList[String]((until - from) + 1)
     var i = from
     while (i < until) {
       val cp = s.codePointAt(i)
@@ -181,6 +278,14 @@ object BpeEncodeExpr {
       i += len
     }
     syms.add(Eow)
+    applyMerges(syms, table)
+  }
+
+  /** The pair-rank merge loop shared by the word-level and byte-level
+    * encoders (see [[encodeWord]]'s equivalence argument). */
+  private def applyMerges(syms0: java.util.ArrayList[String],
+      table: Table): java.util.ArrayList[String] = {
+    var syms = syms0
     val ranks = table.ranks
     var last = 0
     var done = ranks.isEmpty
@@ -228,9 +333,187 @@ object BpeEncodeExpr {
     syms
   }
 
+  // ---- byte-level, case-preserving mode (r11) ----
+  //
+  // The word-level pipeline above is the reference-shaped default and
+  // is LOSSY: it lowercases and collapses whitespace before encoding,
+  // so decode returns a normalized stream. Production tokenizers
+  // (GPT-2 §2.2, LLaMA/SentencePiece byte-fallback) are byte-level
+  // with a regex pre-tokenizer and lossless round-trip — the mode a
+  // shipped training artifact actually needs. Here: the text is cut
+  // into PRETOKENS by [[pretokenPattern]] (merges never cross
+  // pretoken boundaries), each pretoken's UTF-8 bytes map through
+  // [[byteAlphabet]] to one printable char per byte, the same
+  // pair-rank merge loop applies (no `</w>` — the boundary IS the
+  // pretoken end, GPT-2-style), and all subwords join with single
+  // spaces (never an alphabet char). decode ∘ encode is byte-identical
+  // for ANY string (BpeSpec property).
+
+  /** The pre-tokenizer, as a regex both Java (`Pattern`, the training
+    * frame) and RE2 (DuckDB, the gate oracle) interpret identically:
+    * letter runs, digit runs, non-alphanumeric-non-space runs — each
+    * optionally absorbing ONE immediately preceding space, the GPT-2
+    * `Ġword` device — and whitespace runs otherwise. Deviation from
+    * GPT-2's exact pattern, documented: RE2 has no lookahead, so
+    * GPT-2's `\s+(?!\S)` trailing-space split and `'s|'t|…`
+    * contraction list are dropped; classes are ASCII (`[A-Za-z]`, not
+    * `\p{L}`), so accented letters fall into the "other" run — a
+    * merge-quality trade only, NEVER a correctness one: any partition
+    * of the text concatenates back losslessly. Leftmost-first ordered
+    * alternation + greedy runs give both engines the same cut. */
+  val pretokenPattern: String =
+    " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]+|[ \\t\\n\\x0B\\f\\r]+"
+
+  // the scanner's character classes — EXACTLY the regex's ASCII sets
+  // (Java \s = [ \t\n\x0B\f\r])
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+      c == '\r'
+  private def isLetter(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+  private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
+
+  /** End index of the pretoken starting at `i` — the hand-rolled form
+    * of one [[pretokenPattern]] match (leftmost-first alternation,
+    * greedy runs), pinned equal to `Pattern.matcher` by a BpeSpec
+    * property over random strings. */
+  private def pretokenEnd(s: String, i: Int): Int = {
+    val n = s.length
+    val c = s.charAt(i)
+    def run(from: Int, cls: Char => Boolean): Int = {
+      var j = from
+      while (j < n && cls(s.charAt(j))) j += 1
+      j
+    }
+    if (c == ' ' && i + 1 < n && !isWs(s.charAt(i + 1))) {
+      // ' ?' absorbed into the following class run
+      val c1 = s.charAt(i + 1)
+      if (isLetter(c1)) run(i + 1, isLetter)
+      else if (isDigit(c1)) run(i + 1, isDigit)
+      else run(i + 1, ch => !isLetter(ch) && !isDigit(ch) && !isWs(ch))
+    } else if (isWs(c)) run(i, isWs)
+    else if (isLetter(c)) run(i, isLetter)
+    else if (isDigit(c)) run(i, isDigit)
+    else run(i, ch => !isLetter(ch) && !isDigit(ch) && !isWs(ch))
+  }
+
+  /** One pretoken's UTF-8 bytes as mapped single-char symbols. */
+  private def byteSyms(s: String, from: Int, until: Int)
+      : java.util.ArrayList[String] = {
+    val bytes = s.substring(from, until)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val syms = new java.util.ArrayList[String](bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      syms.add(String.valueOf(byteAlphabet(bytes(i) & 0xFF)))
+      i += 1
+    }
+    syms
+  }
+
+  /** The whole byte-level per-row pipeline, shared by eval and codegen:
+    * pretokenize → byte-map → pair-rank merges → subwords joined by
+    * single spaces. No normalization anywhere — case, whitespace and
+    * every byte survive into the symbols. */
+  def encodeBytes(text: String, table: Table): String = {
+    val out = new java.lang.StringBuilder(text.length * 2)
+    var wrote = false
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val end = pretokenEnd(text, i)
+      val syms = applyMerges(byteSyms(text, i, end), table)
+      var j = 0
+      while (j < syms.size()) {
+        if (wrote) out.append(' ')
+        out.append(syms.get(j))
+        wrote = true
+        j += 1
+      }
+      i = end
+    }
+    out.toString
+  }
+
+  /** [[encodeBytes]]'s lossless inverse — see [[BpeByteDecodeExpr]]. */
+  def decodeBytes(enc: String): String = {
+    val bytes = new java.io.ByteArrayOutputStream(enc.length)
+    var i = 0
+    val n = enc.length
+    while (i < n) {
+      val c = enc.charAt(i)
+      if (c != ' ') {
+        val b = if (c.toInt < inverseAlphabet.length)
+          inverseAlphabet(c.toInt) else -1
+        if (b < 0) throw new IllegalArgumentException(
+          s"bpe_decode_bytes: char '$c' (U+${"%04X".format(c.toInt)}) " +
+            "is not in the byte alphabet — stream from a different " +
+            "tokenizer?")
+        bytes.write(b)
+      }
+      i += 1
+    }
+    new String(bytes.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Java-regex pretokens of a string — the training-frame cut
+    * ([[graft.operators.Bpe]] uses Spark's `regexp_extract_all` with
+    * [[pretokenPattern]], which compiles this same Pattern); exposed
+    * for the BpeSpec scanner≡regex property. */
+  def pretokensByRegex(s: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(pretokenPattern).matcher(s)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out += m.group()
+    out.result()
+  }
+
+  /** Scanner pretokens (the encode path's cut) — BpeSpec pins this
+    * equal to [[pretokensByRegex]]. */
+  def pretokensByScanner(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val end = pretokenEnd(s, i)
+      out += s.substring(i, end)
+      i = end
+    }
+    out.result()
+  }
+
+  /** A string's byte-alphabet form (UTF-8 bytes → mapped chars) — the
+    * symbol spelling the trainer and the oracle share. */
+  def byteMap(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      out.append(byteAlphabet(bytes(i) & 0xFF))
+      i += 1
+    }
+    out.toString
+  }
+
   /** Column-level entry point — `""` for null text, like the HOF
     * form's concat_ws. */
   def bpe_encode(text: Column, merges: Seq[(String, String)]): Column =
     coalesce(GraftSqlBridge.column(
       BpeEncodeExpr(GraftSqlBridge.expression(text), merges)), lit(""))
+
+  /** Byte-level entry point — merges are over [[byteAlphabet]] symbol
+    * strings; `""` for null text. */
+  def bpe_encode_bytes(text: Column,
+      merges: Seq[(String, String)]): Column =
+    coalesce(GraftSqlBridge.column(
+      BpeEncodeExpr(GraftSqlBridge.expression(text), merges,
+        byteLevel = true)), lit(""))
+
+  /** Lossless byte-level decode column (null-propagating). */
+  def bpe_decode_bytes(enc: Column): Column =
+    GraftSqlBridge.column(
+      BpeByteDecodeExpr(GraftSqlBridge.expression(enc)))
+
+  /** Byte-alphabet spelling column (null-propagating). */
+  def byte_map(s: Column): Column =
+    GraftSqlBridge.column(BpeByteMapExpr(GraftSqlBridge.expression(s)))
 }

@@ -1423,6 +1423,91 @@ object TextGates {
              |FROM documents
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Production-VOCAB-SCALE BPE fit (r11): >=1k merges trained by
+    // fitLocal — the driver in-memory trainer over the collected
+    // distinct-word frame (Heap's-law bounded; the split every real
+    // tokenizer trainer uses) — where fitDelta would be >=1k sequential
+    // Spark rounds. The corpus vocabulary is ~30 words, so the fixture
+    // synthesizes a 16k+-distinct-word frame from TRIGRAM tokens
+    // (deterministic, SQL-replayable). A 1.5k-round fit can't unroll in
+    // SQL, so the oracle checks the t_bpe_encode_big segmentation
+    // invariant (subwords concatenate back to the token stream) plus
+    // counts; merge-for-merge semantics are pinned by BpeSpec's
+    // fitLocal ≡ fit/fitDelta parity property.
+    Gate("t_bpe_train_big", (s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = graft.operators.Decontaminate.tokens(col("text"))
+      // arrays_zip over three slices, NOT element_at(tk, i) in the
+      // lambda: HOF lambdas evaluate interpreted with no CSE, so each
+      // element_at would recompute the whole lower+regex split —
+      // measured 10.7 s vs 0.9 s for this frame at sf0.1
+      val g = greatest(size(tk) - 2, lit(0))
+      val tri = transform(
+        arrays_zip(slice(tk, lit(1), g).as("a"), slice(tk, lit(2), g).as("b"),
+          slice(tk, lit(3), g).as("c")),
+        t3 => concat_ws("_", t3.getField("a"), t3.getField("b"),
+          t3.getField("c")))
+      val fx = docs.select(col("doc_id"), array_join(tri, " ").as("fx"))
+      // fit on the FULL frame with the production truncation knob
+      // engaged (top 8k words by (freq desc, word asc) — the 16k/27k
+      // frames truncate at every sf, which also pins the gate's fit
+      // cost scale-INVARIANT); encode-probe a deterministic 20% hash
+      // sample — the invariant needs a probe, not the corpus
+      val merges = graft.operators.Bpe.fitLocal(fx, "fx", 1024,
+        minCount = 1L, maxWords = 8192)
+      require(merges.size >= 1000,
+        s"train_big expected >= 1000 merges, got ${merges.size}")
+      val enc = graft.operators.Bpe.encodeColFast(col("fx"), merges)
+      graft.operators.Sampling.hashSample(fx, "doc_id", "big11", 0.2)
+        .select(col("doc_id"),
+          lit(merges.size >= 1000).as("merges_ge_1000"),
+          size(filter(graft.operators.Decontaminate.tokens(col("fx")),
+            w => length(w) > 0)).as("n_words"),
+          rtrim(call_function("replace",
+            call_function("replace", enc, lit(" "), lit("")),
+            lit(graft.operators.Bpe.EndOfWord), lit(" "))).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH tkn AS (
+             |  SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM documents),
+             |fx AS (
+             |  SELECT doc_id, COALESCE(string_agg(
+             |      tk[i] || '_' || tk[i+1] || '_' || tk[i+2], ' ' ORDER BY i), '') AS fx
+             |  FROM tkn, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS t(i)
+             |  GROUP BY doc_id)
+             |SELECT doc_id, TRUE AS merges_ge_1000,
+             |  CAST(len(regexp_extract_all(fx, '\S+')) AS INTEGER) AS n_words,
+             |  fx AS decoded
+             |FROM fx
+             |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+             |    || ':big11'), 1, 8) AS BIGINT) % 10000 < 2000
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Byte-level, case-preserving BPE (r11): the production-tokenizer
+    // regime the word-level mode deliberately is not — GPT-2 regex
+    // pretokens, byte-alphabet symbols, no </w>, LOSSLESS decode. The
+    // corpus text is lowercase single-spaced by construction, so the
+    // fixture enriches it deterministically in both engines: title
+    // case, an UPPER run, digits, punctuation, a double space, newline
+    // + tab. Six training rounds unroll in SQL over the pretoken frame
+    // (same generic round CTEs as t_bpe_train); `decoded` pins the
+    // byte-identical round trip as a hash check.
+    Gate("t_bpe_bytes", (s, d) => {
+      val fx = concat(lit("The "),
+        upper(expr("substring(text, 1, 3)")), expr("substring(text, 4)"),
+        lit("  #"), (col("doc_id") % 100).cast("string"),
+        lit(", End.\n\ttail  42 "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
+      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
+        minCount = 1L)
+      val enc = graft.operators.Bpe.encodeBytesCol(col("fx"), merges)
+      docs.select(col("doc_id"), enc.as("bpe"),
+        graft.operators.Bpe.decodeBytesCol(enc).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(bpeBytesOracleSql)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.
@@ -2131,6 +2216,91 @@ object TextGates {
     * via pos − cumulative-candidate-count) replayed with window
     * functions. Ends with `st<n>` (final vocabulary state) and
     * `b1..bn` (the chosen merges). */
+  /** The t_bpe_bytes oracle — the byte-level tokenizer replayed end to
+    * end: the mixed-case/multi-space fixture, the RE2 form of the
+    * GPT-2-style pretoken cut
+    * ([[graft.functions.BpeEncodeExpr.pretokenPattern]] — Java and RE2
+    * read it identically, BpeSpec pins scanner ≡ Pattern), the
+    * byte-alphabet spelling (the fixture is pure ASCII, so spelling is
+    * identity except the remapped whitespace ' '→Ġ, \n→Ċ, \t→ĉ), six
+    * unrolled training rounds over the PRETOKEN frame (no `</w>` —
+    * the pretoken boundary terminates), per-doc subword streams, and
+    * `decoded` = the fixture itself: losslessness as a hash check. */
+  private[queries] lazy val bpeBytesOracleSql: String = {
+    val pat = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"""
+    """WITH fx AS (
+      |  SELECT doc_id, 'The ' || upper(substr(text, 1, 3)) || substr(text, 4)
+      |    || '  #' || CAST(doc_id % 100 AS VARCHAR) || ', End.' || chr(10)
+      |    || chr(9) || 'tail  42 ' AS fx
+      |  FROM documents),
+      |ptk AS (SELECT doc_id, regexp_extract_all(fx, '""".stripMargin +
+      pat +
+      """') AS pt FROM fx),
+      |dtok AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS tpos,
+      |    replace(replace(replace(pt[i], ' ', 'Ġ'), chr(10), 'Ċ'), chr(9), 'ĉ') AS word
+      |  FROM ptk, unnest(range(1, len(pt) + 1)) AS t(i)
+      |  WHERE length(pt[i]) > 0),
+      |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      |  FROM dtok GROUP BY word),
+      |st0 AS (
+      |  SELECT word, freq, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+      |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)),
+      |""".stripMargin +
+      bpeStepsSql(6).mkString(",\n") +
+      """,
+      |enc AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
+      |  FROM st6 GROUP BY word),
+      |docenc AS (
+      |  SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS bpe
+      |  FROM dtok d JOIN enc e USING (word) GROUP BY d.doc_id)
+      |SELECT f.doc_id, de.bpe, f.fx AS decoded
+      |FROM fx f JOIN docenc de USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** The generic per-round CTEs (best pair under the total order →
+    * run-parity greedy rewrite) — shared verbatim by the word-level
+    * chain ([[bpeCtesSql]]) and the byte-level chain
+    * ([[bpeBytesOracleSql]]): the rounds only see (word, freq, pos,
+    * sym), so the alphabet and terminal conventions live entirely in
+    * the st0 base. */
+  private def bpeStepsSql(n: Int): Seq[String] = (1 to n).map { k =>
+    s"""p$k AS (
+       |  SELECT word, freq, pos, sym,
+       |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+       |  FROM st${k - 1}),
+       |b$k AS (
+       |  SELECT sym AS l, nxt AS r
+       |  FROM p$k WHERE nxt IS NOT NULL
+       |  GROUP BY sym, nxt
+       |  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l ASC, r ASC LIMIT 1),
+       |m$k AS (
+       |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+       |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END AS cand
+       |  FROM p$k p CROSS JOIN b$k b),
+       |g$k AS (
+       |  SELECT word, freq, pos, sym, nxt, cand,
+       |    pos - SUM(cand) OVER (PARTITION BY word ORDER BY pos
+       |      ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM m$k),
+       |h$k AS (
+       |  SELECT word, freq, pos, sym, nxt, cand,
+       |    CASE WHEN cand = 1 AND (ROW_NUMBER() OVER (
+       |        PARTITION BY word, cand, grp ORDER BY pos) - 1) % 2 = 0
+       |      THEN 1 ELSE 0 END AS mrg
+       |  FROM g$k),
+       |i$k AS (
+       |  SELECT word, freq, pos, sym, nxt, mrg,
+       |    COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+       |  FROM h$k),
+       |st$k AS (
+       |  SELECT word, freq,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+       |    CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END AS sym
+       |  FROM i$k WHERE consumed = 0)""".stripMargin
+  }
+
   private[queries] def bpeCtesSql(n: Int): String = {
     val base =
       """w0 AS (
@@ -2144,41 +2314,7 @@ object TextGates {
         |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)
         |  UNION ALL
         |  SELECT word, freq, CAST(length(word) + 1 AS BIGINT), '</w>' FROM w0)""".stripMargin
-    val steps = (1 to n).map { k =>
-      s"""p$k AS (
-         |  SELECT word, freq, pos, sym,
-         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
-         |  FROM st${k - 1}),
-         |b$k AS (
-         |  SELECT sym AS l, nxt AS r
-         |  FROM p$k WHERE nxt IS NOT NULL
-         |  GROUP BY sym, nxt
-         |  ORDER BY CAST(SUM(freq) AS BIGINT) DESC, l ASC, r ASC LIMIT 1),
-         |m$k AS (
-         |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
-         |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END AS cand
-         |  FROM p$k p CROSS JOIN b$k b),
-         |g$k AS (
-         |  SELECT word, freq, pos, sym, nxt, cand,
-         |    pos - SUM(cand) OVER (PARTITION BY word ORDER BY pos
-         |      ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM m$k),
-         |h$k AS (
-         |  SELECT word, freq, pos, sym, nxt, cand,
-         |    CASE WHEN cand = 1 AND (ROW_NUMBER() OVER (
-         |        PARTITION BY word, cand, grp ORDER BY pos) - 1) % 2 = 0
-         |      THEN 1 ELSE 0 END AS mrg
-         |  FROM g$k),
-         |i$k AS (
-         |  SELECT word, freq, pos, sym, nxt, mrg,
-         |    COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
-         |  FROM h$k),
-         |st$k AS (
-         |  SELECT word, freq,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
-         |    CASE WHEN mrg = 1 THEN sym || nxt ELSE sym END AS sym
-         |  FROM i$k WHERE consumed = 0)""".stripMargin
-    }
+    val steps = bpeStepsSql(n)
     (base +: steps).mkString(",\n")
   }
 

@@ -48,6 +48,10 @@ object BpeProbe {
     val t0 = System.nanoTime
     val m =
       if (which == "fit") graft.operators.Bpe.fit(docs, "text", n, 1L)
+      else if (which == "local")
+        graft.operators.Bpe.fitLocal(docs, "text", n, 1L)
+      else if (which == "localbytes")
+        graft.operators.Bpe.fitLocal(docs, "text", n, 1L, byteLevel = true)
       else graft.operators.Bpe.fitDelta(docs, "text", n, 1L)
     spark.range(1).count() // marker job, then drain
     Thread.sleep(2000)

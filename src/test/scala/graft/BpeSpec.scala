@@ -193,4 +193,117 @@ class BpeSpec extends AnyFunSuite {
           s"fast='${r.getString(2)}'")
     }
   }
+
+  test("fitLocal (driver in-memory trainer) produces the identical " +
+      "merge list to fit/fitDelta — word-level and byte-level") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, s"The Spark spark scan TABLE value part hash row$i mix"))
+      .toDF("doc_id", "text")
+    val a = Bpe.fit(docs, "text", 12, minCount = 1L)
+    val b = Bpe.fitDelta(docs, "text", 12, minCount = 1L)
+    val c = Bpe.fitLocal(docs, "text", 12, minCount = 1L)
+    assert(a == c && b == c, s"\nfit:      $a\nfitLocal: $c")
+    val bd = Bpe.fitBytes(docs, "text", 12, minCount = 1L)
+    val bl = Bpe.fitLocal(docs, "text", 12, minCount = 1L,
+      byteLevel = true)
+    assert(bd == bl, s"\nfitBytes: $bd\nfitLocal: $bl")
+    // the minCount stop rule carries over
+    assert(Bpe.fitLocal(Seq((1L, "ab cd ef")).toDF("doc_id", "text"),
+      "text", 5, minCount = 2L).isEmpty)
+    // frequency truncation is deterministic and keeps training alive
+    assert(Bpe.fitLocal(docs, "text", 6, minCount = 1L, maxWords = 5)
+      .nonEmpty)
+  }
+
+  // ---- byte-level, case-preserving mode (r11) ----
+
+  /** Random strings over a pool of ASCII letters (both cases), digits,
+    * punctuation, whitespace, and multi-byte code points (é, 中, 𝄞, 😀
+    * — the last two are surrogate PAIRS, exercising 4-byte UTF-8). */
+  private def randomText(rnd: scala.util.Random, maxLen: Int): String = {
+    val sb = new java.lang.StringBuilder
+    val extra = Array(0xE9, 0x4E2D, 0x1D11E, 0x1F600)
+    (0 until rnd.nextInt(maxLen)).foreach { _ =>
+      val cp: Int = rnd.nextInt(6) match {
+        case 0 => ' '
+        case 1 => 'a' + rnd.nextInt(26)
+        case 2 => 'A' + rnd.nextInt(26)
+        case 3 => '0' + rnd.nextInt(10)
+        case 4 => "\t\n.,#!?-".charAt(rnd.nextInt(8)).toInt
+        case 5 => extra(rnd.nextInt(extra.length))
+      }
+      sb.appendCodePoint(cp)
+    }
+    sb.toString
+  }
+
+  test("byte-level: the pretoken scanner IS the Java regex (and a " +
+      "lossless partition) on random strings") {
+    import graft.functions.BpeEncodeExpr
+    val rnd = new scala.util.Random(42)
+    (0 until 1000).foreach { _ =>
+      val s = randomText(rnd, 40)
+      val sc = BpeEncodeExpr.pretokensByScanner(s)
+      assert(sc == BpeEncodeExpr.pretokensByRegex(s), s"on '$s'")
+      assert(sc.mkString == s, s"partition must concatenate back: '$s'")
+    }
+  }
+
+  test("byte-level: decode ∘ encode is byte-identical on arbitrary " +
+      "strings, under a trained table and the empty table") {
+    import graft.functions.BpeEncodeExpr
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq.tabulate(30)(i =>
+      (i.toLong, s"The Low lower  LOWEST\n\tmix ${i % 7} 中文 end."))
+      .toDF("doc_id", "text")
+    val merges = Bpe.fitBytes(corpus, "text", 24, minCount = 1L)
+    assert(merges.nonEmpty)
+    val probes = (Seq.tabulate(200)(i => (i.toLong, randomText(rnd, 60)))
+      :+ (9001L, "Hello  World\n\tMixed CASE 42!")).toDF("doc_id", "text")
+    for (tbl <- Seq(merges, Seq.empty[Bpe.Merge])) {
+      val out = probes.select(col("text"),
+        Bpe.decodeBytesCol(Bpe.encodeBytesCol(col("text"), tbl)).as("rt"))
+        .collect()
+      out.foreach(r => assert(r.getString(1) == r.getString(0),
+        s"round trip broke: '${r.getString(0)}' → '${r.getString(1)}'"))
+    }
+  }
+
+  test("byte-level: case and whitespace SURVIVE the tokenizer (the " +
+      "artifact-losslessness the word-level mode deliberately lacks)") {
+    val corpus = Seq((1L, "Data data DATA  data\ndata")).toDF("doc_id", "text")
+    val merges = Bpe.fitBytes(corpus, "text", 8, minCount = 1L)
+    val probe = Seq((1L, "Data  DATA\ndata")).toDF("doc_id", "text")
+    val enc = probe.select(
+      Bpe.encodeBytesCol(col("text"), merges).as("b"),
+      Bpe.encodeColFast(col("text"),
+        Bpe.fit(corpus, "text", 8, minCount = 1L)).as("w")).head()
+    // byte mode: decode returns the exact input
+    val rt = probe.select(Bpe.decodeBytesCol(
+      Bpe.encodeBytesCol(col("text"), merges))).head().getString(0)
+    assert(rt == "Data  DATA\ndata")
+    // word mode on the same text is lossy: lowercased, whitespace
+    // collapsed — the gap this mode closes
+    assert(enc.getString(1).contains("data"))
+    assert(!enc.getString(1).contains("Data"))
+    // and byte mode's symbols keep the distinct casings apart
+    assert(enc.getString(0).contains("D"))
+  }
+
+  test("byte-level: a single space attaches to the following run " +
+      "(GPT-2 Ġword device) and becomes part of learned merges") {
+    import graft.functions.BpeEncodeExpr
+    assert(BpeEncodeExpr.pretokensByScanner("the cat") ==
+      Seq("the", " cat"))
+    assert(BpeEncodeExpr.pretokensByScanner("a  b") == Seq("a", "  ", "b"))
+    assert(BpeEncodeExpr.pretokensByScanner("x 42, ok") ==
+      Seq("x", " 42", ",", " ok"))
+    val corpus = Seq.tabulate(20)(i => (i.toLong, "the cat the cat"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.fitBytes(corpus, "text", 12, minCount = 1L)
+    // 'Ġ' (mapped 0x20) appears inside learned merge symbols: the
+    // space-prefixed word is ONE token family, GPT-2-style
+    assert(merges.exists(m => (m.left + m.right).contains('Ġ')),
+      merges.toString)
+  }
 }

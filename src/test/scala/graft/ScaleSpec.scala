@@ -79,7 +79,12 @@ class ScaleSpec extends AnyFunSuite {
     // construction (epochPlanFactors/vocabMap collect, Ordinals,
     // scrub checkpoints, streaming) — covered by SCALE.md's
     // measured-ratio table instead.
-    "t_upsample", "hb_upsample", "t_epoch_plan", "t_pack_stats")
+    "t_upsample", "hb_upsample", "t_epoch_plan", "t_pack_stats",
+    // r11: the bin-packing layout is a lazy plan (shard exchange +
+    // streaming mapPartitions fold + aggregate join); the BPE byte/
+    // big-fit gates train eagerly at construction — covered by
+    // SCALE.md's measured-ratio table instead.
+    "t_pack_bfd")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
