@@ -106,6 +106,82 @@ case class BpeByteDecodeExpr(child: Expression) extends UnaryExpression {
       newChild: Expression): Expression = copy(child = newChild)
 }
 
+/** [[BpeEncodeExpr]]'s byte-level pipeline emitting TOKEN IDS
+  * (`array<int>`, GPT-2 id layout: 256 byte tokens then merges by
+  * rank) — the shipped-artifact form; [[BpeIdsDecodeExpr]] inverts it
+  * byte-exactly. */
+case class BpeIdsExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_encode_ids needs a string argument, got ${child.dataType}")
+
+  private lazy val table: BpeEncodeExpr.Table =
+    new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncodeExpr.encodeIds(input.asInstanceOf[UTF8String].toString, table)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeEncodeExpr.Table].getName)
+    nullSafeCodeGen(ctx, ev, str => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.BpeEncodeExpr.encodeIds($str.toString(), $tbl);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+/** Lossless inverse of [[BpeIdsExpr]] under the same merge table. */
+case class BpeIdsDecodeExpr(child: Expression,
+    merges: Seq[(String, String)]) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode_ids needs array<int>, got $other")
+  }
+
+  private lazy val table: BpeEncodeExpr.Table =
+    new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(BpeEncodeExpr.decodeIds(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      table))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("bpeMerges", table,
+      classOf[BpeEncodeExpr.Table].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} = UTF8String.fromString(
+         |  graft.functions.BpeEncodeExpr.decodeIds($arr, $tbl));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
 /** A string's byte-alphabet spelling (one mapped char per UTF-8 byte,
   * [[BpeEncodeExpr.byteAlphabet]]) — the trainer-side symbol speller
   * ([[graft.operators.Bpe]] byteFrame); exact for every byte, unlike a
@@ -195,6 +271,26 @@ object BpeEncodeExpr {
         val rank = i / 2 + 1
         inner.put(flat(i + 1),
           if (prev == null) Array(rank) else prev :+ rank)
+        i += 2
+      }
+      m
+    }
+
+    /** The GPT-2 id space over this table: ids 0..255 are the byte
+      * alphabet (id = byte value), id 255+rank is merge `rank`'s merged
+      * string. A merged string recurring at a later rank keeps its
+      * FIRST id (putIfAbsent in rank order) — same token, one id. */
+    @transient lazy val symIds: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var b = 0
+      while (b < 256) {
+        m.put(String.valueOf(byteAlphabet(b)), Integer.valueOf(b))
+        b += 1
+      }
+      var i = 0
+      while (i < flat.length) {
+        m.putIfAbsent(flat(i) + flat(i + 1),
+          Integer.valueOf(255 + i / 2 + 1))
         i += 2
       }
       m
@@ -435,6 +531,66 @@ object BpeEncodeExpr {
     out.toString
   }
 
+  /** [[encodeBytes]] emitting TOKEN IDS — the artifact a training run
+    * actually consumes: id = byte value for alphabet symbols, 255+rank
+    * for merged symbols ([[Table.symIds]] — the GPT-2 id layout:
+    * 256 byte tokens, then merges in rank order). Same pretokens, same
+    * merge loop; one int per subword instead of a joined string. */
+  def encodeIds(text: String, table: Table)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val out = new java.util.ArrayList[Integer](text.length)
+    val ids = table.symIds
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      val end = pretokenEnd(text, i)
+      val syms = applyMerges(byteSyms(text, i, end), table)
+      var j = 0
+      while (j < syms.size()) {
+        val id = ids.get(syms.get(j))
+        if (id == null) throw new IllegalStateException(
+          s"bpe_encode_ids: symbol '${syms.get(j)}' has no id — " +
+            "merge table inconsistent")
+        out.add(id)
+        j += 1
+      }
+      i = end
+    }
+    val arr = new Array[Int](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** Lossless inverse of [[encodeIds]]: id < 256 → the byte, id
+    * 255+rank → merge `rank`'s merged string's bytes. An id outside
+    * [0, 255+nMerges] raises with the id — wrong-vocabulary drift,
+    * the [[graft.operators.Vocab.decodeNarrow]] discipline. */
+  def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData,
+      table: Table): String = {
+    val nMerges = table.flat.length / 2
+    val bytes = new java.io.ByteArrayOutputStream(ids.numElements() * 2)
+    var i = 0
+    while (i < ids.numElements()) {
+      val id = ids.getInt(i)
+      if (id < 0 || id > 255 + nMerges)
+        throw new IllegalArgumentException(
+          s"bpe_decode_ids: id $id outside [0, ${255 + nMerges}] — " +
+            "stream from a different vocabulary?")
+      val sym =
+        if (id < 256) String.valueOf(byteAlphabet(id))
+        else table.flat(2 * (id - 256)) + table.flat(2 * (id - 256) + 1)
+      var c = 0
+      while (c < sym.length) {
+        bytes.write(inverseAlphabet(sym.charAt(c).toInt))
+        c += 1
+      }
+      i += 1
+    }
+    new String(bytes.toByteArray,
+      java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** [[encodeBytes]]'s lossless inverse — see [[BpeByteDecodeExpr]]. */
   def decodeBytes(enc: String): String = {
     val bytes = new java.io.ByteArrayOutputStream(enc.length)
@@ -516,4 +672,19 @@ object BpeEncodeExpr {
   /** Byte-alphabet spelling column (null-propagating). */
   def byte_map(s: Column): Column =
     GraftSqlBridge.column(BpeByteMapExpr(GraftSqlBridge.expression(s)))
+
+  /** Token-id encode column (`array<int>`; empty array for null text —
+    * the id-stream analogue of bpe_encode's `""`). */
+  def bpe_encode_ids(text: Column,
+      merges: Seq[(String, String)]): Column =
+    coalesce(GraftSqlBridge.column(
+      BpeIdsExpr(GraftSqlBridge.expression(text), merges)),
+      lit(Array.empty[Int]))
+
+  /** Token-id decode column under the same merge table
+    * (null-propagating; out-of-range ids raise with the id). */
+  def bpe_decode_ids(ids: Column,
+      merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(
+      BpeIdsDecodeExpr(GraftSqlBridge.expression(ids), merges))
 }

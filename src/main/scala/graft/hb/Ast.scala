@@ -338,6 +338,19 @@ object Ast {
     * the wrong-vocabulary drift signal). */
   case class DecodeUsing(idsCol: String, conf: String, size: Int)
       extends Statement
+  /** `bpe bytes <textCol> <nMerges>` — the BYTE-LEVEL [[BpeEnc]]:
+    * GPT-2-style regex pretokens, byte-alphabet symbols, case and
+    * whitespace preserved, lossless `decode bytes` inverse
+    * (operators.Bpe.fitBytes + the codegen'd native encode). Adds
+    * `bpe` like [[BpeEnc]]. */
+  case class BpeBytesEnc(textCol: String, nMerges: Int) extends Statement
+
+  /** `decode bytes <encCol>` — lossless inverse of `bpe bytes`'s
+    * subword stream: adds `text_decoded`, byte-identical to the
+    * encoded text (needs no merge table; a symbol outside the byte
+    * alphabet raises — wrong-tokenizer drift). */
+  case class BpeBytesDecode(encCol: String) extends Statement
+
   /** `bpe <textCol> using <conf> <nMerges>` — the [[BpeEnc]] twin with
     * the merge table trained on a MODEL configuration
     * (operators.Bpe.fitDelta + the codegen'd native encode). */

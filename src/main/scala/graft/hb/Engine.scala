@@ -359,6 +359,18 @@ object Engine {
       f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
         col(c), graft.operators.Bpe.fitDelta(f.df, c, n, minCount = 1L))))
 
+    case BpeBytesEnc(c, n) =>
+      // byte-level twin: case/whitespace-preserving, lossless under
+      // `decode bytes`; same bounded-fit + narrow-encode shape
+      f.copy(df = f.df.withColumn("bpe",
+        graft.operators.Bpe.encodeBytesCol(col(c),
+          graft.operators.Bpe.fitBytes(f.df, c, n, minCount = 1L))))
+
+    case BpeBytesDecode(c) =>
+      // stateless narrow map — no model, stream-safe
+      f.copy(df = f.df.withColumn("text_decoded",
+        graft.operators.Bpe.decodeBytesCol(col(c))))
+
     case RebalanceBy(strat, ts, salt, w) =>
       // ids are the frame index; percentages to match `mix`/`split`
       // (the /100 cancels out of the rate ratios — and x/100.0 is the

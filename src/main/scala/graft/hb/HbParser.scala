@@ -523,10 +523,15 @@ object HbParser {
           EncodeUsing(c, conf, p.int())
         } else Encode(c, p.int())
       case "decode" =>
-        val c = p.colName()
-        p.eat("using")
-        val conf = p.colName()
-        DecodeUsing(c, conf, p.int())
+        if (p.atIdent("bytes")) {
+          p.eat("bytes")
+          BpeBytesDecode(p.colName())
+        } else {
+          val c = p.colName()
+          p.eat("using")
+          val conf = p.colName()
+          DecodeUsing(c, conf, p.int())
+        }
       case "score" =>
         val c = p.colName()
         p.eat("using")
@@ -645,12 +650,17 @@ object HbParser {
         val st = p.colName()
         if (frac) TopFracBy(k, sc, st) else TopBy(k, sc, st)
       case "bpe" =>
-        val c = p.colName()
-        if (p.atIdent("using")) {
-          p.eat("using")
-          val conf = p.colName()
-          BpeUsing(c, conf, p.int())
-        } else BpeEnc(c, p.int())
+        if (p.atIdent("bytes")) {
+          p.eat("bytes")
+          BpeBytesEnc(p.colName(), p.int())
+        } else {
+          val c = p.colName()
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            BpeUsing(c, conf, p.int())
+          } else BpeEnc(c, p.int())
+        }
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

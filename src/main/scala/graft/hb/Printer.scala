@@ -93,6 +93,10 @@ object Printer {
       s"top $p pct by ${name(sc)} per ${name(st)}"
     case BpeEnc(c, n) =>
       s"bpe ${name(c)} $n"
+    case BpeBytesEnc(c, n) =>
+      s"bpe bytes ${name(c)} $n"
+    case BpeBytesDecode(c) =>
+      s"decode bytes ${name(c)}"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
     case RebalanceBy(c, ts, salt, w) =>

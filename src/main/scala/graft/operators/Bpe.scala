@@ -500,6 +500,19 @@ object Bpe {
   def decodeBytesCol(enc: Column): Column =
     graft.functions.BpeEncodeExpr.bpe_decode_bytes(enc)
 
+  /** [[encodeBytesCol]] emitting TOKEN IDS (`array<int>`, GPT-2 id
+    * layout: ids 0-255 = bytes, 255+rank = merge `rank`) — the form a
+    * training run ships; [[decodeIdsCol]] inverts byte-exactly under
+    * the same table. */
+  def encodeIdsCol(text: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncodeExpr.bpe_encode_ids(text,
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
+  /** Lossless id-stream decode under the same [[fitBytes]] table. */
+  def decodeIdsCol(ids: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeEncodeExpr.bpe_decode_ids(ids,
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+
   /** Encode a text column with a learned merge list: per-token char
     * split, the merges folded in rank order, subword streams joined by
     * spaces. Pure narrow map — the merge table rides in the expression

@@ -996,6 +996,21 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.bpeEncodeOracleSql)),
 
+    // Byte-level tokenizer through the statement surface (r11): encode
+    // + the lossless `decode bytes` inverse chained in one program —
+    // the oracle checks the subword stream AND that text_decoded is
+    // byte-identical to the input.
+    Gate("hb_bpe_bytes",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |bpe bytes text 6
+          |decode bytes bpe
+          |create column doc_id keys
+          |slice columns doc_id bpe text_decoded
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.hbBpeBytesOracleSql)),
+
     Gate("hb_surprisal_cfg",
       (s, d) => {
         import graft.hb.Configurations._

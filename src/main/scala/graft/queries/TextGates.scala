@@ -1508,6 +1508,29 @@ object TextGates {
     },
       Some(bpeBytesOracleSql)),
 
+    // Token-ID form of the byte tokenizer (r11): the artifact a
+    // training run ships — array<int> under the GPT-2 id layout (256
+    // byte tokens, then merges by rank), with the byte-exact id→text
+    // decode as a second hash check. Same fixture and 6 unrolled
+    // rounds as t_bpe_bytes; the oracle maps final symbols to ids via
+    // a base+merges vocab CTE.
+    Gate("t_bpe_ids", (s, d) => {
+      val fx = concat(lit("The "),
+        upper(expr("substring(text, 1, 3)")), expr("substring(text, 4)"),
+        lit("  #"), (col("doc_id") % 100).cast("string"),
+        lit(", End.\n\ttail  42 "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
+      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
+        minCount = 1L)
+      val ids = graft.operators.Bpe.encodeIdsCol(col("fx"), merges)
+      docs.select(col("doc_id"),
+        array_join(ids.cast("array<string>"), " ").as("ids_str"),
+        size(ids).as("n_ids"),
+        graft.operators.Bpe.decodeIdsCol(ids, merges).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(bpeIdsOracleSql)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.
@@ -2226,28 +2249,42 @@ object TextGates {
     * unrolled training rounds over the PRETOKEN frame (no `</w>` —
     * the pretoken boundary terminates), per-doc subword streams, and
     * `decoded` = the fixture itself: losslessness as a hash check. */
-  private[queries] lazy val bpeBytesOracleSql: String = {
+  /** The shared mixed-case/multi-space fixture expression (SQL side —
+    * the Spark side builds the identical expression in the gates). */
+  // single-line ON PURPOSE: this fragment interpolates into a
+  // stripMargin'd template, where a continuation line starting with
+  // `||` would lose a pipe to margin stripping
+  private lazy val bpeBytesFixtureSql: String =
+    "'The ' || upper(substr(text, 1, 3)) || substr(text, 4) || '  #' || " +
+      "CAST(doc_id % 100 AS VARCHAR) || ', End.' || chr(10) || chr(9) || " +
+      "'tail  42 '"
+
+  /** The byte-level chain through st<n>: fixture → RE2 pretokens →
+    * byte-alphabet spelling (the fixture is pure ASCII, so spelling is
+    * identity except the remapped whitespace ' '→Ġ, \n→Ċ, \t→ĉ) →
+    * distinct-pretoken frame (no `</w>`) → n unrolled training rounds
+    * (the same generic round CTEs as t_bpe_train). */
+  private[queries] def bpeBytesChainSql(fxExpr: String, n: Int): String = {
     val pat = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"""
-    """WITH fx AS (
-      |  SELECT doc_id, 'The ' || upper(substr(text, 1, 3)) || substr(text, 4)
-      |    || '  #' || CAST(doc_id % 100 AS VARCHAR) || ', End.' || chr(10)
-      |    || chr(9) || 'tail  42 ' AS fx
-      |  FROM documents),
-      |ptk AS (SELECT doc_id, regexp_extract_all(fx, '""".stripMargin +
-      pat +
-      """') AS pt FROM fx),
-      |dtok AS (
-      |  SELECT doc_id, CAST(i AS BIGINT) AS tpos,
-      |    replace(replace(replace(pt[i], ' ', 'Ġ'), chr(10), 'Ċ'), chr(9), 'ĉ') AS word
-      |  FROM ptk, unnest(range(1, len(pt) + 1)) AS t(i)
-      |  WHERE length(pt[i]) > 0),
-      |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-      |  FROM dtok GROUP BY word),
-      |st0 AS (
-      |  SELECT word, freq, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
-      |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)),
-      |""".stripMargin +
-      bpeStepsSql(6).mkString(",\n") +
+    s"""WITH fx AS (
+       |  SELECT doc_id, $fxExpr AS fx
+       |  FROM documents),
+       |ptk AS (SELECT doc_id, regexp_extract_all(fx, '$pat') AS pt FROM fx),
+       |dtok AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS tpos,
+       |    replace(replace(replace(pt[i], ' ', 'Ġ'), chr(10), 'Ċ'), chr(9), 'ĉ') AS word
+       |  FROM ptk, unnest(range(1, len(pt) + 1)) AS t(i)
+       |  WHERE length(pt[i]) > 0),
+       |w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM dtok GROUP BY word),
+       |st0 AS (
+       |  SELECT word, freq, CAST(i AS BIGINT) AS pos, substr(word, i, 1) AS sym
+       |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)),
+       |""".stripMargin + bpeStepsSql(n).mkString(",\n")
+  }
+
+  private[queries] lazy val bpeBytesOracleSql: String =
+    bpeBytesChainSql(bpeBytesFixtureSql, 6) +
       """,
       |enc AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
       |  FROM st6 GROUP BY word),
@@ -2257,7 +2294,58 @@ object TextGates {
       |SELECT f.doc_id, de.bpe, f.fx AS decoded
       |FROM fx f JOIN docenc de USING (doc_id)
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
-  }
+
+  /** The hb_bpe_bytes oracle — the byte chain over the RAW text (the
+    * statement surface trains on the frame's column directly; the
+    * corpus is lowercase single-spaced, so the cut is words + ` word`
+    * space-attached forms), plus the lossless `decode bytes` column. */
+  private[queries] lazy val hbBpeBytesOracleSql: String =
+    bpeBytesChainSql("text", 6) +
+      """,
+      |enc AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
+      |  FROM st6 GROUP BY word),
+      |docenc AS (
+      |  SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS bpe
+      |  FROM dtok d JOIN enc e USING (word) GROUP BY d.doc_id)
+      |SELECT f.doc_id, de.bpe, f.fx AS text_decoded
+      |FROM fx f JOIN docenc de USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_bpe_ids oracle — the same 6-round byte chain, then every
+    * final symbol mapped to its GPT-2-layout id: base vocab = byte
+    * value per alphabet char (the fixture only produces printable
+    * ASCII + the three remapped whitespace chars, so the base CTE
+    * enumerates exactly those), merge k's merged string = 255+k with
+    * first-occurrence-wins on duplicates (MIN over ids — base and
+    * merged can't collide: merged strings are ≥2 chars). */
+  private[queries] lazy val bpeIdsOracleSql: String =
+    bpeBytesChainSql(bpeBytesFixtureSql, 6) +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |docids AS (
+      |  SELECT d.doc_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids_str,
+      |    COUNT(*) AS n_ids
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT f.doc_id, di.ids_str, CAST(di.n_ids AS INTEGER) AS n_ids,
+      |  f.fx AS decoded
+      |FROM fx f JOIN docids di USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** The generic per-round CTEs (best pair under the total order →
     * run-parity greedy rewrite) — shared verbatim by the word-level

@@ -269,6 +269,40 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("byte-level token IDS: decode ∘ encode is byte-identical; ids " +
+      "follow the GPT-2 layout (bytes 0-255, merges 255+rank)") {
+    val rnd = new scala.util.Random(23)
+    val corpus = Seq.tabulate(30)(i =>
+      (i.toLong, s"The Low lower  LOWEST\n\tmix ${i % 7} end."))
+      .toDF("doc_id", "text")
+    val merges = Bpe.fitBytes(corpus, "text", 16, minCount = 1L)
+    val probes = (Seq.tabulate(120)(i => (i.toLong, randomText(rnd, 50)))
+      :+ (9001L, "The  QUICK\tbrown 42!")).toDF("doc_id", "text")
+    val out = probes.select(col("text"),
+      Bpe.decodeIdsCol(Bpe.encodeIdsCol(col("text"), merges), merges)
+        .as("rt"),
+      Bpe.encodeIdsCol(col("text"), merges).as("ids"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(0),
+        s"id round trip broke: '${r.getString(0)}'")
+      val ids = r.getSeq[Int](2)
+      assert(ids.forall(id => id >= 0 && id <= 255 + merges.size))
+    }
+    // a single ASCII letter encodes to its byte id
+    val one = Seq((1L, "z")).toDF("doc_id", "text")
+      .select(Bpe.encodeIdsCol(col("text"), Seq.empty).as("ids"))
+      .head().getSeq[Int](0)
+    assert(one == Seq('z'.toInt))
+    // an out-of-vocabulary id raises with the id
+    val bad = Seq((1L, Array(255 + merges.size + 1))).toDF("doc_id", "ids")
+    val e = intercept[Exception] {
+      bad.select(Bpe.decodeIdsCol(col("ids"), merges)).collect()
+    }
+    assert(e.getMessage.contains((255 + merges.size + 1).toString),
+      e.getMessage)
+  }
+
   test("byte-level: case and whitespace SURVIVE the tokenizer (the " +
       "artifact-losslessness the word-level mode deliberately lacks)") {
     val corpus = Seq((1L, "Data data DATA  data\ndata")).toDF("doc_id", "text")
