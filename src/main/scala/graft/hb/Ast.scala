@@ -198,6 +198,13 @@ object Ast {
     * keyed on the frame index (operators.Packing.packedLayout). */
   case class Pack(tokensCol: String, budget: Long, shards: Int = 64)
       extends Statement
+  /** `pack bins <tokensCol> <budget> [shards]` — DOCUMENT-ALIGNED
+    * bins under best-fit-decreasing (operators.Packing.binLayout,
+    * decreasing + bestFit): the SFT layout where documents must not
+    * cross sequence boundaries. Replaces the frame like `pack`:
+    * key + (shard, bin, bin_offset). */
+  case class PackBins(tokensCol: String, budget: Long, shards: Int = 64)
+      extends Statement
   /** `chunk <textCol> <window> [stride]` — fixed-window token chunking
     * with stride (operators.Chunking.chunkLayout). The frame key stays
     * the SOURCE document key (one doc → many chunk rows; `chunk_id`
@@ -350,6 +357,14 @@ object Ast {
     * encoded text (needs no merge table; a symbol outside the byte
     * alphabet raises — wrong-tokenizer drift). */
   case class BpeBytesDecode(encCol: String) extends Statement
+
+  /** `bpe bytes <textCol> using <conf> <nMerges>` — [[BpeBytesEnc]]
+    * with the merge table trained on a MODEL configuration
+    * (operators.Bpe.fitBytes at translation time): the offline-fit /
+    * online-encode pairing for the LOSSLESS tokenizer — the stream
+    * side is a stateless codegen'd narrow map. */
+  case class BpeBytesUsing(textCol: String, conf: String, nMerges: Int)
+      extends Statement
 
   /** `bpe <textCol> using <conf> <nMerges>` — the [[BpeEnc]] twin with
     * the merge table trained on a MODEL configuration

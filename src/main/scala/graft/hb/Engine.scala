@@ -437,7 +437,7 @@ object Engine {
     // silently wrong. Batch authoring of the same semantics is the
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: DecodeUsing | _: BpeUsing) =>
+        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +
@@ -473,6 +473,12 @@ object Engine {
       // the layout REPLACES the frame (like group by): key + placement
       val packed = graft.operators.Packing
         .packedLayout(f.df, KEY, tc, budget, shards)
+      HbFrame(packed, Seq(col(KEY).asc), Nil)
+
+    case PackBins(tc, budget, shards) =>
+      // document-aligned best-fit-decreasing bins; same frame contract
+      val packed = graft.operators.Packing.binLayout(f.df, KEY, tc,
+        budget, shards, decreasing = true, bestFit = true)
       HbFrame(packed, Seq(col(KEY).asc), Nil)
 
     case Chunk(tc, w, stride) =>

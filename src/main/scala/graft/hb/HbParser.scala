@@ -489,13 +489,15 @@ object HbParser {
         }
         MixBy(c, ps.toSeq, dflt, salt)
       case "pack" =>
+        val bins = p.atIdent("bins")
+        if (bins) p.eat("bins")
         val c = p.colName()
         val budget = p.int().toLong
         val shards = p.peek match {
           case Some(TNum(_)) => p.int()
           case _ => 64
         }
-        Pack(c, budget, shards)
+        if (bins) PackBins(c, budget, shards) else Pack(c, budget, shards)
       case "chunk" =>
         val c = p.colName()
         val w = p.int()
@@ -652,7 +654,12 @@ object HbParser {
       case "bpe" =>
         if (p.atIdent("bytes")) {
           p.eat("bytes")
-          BpeBytesEnc(p.colName(), p.int())
+          val c = p.colName()
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            BpeBytesUsing(c, conf, p.int())
+          } else BpeBytesEnc(c, p.int())
         } else {
           val c = p.colName()
           if (p.atIdent("using")) {

@@ -67,6 +67,9 @@ object Printer {
     case Pack(c, budget, shards) =>
       val sh = if (shards == 64) "" else s" $shards"
       s"pack ${name(c)} $budget$sh"
+    case PackBins(c, budget, shards) =>
+      val sh = if (shards == 64) "" else s" $shards"
+      s"pack bins ${name(c)} $budget$sh"
     case Chunk(c, w, stride) =>
       val st = if (stride == w) "" else s" $stride"
       s"chunk ${name(c)} $w$st"
@@ -134,6 +137,8 @@ object Printer {
       s"decode ${name(c)} using ${name(conf)} $n"
     case BpeUsing(c, conf, n) =>
       s"bpe ${name(c)} using ${name(conf)} $n"
+    case BpeBytesUsing(c, conf, n) =>
+      s"bpe bytes ${name(c)} using ${name(conf)} $n"
     case Comment(text) => s"!#$text!#"
   }
 

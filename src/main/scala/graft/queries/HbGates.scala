@@ -996,6 +996,61 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.bpeEncodeOracleSql)),
 
+    // Document-aligned best-fit-decreasing packing through the
+    // statement surface (r11): per-document placement (shard, bin,
+    // bin_offset), the oracle replaying the BFD fold per shard as a
+    // recursive CTE that also carries each step's assigned bin/offset.
+    Gate("hb_pack_bins",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |pack bins n_chars 1024 8
+          |create column doc_id keys
+          |slice columns doc_id shard bin bin_offset
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""WITH RECURSIVE s AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+        |      AS BIGINT) % 8 AS shard
+        |  FROM documents),
+        |dd AS (SELECT doc_id, n_chars, shard,
+        |    ROW_NUMBER() OVER (PARTITION BY shard
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM s),
+        |fd AS (
+        |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+        |    CAST([] AS BIGINT[]) AS rems,
+        |    CAST(NULL AS BIGINT) AS abin, CAST(NULL AS BIGINT) AS aoff
+        |  FROM (SELECT DISTINCT shard FROM s)
+        |  UNION ALL
+        |  SELECT dd.shard, fd.rn + 1,
+        |    CASE WHEN list_min(list_filter(fd.rems,
+        |        r -> r >= dd.n_chars)) IS NULL
+        |      THEN list_append(fd.rems, 1024 - dd.n_chars)
+        |      ELSE fd.rems[:list_position(fd.rems, list_min(
+        |          list_filter(fd.rems, r -> r >= dd.n_chars))) - 1]
+        |        || [list_min(list_filter(fd.rems,
+        |             r -> r >= dd.n_chars)) - dd.n_chars]
+        |        || fd.rems[list_position(fd.rems, list_min(
+        |          list_filter(fd.rems, r -> r >= dd.n_chars))) + 1:]
+        |    END,
+        |    CASE WHEN list_min(list_filter(fd.rems,
+        |        r -> r >= dd.n_chars)) IS NULL
+        |      THEN CAST(len(fd.rems) AS BIGINT)
+        |      ELSE CAST(list_position(fd.rems, list_min(
+        |        list_filter(fd.rems, r -> r >= dd.n_chars))) - 1 AS BIGINT)
+        |    END,
+        |    CASE WHEN list_min(list_filter(fd.rems,
+        |        r -> r >= dd.n_chars)) IS NULL
+        |      THEN CAST(0 AS BIGINT)
+        |      ELSE 1024 - list_min(list_filter(fd.rems,
+        |        r -> r >= dd.n_chars))
+        |    END
+        |  FROM fd JOIN dd ON dd.shard = fd.shard AND dd.rn = fd.rn + 1)
+        |SELECT dd.doc_id, dd.shard, fd.abin AS bin, fd.aoff AS bin_offset
+        |FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Byte-level tokenizer through the statement surface (r11): encode
     // + the lossless `decode bytes` inverse chained in one program —
     // the oracle checks the subword stream AND that text_decoded is

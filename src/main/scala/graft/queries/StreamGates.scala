@@ -372,6 +372,22 @@ object StreamGates {
           case other => throw new NoSuchElementException(other)
         })
         .orderBy(col("doc_id")),
-      Some(TextGates.bpeEncodeOracleSql))
+      Some(TextGates.bpeEncodeOracleSql)),
+
+    // Byte-level offline-fit/online-encode (r11): the LOSSLESS
+    // tokenizer's streaming pairing — merge table fits on the batch
+    // configuration at translation time, the live stream encodes
+    // through the codegen'd byte expression, stateless append.
+    Gate("st_hb_bpe_bytes",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """bpe bytes text using corpus 6
+          |slice columns doc_id bpe
+          |""".stripMargin, "st_hb_bpe_bytes_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.bpeBytesStreamOracleSql))
   )
 }

@@ -2311,6 +2311,18 @@ object TextGates {
       |FROM fx f JOIN docenc de USING (doc_id)
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The st_hb_bpe_bytes oracle — the raw-text byte chain, encode
+    * column only (the stream side emits doc_id + bpe). */
+  private[queries] lazy val bpeBytesStreamOracleSql: String =
+    bpeBytesChainSql("text", 6) +
+      """,
+      |enc AS (SELECT word, string_agg(sym, ' ' ORDER BY pos) AS ws
+      |  FROM st6 GROUP BY word)
+      |SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS bpe
+      |FROM dtok d JOIN enc e USING (word)
+      |GROUP BY d.doc_id
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_bpe_ids oracle — the same 6-round byte chain, then every
     * final symbol mapped to its GPT-2-layout id: base vocab = byte
     * value per alphabet char (the fixture only produces printable

@@ -112,7 +112,7 @@ object StreamHb {
     // configuration at translation time; the stream side is a
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: DecodeUsing | _: BpeUsing => None
+        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -127,6 +127,7 @@ object StreamHb {
         _: Scrub =>
       Some("near-dup/scrub evidence spans the whole corpus")
     case _: Pack => Some("packing scans the whole frame in key order")
+    case _: PackBins => Some("bin packing scans the whole frame in size order")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>
@@ -242,6 +243,13 @@ object StreamHb {
           minCount = 1L)
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
+      case (f, BpeBytesUsing(c, conf, n)) =>
+        // lossless byte-level twin: table fits offline on the
+        // configuration, the stream encodes as a stateless narrow map
+        val merges = graft.operators.Bpe.fitBytes(resolve(conf), c, n,
+          minCount = 1L)
+        f.copy(df = f.df.withColumn("bpe",
+          graft.operators.Bpe.encodeBytesCol(col(c), merges)))
       case (f, st) => Engine.applyStatement(f, st)
     }.result
   }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.hb.{Ast, HbParser}
+import graft.hb.{Ast, HbParser, Printer}
 import Ast._
 
 /** Golden tests: the parser must accept the reference's own test corpus
@@ -207,6 +207,25 @@ class ParserSpec extends AnyFunSuite {
       Curriculum("score", 4))
     assert(HbParser.parseStatement("decode token_ids using corpus 64") ==
       DecodeUsing("token_ids", "corpus", 64))
+    // r11: byte-level tokenizer + document-aligned packing forms
+    assert(HbParser.parseStatement("bpe bytes text 6") ==
+      BpeBytesEnc("text", 6))
+    assert(HbParser.parseStatement("bpe bytes text using corpus 6") ==
+      BpeBytesUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement("decode bytes bpe") ==
+      BpeBytesDecode("bpe"))
+    assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
+      PackBins("n_chars", 1024L, 8))
+    assert(HbParser.parseStatement("pack bins n_chars 1024") ==
+      PackBins("n_chars", 1024L))
+    // printed forms re-parse to the same statement (the lineage-key
+    // and oracle-replay contract)
+    Seq[Statement](BpeBytesEnc("text", 6),
+      BpeBytesUsing("text", "corpus", 6), BpeBytesDecode("bpe"),
+      PackBins("n_chars", 1024L, 8)).foreach { st =>
+      assert(HbParser.parseStatement(Printer.print(st)) == st,
+        Printer.print(st))
+    }
     assert(HbParser.parseStatement("diverse 8 [embedding]") ==
       Diverse(8, ColRef("embedding")))
     // a regex nested inside another regex's operand still gets its
