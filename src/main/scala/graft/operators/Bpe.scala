@@ -463,13 +463,17 @@ object Bpe {
     * the merges, by design. */
   def fitStored(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long, bpeKey: String,
-      store: graft.cache.LineageCache): Seq[Merge] = {
-    val k = store.key("bpe",
+      store: graft.cache.LineageCache,
+      byteLevel: Boolean = false): Seq[Merge] = {
+    // the mode is part of the artifact key: a byte table and a word
+    // table with the same corpus key are DIFFERENT tokenizers
+    val k = store.key(if (byteLevel) "bpebytes" else "bpe",
       Seq(bpeKey, textCol, nMerges.toString, minCount.toString))
     val mdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._
-      fitDelta(df, textCol, nMerges, minCount)
+      (if (byteLevel) fitBytes(df, textCol, nMerges, minCount)
+       else fitDelta(df, textCol, nMerges, minCount))
         .map(m => (m.rank, m.left, m.right))
         .toDF("rank", "left", "right")
     }

@@ -166,4 +166,49 @@ object Packing {
     placed.select(col(idCol), col("__shard").as("shard"),
       col("bin"), col("bin_offset"))
   }
+
+  /** MATERIALIZE the training sequences from a [[binLayout]] placement
+    * and a token-id column — the last step before the artifact write:
+    * one row per (shard, bin) with `input_ids` = the bin's documents'
+    * ids concatenated in placement order and right-padded with `padId`
+    * to exactly `budget`, `n_tokens` = the real token count (the
+    * attention/loss mask is positions [0, n_tokens)), and `n_docs`.
+    *
+    * Input contract: `placed` carries `shard`, `bin`, `bin_offset` and
+    * `idsCol` (array<int>), with the layout computed over the SAME id
+    * counts (`binLayout(…, tokensCol = size(ids))`): a bin whose ids
+    * overflow `budget` RAISES in-plan naming (shard, bin) — silent
+    * truncation would corrupt the loss mask, the error means layout
+    * and ids went out of sync.
+    *
+    * Scale shape: ONE groupBy (shard, bin) whose per-group payload is
+    * ≤ budget ids BY THE LAYOUT CONTRACT (documents never cross bins),
+    * so the collect_list is bounded like the broadcast-model collects;
+    * in-bin order reconstructs from `bin_offset` (distinct within a
+    * bin by construction). No other shuffle; the output is
+    * sequence-sized rows ready for [[graft.sinks.Sinks.writeShards]]. */
+  def emitAligned(placed: DataFrame, idsCol: String, budget: Long,
+      padId: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val raw = flatten(transform(
+      sort_array(collect_list(struct(col("bin_offset"), col(idsCol)))),
+      d => d.getField(idsCol)))
+    placed.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), raw.as("__raw"))
+      .withColumn("n_tokens",
+        when(size(col("__raw")) > budget,
+          raise_error(concat(lit("emitAligned: shard "),
+            col("shard").cast("string"), lit(" bin "),
+            col("bin").cast("string"), lit(" holds "),
+            size(col("__raw")).cast("string"),
+            lit(s" tokens > budget $budget — layout and ids out of sync")))
+            .cast("int"))
+          .otherwise(size(col("__raw"))))
+      .withColumn("input_ids",
+        concat(col("__raw"),
+          array_repeat(lit(padId),
+            (lit(budget).cast("int") - col("n_tokens")))))
+      .select(col("shard"), col("bin"), col("n_docs"),
+        col("n_tokens"), col("input_ids"))
+  }
 }

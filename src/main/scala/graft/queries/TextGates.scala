@@ -1531,6 +1531,36 @@ object TextGates {
     },
       Some(bpeIdsOracleSql)),
 
+    // The r11 FLAGSHIP composition — the complete SFT-artifact path:
+    // byte-level tokenizer fit → token-id encode → best-fit-decreasing
+    // document-aligned layout → padded fixed-length sequences
+    // (input_ids + n_tokens, the loss-mask boundary), one SQL oracle
+    // replaying tokenizer rounds, GPT-2 id mapping, the BFD fold AND
+    // the padding arithmetic end to end.
+    Gate("t_sft_artifact", (s, d) => {
+      val fx = concat(lit("The "),
+        upper(expr("substring(text, 1, 3)")), expr("substring(text, 4)"),
+        lit("  #"), (col("doc_id") % 100).cast("string"),
+        lit(", End.\n\ttail  42 "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
+      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
+        minCount = 1L)
+      val enc = docs.select(col("doc_id"),
+        graft.operators.Bpe.encodeIdsCol(col("fx"), merges).as("ids"))
+        .withColumn("n_ids", size(col("ids")))
+      val layout = graft.operators.Packing.binLayout(enc, "doc_id",
+        "n_ids", budget = 1024L, shards = 4, salt = "sft11",
+        decreasing = true, bestFit = true)
+      val placed = layout.join(enc, "doc_id")
+      graft.operators.Packing.emitAligned(placed, "ids", 1024L,
+        padId = 0)
+        .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+          array_join(col("input_ids").cast("array<string>"), " ")
+            .as("input_ids_str"))
+        .orderBy(col("shard"), col("bin"))
+    },
+      Some(sftArtifactOracleSql)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.
@@ -2358,6 +2388,89 @@ object TextGates {
       |  f.fx AS decoded
       |FROM fx f JOIN docids di USING (doc_id)
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_sft_artifact oracle — the whole artifact path in one SQL
+    * pipeline: the byte-chain rounds and GPT-2 id mapping (as
+    * t_bpe_ids), then the BFD placement recursion (as hb_pack_bins,
+    * over id COUNTS), then per-(shard, bin) concatenation in placement
+    * order and right-padding to the budget. The recursion INPUT CTEs
+    * carry MATERIALIZED hints — without them DuckDB re-inlines the
+    * whole tokenizer chain into every recursion step (measured
+    * minutes vs 5.7 s). */
+  private[queries] lazy val sftArtifactOracleSql: String =
+    bpeBytesChainSql(bpeBytesFixtureSql, 6)
+      .replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |docids AS MATERIALIZED (
+      |  SELECT d.doc_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids_str,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ids
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id),
+      |s2 AS (
+      |  SELECT doc_id, ids_str, n_ids,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':sft11'), 1, 8)
+      |      AS BIGINT) % 4 AS shard
+      |  FROM docids),
+      |dd AS MATERIALIZED (SELECT doc_id, ids_str, n_ids, shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shard
+      |      ORDER BY n_ids DESC, doc_id) AS rn
+      |  FROM s2),
+      |fd AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+      |    CAST([] AS BIGINT[]) AS rems,
+      |    CAST(NULL AS BIGINT) AS abin, CAST(NULL AS BIGINT) AS aoff
+      |  FROM (SELECT DISTINCT shard FROM s2)
+      |  UNION ALL
+      |  SELECT dd.shard, fd.rn + 1,
+      |    CASE WHEN list_min(list_filter(fd.rems,
+      |        r -> r >= dd.n_ids)) IS NULL
+      |      THEN list_append(fd.rems, 1024 - dd.n_ids)
+      |      ELSE fd.rems[:list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n_ids))) - 1]
+      |        || [list_min(list_filter(fd.rems,
+      |             r -> r >= dd.n_ids)) - dd.n_ids]
+      |        || fd.rems[list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n_ids))) + 1:]
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems,
+      |        r -> r >= dd.n_ids)) IS NULL
+      |      THEN CAST(len(fd.rems) AS BIGINT)
+      |      ELSE CAST(list_position(fd.rems, list_min(
+      |        list_filter(fd.rems, r -> r >= dd.n_ids))) - 1 AS BIGINT)
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems,
+      |        r -> r >= dd.n_ids)) IS NULL
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE 1024 - list_min(list_filter(fd.rems,
+      |        r -> r >= dd.n_ids))
+      |    END
+      |  FROM fd JOIN dd ON dd.shard = fd.shard AND dd.rn = fd.rn + 1),
+      |seqs AS (
+      |  SELECT dd.shard, fd.abin AS bin, COUNT(*) AS n_docs,
+      |    CAST(SUM(dd.n_ids) AS INTEGER) AS n_tokens,
+      |    string_agg(dd.ids_str, ' ' ORDER BY fd.aoff) AS raw
+      |  FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
+      |  GROUP BY dd.shard, fd.abin)
+      |SELECT shard, bin, n_docs, n_tokens,
+      |  raw || repeat(' 0', 1024 - n_tokens) AS input_ids_str
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 
   /** The generic per-round CTEs (best pair under the total order →
     * run-parity greedy rewrite) — shared verbatim by the word-level

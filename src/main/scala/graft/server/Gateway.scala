@@ -227,8 +227,9 @@ final class Gateway(
   private def getHtml(ex: HttpExchange, name: String): Unit =
     programs.get(name) match {
       case Some(p) =>
-        val df = Graft.run(p, Providers.fromHeader(spark, p.header,
-          dataDir, fetch, resolveEnv = false))
+        // through resolve(): the html view shares the LineageCache
+        // frame with /data/json instead of re-running the plan
+        val df = resolve(name, Set.empty).get
         val html = graft.hb.Render.html(p, Some(df),
           maxRows = math.min(maxRows, 1000))
         val bytes = html.getBytes(UTF_8)

@@ -130,4 +130,49 @@ class PackingSpec extends AnyFunSuite {
     assert(causes(e).exists(c => String.valueOf(c.getMessage)
       .contains("2000")), e.getMessage)
   }
+
+  test("emitAligned: sequences are budget-length, ids concatenate in " +
+      "placement order, n_tokens marks the pad boundary; an " +
+      "overflowing bin raises naming (shard, bin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(3)
+    val docs = (0L until 120L).map { i =>
+      val ids = Array.fill(20 + rnd.nextInt(200))(rnd.nextInt(1000))
+      (i, ids)
+    }.toDF("id", "ids").withColumn("n", size(col("ids")))
+    val layout = Packing.binLayout(docs, "id", "n", budget = 512L,
+      shards = 2, decreasing = true, bestFit = true)
+    val emitted = Packing.emitAligned(layout.join(docs, "id"), "ids",
+      512L, padId = -1)
+    val rows = emitted.collect()
+    val idsByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val placement = layout.join(docs, "id").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("bin"),
+        r.getAs[Long]("bin_offset"), r.getAs[Long]("id")))
+    rows.foreach { r =>
+      val (sh, bin) = (r.getAs[Long]("shard"), r.getAs[Long]("bin"))
+      val ids = r.getSeq[Int](r.fieldIndex("input_ids"))
+      val nTok = r.getAs[Int]("n_tokens")
+      assert(ids.length == 512, "padded to the budget exactly")
+      assert(ids.drop(nTok).forall(_ == -1), "pad after the boundary")
+      assert(ids.take(nTok).forall(_ != -1), "no pad before it")
+      // placement-order concatenation reconstructs exactly
+      val expect = placement.filter(p => p._1 == sh && p._2 == bin)
+        .sortBy(_._3).flatMap(p => idsByDoc(p._4)).toSeq
+      assert(ids.take(nTok) == expect, s"shard $sh bin $bin")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == 120)
+    // layout/ids drift raises in-plan with the bin named
+    val drifted = layout.join(
+      docs.withColumn("ids", concat(col("ids"), col("ids"))), "id")
+    val e = intercept[Exception] {
+      Packing.emitAligned(drifted, "ids", 512L).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => String.valueOf(c.getMessage)
+      .contains("out of sync")), e.getMessage)
+  }
 }
