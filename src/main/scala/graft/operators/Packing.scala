@@ -186,7 +186,11 @@ object Packing {
     * so the collect_list is bounded like the broadcast-model collects;
     * in-bin order reconstructs from `bin_offset` (distinct within a
     * bin by construction). No other shuffle; the output is
-    * sequence-sized rows ready for [[graft.sinks.Sinks.writeShards]]. */
+    * sequence-sized rows ready for [[graft.sinks.Sinks.writeShards]].
+    *
+    * `doc_starts` carries each document's first-token offset within
+    * the sequence (ascending) — the boundary list a trainer needs to
+    * mask cross-document attention inside a packed sequence. */
   def emitAligned(placed: DataFrame, idsCol: String, budget: Long,
       padId: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
@@ -194,7 +198,8 @@ object Packing {
       sort_array(collect_list(struct(col("bin_offset"), col(idsCol)))),
       d => d.getField(idsCol)))
     placed.groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), raw.as("__raw"))
+      .agg(count(lit(1)).as("n_docs"), raw.as("__raw"),
+        sort_array(collect_list(col("bin_offset"))).as("doc_starts"))
       .withColumn("n_tokens",
         when(size(col("__raw")) > budget,
           raise_error(concat(lit("emitAligned: shard "),
@@ -209,6 +214,60 @@ object Packing {
           array_repeat(lit(padId),
             (lit(budget).cast("int") - col("n_tokens")))))
       .select(col("shard"), col("bin"), col("n_docs"),
-        col("n_tokens"), col("input_ids"))
+        col("n_tokens"), col("input_ids"), col("doc_starts"))
+  }
+
+  /** MATERIALIZE the GPT-style PRETRAINING sequences from a
+    * [[packedLayout]] placement and a token-id column — documents SPAN
+    * sequence boundaries, so each document first explodes into its
+    * per-sequence PORTIONS (a narrow `slice` per covered sequence:
+    * `before = seq_first·budget + seq_offset` reconstructs the
+    * document's absolute token range), then one (shard, seq) aggregate
+    * concatenates portions in position order. Output per (shard, seq):
+    * `input_ids` right-padded with `padId` to `budget` (every sequence
+    * is FULL except each shard's tail — `n_tokens` marks the
+    * boundary), `n_docs` = documents touching the sequence, and
+    * `doc_starts` = in-sequence offsets where a NEW document begins
+    * (continuation portions excluded) — the reset points for
+    * cross-document attention masking.
+    *
+    * Contract: the layout must be computed over the SAME counts
+    * (`packedLayout(…, tokensCol = size(ids))`). Zero-token documents
+    * occupy no positions and emit no portions. Scale shape: narrow
+    * explode bounded by each document's sequence span, then ONE
+    * (shard, seq) aggregate whose payload is ≤ budget ids by
+    * construction — the same two-exchange budget as the layout
+    * itself. */
+  def emitPacked(placed: DataFrame, idsCol: String, budget: Long,
+      padId: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val n = size(col(idsCol)).cast(LongType)
+    val parts = placed
+      .withColumn("__n", n)
+      .filter(col("__n") > 0)
+      .withColumn("__before",
+        col("seq_first") * budget + col("seq_offset"))
+      .select(col("shard"), col(idsCol), col("__n"), col("__before"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq"))
+      .withColumn("__s", greatest(col("seq") * budget, col("__before")))
+      .withColumn("__e", least((col("seq") + 1) * budget,
+        col("__before") + col("__n")))
+      .withColumn("__portion", slice(col(idsCol),
+        (col("__s") - col("__before") + 1).cast("int"),
+        (col("__e") - col("__s")).cast("int")))
+    parts.groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        flatten(transform(
+          sort_array(collect_list(struct(col("__s"), col("__portion")))),
+          p => p.getField("__portion"))).as("__raw"),
+        sort_array(collect_list(
+          when(col("__s") === col("__before"),
+            col("__s") - col("seq") * budget))).as("doc_starts"))
+      .withColumn("n_tokens", size(col("__raw")))
+      .withColumn("input_ids",
+        concat(col("__raw"), array_repeat(lit(padId),
+          lit(budget).cast("int") - col("n_tokens"))))
+      .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
+        col("input_ids"), col("doc_starts"))
   }
 }

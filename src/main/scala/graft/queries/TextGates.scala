@@ -1531,6 +1531,69 @@ object TextGates {
     },
       Some(bpeIdsOracleSql)),
 
+    // Spanning-layout sequence EMIT (r11): the GPT-style pretraining
+    // artifact — documents cross sequence boundaries, so each explodes
+    // into per-sequence slice portions before one (shard, seq)
+    // aggregate. Synthetic deterministic ids isolate the layout/emit
+    // arithmetic (the real-tokenizer path is t_sft_artifact); the
+    // oracle replays the cumsum placement, the slice bounds, the
+    // portion concatenation, padding, and the new-document start
+    // offsets (the attention-reset list).
+    Gate("t_pack_emit", (s, d) => {
+      val docs = t(s, d, "documents")
+      val withIds = docs.select(col("doc_id"),
+        transform(sequence(lit(1L), expr("(n_chars div 4) + 1L")),
+          i => ((col("doc_id") * 37 + i * 13) % 1000).cast("int"))
+          .as("ids"))
+        .withColumn("n", size(col("ids")))
+      val layout = graft.operators.Packing.packedLayout(withIds,
+        "doc_id", "n", budget = 512L, shards = 4, salt = "pe11")
+      val placed = layout.join(withIds, "doc_id")
+      graft.operators.Packing.emitPacked(placed, "ids", 512L, padId = 0)
+        .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
+          array_join(col("input_ids").cast("array<string>"), " ")
+            .as("input_ids_str"),
+          array_join(col("doc_starts").cast("array<string>"), " ")
+            .as("doc_starts_str"))
+        .orderBy(col("shard"), col("seq"))
+    },
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, n_chars // 4 + 1 AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pe11'), 1, 8)
+        |      AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, shard,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM d0),
+        |parts AS (
+        |  SELECT shard, doc_id, n, bef, k AS seq,
+        |    greatest(k * 512, bef) AS s,
+        |    least((k + 1) * 512, bef + n) AS e
+        |  FROM c, unnest(range(bef // 512, (bef + n - 1) // 512 + 1)) AS t(k)),
+        |pids AS (
+        |  SELECT shard, seq, s, e, bef,
+        |    string_agg(CAST((doc_id * 37 + i * 13) % 1000 AS VARCHAR),
+        |      ' ' ORDER BY i) AS portion
+        |  FROM parts, unnest(range(s - bef + 1, e - bef + 1)) AS t(i)
+        |  GROUP BY shard, seq, s, e, bef, doc_id),
+        |seqs AS (
+        |  SELECT shard, seq, COUNT(*) AS n_docs,
+        |    CAST(SUM(e - s) AS INTEGER) AS n_tokens,
+        |    string_agg(portion, ' ' ORDER BY s) AS raw,
+        |    COALESCE(string_agg(CASE WHEN s = bef
+        |        THEN CAST(s - seq * 512 AS VARCHAR) END,
+        |      ' ' ORDER BY s), '') AS doc_starts_str
+        |  FROM pids GROUP BY shard, seq)
+        |SELECT shard, seq, n_docs, n_tokens,
+        |  CASE WHEN n_tokens = 512 THEN raw
+        |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids_str,
+        |  doc_starts_str
+        |FROM seqs
+        |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
+
     // The r11 FLAGSHIP composition — the complete SFT-artifact path:
     // byte-level tokenizer fit → token-id encode → best-fit-decreasing
     // document-aligned layout → padded fixed-length sequences
@@ -1556,7 +1619,9 @@ object TextGates {
         padId = 0)
         .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
           array_join(col("input_ids").cast("array<string>"), " ")
-            .as("input_ids_str"))
+            .as("input_ids_str"),
+          array_join(col("doc_starts").cast("array<string>"), " ")
+            .as("doc_starts_str"))
         .orderBy(col("shard"), col("bin"))
     },
       Some(sftArtifactOracleSql)),
@@ -2464,11 +2529,14 @@ object TextGates {
       |seqs AS (
       |  SELECT dd.shard, fd.abin AS bin, COUNT(*) AS n_docs,
       |    CAST(SUM(dd.n_ids) AS INTEGER) AS n_tokens,
-      |    string_agg(dd.ids_str, ' ' ORDER BY fd.aoff) AS raw
+      |    string_agg(dd.ids_str, ' ' ORDER BY fd.aoff) AS raw,
+      |    string_agg(CAST(fd.aoff AS VARCHAR), ' ' ORDER BY fd.aoff)
+      |      AS doc_starts_str
       |  FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
       |  GROUP BY dd.shard, fd.abin)
       |SELECT shard, bin, n_docs, n_tokens,
-      |  raw || repeat(' 0', 1024 - n_tokens) AS input_ids_str
+      |  raw || repeat(' 0', 1024 - n_tokens) AS input_ids_str,
+      |  doc_starts_str
       |FROM seqs
       |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 

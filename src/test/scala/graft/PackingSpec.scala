@@ -175,4 +175,52 @@ class PackingSpec extends AnyFunSuite {
     assert(causes(e).exists(c => String.valueOf(c.getMessage)
       .contains("out of sync")), e.getMessage)
   }
+
+  test("emitPacked: sequences are full except each shard's tail, the " +
+      "shard's concatenation reconstructs the id-ordered corpus, and " +
+      "doc_starts mark exactly the new-document heads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(9)
+    val docs = (0L until 80L).map { i =>
+      (i, Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(1000)))
+    }.toDF("id", "ids").withColumn("n", size(col("ids")))
+    val layout = Packing.packedLayout(docs, "id", "n", budget = 256L,
+      shards = 2)
+    val emitted = Packing.emitPacked(layout.join(docs, "id"), "ids",
+      256L, padId = -1).collect()
+    val idsByDoc = docs.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val shardOf = layout.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    emitted.groupBy(_.getAs[Long]("shard")).foreach { case (sh, seqs) =>
+      val ordered = seqs.sortBy(_.getAs[Long]("seq"))
+      // dense seq numbering, full except the tail
+      assert(ordered.map(_.getAs[Long]("seq")).toSeq ==
+        (0L until ordered.length))
+      ordered.init.foreach(r =>
+        assert(r.getAs[Int]("n_tokens") == 256, "non-tail must be full"))
+      // shard concatenation == id-ordered doc concatenation
+      val got = ordered.flatMap(r =>
+        r.getSeq[Int](r.fieldIndex("input_ids"))
+          .take(r.getAs[Int]("n_tokens")))
+      val expect = shardOf.toSeq.filter(_._2 == sh).map(_._1).sorted
+        .flatMap(idsByDoc)
+      assert(got.toSeq == expect, s"shard $sh stream")
+      // pad only after the boundary, and only with padId
+      ordered.foreach { r =>
+        val ids = r.getSeq[Int](r.fieldIndex("input_ids"))
+        assert(ids.length == 256)
+        assert(ids.drop(r.getAs[Int]("n_tokens")).forall(_ == -1))
+      }
+      // every document's head appears as exactly one doc_start
+      val starts = ordered.map(r =>
+        r.getSeq[Long](r.fieldIndex("doc_starts")).length).sum
+      assert(starts == shardOf.count(_._2 == sh),
+        s"shard $sh doc_starts count")
+      ordered.foreach(r =>
+        r.getSeq[Long](r.fieldIndex("doc_starts")).foreach(o =>
+          assert(o >= 0 && o < 256)))
+    }
+  }
 }
