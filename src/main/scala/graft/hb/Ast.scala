@@ -205,6 +205,19 @@ object Ast {
     * key + (shard, bin, bin_offset). */
   case class PackBins(tokensCol: String, budget: Long, shards: Int = 64)
       extends Statement
+  /** `emit packed <idsCol> <budget> [shards]` — layout + MATERIALIZE
+    * the GPT-style spanning training sequences in one statement
+    * (operators.Packing.packedLayout over size(ids), then emitPacked):
+    * one row per (shard, seq) with `input_ids` (space-joined, padded
+    * to the budget with 0), `n_tokens`, `n_docs`, `doc_starts`
+    * (space-joined new-document offsets). Replaces the frame. */
+  case class EmitPacked(idsCol: String, budget: Long, shards: Int = 64)
+      extends Statement
+  /** `emit aligned <idsCol> <budget> [shards]` — the DOCUMENT-ALIGNED
+    * twin ([[PackBins]] placement via best-fit-decreasing, then
+    * emitAligned): one row per (shard, bin), same output shape. */
+  case class EmitAligned(idsCol: String, budget: Long, shards: Int = 64)
+      extends Statement
   /** `chunk <textCol> <window> [stride]` — fixed-window token chunking
     * with stride (operators.Chunking.chunkLayout). The frame key stays
     * the SOURCE document key (one doc → many chunk rows; `chunk_id`

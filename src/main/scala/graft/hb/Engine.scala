@@ -481,6 +481,41 @@ object Engine {
         budget, shards, decreasing = true, bestFit = true)
       HbFrame(packed, Seq(col(KEY).asc), Nil)
 
+    case EmitPacked(c, budget, shards) =>
+      // layout over the id COUNTS, then the spanning emit; the DSL
+      // surface renders id arrays as space-joined strings (the `bpe`
+      // convention — row-printable, oracle-comparable)
+      val withN = f.df.withColumn("__n", size(col(c)))
+      val layout = graft.operators.Packing.packedLayout(withN, KEY,
+        "__n", budget, shards)
+      val placed = layout.join(withN.select(col(KEY), col(c)), KEY)
+      val emitted = graft.operators.Packing
+        .emitPacked(placed, c, budget)
+      HbFrame(emitted
+        .withColumn("input_ids",
+          concat_ws(" ", col("input_ids").cast("array<string>")))
+        .withColumn("doc_starts",
+          concat_ws(" ", col("doc_starts").cast("array<string>")))
+        .withColumn(KEY,
+          concat_ws(":", col("shard"), col("seq"))),
+        Seq(col("shard").asc, col("seq").asc), Nil)
+
+    case EmitAligned(c, budget, shards) =>
+      val withN = f.df.withColumn("__n", size(col(c)))
+      val layout = graft.operators.Packing.binLayout(withN, KEY, "__n",
+        budget, shards, decreasing = true, bestFit = true)
+      val placed = layout.join(withN.select(col(KEY), col(c)), KEY)
+      val emitted = graft.operators.Packing
+        .emitAligned(placed, c, budget)
+      HbFrame(emitted
+        .withColumn("input_ids",
+          concat_ws(" ", col("input_ids").cast("array<string>")))
+        .withColumn("doc_starts",
+          concat_ws(" ", col("doc_starts").cast("array<string>")))
+        .withColumn(KEY,
+          concat_ws(":", col("shard"), col("bin"))),
+        Seq(col("shard").asc, col("bin").asc), Nil)
+
     case Chunk(tc, w, stride) =>
       // the layout REPLACES the frame (like pack); the key stays the
       // source doc key — not unique (chunk_id disambiguates), which is

@@ -24,7 +24,7 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify", "decode")
+    "classify", "decode", "emit")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -488,6 +488,18 @@ object HbParser {
           case _ => "mix"
         }
         MixBy(c, ps.toSeq, dflt, salt)
+      case "emit" =>
+        val aligned =
+          if (p.atIdent("aligned")) { p.eat("aligned"); true }
+          else { p.eat("packed"); false }
+        val c = p.colName()
+        val budget = p.int().toLong
+        val shards = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 64
+        }
+        if (aligned) EmitAligned(c, budget, shards)
+        else EmitPacked(c, budget, shards)
       case "pack" =>
         val bins = p.atIdent("bins")
         if (bins) p.eat("bins")

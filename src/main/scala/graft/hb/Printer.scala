@@ -70,6 +70,12 @@ object Printer {
     case PackBins(c, budget, shards) =>
       val sh = if (shards == 64) "" else s" $shards"
       s"pack bins ${name(c)} $budget$sh"
+    case EmitPacked(c, budget, shards) =>
+      val sh = if (shards == 64) "" else s" $shards"
+      s"emit packed ${name(c)} $budget$sh"
+    case EmitAligned(c, budget, shards) =>
+      val sh = if (shards == 64) "" else s" $shards"
+      s"emit aligned ${name(c)} $budget$sh"
     case Chunk(c, w, stride) =>
       val st = if (stride == w) "" else s" $stride"
       s"chunk ${name(c)} $w$st"

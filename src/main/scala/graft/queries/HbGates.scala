@@ -1051,6 +1051,32 @@ object HbGates {
         |FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // The one-statement training-artifact path (r11): vocabulary
+    // encode -> spanning sequence emit, entirely as DSL text; the
+    // oracle replays ids, placement, slice portions, padding and the
+    // attention-reset offsets.
+    Gate("hb_emit_packed",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |encode text 64
+          |emit packed token_ids 512 4
+          |slice columns shard seq n_docs n_tokens input_ids doc_starts
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("seq")),
+      Some(TextGates.hbEmitPackedOracleSql)),
+
+    // The document-aligned twin through the DSL (r11): same chain with
+    // the best-fit-decreasing placement.
+    Gate("hb_emit_aligned",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |encode text 64
+          |emit aligned token_ids 512 4
+          |slice columns shard bin n_docs n_tokens input_ids doc_starts
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("bin")),
+      Some(TextGates.hbEmitAlignedOracleSql)),
+
     // Byte-level tokenizer through the statement surface (r11): encode
     // + the lossless `decode bytes` inverse chained in one program —
     // the oracle checks the subword stream AND that text_decoded is

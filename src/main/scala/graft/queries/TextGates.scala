@@ -165,6 +165,132 @@ object TextGates {
       |FROM documents d LEFT JOIN enc e USING (doc_id)
       |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The hb_emit_packed oracle — the whole `encode → emit packed`
+    * statement chain: the 64-token vocab ids per doc (OOV → 0, the
+    * `encode` contract), the spanning cumsum placement (salt `pack`,
+    * the Engine default), per-sequence list-slice portions, padding,
+    * and the new-document start offsets. */
+  private[queries] lazy val hbEmitPackedOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+      |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+      |ids AS (
+      |  SELECT t.doc_id,
+      |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS idl
+      |  FROM tok t LEFT JOIN vocab v USING (tok)
+      |  GROUP BY t.doc_id),
+      |d0 AS (
+      |  SELECT doc_id, idl, CAST(len(idl) AS BIGINT) AS n,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |      AS BIGINT) % 4 AS shard
+      |  FROM ids),
+      |c AS (
+      |  SELECT doc_id, idl, n, shard,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS bef
+      |  FROM d0),
+      |parts AS (
+      |  SELECT shard, doc_id, idl, n, bef, k AS seq,
+      |    greatest(k * 512, bef) AS s,
+      |    least((k + 1) * 512, bef + n) AS e
+      |  FROM c, unnest(range(bef // 512, (bef + n - 1) // 512 + 1)) AS t(k)),
+      |pids AS (
+      |  SELECT shard, seq, s, e, bef,
+      |    array_to_string(idl[CAST(s - bef + 1 AS INTEGER):CAST(e - bef AS INTEGER)], ' ')
+      |      AS portion
+      |  FROM parts),
+      |seqs AS (
+      |  SELECT shard, seq, COUNT(*) AS n_docs,
+      |    CAST(SUM(e - s) AS INTEGER) AS n_tokens,
+      |    string_agg(portion, ' ' ORDER BY s) AS raw,
+      |    COALESCE(string_agg(CASE WHEN s = bef
+      |        THEN CAST(s - seq * 512 AS VARCHAR) END,
+      |      ' ' ORDER BY s), '') AS doc_starts
+      |  FROM pids GROUP BY shard, seq)
+      |SELECT shard, seq, n_docs, n_tokens,
+      |  CASE WHEN n_tokens = 512 THEN raw
+      |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids,
+      |  doc_starts
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+
+  /** The hb_emit_aligned oracle — `encode → emit aligned`: the same
+    * 64-token vocab ids, then the best-fit-decreasing placement
+    * recursion (salt `pack`, MATERIALIZED input — see
+    * [[sftArtifactOracleSql]]) and the per-bin concatenation. */
+  private[queries] lazy val hbEmitAlignedOracleSql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+      |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+      |  FROM documents),
+      |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+      |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+      |ids AS MATERIALIZED (
+      |  SELECT t.doc_id,
+      |    array_to_string(list(CAST(coalesce(v.id, 0) AS INTEGER)
+      |      ORDER BY t.pos), ' ') AS ids_str,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM tok t LEFT JOIN vocab v USING (tok)
+      |  GROUP BY t.doc_id),
+      |dd AS MATERIALIZED (
+      |  SELECT doc_id, ids_str, n,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |      AS BIGINT) % 4 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY
+      |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |        AS BIGINT) % 4
+      |      ORDER BY n DESC, doc_id) AS rn
+      |  FROM ids),
+      |fd AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+      |    CAST([] AS BIGINT[]) AS rems,
+      |    CAST(NULL AS BIGINT) AS abin, CAST(NULL AS BIGINT) AS aoff
+      |  FROM (SELECT DISTINCT shard FROM dd)
+      |  UNION ALL
+      |  SELECT dd.shard, fd.rn + 1,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN list_append(fd.rems, 512 - dd.n)
+      |      ELSE fd.rems[:list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n))) - 1]
+      |        || [list_min(list_filter(fd.rems, r -> r >= dd.n)) - dd.n]
+      |        || fd.rems[list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n))) + 1:]
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN CAST(len(fd.rems) AS BIGINT)
+      |      ELSE CAST(list_position(fd.rems, list_min(
+      |        list_filter(fd.rems, r -> r >= dd.n))) - 1 AS BIGINT)
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE 512 - list_min(list_filter(fd.rems, r -> r >= dd.n))
+      |    END
+      |  FROM fd JOIN dd ON dd.shard = fd.shard AND dd.rn = fd.rn + 1),
+      |seqs AS (
+      |  SELECT dd.shard, fd.abin AS bin, COUNT(*) AS n_docs,
+      |    CAST(SUM(dd.n) AS INTEGER) AS n_tokens,
+      |    string_agg(dd.ids_str, ' ' ORDER BY fd.aoff) AS raw,
+      |    string_agg(CAST(fd.aoff AS VARCHAR), ' ' ORDER BY fd.aoff)
+      |      AS doc_starts
+      |  FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
+      |  GROUP BY dd.shard, fd.abin)
+      |SELECT shard, bin, n_docs, n_tokens,
+      |  CASE WHEN n_tokens = 512 THEN raw
+      |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids,
+      |  doc_starts
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
+
   /** The t_chunk oracle — 64-token windows every 48 tokens over the
     * documents table. Shared with the `.hb`-surface twin `hb_chunk` in
     * HbGates (`chunk text 64 48` on the doc_id index compiles to the

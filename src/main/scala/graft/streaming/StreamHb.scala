@@ -128,6 +128,8 @@ object StreamHb {
       Some("near-dup/scrub evidence spans the whole corpus")
     case _: Pack => Some("packing scans the whole frame in key order")
     case _: PackBins => Some("bin packing scans the whole frame in size order")
+    case _: EmitPacked | _: EmitAligned =>
+      Some("sequence emit aggregates whole-frame placements")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>

@@ -220,9 +220,14 @@ class ParserSpec extends AnyFunSuite {
       PackBins("n_chars", 1024L))
     // printed forms re-parse to the same statement (the lineage-key
     // and oracle-replay contract)
+    assert(HbParser.parseStatement("emit packed token_ids 512 4") ==
+      EmitPacked("token_ids", 512L, 4))
+    assert(HbParser.parseStatement("emit aligned token_ids 512") ==
+      EmitAligned("token_ids", 512L))
     Seq[Statement](BpeBytesEnc("text", 6),
       BpeBytesUsing("text", "corpus", 6), BpeBytesDecode("bpe"),
-      PackBins("n_chars", 1024L, 8)).foreach { st =>
+      PackBins("n_chars", 1024L, 8), EmitPacked("token_ids", 512L, 4),
+      EmitAligned("token_ids", 512L, 4)).foreach { st =>
       assert(HbParser.parseStatement(Printer.print(st)) == st,
         Printer.print(st))
     }

@@ -80,11 +80,11 @@ class ScaleSpec extends AnyFunSuite {
     // scrub checkpoints, streaming) — covered by SCALE.md's
     // measured-ratio table instead.
     "t_upsample", "hb_upsample", "t_epoch_plan", "t_pack_stats",
-    // r11: the bin-packing layout is a lazy plan (shard exchange +
-    // streaming mapPartitions fold + aggregate join); the BPE byte/
-    // big-fit gates train eagerly at construction — covered by
-    // SCALE.md's measured-ratio table instead.
-    "t_pack_bfd")
+    // r11: the bin-packing layout and both sequence emitters are lazy
+    // plans (shard exchange + fold/explode + bounded aggregates); the
+    // BPE byte/big-fit gates train eagerly at construction — covered
+    // by SCALE.md's measured-ratio table instead.
+    "t_pack_bfd", "t_pack_emit", "hb_pack_bins")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
