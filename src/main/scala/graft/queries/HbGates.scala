@@ -1065,6 +1065,24 @@ object HbGates {
         .orderBy(col("shard"), col("seq")),
       Some(TextGates.hbEmitPackedOracleSql)),
 
+    // The r11 DSL pipeline flagship: corpus → training artifact as ONE
+    // program — exact dedup, deterministic 80% train cut, vocabulary
+    // fit ON THE KEPT SET, spanning sequence emit. Every stage has its
+    // own gate; this one pins the composition (the vocabulary — and
+    // therefore every id — depends on what dedup+split kept).
+    Gate("hb_sft_pipeline",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |dedup exact text
+          |split 80/10/10 by doc_id 's1'
+          |only (split = 'train')
+          |encode text 64
+          |emit packed token_ids 512 4
+          |slice columns shard seq n_docs n_tokens input_ids doc_starts
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("seq")),
+      Some(TextGates.hbSftPipelineOracleSql)),
+
     // The document-aligned twin through the DSL (r11): same chain with
     // the best-fit-decreasing placement.
     Gate("hb_emit_aligned",

@@ -291,6 +291,71 @@ object TextGates {
       |FROM seqs
       |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 
+  /** The hb_sft_pipeline oracle — the whole corpus→artifact program
+    * from first principles: exact-dedup survivors (min id per
+    * normalized-text fingerprint), the 80% s1 train cut, the 64-token
+    * vocabulary FIT ON THE KEPT SET (the statement fits on the frame
+    * it sees, not the raw corpus), ids, spanning placement (salt
+    * `pack`), portions, padding, starts. */
+  private[queries] lazy val hbSftPipelineOracleSql: String =
+    s"""WITH win AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM documents
+       |  GROUP BY md5(lower($normSql))),
+       |kept AS (
+       |  SELECT d.doc_id, d.text
+       |  FROM documents d JOIN win USING (doc_id)
+       |  WHERE CAST('0x' || SUBSTR(md5(CAST(d.doc_id AS VARCHAR) || ':s1'), 1, 8)
+       |      AS BIGINT) % 10000 < 8000),
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS tok,
+       |    generate_subscripts(string_split(lower(regexp_replace(text, '\\s+', ' ', 'g')), ' '), 1) AS pos
+       |  FROM kept),
+       |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+       |vocab AS (
+       |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+       |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+       |ids AS (
+       |  SELECT t.doc_id,
+       |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS idl
+       |  FROM tok t LEFT JOIN vocab v USING (tok)
+       |  GROUP BY t.doc_id),
+       |d0 AS (
+       |  SELECT doc_id, idl, CAST(len(idl) AS BIGINT) AS n,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+       |      AS BIGINT) % 4 AS shard
+       |  FROM ids),
+       |c AS (
+       |  SELECT doc_id, idl, n, shard,
+       |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS bef
+       |  FROM d0),
+       |parts AS (
+       |  SELECT shard, doc_id, idl, n, bef, k AS seq,
+       |    greatest(k * 512, bef) AS s,
+       |    least((k + 1) * 512, bef + n) AS e
+       |  FROM c, unnest(range(bef // 512, (bef + n - 1) // 512 + 1)) AS t(k)),
+       |pids AS (
+       |  SELECT shard, seq, s, e, bef,
+       |    array_to_string(idl[CAST(s - bef + 1 AS INTEGER):CAST(e - bef AS INTEGER)], ' ')
+       |      AS portion
+       |  FROM parts),
+       |seqs AS (
+       |  SELECT shard, seq, COUNT(*) AS n_docs,
+       |    CAST(SUM(e - s) AS INTEGER) AS n_tokens,
+       |    string_agg(portion, ' ' ORDER BY s) AS raw,
+       |    COALESCE(string_agg(CASE WHEN s = bef
+       |        THEN CAST(s - seq * 512 AS VARCHAR) END,
+       |      ' ' ORDER BY s), '') AS doc_starts
+       |  FROM pids GROUP BY shard, seq)
+       |SELECT shard, seq, n_docs, n_tokens,
+       |  CASE WHEN n_tokens = 512 THEN raw
+       |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids,
+       |  doc_starts
+       |FROM seqs
+       |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+
   /** The t_chunk oracle — 64-token windows every 48 tokens over the
     * documents table. Shared with the `.hb`-surface twin `hb_chunk` in
     * HbGates (`chunk text 64 48` on the doc_id index compiles to the
