@@ -11,7 +11,12 @@ import graft.server.Gateway
   *
   * Usage:
   *   runMain graft.Serve [--port N] [--data-dir DIR]
-  *     [--master-key KEY] [--max-rows N]
+  *     [--master-key KEY] [--max-rows N] [--cache-dir DIR]
+  *
+  * `--cache-dir` enables the lineage-keyed result cache (the
+  * reference's per-stage CouchDB cache, server.Gateway scaladoc):
+  * repeat GETs of unchanged configurations serve without Spark jobs,
+  * and the parquet store survives restarts.
   *
   * The master key defaults to the GRAFT_MASTER_KEY environment
   * variable (the reference reads its key from the environment too);
@@ -37,7 +42,10 @@ object Serve {
         ""
       }
     val spark = Sessions.local()
-    val gw = new Gateway(spark, key, dataDir, maxRows = maxRows)
+    val cache = opts.get("--cache-dir")
+      .map(dir => new graft.cache.LineageCache(spark, dir))
+    val gw = new Gateway(spark, key, dataDir, maxRows = maxRows,
+      cache = cache)
     val bound = gw.start(port)
     println(s"graft gateway listening on 127.0.0.1:$bound " +
       s"(data dir: $dataDir)")

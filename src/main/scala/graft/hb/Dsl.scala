@@ -133,6 +133,17 @@ object Dsl {
   def topPct(pct: Int, by: String, per: String): Statement =
     TopFracBy(pct, by, per)
   def bpe(textCol: String, nMerges: Int): Statement = BpeEnc(textCol, nMerges)
+  def bpeBytes(textCol: String, nMerges: Int): Statement =
+    BpeBytesEnc(textCol, nMerges)
+  def bpeBytesUsing(textCol: String, conf: String,
+      nMerges: Int): Statement = BpeBytesUsing(textCol, conf, nMerges)
+  def decodeBytes(encCol: String): Statement = BpeBytesDecode(encCol)
+  def packBins(tokensCol: String, budget: Long,
+      shards: Int = 64): Statement = PackBins(tokensCol, budget, shards)
+  def emitPacked(idsCol: String, budget: Long,
+      shards: Int = 64): Statement = EmitPacked(idsCol, budget, shards)
+  def emitAligned(idsCol: String, budget: Long,
+      shards: Int = 64): Statement = EmitAligned(idsCol, budget, shards)
   def rebalanceSalted(stratumCol: String, salt: String,
       targets: (String, Double)*): Statement =
     RebalanceBy(stratumCol, targets, salt)

@@ -233,7 +233,22 @@ class DslSpec extends AnyFunSuite {
     for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 100000) }
       yield DecodeUsing(c, conf, n),
     for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 32768) }
-      yield BpeUsing(c, conf, n))
+      yield BpeUsing(c, conf, n),
+    // r11 forms
+    for { nm <- genName; n <- Gen.chooseNum(1, 32768) }
+      yield BpeBytesEnc(nm, n),
+    for { c <- genName; conf <- genName; n <- Gen.chooseNum(1, 32768) }
+      yield BpeBytesUsing(c, conf, n),
+    for { nm <- genName } yield BpeBytesDecode(nm),
+    for { nm <- genName; b <- Gen.chooseNum(1L, 100000L)
+      sh <- Gen.oneOf(64, 8) }
+      yield PackBins(nm, b, sh),
+    for { nm <- genName; b <- Gen.chooseNum(1L, 100000L)
+      sh <- Gen.oneOf(64, 4) }
+      yield EmitPacked(nm, b, sh),
+    for { nm <- genName; b <- Gen.chooseNum(1L, 100000L)
+      sh <- Gen.oneOf(64, 4) }
+      yield EmitAligned(nm, b, sh))
 
   test("property: every statement round-trips print → parse") {
     val params = org.scalacheck.Gen.Parameters.default
