@@ -68,11 +68,20 @@ final class Gateway(
   /** Rendered `/data/json` responses by LINEAGE key (body, truncated) —
     * the zero-job fast path for repeated dashboard polls. Content-keyed,
     * so uploading a changed program or transformation simply computes a
-    * new key; stale entries are never consulted. Bounded: one entry per
-    * distinct configuration content, each ≤ maxRows rendered rows (the
-    * gateway's document-sized response contract). Active only when a
-    * [[graft.cache.LineageCache]] is configured. */
-  private val responses = TrieMap[String, (String, Boolean)]()
+    * new key; stale entries are never consulted. LRU-BOUNDED at 256
+    * entries (each ≤ maxRows rendered rows, the gateway's
+    * document-sized response contract): a master-key holder uploading
+    * unbounded distinct content must not grow driver memory unboundedly
+    * — evicted entries just recompute through the LineageCache parquet
+    * tier, which is disk-bounded by the same content keys. Active only
+    * when a [[graft.cache.LineageCache]] is configured. */
+  private val responses = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Boolean)](
+      16, 0.75f, /* accessOrder = */ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Boolean)]): Boolean =
+        size() > 256
+    })
 
   private var server: Option[HttpServer] = None
 
@@ -197,7 +206,7 @@ final class Gateway(
 
   private def getData(ex: HttpExchange, name: String): Unit = {
     val lk = if (cache.isDefined) lineageKeyOf(name, Set.empty) else None
-    lk.flatMap(responses.get) match {
+    lk.flatMap(k => Option(responses.get(k))) match {
       case Some((body, truncated)) =>
         // repeat GET of unchanged content: zero Spark jobs
         if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
@@ -212,7 +221,7 @@ final class Gateway(
           val rows = df.toJSON.take(maxRows + 1)
           val truncated = rows.length > maxRows
           val body = rows.take(maxRows).mkString("[", ",", "]")
-          lk.foreach(k => responses.put(k, (body, truncated)))
+          lk.foreach(k => responses.put(k, (body, truncated)): Unit)
           if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
           respond(ex, 200, body)
       }
