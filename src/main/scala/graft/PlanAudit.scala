@@ -15,7 +15,9 @@ object PlanAudit {
         "a7_kmeans", "s2_rest_provider", "s5_localdata",
         "t_dsir_select", "t_vocab_encode",
         "t_lm_surprisal", "t_nb_classify", "t_select_topk",
-        "t_shuffle_order", "t_rebalance_tokens")
+        "t_shuffle_order", "t_rebalance_tokens",
+        // r11: bin packing + sequence emitters
+        "t_pack_bfd", "t_pack_emit", "t_sft_artifact")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
