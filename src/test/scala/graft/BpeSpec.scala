@@ -106,6 +106,17 @@ class BpeSpec extends AnyFunSuite {
       .toDF("doc_id", "text"))
     assert(Bpe.fitStored(grown, "text", 6, 1L, "corpus@v1", store2)
       == fitted)
+    // the byte-level mode stores under a DIFFERENT artifact key (a
+    // byte table and a word table with the same corpus key are
+    // different tokenizers), reloads without retraining, and matches
+    // the direct fit
+    val bFitted = Bpe.fitStored(docs, "text", 6, 1L, "corpus@v1", store2,
+      byteLevel = true)
+    assert(bFitted == Bpe.fitBytes(docs, "text", 6, minCount = 1L))
+    assert(bFitted != fitted, "byte and word tables must differ")
+    val store3 = new graft.cache.LineageCache(spark, root)
+    assert(Bpe.fitStored(docs, "text", 6, 1L, "corpus@v1", store3,
+      byteLevel = true) == bFitted)
   }
 
   test("pair-rank encode replays a duplicate-pair table sequentially") {

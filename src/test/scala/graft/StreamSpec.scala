@@ -118,6 +118,13 @@ class StreamSpec extends AnyFunSuite {
       sortCols = Seq("doc_id"))
     val after = files(s"$tmp/compact")
     assert(after.size == 4, s"expected one file per shard, got $after")
+    // maxRecordsPerFile splits oversized shards deterministically
+    StreamOps.compactShardStore(spark, s"$tmp/store", s"$tmp/compact2",
+      sortCols = Seq("doc_id"), maxRecordsPerFile = 20L)
+    val split = files(s"$tmp/compact2")
+    assert(split.size > 4 && split.size <= 200 / 20 + 4,
+      s"expected bounded splitting, got ${split.size}")
+    assert(spark.read.parquet(s"$tmp/compact2").count() == 200)
     // membership hash unchanged: the full (doc_id, shard, txt) set is
     // identical before and after
     def content(root: String) = spark.read.parquet(root)
