@@ -517,6 +517,27 @@ object Bpe {
     graft.functions.BpeEncodeExpr.bpe_decode_ids(ids,
       merges.sortBy(_.rank).map(m => (m.left, m.right)))
 
+  /** The SHIPPABLE tokenizer artifact table for a byte-level merge
+    * list — the vocab.json/merges.txt equivalent a training config
+    * points at: one row per id under the GPT-2 layout (`kind` byte,
+    * ids 0-255, spelling = the alphabet char, rank 0; then `kind`
+    * merge, id 255+rank, spelling = the merged string). A duplicate
+    * merged string keeps its row per RANK (ids stay dense); the
+    * ENCODER maps such a spelling to its lowest id
+    * ([[graft.functions.BpeEncodeExpr.Table.symIds]]), so decode
+    * under this table is total either way. Driver-built from the
+    * ≤nMerges merge list — 256+n rows by contract. */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    val bytes = (0 until 256).map(b => (b,
+      String.valueOf(graft.functions.BpeEncodeExpr.byteAlphabet(b)),
+      "byte", 0))
+    val ms = merges.sortBy(_.rank)
+      .map(m => (255 + m.rank, m.merged, "merge", m.rank))
+    (bytes ++ ms).toDF("id", "sym", "kind", "rank")
+  }
+
   /** Encode a text column with a learned merge list: per-token char
     * split, the merges folded in rank order, subword streams joined by
     * spaces. Pure narrow map — the merge table rides in the expression

@@ -1699,6 +1699,43 @@ object TextGates {
     },
       Some(bpeBytesOracleSql)),
 
+    // The shippable tokenizer-artifact TABLE (r11): every id's
+    // spelling under the GPT-2 layout — 256 byte tokens (the oracle
+    // replays the bytes_to_unicode construction itself: keep-set
+    // membership + a correlated running count of excluded bytes) plus
+    // the trained merges by rank.
+    Gate("t_bpe_vocab", (s, d) => {
+      val fx = concat(lit("The "),
+        upper(expr("substring(text, 1, 3)")), expr("substring(text, 4)"),
+        lit("  #"), (col("doc_id") % 100).cast("string"),
+        lit(", End.\n\ttail  42 "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
+      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
+        minCount = 1L)
+      graft.operators.Bpe.vocabFrame(s, merges).orderBy(col("id"))
+    },
+      Some(bpeBytesChainSql(bpeBytesFixtureSql, 6) +
+        """,
+        |fullbase AS (
+        |  SELECT CAST(b AS INTEGER) AS id,
+        |    CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172)
+        |        OR (b BETWEEN 174 AND 255)
+        |      THEN chr(CAST(b AS INTEGER))
+        |      ELSE chr(CAST(256 + (
+        |        SELECT COUNT(*) FROM range(256) AS t2(b2)
+        |        WHERE b2 < t.b AND NOT ((b2 BETWEEN 33 AND 126)
+        |          OR (b2 BETWEEN 161 AND 172)
+        |          OR (b2 BETWEEN 174 AND 255))) AS INTEGER))
+        |    END AS sym
+        |  FROM range(256) AS t(b))
+        |SELECT id, sym, kind, rank FROM (
+        |  SELECT id, sym, 'byte' AS kind, 0 AS rank FROM fullbase
+        |  UNION ALL""".stripMargin +
+        (1 to 6).map(k =>
+          s"  SELECT CAST(255 + $k AS INTEGER), l || r, 'merge', $k FROM b$k")
+          .mkString("\n", "\n  UNION ALL\n", ")\n") +
+        "ORDER BY id ASC NULLS FIRST")),
+
     // Token-ID form of the byte tokenizer (r11): the artifact a
     // training run ships — array<int> under the GPT-2 id layout (256
     // byte tokens, then merges by rank), with the byte-exact id→text
