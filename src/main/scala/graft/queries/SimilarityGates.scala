@@ -1001,6 +1001,104 @@ object SimilarityGates {
            |SELECT query_id, rank, neighbor_id, cosine FROM ranked
            |WHERE rank <= 10
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
-      })
+      }),
+
+    // Inverted-index lexical retrieval (operators.Retrieval): per-query
+    // top-20 corpus docs ranked by distinct shared-term overlap; the
+    // query vocabulary broadcasts, corpus postings are restricted to it
+    // before any aggregation, and terms in > 78% of docs are cut (the
+    // stopword prune that keeps the posting volume bounded at scale).
+    // Exact-integer score → FULL oracle.
+    Gate("s_lexical_topk",
+      (s, d) => graft.operators.Retrieval.lexicalOverlapTopK(
+        t(s, d, "documents"),
+        t(s, d, "documents").filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $lexCtes
+           |SELECT query_id, rank, neighbor_id, overlap FROM lexr
+           |WHERE rank <= 20
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    // Hybrid retrieval: reciprocal-rank fusion (Cormack/Clarke/Buettcher
+    // SIGIR'09) of the lexical top-20 and the embedding-cosine top-20
+    // for the same 5 seed ids (doc_id ↔ vec_id aligned in the test
+    // tables). rrf_fp = Σ 1e9 div (60 + rank) — integer division, so the
+    // fused ranking replays exactly; n_lists counts which modalities
+    // retrieved each neighbor. Fusion cost is output-sized (lists ×
+    // queries × k rows), independent of corpus size.
+    Gate("s_hybrid_rrf", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val lex = graft.operators.Retrieval.lexicalOverlapTopK(
+        t(s, d, "documents"),
+        t(s, d, "documents").filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+      Some(s"""WITH $lexCtes,
+           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+           |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+           |sem0 AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+           |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+           |semr AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+           |  FROM sem0),
+           |u AS (
+           |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+           |  FROM lexr WHERE rank <= 20
+           |  UNION ALL
+           |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+           |  FROM semr WHERE rank <= 20),
+           |f AS (
+           |  SELECT query_id, neighbor_id, CAST(SUM(contrib) AS BIGINT) AS rrf_fp,
+           |    COUNT(*) AS n_lists
+           |  FROM u GROUP BY 1, 2),
+           |r AS (
+           |  SELECT query_id,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank,
+           |    neighbor_id, rrf_fp, n_lists
+           |  FROM f)
+           |SELECT query_id, rank, neighbor_id, rrf_fp, n_lists FROM r
+           |WHERE rank <= 10
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
   )
+
+  /** Shared lexical-retrieval CTE chain for s_lexical_topk /
+    * s_hybrid_rrf: distinct (doc, term) tokens → 5-seed query
+    * vocabulary → postings restricted to it → 78%-permille-df stopword cut (the synthetic corpus's vocabulary is dense — at 78% some query terms survive and some are cut, so both paths are exercised) →
+    * per-query overlap rank. Pre-stripped (no margin pipes) so it
+    * interpolates safely into stripMargin templates. */
+  private lazy val lexCtes: String =
+    """tok AS MATERIALIZED (
+      |  SELECT doc_id, term FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS term
+      |    FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+      |qt AS (SELECT DISTINCT term FROM tok WHERE doc_id < 5),
+      |hits AS MATERIALIZED (
+      |  SELECT t.doc_id, t.term FROM tok t JOIN qt USING (term)),
+      |nd AS (SELECT COUNT(*) AS n FROM documents),
+      |dfk AS (
+      |  SELECT term FROM hits CROSS JOIN nd
+      |  GROUP BY term, n HAVING COUNT(*) * 1000 <= n * 780),
+      |lex0 AS (
+      |  SELECT q.doc_id AS query_id, h.doc_id AS neighbor_id,
+      |    COUNT(*) AS overlap
+      |  FROM hits h JOIN dfk USING (term)
+      |    JOIN tok q ON q.term = h.term AND q.doc_id < 5
+      |      AND q.doc_id <> h.doc_id
+      |  GROUP BY 1, 2),
+      |lexr AS (
+      |  SELECT query_id, neighbor_id, overlap,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY overlap DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM lex0)""".stripMargin
 }
