@@ -17,7 +17,9 @@ object PlanAudit {
         "t_lm_surprisal", "t_nb_classify", "t_select_topk",
         "t_shuffle_order", "t_rebalance_tokens",
         // r11: bin packing + sequence emitters
-        "t_pack_bfd", "t_pack_emit", "t_sft_artifact")
+        "t_pack_bfd", "t_pack_emit", "t_sft_artifact",
+        // r11: retrieval + preference pairing
+        "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -218,6 +218,14 @@ object Ast {
     * emitAligned): one row per (shard, bin), same output shape. */
   case class EmitAligned(idsCol: String, budget: Long, shards: Int = 64)
       extends Statement
+  /** `pairs <textCol> <scoreCol> by <groupCol> [minMargin]` —
+    * preference-pair (DPO) artifact emit (operators.Preference): one
+    * (chosen, rejected) row per group — best vs worst candidate by the
+    * integer score with deterministic id tie-breaks; groups with < 2
+    * candidates or margin below `minMargin` (default 1) drop. Replaces
+    * the frame; the group becomes the key. */
+  case class Pairs(textCol: String, scoreCol: String, groupCol: String,
+      minMargin: Long = 1L) extends Statement
   /** `chunk <textCol> <window> [stride]` — fixed-window token chunking
     * with stride (operators.Chunking.chunkLayout). The frame key stays
     * the SOURCE document key (one doc → many chunk rows; `chunk_id`

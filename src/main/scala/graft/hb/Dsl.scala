@@ -140,6 +140,9 @@ object Dsl {
   def decodeBytes(encCol: String): Statement = BpeBytesDecode(encCol)
   def packBins(tokensCol: String, budget: Long,
       shards: Int = 64): Statement = PackBins(tokensCol, budget, shards)
+  def pairs(textCol: String, scoreCol: String, groupCol: String,
+      minMargin: Long = 1L): Statement =
+    Pairs(textCol, scoreCol, groupCol, minMargin)
   def emitPacked(idsCol: String, budget: Long,
       shards: Int = 64): Statement = EmitPacked(idsCol, budget, shards)
   def emitAligned(idsCol: String, budget: Long,

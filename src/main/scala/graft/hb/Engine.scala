@@ -524,6 +524,14 @@ object Engine {
         .chunkLayout(f.df, KEY, tc, w, stride)
       HbFrame(chunks, Seq(col(KEY).asc, col("chunk_id").asc), Nil)
 
+    case Pairs(tc, sc, gc, m) =>
+      // one keyed max_by/min_by aggregation (operators.Preference);
+      // the group becomes the frame key — one pair row per prompt
+      val paired = graft.operators.Preference
+        .preferencePairs(f.df, gc, KEY, tc, sc, m)
+      HbFrame(paired.withColumn(KEY, col(gc).cast("string")),
+        Seq(col(gc).asc), Nil)
+
     case Neighbors(k, vecE, predE, mode) =>
       val vecCol = vecE match {
         case ColRef(n) => n

@@ -24,7 +24,7 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify", "decode", "emit")
+    "classify", "decode", "emit", "pairs")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -510,6 +510,16 @@ object HbParser {
           case _ => 64
         }
         if (bins) PackBins(c, budget, shards) else Pack(c, budget, shards)
+      case "pairs" =>
+        val tc = p.colName()
+        val sc = p.colName()
+        p.eat("by")
+        val gc = p.colName()
+        val m = p.peek match {
+          case Some(TNum(_)) => p.int().toLong
+          case _ => 1L
+        }
+        Pairs(tc, sc, gc, m)
       case "chunk" =>
         val c = p.colName()
         val w = p.int()

@@ -79,6 +79,9 @@ object Printer {
     case Chunk(c, w, stride) =>
       val st = if (stride == w) "" else s" $stride"
       s"chunk ${name(c)} $w$st"
+    case Pairs(tc, sc, gc, m) =>
+      val mm = if (m == 1L) "" else s" $m"
+      s"pairs ${name(tc)} ${name(sc)} by ${name(gc)}$mm"
     case WindowAgg(ts, mins, delay, cols, red) =>
       val d = if (delay == 0) "" else s" $delay"
       s"window ${name(ts)} $mins$d group by " +

@@ -1051,6 +1051,44 @@ object HbGates {
         |FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // Preference-pair (DPO) statement surface (r11): synthetic prompts
+    // of 4 docs each, token-count score, best-vs-worst pairing with a
+    // ≥2 margin. The frame key keeps doc_id's integer type (index
+    // rows by), so the id tie-breaks are numeric — replayed directly.
+    Gate("hb_dpo_pairs",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |create column prompt_id (int (doc_id / 4))
+          |create column score_fp (tokens (text))
+          |pairs text score_fp by prompt_id 2
+          |slice columns prompt_id chosen_id rejected_id chosen rejected chosen_score_fp rejected_score_fp margin_fp n_candidates
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("prompt_id")),
+      Some("""WITH cand AS (
+        |  SELECT doc_id AS sid,
+        |    CAST(doc_id // 4 AS INTEGER) AS prompt_id, text,
+        |    len(regexp_extract_all(text, '\S+')) AS score_fp
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp DESC, sid ASC) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp ASC, sid DESC) AS rr,
+        |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM cand),
+        |ch AS (SELECT prompt_id, sid AS chosen_id, text AS chosen,
+        |         score_fp AS chosen_score_fp, n FROM r1 WHERE rc = 1),
+        |rj AS (SELECT prompt_id, sid AS rejected_id, text AS rejected,
+        |         score_fp AS rejected_score_fp FROM r1 WHERE rr = 1)
+        |SELECT prompt_id, chosen_id, rejected_id, chosen, rejected,
+        |  chosen_score_fp, rejected_score_fp,
+        |  chosen_score_fp - rejected_score_fp AS margin_fp,
+        |  n AS n_candidates
+        |FROM ch JOIN rj USING (prompt_id)
+        |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 2
+        |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
+
     // The one-statement training-artifact path (r11): vocabulary
     // encode -> spanning sequence emit, entirely as DSL text; the
     // oracle replays ids, placement, slice portions, padding and the

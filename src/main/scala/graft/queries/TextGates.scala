@@ -1854,6 +1854,46 @@ object TextGates {
     },
       Some(sftArtifactOracleSql)),
 
+    // Preference-pair (DPO) artifact emitter (operators.Preference):
+    // 4 candidate "responses" per synthetic prompt (doc_id div 4), an
+    // integer score with planted collisions ((n_chars·31 + doc_id·7)
+    // mod 1000), best-vs-worst pairing with deterministic tie-breaks
+    // (chosen: smallest id at max score; rejected: largest id at min
+    // score) and a ≥200 margin floor (some prompts drop). ONE keyed max_by/min_by
+    // aggregation — no window, no self-join; the oracle replays the
+    // pairing, tie-breaks, margin filter and candidate counts.
+    Gate("t_dpo_pairs", (s, d) => {
+      val cand = t(s, d, "documents").select(
+        expr("doc_id div 4").as("prompt_id"), col("doc_id"), col("text"),
+        ((col("n_chars") * 31 + col("doc_id") * 7) % 1000).as("score_fp"))
+      graft.operators.Preference.preferencePairs(cand, "prompt_id",
+        "doc_id", "text", "score_fp", minMarginFp = 200L)
+        .orderBy(col("prompt_id"))
+    },
+      Some("""WITH cand AS (
+        |  SELECT doc_id // 4 AS prompt_id, doc_id, text,
+        |    (n_chars * 31 + doc_id * 7) % 1000 AS score_fp
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp DESC, doc_id ASC) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp ASC, doc_id DESC) AS rr,
+        |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM cand),
+        |ch AS (SELECT prompt_id, doc_id AS chosen_id, text AS chosen,
+        |         score_fp AS chosen_score_fp, n FROM r1 WHERE rc = 1),
+        |rj AS (SELECT prompt_id, doc_id AS rejected_id, text AS rejected,
+        |         score_fp AS rejected_score_fp FROM r1 WHERE rr = 1)
+        |SELECT prompt_id, chosen_id, rejected_id, chosen, rejected,
+        |  chosen_score_fp, rejected_score_fp,
+        |  chosen_score_fp - rejected_score_fp AS margin_fp,
+        |  n AS n_candidates
+        |FROM ch JOIN rj USING (prompt_id)
+        |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 200
+        |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.

@@ -130,6 +130,8 @@ object StreamHb {
     case _: PackBins => Some("bin packing scans the whole frame in size order")
     case _: EmitPacked | _: EmitAligned =>
       Some("sequence emit aggregates whole-frame placements")
+    case _: Pairs =>
+      Some("preference pairing aggregates whole prompt groups")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>

@@ -224,10 +224,15 @@ class ParserSpec extends AnyFunSuite {
       EmitPacked("token_ids", 512L, 4))
     assert(HbParser.parseStatement("emit aligned token_ids 512") ==
       EmitAligned("token_ids", 512L))
+    assert(HbParser.parseStatement("pairs text score_fp by prompt_id 2") ==
+      Pairs("text", "score_fp", "prompt_id", 2L))
+    assert(HbParser.parseStatement("pairs text score_fp by prompt_id") ==
+      Pairs("text", "score_fp", "prompt_id"))
     Seq[Statement](BpeBytesEnc("text", 6),
       BpeBytesUsing("text", "corpus", 6), BpeBytesDecode("bpe"),
       PackBins("n_chars", 1024L, 8), EmitPacked("token_ids", 512L, 4),
-      EmitAligned("token_ids", 512L, 4)).foreach { st =>
+      EmitAligned("token_ids", 512L, 4), Pairs("text", "sc", "p", 5L),
+      Pairs("text", "sc", "p")).foreach { st =>
       assert(HbParser.parseStatement(Printer.print(st)) == st,
         Printer.print(st))
     }
