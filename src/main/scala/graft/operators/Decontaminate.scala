@@ -76,4 +76,47 @@ object Decontaminate {
       textCol: String, n: Int = 8): DataFrame =
     flag(corpus, evalSet, idCol, textCol, n)
       .filter(!col("contaminated")).drop("contaminated")
+
+  /** SEMANTIC decontamination (the SemDedup-family complement to the
+    * n-gram flag): a corpus document is contaminated when its embedding
+    * cosine against ANY eval embedding reaches `thresholdFp` (fixed
+    * point ×1e9) — catching paraphrased benchmark leakage that shares
+    * no n-gram (Abbas et al. 2023 SemDedup; GPT-4's contamination
+    * appendix uses the same shape). Adds `max_cos_fp` (the evidence —
+    * floor(cos·1e9), -1e9 when a vector has zero norm) and
+    * `contaminated`.
+    *
+    * 100 TB design: the eval set collapses to ONE broadcast row holding
+    * its quantized vectors (eval benchmarks are bounded — thousands,
+    * not billions), so the corpus pass is a pure narrow map: zero
+    * shuffles, cost corpus × |eval| dot products. For an eval set too
+    * big to broadcast, block first with Similarity.rpLshNearDup's
+    * banding and verify only candidates. Cosines use the fixed-point
+    * quantization ([[Similarity.quantize]]) so the floor(·1e9) evidence
+    * replays exactly in a SQL oracle. */
+  def semanticFlag(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      vecCol: String, thresholdFp: Long): DataFrame = {
+    require(thresholdFp >= -1000000000L && thresholdFp <= 1000000000L,
+      s"thresholdFp is fixed-point cosine ×1e9, got $thresholdFp")
+    Seq("contaminated", "max_cos_fp", "__evals").foreach { c =>
+      require(!corpus.columns.contains(c),
+        s"corpus already has a '$c' column — rename it before semanticFlag")
+    }
+    val qv = Similarity.quantize(col(vecCol))
+    val evalRow = evalSet
+      .select(qv.as("__ev"), Similarity.normQ(qv).as("__en"))
+      .agg(collect_list(struct(col("__ev"), col("__en"))).as("__evals"))
+    val nrm = Similarity.normQ(qv)
+    val sim = (e: Column) =>
+      when(nrm > 0 && e.getField("__en") > 0,
+        floor(Similarity.dotQ(qv, e.getField("__ev")) /
+          (nrm * e.getField("__en")) * lit(1e9)).cast("long"))
+        .otherwise(lit(-1000000000L))
+    corpus.crossJoin(broadcast(evalRow))
+      .withColumn("max_cos_fp",
+        coalesce(array_max(transform(col("__evals"), sim)),
+          lit(-1000000000L)))
+      .drop("__evals")
+      .withColumn("contaminated", col("max_cos_fp") >= thresholdFp)
+  }
 }

@@ -1003,6 +1003,37 @@ object SimilarityGates {
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
       }),
 
+    // SEMANTIC decontamination (Decontaminate.semanticFlag): the last 5
+    // embeddings play the eval benchmark; every corpus vector carries
+    // floor(max-cosine-vs-eval · 1e9) as evidence and a contaminated
+    // flag at ≥ 0.25 (the synthetic embeddings are near-orthogonal across clusters, so 0.25 splits the corpus — both flag values appear). The eval set collapses to ONE broadcast row of
+    // quantized vectors — the corpus pass is a pure narrow map (zero
+    // shuffles). FULL oracle: fixed-point cosines, the max, and the
+    // threshold replayed per corpus vector.
+    Gate("s_semantic_decon", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Decontaminate.semanticFlag(
+        emb.filter(col("vec_id") < 495).select("vec_id", "embedding"),
+        emb.filter(col("vec_id") >= 495),
+        "vec_id", "embedding", thresholdFp = 250000000L)
+        .select("vec_id", "max_cos_fp", "contaminated")
+        .orderBy(col("vec_id"))
+    },
+      Some(s"""WITH e0 AS (
+           |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+           |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+           |ev AS (SELECT qv, nrm FROM e WHERE vec_id >= 495),
+           |tr AS (SELECT vec_id, qv, nrm FROM e WHERE vec_id < 495),
+           |mx AS (
+           |  SELECT t.vec_id,
+           |    MAX(CASE WHEN t.nrm > 0 AND v.nrm > 0
+           |      THEN CAST(FLOOR(${dotQSql("t.qv", "v.qv")} / (t.nrm * v.nrm) * 1e9) AS BIGINT)
+           |      ELSE -1000000000 END) AS max_cos_fp
+           |  FROM tr t CROSS JOIN ev v GROUP BY t.vec_id)
+           |SELECT vec_id, max_cos_fp, max_cos_fp >= 250000000 AS contaminated
+           |FROM mx
+           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+
     // Inverted-index lexical retrieval (operators.Retrieval): per-query
     // top-20 corpus docs ranked by distinct shared-term overlap; the
     // query vocabulary broadcasts, corpus postings are restricted to it

@@ -546,4 +546,36 @@ class DedupSpec extends AnyFunSuite {
     assert(top.getAs[Long]("neighbor_id") == 1L)
     assert(top.getAs[Double]("cosine") > 0.999)
   }
+
+  test("semanticFlag catches the planted eval twin, spares the rest, " +
+    "and handles empty/zero-norm inputs") {
+    import spark.implicits._
+    val v = (i: Int) => Array.tabulate(16)(j => math.sin(i * 16 + j).toFloat)
+    val corpus = Seq(
+      (0L, v(0)), // twin of the eval vector → contaminated
+      (1L, v(5)),
+      (2L, Array.fill(16)(0f))) // zero norm → sentinel evidence
+      .toDF("vec_id", "embedding")
+    val eval = Seq((100L, v(0).map(x => x + 1e-5f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Decontaminate
+      .semanticFlag(corpus, eval, "vec_id", "embedding",
+        thresholdFp = 950000000L)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Boolean]("contaminated")).toSeq ===
+      Seq(true, false, false))
+    assert(out(0).getAs[Long]("max_cos_fp") > 999000000L)
+    assert(out(2).getAs[Long]("max_cos_fp") == -1000000000L)
+    // empty eval set: nothing can be contaminated (sentinel evidence)
+    val none = graft.operators.Decontaminate
+      .semanticFlag(corpus, eval.limit(0), "vec_id", "embedding", 0L)
+      .collect()
+    assert(none.length == 3 && none.forall(!_.getAs[Boolean]("contaminated")))
+    // reserved-name guard
+    intercept[IllegalArgumentException] {
+      graft.operators.Decontaminate.semanticFlag(
+        corpus.withColumn("contaminated", lit(false)), eval,
+        "vec_id", "embedding", 0L)
+    }
+  }
 }
