@@ -84,7 +84,12 @@ class ScaleSpec extends AnyFunSuite {
     // plans (shard exchange + fold/explode + bounded aggregates); the
     // BPE byte/big-fit gates train eagerly at construction — covered
     // by SCALE.md's measured-ratio table instead.
-    "t_pack_bfd", "t_pack_emit", "hb_pack_bins")
+    "t_pack_bfd", "t_pack_emit", "hb_pack_bins",
+    // late r11: retrieval (broadcast-restricted postings + RRF fusion),
+    // preference pairing (one keyed aggregation) and semantic decon
+    // (zero-shuffle narrow map) are all lazy plans
+    "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "hb_dpo_pairs",
+    "s_semantic_decon")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
