@@ -33,6 +33,12 @@ object Configurations {
     * (Types.fs:97-104) — two-frame ops are SOURCES, not statements. */
   case class DeconOf(corpus: String, evalSet: String, idField: String,
       textField: String, n: Int = 8) extends ConfSource
+  /** SEMANTIC twin of [[DeconOf]] (Graft.semanticDecon): corpus rows +
+    * `max_cos_fp` (fixed-point ×1e9 max embedding cosine vs the eval
+    * configuration) + `contaminated` at ≥ thresholdFp — catches
+    * paraphrased leakage that shares no n-gram. */
+  case class SemDeconOf(corpus: String, evalSet: String, idField: String,
+      vecField: String, thresholdFp: Long) extends ConfSource
   /** Fuzzy twin of [[DeconOf]] (Graft.nearDups): corpus rows +
     * `neardup` = verified MinHash Jaccard ≥ threshold against any row
     * of the reference configuration. */
@@ -117,6 +123,9 @@ object Configurations {
         case DeconOf(cp, ev, id, tx, n) =>
           s"decon(${lineageKey(configs, cp)},${lineageKey(configs, ev)}," +
             s"$id,$tx,$n)"
+        case SemDeconOf(cp, ev, id, vc, th) =>
+          s"semdecon(${lineageKey(configs, cp)},${lineageKey(configs, ev)}," +
+            s"$id,$vc,$th)"
         case NearDupOf(cp, rf, id, tx, th) =>
           s"neardup(${lineageKey(configs, cp)},${lineageKey(configs, rf)}," +
             s"$id,$tx,$th)"
@@ -167,6 +176,8 @@ object Configurations {
             case JoinOf(l, r, f) => Graft.join(sub(l), sub(r), f)
             case DeconOf(cp, ev, id, tx, n) =>
               Graft.decontaminate(sub(cp), sub(ev), id, tx, n)
+            case SemDeconOf(cp, ev, id, vc, th) =>
+              Graft.semanticDecon(sub(cp), sub(ev), id, vc, th)
             case NearDupOf(cp, rf, id, tx, th) =>
               Graft.nearDups(sub(cp), sub(rf), id, tx, th)
             case ScrubOf(cp, ev, id, tx, k) =>

@@ -59,6 +59,17 @@ object Graft {
       textField: String, n: Int = 8): DataFrame =
     graft.operators.Decontaminate.flag(corpus, evalSet, idField, textField, n)
 
+  /** Semantic decontamination provider: every `corpus` row plus
+    * `max_cos_fp` (fixed-point ×1e9 max embedding cosine against any
+    * `evalSet` row — the eval side collapses to one broadcast row, the
+    * corpus pass is a zero-shuffle narrow map) and `contaminated` at
+    * ≥ thresholdFp. Catches paraphrased benchmark leakage the n-gram
+    * [[decontaminate]] misses; flag form for the same policy reason. */
+  def semanticDecon(corpus: DataFrame, evalSet: DataFrame, idField: String,
+      vecField: String, thresholdFp: Long): DataFrame =
+    graft.operators.Decontaminate.semanticFlag(corpus, evalSet, idField,
+      vecField, thresholdFp)
+
   /** Fuzzy (near-dup) decontamination provider: every `corpus` row plus
     * a `neardup` flag — verified MinHash Jaccard ≥ threshold against any
     * `reference` row. Catches near-verbatim contamination the exact

@@ -1413,6 +1413,26 @@ object HbGates {
 
     // Fuzzy decontamination as a configuration source (NearDupOf): the
     // d_minhash_decon operator with BOTH sides .hb-authored — the
+    // SEMANTIC twin of hb_decontaminate_cfg (SemDeconOf → Graft
+    // .semanticDecon): the same 495/5 embeddings split and 0.25
+    // threshold as s_semantic_decon, shared oracle — catches
+    // paraphrased leakage the n-gram flag misses, through the
+    // configuration algebra.
+    Gate("hb_semdecon_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "eval" -> conf(TableSource("embeddings"), "only (vec_id >= 495)"),
+          "corpus" -> conf(TableSource("embeddings"), "only (vec_id < 495)"),
+          "flagged" -> conf(
+            SemDeconOf("corpus", "eval", "vec_id", "embedding",
+              thresholdFp = 250000000L),
+            "slice columns vec_id max_cos_fp contaminated"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "flagged")
+          .orderBy(col("vec_id"))
+      },
+      Some(SimilarityGates.semDeconOracleSql)),
+
     // near-dup twin of hb_decontaminate_cfg, same doc_id split, same
     // verified-pairs oracle machinery filtered to straddling pairs.
     Gate("hb_neardup_cfg",

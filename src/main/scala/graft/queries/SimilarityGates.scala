@@ -1019,20 +1019,7 @@ object SimilarityGates {
         .select("vec_id", "max_cos_fp", "contaminated")
         .orderBy(col("vec_id"))
     },
-      Some(s"""WITH e0 AS (
-           |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
-           |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
-           |ev AS (SELECT qv, nrm FROM e WHERE vec_id >= 495),
-           |tr AS (SELECT vec_id, qv, nrm FROM e WHERE vec_id < 495),
-           |mx AS (
-           |  SELECT t.vec_id,
-           |    MAX(CASE WHEN t.nrm > 0 AND v.nrm > 0
-           |      THEN CAST(FLOOR(${dotQSql("t.qv", "v.qv")} / (t.nrm * v.nrm) * 1e9) AS BIGINT)
-           |      ELSE -1000000000 END) AS max_cos_fp
-           |  FROM tr t CROSS JOIN ev v GROUP BY t.vec_id)
-           |SELECT vec_id, max_cos_fp, max_cos_fp >= 250000000 AS contaminated
-           |FROM mx
-           |ORDER BY vec_id ASC NULLS FIRST""".stripMargin)),
+      Some(semDeconOracleSql)),
 
     // Inverted-index lexical retrieval (operators.Retrieval): per-query
     // top-20 corpus docs ranked by distinct shared-term overlap; the
@@ -1101,6 +1088,27 @@ object SimilarityGates {
            |WHERE rank <= 10
            |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
   )
+
+  /** The s_semantic_decon oracle (shared with the configuration-algebra
+    * twin hb_semdecon_cfg in HbGates — same split, same threshold):
+    * fixed-point quantized cosines vs the 5-vector eval slice, the max,
+    * the zero-norm sentinel and the 0.25 threshold replayed per corpus
+    * vector. */
+  private[queries] lazy val semDeconOracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+       |ev AS (SELECT qv, nrm FROM e WHERE vec_id >= 495),
+       |tr AS (SELECT vec_id, qv, nrm FROM e WHERE vec_id < 495),
+       |mx AS (
+       |  SELECT t.vec_id,
+       |    MAX(CASE WHEN t.nrm > 0 AND v.nrm > 0
+       |      THEN CAST(FLOOR(${dotQSql("t.qv", "v.qv")} / (t.nrm * v.nrm) * 1e9) AS BIGINT)
+       |      ELSE -1000000000 END) AS max_cos_fp
+       |  FROM tr t CROSS JOIN ev v GROUP BY t.vec_id)
+       |SELECT vec_id, max_cos_fp, max_cos_fp >= 250000000 AS contaminated
+       |FROM mx
+       |ORDER BY vec_id ASC NULLS FIRST""".stripMargin
 
   /** Shared lexical-retrieval CTE chain for s_lexical_topk /
     * s_hybrid_rrf: distinct (doc, term) tokens → 5-seed query

@@ -132,10 +132,12 @@ class ConfigurationsSpec extends AnyFunSuite {
       "su1" -> Conf(SurprisalOf("a", "b", "id", "text", 512, "lm",
         9999L), Nil),
       "sc1" -> Conf(ScrubOf("a", "b", "id", "text", 8), Nil),
-      "sc2" -> Conf(ScrubOf("a", "b", "id", "text", 4), Nil))
+      "sc2" -> Conf(ScrubOf("a", "b", "id", "text", 4), Nil),
+      "sd1" -> Conf(SemDeconOf("a", "b", "id", "vec", 250000000L), Nil),
+      "sd2" -> Conf(SemDeconOf("a", "b", "id", "vec", 900000000L), Nil))
     val r = new Runner(spark, _ => fail("not resolved"))
     val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2", "cl1", "dr1",
-      "cv1", "su1", "sc1", "sc2")
+      "cv1", "su1", "sc1", "sc2", "sd1", "sd2")
       .map(r.lineageKey(cfgs, _))
     assert(keys.distinct.size == keys.size)
     assert(keys.forall(_.contains("table:t1")))
