@@ -19,7 +19,7 @@ object PlanAudit {
         // r11: bin packing + sequence emitters
         "t_pack_bfd", "t_pack_emit", "t_sft_artifact",
         // r11: retrieval + preference pairing
-        "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs")
+        "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "t_wordpiece")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

@@ -283,6 +283,12 @@ object Ast {
     * text column (deterministic pair counts, operators.Bpe) and add
     * `bpe` = the space-joined subword encoding. */
   case class BpeEnc(textCol: String, nMerges: Int) extends Statement
+  /** `wordpiece <textCol> <nMerges>` — the BERT tokenizer family
+    * (operators.WordPiece): fit `nMerges` likelihood-ranked merges on
+    * the frame's text, build the final vocabulary, and add `wp` (the
+    * greedy longest-match piece stream, `##` continuations, `[UNK]`
+    * collapse) and `n_pieces`. */
+  case class WordPieceEnc(textCol: String, nMerges: Int) extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -133,6 +133,8 @@ object Dsl {
   def topPct(pct: Int, by: String, per: String): Statement =
     TopFracBy(pct, by, per)
   def bpe(textCol: String, nMerges: Int): Statement = BpeEnc(textCol, nMerges)
+  def wordpiece(textCol: String, nMerges: Int): Statement =
+    WordPieceEnc(textCol, nMerges)
   def bpeBytes(textCol: String, nMerges: Int): Statement =
     BpeBytesEnc(textCol, nMerges)
   def bpeBytesUsing(textCol: String, conf: String,

@@ -359,6 +359,16 @@ object Engine {
       f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
         col(c), graft.operators.Bpe.fitDelta(f.df, c, n, minCount = 1L))))
 
+    case WordPieceEnc(c, n) =>
+      // likelihood-ranked fit (bounded driver rows) + greedy encode
+      // once per DISTINCT word, joined back on the frame key; docs with
+      // no words keep null wp (left join)
+      val merges = graft.operators.WordPiece.fit(f.df, c, n, minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(f.df, c, merges)
+      f.copy(df = f.df.join(
+        graft.operators.WordPiece.encode(f.df, KEY, c, vocab),
+        Seq(KEY), "left"))
+
     case BpeBytesEnc(c, n) =>
       // byte-level twin: case/whitespace-preserving, lossless under
       // `decode bytes`; same bounded-fit + narrow-encode shape

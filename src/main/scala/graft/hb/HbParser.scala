@@ -24,7 +24,7 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify", "decode", "emit", "pairs")
+    "classify", "decode", "emit", "pairs", "wordpiece")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -690,6 +690,9 @@ object HbParser {
             BpeUsing(c, conf, p.int())
           } else BpeEnc(c, p.int())
         }
+      case "wordpiece" =>
+        val c = p.colName()
+        WordPieceEnc(c, p.int())
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

@@ -105,6 +105,8 @@ object Printer {
       s"top $p pct by ${name(sc)} per ${name(st)}"
     case BpeEnc(c, n) =>
       s"bpe ${name(c)} $n"
+    case WordPieceEnc(c, n) =>
+      s"wordpiece ${name(c)} $n"
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

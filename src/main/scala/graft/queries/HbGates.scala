@@ -1051,6 +1051,19 @@ object HbGates {
         |FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // WordPiece statement surface (r11): the BERT tokenizer family as
+    // one DSL line — fit 6 likelihood-ranked merges on the frame,
+    // greedy-encode every doc (wp + n_pieces). Shares t_wordpiece's
+    // full round-unrolled oracle.
+    Gate("hb_wordpiece",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |wordpiece text 6
+          |slice columns doc_id wp n_pieces
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.wordPieceDocOracleSql)),
+
     // Preference-pair (DPO) statement surface (r11): synthetic prompts
     // of 4 docs each, token-count score, best-vs-worst pairing with a
     // ≥2 margin. The frame key keeps doc_id's integer type (index

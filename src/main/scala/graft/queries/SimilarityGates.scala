@@ -1057,37 +1057,111 @@ object SimilarityGates {
         .orderBy(col("query_id"), col("rank"))
     },
       Some(s"""WITH $lexCtes,
-           |e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
-           |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
-           |sem0 AS (
-           |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-           |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
-           |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
-           |semr AS (
-           |  SELECT query_id, neighbor_id,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
-           |  FROM sem0),
-           |u AS (
-           |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
-           |  FROM lexr WHERE rank <= 20
-           |  UNION ALL
-           |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
-           |  FROM semr WHERE rank <= 20),
-           |f AS (
-           |  SELECT query_id, neighbor_id, CAST(SUM(contrib) AS BIGINT) AS rrf_fp,
-           |    COUNT(*) AS n_lists
-           |  FROM u GROUP BY 1, 2),
-           |r AS (
-           |  SELECT query_id,
-           |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-           |      ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank,
-           |    neighbor_id, rrf_fp, n_lists
-           |  FROM f)
+           |$hybridFuseCtes
            |SELECT query_id, rank, neighbor_id, rrf_fp, n_lists FROM r
            |WHERE rank <= 10
-           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin))
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    // The late-r11 FLAGSHIP composition — retrieval-mined preference
+    // pairs (the hard-negative mining pattern behind reward/DPO data):
+    // hybrid-RRF retrieve 10 docs per seed → drop semantically
+    // contaminated hits (vs the 5-vector eval slice; eval docs
+    // themselves never mine) → per seed, pair the MOST relevant
+    // retrieved doc (chosen) against the LEAST relevant (rejected) on
+    // the exact-integer RRF score. One SQL oracle replays retrieval,
+    // fusion, decon and the pairing tie-breaks end to end.
+    Gate("s_mined_pairs", (s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val lex = graft.operators.Retrieval.lexicalOverlapTopK(
+        docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      val flags = graft.operators.Decontaminate.semanticFlag(
+        emb.filter(col("vec_id") < 495).select("vec_id", "embedding"),
+        emb.filter(col("vec_id") >= 495),
+        "vec_id", "embedding", thresholdFp = 250000000L)
+        .select(col("vec_id").as("neighbor_id"), col("contaminated"))
+      val cand = fused.join(flags, "neighbor_id")
+        .filter(!col("contaminated"))
+        .join(docs.select(col("doc_id").as("neighbor_id"), col("text")),
+          "neighbor_id")
+      graft.operators.Preference.preferencePairs(cand, "query_id",
+        "neighbor_id", "text", "rrf_fp", minMarginFp = 1L)
+        .orderBy(col("query_id"))
+    },
+      Some(s"""WITH $lexCtes,
+           |$hybridFuseCtes,
+           |ev2 AS (SELECT qv, nrm FROM e WHERE vec_id >= 495),
+           |mx AS (
+           |  SELECT t2.vec_id,
+           |    MAX(CASE WHEN t2.nrm > 0 AND v.nrm > 0
+           |      THEN CAST(FLOOR(${dotQSql("t2.qv", "v.qv")} / (t2.nrm * v.nrm) * 1e9) AS BIGINT)
+           |      ELSE -1000000000 END) AS max_cos_fp
+           |  FROM e t2 CROSS JOIN ev2 v WHERE t2.vec_id < 495
+           |  GROUP BY t2.vec_id),
+           |cand2 AS (
+           |  SELECT r.query_id, r.neighbor_id, r.rrf_fp, d.text
+           |  FROM r JOIN mx ON mx.vec_id = r.neighbor_id
+           |    JOIN documents d ON d.doc_id = r.neighbor_id
+           |  WHERE r.rank <= 10 AND NOT (mx.max_cos_fp >= 250000000)),
+           |p1 AS (
+           |  SELECT *,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_fp DESC, neighbor_id ASC) AS rc,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY rrf_fp ASC, neighbor_id DESC) AS rr,
+           |    COUNT(*) OVER (PARTITION BY query_id) AS n
+           |  FROM cand2),
+           |ch AS (SELECT query_id, neighbor_id AS chosen_id, text AS chosen,
+           |         rrf_fp AS chosen_score_fp, n FROM p1 WHERE rc = 1),
+           |rj AS (SELECT query_id, neighbor_id AS rejected_id,
+           |         text AS rejected, rrf_fp AS rejected_score_fp
+           |       FROM p1 WHERE rr = 1)
+           |SELECT query_id, chosen_id, rejected_id, chosen, rejected,
+           |  chosen_score_fp, rejected_score_fp,
+           |  chosen_score_fp - rejected_score_fp AS margin_fp,
+           |  n AS n_candidates
+           |FROM ch JOIN rj USING (query_id)
+           |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 1
+           |ORDER BY query_id ASC NULLS FIRST""".stripMargin))
   )
+
+  /** The RRF-fusion CTE chain (assumes `lexr` is in scope): quantized
+    * cosine top-20 per seed + the lexical top-20, fused with integer
+    * `1e9 // (60 + rank)` contributions into the ranked frame `r`.
+    * Shared by s_hybrid_rrf and the s_mined_pairs flagship.
+    * Pre-stripped (no margin pipes). */
+  private[queries] lazy val hybridFuseCtes: String =
+    s"""e0 AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+       |sem0 AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+       |  FROM e q JOIN e b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+       |semr AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM sem0),
+       |u AS (
+       |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM lexr WHERE rank <= 20
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM semr WHERE rank <= 20),
+       |f AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(contrib) AS BIGINT) AS rrf_fp,
+       |    COUNT(*) AS n_lists
+       |  FROM u GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, rrf_fp, n_lists
+       |  FROM f)""".stripMargin
 
   /** The s_semantic_decon oracle (shared with the configuration-algebra
     * twin hb_semdecon_cfg in HbGates — same split, same threshold):

@@ -1578,6 +1578,46 @@ object TextGates {
     },
       Some(bpeEncodeOracleSql)),
 
+    // WordPiece trainer (operators.WordPiece — the BERT tokenizer
+    // family next to BPE): 6 likelihood-ranked merges (fixed-point
+    // pc·1e6 div (uc_l·uc_r), total order score/pc/l/r) over the
+    // BERT-style ##-spelled word frame. FULL oracle: every round's
+    // pair+unit aggregates, score arithmetic and merge application
+    // unrolled as CTEs.
+    Gate("t_wordpiece_train", (s, d) => {
+      import s.implicits._
+      graft.operators.WordPiece.fit(t(s, d, "documents"), "text", 6,
+        minCount = 1L)
+        .map(m => (m.rank, m.left, m.right, m.merged, m.scoreFp))
+        .toDF("rank", "left", "right", "merged", "score_fp")
+        .orderBy(col("rank"))
+    },
+      Some("WITH " + wordPieceCtesSql(6) + "\n" +
+        """SELECT CAST("rank" AS INTEGER) AS "rank", l AS "left",
+          |  r AS "right",
+          |  l || CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END AS merged,
+          |  CAST(sc AS BIGINT) AS score_fp
+          |FROM (""".stripMargin +
+        (1 to 6).map(k => s"""SELECT $k AS "rank", l, r, sc FROM b$k""")
+          .mkString("\n", "\nUNION ALL\n", ")\n") +
+        """ORDER BY "rank" ASC NULLS FIRST""")),
+
+    // WordPiece ENCODE (fit 6 merges → final vocabulary → greedy
+    // longest-match-first, ## continuations, [UNK] collapse): the fold
+    // runs once per DISTINCT word and joins back — the scalable
+    // context-free design. FULL oracle: training rounds, the
+    // vocabulary, per-position longest-match lengths, the greedy walk
+    // as a recursive CTE, and ordered document reassembly.
+    Gate("t_wordpiece", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      graft.operators.WordPiece.encode(docs, "doc_id", "text", vocab)
+        .orderBy(col("doc_id"))
+    },
+      Some(wordPieceDocOracleSql)),
+
     // Production-vocab-scale BPE encode (r10): every document encoded
     // under a ≥256-merge table in ONE codegen'd narrow pass — the
     // regime where the r9 all-merges loop paid nMerges array passes
@@ -2814,6 +2854,137 @@ object TextGates {
     * ([[bpeBytesOracleSql]]): the rounds only see (word, freq, pos,
     * sym), so the alphabet and terminal conventions live entirely in
     * the st0 base. */
+  /** The t_wordpiece / hb_wordpiece oracle: 6 training rounds, the
+    * vocabulary, the greedy walk and per-document reassembly. */
+  private[queries] lazy val wordPieceDocOracleSql: String =
+    "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
+      wordPieceEncodeSql(6) + "\n" +
+      """SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS wp,
+        |  CAST(SUM(e.np) AS BIGINT) AS n_pieces
+        |FROM dtok d JOIN wenc e USING (word)
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** WordPiece training rounds unrolled as CTEs (the bpeStepsSql
+    * recipe with the two WordPiece differences): pair candidates rank
+    * by the fixed-point likelihood score `pc·1e6 div (uc_l·uc_r)`
+    * under (score DESC, pair count DESC, l ASC, r ASC), and the merged
+    * symbol drops the right part's `##`. st0 spells words BERT-style
+    * (initial char bare, continuations `##`-prefixed, no `</w>`). */
+  private[queries] def wordPieceCtesSql(n: Int): String = {
+    val base =
+      """w0 AS MATERIALIZED (
+        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE length(tok) > 0
+        |  GROUP BY tok),
+        |st0 AS (
+        |  SELECT word, freq, CAST(i AS BIGINT) AS pos,
+        |    CASE WHEN i = 1 THEN substr(word, i, 1)
+        |      ELSE '##' || substr(word, i, 1) END AS sym
+        |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i))""".stripMargin
+    val steps = (1 to n).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT word, freq, pos, sym,
+         |    lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM st${k - 1}),
+         |u$k AS MATERIALIZED (
+         |  SELECT sym AS us, CAST(SUM(freq) AS BIGINT) AS uc
+         |  FROM st${k - 1} GROUP BY sym),
+         |b$k AS MATERIALIZED (
+         |  SELECT p.sym AS l, p.nxt AS r,
+         |    (CAST(SUM(p.freq) AS BIGINT) * 1000000) // (ul.uc * ur.uc) AS sc,
+         |    CAST(SUM(p.freq) AS BIGINT) AS pc
+         |  FROM p$k p JOIN u$k ul ON ul.us = p.sym
+         |    JOIN u$k ur ON ur.us = p.nxt
+         |  WHERE p.nxt IS NOT NULL
+         |  GROUP BY p.sym, p.nxt, ul.uc, ur.uc
+         |  ORDER BY sc DESC, pc DESC, l ASC, r ASC LIMIT 1),
+         |m$k AS (
+         |  SELECT p.word, p.freq, p.pos, p.sym, p.nxt,
+         |    CASE WHEN p.sym = b.l AND p.nxt = b.r THEN 1 ELSE 0 END AS cand
+         |  FROM p$k p CROSS JOIN b$k b),
+         |g$k AS (
+         |  SELECT word, freq, pos, sym, nxt, cand,
+         |    pos - SUM(cand) OVER (PARTITION BY word ORDER BY pos
+         |      ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM m$k),
+         |h$k AS (
+         |  SELECT word, freq, pos, sym, nxt, cand,
+         |    CASE WHEN cand = 1 AND (ROW_NUMBER() OVER (
+         |        PARTITION BY word, cand, grp ORDER BY pos) - 1) % 2 = 0
+         |      THEN 1 ELSE 0 END AS mrg
+         |  FROM g$k),
+         |i$k AS (
+         |  SELECT word, freq, pos, sym, nxt, mrg,
+         |    COALESCE(LAG(mrg) OVER (PARTITION BY word ORDER BY pos), 0) AS consumed
+         |  FROM h$k),
+         |st$k AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |    CASE WHEN mrg = 1 THEN sym ||
+         |        CASE WHEN nxt LIKE '##%' THEN substr(nxt, 3) ELSE nxt END
+         |      ELSE sym END AS sym
+         |  FROM i$k WHERE consumed = 0)""".stripMargin
+    }
+    (base +: steps).mkString(",\n")
+  }
+
+  /** The t_wordpiece oracle tail: final vocabulary (st0 alphabet +
+    * merged pieces), per-(word, position) longest-match lengths, the
+    * deterministic greedy walk as a recursive CTE, and document
+    * reassembly. */
+  private[queries] def wordPieceEncodeSql(n: Int): String = {
+    val mg = (1 to n).map(k =>
+      s"SELECT l || CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END AS sym FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""vocab AS MATERIALIZED (
+       |  SELECT DISTINCT sym FROM (
+       |    SELECT sym FROM st0
+       |    UNION ALL
+       |$mg)),
+       |cands AS MATERIALIZED (
+       |  SELECT w.word, t.i AS p,
+       |    MAX(CASE WHEN t.i = 1 THEN len(v.sym) ELSE len(v.sym) - 2 END) AS bl
+       |  FROM w0 w, unnest(range(1, length(w.word) + 1)) AS t(i)
+       |  JOIN vocab v
+       |    ON ((t.i = 1 AND v.sym NOT LIKE '##%'
+       |          AND v.sym = substr(w.word, CAST(t.i AS INTEGER), len(v.sym)))
+       |      OR (t.i > 1 AND v.sym LIKE '##%'
+       |          AND substr(v.sym, 3) = substr(w.word, CAST(t.i AS INTEGER), len(v.sym) - 2)))
+       |  WHERE (CASE WHEN t.i = 1 THEN len(v.sym) ELSE len(v.sym) - 2 END) <= 16
+       |  GROUP BY w.word, t.i),
+       |walk AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS p, CAST(NULL AS VARCHAR) AS piece,
+       |    0 AS bad, 0 AS step
+       |  FROM w0
+       |  UNION ALL
+       |  SELECT w.word, w.p + COALESCE(c.bl, 0),
+       |    CASE WHEN c.bl IS NULL THEN NULL
+       |      WHEN w.p = 1 THEN substr(w.word, CAST(w.p AS INTEGER), CAST(c.bl AS INTEGER))
+       |      ELSE '##' || substr(w.word, CAST(w.p AS INTEGER), CAST(c.bl AS INTEGER)) END,
+       |    CASE WHEN c.bl IS NULL THEN 1 ELSE 0 END,
+       |    w.step + 1
+       |  FROM walk w LEFT JOIN cands c ON c.word = w.word AND c.p = w.p
+       |  WHERE w.bad = 0 AND w.p <= length(w.word)),
+       |wenc AS (
+       |  SELECT word,
+       |    CASE WHEN MAX(bad) = 1 THEN '[UNK]'
+       |      ELSE string_agg(piece, ' ' ORDER BY step) END AS ws,
+       |    CASE WHEN MAX(bad) = 1 THEN CAST(1 AS BIGINT)
+       |      ELSE COUNT(piece) END AS np
+       |  FROM walk WHERE piece IS NOT NULL OR bad = 1
+       |  GROUP BY word),
+       |dtok AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+       |  FROM (SELECT doc_id,
+       |          string_split(lower($normSql), ' ') AS tk
+       |        FROM documents),
+       |    unnest(range(1, len(tk) + 1)) AS t(i)
+       |  WHERE length(tk[CAST(i AS INTEGER)]) > 0)""".stripMargin
+  }
+
   private def bpeStepsSql(n: Int): Seq[String] = (1 to n).map { k =>
     s"""p$k AS (
        |  SELECT word, freq, pos, sym,

@@ -132,6 +132,8 @@ object StreamHb {
       Some("sequence emit aggregates whole-frame placements")
     case _: Pairs =>
       Some("preference pairing aggregates whole prompt groups")
+    case _: WordPieceEnc =>
+      Some("wordpiece merges fit on the whole frame")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>

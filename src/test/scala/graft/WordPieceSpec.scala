@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.WordPiece
+
+/** WordPiece trainer + greedy encoder: likelihood ranking, ## join
+  * rule, longest-match-first, [UNK] collapse, distinct-word memo. */
+class WordPieceSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+  import spark.implicits._
+
+  test("likelihood ranking beats raw frequency") {
+    // "xy" co-occurs exclusively (x never appears without y following);
+    // "aa" has a higher raw pair count but a/…/a are everywhere, so the
+    // likelihood ratio picks (x, ##y) first
+    val docs = Seq(
+      (1L, "xy xy xy aa aa aa aa ab ba ab ba aab baa")).toDF("doc_id", "text")
+    val merges = WordPiece.fit(docs, "text", 1, minCount = 1L)
+    assert(merges.head.left == "x" && merges.head.right == "##y")
+    assert(merges.head.merged == "xy")
+  }
+
+  test("## join rule chains through later merges") {
+    val docs = Seq((1L, "zzz zzz zzz")).toDF("doc_id", "text")
+    val merges = WordPiece.fit(docs, "text", 2, minCount = 1L)
+    // round 1 merges two adjacent ##-or-initial z's; round 2 completes
+    val syms = merges.map(_.merged)
+    assert(syms.contains("zzz") || syms.contains("##zzz"))
+    merges.foreach(m => assert(!m.merged.contains("####")))
+  }
+
+  test("greedy encode is longest-match-first with ## continuations") {
+    val vocab = Seq("un", "##aff", "##able", "##a", "##f", "##b", "##l",
+      "##e", "u", "##n", "a")
+    val out = Seq((1L, "unaffable a")).toDF("doc_id", "text")
+    val enc = WordPiece.encode(out, "doc_id", "text", vocab).head()
+    assert(enc.getAs[String]("wp") == "un ##aff ##able a")
+    assert(enc.getAs[Long]("n_pieces") == 4L)
+  }
+
+  test("unmatchable remainder collapses the word to [UNK]") {
+    val vocab = Seq("a", "##b") // no piece can start 'q'
+    val enc = WordPiece.encode(
+      Seq((1L, "ab qq ab")).toDF("doc_id", "text"),
+      "doc_id", "text", vocab).head()
+    assert(enc.getAs[String]("wp") == "a ##b [UNK] a ##b")
+  }
+
+  test("fit → vocabulary → encode round-trips the training corpus " +
+    "without [UNK]") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cats sat"),
+      (3L, "a mat on a cat")).toDF("doc_id", "text")
+    val merges = WordPiece.fit(docs, "text", 4, minCount = 1L)
+    assert(merges.size == 4)
+    assert(merges.map(_.rank) == Seq(1, 2, 3, 4))
+    assert(merges.forall(_.scoreFp > 0))
+    val vocab = WordPiece.vocabulary(docs, "text", merges)
+    val enc = WordPiece.encode(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect()
+    assert(enc.length == 3)
+    assert(!enc.exists(_.getAs[String]("wp").contains("[UNK]")))
+    // stripping ## markers reconstructs the concatenated words
+    enc.zip(Seq("thecatsatonthemat", "thecatssat", "amatonacat"))
+      .foreach { case (r, expected) =>
+        assert(r.getAs[String]("wp").replace(" ", "")
+          .replace("##", "") == expected)
+      }
+  }
+
+  test("guards") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](WordPiece.fit(df, "text", 0))
+    intercept[IllegalArgumentException](
+      WordPiece.encodeWord(lit("a"), Seq.empty))
+  }
+}
