@@ -289,6 +289,12 @@ object Ast {
     * greedy longest-match piece stream, `##` continuations, `[UNK]`
     * collapse) and `n_pieces`. */
   case class WordPieceEnc(textCol: String, nMerges: Int) extends Statement
+  /** `wordpiece <textCol> using <conf> <nMerges>` — the
+    * [[WordPieceEnc]] twin with the model fit OFFLINE on a named batch
+    * configuration; the frame/stream side is the stateless greedy
+    * encode (a pure narrow map — append-safe on streams). */
+  case class WordPieceUsing(textCol: String, conf: String, nMerges: Int)
+      extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -135,6 +135,8 @@ object Dsl {
   def bpe(textCol: String, nMerges: Int): Statement = BpeEnc(textCol, nMerges)
   def wordpiece(textCol: String, nMerges: Int): Statement =
     WordPieceEnc(textCol, nMerges)
+  def wordpieceUsing(textCol: String, conf: String,
+      nMerges: Int): Statement = WordPieceUsing(textCol, conf, nMerges)
   def bpeBytes(textCol: String, nMerges: Int): Statement =
     BpeBytesEnc(textCol, nMerges)
   def bpeBytesUsing(textCol: String, conf: String,

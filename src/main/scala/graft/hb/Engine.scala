@@ -447,7 +447,8 @@ object Engine {
     // silently wrong. Batch authoring of the same semantics is the
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing) =>
+        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
+        _: WordPieceUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

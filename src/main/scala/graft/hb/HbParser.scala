@@ -692,7 +692,11 @@ object HbParser {
         }
       case "wordpiece" =>
         val c = p.colName()
-        WordPieceEnc(c, p.int())
+        if (p.atIdent("using")) {
+          p.eat("using")
+          val conf = p.colName()
+          WordPieceUsing(c, conf, p.int())
+        } else WordPieceEnc(c, p.int())
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

@@ -107,6 +107,8 @@ object Printer {
       s"bpe ${name(c)} $n"
     case WordPieceEnc(c, n) =>
       s"wordpiece ${name(c)} $n"
+    case WordPieceUsing(c, conf, n) =>
+      s"wordpiece ${name(c)} using ${name(conf)} $n"
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

@@ -98,25 +98,29 @@ object Decontaminate {
       vecCol: String, thresholdFp: Long): DataFrame = {
     require(thresholdFp >= -1000000000L && thresholdFp <= 1000000000L,
       s"thresholdFp is fixed-point cosine ×1e9, got $thresholdFp")
-    Seq("contaminated", "max_cos_fp", "__evals").foreach { c =>
+    Seq("contaminated", "max_cos_fp", "__evals", "__enorms").foreach { c =>
       require(!corpus.columns.contains(c),
         s"corpus already has a '$c' column — rename it before semanticFlag")
     }
     val qv = Similarity.quantize(col(vecCol))
+    // one struct collect, split into aligned arrays by one transform
+    // pass — never two parallel collect_lists (alignment would ride on
+    // traversal order)
     val evalRow = evalSet
       .select(qv.as("__ev"), Similarity.normQ(qv).as("__en"))
-      .agg(collect_list(struct(col("__ev"), col("__en"))).as("__evals"))
-    val nrm = Similarity.normQ(qv)
-    val sim = (e: Column) =>
-      when(nrm > 0 && e.getField("__en") > 0,
-        floor(Similarity.dotQ(qv, e.getField("__ev")) /
-          (nrm * e.getField("__en")) * lit(1e9)).cast("long"))
-        .otherwise(lit(-1000000000L))
+      .agg(collect_list(struct(col("__ev"), col("__en"))).as("__s"))
+      .select(
+        transform(col("__s"), x => x.getField("__ev")).as("__evals"),
+        transform(col("__s"), x => x.getField("__en")).as("__enorms"))
+    // the max-cosine loop is ONE native codegen'd expression
+    // (functions.MaxCosQ): the row's quantization and norm compute once
+    // per row, not once per eval element — the HOF formulation this
+    // replaces ran interpreted and re-derived both per element
+    // (measured ~10 s vs ~0.3 s at 495 rows × 4.5k evals)
     corpus.crossJoin(broadcast(evalRow))
-      .withColumn("max_cos_fp",
-        coalesce(array_max(transform(col("__evals"), sim)),
-          lit(-1000000000L)))
-      .drop("__evals")
+      .withColumn("max_cos_fp", graft.functions.MaxCosQ.max_cos_q(
+        qv, col("__evals"), col("__enorms")))
+      .drop("__evals", "__enorms")
       .withColumn("contaminated", col("max_cos_fp") >= thresholdFp)
   }
 }

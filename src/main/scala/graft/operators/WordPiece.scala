@@ -150,6 +150,18 @@ object WordPiece {
     (chars.toSeq ++ merges.map(_.merged)).distinct.sorted
   }
 
+  /** The shippable vocab.txt-equivalent table: `(id, piece)` with
+    * `[UNK]` at id 0 and the vocabulary in its deterministic sorted
+    * order after it — engine- and partitioning-stable, so the artifact
+    * a downstream tokenizer loads is reproducible bit-for-bit. */
+  def vocabFrame(spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocabFrame needs a non-empty vocabulary")
+    import spark.implicits._
+    ((0, Unk) +: vocab.distinct.sorted.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }).toDF("id", "piece")
+  }
+
   /** Greedy longest-match piece array for one word column against a
     * literal vocabulary. Word-initial pieces match bare, continuations
     * `##`-prefixed; an unmatchable remainder collapses the word to one
@@ -160,6 +172,12 @@ object WordPiece {
     require(vocab.nonEmpty, "encodeWord needs a non-empty vocabulary")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     val vocabLit = array(vocab.map(lit): _*)
+    // no vocabulary piece is longer than its longest member — probing
+    // lengths beyond that is pure wasted membership checks (the fold is
+    // interpreted, so the constant matters)
+    val effMax = math.min(maxPieceLen,
+      vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length)
+        .max.max(1))
     val len = length(word)
     val init = struct(lit(1).as("p"),
       array().cast("array<string>").as("toks"), lit(false).as("bad"))
@@ -167,7 +185,7 @@ object WordPiece {
       (st, _) => {
         val p = st.getField("p")
         val stDone = st.getField("bad") || p > len
-        val hi = least(lit(maxPieceLen), len - p + 1)
+        val hi = least(lit(effMax), len - p + 1)
         val cand = (l: Column) =>
           when(p === 1, substring(word, p, l))
             .otherwise(concat(lit("##"), substring(word, p, l)))
@@ -186,6 +204,16 @@ object WordPiece {
         .otherwise(st.getField("toks")))
     when(len > 0, folded).otherwise(array().cast("array<string>"))
   }
+
+  /** Per-ROW piece array for a whole text column: every word folded
+    * greedily in place — a pure narrow map with no distinct-word memo,
+    * the streaming form (each doc is seen once, so memoization buys
+    * nothing and a shuffle would break append mode). */
+  def encodeCol(text: Column, vocab: Seq[String],
+      maxPieceLen: Int = 16): Column =
+    flatten(transform(
+      filter(Decontaminate.tokens(text), w => length(w) > 0),
+      w => encodeWord(w, vocab, maxPieceLen)))
 
   /** Encode every document: lowercase whitespace words, each replaced
     * by its piece sequence. The fold runs once per DISTINCT word and

@@ -1065,8 +1065,9 @@ object SimilarityGates {
     // The late-r11 FLAGSHIP composition — retrieval-mined preference
     // pairs (the hard-negative mining pattern behind reward/DPO data):
     // hybrid-RRF retrieve 10 docs per seed → drop semantically
-    // contaminated hits (vs the 5-vector eval slice; eval docs
-    // themselves never mine) → per seed, pair the MOST relevant
+    // contaminated hits (vs the scale-proportional 1% eval slice
+    // vec_id%100==7; eval docs themselves never mine) → per seed,
+    // pair the MOST relevant
     // retrieved doc (chosen) against the LEAST relevant (rejected) on
     // the exact-integer RRF score. One SQL oracle replays retrieval,
     // fusion, decon and the pairing tie-breaks end to end.
@@ -1080,8 +1081,8 @@ object SimilarityGates {
         emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
       val fused = graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
       val flags = graft.operators.Decontaminate.semanticFlag(
-        emb.filter(col("vec_id") < 495).select("vec_id", "embedding"),
-        emb.filter(col("vec_id") >= 495),
+        emb.filter(col("vec_id") % 100 =!= 7).select("vec_id", "embedding"),
+        emb.filter(col("vec_id") % 100 === 7),
         "vec_id", "embedding", thresholdFp = 250000000L)
         .select(col("vec_id").as("neighbor_id"), col("contaminated"))
       val cand = fused.join(flags, "neighbor_id")
@@ -1094,13 +1095,13 @@ object SimilarityGates {
     },
       Some(s"""WITH $lexCtes,
            |$hybridFuseCtes,
-           |ev2 AS (SELECT qv, nrm FROM e WHERE vec_id >= 495),
+           |ev2 AS (SELECT qv, nrm FROM e WHERE vec_id % 100 = 7),
            |mx AS (
            |  SELECT t2.vec_id,
            |    MAX(CASE WHEN t2.nrm > 0 AND v.nrm > 0
            |      THEN CAST(FLOOR(${dotQSql("t2.qv", "v.qv")} / (t2.nrm * v.nrm) * 1e9) AS BIGINT)
            |      ELSE -1000000000 END) AS max_cos_fp
-           |  FROM e t2 CROSS JOIN ev2 v WHERE t2.vec_id < 495
+           |  FROM e t2 CROSS JOIN ev2 v WHERE t2.vec_id % 100 != 7
            |  GROUP BY t2.vec_id),
            |cand2 AS (
            |  SELECT r.query_id, r.neighbor_id, r.rrf_fp, d.text

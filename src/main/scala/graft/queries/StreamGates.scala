@@ -374,6 +374,23 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.bpeEncodeOracleSql)),
 
+    // WordPiece offline-fit/online-encode (r11): vocabulary fits on
+    // the batch configuration at translation time, the live stream
+    // greedy-encodes as a stateless narrow map (no distinct-word memo
+    // — a shuffle would break append mode). Shares the batch chain's
+    // round-unrolled oracle.
+    Gate("st_hb_wordpiece",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """wordpiece text using corpus 6
+          |slice columns doc_id wp
+          |""".stripMargin, "st_hb_wordpiece_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.wordPieceStreamOracleSql)),
+
     // Byte-level offline-fit/online-encode (r11): the LOSSLESS
     // tokenizer's streaming pairing — merge table fits on the batch
     // configuration at translation time, the live stream encodes

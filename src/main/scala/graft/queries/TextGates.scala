@@ -1618,6 +1618,33 @@ object TextGates {
     },
       Some(wordPieceDocOracleSql)),
 
+    // The shippable WordPiece vocab.txt table: [UNK] at id 0, then the
+    // final vocabulary (corpus alphabet + merged pieces) in sorted
+    // order. Oracle re-derives the vocabulary from the unrolled rounds
+    // and replays the id assignment.
+    Gate("t_wordpiece_vocab", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      graft.operators.WordPiece.vocabFrame(s,
+        graft.operators.WordPiece.vocabulary(docs, "text", merges))
+        .orderBy(col("id"))
+    },
+      Some("WITH " + wordPieceCtesSql(6) + ",\n" +
+        """vocab AS MATERIALIZED (
+          |  SELECT DISTINCT sym FROM (
+          |    SELECT sym FROM st0
+          |    UNION ALL
+          |""".stripMargin +
+        (1 to 6).map(k =>
+          s"SELECT l || CASE WHEN r LIKE '##%' THEN substr(r, 3) ELSE r END AS sym FROM b$k")
+          .mkString("\nUNION ALL\n") + "))\n" +
+        """SELECT CAST(id AS INTEGER) AS id, piece FROM (
+          |  SELECT 0 AS id, '[UNK]' AS piece
+          |  UNION ALL
+          |  SELECT ROW_NUMBER() OVER (ORDER BY sym ASC), sym FROM vocab)
+          |ORDER BY id ASC NULLS FIRST""".stripMargin)),
+
     // Production-vocab-scale BPE encode (r10): every document encoded
     // under a ≥256-merge table in ONE codegen'd narrow pass — the
     // regime where the r9 all-merges loop paid nMerges array passes
@@ -2854,6 +2881,16 @@ object TextGates {
     * ([[bpeBytesOracleSql]]): the rounds only see (word, freq, pos,
     * sym), so the alphabet and terminal conventions live entirely in
     * the st0 base. */
+  /** The st_hb_wordpiece oracle — the same chain, encode column only
+    * (the stream side emits doc_id + wp). */
+  private[queries] lazy val wordPieceStreamOracleSql: String =
+    "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
+      wordPieceEncodeSql(6) + "\n" +
+      """SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS wp
+        |FROM dtok d JOIN wenc e USING (word)
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_wordpiece / hb_wordpiece oracle: 6 training rounds, the
     * vocabulary, the greedy walk and per-document reassembly. */
   private[queries] lazy val wordPieceDocOracleSql: String =

@@ -112,7 +112,8 @@ object StreamHb {
     // configuration at translation time; the stream side is a
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
-        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing => None
+        _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
+        _: WordPieceUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -256,6 +257,27 @@ object StreamHb {
           minCount = 1L)
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeBytesCol(col(c), merges)))
+      case (f, WordPieceUsing(c, conf, n)) =>
+        // WordPiece twin: merges + vocabulary fit offline on the batch
+        // configuration; the stream side is the stateless greedy
+        // longest-match narrow map (one fold per word occurrence —
+        // streams see each doc once, so the batch path's distinct-word
+        // memo buys nothing here)
+        val wpDf = resolve(conf)
+        val vocab = graft.operators.WordPiece.vocabulary(wpDf, c,
+          graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+        // the file source hands a micro-batch ONE task per file,
+        // serializing the interpreted greedy fold — one narrow
+        // round-robin exchange spreads it across cores (the
+        // bpeEncodeStream precedent, StreamOps.scala)
+        f.copy(df = f.df
+          .repartition(f.df.sparkSession.sessionState.conf
+            .numShufflePartitions)
+          .withColumn("__wps",
+            graft.operators.WordPiece.encodeCol(col(c), vocab))
+          .withColumn("wp", array_join(col("__wps"), " "))
+          .withColumn("n_pieces", size(col("__wps")).cast("long"))
+          .drop("__wps"))
       case (f, st) => Engine.applyStatement(f, st)
     }.result
   }

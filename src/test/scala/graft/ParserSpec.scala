@@ -232,7 +232,8 @@ class ParserSpec extends AnyFunSuite {
       BpeBytesUsing("text", "corpus", 6), BpeBytesDecode("bpe"),
       PackBins("n_chars", 1024L, 8), EmitPacked("token_ids", 512L, 4),
       EmitAligned("token_ids", 512L, 4), Pairs("text", "sc", "p", 5L),
-      Pairs("text", "sc", "p"), WordPieceEnc("text", 6)).foreach { st =>
+      Pairs("text", "sc", "p"), WordPieceEnc("text", 6),
+      WordPieceUsing("text", "corpus", 6)).foreach { st =>
       assert(HbParser.parseStatement(Printer.print(st)) == st,
         Printer.print(st))
     }
