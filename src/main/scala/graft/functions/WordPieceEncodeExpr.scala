@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece greedy longest-match encode of a token array — the
+  * per-document inner loop of [[graft.operators.WordPiece]] as a native
+  * expression: one compiled pass with a hash-set vocabulary, replacing
+  * the interpreted Catalyst fold (`aggregate` over positions probing a
+  * literal array — measured ~6× slower at sf0.1 before the stream
+  * repartition, and still the dominant per-row cost after it).
+  *
+  * Semantics are IDENTICAL to the fold (WordPieceSpec pins parity, the
+  * t_wordpiece oracle pins values): per word, take the longest
+  * vocabulary piece at each position (`##`-prefixed off word start,
+  * probe lengths capped at the vocabulary's longest piece); a word with
+  * an unmatchable remainder collapses to one `[UNK]`. Null/empty
+  * tokens contribute nothing; a null token array yields null. */
+case class WordPieceEncodeExpr(child: Expression, vocab: Seq[String],
+    maxPieceLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode needs array<string>, got $other")
+  }
+
+  private lazy val table: WordPieceEncodeExpr.Vocab =
+    new WordPieceEncodeExpr.Vocab(vocab.toArray, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    WordPieceEncodeExpr.encodeTokens(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("wpVocab", table,
+      classOf[WordPieceEncodeExpr.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.WordPieceEncodeExpr.encodeTokens($arr, $tbl);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object WordPieceEncodeExpr {
+
+  val Unk = "[UNK]"
+
+  /** Compiled vocabulary: hash-set membership + the effective probe
+    * cap (no piece is longer than the longest member). */
+  final class Vocab(pieces: Array[String], maxPieceLen: Int)
+      extends Serializable {
+    val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String](pieces.length * 2)
+      pieces.foreach(s.add)
+      s
+    }
+    val maxLen: Int = math.min(maxPieceLen,
+      pieces.iterator.map(p =>
+        if (p.startsWith("##")) p.length - 2 else p.length)
+        .foldLeft(1)(math.max))
+  }
+
+  /** Greedy-encode every non-empty token of `tokens`, flattened. */
+  def encodeTokens(tokens: ArrayData, v: Vocab): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](
+      tokens.numElements() * 2)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val w = tokens.getUTF8String(i).toString
+        if (w.nonEmpty) encodeWordInto(w, v, out)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  private def encodeWordInto(word: String, v: Vocab,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val len = word.length
+    val tmp = new scala.collection.mutable.ArrayBuffer[UTF8String](4)
+    var p = 0
+    while (p < len) {
+      var l = math.min(v.maxLen, len - p)
+      var hit: String = null
+      while (l >= 1 && hit == null) {
+        val raw = word.substring(p, p + l)
+        val cand = if (p == 0) raw else "##" + raw
+        if (v.set.contains(cand)) hit = cand else l -= 1
+      }
+      if (hit == null) { // unmatchable remainder → the whole word is UNK
+        out += UTF8String.fromString(Unk)
+        return
+      }
+      tmp += UTF8String.fromString(hit)
+      p += l
+    }
+    out ++= tmp
+  }
+
+  /** Column-level entry point over a token array. */
+  def wp_encode(tokens: Column, vocab: Seq[String],
+      maxPieceLen: Int): Column =
+    GraftSqlBridge.column(WordPieceEncodeExpr(
+      GraftSqlBridge.expression(tokens), vocab, maxPieceLen))
+}

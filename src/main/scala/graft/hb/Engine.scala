@@ -360,14 +360,16 @@ object Engine {
         col(c), graft.operators.Bpe.fitDelta(f.df, c, n, minCount = 1L))))
 
     case WordPieceEnc(c, n) =>
-      // likelihood-ranked fit (bounded driver rows) + greedy encode
-      // once per DISTINCT word, joined back on the frame key; docs with
-      // no words keep null wp (left join)
+      // likelihood-ranked fit (bounded driver rows) + the native greedy
+      // encode as a pure narrow map — no join, row set unchanged
       val merges = graft.operators.WordPiece.fit(f.df, c, n, minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(f.df, c, merges)
-      f.copy(df = f.df.join(
-        graft.operators.WordPiece.encode(f.df, KEY, c, vocab),
-        Seq(KEY), "left"))
+      f.copy(df = f.df
+        .withColumn("__wps", graft.operators.WordPiece.encodeCol(col(c), vocab))
+        .withColumn("wp", array_join(col("__wps"), " "))
+        .withColumn("n_pieces",
+          when(col("__wps").isNotNull, size(col("__wps")).cast("long")))
+        .drop("__wps"))
 
     case BpeBytesEnc(c, n) =>
       // byte-level twin: case/whitespace-preserving, lossless under

@@ -26,12 +26,12 @@ import org.apache.spark.sql.functions._
   * 100 TB design: the corpus is touched ONCE (the word-count frame —
   * Heap's-law-bounded distinct words); each training round is two
   * bounded aggregates (pair counts + unit counts) and one driver row.
-  * Encoding is context-free per word, so it runs once per DISTINCT
-  * word and joins back — the per-word cost never multiplies with word
-  * frequency. The greedy fold is a pure narrow expression against the
-  * broadcast (literal) vocabulary; a 30k-piece production vocabulary
-  * would move the membership probe into a native expression exactly
-  * like [[graft.functions.BpeEncodeExpr]] did for BPE.
+  * Encoding is ONE native compiled pass per document
+  * ([[graft.functions.WordPieceEncodeExpr]] — hash-set membership, the
+  * BpeEncodeExpr recipe): a pure narrow map, zero shuffles,
+  * vocabulary-size-independent probes, stream-safe. The Column-fold
+  * form ([[encodeWord]]) stays as the executable specification the
+  * parity test pins the native pass against.
   */
 object WordPiece {
 
@@ -205,36 +205,32 @@ object WordPiece {
     when(len > 0, folded).otherwise(array().cast("array<string>"))
   }
 
-  /** Per-ROW piece array for a whole text column: every word folded
-    * greedily in place — a pure narrow map with no distinct-word memo,
-    * the streaming form (each doc is seen once, so memoization buys
-    * nothing and a shuffle would break append mode). */
+  /** Per-ROW piece array for a whole text column — ONE native compiled
+    * pass ([[graft.functions.WordPieceEncodeExpr]]: hash-set vocabulary,
+    * greedy longest-match, `[UNK]` collapse; parity with the
+    * [[encodeWord]] fold pinned in WordPieceSpec). A pure narrow map:
+    * zero shuffles at any scale, stream-safe. */
   def encodeCol(text: Column, vocab: Seq[String],
-      maxPieceLen: Int = 16): Column =
-    flatten(transform(
-      filter(Decontaminate.tokens(text), w => length(w) > 0),
-      w => encodeWord(w, vocab, maxPieceLen)))
+      maxPieceLen: Int = 16): Column = {
+    require(vocab.nonEmpty, "encodeCol needs a non-empty vocabulary")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    graft.functions.WordPieceEncodeExpr.wp_encode(
+      Decontaminate.tokens(text), vocab, maxPieceLen)
+  }
 
   /** Encode every document: lowercase whitespace words, each replaced
-    * by its piece sequence. The fold runs once per DISTINCT word and
-    * joins back on the exploded (doc, position, word) rows, then one
-    * keyed aggregation reassembles the document in order. Returns
-    * `(idCol, wp, n_pieces)` with `wp` the space-joined piece stream. */
+    * by its piece sequence — one narrow [[encodeCol]] pass, zero
+    * shuffles (the encode is context-free per word and the inner loop
+    * is compiled, so there is nothing to memoize or join). Returns
+    * `(idCol, wp, n_pieces)` with `wp` the space-joined piece stream;
+    * a doc with no words gets `wp = '' / n_pieces = 0`, null text stays
+    * null. */
   def encode(df: DataFrame, idCol: String, textCol: String,
-      vocab: Seq[String], maxPieceLen: Int = 16): DataFrame = {
-    val toks = df.select(col(idCol),
-      posexplode(Decontaminate.tokens(col(textCol)))
-        .as(Seq("__tpos", "__w")))
-      .filter(length(col("__w")) > 0)
-    val words = toks.select(col("__w")).distinct()
-      .select(col("__w"),
-        encodeWord(col("__w"), vocab, maxPieceLen).as("__pieces"))
-    toks.join(words, "__w")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(flatten(transform(
-          array_sort(collect_list(struct(col("__tpos"), col("__pieces")))),
-          x => x.getField("__pieces"))), " ").as("wp"),
-        sum(size(col("__pieces"))).as("n_pieces"))
-  }
+      vocab: Seq[String], maxPieceLen: Int = 16): DataFrame =
+    df.select(col(idCol),
+        encodeCol(col(textCol), vocab, maxPieceLen).as("__wps"))
+      .select(col(idCol),
+        array_join(col("__wps"), " ").as("wp"),
+        when(col("__wps").isNotNull, size(col("__wps")).cast("long"))
+          .as("n_pieces"))
 }

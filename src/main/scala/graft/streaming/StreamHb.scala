@@ -266,17 +266,17 @@ object StreamHb {
         val wpDf = resolve(conf)
         val vocab = graft.operators.WordPiece.vocabulary(wpDf, c,
           graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
-        // the file source hands a micro-batch ONE task per file,
-        // serializing the interpreted greedy fold — one narrow
-        // round-robin exchange spreads it across cores (the
-        // bpeEncodeStream precedent, StreamOps.scala)
+        // the file source hands a micro-batch ONE task per file — one
+        // narrow round-robin exchange spreads the compiled encode
+        // across cores (the bpeEncodeStream precedent, StreamOps.scala)
         f.copy(df = f.df
           .repartition(f.df.sparkSession.sessionState.conf
             .numShufflePartitions)
           .withColumn("__wps",
             graft.operators.WordPiece.encodeCol(col(c), vocab))
           .withColumn("wp", array_join(col("__wps"), " "))
-          .withColumn("n_pieces", size(col("__wps")).cast("long"))
+          .withColumn("n_pieces",
+            when(col("__wps").isNotNull, size(col("__wps")).cast("long")))
           .drop("__wps"))
       case (f, st) => Engine.applyStatement(f, st)
     }.result

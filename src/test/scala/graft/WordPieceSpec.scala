@@ -71,6 +71,31 @@ class WordPieceSpec extends AnyFunSuite {
       }
   }
 
+  test("native encodeCol matches the Column-fold specification " +
+    "word for word") {
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abcde"
+    val words = (0 until 60).map(_ =>
+      (0 until (1 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.grouped(6).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = WordPiece.fit(docs, "text", 5, minCount = 1L)
+    val vocab = WordPiece.vocabulary(docs, "text", merges)
+    // fold path per word, reassembled like the old join form
+    val foldRef = docs.select(col("doc_id"),
+      flatten(transform(
+        filter(graft.operators.Decontaminate.tokens(col("text")),
+          w => length(w) > 0),
+        w => WordPiece.encodeWord(w, vocab))).as("p"))
+      .select(col("doc_id"), array_join(col("p"), " ").as("wp"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("wp")).toSeq
+    val native = WordPiece.encode(docs, "doc_id", "text", vocab)
+      .orderBy("doc_id").collect().map(_.getAs[String]("wp")).toSeq
+    assert(native === foldRef)
+  }
+
   test("guards") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](WordPiece.fit(df, "text", 0))
