@@ -59,8 +59,9 @@ object WordPieceEncodeExpr {
 
   val Unk = "[UNK]"
 
-  /** Compiled vocabulary: hash-set membership + the effective probe
-    * cap (no piece is longer than the longest member). */
+  /** Compiled vocabulary: hash-set membership, the effective probe cap
+    * (no piece is longer than the longest member), and the vocabFrame
+    * id layout ([UNK]=0, sorted pieces at 1..N). */
   final class Vocab(pieces: Array[String], maxPieceLen: Int)
       extends Serializable {
     val set: java.util.HashSet[String] = {
@@ -72,6 +73,14 @@ object WordPieceEncodeExpr {
       pieces.iterator.map(p =>
         if (p.startsWith("##")) p.length - 2 else p.length)
         .foldLeft(1)(math.max))
+    val ids: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+      m.put(Unk, 0)
+      pieces.distinct.sorted.zipWithIndex.foreach { case (p, i) =>
+        if (!m.containsKey(p)) m.put(p, i + 1)
+      }
+      m
+    }
   }
 
   /** Greedy-encode every non-empty token of `tokens`, flattened. */
@@ -88,6 +97,19 @@ object WordPieceEncodeExpr {
       i += 1
     }
     new GenericArrayData(out.toArray[Any])
+  }
+
+  /** [[encodeTokens]] with each piece mapped to its vocabFrame id. */
+  def encodeTokenIds(tokens: ArrayData, v: Vocab): ArrayData = {
+    val pieces = encodeTokens(tokens, v)
+    val n = pieces.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.ids.get(pieces.getUTF8String(i).toString).intValue()
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   private def encodeWordInto(word: String, v: Vocab,
@@ -118,4 +140,50 @@ object WordPieceEncodeExpr {
       maxPieceLen: Int): Column =
     GraftSqlBridge.column(WordPieceEncodeExpr(
       GraftSqlBridge.expression(tokens), vocab, maxPieceLen))
+
+  /** Column-level entry point for the id form. */
+  def wp_encode_ids(tokens: Column, vocab: Seq[String],
+      maxPieceLen: Int): Column =
+    GraftSqlBridge.column(WordPieceIdsExpr(
+      GraftSqlBridge.expression(tokens), vocab, maxPieceLen))
+}
+
+/** The id form of [[WordPieceEncodeExpr]]: the same greedy walk, each
+  * piece mapped to its [[graft.operators.WordPiece.vocabFrame]] id
+  * (`[UNK]` = 0, sorted vocabulary at 1..N) — the BERT `input_ids`
+  * artifact column. Piece↔id layout is the vocabFrame contract, so the
+  * t_wordpiece_vocab table decodes exactly what this emits. */
+case class WordPieceIdsExpr(child: Expression, vocab: Seq[String],
+    maxPieceLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_encode_ids needs array<string>, got $other")
+  }
+
+  private lazy val table: WordPieceEncodeExpr.Vocab =
+    new WordPieceEncodeExpr.Vocab(vocab.toArray, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    WordPieceEncodeExpr.encodeTokenIds(
+      input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("wpVocab", table,
+      classOf[WordPieceEncodeExpr.Vocab].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.WordPieceEncodeExpr.encodeTokenIds($arr, $tbl);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
 }

@@ -218,6 +218,18 @@ object WordPiece {
       Decontaminate.tokens(text), vocab, maxPieceLen)
   }
 
+  /** The BERT `input_ids` form: the same greedy walk with each piece
+    * mapped to its [[vocabFrame]] id (`[UNK]` = 0, sorted vocabulary at
+    * 1..N) — the shippable training-artifact column; the
+    * t_wordpiece_vocab table is its exact decoder. Pure narrow map. */
+  def encodeIdsCol(text: Column, vocab: Seq[String],
+      maxPieceLen: Int = 16): Column = {
+    require(vocab.nonEmpty, "encodeIdsCol needs a non-empty vocabulary")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    graft.functions.WordPieceEncodeExpr.wp_encode_ids(
+      Decontaminate.tokens(text), vocab, maxPieceLen)
+  }
+
   /** Encode every document: lowercase whitespace words, each replaced
     * by its piece sequence — one narrow [[encodeCol]] pass, zero
     * shuffles (the encode is context-free per word and the inner loop

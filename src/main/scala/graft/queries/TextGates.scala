@@ -1921,6 +1921,49 @@ object TextGates {
     },
       Some(sftArtifactOracleSql)),
 
+    // WordPiece token IDS (the BERT input_ids artifact): the same
+    // greedy walk with pieces mapped through the vocabFrame layout
+    // ([UNK]=0, sorted vocabulary at 1..N) — t_wordpiece_vocab is the
+    // exact decoder table. Oracle: rounds + vocabulary + walk + the
+    // ROW_NUMBER id assignment + per-document reassembly.
+    Gate("t_wordpiece_ids", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      docs.select(col("doc_id"),
+        graft.operators.WordPiece.encodeIdsCol(col("text"), vocab)
+          .as("__ids"))
+        .select(col("doc_id"),
+          array_join(col("__ids").cast("array<string>"), " ").as("ids_str"),
+          when(col("__ids").isNotNull, size(col("__ids")).cast("long"))
+            .as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some("WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
+        wordPieceEncodeSql(6) + ",\n" +
+        """vid AS (
+          |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC) AS INTEGER) AS id
+          |  FROM vocab),
+          |wpieces AS (SELECT word, step, piece FROM walk WHERE piece IS NOT NULL),
+          |wbad AS (SELECT word, MAX(bad) AS bad FROM walk GROUP BY word),
+          |wagg AS (
+          |  SELECT p.word,
+          |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY p.step) AS ids,
+          |    COUNT(*) AS np
+          |  FROM wpieces p JOIN vid v ON v.sym = p.piece
+          |  GROUP BY p.word),
+          |wid AS (
+          |  SELECT b.word,
+          |    CASE WHEN b.bad = 1 THEN '0' ELSE a.ids END AS ids,
+          |    CASE WHEN b.bad = 1 THEN CAST(1 AS BIGINT) ELSE a.np END AS np
+          |  FROM wbad b LEFT JOIN wagg a USING (word))
+          |SELECT d.doc_id, string_agg(w.ids, ' ' ORDER BY d.tpos) AS ids_str,
+          |  CAST(SUM(w.np) AS BIGINT) AS n_ids
+          |FROM dtok d JOIN wid w USING (word)
+          |GROUP BY d.doc_id
+          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Preference-pair (DPO) artifact emitter (operators.Preference):
     // 4 candidate "responses" per synthetic prompt (doc_id div 4), an
     // integer score with planted collisions ((n_chars·31 + doc_id·7)

@@ -96,6 +96,19 @@ class WordPieceSpec extends AnyFunSuite {
     assert(native === foldRef)
   }
 
+  test("encodeIdsCol maps pieces through the vocabFrame layout, UNK=0") {
+    val vocab = Seq("a", "##b") // sorted: ##b → 1, a → 2
+    val out = Seq((1L, "ab qq"))
+      .toDF("doc_id", "text")
+      .select(WordPiece.encodeIdsCol(col("text"), vocab).as("ids"))
+      .head().getSeq[Int](0)
+    assert(out === Seq(2, 1, 0))
+    // the vocabFrame table is the exact decoder
+    val vf = WordPiece.vocabFrame(spark, vocab)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(out.map(vf) === Seq("a", "##b", "[UNK]"))
+  }
+
   test("guards") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](WordPiece.fit(df, "text", 0))
