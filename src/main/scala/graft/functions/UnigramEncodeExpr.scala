@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unigram-LM (SentencePiece-family, Kudo 2018) Viterbi segmentation of
+  * a token array — the third tokenizer family's inner loop as a native
+  * compiled expression (the WordPieceEncodeExpr recipe).
+  *
+  * Per word, minimum-cost segmentation over the piece vocabulary by
+  * left-to-right dynamic programming; costs are INTEGER bit lengths
+  * (the [[graft.operators.Surprisal]] `bitlen` surrogate for −log₂ p —
+  * no libm, so a SQL oracle replays every DP cell exactly). The total
+  * order at each DP cell is (cost ASC, piece count ASC, piece length
+  * DESC) — fully deterministic, engine-portable. A word containing a
+  * character outside the vocabulary collapses to one `[UNK]`. */
+case class UnigramEncodeExpr(child: Expression,
+    pieces: Seq[(String, Int)], maxPieceLen: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unigram_encode needs array<string>, got $other")
+  }
+
+  private lazy val table: UnigramEncodeExpr.Model =
+    new UnigramEncodeExpr.Model(
+      pieces.map(_._1).toArray, pieces.map(_._2).toArray, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramEncodeExpr.encodeTokens(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val tbl = ctx.addReferenceObj("ugModel", table,
+      classOf[UnigramEncodeExpr.Model].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"""
+         |${ev.value} =
+         |  graft.functions.UnigramEncodeExpr.encodeTokens($arr, $tbl);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(child = newChild)
+}
+
+object UnigramEncodeExpr {
+
+  val Unk = "[UNK]"
+
+  /** Compiled model: piece → integer cost, plus the probe cap. */
+  final class Model(ps: Array[String], costs: Array[Int],
+      maxPieceLen: Int) extends Serializable {
+    val cost: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](ps.length * 2)
+      ps.indices.foreach(i =>
+        if (!m.containsKey(ps(i))) m.put(ps(i), costs(i)))
+      m
+    }
+    val maxLen: Int = math.min(maxPieceLen,
+      ps.iterator.map(_.length).foldLeft(1)(math.max))
+  }
+
+  def encodeTokens(tokens: ArrayData, m: Model): ArrayData = {
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](
+      tokens.numElements() * 2)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val w = tokens.getUTF8String(i).toString
+        if (w.nonEmpty) segmentInto(w, m, out)
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  /** Viterbi DP: best(i) = min over piece lengths l of
+    * (best(i−l).cost + cost(word[i−l..i]), best(i−l).n + 1, −l),
+    * lexicographic — the exact order the SQL oracle's ROW_NUMBER
+    * replays. */
+  private def segmentInto(word: String, m: Model,
+      out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
+    val len = word.length
+    val INF = Int.MaxValue / 2
+    val cost = new Array[Int](len + 1)
+    val np = new Array[Int](len + 1)
+    val back = new Array[Int](len + 1) // chosen piece length at pos i
+    var i = 1
+    while (i <= len) {
+      cost(i) = INF; np(i) = INF; back(i) = 0
+      var l = 1
+      val hi = math.min(m.maxLen, i)
+      while (l <= hi) {
+        val c = m.cost.get(word.substring(i - l, i))
+        if (c != null && cost(i - l) < INF) {
+          val tc = cost(i - l) + c.intValue()
+          val tn = np(i - l) + 1
+          // (cost ASC, pieces ASC, length DESC); scanning l ascending,
+          // a strictly-better OR equal-with-longer-l candidate wins
+          if (tc < cost(i) || (tc == cost(i) &&
+              (tn < np(i) || (tn == np(i) && l > back(i))))) {
+            cost(i) = tc; np(i) = tn; back(i) = l
+          }
+        }
+        l += 1
+      }
+      i += 1
+    }
+    if (cost(len) >= INF) { out += UTF8String.fromString(Unk); return }
+    // backtrack, then emit left-to-right
+    val rev = new scala.collection.mutable.ArrayBuffer[UTF8String](4)
+    var p = len
+    while (p > 0) {
+      val l = back(p)
+      rev += UTF8String.fromString(word.substring(p - l, p))
+      p -= l
+    }
+    var k = rev.length - 1
+    while (k >= 0) { out += rev(k); k -= 1 }
+  }
+
+  /** Column-level entry point over a token array. */
+  def ug_encode(tokens: Column, pieces: Seq[(String, Int)],
+      maxPieceLen: Int): Column =
+    GraftSqlBridge.column(UnigramEncodeExpr(
+      GraftSqlBridge.expression(tokens), pieces, maxPieceLen))
+}

@@ -289,6 +289,16 @@ object Ast {
     * greedy longest-match piece stream, `##` continuations, `[UNK]`
     * collapse) and `n_pieces`. */
   case class WordPieceEnc(textCol: String, nMerges: Int) extends Statement
+  /** `unigram <textCol> <topMulti>` — the SentencePiece-family
+    * unigram-LM tokenizer (operators.Unigram): candidate fit + one
+    * Viterbi hard-EM refinement on the frame's text, then min-cost
+    * segmentation; adds `ug` (space-joined pieces) and `n_pieces`. */
+  case class UnigramEnc(textCol: String, topMulti: Int) extends Statement
+  /** `unigram <textCol> using <conf> <topMulti>` — the [[UnigramEnc]]
+    * twin with the model fit OFFLINE on a named batch configuration;
+    * the frame/stream side is the stateless compiled Viterbi encode. */
+  case class UnigramUsing(textCol: String, conf: String, topMulti: Int)
+      extends Statement
   /** `wordpiece <textCol> using <conf> <nMerges>` — the
     * [[WordPieceEnc]] twin with the model fit OFFLINE on a named batch
     * configuration; the frame/stream side is the stateless greedy

@@ -62,6 +62,14 @@ object Configurations {
       pointField: String, startField: String, endField: String,
       pointKeys: Seq[String], intervalKeys: Seq[String],
       binWidth: Long) extends ConfSource
+  /** Hybrid retrieval (Graft.retrieve): per-seed top-k corpus rows by
+    * reciprocal-rank fusion of the lexical inverted-index ranking (text
+    * fields) and the embedding-cosine ranking (vec fields) —
+    * `(query_id, rank, neighbor_id, rrf_fp, n_lists)`. The seeds and
+    * both corpus modalities are other configurations' outputs. */
+  case class RetrieveOf(corpus: String, seeds: String, idField: String,
+      textField: String, vecField: String, k: Int,
+      maxDfPermille: Int = 500) extends ConfSource
   /** DSIR importance selection (Graft.dsirSelect): the raw
     * configuration's rows scoring in the top pct% under the target
     * configuration's smoothed unigram model, plus `score_fp`. */
@@ -139,6 +147,9 @@ object Configurations {
         case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
           s"range(${lineageKey(configs, pt)},${lineageKey(configs, iv)}," +
             s"$pf,$sf,$ef,${pk.mkString("+")},${ik.mkString("+")},$w)"
+        case RetrieveOf(cp, sd, id, tx, vc, k, df) =>
+          s"retrieve(${lineageKey(configs, cp)},${lineageKey(configs, sd)}," +
+            s"$id,$tx,$vc,$k,$df)"
         case DsirOf(rw, tg, id, tx, pct, b) =>
           s"dsir(${lineageKey(configs, rw)},${lineageKey(configs, tg)}," +
             s"$id,$tx,$pct,$b)"
@@ -186,6 +197,8 @@ object Configurations {
               Graft.asof(sub(l), sub(r), lt, rt, lk, rk, rv, px)
             case RangeOf(pt, iv, pf, sf, ef, pk, ik, w) =>
               Graft.rangeJoin(sub(pt), sub(iv), pf, sf, ef, pk, ik, w)
+            case RetrieveOf(cp, sd, id, tx, vc, k, df) =>
+              Graft.retrieve(sub(cp), sub(sd), id, tx, vc, k, df)
             case DsirOf(rw, tg, id, tx, pct, b) =>
               Graft.dsirSelect(sub(rw), sub(tg), id, tx, pct, b)
             case SurprisalOf(cp, rf, id, tx, b, sa, mx) =>

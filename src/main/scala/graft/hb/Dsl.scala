@@ -137,6 +137,10 @@ object Dsl {
     WordPieceEnc(textCol, nMerges)
   def wordpieceUsing(textCol: String, conf: String,
       nMerges: Int): Statement = WordPieceUsing(textCol, conf, nMerges)
+  def unigram(textCol: String, topMulti: Int): Statement =
+    UnigramEnc(textCol, topMulti)
+  def unigramUsing(textCol: String, conf: String,
+      topMulti: Int): Statement = UnigramUsing(textCol, conf, topMulti)
   def bpeBytes(textCol: String, nMerges: Int): Statement =
     BpeBytesEnc(textCol, nMerges)
   def bpeBytesUsing(textCol: String, conf: String,

@@ -371,6 +371,17 @@ object Engine {
           when(col("__wps").isNotNull, size(col("__wps")).cast("long")))
         .drop("__wps"))
 
+    case UnigramEnc(c, n) =>
+      // candidate fit + one Viterbi-EM round (bounded model rows), then
+      // the native compiled DP encode as a pure narrow map
+      val model = graft.operators.Unigram.fitEm(f.df, c, n)
+      f.copy(df = f.df
+        .withColumn("__ups", graft.operators.Unigram.encodeCol(col(c), model))
+        .withColumn("ug", array_join(col("__ups"), " "))
+        .withColumn("n_pieces",
+          when(col("__ups").isNotNull, size(col("__ups")).cast("long")))
+        .drop("__ups"))
+
     case BpeBytesEnc(c, n) =>
       // byte-level twin: case/whitespace-preserving, lossless under
       // `decode bytes`; same bounded-fit + narrow-encode shape
@@ -450,7 +461,7 @@ object Engine {
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing) =>
+        _: WordPieceUsing | _: UnigramUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +
@@ -718,6 +729,7 @@ object Engine {
         case "-" => lc - rc
         case "*" => lc * rc
         case "/" => lc / rc
+        case "%" => lc % rc
         case "&&" => lc && rc
         case "||" => lc || rc
         case other => throw new IllegalArgumentException(s"op $other")

@@ -93,6 +93,23 @@ object Graft {
     graft.operators.PassageDedup.scrubAgainst(corpus, idField, textField,
       evalSet, idField, textField, k)
 
+  /** Hybrid-retrieval provider: per-seed top-k corpus rows under
+    * reciprocal-rank fusion of the lexical inverted-index ranking and
+    * the embedding-cosine ranking (operators.Retrieval +
+    * Similarity.bruteForceTopK — each list pools 2k candidates, the
+    * fused top-k survives). Seeds are a small frame (both retrievers
+    * broadcast them); all scores are exact integers. */
+  def retrieve(corpus: DataFrame, seeds: DataFrame, idField: String,
+      textField: String, vecField: String, k: Int,
+      maxDfPermille: Int = 500): DataFrame = {
+    val lex = graft.operators.Retrieval.lexicalOverlapTopK(
+      corpus, seeds, idField, textField, 2 * k, maxDfPermille)
+    val sem = graft.operators.Similarity.bruteForceTopK(
+      corpus.select(idField, vecField), seeds.select(idField, vecField),
+      idField, vecField, 2 * k)
+    graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k)
+  }
+
   /** As-of provider: backward as-of join (most recent right row at or
     * before each left row's time, per key) of two configurations'
     * outputs. One co-shuffle on the keys — see operators.AsofJoin. */

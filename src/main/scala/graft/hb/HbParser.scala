@@ -24,7 +24,7 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify", "decode", "emit", "pairs", "wordpiece")
+    "classify", "decode", "emit", "pairs", "wordpiece", "unigram")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -177,7 +177,7 @@ object HbParser {
           case "->" | "&&" | "||" | ">=" | "<=" | "!=" =>
             out += TSym(two); p += 2
           case _ =>
-            if ("()[]{}=><!+-*/;,".indexOf(c) >= 0) {
+            if ("()[]{}=><!+-*/%;,".indexOf(c) >= 0) {
               out += TSym(c.toString); p += 1
             } else err(s"unexpected character '$c'")
         }
@@ -257,7 +257,7 @@ object HbParser {
     }
     def mulE(): Expr = {
       var l = primary()
-      while (atSym("*") || atSym("/")) {
+      while (atSym("*") || atSym("/") || atSym("%")) {
         val op = next().asInstanceOf[TSym].s
         l = Bin(op, l, primary())
       }
@@ -690,6 +690,13 @@ object HbParser {
             BpeUsing(c, conf, p.int())
           } else BpeEnc(c, p.int())
         }
+      case "unigram" =>
+        val c = p.colName()
+        if (p.atIdent("using")) {
+          p.eat("using")
+          val conf = p.colName()
+          UnigramUsing(c, conf, p.int())
+        } else UnigramEnc(c, p.int())
       case "wordpiece" =>
         val c = p.colName()
         if (p.atIdent("using")) {

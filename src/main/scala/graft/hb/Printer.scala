@@ -107,6 +107,10 @@ object Printer {
       s"bpe ${name(c)} $n"
     case WordPieceEnc(c, n) =>
       s"wordpiece ${name(c)} $n"
+    case UnigramEnc(c, n) =>
+      s"unigram ${name(c)} $n"
+    case UnigramUsing(c, conf, n) =>
+      s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>
       s"wordpiece ${name(c)} using ${name(conf)} $n"
     case BpeBytesEnc(c, n) =>

@@ -457,6 +457,25 @@ object HbGates {
       },
       Some(identSql)),
 
+    // E12 (extension): the `%` arithmetic operator at `*`/`/`
+    // precedence — what scale-proportional slicing needs in a DSL-only
+    // program (`only (id % 100 = 7)`); landed with the mined-pairs
+    // flagship. Strict `int()` keeps the cell type integral so the
+    // oracle's BIGINT modulo compares exactly.
+    Gate("e12_modulo",
+      (s, d) => Graft.runHb(
+        """index rows by p_partkey
+          |create column bucket (int ((p_partkey * 7 + 3) % 10))
+          |only (bucket % 3 = 1)
+          |slice columns p_partkey bucket
+          |""".stripMargin, t(s, d, "part"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  CAST((p_partkey * 7 + 3) % 10 AS INTEGER) AS bucket
+             |FROM part
+             |WHERE CAST((p_partkey * 7 + 3) % 10 AS INTEGER) % 3 = 1
+             |ORDER BY p_partkey ASC NULLS FIRST""".stripMargin)),
+
     Gate("hb_series_pipeline",
       (s, d) => Graft.runHb(seriesPipelineHb, t(s, d, "events"))
         .orderBy(col("day")),
@@ -1050,6 +1069,43 @@ object HbGates {
         |SELECT dd.doc_id, dd.shard, fd.abin AS bin, fd.aoff AS bin_offset
         |FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
+    // Hybrid retrieval through the configuration algebra (RetrieveOf →
+    // Graft.retrieve): the corpus is ITSELF a configuration join
+    // (documents ⋈ renamed embeddings on doc_id), seeds a filtered
+    // merge of it — then one retrieval source fuses both modalities.
+    // Identical parameters to s_hybrid_rrf (pools 20, k 10, df 780,
+    // doc_id < 5 seeds) → shared oracle, so the algebra form is pinned
+    // to hash-match the library form.
+    Gate("hb_retrieve_cfg",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "docs" -> Conf(TableSource("documents"), Nil),
+          "embs" -> conf(TableSource("embeddings"),
+            "rename column vec_id doc_id"),
+          "corpus" -> Conf(JoinOf("docs", "embs", "doc_id"), Nil),
+          "seeds" -> conf(MergeOf(Seq("corpus")), "only (doc_id < 5)"),
+          "hits" -> conf(
+            RetrieveOf("corpus", "seeds", "doc_id", "text", "embedding",
+              k = 10, maxDfPermille = 780),
+            "slice columns query_id rank neighbor_id rrf_fp n_lists"))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "hits")
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(SimilarityGates.hybridRrfOracleSql)),
+
+    // Unigram-LM statement surface (r11): the SentencePiece family as
+    // one DSL line — candidate fit + Viterbi-EM + min-cost
+    // segmentation. Shares t_unigram's full unrolled-DP oracle.
+    Gate("hb_unigram",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |unigram text 16
+          |slice columns doc_id ug n_pieces
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.unigramDocOracleSql)),
 
     // WordPiece statement surface (r11): the BERT tokenizer family as
     // one DSL line — fit 6 likelihood-ranked merges on the frame,

@@ -1056,11 +1056,7 @@ object SimilarityGates {
       graft.operators.Retrieval.rrfFuse(Seq(lex, sem), k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
-      Some(s"""WITH $lexCtes,
-           |$hybridFuseCtes
-           |SELECT query_id, rank, neighbor_id, rrf_fp, n_lists FROM r
-           |WHERE rank <= 10
-           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+      Some(SimilarityGates.hybridRrfOracleSql)),
 
     // The late-r11 FLAGSHIP composition — retrieval-mined preference
     // pairs (the hard-negative mining pattern behind reward/DPO data):
@@ -1129,6 +1125,17 @@ object SimilarityGates {
            |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 1
            |ORDER BY query_id ASC NULLS FIRST""".stripMargin))
   )
+
+  /** The s_hybrid_rrf oracle — also the hb_retrieve_cfg twin in
+    * HbGates: `Graft.retrieve(corpus, seeds, k=10)` pools 2k=20 per
+    * list with the same 780-permille df cut and doc_id<5 seeds, so the
+    * configuration-algebra form hashes to the identical fused frame. */
+  private[queries] lazy val hybridRrfOracleSql: String =
+    s"""WITH $lexCtes,
+       |$hybridFuseCtes
+       |SELECT query_id, rank, neighbor_id, rrf_fp, n_lists FROM r
+       |WHERE rank <= 10
+       |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
 
   /** The RRF-fusion CTE chain (assumes `lexr` is in scope): quantized
     * cosine top-20 per seed + the lexical top-20, fused with integer

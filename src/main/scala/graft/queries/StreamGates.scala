@@ -391,6 +391,22 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.wordPieceStreamOracleSql)),
 
+    // Unigram-LM offline-fit/online-encode (r11): the model (candidate
+    // fit + Viterbi-EM) fits on the batch configuration at translation
+    // time, the stream runs the compiled Viterbi DP as a stateless
+    // narrow map. Shares the batch chain's unrolled oracle.
+    Gate("st_hb_unigram",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """unigram text using corpus 16
+          |slice columns doc_id ug
+          |""".stripMargin, "st_hb_unigram_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.unigramStreamOracleSql)),
+
     // Byte-level offline-fit/online-encode (r11): the LOSSLESS
     // tokenizer's streaming pairing — merge table fits on the batch
     // configuration at translation time, the live stream encodes

@@ -1921,6 +1921,39 @@ object TextGates {
     },
       Some(sftArtifactOracleSql)),
 
+    // Unigram-LM model table (operators.Unigram — the SentencePiece
+    // family, third tokenizer next to BPE/WordPiece): candidate
+    // substrings (all chars + top-16 multi-char by frequency), integer
+    // bitlen costs, ONE Viterbi hard-EM refinement (segment → recount
+    // → add-one smooth → recost). FULL oracle: the candidate counts,
+    // the cost arithmetic, and pass-1's entire unrolled DP replayed.
+    Gate("t_unigram_model", (s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.Unigram.modelFrame(s,
+        graft.operators.Unigram.fitEm(docs, "text", topMulti = 16))
+        .orderBy(col("piece"))
+    },
+      Some(unigramModelOracleSql)),
+
+    // Unigram-LM document encode: Viterbi segmentation of every doc
+    // under the refined model — min total cost, ties (pieces ASC,
+    // length DESC), native compiled DP (UnigramEncodeExpr), zero
+    // shuffles. FULL oracle: the model chain plus a SECOND unrolled DP
+    // pass and ordered document reassembly.
+    Gate("t_unigram", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.fitEm(docs, "text",
+        topMulti = 16)
+      docs.select(col("doc_id"),
+        graft.operators.Unigram.encodeCol(col("text"), model).as("__p"))
+        .select(col("doc_id"),
+          array_join(col("__p"), " ").as("ug"),
+          when(col("__p").isNotNull, size(col("__p")).cast("long"))
+            .as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+      Some(unigramDocOracleSql)),
+
     // WordPiece token IDS (the BERT input_ids artifact): the same
     // greedy walk with pieces mapped through the vocabFrame layout
     // ([UNK]=0, sorted vocabulary at 1..N) — t_wordpiece_vocab is the
@@ -2924,6 +2957,148 @@ object TextGates {
     * ([[bpeBytesOracleSql]]): the rounds only see (word, freq, pos,
     * sym), so the alphabet and terminal conventions live entirely in
     * the st0 base. */
+  /** Unigram-LM oracle machinery (t_unigram_model / t_unigram): the
+    * candidate-substring fit, integer `length(bin(x))` costs, and the
+    * Viterbi DP unrolled per word position (one CTE block per position
+    * up to `maxWordLen`; positions past a word's length produce no
+    * rows). The DP cell order (cost ASC, pieces ASC, length DESC) is
+    * the expression's exact tie order. */
+  private def ugFitCtes(topMulti: Int, maxPieceLen: Int): String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(lower($normSql), ' ')) AS tok
+       |        FROM documents)
+       |  WHERE length(tok) > 0
+       |  GROUP BY tok),
+       |sub0 AS MATERIALIZED (
+       |  SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS p,
+       |    CAST(SUM(freq) AS BIGINT) AS c
+       |  FROM w0,
+       |    unnest(range(1, length(word) + 1)) t(i),
+       |    unnest(range(1, least($maxPieceLen, length(word) - i + 1) + 1)) u(l)
+       |  GROUP BY 1),
+       |chars AS (SELECT p, c FROM sub0 WHERE length(p) = 1),
+       |multi AS (SELECT p, c FROM sub0 WHERE length(p) >= 2
+       |  ORDER BY c DESC, p ASC LIMIT $topMulti),
+       |sel AS MATERIALIZED (
+       |  SELECT p, c FROM chars UNION ALL SELECT p, c FROM multi),
+       |tot1 AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM sel),
+       |vc1 AS MATERIALIZED (
+       |  SELECT p, c,
+       |    CAST(length(bin(t)) - length(bin(c)) AS INTEGER) AS cost
+       |  FROM sel CROSS JOIN tot1)""".stripMargin
+
+  /** One unrolled Viterbi pass `${pfx}…` over w0's words against the
+    * cost CTE `vcCte(p, cost)`: per-position best cells, then the
+    * recursive backtrack into `${pfx}seg(word, step, piece)` (step
+    * DESC = left-to-right). */
+  private def ugDpCtes(pfx: String, vcCte: String,
+      maxWordLen: Int): String = {
+    val cand =
+      s"""${pfx}cand AS MATERIALIZED (
+         |  SELECT w.word, CAST(t.i AS BIGINT) AS i, v.cost,
+         |    CAST(length(v.p) AS BIGINT) AS l
+         |  FROM w0 w, unnest(range(1, length(w.word) + 1)) t(i)
+         |  JOIN $vcCte v
+         |    ON length(v.p) <= t.i
+         |    AND v.p = substr(w.word, CAST(t.i - length(v.p) + 1 AS INTEGER),
+         |      length(v.p))),
+         |${pfx}du0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS cost, 0 AS np,
+         |    CAST(0 AS BIGINT) AS l
+         |  FROM w0)""".stripMargin
+    val steps = (1 to maxWordLen).map { i =>
+      s"""${pfx}d$i AS MATERIALIZED (
+         |  SELECT word, pos, cost, np, l FROM (
+         |    SELECT c.word, CAST($i AS BIGINT) AS pos,
+         |      d.cost + c.cost AS cost, d.np + 1 AS np, c.l,
+         |      ROW_NUMBER() OVER (PARTITION BY c.word
+         |        ORDER BY d.cost + c.cost ASC, d.np + 1 ASC, c.l DESC) AS rn
+         |    FROM ${pfx}cand c
+         |    JOIN ${pfx}du${i - 1} d ON d.word = c.word AND d.pos = $i - c.l
+         |    WHERE c.i = $i)
+         |  WHERE rn = 1),
+         |${pfx}du$i AS (
+         |  SELECT * FROM ${pfx}du${i - 1} UNION ALL SELECT * FROM ${pfx}d$i)""".stripMargin
+    }
+    val walk =
+      s"""${pfx}bt AS (
+         |  SELECT word, CAST(length(word) AS BIGINT) AS pos, 0 AS step
+         |  FROM w0
+         |  UNION ALL
+         |  SELECT b.word, b.pos - d.l, b.step + 1
+         |  FROM ${pfx}bt b JOIN ${pfx}du$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0),
+         |${pfx}seg AS MATERIALIZED (
+         |  SELECT b.word, b.step,
+         |    substr(b.word, CAST(b.pos - d.l + 1 AS INTEGER),
+         |      CAST(d.l AS INTEGER)) AS piece
+         |  FROM ${pfx}bt b JOIN ${pfx}du$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    (cand +: steps :+ walk).mkString(",\n")
+  }
+
+  /** Pass-1 segmentation → recount → add-one smooth → refined costs. */
+  private def ugModelCtes(topMulti: Int, maxPieceLen: Int,
+      maxWordLen: Int): String =
+    ugFitCtes(topMulti, maxPieceLen) + ",\n" +
+      ugDpCtes("u1", "vc1", maxWordLen) + ",\n" +
+      s"""cnt2 AS (
+         |  SELECT s.piece AS p, CAST(SUM(w.freq) AS BIGINT) AS c2
+         |  FROM u1seg s JOIN w0 w USING (word) GROUP BY s.piece),
+         |sm AS MATERIALIZED (
+         |  SELECT v.p, CAST(COALESCE(c.c2, 0) + 1 AS BIGINT) AS f2
+         |  FROM vc1 v LEFT JOIN cnt2 c USING (p)),
+         |tot2 AS (SELECT CAST(SUM(f2) AS BIGINT) AS t FROM sm),
+         |vc2 AS MATERIALIZED (
+         |  SELECT p, f2 AS c,
+         |    CAST(length(bin(t)) - length(bin(f2)) AS INTEGER) AS cost
+         |  FROM sm CROSS JOIN tot2)""".stripMargin
+
+  private[queries] lazy val unigramModelOracleSql: String =
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + "\n" +
+      """SELECT p AS piece, c AS freq, cost AS cost_bits FROM vc2
+        |ORDER BY piece ASC NULLS FIRST""".stripMargin
+
+  /** The st_hb_unigram oracle — the doc chain, encode column only. */
+  private[queries] lazy val unigramStreamOracleSql: String =
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + ",\n" +
+      ugDpCtes("u2", "vc2", 12) + ",\n" +
+      s"""wenc2 AS (
+         |  SELECT word, string_agg(piece, ' ' ORDER BY step DESC) AS ws
+         |  FROM u2seg GROUP BY word),
+         |dtok2 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+         |  FROM (SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+         |        FROM documents),
+         |    unnest(range(1, len(tk) + 1)) AS t(i)
+         |  WHERE length(tk[CAST(i AS INTEGER)]) > 0)
+         |SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS ug
+         |FROM dtok2 d JOIN wenc2 e USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  private[queries] lazy val unigramDocOracleSql: String =
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + ",\n" +
+      ugDpCtes("u2", "vc2", 12) + ",\n" +
+      s"""wenc2 AS (
+         |  SELECT word, string_agg(piece, ' ' ORDER BY step DESC) AS ws,
+         |    COUNT(*) AS np
+         |  FROM u2seg GROUP BY word),
+         |dtok2 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+         |  FROM (SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+         |        FROM documents),
+         |    unnest(range(1, len(tk) + 1)) AS t(i)
+         |  WHERE length(tk[CAST(i AS INTEGER)]) > 0)
+         |SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS ug,
+         |  CAST(SUM(e.np) AS BIGINT) AS n_pieces
+         |FROM dtok2 d JOIN wenc2 e USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The st_hb_wordpiece oracle — the same chain, encode column only
     * (the stream side emits doc_id + wp). */
   private[queries] lazy val wordPieceStreamOracleSql: String =

@@ -113,7 +113,7 @@ object StreamHb {
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing => None
+        _: WordPieceUsing | _: UnigramUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -135,6 +135,8 @@ object StreamHb {
       Some("preference pairing aggregates whole prompt groups")
     case _: WordPieceEnc =>
       Some("wordpiece merges fit on the whole frame")
+    case _: UnigramEnc =>
+      Some("unigram candidates fit on the whole frame")
     case _: Neighbors => Some("neighbors scans the whole frame")
     case _: Encode => Some("vocabulary fit scans the whole frame")
     case _: RebalanceBy =>
@@ -278,6 +280,21 @@ object StreamHb {
           .withColumn("n_pieces",
             when(col("__wps").isNotNull, size(col("__wps")).cast("long")))
           .drop("__wps"))
+      case (f, UnigramUsing(c, conf, n)) =>
+        // unigram twin: model fits offline, the stream side is the
+        // compiled Viterbi narrow map (repartitioned off the one-task-
+        // per-file source like the other tokenizer streams)
+        val ugDf = resolve(conf)
+        val model = graft.operators.Unigram.fitEm(ugDf, c, n)
+        f.copy(df = f.df
+          .repartition(f.df.sparkSession.sessionState.conf
+            .numShufflePartitions)
+          .withColumn("__ups",
+            graft.operators.Unigram.encodeCol(col(c), model))
+          .withColumn("ug", array_join(col("__ups"), " "))
+          .withColumn("n_pieces",
+            when(col("__ups").isNotNull, size(col("__ups")).cast("long")))
+          .drop("__ups"))
       case (f, st) => Engine.applyStatement(f, st)
     }.result
   }

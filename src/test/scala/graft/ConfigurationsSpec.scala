@@ -134,10 +134,12 @@ class ConfigurationsSpec extends AnyFunSuite {
       "sc1" -> Conf(ScrubOf("a", "b", "id", "text", 8), Nil),
       "sc2" -> Conf(ScrubOf("a", "b", "id", "text", 4), Nil),
       "sd1" -> Conf(SemDeconOf("a", "b", "id", "vec", 250000000L), Nil),
-      "sd2" -> Conf(SemDeconOf("a", "b", "id", "vec", 900000000L), Nil))
+      "sd2" -> Conf(SemDeconOf("a", "b", "id", "vec", 900000000L), Nil),
+      "rt1" -> Conf(RetrieveOf("a", "b", "id", "text", "vec", 10), Nil),
+      "rt2" -> Conf(RetrieveOf("a", "b", "id", "text", "vec", 10, 780), Nil))
     val r = new Runner(spark, _ => fail("not resolved"))
     val keys = Seq("d1", "d2", "as1", "r1", "ds1", "ds2", "cl1", "dr1",
-      "cv1", "su1", "sc1", "sc2", "sd1", "sd2")
+      "cv1", "su1", "sc1", "sc2", "sd1", "sd2", "rt1", "rt2")
       .map(r.lineageKey(cfgs, _))
     assert(keys.distinct.size == keys.size)
     assert(keys.forall(_.contains("table:t1")))

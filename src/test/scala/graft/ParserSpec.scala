@@ -79,6 +79,17 @@ class ParserSpec extends AnyFunSuite {
     }
   }
 
+  test("modulo binds at multiplicative precedence and round-trips") {
+    assert(HbParser.parseStatement("only (a + b % 3 = 1)") ==
+      Only(Bin("=",
+        Bin("+", ColRef("a"), Bin("%", ColRef("b"), NumLit(3))),
+        NumLit(1))))
+    val st = HbParser.parseStatement("create column m (x % 10 * 2)")
+    assert(st == CreateColumn("m",
+      Bin("*", Bin("%", ColRef("x"), NumLit(10)), NumLit(2))))
+    assert(HbParser.parseStatement(Printer.print(st)) == st)
+  }
+
   test("nested if expression (logic.hb)") {
     val st = HbParser.parseStatement(
       "create column State (if [StateCategory = 'Completed' || " +
@@ -233,7 +244,8 @@ class ParserSpec extends AnyFunSuite {
       PackBins("n_chars", 1024L, 8), EmitPacked("token_ids", 512L, 4),
       EmitAligned("token_ids", 512L, 4), Pairs("text", "sc", "p", 5L),
       Pairs("text", "sc", "p"), WordPieceEnc("text", 6),
-      WordPieceUsing("text", "corpus", 6)).foreach { st =>
+      WordPieceUsing("text", "corpus", 6), UnigramEnc("text", 16),
+      UnigramUsing("text", "corpus", 16)).foreach { st =>
       assert(HbParser.parseStatement(Printer.print(st)) == st,
         Printer.print(st))
     }
