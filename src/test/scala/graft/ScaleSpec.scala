@@ -89,7 +89,7 @@ class ScaleSpec extends AnyFunSuite {
     // preference pairing (one keyed aggregation) and semantic decon
     // (zero-shuffle narrow map) are all lazy plans
     "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "hb_dpo_pairs",
-    "s_semantic_decon")
+    "s_semantic_decon", "hb_retrieve_cfg", "e12_modulo")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
