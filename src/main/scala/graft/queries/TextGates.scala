@@ -2037,6 +2037,81 @@ object TextGates {
         |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 200
         |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
 
+    // The DPO ARTIFACT flagship (late r11): preference pairing +
+    // tokenization in one — the (prompt, chosen_ids, rejected_ids)
+    // table a DPO trainer actually consumes. Byte-BPE table fits on
+    // the raw corpus (lossless, GPT-2 id layout), both pair sides
+    // encode to id streams, the pairing is t_dpo_pairs' (margin 200).
+    // One SQL oracle replays tokenizer rounds, id mapping, pairing
+    // tie-breaks and the final joins.
+    Gate("t_dpo_artifact", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.fitBytes(docs, "text", 6,
+        minCount = 1L)
+      val ids = docs.select(col("doc_id"),
+        array_join(graft.operators.Bpe.encodeIdsCol(col("text"), merges)
+          .cast("array<string>"), " ").as("ids_str"))
+      val cand = docs.select(
+        expr("doc_id div 4").as("prompt_id"), col("doc_id"), col("text"),
+        ((col("n_chars") * 31 + col("doc_id") * 7) % 1000).as("score_fp"))
+      graft.operators.Preference.preferencePairs(cand, "prompt_id",
+        "doc_id", "text", "score_fp", minMarginFp = 200L)
+        .join(ids.select(col("doc_id").as("chosen_id"),
+          col("ids_str").as("chosen_ids")), "chosen_id")
+        .join(ids.select(col("doc_id").as("rejected_id"),
+          col("ids_str").as("rejected_ids")), "rejected_id")
+        .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+          col("chosen_ids"), col("rejected_ids"), col("margin_fp"),
+          col("n_candidates"))
+        .orderBy(col("prompt_id"))
+    },
+      Some(bpeBytesChainSql("text", 6) +
+        """,
+        |base AS (
+        |  SELECT b AS id,
+        |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+        |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+        |  FROM range(256) AS t(b)
+        |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+        |mg AS (""".stripMargin +
+        (1 to 6).map(k =>
+          s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+          .mkString("\n", "\nUNION ALL\n", "),\n") +
+        """vocab AS (
+        |  SELECT sym, MIN(id) AS id
+        |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+        |  GROUP BY sym),
+        |docids AS MATERIALIZED (
+        |  SELECT d.doc_id,
+        |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+        |      AS ids_str
+        |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+        |  GROUP BY d.doc_id),
+        |pcand AS (
+        |  SELECT doc_id // 4 AS prompt_id, doc_id, text,
+        |    (n_chars * 31 + doc_id * 7) % 1000 AS score_fp
+        |  FROM documents),
+        |pr1 AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp DESC, doc_id ASC) AS rc,
+        |    ROW_NUMBER() OVER (PARTITION BY prompt_id
+        |      ORDER BY score_fp ASC, doc_id DESC) AS rr,
+        |    COUNT(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM pcand),
+        |pch AS (SELECT prompt_id, doc_id AS chosen_id,
+        |          score_fp AS cs, n FROM pr1 WHERE rc = 1),
+        |prj AS (SELECT prompt_id, doc_id AS rejected_id,
+        |          score_fp AS rs FROM pr1 WHERE rr = 1)
+        |SELECT prompt_id, chosen_id, rejected_id,
+        |  dc.ids_str AS chosen_ids, dr.ids_str AS rejected_ids,
+        |  cs - rs AS margin_fp, n AS n_candidates
+        |FROM pch JOIN prj USING (prompt_id)
+        |  JOIN docids dc ON dc.doc_id = chosen_id
+        |  JOIN docids dr ON dr.doc_id = rejected_id
+        |WHERE n >= 2 AND cs - rs >= 200
+        |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
+
     // Hashed-bigram LM surprisal filter (r9, CCNet-shaped): fit a B-row
     // hashed bigram model on the src0/src1 reference slice, score the
     // rest by integer milli-bits-per-bigram, keep the fluent slice.
