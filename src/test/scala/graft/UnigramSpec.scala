@@ -76,6 +76,38 @@ class UnigramSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("DP matches brute-force enumeration under the documented " +
+    "total order (cost, pieces, longest-last-piece)") {
+    val rnd = new scala.util.Random(29)
+    // random small vocab over {a,b}: chars + a few multi-char pieces
+    val multis = Seq("aa", "ab", "ba", "bb", "aba", "bab", "abab")
+    for (_ <- 0 until 30) {
+      val vocab = (Seq("a", "b") ++
+        rnd.shuffle(multis).take(2 + rnd.nextInt(4)))
+        .map(p => Unigram.Piece(p, 1, 1 + rnd.nextInt(4)))
+      val costs = vocab.map(p => p.piece -> p.costBits).toMap
+      val word = (0 until (1 + rnd.nextInt(6)))
+        .map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString
+      // brute force: all segmentations, keyed by (cost, n, reversed
+      // piece-length sequence compared descending) — the global order
+      // the per-cell (cost, pieces, length DESC) tie rule induces
+      def segs(w: String): Seq[List[String]] =
+        if (w.isEmpty) Seq(Nil)
+        else (1 to w.length).flatMap { l =>
+          val p = w.take(l)
+          if (costs.contains(p)) segs(w.drop(l)).map(p :: _) else Nil
+        }
+      val all = segs(word)
+      import scala.math.Ordering.Implicits._
+      val expected = all.minBy(s =>
+        (s.map(costs).sum, s.length, s.reverse.map(p => -p.length).toList))
+      val got = Seq(Tuple1(word)).toDF("text")
+        .select(Unigram.encodeCol(col("text"), vocab).as("p"))
+        .head().getSeq[String](0)
+      assert(got.toList === expected, s"word=$word vocab=$costs")
+    }
+  }
+
   test("guards") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Unigram.fit(df, "text", -1))
