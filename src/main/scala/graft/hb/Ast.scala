@@ -289,6 +289,13 @@ object Ast {
     * greedy longest-match piece stream, `##` continuations, `[UNK]`
     * collapse) and `n_pieces`. */
   case class WordPieceEnc(textCol: String, nMerges: Int) extends Statement
+  /** `decon <textCol> using <conf> [n]` — decontamination at ingest:
+    * the eval configuration's distinct word n-grams (bounded by the
+    * eval-benchmark contract) become a broadcast literal set, and the
+    * frame/stream side adds `contaminated` via a stateless
+    * arrays_overlap narrow map — the streaming form of [[DeconOf]]. */
+  case class DeconUsing(textCol: String, conf: String, n: Int = 8)
+      extends Statement
   /** `unigram <textCol> <topMulti>` — the SentencePiece-family
     * unigram-LM tokenizer (operators.Unigram): candidate fit + one
     * Viterbi hard-EM refinement on the frame's text, then min-cost

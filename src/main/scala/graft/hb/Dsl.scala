@@ -141,6 +141,8 @@ object Dsl {
     UnigramEnc(textCol, topMulti)
   def unigramUsing(textCol: String, conf: String,
       topMulti: Int): Statement = UnigramUsing(textCol, conf, topMulti)
+  def deconUsing(textCol: String, conf: String, n: Int = 8): Statement =
+    DeconUsing(textCol, conf, n)
   def bpeBytes(textCol: String, nMerges: Int): Statement =
     BpeBytesEnc(textCol, nMerges)
   def bpeBytesUsing(textCol: String, conf: String,

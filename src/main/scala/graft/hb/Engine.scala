@@ -461,7 +461,7 @@ object Engine {
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing | _: UnigramUsing) =>
+        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

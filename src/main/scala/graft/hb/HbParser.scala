@@ -24,7 +24,8 @@ object HbParser {
     "dedup", "cluster", "split", "sample", "mix", "pack", "chunk",
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
-    "classify", "decode", "emit", "pairs", "wordpiece", "unigram")
+    "classify", "decode", "emit", "pairs", "wordpiece", "unigram",
+    "decon")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -690,6 +691,15 @@ object HbParser {
             BpeUsing(c, conf, p.int())
           } else BpeEnc(c, p.int())
         }
+      case "decon" =>
+        val c = p.colName()
+        p.eat("using")
+        val conf = p.colName()
+        val n = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 8
+        }
+        DeconUsing(c, conf, n)
       case "unigram" =>
         val c = p.colName()
         if (p.atIdent("using")) {

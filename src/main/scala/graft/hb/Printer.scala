@@ -109,6 +109,9 @@ object Printer {
       s"wordpiece ${name(c)} $n"
     case UnigramEnc(c, n) =>
       s"unigram ${name(c)} $n"
+    case DeconUsing(c, conf, n) =>
+      val nn = if (n == 8) "" else s" $n"
+      s"decon ${name(c)} using ${name(conf)}$nn"
     case UnigramUsing(c, conf, n) =>
       s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>

@@ -305,6 +305,28 @@ object HbGates {
       |slice columns p_partkey brand_num half
       |""".stripMargin
 
+  /** Shared by hb_decontaminate_cfg and its streaming-ingest twin
+    * st_hb_decon (`decon text using eval 4` over the same 25-doc eval
+    * slice): per-doc 4-gram overlap flag against the eval grams. */
+  private[queries] lazy val deconCfgOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+      |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+      |  FROM tok),
+      |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25),
+      |hits AS (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM grams g JOIN eg USING (gram) WHERE g.doc_id >= 25)
+      |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id >= 25
+      |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin
+
   val gates: Seq[Gate] = Seq(
 
     Gate("hb_velocity",
@@ -1462,23 +1484,7 @@ object HbGates {
         new Runner(s, t0 => t(s, d, t0)).run(configs, "flagged")
           .orderBy(col("doc_id"))
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
-             |  FROM documents),
-             |grams AS (
-             |  SELECT doc_id,
-             |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
-             |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
-             |  FROM tok),
-             |eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 25),
-             |hits AS (
-             |  SELECT DISTINCT g.doc_id
-             |  FROM grams g JOIN eg USING (gram) WHERE g.doc_id >= 25)
-             |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
-             |FROM documents d LEFT JOIN hits h USING (doc_id)
-             |WHERE d.doc_id >= 25
-             |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(HbGates.deconCfgOracleSql)),
 
     // Fuzzy decontamination as a configuration source (NearDupOf): the
     // d_minhash_decon operator with BOTH sides .hb-authored — the

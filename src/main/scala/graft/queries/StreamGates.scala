@@ -391,6 +391,25 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.wordPieceStreamOracleSql)),
 
+    // Decontamination AT INGEST (r11): the eval configuration's
+    // distinct 4-grams become a broadcast literal set at translation
+    // time; the live stream flags each doc via a stateless
+    // arrays_overlap narrow map — no aggregation, no state. Shares
+    // hb_decontaminate_cfg's oracle (same 25-doc eval slice).
+    Gate("st_hb_decon",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """only (doc_id >= 25)
+          |decon text using eval 4
+          |slice columns doc_id contaminated
+          |""".stripMargin, "st_hb_decon_out",
+        resolve = {
+          case "eval" => Gate.t(s, d, "documents")
+            .filter(col("doc_id") < 25)
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(HbGates.deconCfgOracleSql)),
+
     // Unigram-LM offline-fit/online-encode (r11): the model (candidate
     // fit + Viterbi-EM) fits on the batch configuration at translation
     // time, the stream runs the compiled Viterbi DP as a stateless

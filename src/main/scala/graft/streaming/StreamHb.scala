@@ -113,7 +113,7 @@ object StreamHb {
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing | _: UnigramUsing => None
+        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -280,6 +280,32 @@ object StreamHb {
           .withColumn("n_pieces",
             when(col("__wps").isNotNull, size(col("__wps")).cast("long")))
           .drop("__wps"))
+      case (f, DeconUsing(c, conf, n)) =>
+        // decontamination at ingest: the eval configuration's distinct
+        // n-grams collect into ONE literal array (require-bounded, the
+        // narrow-scorer contract) and the stream side is a stateless
+        // arrays_overlap — no aggregation, no state, append-safe
+        val evalGrams = graft.operators.Decontaminate.ngramRows(
+          resolve(conf).select(lit(0L).as("__eid"), col(c)),
+          "__eid", graft.operators.Decontaminate.tokens(col(c)), n)
+          .select("gram").distinct().collect().map(_.getString(0))
+        require(evalGrams.length <= 65536,
+          s"decon using: ${evalGrams.length} distinct eval grams exceed " +
+            "the 65536 literal bound — decontaminate in batch (DeconOf)")
+        val toks = graft.operators.Decontaminate.tokens(col(c))
+        val slices = (0 until n).map { i =>
+          val sl = if (i == 0) toks
+            else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
+          sl.as(s"g$i")
+        }
+        val grams = filter(
+          transform(arrays_zip(slices: _*), z =>
+            when(z.getField(s"g${n - 1}").isNotNull,
+              concat_ws(" ", (0 until n).map(i => z.getField(s"g$i")): _*))),
+          g => g.isNotNull)
+        f.copy(df = f.df.withColumn("contaminated",
+          coalesce(arrays_overlap(grams,
+            array(evalGrams.map(lit).toSeq: _*)), lit(false))))
       case (f, UnigramUsing(c, conf, n)) =>
         // unigram twin: model fits offline, the stream side is the
         // compiled Viterbi narrow map (repartitioned off the one-task-

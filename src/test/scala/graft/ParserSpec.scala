@@ -245,7 +245,8 @@ class ParserSpec extends AnyFunSuite {
       EmitAligned("token_ids", 512L, 4), Pairs("text", "sc", "p", 5L),
       Pairs("text", "sc", "p"), WordPieceEnc("text", 6),
       WordPieceUsing("text", "corpus", 6), UnigramEnc("text", 16),
-      UnigramUsing("text", "corpus", 16)).foreach { st =>
+      UnigramUsing("text", "corpus", 16), DeconUsing("text", "eval", 4),
+      DeconUsing("text", "eval")).foreach { st =>
       assert(HbParser.parseStatement(Printer.print(st)) == st,
         Printer.print(st))
     }
