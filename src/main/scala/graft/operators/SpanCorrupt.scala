@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** T5-style span corruption (Raffel et al. 2020 §3.1.4) — the
+  * denoising-objective artifact next to the CLM packing, SFT and DPO
+  * emitters: mask token spans, replace each masked run with a sentinel
+  * in the INPUT, and emit `sentinel + original tokens` runs as the
+  * TARGET.
+  *
+  * Deterministic reconstruction: position `i` of a document STARTS a
+  * span when `hash32(doc:i, salt) % rateK == 0` (expected mask mass ≈
+  * 2/rateK with mean span 2), and that span's length is
+  * `hash32(doc:i, salt:len) % 3 + 1` — the salted-md5 recipe every
+  * split/sample operator here uses, so the mask layout is
+  * partitioning- and engine-stable and a SQL oracle replays it
+  * token for token. Overlapping spans merge into one run (one
+  * sentinel). Deviation from T5 noted: no trailing final sentinel is
+  * appended to the target.
+  *
+  * 100 TB design: a document's corruption depends only on its own id
+  * and tokens — ONE narrow map, zero shuffles at any scale. The
+  * per-position hashes and the mask are built as whole arrays and
+  * folded via a single `aggregate` over the ZIPPED (token, mask)
+  * array — no `element_at` into a derived array inside a lambda (that
+  * inlines the array builder per element and turns the pass
+  * quadratic). */
+object SpanCorrupt {
+
+  private val MaxSpan = 3
+
+  /** Add `inp` (tokens with masked runs replaced by `<extra_id_k>`),
+    * `tgt` (per run: sentinel + the masked tokens), and `n_masked`.
+    * Null text stays null. */
+  def corrupt(df: DataFrame, idCol: String, textCol: String,
+      rateK: Int = 6, salt: String = "span"): DataFrame = {
+    require(rateK >= 2, s"rateK must be >= 2, got $rateK")
+    Seq("inp", "tgt", "n_masked").foreach { c =>
+      require(!df.columns.contains(c),
+        s"frame already has a '$c' column — rename it before corrupt")
+    }
+    val id = col(idCol)
+    val toks = filter(Decontaminate.tokens(col(textCol)),
+      w => length(w) > 0)
+    val n = size(toks)
+    def posKey(i: Column) =
+      concat(id.cast("string"), lit(":"), i.cast("string"))
+    // empty token list → empty position list (sequence(1, 0) is
+    // invalid; an empty doc must produce empty inp/tgt, not a phantom
+    // position)
+    val posSeq = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    val starts = transform(posSeq,
+      i => Sampling.hash32(posKey(i), salt) % rateK === 0)
+    val lens = transform(posSeq,
+      i => (Sampling.hash32(posKey(i), salt + ":len") % MaxSpan + 1)
+        .cast("int"))
+    // masked(i) ⟺ a span starting at i, i-1 or i-2 still covers i;
+    // shifts via array prepends, never element_at-in-lambda
+    def shift(a: Column, by: Int, fill: Column) =
+      // prepend then cut to length n — an empty array must stay empty
+      // (a fixed-size filler prefix would desynchronize the zips)
+      slice(concat(array((1 to by).map(_ => fill): _*), a),
+        lit(1), greatest(n, lit(0)))
+    val z = arrays_zip(
+      starts.as("s0"), lens.as("l0"),
+      shift(starts, 1, lit(false)).as("s1"), shift(lens, 1, lit(0)).as("l1"),
+      shift(starts, 2, lit(false)).as("s2"), shift(lens, 2, lit(0)).as("l2"))
+    val masked = transform(z, e =>
+      (e.getField("s0") && e.getField("l0") >= 1) ||
+        (e.getField("s1") && e.getField("l1") >= 2) ||
+        (e.getField("s2") && e.getField("l2") >= 3))
+    // one linear fold over (token, mask): state carries the built
+    // input/target arrays, the sentinel counter and the previous mask
+    val folded = aggregate(
+      arrays_zip(toks.as("t"), masked.as("m")),
+      struct(
+        array().cast("array<string>").as("inp"),
+        array().cast("array<string>").as("tgt"),
+        lit(-1).as("k"), lit(false).as("prev"), lit(0).as("nm")),
+      (st, e) => {
+        val t = e.getField("t"); val m = e.getField("m")
+        val k1 = st.getField("k") + 1
+        val sent = (k: Column) =>
+          concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+        when(!m, struct(
+          concat(st.getField("inp"), array(t)).as("inp"),
+          st.getField("tgt").as("tgt"),
+          st.getField("k").as("k"), lit(false).as("prev"),
+          st.getField("nm").as("nm")))
+          .when(m && !st.getField("prev"), struct(
+            concat(st.getField("inp"), array(sent(k1))).as("inp"),
+            concat(st.getField("tgt"), array(sent(k1)), array(t)).as("tgt"),
+            k1.as("k"), lit(true).as("prev"),
+            (st.getField("nm") + 1).as("nm")))
+          .otherwise(struct(
+            st.getField("inp").as("inp"),
+            concat(st.getField("tgt"), array(t)).as("tgt"),
+            st.getField("k").as("k"), lit(true).as("prev"),
+            (st.getField("nm") + 1).as("nm")))
+      },
+      st => st)
+    df.withColumn("__sc", when(col(textCol).isNotNull, folded))
+      .withColumn("inp", array_join(col("__sc.inp"), " "))
+      .withColumn("tgt", array_join(col("__sc.tgt"), " "))
+      .withColumn("n_masked",
+        when(col("__sc").isNotNull, col("__sc.nm").cast("long")))
+      .drop("__sc")
+  }
+}

@@ -2037,6 +2037,64 @@ object TextGates {
         |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 200
         |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
 
+    // T5-style span corruption (operators.SpanCorrupt): the denoising
+    // objective's (inp, tgt) artifact — salted-md5 span starts/lengths
+    // (engine-portable), overlapping spans merge into one sentinel run,
+    // ONE narrow fold per doc (zero shuffles). FULL oracle: the mask
+    // layout, run detection, sentinel numbering and both emitted
+    // streams replayed per token.
+    Gate("t_span_corrupt", (s, d) =>
+      graft.operators.SpanCorrupt.corrupt(
+        t(s, d, "documents"), "doc_id", "text", rateK = 6)
+        .select(col("doc_id"), col("inp"), col("tgt"), col("n_masked"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+        |  FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i0, tk[CAST(i AS INTEGER)] AS tok
+        |  FROM tok, unnest(range(1, len(tk) + 1)) t(i)
+        |  WHERE length(tk[CAST(i AS INTEGER)]) > 0),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+        |  FROM pos0),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, tok, i,
+        |    (CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR) || ':span'), 1, 8) AS BIGINT) % 6 = 0) AS s,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR) || ':span:len'), 1, 8) AS BIGINT) % 3 + 1 AS l
+        |  FROM pos),
+        |mk AS (
+        |  SELECT *, (s AND l >= 1)
+        |    OR (COALESCE(LAG(s, 1) OVER w, false)
+        |        AND COALESCE(LAG(l, 1) OVER w, 0) >= 2)
+        |    OR (COALESCE(LAG(s, 2) OVER w, false)
+        |        AND COALESCE(LAG(l, 2) OVER w, 0) >= 3) AS m
+        |  FROM ph WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |rn AS (
+        |  SELECT *, (m AND NOT COALESCE(LAG(m) OVER w, false)) AS rstart
+        |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |ks AS (
+        |  SELECT *, SUM(CASE WHEN rstart THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+        |  FROM rn)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(
+        |    CASE WHEN NOT m THEN tok
+        |      WHEN rstart THEN '<extra_id_' || k || '>' END,
+        |    ' ' ORDER BY i), '') AS inp,
+        |  COALESCE(string_agg(
+        |    CASE WHEN m THEN
+        |      CASE WHEN rstart THEN '<extra_id_' || k || '> ' || tok
+        |        ELSE tok END END,
+        |    ' ' ORDER BY i), '') AS tgt,
+        |  CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM ks
+        |GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // The DPO ARTIFACT flagship (late r11): preference pairing +
     // tokenization in one — the (prompt, chosen_ids, rejected_ids)
     // table a DPO trainer actually consumes. Byte-BPE table fits on

@@ -1,0 +1,71 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.SpanCorrupt
+
+/** Span corruption: mask/sentinel structure, run merging, empty docs,
+  * reserved-name guard. The exact mask layout is hash-driven and
+  * oracle-pinned (t_span_corrupt); here we assert the structural
+  * invariants that hold for any layout. */
+class SpanCorruptSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+  import spark.implicits._
+
+  private def run(rows: (Long, String)*) =
+    SpanCorrupt.corrupt(rows.toDF("doc_id", "text"), "doc_id", "text",
+      rateK = 3).collect()
+
+  test("structure: sentinels are dense from 0; tgt token count = " +
+    "n_masked + runs; inp+tgt tokens reconstruct the doc") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val out = run(1L -> text).head
+    val inp = out.getAs[String]("inp").split(" ").filter(_.nonEmpty)
+    val tgt = out.getAs[String]("tgt").split(" ").filter(_.nonEmpty)
+    val nm = out.getAs[Long]("n_masked")
+    val sentsInp = inp.filter(_.startsWith("<extra_id_"))
+    val sentsTgt = tgt.filter(_.startsWith("<extra_id_"))
+    assert(nm > 0, "rateK=3 over 60 tokens should mask something")
+    // each run contributes exactly one sentinel to BOTH streams, in
+    // the same dense order 0..k
+    assert(sentsInp.toSeq === sentsTgt.toSeq)
+    assert(sentsInp.toSeq ===
+      sentsInp.indices.map(k => s"<extra_id_$k>"))
+    assert(tgt.length == nm + sentsTgt.length)
+    // removing sentinels and interleaving reconstructs the original
+    assert(inp.count(!_.startsWith("<extra_id_")) + nm == 60)
+    val masked = tgt.filter(!_.startsWith("<extra_id_")).toSet
+    val kept = inp.filter(!_.startsWith("<extra_id_")).toSet
+    assert((masked ++ kept) == (1 to 60).map(i => s"w$i").toSet)
+    assert(masked.intersect(kept).isEmpty)
+  }
+
+  test("empty and null text") {
+    val out = SpanCorrupt.corrupt(
+      Seq((1L, ""), (2L, null.asInstanceOf[String]), (3L, "one"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("inp") == "" &&
+      out(0).getAs[Long]("n_masked") == 0L)
+    assert(out(1).isNullAt(out(1).fieldIndex("inp")))
+    assert(out(2).getAs[String]("inp").nonEmpty ||
+      out(2).getAs[String]("tgt").nonEmpty)
+  }
+
+  test("determinism and reserved-name guard") {
+    val text = (1 to 30).map(i => s"t$i").mkString(" ")
+    assert(run(7L -> text).head.getAs[String]("inp") ==
+      run(7L -> text).head.getAs[String]("inp"))
+    intercept[IllegalArgumentException] {
+      SpanCorrupt.corrupt(
+        Seq((1L, "x")).toDF("doc_id", "text")
+          .withColumn("inp", lit("")), "doc_id", "text")
+    }
+    intercept[IllegalArgumentException] {
+      SpanCorrupt.corrupt(
+        Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text",
+        rateK = 1)
+    }
+  }
+}
