@@ -68,8 +68,11 @@ object UnigramEncodeExpr {
         if (!m.containsKey(ps(i))) m.put(ps(i), costs(i)))
       m
     }
+    // lengths in CODE POINTS (Spark substring semantics — the units of
+    // the SQL-oracle DP); UTF-16 units would mis-cap non-BMP pieces
     val maxLen: Int = math.min(maxPieceLen,
-      ps.iterator.map(_.length).foldLeft(1)(math.max))
+      ps.iterator.map(p => p.codePointCount(0, p.length))
+        .foldLeft(1)(math.max))
   }
 
   def encodeTokens(tokens: ArrayData, m: Model): ArrayData = {
@@ -93,7 +96,22 @@ object UnigramEncodeExpr {
     * replays. */
   private def segmentInto(word: String, m: Model,
       out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    val len = word.length
+    val u16 = word.length
+    // DP positions are CODE POINTS (the spec DP uses Spark substring —
+    // code-point units); bounds(k) = UTF-16 offset of code point k,
+    // with the identity fast path for BMP-only words
+    val len = word.codePointCount(0, u16)
+    val bounds: Array[Int] =
+      if (len == u16) null
+      else {
+        val b = new Array[Int](len + 1)
+        var o = 0
+        var k = 0
+        while (k < len) { b(k) = o; o = word.offsetByCodePoints(o, 1); k += 1 }
+        b(len) = u16
+        b
+      }
+    @inline def off(k: Int): Int = if (bounds == null) k else bounds(k)
     val INF = Int.MaxValue / 2
     val cost = new Array[Int](len + 1)
     val np = new Array[Int](len + 1)
@@ -104,7 +122,7 @@ object UnigramEncodeExpr {
       var l = 1
       val hi = math.min(m.maxLen, i)
       while (l <= hi) {
-        val c = m.cost.get(word.substring(i - l, i))
+        val c = m.cost.get(word.substring(off(i - l), off(i)))
         if (c != null && cost(i - l) < INF) {
           val tc = cost(i - l) + c.intValue()
           val tn = np(i - l) + 1
@@ -125,7 +143,7 @@ object UnigramEncodeExpr {
     var p = len
     while (p > 0) {
       val l = back(p)
-      rev += UTF8String.fromString(word.substring(p - l, p))
+      rev += UTF8String.fromString(word.substring(off(p - l), off(p)))
       p -= l
     }
     var k = rev.length - 1

@@ -69,10 +69,15 @@ object WordPieceEncodeExpr {
       pieces.foreach(s.add)
       s
     }
+    // lengths in CODE POINTS, not UTF-16 units: the Catalyst spec fold
+    // probes with Spark substring/length (code-point semantics), so a
+    // UTF-16 cap would undercount non-BMP pieces and miss matches the
+    // spec makes (a 2-code-point piece is 4 UTF-16 units)
     val maxLen: Int = math.min(maxPieceLen,
-      pieces.iterator.map(p =>
-        if (p.startsWith("##")) p.length - 2 else p.length)
-        .foldLeft(1)(math.max))
+      pieces.iterator.map { p =>
+        val body = if (p.startsWith("##")) p.substring(2) else p
+        body.codePointCount(0, body.length)
+      }.foldLeft(1)(math.max))
     val ids: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](pieces.length * 2)
       m.put(Unk, 0)
@@ -114,14 +119,29 @@ object WordPieceEncodeExpr {
 
   private def encodeWordInto(word: String, v: Vocab,
       out: scala.collection.mutable.ArrayBuffer[UTF8String]): Unit = {
-    val len = word.length
+    val u16 = word.length
+    // the walk is in CODE POINTS (Spark substring semantics — the spec
+    // fold's units); bounds(k) = UTF-16 offset of code point k. BMP
+    // words (the common case) skip the boundary table entirely.
+    val ncp = word.codePointCount(0, u16)
+    val bounds: Array[Int] =
+      if (ncp == u16) null
+      else {
+        val b = new Array[Int](ncp + 1)
+        var o = 0
+        var k = 0
+        while (k < ncp) { b(k) = o; o = word.offsetByCodePoints(o, 1); k += 1 }
+        b(ncp) = u16
+        b
+      }
+    @inline def off(k: Int): Int = if (bounds == null) k else bounds(k)
     val tmp = new scala.collection.mutable.ArrayBuffer[UTF8String](4)
     var p = 0
-    while (p < len) {
-      var l = math.min(v.maxLen, len - p)
+    while (p < ncp) {
+      var l = math.min(v.maxLen, ncp - p)
       var hit: String = null
       while (l >= 1 && hit == null) {
-        val raw = word.substring(p, p + l)
+        val raw = word.substring(off(p), off(p + l))
         val cand = if (p == 0) raw else "##" + raw
         if (v.set.contains(cand)) hit = cand else l -= 1
       }

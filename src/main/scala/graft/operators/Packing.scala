@@ -99,21 +99,27 @@ object Packing {
     * folds replay in SQL as recursive CTEs (the gate oracle does,
     * list-state for best-fit).
     *
-    * A null/negative token count raises with the value ([[packedLayout]]
-    * discipline); a document LARGER than the budget also raises — a
-    * non-spanning layout cannot place it, and silently overflowing a
-    * bin would corrupt the loss mask downstream. */
+    * A null/NON-POSITIVE token count raises with the value
+    * ([[packedLayout]] discipline — stricter here: packedLayout lets a
+    * zero-token doc occupy its start sequence, but an aligned layout
+    * would hand a zero-token doc a full bin's remainder-0 slot and emit
+    * `bin_offset == budget`, i.e. a `doc_starts` entry OUTSIDE the
+    * [0, budget) range attention-mask builders expect — so zero is an
+    * input error for bins). A document LARGER than the budget also
+    * raises — a non-spanning layout cannot place it, and silently
+    * overflowing a bin would corrupt the loss mask downstream. */
   def binLayout(df: DataFrame, idCol: String, tokensCol: String,
       budget: Long, shards: Int = 64, salt: String = "pack",
       decreasing: Boolean = false, bestFit: Boolean = false): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     require(shards > 0, s"shards must be positive, got $shards")
     val tokens = col(tokensCol).cast(LongType)
-    val guarded = when(tokens.isNull || tokens < 0 || tokens > budget,
+    val guarded = when(tokens.isNull || tokens < 1 || tokens > budget,
       raise_error(concat(lit("binLayout: token count "),
         coalesce(tokens.cast("string"), lit("null")),
-        lit(s" outside [0, budget=$budget] — documents must fit a " +
-          "sequence whole"))).cast(LongType))
+        lit(s" outside [1, budget=$budget] — documents must fit a " +
+          "sequence whole, and a zero-token document has nothing to " +
+          "place"))).cast(LongType))
       .otherwise(tokens)
     val prepared = df
       .withColumn("__shard", Sampling.hash32(col(idCol), salt) % shards)

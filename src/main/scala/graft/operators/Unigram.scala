@@ -106,6 +106,110 @@ object Unigram {
     refit(df, textCol, fit(df, textCol, topMulti, maxPieceLen),
       maxPieceLen)
 
+  /** SentencePiece's outer loop (Kudo 2018 §3.2): seed a LARGE
+    * candidate vocabulary (`seedMult · targetVocab` multi-character
+    * pieces), then alternate the hard-EM refit with likelihood-loss
+    * pruning until the vocabulary has EXACTLY `targetVocab` pieces —
+    * the "give me a 32k-piece unigram model" entry point [[fitEm]]
+    * (fixed candidate count, no pruning) cannot express.
+    *
+    * Loss is the deterministic integer surrogate of SentencePiece's
+    * Δlikelihood: for a multi-character piece p,
+    * `loss(p) = freq_p · (altCost(p) − cost_p)` where `altCost(p)` is
+    * the cheapest segmentation of p's text using every piece EXCEPT p
+    * (the same per-code-point DP as the encoder, min total bit cost) —
+    * how many extra corpus bits removing p would cost. Low/negative
+    * loss ⇒ p is redundant (other pieces cover it as cheaply) and is
+    * pruned first, under the total order (loss ASC, piece ASC). Each
+    * round prunes at most `prunePermille`/1000 of the EXCESS over
+    * target (≥1), then re-runs the EM recount so later rounds judge
+    * with refreshed masses. Single-code-point pieces are NEVER pruned —
+    * the character-coverage invariant: every corpus word stays
+    * segmentable, so the trained model never emits `[UNK]` on its own
+    * training corpus (UnigramSpec pins it).
+    *
+    * 100 TB design: unchanged from [[fit]]/[[refit]] — the corpus is
+    * touched once per EM round (the Heap's-law-bounded distinct-word
+    * frame); pruning itself runs on the driver over the ≤(alphabet +
+    * seedMult·target) candidate table, O(|vocab| · len · maxPieceLen)
+    * integer DP per round — model-sized, never data-sized. */
+  def fitTarget(df: DataFrame, textCol: String, targetVocab: Int,
+      maxPieceLen: Int = 6, seedMult: Int = 4,
+      prunePermille: Int = 250): Seq[Piece] = {
+    require(targetVocab >= 2, s"targetVocab must be >= 2, got $targetVocab")
+    require(seedMult >= 2, s"seedMult must be >= 2, got $seedMult")
+    require(prunePermille >= 1 && prunePermille <= 1000,
+      s"prunePermille must be in [1, 1000], got $prunePermille")
+    var pieces = fit(df, textCol, seedMult * targetVocab, maxPieceLen)
+    val nChars = pieces.count(isSingleCp)
+    require(targetVocab >= nChars,
+      s"targetVocab=$targetVocab is below the corpus alphabet size " +
+        s"$nChars — character coverage needs every single-character " +
+        "piece; raise the target")
+    require(pieces.size >= targetVocab,
+      s"corpus yields only ${pieces.size} candidate pieces " +
+        s"(alphabet $nChars) — cannot reach targetVocab=$targetVocab; " +
+        "lower the target or raise maxPieceLen")
+    while (pieces.size > targetVocab) {
+      pieces = refit(df, textCol, pieces, maxPieceLen)
+      val excess = pieces.size - targetVocab
+      val nPrune = math.max(1, excess * prunePermille / 1000)
+      val costOf = pieces.map(p => p.piece -> p.costBits).toMap
+      val maxLen = math.min(maxPieceLen,
+        pieces.iterator.map(p => p.piece.codePointCount(0, p.piece.length))
+          .foldLeft(1)(math.max))
+      val ranked = pieces.filter(p => !isSingleCp(p))
+        .map(p => (p.freq * (altCost(p.piece, costOf, maxLen) -
+          p.costBits.toLong), p))
+        .sortBy { case (loss, p) => (loss, p.piece) }
+      pieces = {
+        val drop = ranked.take(math.min(nPrune, excess))
+          .map(_._2.piece).toSet
+        pieces.filter(p => !drop.contains(p.piece))
+      }
+    }
+    refit(df, textCol, pieces, maxPieceLen)
+  }
+
+  private def isSingleCp(p: Piece): Boolean =
+    p.piece.codePointCount(0, p.piece.length) == 1
+
+  /** Cheapest segmentation (total bit cost) of `word` using every
+    * vocabulary piece except `word` itself — the encoder's
+    * per-code-point DP, min-cost only (tie rules don't move the
+    * minimum). Finite whenever single-character coverage holds. */
+  private def altCost(word: String, costOf: Map[String, Int],
+      maxLen: Int): Long = {
+    val u16 = word.length
+    val n = word.codePointCount(0, u16)
+    val bounds = new Array[Int](n + 1)
+    var o = 0
+    var k = 0
+    while (k < n) { bounds(k) = o; o = word.offsetByCodePoints(o, 1); k += 1 }
+    bounds(n) = u16
+    val INF = Long.MaxValue / 4
+    val cost = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = INF
+      var l = 1
+      val hi = math.min(maxLen, i)
+      while (l <= hi) {
+        val sub = word.substring(bounds(i - l), bounds(i))
+        if (sub != word) costOf.get(sub) match {
+          case Some(c) if cost(i - l) < INF =>
+            val t = cost(i - l) + c
+            if (t < best) best = t
+          case _ =>
+        }
+        l += 1
+      }
+      cost(i) = best
+      i += 1
+    }
+    cost(n)
+  }
+
   /** Per-ROW piece array for a whole text column — one native compiled
     * Viterbi pass ([[graft.functions.UnigramEncodeExpr]]); pure narrow
     * map, zero shuffles, stream-safe. A word with an out-of-alphabet

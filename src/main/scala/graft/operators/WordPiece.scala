@@ -139,6 +139,211 @@ object WordPiece {
     merges.result()
   }
 
+  /** PRODUCTION-SCALE fit — the [[Bpe.fitLocal]] split applied to the
+    * likelihood trainer: a real BERT vocabulary is ~30k pieces, and
+    * [[fit]] pays two aggregates + one collect + one checkpoint PER
+    * MERGE (~60k sequential Spark jobs — hours of driver round trips).
+    * Here the corpus is touched exactly once, distributed (the same
+    * (word, freq) aggregate), and the merge loop runs in driver memory
+    * over the collected Heap's-law-bounded word frame — the split every
+    * real tokenizer trainer uses. `maxWords` caps the collect by
+    * contract (top words by (freq DESC, word ASC) — deterministic
+    * frequency truncation, the standard trainer knob).
+    *
+    * The in-memory loop maintains pair counts AND unit counts so the
+    * likelihood score `(pc·1e6) div (uc_l·uc_r)` replays [[fit]]'s
+    * fixed-point arithmetic exactly, under the same total order
+    * (score DESC, pair count DESC, left ASC, right ASC). Unlike the
+    * raw-count BPE heap, a merge moves the score of every pair sharing
+    * a unit with (left, right, merged) — so next to the pair→words
+    * occurrence index the loop keeps a unit→pairs index and re-pushes
+    * fresh heap entries for every pair whose pc OR endpoint uc changed;
+    * lazy deletion validates both components at pop. IDENTICAL merge
+    * list to [[fit]] whenever the corpus has ≤ `maxWords` distinct
+    * words (WordPieceSpec pins the property); SCALE.md carries the
+    * measured ≥1k-merge wall-clock. */
+  def fitLocal(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, maxWords: Int = 1 << 20): Seq[Merge] = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    val collected = wordFrame(df, textCol).select(col("__w"), col("__f"))
+      .orderBy(col("__f").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect() // ≤ maxWords rows BY CONSTRUCTION — the trainer knob
+    val words = new Array[Array[String]](collected.length)
+    val freqs = new Array[Long](collected.length)
+    var wi = 0
+    while (wi < collected.length) {
+      val w = collected(wi).getString(0)
+      // WordPiece spelling, split per CODE POINT (pieceSyms uses Spark
+      // substring — code-point units): first bare, rest ##-prefixed
+      val syms = Seq.newBuilder[String]
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        val l = Character.charCount(cp)
+        val c = w.substring(ci, ci + l)
+        syms += (if (ci == 0) c else "##" + c)
+        ci += l
+      }
+      words(wi) = syms.result().toArray
+      freqs(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+    fitInMemory(words, freqs, nMerges, minCount)
+  }
+
+  /** The in-memory indexed likelihood trainer behind [[fitLocal]]. */
+  private def fitInMemory(words: Array[Array[String]], freqs: Array[Long],
+      nMerges: Int, minCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val units = mutable.HashMap.empty[String, Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // unit → pairs currently containing it on either side: the index
+    // that finds every pair whose SCORE moved because a merge changed
+    // an endpoint's unit count (pc-unchanged pairs included)
+    val byUnit = mutable.HashMap.empty[String,
+      mutable.HashSet[(String, String)]]
+    def score(pc: Long, l: String, r: String): Long =
+      pc * ScoreScale / (units.getOrElse(l, 1L) * units.getOrElse(r, 1L))
+    def addPair(p: (String, String), f: Long, w: Int): Unit = {
+      counts(p) = counts.getOrElse(p, 0L) + f
+      occ.getOrElseUpdate(p, mutable.HashSet.empty) += w
+      byUnit.getOrElseUpdate(p._1, mutable.HashSet.empty) += p
+      byUnit.getOrElseUpdate(p._2, mutable.HashSet.empty) += p
+    }
+    // max-heap under (score DESC, pair count DESC, left ASC, right
+    // ASC) — the [[fit]] total order; string comparisons reversed so
+    // the lexicographically smallest pair wins. Lazy deletion: a
+    // popped entry is live only if BOTH its count and its score match
+    // the standing maps (scores move without pc moving when a merge
+    // shifts an endpoint's unit count).
+    val ord = new Ordering[(Long, Long, String, String)] {
+      def compare(a: (Long, Long, String, String),
+          b: (Long, Long, String, String)): Int = {
+        val s = java.lang.Long.compare(a._1, b._1)
+        if (s != 0) s
+        else {
+          val c = java.lang.Long.compare(a._2, b._2)
+          if (c != 0) c
+          else {
+            val l = b._3.compareTo(a._3)
+            if (l != 0) l else b._4.compareTo(a._4)
+          }
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, Long, String, String)](ord)
+    var i = 0
+    while (i < words.length) {
+      val syms = words(i)
+      var j = 0
+      while (j < syms.length) {
+        units(syms(j)) = units.getOrElse(syms(j), 0L) + freqs(i)
+        if (j < syms.length - 1) addPair((syms(j), syms(j + 1)), freqs(i), i)
+        j += 1
+      }
+      i += 1
+    }
+    counts.foreach { case (p, c) => heap.enqueue((score(c, p._1, p._2), c,
+      p._1, p._2)) }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var done = false
+    while (rank <= nMerges && !done) {
+      // pop to the first LIVE entry (count AND score match)
+      var best: (String, String) = null
+      var bestC = 0L
+      var bestS = 0L
+      while (best == null && heap.nonEmpty) {
+        val (s, c, l, r) = heap.dequeue()
+        if (counts.getOrElse((l, r), 0L) == c && c > 0 &&
+            score(c, l, r) == s) {
+          best = (l, r); bestC = c; bestS = s
+        }
+      }
+      if (best == null || bestC < minCount) done = true
+      else {
+        val (l, r) = best
+        val m = Merge(rank, l, r, bestS)
+        val mergedSym = m.merged
+        val touched = occ.getOrElse(best, mutable.HashSet.empty).toArray
+        val changedPairs = mutable.HashSet.empty[(String, String)]
+        // NET unit deltas (accumulated across touched words, applied
+        // once): only l, r and the merged symbol net-change, so the
+        // score re-push fans out over O(pairs sharing those three
+        // units), not over every unit of every touched word
+        val unitDelta = mutable.HashMap.empty[String, Long]
+        def bumpUnit(u: String, d: Long): Unit =
+          unitDelta(u) = unitDelta.getOrElse(u, 0L) + d
+        var t = 0
+        while (t < touched.length) {
+          val w = touched(t)
+          val old = words(w)
+          val f = freqs(w)
+          var j = 0
+          while (j < old.length) {
+            bumpUnit(old(j), -f)
+            if (j < old.length - 1) {
+              val p = (old(j), old(j + 1))
+              counts(p) = counts.getOrElse(p, 0L) - f
+              occ.get(p).foreach(_ -= w)
+              changedPairs += p
+            }
+            j += 1
+          }
+          // the same greedy left-to-right carry pass as applyMergeAs
+          val next = Array.newBuilder[String]
+          var carry: String = null
+          var k = 0
+          while (k < old.length) {
+            val x = old(k)
+            if (carry == null) carry = x
+            else if (carry == l && x == r) { next += mergedSym; carry = null }
+            else { next += carry; carry = x }
+            k += 1
+          }
+          if (carry != null) next += carry
+          val nw = next.result()
+          words(w) = nw
+          j = 0
+          while (j < nw.length) {
+            bumpUnit(nw(j), f)
+            if (j < nw.length - 1) {
+              val p = (nw(j), nw(j + 1))
+              addPair(p, f, w)
+              changedPairs += p
+            }
+            j += 1
+          }
+          t += 1
+        }
+        // apply the net unit deltas, then re-push every pair sharing a
+        // NET-changed unit (their scores moved without their pc moving)
+        unitDelta.foreach { case (u, d) =>
+          if (d != 0L) {
+            units(u) = units.getOrElse(u, 0L) + d
+            if (units(u) <= 0L) units.remove(u): Unit
+            byUnit.get(u).foreach(ps => changedPairs ++= ps)
+          }
+        }
+        changedPairs.foreach { p =>
+          val c = counts.getOrElse(p, 0L)
+          if (c <= 0) {
+            counts.remove(p); occ.remove(p)
+            byUnit.get(p._1).foreach(_ -= p)
+            byUnit.get(p._2).foreach(_ -= p)
+          } else heap.enqueue((score(c, p._1, p._2), c, p._1, p._2))
+        }
+        merges += m
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** The final vocabulary for [[fit]]'s merges over `df`: every
     * word-initial and `##`-continuation character of the corpus plus
     * each merge's joined piece. */

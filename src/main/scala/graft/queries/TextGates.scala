@@ -1645,6 +1645,61 @@ object TextGates {
           |  SELECT ROW_NUMBER() OVER (ORDER BY sym ASC), sym FROM vocab)
           |ORDER BY id ASC NULLS FIRST""".stripMargin)),
 
+    // Production-VOCAB-SCALE WordPiece fit (r12): >=1k likelihood-ranked
+    // merges trained by WordPiece.fitLocal — the driver in-memory
+    // trainer over the collected distinct-word frame maintaining pair
+    // AND unit counts (where WordPiece.fit would be >=1k sequential
+    // two-aggregate Spark rounds — hours at a real 30k BERT vocab).
+    // Same trigram fixture + truncation knob as t_bpe_train_big; a
+    // 1k-round likelihood fit can't unroll in SQL, so the oracle checks
+    // the greedy-encode reconstruction invariant (pieces glue back to
+    // the token stream — the corpus has no '#' characters, so ' ##' is
+    // unambiguously the continuation marker) plus counts;
+    // merge-for-merge semantics are pinned by WordPieceSpec's
+    // fitLocal ≡ fit parity property.
+    Gate("t_wordpiece_train_big", (s, d) => {
+      val docs = t(s, d, "documents")
+      val tk = graft.operators.Decontaminate.tokens(col("text"))
+      val g = greatest(size(tk) - 2, lit(0))
+      val tri = transform(
+        arrays_zip(slice(tk, lit(1), g).as("a"), slice(tk, lit(2), g).as("b"),
+          slice(tk, lit(3), g).as("c")),
+        t3 => concat_ws("_", t3.getField("a"), t3.getField("b"),
+          t3.getField("c")))
+      val fx = docs.select(col("doc_id"), array_join(tri, " ").as("fx"))
+      val merges = graft.operators.WordPiece.fitLocal(fx, "fx", 1024,
+        minCount = 1L, maxWords = 8192)
+      require(merges.size >= 1000,
+        s"wordpiece train_big expected >= 1000 merges, got ${merges.size}")
+      // vocabulary from the FULL frame (alphabet-complete, so the
+      // greedy encode never UNKs and the reconstruction is exact)
+      val vocab = graft.operators.WordPiece.vocabulary(fx, "fx", merges)
+      val enc = graft.operators.WordPiece.encodeCol(col("fx"), vocab)
+      graft.operators.Sampling.hashSample(fx, "doc_id", "wpbig12", 0.2)
+        .select(col("doc_id"),
+          lit(merges.size >= 1000).as("merges_ge_1000"),
+          size(filter(graft.operators.Decontaminate.tokens(col("fx")),
+            w => length(w) > 0)).as("n_words"),
+          call_function("replace", array_join(enc, " "), lit(" ##"),
+            lit("")).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH tkn AS (
+             |  SELECT doc_id, string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+             |  FROM documents),
+             |fx AS (
+             |  SELECT doc_id, COALESCE(string_agg(
+             |      tk[i] || '_' || tk[i+1] || '_' || tk[i+2], ' ' ORDER BY i), '') AS fx
+             |  FROM tkn, unnest(range(1, greatest(len(tk) - 2, 0) + 1)) AS t(i)
+             |  GROUP BY doc_id)
+             |SELECT doc_id, TRUE AS merges_ge_1000,
+             |  CAST(len(regexp_extract_all(fx, '\S+')) AS INTEGER) AS n_words,
+             |  fx AS decoded
+             |FROM fx
+             |WHERE CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR)
+             |    || ':wpbig12'), 1, 8) AS BIGINT) % 10000 < 2000
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Production-vocab-scale BPE encode (r10): every document encoded
     // under a ≥256-merge table in ONE codegen'd narrow pass — the
     // regime where the r9 all-merges loop paid nMerges array passes
@@ -1953,6 +2008,35 @@ object TextGates {
         .orderBy(col("doc_id"))
     },
       Some(unigramDocOracleSql)),
+
+    // Unigram-LM prune-EM to an EXACT target vocabulary (r12 —
+    // operators.Unigram.fitTarget, the SentencePiece outer loop): seed
+    // 2·96 multi-char candidates over the 24-char alphabet, alternate
+    // hard-EM recounts with integer likelihood-loss pruning (loss =
+    // freq · (altCost − cost), single characters never pruned) until
+    // |vocab| = 96 exactly. The prune loop is a driver-side DP over the
+    // model table (model-sized, not data-sized), so the oracle checks
+    // the two invariants that survive SQL: the EXACT requested size
+    // (96 AS vocab_size — a drifting fit hash-mismatches) and the
+    // character-coverage reconstruction (pieces concatenate back to
+    // the space-stripped corpus, [UNK]-free by the coverage
+    // invariant); UnigramSpec pins the prune semantics.
+    Gate("t_unigram_target", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.fitTarget(docs, "text",
+        targetVocab = 96, maxPieceLen = 6, seedMult = 2,
+        prunePermille = 500)
+      docs.select(col("doc_id"),
+        lit(model.size).as("vocab_size"),
+        array_join(graft.operators.Unigram.encodeCol(col("text"), model),
+          "").as("glued"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""SELECT doc_id, 96 AS vocab_size,
+             |  replace(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ', '')
+             |    AS glued
+             |FROM documents
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // WordPiece token IDS (the BERT input_ids artifact): the same
     // greedy walk with pieces mapped through the vocabFrame layout

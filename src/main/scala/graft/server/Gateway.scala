@@ -267,9 +267,14 @@ final class Gateway(
     * re-expressed as content-keyed parquet. Shared operands across
     * configurations compute once; a changed upload derives a new key,
     * so invalidation is structural, not TTL-based. Caveat (by design,
-    * like the reference): a cached REST/OData provider frame is served
-    * until its configuration text changes — the gateway caches
-    * LINEAGE, not upstream freshness. */
+    * like the reference): the gateway caches LINEAGE, not upstream
+    * freshness — a cached frame is served until its configuration TEXT
+    * changes. That covers REST/OData providers AND file-backed ones
+    * (parquet/localdata paths under `dataDir`): rewriting the file
+    * behind an unchanged path does NOT invalidate the cached frame.
+    * Operators running with a cache who re-ingest in place should
+    * either version the path in the configuration (the structural way)
+    * or run without `--cache-dir` for mutable inputs. */
   private def resolve(name: String, visiting: Set[String]): Option[DataFrame] = {
     if (visiting.contains(name))
       throw new IllegalArgumentException(
@@ -307,7 +312,7 @@ final class Gateway(
         val h = p.header
         val hdr = (h.props.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" } ++
           h.lists.toSeq.sortBy(_._1)
-            .map { case (k, v) => s"$k=[${v.mkString(" ")}]" } ++
+            .map { case (k, v) => s"$k=[${v.mkString("\u0000")}]" } ++
           h.meta.toSeq.sortBy(_._1).map { case (k, v) => s"meta.$k=$v" })
           .mkString(";")
         Some((s"hb{$hdr}" +: p.transformations.map(graft.hb.Printer.print))

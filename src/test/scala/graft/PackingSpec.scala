@@ -129,6 +129,16 @@ class PackingSpec extends AnyFunSuite {
       if (t == null) Nil else t +: causes(t.getCause)
     assert(causes(e).exists(c => String.valueOf(c.getMessage)
       .contains("2000")), e.getMessage)
+    // a ZERO-token document raises too: best-fit would hand it a full
+    // bin's remainder-0 slot and emit bin_offset == budget — a
+    // doc_starts entry outside [0, budget)
+    val zero = Seq((1L, 100L), (2L, 0L)).toDF("id", "t")
+    val ez = intercept[Exception] {
+      Packing.binLayout(zero, "id", "t", budget = 1024L, shards = 1,
+        bestFit = true).collect()
+    }
+    assert(causes(ez).exists(c => String.valueOf(c.getMessage)
+      .contains("outside [1")), ez.getMessage)
   }
 
   test("emitAligned: sequences are budget-length, ids concatenate in " +

@@ -108,6 +108,63 @@ class UnigramSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP pieces: the native DP walks CODE POINTS (a UTF-16 walk " +
+      "would mis-cap the 2-code-point piece and split surrogate pairs)") {
+    // "😀😁" is 2 code points / 4 UTF-16 units; under maxPieceLen = 2
+    // the cheap 2-piece segmentation exists only in code-point units
+    val pieces = Seq(
+      Unigram.Piece("😀", 8, 5), Unigram.Piece("😁", 8, 5),
+      Unigram.Piece("😀😁", 16, 3))
+    val got = Seq(Tuple1("😀😁😀")).toDF("text")
+      .select(Unigram.encodeCol(col("text"), pieces, maxPieceLen = 2)
+        .as("p"))
+      .head().getSeq[String](0)
+    assert(got.toList === List("😀😁", "😀"))
+  }
+
+  test("fitTarget: prune-EM reaches the EXACT requested vocabulary " +
+      "size, keeps every single character, and never strands a word") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = "abcdefg"
+    val words = (0 until 120).map(_ =>
+      (0 until (2 + rnd.nextInt(8)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val target = 20
+    val model = Unigram.fitTarget(docs, "text", target, maxPieceLen = 4)
+    assert(model.size === target)
+    // the character-coverage invariant: every corpus character survives
+    val chars = words.flatMap(_.toSeq).map(_.toString).toSet
+    assert(chars.subsetOf(model.map(_.piece).toSet))
+    // …so the trained model never [UNK]s its own training corpus, and
+    // the segmentation concatenates back to each word exactly
+    val enc = docs.select(col("doc_id"),
+      array_join(Unigram.encodeCol(col("text"), model, maxPieceLen = 4),
+        "").as("glued"))
+      .orderBy("doc_id").collect()
+    val expected = words.grouped(10).map(_.mkString).toSeq
+    enc.zip(expected).foreach { case (r, e) =>
+      assert(!r.getString(1).contains("[UNK]"))
+      assert(r.getString(1) === e)
+    }
+    // a tighter target is a subset-sized model, still exact
+    val small = Unigram.fitTarget(docs, "text", chars.size + 3,
+      maxPieceLen = 4)
+    assert(small.size === chars.size + 3)
+  }
+
+  test("fitTarget guards: target below alphabet, unreachable target") {
+    val df = Seq((1L, "abc abc cab")).toDF("doc_id", "text")
+    val eLow = intercept[IllegalArgumentException](
+      Unigram.fitTarget(df, "text", 2, maxPieceLen = 3))
+    assert(eLow.getMessage.contains("alphabet"))
+    val eHigh = intercept[IllegalArgumentException](
+      Unigram.fitTarget(df, "text", 5000, maxPieceLen = 3))
+    assert(eHigh.getMessage.contains("cannot reach"))
+  }
+
   test("guards") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Unigram.fit(df, "text", -1))

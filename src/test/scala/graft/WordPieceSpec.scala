@@ -109,6 +109,48 @@ class WordPieceSpec extends AnyFunSuite {
     assert(out.map(vf) === Seq("a", "##b", "[UNK]"))
   }
 
+  test("fitLocal (driver in-memory likelihood trainer) produces the " +
+      "identical merge list to fit") {
+    // random small-alphabet corpus: plenty of unit-count churn, so the
+    // likelihood scores of UNTOUCHED pairs move between rounds — the
+    // case the unit→pairs re-push index exists for
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abcdxyz"
+    val words = (0 until 90).map(_ =>
+      (0 until (1 + rnd.nextInt(7)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val docs = words.grouped(9).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val a = WordPiece.fit(docs, "text", 20, minCount = 1L)
+    val b = WordPiece.fitLocal(docs, "text", 20, minCount = 1L)
+    assert(a == b, s"\nfit:      $a\nfitLocal: $b")
+    // minCount stop rule carries over (every pair unique → below 2)
+    assert(WordPiece.fitLocal(Seq((1L, "ab cd ef")).toDF("doc_id", "text"),
+      "text", 5, minCount = 2L).isEmpty)
+    // frequency truncation is deterministic and keeps training alive
+    assert(WordPiece.fitLocal(docs, "text", 6, minCount = 1L, maxWords = 5)
+      .nonEmpty)
+  }
+
+  test("non-BMP pieces: the native encode counts CODE POINTS like the " +
+      "Column-fold spec (a 2-code-point piece is 4 UTF-16 units)") {
+    // with maxPieceLen = 2, a UTF-16-unit probe cap could never form
+    // the piece "😀😁" (4 UTF-16 units) the spec fold matches
+    val vocab = Seq("😀😁", "😀", "##😀", "##😁")
+    val docs = Seq((1L, "😀😁😀😁 😀")).toDF("doc_id", "text")
+    val foldRef = docs.select(
+      flatten(transform(
+        filter(graft.operators.Decontaminate.tokens(col("text")),
+          w => length(w) > 0),
+        w => WordPiece.encodeWord(w, vocab, maxPieceLen = 2))).as("p"))
+      .select(array_join(col("p"), " ")).head().getString(0)
+    val native = WordPiece.encode(docs, "doc_id", "text", vocab,
+      maxPieceLen = 2).head().getAs[String]("wp")
+    assert(native == foldRef)
+    assert(native == "😀😁 ##😀 ##😁 😀")
+  }
+
   test("guards") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](WordPiece.fit(df, "text", 0))
