@@ -1618,6 +1618,26 @@ object TextGates {
     },
       Some(wordPieceDocOracleSql)),
 
+    // BERT vocab.txt FILE round trip (r12 — sinks.TokenizerFiles): the
+    // fitted vocabulary exported one-piece-per-line ([UNK] at line 0 =
+    // id 0, the vocabFrame layout), loaded back, and the LOADED list
+    // drives the same native greedy encode — green iff the file carries
+    // the vocabulary losslessly. Same columns as t_wordpiece → the same
+    // full oracle.
+    Gate("t_wordpiece_export_rt", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bert_rt").toString + "/vocab.txt"
+      graft.sinks.TokenizerFiles.writeBertVocab(path,
+        graft.operators.WordPiece.vocabulary(docs, "text", merges))
+      graft.operators.WordPiece.encode(docs, "doc_id", "text",
+        graft.sinks.TokenizerFiles.readBertVocab(path))
+        .orderBy(col("doc_id"))
+    },
+      Some(wordPieceDocOracleSql)),
+
     // The shippable WordPiece vocab.txt table: [UNK] at id 0, then the
     // final vocabulary (corpus alphabet + merged pieces) in sorted
     // order. Oracle re-derives the vocabulary from the unrolled rounds
@@ -1821,6 +1841,30 @@ object TextGates {
     },
       Some(bpeBytesOracleSql)),
 
+    // GPT-2 FILE round trip (r12 — sinks.TokenizerFiles): the trained
+    // byte merge table exported as vocab.json + merges.txt (the
+    // openai/gpt-2 encoder.json layout), loaded back, and the LOADED
+    // table drives the same codegen'd encode/decode — so the gate
+    // hashes green iff the file formats carry the model losslessly.
+    // Identical fixture/columns to t_bpe_bytes → the same full oracle.
+    Gate("t_bpe_export_rt", (s, d) => {
+      val fx = concat(lit("The "),
+        upper(expr("substring(text, 1, 3)")), expr("substring(text, 4)"),
+        lit("  #"), (col("doc_id") % 100).cast("string"),
+        lit(", End.\n\ttail  42 "))
+      val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_gpt2_rt").toString
+      graft.sinks.TokenizerFiles.writeGpt2(dir,
+        graft.operators.Bpe.fitBytes(docs, "fx", 6, minCount = 1L))
+      val loaded = graft.sinks.TokenizerFiles.readGpt2(dir)
+      val enc = graft.operators.Bpe.encodeBytesCol(col("fx"), loaded)
+      docs.select(col("doc_id"), enc.as("bpe"),
+        graft.operators.Bpe.decodeBytesCol(enc).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(bpeBytesOracleSql)),
+
     // The shippable tokenizer-artifact TABLE (r11): every id's
     // spelling under the GPT-2 layout — 256 byte tokens (the oracle
     // replays the bytes_to_unicode construction itself: keep-set
@@ -1999,6 +2043,29 @@ object TextGates {
       val docs = t(s, d, "documents")
       val model = graft.operators.Unigram.fitEm(docs, "text",
         topMulti = 16)
+      docs.select(col("doc_id"),
+        graft.operators.Unigram.encodeCol(col("text"), model).as("__p"))
+        .select(col("doc_id"),
+          array_join(col("__p"), " ").as("ug"),
+          when(col("__p").isNotNull, size(col("__p")).cast("long"))
+            .as("n_pieces"))
+        .orderBy(col("doc_id"))
+    },
+      Some(unigramDocOracleSql)),
+
+    // SentencePiece-style piece-list FILE round trip (r12 —
+    // sinks.TokenizerFiles): the refined model exported as a
+    // piece/freq/cost_bits TSV, loaded back, and the LOADED model
+    // drives the same compiled Viterbi encode — green iff the TSV
+    // carries the exact integer costs. Same columns as t_unigram → the
+    // same full oracle.
+    Gate("t_unigram_export_rt", (s, d) => {
+      val docs = t(s, d, "documents")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_sp_rt").toString + "/pieces.tsv"
+      graft.sinks.TokenizerFiles.writeUnigramTsv(path,
+        graft.operators.Unigram.fitEm(docs, "text", topMulti = 16))
+      val model = graft.sinks.TokenizerFiles.readUnigramTsv(path)
       docs.select(col("doc_id"),
         graft.operators.Unigram.encodeCol(col("text"), model).as("__p"))
         .select(col("doc_id"),
