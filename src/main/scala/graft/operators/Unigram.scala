@@ -171,6 +171,32 @@ object Unigram {
     refit(df, textCol, pieces, maxPieceLen)
   }
 
+  /** Persistent fit — the [[Bpe.fitStored]] contract for the
+    * unigram family: the refined piece table ([[fitEm]]) persists as a
+    * bounded parquet artifact under a [[graft.cache.LineageCache]]
+    * content key; a later SESSION (new JVM, same store root) loads it
+    * instead of re-running the candidate fit + EM pass — segmentation
+    * stability across incremental ingest runs. Key hygiene is the
+    * caller's: change `ugKey` when the fit corpus is supposed to
+    * change; otherwise corpus growth does NOT re-train, by design. */
+  def fitStored(df: DataFrame, textCol: String, topMulti: Int,
+      ugKey: String, store: graft.cache.LineageCache,
+      maxPieceLen: Int = 6): Seq[Piece] = {
+    val k = store.key("unigram",
+      Seq(ugKey, textCol, topMulti.toString, maxPieceLen.toString))
+    val pdf = store.getOrCompute(k) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      fitEm(df, textCol, topMulti, maxPieceLen)
+        .map(p => (p.piece, p.freq, p.costBits))
+        .toDF("piece", "freq", "cost_bits")
+    }
+    // ≤ alphabet + topMulti rows by the fit contract — bounded
+    pdf.collect()
+      .map(r => Piece(r.getString(0), r.getLong(1), r.getInt(2)))
+      .sortBy(_.piece).toSeq
+  }
+
   private def isSingleCp(p: Piece): Boolean =
     p.piece.codePointCount(0, p.piece.length) == 1
 

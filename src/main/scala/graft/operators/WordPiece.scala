@@ -344,6 +344,55 @@ object WordPiece {
     merges.result()
   }
 
+  /** Persistent fit — the [[Bpe.fitStored]] contract for the WordPiece
+    * family: the learned merge list trains ONCE (via the production
+    * [[fitLocal]] path), persists as a ≤`nMerges`-row parquet artifact
+    * under a [[graft.cache.LineageCache]] content key, and a later
+    * SESSION (new JVM, same store root) loads it instead of
+    * re-training — piece-id stability across incremental ingest runs.
+    * Key hygiene is the caller's: change `wpKey` when the fit corpus is
+    * supposed to change; otherwise corpus growth does NOT re-train, by
+    * design. */
+  def fitStored(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long, wpKey: String,
+      store: graft.cache.LineageCache): Seq[Merge] = {
+    val k = store.key("wordpiece",
+      Seq(wpKey, textCol, nMerges.toString, minCount.toString))
+    val mdf = store.getOrCompute(k) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      fitLocal(df, textCol, nMerges, minCount)
+        .map(m => (m.rank, m.left, m.right, m.scoreFp))
+        .toDF("rank", "left", "right", "score_fp")
+    }
+    mdf.collect() // ≤ nMerges rows by the fit contract — bounded
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .sortBy(_.rank).toSeq
+  }
+
+  /** The ENCODER-ready persisted artifact: the final vocabulary
+    * (corpus alphabet + merged pieces) under the same store contract as
+    * [[fitStored]] — the alphabet scan is itself a corpus pass, so a
+    * reload must skip it too for the zero-refit-jobs property
+    * (StoredModelSpec pins it). One artifact = one encoder: a session
+    * that loads this list encodes identically forever. */
+  def vocabularyStored(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long, wpKey: String,
+      store: graft.cache.LineageCache): Seq[String] = {
+    val k = store.key("wordpiece_vocab",
+      Seq(wpKey, textCol, nMerges.toString, minCount.toString))
+    val vdf = store.getOrCompute(k) {
+      val spark = df.sparkSession
+      import spark.implicits._
+      vocabulary(df, textCol,
+        fitStored(df, textCol, nMerges, minCount, wpKey, store))
+        .toDF("piece")
+    }
+    // alphabet + merges rows by the vocabulary contract — bounded
+    vdf.collect().map(_.getString(0)).toSeq.sorted
+  }
+
   /** The final vocabulary for [[fit]]'s merges over `df`: every
     * word-initial and `##`-continuation character of the corpus plus
     * each merge's joined piece. */

@@ -211,10 +211,30 @@ object StreamHb {
     * zero-shuffle narrow scorer (Surprisal.withScoresNarrow /
     * Classifier.withMarginsNarrow / Vocab.encodeNarrow /
     * Bpe.encodeColFast) — the CCNet-online pairing, authorable from
-    * the closed DSL. */
+    * the closed DSL.
+    *
+    * `store` (optional) is the PERSISTED-model tier: with a
+    * [[graft.cache.LineageCache]] bound, every `… using <conf>` model
+    * resolves through its family's `fitStored` path keyed by the
+    * configuration NAME + fit parameters — a later session (new JVM,
+    * same store root) translates the same program with ZERO refit jobs
+    * (StoredModelSpec pins it with a job counter), so the stream keeps
+    * encoding under YESTERDAY's vocabulary across restarts — the
+    * subword-id stability incremental ingest needs. Key hygiene is the
+    * caller's (the Bpe.fitStored contract): rename the configuration
+    * when the fit corpus is supposed to change. */
   def apply(program: Program, stream: DataFrame,
-      resolve: String => DataFrame = noResolver): DataFrame = {
+      resolve: String => DataFrame = noResolver,
+      store: Option[graft.cache.LineageCache] = None): DataFrame = {
     validate(program)
+    // the generic persisted-model hook for the families whose fit
+    // RETURNS a bounded model DataFrame (surprisal/classifier): store
+    // the table under (kind, conf, params), recompute only on miss
+    def storedFrame(kind: String, parts: Seq[String])(
+        compute: => DataFrame): DataFrame = store match {
+      case Some(lc) => lc.getOrCompute(lc.key(kind, parts))(compute)
+      case None => compute
+    }
     val start = Engine.HbFrame(
       stream.withColumn(Engine.KEY, lit(null).cast("long")),
       Seq(col(Engine.KEY).asc))
@@ -228,35 +248,51 @@ object StreamHb {
           .drop("__fp"))
       case (f, ScoreUsing(c, conf, b, salt)) =>
         val (mp, mc) = graft.operators.Surprisal.modelMaps(
-          graft.operators.Surprisal.fit(resolve(conf), c, b, salt))
+          storedFrame("surprisal", Seq(conf, c, b.toString, salt))(
+            graft.operators.Surprisal.fit(resolve(conf), c, b, salt)))
         f.copy(df = graft.operators.Surprisal
           .withScoresNarrow(f.df, mp, mc, c, b, salt))
       case (f, ClassifyUsing(c, pos, neg, b, salt)) =>
         val (mp, mn, np, nn) = graft.operators.Classifier.modelMaps(
-          graft.operators.Classifier.fit(resolve(pos), resolve(neg),
-            c, b, salt))
+          storedFrame("classifier", Seq(pos, neg, c, b.toString, salt))(
+            graft.operators.Classifier.fit(resolve(pos), resolve(neg),
+              c, b, salt)))
         f.copy(df = graft.operators.Classifier
           .withMarginsNarrow(f.df, mp, mn, np, nn, c, b, salt))
       case (f, EncodeUsing(c, conf, size)) =>
-        val vm = graft.operators.Vocab.vocabMap(
-          graft.operators.Vocab.fit(resolve(conf), c, size))
+        val vm = graft.operators.Vocab.vocabMap(store match {
+          case Some(lc) => graft.operators.Vocab.fitStored(
+            resolve(conf), c, size, conf, lc)
+          case None => graft.operators.Vocab.fit(resolve(conf), c, size)
+        })
         f.copy(df = graft.operators.Vocab.encodeNarrow(f.df, c, vm))
       case (f, DecodeUsing(c, conf, size)) =>
         // the model fits on the configuration's TEXT column ("text" by
         // the corpus contract); the stream side inverts the id arrays
-        val vm = graft.operators.Vocab.vocabMap(
-          graft.operators.Vocab.fit(resolve(conf), "text", size))
+        val vm = graft.operators.Vocab.vocabMap(store match {
+          case Some(lc) => graft.operators.Vocab.fitStored(
+            resolve(conf), "text", size, conf, lc)
+          case None => graft.operators.Vocab.fit(resolve(conf), "text", size)
+        })
         f.copy(df = graft.operators.Vocab.decodeNarrow(f.df, c, vm))
       case (f, BpeUsing(c, conf, n)) =>
-        val merges = graft.operators.Bpe.fitDelta(resolve(conf), c, n,
-          minCount = 1L)
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(
+            resolve(conf), c, n, 1L, conf, lc)
+          case None => graft.operators.Bpe.fitDelta(resolve(conf), c, n,
+            minCount = 1L)
+        }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
       case (f, BpeBytesUsing(c, conf, n)) =>
         // lossless byte-level twin: table fits offline on the
         // configuration, the stream encodes as a stateless narrow map
-        val merges = graft.operators.Bpe.fitBytes(resolve(conf), c, n,
-          minCount = 1L)
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(
+            resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
+          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
+            minCount = 1L)
+        }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeBytesCol(col(c), merges)))
       case (f, WordPieceUsing(c, conf, n)) =>
@@ -266,8 +302,12 @@ object StreamHb {
         // streams see each doc once, so the batch path's distinct-word
         // memo buys nothing here)
         val wpDf = resolve(conf)
-        val vocab = graft.operators.WordPiece.vocabulary(wpDf, c,
-          graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+        val vocab = store match {
+          case Some(lc) => graft.operators.WordPiece.vocabularyStored(
+            wpDf, c, n, 1L, conf, lc)
+          case None => graft.operators.WordPiece.vocabulary(wpDf, c,
+            graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+        }
         // the file source hands a micro-batch ONE task per file — one
         // narrow round-robin exchange spreads the compiled encode
         // across cores (the bpeEncodeStream precedent, StreamOps.scala)
@@ -311,7 +351,11 @@ object StreamHb {
         // compiled Viterbi narrow map (repartitioned off the one-task-
         // per-file source like the other tokenizer streams)
         val ugDf = resolve(conf)
-        val model = graft.operators.Unigram.fitEm(ugDf, c, n)
+        val model = store match {
+          case Some(lc) => graft.operators.Unigram.fitStored(
+            ugDf, c, n, conf, lc)
+          case None => graft.operators.Unigram.fitEm(ugDf, c, n)
+        }
         f.copy(df = f.df
           .repartition(f.df.sparkSession.sessionState.conf
             .numShufflePartitions)
@@ -330,9 +374,10 @@ object StreamHb {
     * completed result table. */
   def runToMemory(spark: SparkSession, text: String, stream: DataFrame,
       queryName: String,
-      resolve: String => DataFrame = noResolver): DataFrame = {
+      resolve: String => DataFrame = noResolver,
+      store: Option[graft.cache.LineageCache] = None): DataFrame = {
     val program = HbParser.parse(text)
-    val out = apply(program, stream, resolve)
+    val out = apply(program, stream, resolve, store)
     val q = out.writeStream
       .outputMode(outputMode(program))
       .format("memory")
@@ -357,10 +402,11 @@ object StreamHb {
     * (batch frames — the offline-fit half). */
   def runTable(spark: SparkSession, dir: String, table: String,
       text: String, queryName: String,
-      resolve: String => DataFrame = noResolver): DataFrame = {
+      resolve: String => DataFrame = noResolver,
+      store: Option[graft.cache.LineageCache] = None): DataFrame = {
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    runToMemory(spark, text, stream, queryName, resolve)
+    runToMemory(spark, text, stream, queryName, resolve, store)
   }
 }
