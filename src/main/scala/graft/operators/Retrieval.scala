@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Hybrid retrieval: an inverted-index lexical retriever plus
   * reciprocal-rank fusion over any set of per-query rankings.
@@ -86,6 +87,77 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"),
         col("__cid").as("neighbor_id"), col("overlap"))
+  }
+
+  /** BM25-weighted lexical top-k (Robertson/Spärck Jones; the exact
+    * k1=1.2 / b=0.75 Okapi form) — [[lexicalOverlapTopK]]'s
+    * quality-ranked sibling: instead of counting distinct shared terms,
+    * each shared term contributes `floor(idf · tfn · 1e9)` and the
+    * per-pair score is the exact-integer SUM of the contributions
+    * (order-free, so an oracle replays it bit-for-bit; the same
+    * fixed-point discipline as the standalone BM25 scorer gate).
+    *
+    * Scale shape is identical to the overlap ranker: the query
+    * vocabulary broadcasts, corpus postings are restricted to it BEFORE
+    * any aggregation (which also makes the df counts exact for those
+    * terms), the permille stopword cut bounds posting volume, and the
+    * only full-corpus passes are the tokenize and one (sum(dl), n)
+    * aggregate for avgdl. Per-query windows only — no corpus×corpus
+    * stage. Returns `(query_id, rank, neighbor_id, score_fp)`; a query
+    * never retrieves itself. */
+  def lexicalBm25TopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      maxDfPermille: Int = 500): DataFrame = {
+    require(k >= 1, s"bm25 top-k needs k >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+    val k1 = 1.2
+    val b = 0.75
+    // NON-distinct tokens with the per-doc length: BM25's tf needs
+    // every occurrence, dl the non-empty token count
+    val tk = filter(split(
+      lower(regexp_replace(col(textCol), "\\s+", " ")), " "),
+      t => t =!= "")
+    val cTok = corpus.select(col(idCol).as("__cid"), tk.as("__tk"))
+      .select(col("__cid"), size(col("__tk")).as("__dl"),
+        explode(col("__tk")).as("__term"))
+    val qTok = tokens(queries, idCol, textCol, "query_id")
+    val hits = cTok.join(broadcast(qTok.select("__term").distinct()),
+      "__term")
+    val stats = corpus.select(count(lit(1)).as("__n"),
+      (sum(when(size(tk) >= 0, size(tk))).cast(DoubleType) /
+        count(lit(1))).as("__avgdl"))
+    // df on the restricted postings is exact for query terms; the
+    // stopword cut is the same integer permille rule as the overlap
+    // ranker
+    val tf = hits.groupBy(col("__cid"), col("__term"), col("__dl"))
+      .agg(count(lit(1)).as("__tf"))
+    val df_ = tf.groupBy("__term")
+      .agg(count(lit(1)).as("__df")) // one row per (cid, term) already
+    val keep = df_.crossJoin(broadcast(stats.select("__n")))
+      .filter(col("__df") * lit(1000L) <=
+        col("__n") * lit(maxDfPermille.toLong))
+      .select("__term", "__df")
+    val scored = tf.join(broadcast(keep), "__term")
+      .join(broadcast(qTok), "__term")
+      .filter(col("__cid") =!= col("query_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+      .withColumn("__tfn",
+        col("__tf") * (lit(k1) + 1) /
+          (col("__tf") + lit(k1) *
+            (lit(1) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .withColumn("__term_fp",
+        floor(col("__idf") * col("__tfn") * lit(1e9)).cast(LongType))
+      .groupBy(col("query_id"), col("__cid"))
+      .agg(sum(col("__term_fp")).as("score_fp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_fp").desc, col("__cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col("__cid").as("neighbor_id"), col("score_fp"))
   }
 
   /** Reciprocal-rank fusion of N rankings. Each input frame must carry

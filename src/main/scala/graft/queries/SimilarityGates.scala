@@ -1058,6 +1058,53 @@ object SimilarityGates {
     },
       Some(SimilarityGates.hybridRrfOracleSql)),
 
+    // BM25-WEIGHTED lexical retrieval (r12 — Retrieval.lexicalBm25TopK):
+    // the overlap ranker's quality-ranked sibling — per shared term
+    // floor(idf·tfn·1e9) under the exact Okapi k1=1.2/b=0.75 form, the
+    // pair score the order-free BIGINT sum (the t_bm25 fixed-point
+    // discipline, so DuckDB replays it bit-for-bit). Same scale shape:
+    // broadcast query vocabulary, postings restricted BEFORE
+    // aggregation, permille stopword cut; the only extra full-corpus
+    // pass is one (count, avgdl) aggregate. FULL oracle.
+    Gate("s_lexical_bm25",
+      (s, d) => graft.operators.Retrieval.lexicalBm25TopK(
+        t(s, d, "documents"),
+        t(s, d, "documents").filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+        .orderBy(col("query_id"), col("rank")),
+      Some(s"""WITH $lexCtes,
+           |$bm25Ctes
+           |SELECT query_id, rank, neighbor_id, score_fp FROM bmr
+           |WHERE rank <= 20
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
+    // THREE-list hybrid retrieval (r12): RRF fusion of the overlap
+    // lexical top-20, the BM25 lexical top-20 and the embedding-cosine
+    // top-20 for the same 5 seeds — the standard lexical-quality /
+    // lexical-recall / semantic triple. Integer 1e9 div (60+rank)
+    // contributions; n_lists now reaches 3 where all modalities agree.
+    // Fusion cost stays output-sized (3 × queries × k rows).
+    Gate("s_hybrid_rrf3", (s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val lex = graft.operators.Retrieval.lexicalOverlapTopK(
+        docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+      val bm = graft.operators.Retrieval.lexicalBm25TopK(
+        docs, docs.filter(col("doc_id") < 5),
+        "doc_id", "text", k = 20, maxDfPermille = 780)
+      val sem = Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      graft.operators.Retrieval.rrfFuse(Seq(lex, bm, sem), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+      Some(s"""WITH $lexCtes,
+           |$bm25Ctes,
+           |$hybridFuse3Ctes
+           |SELECT query_id, rank, neighbor_id, rrf_fp, n_lists FROM r3
+           |WHERE rank <= 10
+           |ORDER BY query_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)),
+
     // The late-r11 FLAGSHIP composition — retrieval-mined preference
     // pairs (the hard-negative mining pattern behind reward/DPO data):
     // hybrid-RRF retrieve 10 docs per seed → drop semantically
@@ -1191,6 +1238,77 @@ object SimilarityGates {
        |SELECT vec_id, max_cos_fp, max_cos_fp >= 250000000 AS contaminated
        |FROM mx
        |ORDER BY vec_id ASC NULLS FIRST""".stripMargin
+
+  /** The BM25 lexical-retrieval CTE chain (assumes `tok`/`qt` from
+    * [[lexCtes]] are in scope): NON-distinct tokens with per-doc
+    * lengths, postings restricted to the query vocabulary (df exact for
+    * those terms), the 780-permille stopword cut, and the Okapi
+    * k1=1.2/b=0.75 per-term fixed-point contributions summed into the
+    * ranked frame `bmr`. Pre-stripped (no margin pipes). */
+  private lazy val bm25Ctes: String =
+    """tok2 AS MATERIALIZED (
+      |  SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM (
+      |    SELECT doc_id,
+      |      list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> '') AS tk
+      |    FROM documents)),
+      |hits2 AS MATERIALIZED (
+      |  SELECT t.doc_id, t.term, t.dl FROM tok2 t JOIN qt USING (term)),
+      |st AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(len(list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), x -> x <> ''))) AS DOUBLE) / COUNT(*) AS avgdl
+      |  FROM documents),
+      |tf2 AS (SELECT doc_id, term, dl, COUNT(*) AS tf FROM hits2 GROUP BY 1, 2, 3),
+      |df2 AS (SELECT term, COUNT(*) AS df FROM tf2 GROUP BY term),
+      |keep2 AS (SELECT term, df FROM df2 CROSS JOIN st WHERE df * 1000 <= n * 780),
+      |sc2 AS (
+      |  SELECT q.doc_id AS query_id, f.doc_id AS neighbor_id,
+      |    CAST(FLOOR(((st.n - k2.df + 0.5) / (k2.df + 0.5))
+      |      * (f.tf * (1.2 + 1) / (f.tf + 1.2 * (1 - 0.75 + 0.75 * f.dl / st.avgdl)))
+      |      * 1e9) AS BIGINT) AS term_fp
+      |  FROM tf2 f JOIN keep2 k2 USING (term)
+      |    JOIN tok q ON q.term = f.term AND q.doc_id < 5 AND q.doc_id <> f.doc_id, st),
+      |bm0 AS (SELECT query_id, neighbor_id, CAST(SUM(term_fp) AS BIGINT) AS score_fp FROM sc2 GROUP BY 1, 2),
+      |bmr AS (
+      |  SELECT query_id, neighbor_id, score_fp,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY score_fp DESC, neighbor_id) AS INTEGER) AS rank
+      |  FROM bm0)""".stripMargin
+
+  /** Three-list RRF fusion (assumes `lexr` and `bmr` in scope):
+    * re-derives the semantic top-20 (the [[hybridFuseCtes]] chain,
+    * clash-free names) and fuses all three rankings into `r3`.
+    * Pre-stripped (no margin pipes). */
+  private lazy val hybridFuse3Ctes: String =
+    s"""e3a AS (SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e3 AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e3a),
+       |sem3a AS (
+       |  SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ${dotQSql("q.qv", "b.qv")} / (q.nrm * b.nrm) AS cosine
+       |  FROM e3 q JOIN e3 b ON q.vec_id < 5 AND b.vec_id != q.vec_id),
+       |semr3 AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM sem3a),
+       |u3 AS (
+       |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM lexr WHERE rank <= 20
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM bmr WHERE rank <= 20
+       |  UNION ALL
+       |  SELECT query_id, neighbor_id, 1000000000 // (60 + rank) AS contrib
+       |  FROM semr3 WHERE rank <= 20),
+       |f3a AS (
+       |  SELECT query_id, neighbor_id, CAST(SUM(contrib) AS BIGINT) AS rrf_fp,
+       |    COUNT(*) AS n_lists
+       |  FROM u3 GROUP BY 1, 2),
+       |r3 AS (
+       |  SELECT query_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf_fp DESC, neighbor_id) AS INTEGER) AS rank,
+       |    neighbor_id, rrf_fp, n_lists
+       |  FROM f3a)""".stripMargin
 
   /** Shared lexical-retrieval CTE chain for s_lexical_topk /
     * s_hybrid_rrf: distinct (doc, term) tokens → 5-seed query

@@ -52,6 +52,10 @@ object BpeProbe {
         graft.operators.Bpe.fitLocal(docs, "text", n, 1L)
       else if (which == "localbytes")
         graft.operators.Bpe.fitLocal(docs, "text", n, 1L, byteLevel = true)
+      else if (which == "wplocal")
+        graft.operators.WordPiece.fitLocal(docs, "text", n, minCount = 1L)
+      else if (which == "wpfit")
+        graft.operators.WordPiece.fit(docs, "text", n, minCount = 1L)
       else graft.operators.Bpe.fitDelta(docs, "text", n, 1L)
     spark.range(1).count() // marker job, then drain
     Thread.sleep(2000)
