@@ -408,6 +408,14 @@ object Ast {
     * alphabet raises — wrong-tokenizer drift). */
   case class BpeBytesDecode(encCol: String) extends Statement
 
+  /** `bpe ids <textCol> <nMerges>` — the TRAINER-INPUT form of
+    * [[BpeBytesEnc]]: the same byte-level merge table, emitted as
+    * GPT-2-layout token-id ARRAYS (`token_ids`: ids 0-255 = bytes,
+    * 255+rank = merge `rank`; `n_ids` = the length) — the shape
+    * `emit packed`/`emit aligned` consume, so a pretraining pipeline
+    * closes corpus → `input_ids` inside one program. */
+  case class BpeIdsEnc(textCol: String, nMerges: Int) extends Statement
+
   /** `bpe bytes <textCol> using <conf> <nMerges>` — [[BpeBytesEnc]]
     * with the merge table trained on a MODEL configuration
     * (operators.Bpe.fitBytes at translation time): the offline-fit /

@@ -394,6 +394,17 @@ object Engine {
       f.copy(df = f.df.withColumn("text_decoded",
         graft.operators.Bpe.decodeBytesCol(col(c))))
 
+    case BpeIdsEnc(c, n) =>
+      // trainer-input twin of `bpe bytes`: same fit, ids instead of
+      // spellings — token_ids is the array `emit packed` consumes
+      val idsCol = graft.operators.Bpe.encodeIdsCol(col(c),
+        graft.operators.Bpe.fitBytes(f.df, c, n, minCount = 1L))
+      f.copy(df = f.df
+        .withColumn("token_ids", idsCol)
+        .withColumn("n_ids",
+          when(col("token_ids").isNotNull,
+            size(col("token_ids")).cast("long"))))
+
     case RebalanceBy(strat, ts, salt, w) =>
       // ids are the frame index; percentages to match `mix`/`split`
       // (the /100 cancels out of the rate ratios — and x/100.0 is the

@@ -683,6 +683,10 @@ object HbParser {
             val conf = p.colName()
             BpeBytesUsing(c, conf, p.int())
           } else BpeBytesEnc(c, p.int())
+        } else if (p.atIdent("ids")) {
+          p.eat("ids")
+          val c = p.colName()
+          BpeIdsEnc(c, p.int())
         } else {
           val c = p.colName()
           if (p.atIdent("using")) {

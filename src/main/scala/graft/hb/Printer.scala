@@ -120,6 +120,8 @@ object Printer {
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>
       s"decode bytes ${name(c)}"
+    case BpeIdsEnc(c, n) =>
+      s"bpe ids ${name(c)} $n"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
     case RebalanceBy(c, ts, salt, w) =>

@@ -308,6 +308,141 @@ object HbGates {
   /** Shared by hb_decontaminate_cfg and its streaming-ingest twin
     * st_hb_decon (`decon text using eval 4` over the same 25-doc eval
     * slice): per-doc 4-gram overlap flag against the eval grams. */
+  /** The hb_pretrain_e2e oracle — the whole pretraining-mix chain from
+    * first principles in one WITH: 4-gram decon flags, quantized-cosine
+    * semantic flags (the SimilarityGates arithmetic), the C4 signals,
+    * eval-quoted 8-window coverage + reconstruction, fingerprint dedup,
+    * salted mix buckets, then the byte-BPE rounds + GPT-2 id mapping
+    * over the KEPT set (TextGates.bpeBytesChainSql parameterized off
+    * `documents`), and the packing cumsum/emit (the hbSftPipeline
+    * machinery at budget 256 / 4 shards). MATERIALIZED hints on every
+    * CTE the heavy chains re-reference. */
+  private[queries] lazy val pretrainE2eOracleSql: String = {
+    val q = SimilarityGates.qSql("embedding")
+    val dq = SimilarityGates.dotQSql
+    """WITH dtk AS MATERIALIZED (
+      |  SELECT doc_id, source, text,
+      |    string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS tk
+      |  FROM documents),
+      |dgr AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+      |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+      |  FROM dtk),
+      |egr AS (SELECT DISTINCT gram FROM dgr WHERE doc_id < 25),
+      |nghit AS MATERIALIZED (
+      |  SELECT DISTINCT g.doc_id
+      |  FROM dgr g JOIN egr USING (gram) WHERE g.doc_id >= 25),
+      |""".stripMargin +
+      s"""e0 AS (SELECT vec_id, $q AS qv FROM embeddings),
+      |e1 AS (SELECT vec_id, qv, SQRT(${dq("qv", "qv")}) AS nrm FROM e0),
+      |sev AS (SELECT qv, nrm FROM e1 WHERE vec_id < 25),
+      |smx AS MATERIALIZED (
+      |  SELECT t.vec_id,
+      |    MAX(CASE WHEN t.nrm > 0 AND v.nrm > 0
+      |      THEN CAST(FLOOR(${dq("t.qv", "v.qv")} / (t.nrm * v.nrm) * 1e9) AS BIGINT)
+      |      ELSE -1000000000 END) AS mc
+      |  FROM e1 t CROSS JOIN sev v WHERE t.vec_id >= 25
+      |  GROUP BY t.vec_id),
+      |""".stripMargin +
+      """filt AS MATERIALIZED (
+      |  SELECT d.doc_id, d.source, d.tk
+      |  FROM dtk d
+      |    JOIN smx ON smx.vec_id = d.doc_id
+      |    LEFT JOIN nghit h USING (doc_id)
+      |  WHERE d.doc_id >= 25
+      |    AND h.doc_id IS NULL
+      |    AND NOT (smx.mc >= 250000000)
+      |    AND len(regexp_extract_all(d.text, '\S+')) >= 20
+      |    AND CAST(len(d.tk) - len(list_distinct(d.tk)) AS DOUBLE) / len(d.tk) <= 0.55),
+      |swf AS MATERIALIZED (
+      |  SELECT doc_id, i, md5(array_to_string(tk[i:i+7], ' ')) AS fp
+      |  FROM filt, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)),
+      |sev8 AS (
+      |  SELECT DISTINCT md5(array_to_string(tk[i:i+7], ' ')) AS fp
+      |  FROM dtk, unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS t(i)
+      |  WHERE doc_id < 25),
+      |scov AS (
+      |  SELECT DISTINCT w.doc_id, w.i + j.j AS pos
+      |  FROM swf w JOIN sev8 USING (fp), unnest(range(0, 8)) AS j(j)),
+      |scva AS (SELECT doc_id, list(pos) AS cv FROM scov GROUP BY doc_id),
+      |scl AS MATERIALIZED (
+      |  SELECT f.doc_id, f.source,
+      |    COALESCE(array_to_string(list_transform(
+      |      list_filter(range(1, len(f.tk) + 1),
+      |        p -> c.cv IS NULL OR NOT list_contains(c.cv, p)),
+      |      p -> f.tk[p]), ' '), '') AS scrubbed
+      |  FROM filt f LEFT JOIN scva c USING (doc_id)),
+      |win AS (
+      |  SELECT MIN(doc_id) AS doc_id FROM scl
+      |  GROUP BY md5(lower(regexp_replace(scrubbed, '\s+', ' ', 'g')))),
+      |kept AS MATERIALIZED (
+      |  SELECT s.doc_id, s.scrubbed
+      |  FROM scl s JOIN win USING (doc_id)
+      |  WHERE CAST('0x' || SUBSTR(md5(CAST(s.doc_id AS VARCHAR) || ':pmx'), 1, 8)
+      |      AS BIGINT) % 10000
+      |    < (CASE s.source WHEN 'src2' THEN 10000
+      |        WHEN 'src3' THEN 8000 ELSE 6000 END)
+      |    AND len(regexp_extract_all(s.scrubbed, '\S+')) > 0),
+      |""".stripMargin +
+      TextGates.bpeBytesChainSql("scrubbed", 6, from = "kept", lead = "") +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |docids AS MATERIALIZED (
+      |  SELECT d.doc_id, list(v.id ORDER BY d.tpos, w.pos) AS idl,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id),
+      |d0 AS (
+      |  SELECT doc_id, idl, n,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |      AS BIGINT) % 4 AS shard
+      |  FROM docids),
+      |c AS (
+      |  SELECT doc_id, idl, n, shard,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS bef
+      |  FROM d0),
+      |parts AS (
+      |  SELECT shard, doc_id, idl, n, bef, k AS seq,
+      |    greatest(k * 256, bef) AS s,
+      |    least((k + 1) * 256, bef + n) AS e
+      |  FROM c, unnest(range(bef // 256, (bef + n - 1) // 256 + 1)) AS t(k)),
+      |pids AS (
+      |  SELECT shard, seq, s, e, bef,
+      |    array_to_string(idl[CAST(s - bef + 1 AS INTEGER):CAST(e - bef AS INTEGER)], ' ')
+      |      AS portion
+      |  FROM parts),
+      |seqs AS (
+      |  SELECT shard, seq, COUNT(*) AS n_docs,
+      |    CAST(SUM(e - s) AS INTEGER) AS n_tokens,
+      |    string_agg(portion, ' ' ORDER BY s) AS raw,
+      |    COALESCE(string_agg(CASE WHEN s = bef
+      |        THEN CAST(s - seq * 256 AS VARCHAR) END,
+      |      ' ' ORDER BY s), '') AS doc_starts
+      |  FROM pids GROUP BY shard, seq)
+      |SELECT shard, seq, n_docs, n_tokens,
+      |  CASE WHEN n_tokens = 256 THEN raw
+      |    ELSE raw || repeat(' 0', 256 - n_tokens) END AS input_ids,
+      |  doc_starts
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+  }
+
   private[queries] lazy val deconCfgOracleSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
@@ -1096,6 +1231,81 @@ object HbGates {
     // Graft.retrieve): the corpus is ITSELF a configuration join
     // (documents ⋈ renamed embeddings on doc_id), seeds a filtered
     // merge of it — then one retrieval source fuses both modalities.
+    // The r12 FLAGSHIP — the PRETRAINING-MIX pipeline end to end, every
+    // stage authored in the closed DSL (configuration algebra + one
+    // statement chain per tier): ingest → n-gram decontamination
+    // (DeconOf vs the doc_id<25 eval slice) → SEMANTIC decontamination
+    // (SemDeconOf over the aligned embeddings, 0.25 fixed-point
+    // threshold) → C4-style quality filter (tokens ≥ 20, duplicate-token
+    // mass ≤ 0.55 — the synthetic corpus is repetition-heavy, median 0.54) → cross-corpus passage scrub (ScrubOf: eval-quoted
+    // 8-windows excised) → exact dedup on the scrubbed text → stratified
+    // domain mix (src2 100%, src3 80%, rest 60%) → byte-level BPE ids
+    // (`bpe ids`, the GPT-2-layout trainer-input arrays) → `emit packed`
+    // (budget 256, 4 shards): corpus → padded input_ids in ONE program.
+    // The trained byte table ALSO round-trips through the GPT-2
+    // vocab.json/merges.txt interchange (sinks.TokenizerFiles) inside
+    // the gate — a require() gates the hash on artifact losslessness.
+    // ONE oracle replays the whole chain: decon grams, quantized
+    // cosines, the quality signals, window coverage + reconstruction,
+    // fingerprint dedup, salted mix buckets, six training rounds, id
+    // mapping, and the packing cumsum — the t_sft_artifact pattern at
+    // full pipeline width. 100 TB shape: every stage is the already-
+    // audited operator (broadcast eval sides, digest-only shuffles,
+    // salted narrow sampling, one shard exchange for the emit).
+    Gate("hb_pretrain_e2e", (s, d) => {
+      import graft.hb.Configurations._
+      val configs = Map(
+        "evaldocs" -> conf(TableSource("documents"), "only (doc_id < 25)"),
+        "pool" -> conf(TableSource("documents"), "only (doc_id >= 25)"),
+        "ngflag" -> conf(
+          DeconOf("pool", "evaldocs", "doc_id", "text", n = 4),
+          "slice columns doc_id source text contaminated"),
+        "evalemb" -> conf(TableSource("embeddings"), "only (vec_id < 25)"),
+        "poolemb" -> conf(TableSource("embeddings"), "only (vec_id >= 25)"),
+        "semflag" -> conf(
+          SemDeconOf("poolemb", "evalemb", "vec_id", "embedding",
+            thresholdFp = 250000000L),
+          """rename column vec_id doc_id
+            |rename column contaminated semdup
+            |slice columns doc_id semdup
+            |""".stripMargin),
+        "filtered" -> conf(JoinOf("ngflag", "semflag", "doc_id"),
+          """index rows by doc_id
+            |only ((! contaminated) && (! semdup))
+            |only (tokens (text) >= 20)
+            |only (repetition (text) <= 0.55)
+            |""".stripMargin),
+        "cleaned" -> conf(
+          ScrubOf("filtered", "evaldocs", "doc_id", "text", 8),
+          """index rows by doc_id
+            |dedup exact scrubbed
+            |mix by source [src2 100; src3 80] 60 'pmx'
+            |only (tokens (scrubbed) > 0)
+            |create column doc_id keys
+            |slice columns doc_id source scrubbed
+            |""".stripMargin),
+        "artifact" -> conf(MergeOf(Seq("cleaned")),
+          """index rows by doc_id
+            |bpe ids scrubbed 6
+            |emit packed token_ids 256 4
+            |slice columns shard seq n_docs n_tokens input_ids doc_starts
+            |""".stripMargin))
+      val runner = new Runner(s, t0 => t(s, d, t0))
+      val kept = runner.run(configs, "cleaned")
+      // task-3 weave: the byte table the `bpe ids` statement trains on
+      // the cleaned corpus must survive the GPT-2 file interchange
+      // EXACTLY — the gate only hashes green if the artifact is lossless
+      val merges = graft.operators.Bpe.fitBytes(kept, "scrubbed", 6,
+        minCount = 1L)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_pretrain_tok").toString
+      graft.sinks.TokenizerFiles.writeGpt2(dir, merges)
+      require(graft.sinks.TokenizerFiles.readGpt2(dir) == merges,
+        "pretrain flagship: GPT-2 tokenizer artifact did not round-trip")
+      runner.run(configs, "artifact").orderBy(col("shard"), col("seq"))
+    },
+      Some(HbGates.pretrainE2eOracleSql)),
+
     // Identical parameters to s_hybrid_rrf (pools 20, k 10, df 780,
     // doc_id < 5 seeds) → shared oracle, so the algebra form is pinned
     // to hash-match the library form.
@@ -1238,6 +1448,23 @@ object HbGates {
           |""".stripMargin, t(s, d, "documents"))
         .orderBy(col("doc_id")),
       Some(TextGates.hbBpeBytesOracleSql)),
+
+    // The trainer-input ids form through the statement surface (r12 —
+    // `bpe ids`): the same byte-level table as `bpe bytes`, emitted as
+    // GPT-2-layout id arrays, the shape `emit packed` consumes. The
+    // gate projects the array to its space-joined form for the
+    // comparison harness; library users get the array.
+    Gate("hb_bpe_ids",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |bpe ids text 6
+          |create column doc_id keys
+          |slice columns doc_id token_ids n_ids
+          |""".stripMargin, t(s, d, "documents"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("token_ids")).as("ids_str"), col("n_ids"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.hbBpeIdsOracleSql)),
 
     Gate("hb_surprisal_cfg",
       (s, d) => {

@@ -12,9 +12,11 @@ import Gate.t
 object SimilarityGates {
 
   // quantized-vector helpers mirroring Similarity.quantize/dotQ exactly
-  private def qSql(v: String): String =
+  // (private[queries]: the pretrain flagship oracle in HbGates replays
+  // the same semantic-decon arithmetic)
+  private[queries] def qSql(v: String): String =
     s"list_transform($v, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1e6) AS BIGINT))"
-  private val dotQSql: (String, String) => String = (a, b) =>
+  private[queries] val dotQSql: (String, String) => String = (a, b) =>
     s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2])) AS DOUBLE)"
 
   /** Prefix the CTE names of one KMeansDet.oracleSql chain so several

@@ -3054,11 +3054,12 @@ object TextGates {
     * identity except the remapped whitespace ' '→Ġ, \n→Ċ, \t→ĉ) →
     * distinct-pretoken frame (no `</w>`) → n unrolled training rounds
     * (the same generic round CTEs as t_bpe_train). */
-  private[queries] def bpeBytesChainSql(fxExpr: String, n: Int): String = {
+  private[queries] def bpeBytesChainSql(fxExpr: String, n: Int,
+      from: String = "documents", lead: String = "WITH "): String = {
     val pat = """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"""
-    s"""WITH fx AS (
+    s"""${lead}fx AS (
        |  SELECT doc_id, $fxExpr AS fx
-       |  FROM documents),
+       |  FROM $from),
        |ptk AS (SELECT doc_id, regexp_extract_all(fx, '$pat') AS pt FROM fx),
        |dtok AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS tpos,
@@ -3099,6 +3100,34 @@ object TextGates {
       |  FROM dtok d JOIN enc e USING (word) GROUP BY d.doc_id)
       |SELECT f.doc_id, de.bpe, f.fx AS text_decoded
       |FROM fx f JOIN docenc de USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The hb_bpe_ids oracle — the raw-text byte chain, final symbols
+    * mapped to GPT-2-layout ids (the t_bpe_ids mapping over the
+    * `bpe ids` statement's training column). */
+  private[queries] lazy val hbBpeIdsOracleSql: String =
+    bpeBytesChainSql("text", 6) +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym)
+      |SELECT d.doc_id,
+      |  string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |    AS ids_str,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ids
+      |FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |GROUP BY d.doc_id
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   /** The st_hb_bpe_bytes oracle — the raw-text byte chain, encode

@@ -146,6 +146,7 @@ object StreamHb {
       Some("fractional selection ranks the whole stratum")
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: BpeBytesEnc => Some("BPE merges fit on the whole frame")
+    case _: BpeIdsEnc => Some("BPE merges fit on the whole frame")
     case _: BpeBytesDecode => None // stateless narrow map
     case _: Shuffle => Some("epoch order numbers the whole frame")
     case _: Curriculum => Some("curriculum bands rank the whole frame")

@@ -225,6 +225,12 @@ class ParserSpec extends AnyFunSuite {
       BpeBytesUsing("text", "corpus", 6))
     assert(HbParser.parseStatement("decode bytes bpe") ==
       BpeBytesDecode("bpe"))
+    // r12: the trainer-input ids form
+    assert(HbParser.parseStatement("bpe ids text 6") ==
+      BpeIdsEnc("text", 6))
+    assert(HbParser.parseStatement(
+      graft.hb.Printer.print(BpeIdsEnc("scrubbed", 12)).trim) ==
+      BpeIdsEnc("scrubbed", 12))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
       PackBins("n_chars", 1024L, 8))
     assert(HbParser.parseStatement("pack bins n_chars 1024") ==

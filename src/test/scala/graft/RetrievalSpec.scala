@@ -34,6 +34,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 0L))
   }
 
+  test("BM25 ranking: rarer terms outweigh common ones, repeated terms " +
+      "saturate, and the score replays the exact Okapi fixed-point form") {
+    // query shares "beta" (df 4) and "rare" (df 2): doc 10 matches only
+    // the rare term, doc 11 only the common one — idf must rank 10
+    // above 11 even though the overlap COUNT ties
+    val corpus = docs(
+      0L -> "rare beta query doc",
+      10L -> "rare zzz yyy xxx",
+      11L -> "beta zz2 yy2 xx2",
+      12L -> "beta zz3 yy3 xx3",
+      13L -> "beta zz4 yy4 xx4",
+      14L -> "www vvv uuu ttt")
+    val out = Retrieval.lexicalBm25TopK(corpus,
+      corpus.filter(col("doc_id") === 0L), "doc_id", "text", k = 10,
+      maxDfPermille = 1000)
+      .orderBy("rank").collect()
+    val ranked = out.map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ranked.head === 10L, s"rare-term doc must rank first: $ranked")
+    assert(ranked.toSet === Set(10L, 11L, 12L, 13L))
+    // exact fixed-point replay of the top hit: tf=1, dl=4, avgdl=4,
+    // n=6, df(rare)=2 → idf=(6-2+0.5)/(2+0.5)=1.8, tfn=2.2/2.2=1
+    val top = out.head.getAs[Long]("score_fp")
+    assert(top === math.floor(1.8 * 1.0 * 1e9).toLong, s"got $top")
+    // term repetition saturates (k1): a doc repeating "rare" 3× scores
+    // higher than tf=1 but far below 3× the tf=1 contribution
+    val corpus2 = docs(
+      0L -> "rare query",
+      20L -> "rare rare rare aaa",
+      21L -> "rare bbb ccc ddd",
+      22L -> "eee fff ggg hhh")
+    val o2 = Retrieval.lexicalBm25TopK(corpus2,
+      corpus2.filter(col("doc_id") === 0L), "doc_id", "text", k = 10,
+      maxDfPermille = 1000)
+      .orderBy("rank").collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Long]("score_fp"))
+      .toMap
+    assert(o2(20L) > o2(21L))
+    assert(o2(20L) < 3L * o2(21L))
+  }
+
   test("df stopword cut drops ubiquitous terms from the score") {
     // "alpha" is in every doc; at maxDfPermille=500 it cannot score, so
     // doc 3 (only "alpha" shared) disappears and doc 2 loses one point

@@ -89,7 +89,14 @@ class ScaleSpec extends AnyFunSuite {
     // preference pairing (one keyed aggregation) and semantic decon
     // (zero-shuffle narrow map) are all lazy plans
     "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "hb_dpo_pairs",
-    "s_semantic_decon", "hb_retrieve_cfg", "e12_modulo")
+    "s_semantic_decon", "hb_retrieve_cfg", "e12_modulo",
+    // r12: the BM25 lexical ranker and the three-list fusion are lazy
+    // plans (broadcast-restricted postings + one corpus aggregate +
+    // per-query windows). The tokenizer export round-trips, the
+    // target-vocab unigram fit and the pretrain flagship all train
+    // eagerly at construction — covered by SCALE.md's measured-ratio
+    // table instead.
+    "s_lexical_bm25", "s_hybrid_rrf3")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
