@@ -194,6 +194,14 @@ object Ast {
     * (operators.Sampling.stratifiedSample). */
   case class MixBy(stratumCol: String, percents: Seq[(String, Double)],
       defaultPercent: Double, salt: String = "mix") extends Statement
+  /** `mix temperature by <stratumCol> ['salt']` — the temperature-2
+    * domain mix (kept mass per stratum ∝ √n_s, rarest stratum keeps
+    * 100%; operators.Sampling.temperatureSample): the p_s ∝ n_s^(1/T)
+    * reweighting multilingual pretraining applies, as an exact-integer
+    * salted cut (bucket²·n_s < 10⁸·n_min) — downsample-only, ids are
+    * the frame index. */
+  case class TemperatureMixBy(stratumCol: String,
+      salt: String = "tmix") extends Statement
   /** `pack <tokensCol> <budget> [shards]` — sequence-packing layout
     * keyed on the frame index (operators.Packing.packedLayout). */
   case class Pack(tokensCol: String, budget: Long, shards: Int = 64)

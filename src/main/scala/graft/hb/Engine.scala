@@ -504,6 +504,12 @@ object Engine {
         salt, strat, ps.map { case (s2, v) => s2 -> v / 100.0 }.toMap,
         dflt / 100.0))
 
+    case TemperatureMixBy(strat, salt) =>
+      // temperature-2 domain mix: kept mass ∝ √n_s, rarest stratum
+      // keeps 100% — exact-integer salted cut on the frame index
+      f.copy(df = graft.operators.Sampling.temperatureSample(f.df, KEY,
+        salt, strat))
+
     case Pack(tc, budget, shards) =>
       // the layout REPLACES the frame (like group by): key + placement
       val packed = graft.operators.Packing

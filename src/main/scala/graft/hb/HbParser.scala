@@ -474,6 +474,16 @@ object HbParser {
         }
         SampleBy(pct, c, salt)
       case "mix" =>
+        if (p.atIdent("temperature")) {
+          p.eat("temperature")
+          p.eat("by")
+          val c = p.colName()
+          val salt = p.peek match {
+            case Some(TStr(s)) => p.next(); s
+            case _ => "tmix"
+          }
+          TemperatureMixBy(c, salt)
+        } else {
         p.eat("by")
         val c = p.colName()
         p.eat("[")
@@ -489,6 +499,7 @@ object HbParser {
           case _ => "mix"
         }
         MixBy(c, ps.toSeq, dflt, salt)
+        }
       case "emit" =>
         val aligned =
           if (p.atIdent("aligned")) { p.eat("aligned"); true }

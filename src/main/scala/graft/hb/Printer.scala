@@ -59,6 +59,9 @@ object Printer {
     case SampleBy(pct, c, salt) =>
       val s = if (salt == "sample") "" else s" '$salt'"
       s"sample ${num(pct)} by ${name(c)}$s"
+    case TemperatureMixBy(c, salt) =>
+      val s = if (salt == "tmix") "" else s" '$salt'"
+      s"mix temperature by ${name(c)}$s"
     case MixBy(c, ps, dflt, salt) =>
       val s = if (salt == "mix") "" else s" '$salt'"
       val pairs = ps.map { case (k, v) => s"${name(k)} ${num(v)}" }

@@ -427,6 +427,38 @@ object Sampling {
       .drop("__sh")
   }
 
+  /** TEMPERATURE-2 domain mix — the `p_s ∝ n_s^(1/T)` reweighting
+    * multilingual/multi-domain pretraining applies so rare domains are
+    * not drowned by head domains (Devlin et al. 2019 appendix;
+    * Conneau/Lample's exponentiated-smoothing sampling), at the
+    * canonical T = 2: kept mass per stratum ∝ √n_s. Downsample-only
+    * (the [[rebalance]] discipline): the rarest stratum keeps 100% and
+    * every other stratum keeps rate √(n_min/n_s) — the largest
+    * deterministic subsample with the √-mix, no row duplication.
+    *
+    * EXACT integer decision — no pow/sqrt floats to replay: keep iff
+    * `bucket² · n_s < Buckets² · n_min`, which is algebraically
+    * `bucket/Buckets < √(n_min/n_s)` with both sides squared. bucket <
+    * 10⁴ and n_s ≤ ~10⁹ keep `bucket²·n_s` inside a BIGINT, so a SQL
+    * oracle replays the cut bit-for-bit with zero floating point.
+    *
+    * Plan shape: ONE per-stratum count aggregate (strata are domains,
+    * bounded by contract — the counts frame broadcasts), then a
+    * zero-shuffle narrow filter. Deterministic under any partitioning
+    * and stable under reruns with the same salt. */
+  def temperatureSample(df: DataFrame, idCol: String, salt: String,
+      stratumCol: String): DataFrame = {
+    val cnt = df.groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).as("__n"))
+    val nMin = cnt.agg(min(col("__n")).as("__nmin"))
+    val b = hashBucket(col(idCol), salt)
+    df.join(broadcast(cnt), col(stratumCol) === col("__st"))
+      .crossJoin(broadcast(nMin))
+      .filter(b * b * col("__n") <
+        lit(Buckets.toLong * Buckets) * col("__nmin"))
+      .drop("__st", "__n", "__nmin")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String, fractions: Map[String, Double],
       default: Double = 0.0): DataFrame = {

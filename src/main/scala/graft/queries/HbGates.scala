@@ -701,6 +701,18 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.mixOracleSql)),
 
+    // Temperature-2 mix through the statement surface (r12 — `mix
+    // temperature by`): the t_temperature_mix twin on the frame index.
+    Gate("hb_mix_temperature",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |mix temperature by lang 'tm1'
+          |create column doc_id keys
+          |slice columns doc_id lang
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.temperatureMixOracleSql)),
+
     Gate("hb_sample",
       (s, d) => Graft.runHb(sampleHb, t(s, d, "documents"))
         .orderBy(col("doc_id")),

@@ -395,6 +395,22 @@ object TextGates {
     * floor-quantized per-source cuts and the salted bucket filter for
     * targets 40/30/20/10 over src0..src3 under salt reb1. Shared with
     * the `.hb`-surface twin `hb_rebalance`. */
+  /** The t_temperature_mix / hb_mix_temperature oracle — per-lang
+    * counts, the min, and the exact-integer √-mix cut replayed:
+    * bucket²·n_s < 10⁸·n_min (no floating point anywhere). */
+  private[queries] lazy val temperatureMixOracleSql: String =
+    """WITH n AS (SELECT lang, COUNT(*) AS ns FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(ns) AS nmin FROM n),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':tm1'), 1, 8)
+      |      AS BIGINT) % 10000 AS bk
+      |  FROM documents)
+      |SELECT b.doc_id, b.lang
+      |FROM b JOIN n USING (lang), mn
+      |WHERE b.bk * b.bk * n.ns < 100000000 * mn.nmin
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   private[queries] lazy val rebalanceOracleSql: String =
     """WITH cnt AS (
       |  SELECT source AS st, count(*) AS n
@@ -1076,6 +1092,22 @@ object TextGates {
           .orderBy(col("source"))
       },
       Some(oovOracleSql)),
+
+    // Temperature-2 domain mix (r12 — Sampling.temperatureSample): the
+    // p_s ∝ n_s^(1/T) reweighting multilingual pretraining uses so head
+    // domains don't drown rare ones, downsample-only (rarest lang keeps
+    // 100%, others keep √(n_min/n_s)). The cut is EXACT INTEGER —
+    // bucket²·n_s < 10⁸·n_min, algebraically the √ comparison with both
+    // sides squared — so the oracle replays it with zero floating
+    // point. ONE bounded count aggregate broadcasts; the filter is a
+    // narrow map. The corpus lang column is ~3× skewed toward en at
+    // every sf, so both keep and drop paths fire.
+    Gate("t_temperature_mix",
+      (s, d) => graft.operators.Sampling.temperatureSample(
+        t(s, d, "documents"), "doc_id", "tm1", "lang")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id")),
+      Some(temperatureMixOracleSql)),
 
     // Deterministic train/val/test split (operators.Sampling): bucket =
     // first 8 md5 hex digits of "id:salt" — engine-portable (DuckDB

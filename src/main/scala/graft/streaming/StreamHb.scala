@@ -147,6 +147,8 @@ object StreamHb {
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: BpeBytesEnc => Some("BPE merges fit on the whole frame")
     case _: BpeIdsEnc => Some("BPE merges fit on the whole frame")
+    case _: TemperatureMixBy =>
+      Some("temperature mix rates derive from whole-frame counts")
     case _: BpeBytesDecode => None // stateless narrow map
     case _: Shuffle => Some("epoch order numbers the whole frame")
     case _: Curriculum => Some("curriculum bands rank the whole frame")

@@ -228,6 +228,14 @@ class ParserSpec extends AnyFunSuite {
     // r12: the trainer-input ids form
     assert(HbParser.parseStatement("bpe ids text 6") ==
       BpeIdsEnc("text", 6))
+    // r12: temperature mix (√-weighted domain sampling)
+    assert(HbParser.parseStatement("mix temperature by lang 'tm1'") ==
+      TemperatureMixBy("lang", "tm1"))
+    assert(HbParser.parseStatement("mix temperature by source") ==
+      TemperatureMixBy("source"))
+    assert(HbParser.parseStatement(
+      graft.hb.Printer.print(TemperatureMixBy("lang", "x")).trim) ==
+      TemperatureMixBy("lang", "x"))
     assert(HbParser.parseStatement(
       graft.hb.Printer.print(BpeIdsEnc("scrubbed", 12)).trim) ==
       BpeIdsEnc("scrubbed", 12))

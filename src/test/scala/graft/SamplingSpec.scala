@@ -387,6 +387,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("empty plan"), e.getMessage)
   }
 
+  test("temperatureSample: rarest stratum keeps 100%, others keep " +
+      "≈√(n_min/n_s) in hash-expectation, and the cut is exact integer " +
+      "(partitioning-invariant)") {
+    import spark.implicits._
+    // 100 rare vs 1600 head docs: head keep rate = √(100/1600) = 25%
+    val df = (0 until 100).map(i => (i.toLong, "rare")) ++
+      (100 until 1700).map(i => (i.toLong, "head"))
+    val d = df.toDF("id", "lang")
+    val kept = Sampling.temperatureSample(d.toDF(), "id", "t1", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("rare") == 100, s"rarest stratum must keep all: $byLang")
+    // hash-expectation 400 of 1600; md5 buckets are uniform, allow ±20%
+    assert(byLang("head") > 320 && byLang("head") < 480, byLang.toString)
+    // exact-integer replay of the cut for one row
+    val b = Sampling.hashBucket(org.apache.spark.sql.functions.col("id"),
+      "t1")
+    val bks = d.select(org.apache.spark.sql.functions.col("id"), b)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.filter(_._2 == "head").foreach { case (id, _) =>
+      assert(bks(id) * bks(id) * 1600L < 100000000L * 100L) }
+    // partitioning invariance: same survivors at any layout
+    val kept11 = Sampling.temperatureSample(
+      d.repartition(11), "id", "t1", "lang")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept11.toSeq == kept.map(_._1).sorted.toSeq)
+  }
+
   test("curriculumOrder: a null score raises in-plan (engines disagree " +
       "on null placement)") {
     import spark.implicits._
