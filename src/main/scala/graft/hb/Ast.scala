@@ -304,6 +304,17 @@ object Ast {
     * arrays_overlap narrow map — the streaming form of [[DeconOf]]. */
   case class DeconUsing(textCol: String, conf: String, n: Int = 8)
       extends Statement
+  /** `decon semantic <vecCol> using <conf> [thresholdFp]` — SEMANTIC
+    * decontamination at ingest: the eval configuration's quantized
+    * vectors + norms (bounded by the eval-benchmark contract) collect
+    * into ONE pair of array literals at translation time, and the
+    * frame/stream side adds `max_cos_fp`/`contaminated` via the native
+    * codegen'd [[graft.functions.MaxCosQ]] narrow map — the streaming
+    * form of [[graft.hb.Configurations.SemDeconOf]] (catches
+    * paraphrased benchmark leakage the n-gram [[DeconUsing]] misses).
+    * thresholdFp is fixed-point cosine ×1e9 (default 0.25). */
+  case class SemDeconUsing(vecCol: String, conf: String,
+      thresholdFp: Long = 250000000L) extends Statement
   /** `unigram <textCol> <topMulti>` — the SentencePiece-family
     * unigram-LM tokenizer (operators.Unigram): candidate fit + one
     * Viterbi hard-EM refinement on the frame's text, then min-cost

@@ -472,7 +472,8 @@ object Engine {
     // SurprisalOf/ClassifierOf configuration sources.
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing) =>
+        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
+        _: SemDeconUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -707,6 +707,17 @@ object HbParser {
           } else BpeEnc(c, p.int())
         }
       case "decon" =>
+        if (p.atIdent("semantic")) {
+          p.eat("semantic")
+          val c = p.colName()
+          p.eat("using")
+          val conf = p.colName()
+          val thr = p.peek match {
+            case Some(TNum(_)) => p.int().toLong
+            case _ => 250000000L
+          }
+          SemDeconUsing(c, conf, thr)
+        } else {
         val c = p.colName()
         p.eat("using")
         val conf = p.colName()
@@ -715,6 +726,7 @@ object HbParser {
           case _ => 8
         }
         DeconUsing(c, conf, n)
+        }
       case "unigram" =>
         val c = p.colName()
         if (p.atIdent("using")) {

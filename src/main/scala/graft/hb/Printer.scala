@@ -115,6 +115,9 @@ object Printer {
     case DeconUsing(c, conf, n) =>
       val nn = if (n == 8) "" else s" $n"
       s"decon ${name(c)} using ${name(conf)}$nn"
+    case SemDeconUsing(c, conf, thr) =>
+      val tt = if (thr == 250000000L) "" else s" $thr"
+      s"decon semantic ${name(c)} using ${name(conf)}$tt"
     case UnigramUsing(c, conf, n) =>
       s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>

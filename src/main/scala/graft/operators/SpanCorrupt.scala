@@ -108,4 +108,57 @@ object SpanCorrupt {
         when(col("__sc").isNotNull, col("__sc.nm").cast("long")))
       .drop("__sc")
   }
+
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle") — the
+    * infilling-objective sibling of [[corrupt]]: a deterministic
+    * fimPermille of documents are reordered PSM
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) so the model learns to
+    * infill conditioned on both sides; the rest pass through verbatim
+    * (the paper's mixed objective). The two cut points are salted-md5
+    * draws over [0, n] (lo = min, hi = max) — partitioning- and
+    * engine-stable, a SQL oracle replays every token boundary.
+    *
+    * Adds `fim` (the transformed token stream), `fim_applied`, and
+    * `n_tokens`; null text stays null. 100 TB design: a document's
+    * transform depends only on its own id and tokens — ONE narrow map,
+    * zero shuffles at any scale. */
+  def fim(df: DataFrame, idCol: String, textCol: String,
+      fimPermille: Int = 900, salt: String = "fim"): DataFrame = {
+    require(fimPermille >= 0 && fimPermille <= 1000,
+      s"fimPermille must be in [0, 1000], got $fimPermille")
+    Seq("fim", "fim_applied", "n_tokens").foreach { c =>
+      require(!df.columns.contains(c),
+        s"frame already has a '$c' column — rename it before fim")
+    }
+    val id = col(idCol)
+    val toks = filter(Decontaminate.tokens(col(textCol)),
+      w => length(w) > 0)
+    val n = size(toks)
+    // 10k buckets like every sampling cut; the two cut draws use
+    // DISTINCT salts off the same id (the SpanCorrupt posKey recipe)
+    val applied = Sampling.hashBucket(id, salt) <
+      lit(fimPermille.toLong * 10)
+    val cutA = Sampling.hash32(id, salt + ":a") % (n.cast("long") + 1L)
+    val cutB = Sampling.hash32(id, salt + ":b") % (n.cast("long") + 1L)
+    val lo = least(cutA, cutB).cast("int")
+    val hi = greatest(cutA, cutB).cast("int")
+    // slice(arr, start, length): 1-based start — empty slices are
+    // length-0, never negative
+    val prefix = slice(toks, lit(1), lo)
+    val middle = slice(toks, lo + 1, hi - lo)
+    val suffix = slice(toks, hi + 1, n - hi)
+    val psm = concat_ws(" ",
+      concat(array(lit("<PRE>")), prefix,
+        array(lit("<SUF>")), suffix,
+        array(lit("<MID>")), middle))
+    df.withColumn("fim",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(applied, psm)
+          .otherwise(concat_ws(" ", toks)))
+      .withColumn("fim_applied",
+        when(col(textCol).isNotNull, applied))
+      .withColumn("n_tokens",
+        when(col(textCol).isNotNull, n.cast("long")))
+  }
 }

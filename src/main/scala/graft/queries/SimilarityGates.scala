@@ -1312,6 +1312,24 @@ object SimilarityGates {
        |    neighbor_id, rrf_fp, n_lists
        |  FROM f3a)""".stripMargin
 
+  /** The st_hb_semdecon oracle — [[semDeconOracleSql]]'s arithmetic on
+    * the scale-proportional `vec_id % 100 = 7` eval slice. */
+  private[queries] lazy val semDeconMod100OracleSql: String =
+    s"""WITH e0 AS (
+       |  SELECT vec_id, ${qSql("embedding")} AS qv FROM embeddings),
+       |e AS (SELECT vec_id, qv, SQRT(${dotQSql("qv", "qv")}) AS nrm FROM e0),
+       |ev AS (SELECT qv, nrm FROM e WHERE vec_id % 100 = 7),
+       |tr AS (SELECT vec_id, qv, nrm FROM e WHERE vec_id % 100 != 7),
+       |mx AS (
+       |  SELECT t.vec_id,
+       |    MAX(CASE WHEN t.nrm > 0 AND v.nrm > 0
+       |      THEN CAST(FLOOR(${dotQSql("t.qv", "v.qv")} / (t.nrm * v.nrm) * 1e9) AS BIGINT)
+       |      ELSE -1000000000 END) AS max_cos_fp
+       |  FROM tr t CROSS JOIN ev v GROUP BY t.vec_id)
+       |SELECT vec_id, max_cos_fp, max_cos_fp >= 250000000 AS contaminated
+       |FROM mx
+       |ORDER BY vec_id ASC NULLS FIRST""".stripMargin
+
   /** Shared lexical-retrieval CTE chain for s_lexical_topk /
     * s_hybrid_rrf: distinct (doc, term) tokens → 5-seed query
     * vocabulary → postings restricted to it → 78%-permille-df stopword cut (the synthetic corpus's vocabulary is dense — at 78% some query terms survive and some are cut, so both paths are exercised) →

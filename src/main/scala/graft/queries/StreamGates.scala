@@ -410,6 +410,27 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // SEMANTIC decontamination AT INGEST (r12 — `decon semantic …
+    // using`): the eval configuration's quantized vectors + norms
+    // become ONE typed-literal pair at translation time; the live
+    // stream scores each vector via the native codegen'd MaxCosQ
+    // narrow map — no join, no state, append-safe. Same
+    // scale-proportional eval slice (vec_id % 100 = 7) and 0.25
+    // threshold as s_mined_pairs' decon stage; full fixed-point oracle.
+    Gate("st_hb_semdecon",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "embeddings",
+        """only ((vec_id % 100) != 7)
+          |decon semantic embedding using evalemb
+          |slice columns vec_id max_cos_fp contaminated
+          |""".stripMargin, "st_hb_semdecon_out",
+        resolve = {
+          case "evalemb" => Gate.t(s, d, "embeddings")
+            .filter(col("vec_id") % 100 === 7)
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("vec_id")),
+      Some(SimilarityGates.semDeconMod100OracleSql)),
+
     // Unigram-LM offline-fit/online-encode (r11): the model (candidate
     // fit + Viterbi-EM) fits on the batch configuration at translation
     // time, the stream runs the compiled Viterbi DP as a stateless

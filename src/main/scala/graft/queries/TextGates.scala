@@ -1873,6 +1873,54 @@ object TextGates {
     },
       Some(bpeBytesOracleSql)),
 
+    // Tokenizer FERTILITY / COMPRESSION report (r12): the two numbers a
+    // tokenizer is judged by before a training run commits to it —
+    // subword pieces per word (fertility ×1000) and characters per
+    // token (compression ×1000), per language, under the byte-level
+    // table trained on the corpus itself. All-integer sums + exact
+    // `div`, so the report replays bit-for-bit. Plan: the fit (bounded
+    // rounds) + ONE codegen'd encode pass + one keyed aggregate.
+    Gate("t_tokenizer_fertility", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.Bpe.fitBytes(docs, "text", 6,
+        minCount = 1L)
+      val ids = graft.operators.Bpe.encodeIdsCol(col("text"), merges)
+      docs.select(col("lang"),
+          graft.functions.TextSignals.tokens(col("text")).cast(LongType)
+            .as("__w"),
+          length(col("text")).cast(LongType).as("__c"),
+          size(ids).cast(LongType).as("__i"))
+        .groupBy(col("lang"))
+        .agg(sum(col("__w")).as("words_total"),
+          sum(col("__c")).as("chars_total"),
+          sum(col("__i")).as("ids_total"))
+        .withColumn("fertility_permille",
+          expr("ids_total * 1000 div words_total"))
+        .withColumn("compression_permille",
+          expr("chars_total * 1000 div ids_total"))
+        .orderBy(col("lang"))
+    },
+      Some(bpeBytesChainSql("text", 6) +
+        """,
+        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM st6 GROUP BY word),
+        |perdoc AS (
+        |  SELECT d.doc_id, CAST(SUM(w.np) AS BIGINT) AS n_ids
+        |  FROM dtok d JOIN wc w USING (word) GROUP BY d.doc_id),
+        |agg AS (
+        |  SELECT doc.lang,
+        |    CAST(SUM(len(regexp_extract_all(doc.text, '\S+'))) AS BIGINT)
+        |      AS words_total,
+        |    CAST(SUM(length(doc.text)) AS BIGINT) AS chars_total,
+        |    CAST(SUM(p.n_ids) AS BIGINT) AS ids_total
+        |  FROM documents doc JOIN perdoc p USING (doc_id)
+        |  GROUP BY doc.lang)
+        |SELECT lang, words_total, chars_total, ids_total,
+        |  ids_total * 1000 // words_total AS fertility_permille,
+        |  chars_total * 1000 // ids_total AS compression_permille
+        |FROM agg
+        |ORDER BY lang ASC NULLS FIRST""".stripMargin)),
+
     // GPT-2 FILE round trip (r12 — sinks.TokenizerFiles): the trained
     // byte merge table exported as vocab.json + merges.txt (the
     // openai/gpt-2 encoder.json layout), loaded back, and the LOADED
@@ -2219,6 +2267,49 @@ object TextGates {
         |FROM ch JOIN rj USING (prompt_id)
         |WHERE n >= 2 AND chosen_score_fp - rejected_score_fp >= 200
         |ORDER BY prompt_id ASC NULLS FIRST""".stripMargin)),
+
+    // Fill-in-the-middle transform (r12 — operators.SpanCorrupt.fim,
+    // Bavarian et al. 2022): a deterministic 90% of docs reorder PSM
+    // (<PRE> prefix <SUF> suffix <MID> middle) under two salted-md5 cut
+    // draws over [0, n]; the rest pass through — the mixed infilling
+    // objective code models pretrain with. Pure narrow map, zero
+    // shuffles. FULL oracle: the rate bucket, both cut draws and every
+    // token boundary replayed.
+    Gate("t_fim", (s, d) =>
+      graft.operators.SpanCorrupt.fim(
+        t(s, d, "documents"), "doc_id", "text", fimPermille = 900)
+        .select(col("doc_id"), col("fim"), col("fim_applied"),
+          col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower($normSql), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |cut AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+        |      AS BIGINT) % 10000 AS bk,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
+        |      AS BIGINT) % (len(tk) + 1) AS ca,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
+        |      AS BIGINT) % (len(tk) + 1) AS cb
+        |  FROM tok),
+        |pc AS (
+        |  SELECT doc_id, tk, n, bk,
+        |    CAST(least(ca, cb) AS INTEGER) AS lo,
+        |    CAST(greatest(ca, cb) AS INTEGER) AS hi
+        |  FROM cut)
+        |SELECT doc_id,
+        |  CASE WHEN bk < 9000 THEN array_to_string(
+        |      ['<PRE>'] || tk[1:lo] ||
+        |      ['<SUF>'] || tk[hi+1:n] ||
+        |      ['<MID>'] || tk[lo+1:hi], ' ')
+        |    ELSE array_to_string(tk, ' ') END AS fim,
+        |  (bk < 9000) AS fim_applied,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM pc
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // T5-style span corruption (operators.SpanCorrupt): the denoising
     // objective's (inp, tgt) artifact — salted-md5 span starts/lengths

@@ -113,7 +113,8 @@ object StreamHb {
     // stateless narrow map — append-safe by construction
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
-        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing => None
+        _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
+        _: SemDeconUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -349,6 +350,27 @@ object StreamHb {
         f.copy(df = f.df.withColumn("contaminated",
           coalesce(arrays_overlap(grams,
             array(evalGrams.map(lit).toSeq: _*)), lit(false))))
+      case (f, SemDeconUsing(c, conf, thr)) =>
+        // SEMANTIC decon at ingest: the eval configuration's quantized
+        // vectors + norms collect into ONE typed literal pair
+        // (require-bounded, the DeconUsing discipline) and the stream
+        // side is the native codegen'd MaxCosQ narrow map — no join, no
+        // state, append-safe
+        val qc = graft.operators.Similarity.quantize(col(c))
+        val ev = resolve(conf)
+          .select(graft.operators.Similarity.quantize(col(c)).as("__ev"))
+          .select(col("__ev"),
+            graft.operators.Similarity.normQ(col("__ev")).as("__en"))
+          .collect()
+        require(ev.length <= 4096,
+          s"decon semantic using: ${ev.length} eval vectors exceed the " +
+            "4096 literal bound — decontaminate in batch (SemDeconOf)")
+        val evals = ev.map(_.getSeq[Long](0)).toSeq
+        val norms = ev.map(_.getDouble(1)).toSeq
+        f.copy(df = f.df
+          .withColumn("max_cos_fp", graft.functions.MaxCosQ.max_cos_q(
+            qc, typedlit(evals), typedlit(norms)))
+          .withColumn("contaminated", col("max_cos_fp") >= thr))
       case (f, UnigramUsing(c, conf, n)) =>
         // unigram twin: model fits offline, the stream side is the
         // compiled Viterbi narrow map (repartitioned off the one-task-

@@ -228,6 +228,14 @@ class ParserSpec extends AnyFunSuite {
     // r12: the trainer-input ids form
     assert(HbParser.parseStatement("bpe ids text 6") ==
       BpeIdsEnc("text", 6))
+    // r12: semantic decon at ingest
+    assert(HbParser.parseStatement("decon semantic embedding using ev") ==
+      SemDeconUsing("embedding", "ev"))
+    assert(HbParser.parseStatement(
+      "decon semantic embedding using ev 900000000") ==
+      SemDeconUsing("embedding", "ev", 900000000L))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      SemDeconUsing("v", "e", 123L)).trim) == SemDeconUsing("v", "e", 123L))
     // r12: temperature mix (√-weighted domain sampling)
     assert(HbParser.parseStatement("mix temperature by lang 'tm1'") ==
       TemperatureMixBy("lang", "tm1"))

@@ -68,4 +68,43 @@ class SpanCorruptSpec extends AnyFunSuite {
         rateK = 1)
     }
   }
+
+  test("fim: PSM layout reconstructs the document exactly, rate edges " +
+      "pass through / always apply, null text stays null") {
+    val docs = Seq((7L, "a b c d e f"), (8L, null.asInstanceOf[String]),
+      (9L, "  ")).toDF("doc_id", "text")
+    // fimPermille = 1000: every non-null doc transforms
+    val all = SpanCorrupt.fim(docs, "doc_id", "text", fimPermille = 1000)
+      .select("doc_id", "fim", "fim_applied", "n_tokens")
+      .orderBy("doc_id").collect()
+    val f7 = all(0).getString(1)
+    assert(f7.startsWith("<PRE>") && f7.contains("<SUF>") &&
+      f7.contains("<MID>"), f7)
+    // the three segments concatenate (in P/S/M order unscrambled back
+    // to P/M/S) to the original token stream
+    val pre = f7.substring("<PRE>".length, f7.indexOf("<SUF>")).trim
+    val suf = f7.substring(f7.indexOf("<SUF>") + 5, f7.indexOf("<MID>")).trim
+    val mid = f7.substring(f7.indexOf("<MID>") + 5).trim
+    assert(Seq(pre, mid, suf).filter(_.nonEmpty).mkString(" ")
+      === "a b c d e f")
+    assert(all(0).getBoolean(2) && all(0).getLong(3) == 6L)
+    // null text: all outputs null
+    assert(all(1).isNullAt(1) && all(1).isNullAt(2) && all(1).isNullAt(3))
+    // whitespace-only doc: empty segments, zero tokens
+    assert(all(2).getString(1) === "<PRE> <SUF> <MID>")
+    assert(all(2).getLong(3) == 0L)
+    // fimPermille = 0: verbatim normalized pass-through
+    val none = SpanCorrupt.fim(docs, "doc_id", "text", fimPermille = 0)
+      .select("doc_id", "fim", "fim_applied", "n_tokens")
+      .orderBy("doc_id").collect()
+    assert(none(0).getString(1) === "a b c d e f")
+    assert(!none(0).getBoolean(2))
+    // guards
+    intercept[IllegalArgumentException] {
+      SpanCorrupt.fim(docs, "doc_id", "text", fimPermille = 1001)
+    }
+    intercept[IllegalArgumentException] {
+      SpanCorrupt.fim(docs.withColumn("fim", lit("")), "doc_id", "text")
+    }
+  }
 }
