@@ -315,6 +315,15 @@ object Ast {
     * thresholdFp is fixed-point cosine ×1e9 (default 0.25). */
   case class SemDeconUsing(vecCol: String, conf: String,
       thresholdFp: Long = 250000000L) extends Statement
+
+  /** `fim <textCol> [permille] ['salt']` — the fill-in-the-middle
+    * pretraining transform ([[graft.operators.SpanCorrupt.fim]]): a
+    * deterministic permille of documents reorder PSM
+    * (`<PRE> prefix <SUF> suffix <MID> middle`) under salted-md5 cut
+    * draws keyed on the frame index; the rest pass through. Adds
+    * `fim`/`fim_applied`/`n_tokens`. Pure narrow map — stream-safe. */
+  case class FimTransform(textCol: String, permille: Int = 900,
+      salt: String = "fim") extends Statement
   /** `unigram <textCol> <topMulti>` — the SentencePiece-family
     * unigram-LM tokenizer (operators.Unigram): candidate fit + one
     * Viterbi hard-EM refinement on the frame's text, then min-cost

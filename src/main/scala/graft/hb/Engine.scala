@@ -394,6 +394,11 @@ object Engine {
       f.copy(df = f.df.withColumn("text_decoded",
         graft.operators.Bpe.decodeBytesCol(col(c))))
 
+    case FimTransform(c, pm, salt) =>
+      // fill-in-middle on the frame key — pure narrow map, row set and
+      // key unchanged
+      f.copy(df = graft.operators.SpanCorrupt.fim(f.df, KEY, c, pm, salt))
+
     case BpeIdsEnc(c, n) =>
       // trainer-input twin of `bpe bytes`: same fit, ids instead of
       // spellings — token_ids is the array `emit packed` consumes

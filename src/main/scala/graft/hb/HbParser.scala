@@ -25,7 +25,7 @@ object HbParser {
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
     "classify", "decode", "emit", "pairs", "wordpiece", "unigram",
-    "decon")
+    "decon", "fim")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -706,6 +706,17 @@ object HbParser {
             BpeUsing(c, conf, p.int())
           } else BpeEnc(c, p.int())
         }
+      case "fim" =>
+        val c = p.colName()
+        val pm = p.peek match {
+          case Some(TNum(_)) => p.int()
+          case _ => 900
+        }
+        val salt = p.peek match {
+          case Some(TStr(s)) => p.next(); s
+          case _ => "fim"
+        }
+        FimTransform(c, pm, salt)
       case "decon" =>
         if (p.atIdent("semantic")) {
           p.eat("semantic")

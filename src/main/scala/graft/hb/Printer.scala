@@ -118,6 +118,10 @@ object Printer {
     case SemDeconUsing(c, conf, thr) =>
       val tt = if (thr == 250000000L) "" else s" $thr"
       s"decon semantic ${name(c)} using ${name(conf)}$tt"
+    case FimTransform(c, pm, salt) =>
+      val pp = if (pm == 900) "" else s" $pm"
+      val ss = if (salt == "fim") "" else s" '$salt'"
+      s"fim ${name(c)}$pp$ss"
     case UnigramUsing(c, conf, n) =>
       s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>

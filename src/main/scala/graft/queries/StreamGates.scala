@@ -410,6 +410,19 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // Fill-in-the-middle AT INGEST (r12 — `fim`): the PSM reorder is a
+    // salted narrow map on the frame key, so the SAME program text runs
+    // batch and streaming; shares t_fim's oracle.
+    Gate("st_hb_fim",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """index rows by doc_id
+          |fim text
+          |create column doc_id keys
+          |slice columns doc_id fim fim_applied n_tokens
+          |""".stripMargin, "st_hb_fim_out")
+        .orderBy(col("doc_id")),
+      Some(TextGates.fimOracleSql)),
+
     // SEMANTIC decontamination AT INGEST (r12 — `decon semantic …
     // using`): the eval configuration's quantized vectors + norms
     // become ONE typed-literal pair at translation time; the live

@@ -395,6 +395,39 @@ object TextGates {
     * floor-quantized per-source cuts and the salted bucket filter for
     * targets 40/30/20/10 over src0..src3 under salt reb1. Shared with
     * the `.hb`-surface twin `hb_rebalance`. */
+  /** The t_fim / hb_fim / st_hb_fim oracle — the rate bucket, both
+    * salted cut draws and every PSM token boundary replayed. */
+  private[queries] lazy val fimOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower($normSql), ' '),
+       |      x -> x <> '') AS tk
+       |  FROM documents),
+       |cut AS (
+       |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+       |      AS BIGINT) % 10000 AS bk,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
+       |      AS BIGINT) % (len(tk) + 1) AS ca,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
+       |      AS BIGINT) % (len(tk) + 1) AS cb
+       |  FROM tok),
+       |pc AS (
+       |  SELECT doc_id, tk, n, bk,
+       |    CAST(least(ca, cb) AS INTEGER) AS lo,
+       |    CAST(greatest(ca, cb) AS INTEGER) AS hi
+       |  FROM cut)
+       |SELECT doc_id,
+       |  CASE WHEN bk < 9000 THEN array_to_string(
+       |      ['<PRE>'] || tk[1:lo] ||
+       |      ['<SUF>'] || tk[hi+1:n] ||
+       |      ['<MID>'] || tk[lo+1:hi], ' ')
+       |    ELSE array_to_string(tk, ' ') END AS fim,
+       |  (bk < 9000) AS fim_applied,
+       |  CAST(n AS BIGINT) AS n_tokens
+       |FROM pc
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_temperature_mix / hb_mix_temperature oracle — per-lang
     * counts, the min, and the exact-integer √-mix cut replayed:
     * bucket²·n_s < 10⁸·n_min (no floating point anywhere). */
@@ -2281,35 +2314,19 @@ object TextGates {
         .select(col("doc_id"), col("fim"), col("fim_applied"),
           col("n_tokens"))
         .orderBy(col("doc_id")),
-      Some(s"""WITH tok AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower($normSql), ' '),
-        |      x -> x <> '') AS tk
-        |  FROM documents),
-        |cut AS (
-        |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
-        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
-        |      AS BIGINT) % 10000 AS bk,
-        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
-        |      AS BIGINT) % (len(tk) + 1) AS ca,
-        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
-        |      AS BIGINT) % (len(tk) + 1) AS cb
-        |  FROM tok),
-        |pc AS (
-        |  SELECT doc_id, tk, n, bk,
-        |    CAST(least(ca, cb) AS INTEGER) AS lo,
-        |    CAST(greatest(ca, cb) AS INTEGER) AS hi
-        |  FROM cut)
-        |SELECT doc_id,
-        |  CASE WHEN bk < 9000 THEN array_to_string(
-        |      ['<PRE>'] || tk[1:lo] ||
-        |      ['<SUF>'] || tk[hi+1:n] ||
-        |      ['<MID>'] || tk[lo+1:hi], ' ')
-        |    ELSE array_to_string(tk, ' ') END AS fim,
-        |  (bk < 9000) AS fim_applied,
-        |  CAST(n AS BIGINT) AS n_tokens
-        |FROM pc
-        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(fimOracleSql)),
+
+    // The `.hb` statement twin (r12 — `fim text`): identical salted
+    // draws keyed on the frame index, so it shares t_fim's oracle.
+    Gate("hb_fim",
+      (s, d) => graft.hb.Graft.runHb(
+        """index rows by doc_id
+          |fim text
+          |create column doc_id keys
+          |slice columns doc_id fim fim_applied n_tokens
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(fimOracleSql)),
 
     // T5-style span corruption (operators.SpanCorrupt): the denoising
     // objective's (inp, tgt) artifact — salted-md5 span starts/lengths

@@ -151,6 +151,7 @@ object StreamHb {
     case _: TemperatureMixBy =>
       Some("temperature mix rates derive from whole-frame counts")
     case _: BpeBytesDecode => None // stateless narrow map
+    case _: FimTransform => None // salted narrow map on the frame key
     case _: Shuffle => Some("epoch order numbers the whole frame")
     case _: Curriculum => Some("curriculum bands rank the whole frame")
     case _: Shards => Some("shard placement needs the whole-frame count")
@@ -179,10 +180,11 @@ object StreamHb {
       // with the statement named instead of failing later inside the
       // running query (the same contract the `keys` expression gets)
       if (!keyed &&
-        (st.isInstanceOf[MixBy] || st.isInstanceOf[Upsample]))
+        (st.isInstanceOf[MixBy] || st.isInstanceOf[Upsample] ||
+          st.isInstanceOf[FimTransform]))
         throw new IllegalArgumentException(
           s"`${Printer.print(st).trim}` before any `index rows by`/" +
-            s"`group by`: mix/upsample salt the frame key and a " +
+            s"`group by`: mix/upsample/fim salt the frame key and a " +
             s"stream has no ingest ordinal")
       if (st.isInstanceOf[IndexBy] || st.isInstanceOf[GroupBy] ||
         st.isInstanceOf[WindowAgg])

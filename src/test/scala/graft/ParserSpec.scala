@@ -236,6 +236,13 @@ class ParserSpec extends AnyFunSuite {
       SemDeconUsing("embedding", "ev", 900000000L))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       SemDeconUsing("v", "e", 123L)).trim) == SemDeconUsing("v", "e", 123L))
+    // r12: fill-in-middle transform
+    assert(HbParser.parseStatement("fim text") == FimTransform("text"))
+    assert(HbParser.parseStatement("fim text 500 'f2'") ==
+      FimTransform("text", 500, "f2"))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      FimTransform("text", 500, "f2")).trim) ==
+      FimTransform("text", 500, "f2"))
     // r12: temperature mix (√-weighted domain sampling)
     assert(HbParser.parseStatement("mix temperature by lang 'tm1'") ==
       TemperatureMixBy("lang", "tm1"))
