@@ -244,6 +244,30 @@ object Packing {
     * (shard, seq) aggregate whose payload is ≤ budget ids by
     * construction — the same two-exchange budget as the layout
     * itself. */
+  /** `position_ids` for an emitted sequence — the third artifact column
+    * a trainer consumes next to `input_ids` and the attention resets:
+    * positions count 0,1,2,… within each document span, restarting at
+    * every `doc_starts` offset; padding positions (≥ `nTokens`) are 0.
+    * A sequence that BEGINS mid-document (spanning layout) restarts its
+    * continuation segment at 0 too — the standard
+    * packed-pretraining approximation when the continuation's true
+    * offset lives in the previous sequence (document it to the trainer;
+    * the aligned layout never has such segments, so there it is exact).
+    *
+    * Pure narrow expression over (doc_starts, n_tokens): O(budget ·
+    * docs-per-sequence) per row, zero shuffles at any scale. */
+  def positionIds(docStarts: Column, nTokens: Column,
+      budget: Long): Column = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val starts = array_union(array(lit(0L)),
+      transform(coalesce(docStarts, array().cast("array<int>")),
+        s => s.cast(LongType)))
+    transform(sequence(lit(0L), lit(budget - 1L)), i =>
+      when(i >= nTokens.cast(LongType), lit(0L))
+        .otherwise(i - array_max(filter(starts, s => s <= i)))
+        .cast("int"))
+  }
+
   def emitPacked(placed: DataFrame, idsCol: String, budget: Long,
       padId: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

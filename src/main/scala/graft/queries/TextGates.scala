@@ -2101,6 +2101,60 @@ object TextGates {
         |FROM seqs
         |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
 
+    // position_ids over the emitted spanning layout (r12 —
+    // Packing.positionIds): the third trainer column — positions count
+    // within each document span, restart at every doc_start (and at
+    // sequence start for mid-document continuations, the standard
+    // packed-pretraining approximation), 0 in padding. Same synthetic
+    // chain as t_pack_emit; the oracle additionally replays every
+    // position cell from the doc_starts list.
+    Gate("t_position_ids", (s, d) => {
+      val docs = t(s, d, "documents")
+      val withIds = docs.select(col("doc_id"),
+        transform(sequence(lit(1L), expr("(n_chars div 4) + 1L")),
+          i => ((col("doc_id") * 37 + i * 13) % 1000).cast("int"))
+          .as("ids"))
+        .withColumn("n", size(col("ids")))
+      val layout = graft.operators.Packing.packedLayout(withIds,
+        "doc_id", "n", budget = 512L, shards = 4, salt = "pe11")
+      val placed = layout.join(withIds, "doc_id")
+      graft.operators.Packing.emitPacked(placed, "ids", 512L, padId = 0)
+        .select(col("shard"), col("seq"), col("n_tokens"),
+          array_join(graft.operators.Packing.positionIds(
+            col("doc_starts"), col("n_tokens"), 512L)
+            .cast("array<string>"), " ").as("position_ids_str"))
+        .orderBy(col("shard"), col("seq"))
+    },
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, n_chars // 4 + 1 AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pe11'), 1, 8)
+        |      AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, shard,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM d0),
+        |parts AS (
+        |  SELECT shard, doc_id, n, bef, k AS seq,
+        |    greatest(k * 512, bef) AS s,
+        |    least((k + 1) * 512, bef + n) AS e
+        |  FROM c, unnest(range(bef // 512, (bef + n - 1) // 512 + 1)) AS t(k)),
+        |seqs AS (
+        |  SELECT shard, seq,
+        |    CAST(SUM(e - s) AS BIGINT) AS n_tokens,
+        |    COALESCE(list(s - seq * 512 ORDER BY s)
+        |      FILTER (WHERE s = bef), CAST([] AS BIGINT[])) AS starts
+        |  FROM parts GROUP BY shard, seq)
+        |SELECT shard, seq, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  array_to_string(list_transform(range(0, 512), i ->
+        |    CASE WHEN i >= n_tokens THEN 0
+        |      ELSE i - list_max(list_filter([CAST(0 AS BIGINT)] || starts,
+        |        x -> x <= i)) END), ' ') AS position_ids_str
+        |FROM seqs
+        |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
+
     // The r11 FLAGSHIP composition — the complete SFT-artifact path:
     // byte-level tokenizer fit → token-id encode → best-fit-decreasing
     // document-aligned layout → padded fixed-length sequences

@@ -141,6 +141,28 @@ class PackingSpec extends AnyFunSuite {
       .contains("outside [1")), ez.getMessage)
   }
 
+  test("positionIds: resets at sequence start and every doc_start, " +
+      "zeros in padding") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc_starts [3, 7], 10 live tokens of budget 12:
+    // continuation 0,1,2 | doc at 3: 0,1,2,3 | doc at 7: 0,1,2 | pad 0,0
+    val df = Seq((Seq(3, 7), 10L)).toDF("ds", "nt")
+    val got = df.select(Packing.positionIds(col("ds"), col("nt"), 12L)
+      .as("p")).head().getSeq[Int](0)
+    assert(got.toList === List(0, 1, 2, 0, 1, 2, 3, 0, 1, 2, 0, 0))
+    // a doc_start AT 0 (new doc heads the sequence) must not
+    // double-reset; empty starts = one continuation segment
+    val df2 = Seq((Seq(0, 4), 6L), (Seq.empty[Int], 3L))
+      .toDF("ds", "nt")
+    val got2 = df2.select(Packing.positionIds(col("ds"), col("nt"), 6L)
+      .as("p")).collect().map(_.getSeq[Int](0).toList)
+    assert(got2(0) === List(0, 1, 2, 3, 0, 1))
+    assert(got2(1) === List(0, 1, 2, 0, 0, 0))
+    intercept[IllegalArgumentException](
+      Packing.positionIds(col("ds"), col("nt"), 0L))
+  }
+
   test("emitAligned: sequences are budget-length, ids concatenate in " +
       "placement order, n_tokens marks the pad boundary; an " +
       "overflowing bin raises naming (shard, bin)") {
