@@ -81,7 +81,11 @@ object Ast {
     case object Quality extends TextSigKind("quality")
     case object LangId extends TextSigKind("langid")
     case object Repetition extends TextSigKind("repetition")
-    val all: Seq[TextSigKind] = Seq(Tokens, Quality, LangId, Repetition)
+    /** `normalize (e)` — the deterministic NFKC-lite cleanup
+      * (graft.functions.TextNorm.normalize, string result). */
+    case object Normalize extends TextSigKind("normalize")
+    val all: Seq[TextSigKind] =
+      Seq(Tokens, Quality, LangId, Repetition, Normalize)
     def byName(n: String): Option[TextSigKind] = all.find(_.name == n)
   }
   case class TextSig(kind: TextSigKind, e: Expr) extends Expr

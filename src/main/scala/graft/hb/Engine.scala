@@ -789,6 +789,8 @@ object Engine {
         case TextSigKind.LangId => graft.functions.TextSignals.langid(src)
         case TextSigKind.Repetition =>
           graft.functions.TextSignals.repetition(src)
+        case TextSigKind.Normalize =>
+          graft.functions.TextNorm.normalize(src)
       }
     case RegexExtract(x, pat, toks) =>
       val src = compileExpr(x, f).cast(StringType)

@@ -279,7 +279,8 @@ object HbParser {
         case "ordinals" => next(); OrdinalsExpr
         case "true" | "True" => next(); TrueLit
         case "int" => next(); eat("("); val e = expr(); eat(")"); IntCast(e)
-        case "tokens" | "quality" | "langid" | "repetition" =>
+        case "tokens" | "quality" | "langid" | "repetition" |
+            "normalize" =>
           next(); eat("("); val e = expr(); eat(")")
           TextSig(TextSigKind.byName(w).get, e)
         case "if" =>

@@ -701,6 +701,29 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.mixOracleSql)),
 
+    // NFKC-lite normalization through the expression surface (r12 —
+    // `normalize (e)`): the frame carries the Scala-built junk fixture
+    // (the .hb text surface cannot spell invisible codepoints) and the
+    // statement chain normalizes it — shares t_normalize's oracle
+    // arithmetic.
+    Gate("hb_normalize", (s, d) => {
+      val junk = concat(
+        lit("\u00A0\u201CBegin\u2026\u201D \u200Bx\u0007y\u2014 "),
+        expr("substring(text, 1, 40)"),
+        lit(" \u2018q\u2019  end\u00AD."))
+      Graft.runHb(
+        """index rows by doc_id
+          |create column norm (normalize (raw))
+          |create column doc_id keys
+          |slice columns doc_id norm
+          |""".stripMargin,
+        t(s, d, "documents").withColumn("raw", junk))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""SELECT doc_id, ${TextGates.normalizeJunkSql} AS norm
+           |FROM documents
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Temperature-2 mix through the statement surface (r12 — `mix
     // temperature by`): the t_temperature_mix twin on the frame index.
     Gate("hb_mix_temperature",

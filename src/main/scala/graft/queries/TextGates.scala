@@ -428,6 +428,25 @@ object TextGates {
        |FROM pc
        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_normalize / hb_normalize oracle expression — the junk
+    * fixture and the full TextNorm chain rebuilt from chr() codepoints
+    * (single-line: it interpolates into stripMargin templates). */
+  private[queries] lazy val normalizeJunkSql: String = {
+    val from = graft.functions.TextNorm.translatePairs
+      .map { case (cp, _) => s"chr($cp)" }.mkString(" || ")
+    val to = "'" + graft.functions.TextNorm.translatePairs
+      .map(_._2).mkString.replace("'", "''") + "'"
+    val fx = "chr(160) || chr(8220) || 'Begin' || chr(8230) || " +
+      "chr(8221) || ' ' || chr(8203) || 'x' || chr(7) || 'y' || " +
+      "chr(8212) || ' ' || substr(text, 1, 40) || ' ' || " +
+      "chr(8216) || 'q' || chr(8217) || '  end' || chr(173) || '.'"
+    s"trim(regexp_replace(regexp_replace(regexp_replace(" +
+      s"translate($fx, $from, $to), chr(8230), '...', 'g'), " +
+      "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F" +
+      "\\x{200B}-\\x{200D}\\x{FEFF}\\x{00AD}]', '', 'g'), " +
+      "'\\s+', ' ', 'g'))"
+  }
+
   /** The t_temperature_mix / hb_mix_temperature oracle — per-lang
     * counts, the min, and the exact-integer √-mix cut replayed:
     * bucket²·n_s < 10⁸·n_min (no floating point anywhere). */
@@ -1125,6 +1144,31 @@ object TextGates {
           .orderBy(col("source"))
       },
       Some(oovOracleSql)),
+
+    // Deterministic NFKC-lite normalization (r12 — functions.TextNorm):
+    // curly quotes/dashes/exotic spaces unified, ellipsis expanded,
+    // control + zero-width + BOM + soft-hyphen bytes deleted,
+    // whitespace collapsed — the cleanup pass every ingest runs before
+    // tokenizing, restricted to rules that replay bit-for-bit (full ICU
+    // NFKC is library-versioned). The fixture enriches the corpus text
+    // with every junk class; the oracle rebuilds the identical
+    // translate/regexp chain from chr() codepoints. Pure codegen'd
+    // narrow map.
+    Gate("t_normalize", (s, d) => {
+      val junk = concat(
+        lit("\u00A0\u201CBegin\u2026\u201D \u200Bx\u0007y\u2014 "),
+        expr("substring(text, 1, 40)"),
+        lit(" \u2018q\u2019  end\u00AD."))
+      t(s, d, "documents").select(col("doc_id"),
+          graft.functions.TextNorm.normalize(junk).as("norm"),
+          graft.functions.TextNorm.normalize(junk, lowercase = true)
+            .as("norm_lower"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""SELECT doc_id, $normalizeJunkSql AS norm,
+           |  lower($normalizeJunkSql) AS norm_lower
+           |FROM documents
+           |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Temperature-2 domain mix (r12 — Sampling.temperatureSample): the
     // p_s ∝ n_s^(1/T) reweighting multilingual pretraining uses so head

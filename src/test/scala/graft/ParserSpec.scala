@@ -236,6 +236,9 @@ class ParserSpec extends AnyFunSuite {
       SemDeconUsing("embedding", "ev", 900000000L))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       SemDeconUsing("v", "e", 123L)).trim) == SemDeconUsing("v", "e", 123L))
+    // r12: normalize expression
+    assert(HbParser.parseStatement("create column n (normalize (text))")
+      == CreateColumn("n", TextSig(TextSigKind.Normalize, ColRef("text"))))
     // r12: fill-in-middle transform
     assert(HbParser.parseStatement("fim text") == FimTransform("text"))
     assert(HbParser.parseStatement("fim text 500 'f2'") ==
