@@ -96,7 +96,12 @@ class ScaleSpec extends AnyFunSuite {
     // target-vocab unigram fit and the pretrain flagship all train
     // eagerly at construction — covered by SCALE.md's measured-ratio
     // table instead.
-    "s_lexical_bm25", "s_hybrid_rrf3")
+    "s_lexical_bm25", "s_hybrid_rrf3",
+    // late r12: temperature mix (one bounded count aggregate + narrow
+    // cut), fill-in-middle and normalization (pure narrow maps), and
+    // the position-ids emit (the lazy packed layout + one aggregate)
+    "t_temperature_mix", "hb_mix_temperature", "t_fim", "hb_fim",
+    "t_normalize", "hb_normalize", "t_position_ids")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
