@@ -1522,6 +1522,48 @@ object HbGates {
           |WHERE a.avg1000 <= 10200
           |ORDER BY a.doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // CCNet-style perplexity-head selection (r12 — the Wenzek et al.
+    // 2020 recipe): score the corpus against a reference-LM
+    // configuration (SurprisalOf with a keep-all ceiling), then keep
+    // the most-fluent QUARTILE per language — `top 25 pct by` on the
+    // negated score, so the exact-rational ceil threshold replays. The
+    // whole selection is configuration algebra + statements; ONE
+    // oracle replays model fit, scoring, per-lang ranking and the
+    // rational cut.
+    Gate("hb_ccnet_head",
+      (s, d) => {
+        import graft.hb.Configurations._
+        val configs = Map(
+          "ref" -> conf(TableSource("documents"),
+            "only ((source = 'src0') || (source = 'src1'))"),
+          "corpus" -> conf(TableSource("documents"),
+            "only ((source != 'src0') && (source != 'src1'))"),
+          "head" -> conf(
+            SurprisalOf("corpus", "ref", "doc_id", "text",
+              buckets = 4096, salt = "lm", maxAvg1000 = 1000000000L),
+            """index rows by doc_id
+              |create column negscore (0 - avg1000)
+              |top 25 pct by negscore per lang
+              |create column doc_id keys
+              |slice columns doc_id lang avg1000 rank
+              |""".stripMargin))
+        new Runner(s, t0 => t(s, d, t0)).run(configs, "head")
+          .orderBy(col("doc_id"))
+      },
+      Some("WITH " + TextGates.surprisalCtesSql + ",\n" +
+        """ccsc AS (
+          |  SELECT a.doc_id, d.lang, a.avg1000
+          |  FROM agg a JOIN documents d USING (doc_id)),
+          |ccr AS (
+          |  SELECT doc_id, lang, avg1000,
+          |    ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY -avg1000 DESC, doc_id ASC) AS rank,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM ccsc)
+          |SELECT doc_id, lang, avg1000, CAST(rank AS INTEGER) AS rank
+          |FROM ccr WHERE rank <= (n * 25 + 99) // 100
+          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Three-configuration combinator: the corpus filtered by the NB
     // margin under positive/negative seed configurations — the Scala
     // t_nb_classify path as a configuration source, sharing its CTEs.
