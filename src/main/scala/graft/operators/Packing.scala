@@ -300,4 +300,46 @@ object Packing {
       .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
         col("input_ids"), col("doc_starts"))
   }
+
+  /** LENGTH-BUCKETED batching — the inference/eval-side counterpart of
+    * the training layouts: fixed ROW-COUNT batches of length-sorted
+    * documents, so every batch pads to its own (local) max instead of
+    * the corpus max — the "dynamic batching" every serving stack and
+    * SFT eval loop applies. Adds `(batch, batch_pos, batch_max,
+    * pad_waste)` per row: batch = 0-based ⌊(rank−1)/batchSize⌋ under
+    * the TOTAL order (tokens ASC, id ASC), `batch_max` the batch's
+    * longest row, `pad_waste = batch_max − tokens` (the padding this
+    * row would carry).
+    *
+    * 100 TB design: the global length rank is the range-partitioned
+    * [[Ordinals]] form (sample-based range exchange + per-partition
+    * offsets — no single-partition window); batch stats are one keyed
+    * aggregate over batch ids, broadcast back by a keyed join on the
+    * batch id (batches ≪ rows). A null/negative token count raises
+    * in-plan ([[packedLayout]] discipline). */
+  def lengthBatches(df: DataFrame, idCol: String, tokensCol: String,
+      batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    Seq("batch", "batch_pos", "batch_max", "pad_waste", "__rank").foreach {
+      c => require(!df.columns.contains(c),
+        s"input already has a '$c' column — rename it before batching")
+    }
+    val tokens = col(tokensCol).cast(LongType)
+    val guarded = when(tokens.isNull || tokens < 0,
+      raise_error(concat(lit("lengthBatches: bad token count "),
+        coalesce(tokens.cast("string"), lit("null")))).cast(LongType))
+      .otherwise(tokens)
+    val ranked = Ordinals.withGlobalOrdinal(
+      df.withColumn("__t", guarded), "__rank",
+      Seq(col("__t").asc, col(idCol).asc))
+      .withColumn("batch",
+        expr(s"(__rank - 1L) div ${batchSize}L")) // `div`: exact at any magnitude
+      .withColumn("batch_pos",
+        ((col("__rank") - 1L) % lit(batchSize.toLong)).cast("int"))
+    val stats = ranked.groupBy(col("batch"))
+      .agg(max(col("__t")).as("batch_max"))
+    ranked.join(stats, "batch")
+      .withColumn("pad_waste", col("batch_max") - col("__t"))
+      .drop("__rank", "__t")
+  }
 }

@@ -2145,6 +2145,40 @@ object TextGates {
         |FROM seqs
         |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
 
+    // Length-bucketed batching (r12 — Packing.lengthBatches): fixed
+    // row-count batches of length-sorted docs so each batch pads to its
+    // OWN max — the dynamic-batching layout every serving stack and SFT
+    // eval loop applies. Global rank is the range-partitioned Ordinals
+    // form (no single-partition window); per-batch stats are one keyed
+    // aggregate. FULL oracle: the total order, the div/mod batch
+    // arithmetic and the padding waste replayed per row.
+    Gate("t_length_batches", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextSignals.tokens(col("text")).cast(LongType)
+          .as("t"))
+      graft.operators.Packing.lengthBatches(docs, "doc_id", "t", 32)
+        .select(col("doc_id"), col("batch"), col("batch_pos"),
+          col("batch_max"), col("pad_waste"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH lb0 AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t
+        |  FROM documents),
+        |lbr AS (
+        |  SELECT doc_id, t,
+        |    ROW_NUMBER() OVER (ORDER BY t ASC, doc_id ASC) AS rk
+        |  FROM lb0),
+        |lbb AS (
+        |  SELECT doc_id, t, (rk - 1) // 32 AS batch,
+        |    CAST((rk - 1) % 32 AS INTEGER) AS batch_pos
+        |  FROM lbr),
+        |lbm AS (SELECT batch, MAX(t) AS batch_max FROM lbb GROUP BY batch)
+        |SELECT doc_id, batch, batch_pos, batch_max,
+        |  batch_max - t AS pad_waste
+        |FROM lbb JOIN lbm USING (batch)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // position_ids over the emitted spanning layout (r12 —
     // Packing.positionIds): the third trainer column — positions count
     // within each document span, restart at every doc_start (and at

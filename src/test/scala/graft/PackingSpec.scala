@@ -163,6 +163,48 @@ class PackingSpec extends AnyFunSuite {
       Packing.positionIds(col("ds"), col("nt"), 0L))
   }
 
+  test("lengthBatches: batches are length-sorted fixed-row-count, " +
+      "pad_waste is vs the batch max, guards raise") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq.tabulate(10)(i => (i.toLong, (10 - i).toLong * 3))
+      .toDF("id", "t")
+    val out = Packing.lengthBatches(docs, "id", "t", 4)
+      .orderBy("batch", "batch_pos").collect()
+    // total order (t ASC, id ASC): ids 9,8,...,0 by ascending t
+    assert(out.map(_.getAs[Long]("id")).toSeq ===
+      (9L to 0L by -1L).toSeq)
+    assert(out.map(_.getAs[Long]("batch")).toSeq ===
+      Seq(0L,0L,0L,0L, 1L,1L,1L,1L, 2L,2L))
+    // within a batch, pad_waste = batch_max - t and the max row has 0
+    out.groupBy(_.getAs[Long]("batch")).foreach { case (_, rows) =>
+      val mx = rows.map(_.getAs[Long]("t")).max
+      rows.foreach { r =>
+        assert(r.getAs[Long]("batch_max") == mx)
+        assert(r.getAs[Long]("pad_waste") == mx - r.getAs[Long]("t"))
+      }
+      assert(rows.exists(_.getAs[Long]("pad_waste") == 0L))
+    }
+    // partitioning invariance
+    val out11 = Packing.lengthBatches(docs.repartition(7), "id", "t", 4)
+      .orderBy("batch", "batch_pos").collect()
+    assert(out11.map(_.getAs[Long]("id")).toSeq ===
+      out.map(_.getAs[Long]("id")).toSeq)
+    // guards: bad count raises in-plan, reserved name rejected
+    val e = intercept[Exception] {
+      Packing.lengthBatches(Seq((1L, -5L)).toDF("id", "t"), "id", "t", 4)
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => String.valueOf(c.getMessage)
+      .contains("bad token count")))
+    intercept[IllegalArgumentException](
+      Packing.lengthBatches(docs.withColumn("batch", lit(1)), "id", "t", 4))
+    intercept[IllegalArgumentException](
+      Packing.lengthBatches(docs, "id", "t", 0))
+  }
+
   test("emitAligned: sequences are budget-length, ids concatenate in " +
       "placement order, n_tokens marks the pad boundary; an " +
       "overflowing bin raises naming (shard, bin)") {

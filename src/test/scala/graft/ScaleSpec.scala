@@ -101,7 +101,10 @@ class ScaleSpec extends AnyFunSuite {
     // cut), fill-in-middle and normalization (pure narrow maps), and
     // the position-ids emit (the lazy packed layout + one aggregate)
     "t_temperature_mix", "hb_mix_temperature", "t_fim", "hb_fim",
-    "t_normalize", "hb_normalize", "t_position_ids")
+    "t_normalize", "hb_normalize", "t_position_ids",
+    // length-bucketed batching: the range-partitioned ordinal (the
+    // w6_ordinals plan) + one keyed batch aggregate
+    "t_length_batches")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
