@@ -232,6 +232,117 @@ object MultimodalGates {
              |    AS INTEGER) AS frame_idx,
              |  32 AS frame_len
              |FROM k
-             |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin))
+             |ORDER BY doc_id ASC NULLS FIRST, frame_idx ASC NULLS FIRST""".stripMargin)),
+
+    // INTERLEAVED vision-language packing (r12) — the multimodal
+    // training artifact: each document's token-id stream gets its
+    // image's patch tokens (reserved id 999, count from the decoded
+    // stub meta: 1 + (width·height) % 4) woven in at a salted-md5
+    // position, then the widened streams pack into fixed 256-token
+    // sequences (`emitPacked`, doc_starts attention resets) — the
+    // LLaVA-style image-token insertion with the stub codec standing in
+    // for the patch encoder (payloads never shuffle; only token ids
+    // move). FULL oracle: vocab ids, the stub meta arithmetic, the
+    // insertion point, and the packing cumsum replayed end to end.
+    Gate("m_interleaved_pack", (s, d) => {
+      val docs = t(s, d, "documents")
+      val meta = Multimodal.decodeImageMeta(
+        docs.select(col("doc_id"),
+          col("text").cast("binary").as("payload")), "payload")
+        .select(col("doc_id"),
+          (lit(1L) + (col("width").cast("long") * col("height")) % 4L)
+            .cast("int").as("n_img"))
+      val enc = graft.operators.Vocab.fitEncode(docs, "doc_id", "text",
+        size = 64)
+        .select(col("doc_id"), col("token_ids"))
+      val widened = enc.join(meta, "doc_id")
+        .withColumn("__n", size(col("token_ids")))
+        .withColumn("__pos",
+          (graft.operators.Sampling.hash32(col("doc_id"), "img") %
+            (col("__n").cast("long") + 1L)).cast("int"))
+        .withColumn("ids", concat(
+          slice(col("token_ids"), lit(1), col("__pos")),
+          array_repeat(lit(999), col("n_img")),
+          slice(col("token_ids"), col("__pos") + 1,
+            col("__n") - col("__pos"))))
+        .withColumn("n", size(col("ids")))
+      val layout = graft.operators.Packing.packedLayout(widened,
+        "doc_id", "n", budget = 256L, shards = 4, salt = "mm12")
+      val placed = layout.join(widened.select(col("doc_id"), col("ids")),
+        "doc_id")
+      graft.operators.Packing.emitPacked(placed, "ids", 256L, padId = 0)
+        .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
+          array_join(col("input_ids").cast("array<string>"), " ")
+            .as("input_ids_str"),
+          array_join(col("doc_starts").cast("array<string>"), " ")
+            .as("doc_starts_str"))
+        .orderBy(col("shard"), col("seq"))
+    },
+      Some("""WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
+        |    generate_subscripts(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '), 1) AS pos
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY tok),
+        |vocab AS (
+        |  SELECT tok, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS id
+        |  FROM cnt ORDER BY n DESC, tok ASC LIMIT 64),
+        |tids AS (
+        |  SELECT t.doc_id,
+        |    list(CAST(coalesce(v.id, 0) AS INTEGER) ORDER BY t.pos) AS idl
+        |  FROM tok t LEFT JOIN vocab v USING (tok)
+        |  GROUP BY t.doc_id),
+        |mt AS (
+        |  SELECT doc_id,
+        |    1 + (CAST(64 + octet_length(CAST(text AS BLOB)) % 1024 AS BIGINT)
+        |      * (64 + (octet_length(CAST(text AS BLOB)) * 31) % 768)) % 4
+        |      AS n_img
+        |  FROM documents),
+        |wid AS (
+        |  SELECT i.doc_id,
+        |    list_concat(list_concat(
+        |      i.idl[1:CAST(p.pos0 AS INTEGER)],
+        |      list_transform(range(m.n_img), x -> 999)),
+        |      i.idl[CAST(p.pos0 + 1 AS INTEGER):len(i.idl)]) AS idl
+        |  FROM tids i JOIN mt m USING (doc_id)
+        |    JOIN (SELECT doc_id,
+        |        CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':img'), 1, 8)
+        |          AS BIGINT) % (len(idl) + 1) AS pos0
+        |      FROM tids) p USING (doc_id)),
+        |d0 AS (
+        |  SELECT doc_id, idl, CAST(len(idl) AS BIGINT) AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':mm12'), 1, 8)
+        |      AS BIGINT) % 4 AS shard
+        |  FROM wid),
+        |c AS (
+        |  SELECT doc_id, idl, n, shard,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM d0),
+        |parts AS (
+        |  SELECT shard, doc_id, idl, n, bef, k AS seq,
+        |    greatest(k * 256, bef) AS s,
+        |    least((k + 1) * 256, bef + n) AS e
+        |  FROM c, unnest(range(bef // 256, (bef + n - 1) // 256 + 1)) AS t(k)),
+        |pids AS (
+        |  SELECT shard, seq, s, e, bef,
+        |    array_to_string(idl[CAST(s - bef + 1 AS INTEGER):CAST(e - bef AS INTEGER)], ' ')
+        |      AS portion
+        |  FROM parts),
+        |seqs AS (
+        |  SELECT shard, seq, COUNT(*) AS n_docs,
+        |    CAST(SUM(e - s) AS INTEGER) AS n_tokens,
+        |    string_agg(portion, ' ' ORDER BY s) AS raw,
+        |    COALESCE(string_agg(CASE WHEN s = bef
+        |        THEN CAST(s - seq * 256 AS VARCHAR) END,
+        |      ' ' ORDER BY s), '') AS doc_starts_str
+        |  FROM pids GROUP BY shard, seq)
+        |SELECT shard, seq, n_docs, n_tokens,
+        |  CASE WHEN n_tokens = 256 THEN raw
+        |    ELSE raw || repeat(' 0', 256 - n_tokens) END AS input_ids_str,
+        |  doc_starts_str
+        |FROM seqs
+        |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin))
   )
 }
