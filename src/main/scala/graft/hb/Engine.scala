@@ -539,6 +539,11 @@ object Engine {
       val emitted = graft.operators.Packing
         .emitPacked(placed, c, budget)
       HbFrame(emitted
+        // position_ids ride along (the third trainer column) — sliced
+        // away for free when a program doesn't ask for them
+        .withColumn("position_ids", concat_ws(" ",
+          graft.operators.Packing.positionIds(col("doc_starts"),
+            col("n_tokens"), budget).cast("array<string>")))
         .withColumn("input_ids",
           concat_ws(" ", col("input_ids").cast("array<string>")))
         .withColumn("doc_starts",
@@ -555,6 +560,9 @@ object Engine {
       val emitted = graft.operators.Packing
         .emitAligned(placed, c, budget)
       HbFrame(emitted
+        .withColumn("position_ids", concat_ws(" ",
+          graft.operators.Packing.positionIds(col("doc_starts"),
+            col("n_tokens"), budget).cast("array<string>")))
         .withColumn("input_ids",
           concat_ws(" ", col("input_ids").cast("array<string>")))
         .withColumn("doc_starts",

@@ -1457,6 +1457,20 @@ object HbGates {
         .orderBy(col("shard"), col("seq")),
       Some(TextGates.hbSftPipelineOracleSql)),
 
+    // position_ids through the DSL (r12): the emit statements now carry
+    // the third trainer column — per-cell positions restarting at every
+    // doc_start, 0 in padding (Packing.positionIds). Same chain as
+    // hb_sft_pipeline; the oracle replays every position cell.
+    Gate("hb_emit_positions",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |encode text 64
+          |emit packed token_ids 512 4
+          |slice columns shard seq position_ids
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("shard"), col("seq")),
+      Some(TextGates.hbEmitPositionsOracleSql)),
+
     // The document-aligned twin through the DSL (r11): same chain with
     // the best-fit-decreasing placement.
     Gate("hb_emit_aligned",

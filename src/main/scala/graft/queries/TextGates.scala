@@ -171,6 +171,33 @@ object TextGates {
     * the Engine default), per-sequence list-slice portions, padding,
     * and the new-document start offsets. */
   private[queries] lazy val hbEmitPackedOracleSql: String =
+    hbEmitPackedCtesSql +
+      """
+      |SELECT shard, seq, n_docs, n_tokens,
+      |  CASE WHEN n_tokens = 512 THEN raw
+      |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids,
+      |  doc_starts
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+
+  /** The hb_emit_positions oracle — the same chain, final select =
+    * the per-cell position arithmetic over the doc_starts list. */
+  private[queries] lazy val hbEmitPositionsOracleSql: String =
+    hbEmitPackedCtesSql +
+      """
+      |SELECT shard, seq,
+      |  array_to_string(list_transform(range(0, 512), i ->
+      |    CASE WHEN i >= n_tokens THEN 0
+      |      ELSE i - list_max(list_filter([CAST(0 AS BIGINT)] ||
+      |        (CASE WHEN doc_starts = '' THEN CAST([] AS BIGINT[])
+      |          ELSE list_transform(string_split(doc_starts, ' '),
+      |            x -> CAST(x AS BIGINT)) END),
+      |        x -> x <= i)) END), ' ') AS position_ids
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+
+  /** The shared `encode -> emit packed` CTE chain through `seqs`. */
+  private[queries] lazy val hbEmitPackedCtesSql: String =
     """WITH tok AS (
       |  SELECT doc_id,
       |    unnest(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok,
@@ -213,13 +240,7 @@ object TextGates {
       |    COALESCE(string_agg(CASE WHEN s = bef
       |        THEN CAST(s - seq * 512 AS VARCHAR) END,
       |      ' ' ORDER BY s), '') AS doc_starts
-      |  FROM pids GROUP BY shard, seq)
-      |SELECT shard, seq, n_docs, n_tokens,
-      |  CASE WHEN n_tokens = 512 THEN raw
-      |    ELSE raw || repeat(' 0', 512 - n_tokens) END AS input_ids,
-      |  doc_starts
-      |FROM seqs
-      |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
+      |  FROM pids GROUP BY shard, seq)""".stripMargin
 
   /** The hb_emit_aligned oracle — `encode → emit aligned`: the same
     * 64-token vocab ids, then the best-fit-decreasing placement
