@@ -2166,6 +2166,78 @@ object TextGates {
         |FROM seqs
         |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
 
+    // SFT chat-template rendering + the exact TOKEN-level loss-mask
+    // boundary (r12 — operators.Sft): (prompt, response) pairs (the
+    // doc's token halves) render to `<|user|> p <|assistant|> r`, and
+    // loss_start = id-count of the rendered prefix under the byte
+    // table trained on the rendered corpus — exact because a pretoken
+    // never crosses the prefix/response junction (the space starts a
+    // new ` word` pretoken) and merges never cross pretokens. FULL
+    // oracle: the halving, the render, six training rounds, and the
+    // first-K-pretokens piece-count sum.
+    Gate("t_sft_template", (s, d) => {
+      val tk = filter(graft.operators.Decontaminate.tokens(col("text")),
+        w => length(w) > 0)
+      val n = size(tk)
+      val half = floor((n + lit(1)) / lit(2)).cast("int")
+      val pairs = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(tk, lit(1), half), " ").as("prompt"),
+          array_join(slice(tk, half + 1, n - half), " ").as("response"))
+        .filter(length(col("response")) > 0)
+      val rendered = pairs.withColumn("rendered",
+        graft.operators.Sft.render(col("prompt"), col("response")))
+      val merges = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
+        minCount = 1L)
+      rendered.select(col("doc_id"),
+          size(graft.operators.Bpe.encodeIdsCol(col("rendered"), merges))
+            .as("n_ids"),
+          graft.operators.Sft.lossStart(col("prompt"), merges)
+            .as("loss_start"))
+        .withColumn("mask_permille", expr("loss_start * 1000 div n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some {
+        val pat =
+          """ ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \t\n\x0B\f\r]+|[ \t\n\x0B\f\r]+"""
+        """WITH tk0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[1:CAST((len(tk) + 1) // 2 AS INTEGER)], ' ')
+        |      AS prompt,
+        |    array_to_string(tk[CAST((len(tk) + 1) // 2 + 1 AS INTEGER):len(tk)], ' ')
+        |      AS response
+        |  FROM tk0
+        |  WHERE length(array_to_string(tk[CAST((len(tk) + 1) // 2 + 1 AS INTEGER):len(tk)], ' ')) > 0),
+        |""".stripMargin +
+          bpeBytesChainSql(
+            "'<|user|> ' || prompt || ' <|assistant|> ' || response", 6,
+            from = "pairs", lead = "") +
+          s""",
+        |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM st6 GROUP BY word),
+        |kpre AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(
+        |      '<|user|> ' || prompt || ' <|assistant|>', '$pat'),
+        |      x -> length(x) > 0)) AS k
+        |  FROM pairs),
+        |ls AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(w.np) AS INTEGER) AS n_ids,
+        |    CAST(SUM(CASE WHEN d.tpos <= kp.k THEN w.np ELSE 0 END)
+        |      AS INTEGER) AS loss_start
+        |  FROM dtok d JOIN wc w USING (word) JOIN kpre kp USING (doc_id)
+        |  GROUP BY d.doc_id)
+        |SELECT doc_id, n_ids, loss_start,
+        |  CAST(loss_start AS BIGINT) * 1000 // n_ids AS mask_permille
+        |FROM ls
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+      }),
+
     // Length-bucketed batching (r12 — Packing.lengthBatches): fixed
     // row-count batches of length-sorted docs so each batch pads to its
     // OWN max — the dynamic-batching layout every serving stack and SFT

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Bpe, Sft}
+
+/** The loss-mask boundary claim behind Sft.lossStart: the rendered
+  * prefix's id stream is a STRICT PREFIX of the rendered document's id
+  * stream (a pretoken never crosses the prefix/response junction, and
+  * merges never cross pretokens) — so masking input_ids[0, loss_start)
+  * masks exactly the prompt. */
+class SftSpec extends AnyFunSuite {
+
+  lazy val spark = Sessions.local()
+  import spark.implicits._
+
+  test("encodeIds(prefix) is a strict prefix of encodeIds(rendered) " +
+      "for adversarial prompts/responses (punctuation runs, digits, " +
+      "multi-space, unicode)") {
+    val pairs = Seq(
+      (1L, "what is 2+2?", "4, obviously."),
+      (2L, "summarize:  x", "x."),
+      (3L, "weird>>> tail", "<<<response"),
+      (4L, "ünïcode prompt", "ünïcode response"),
+      (5L, "a", "b"),
+      (6L, "trailing space ", " leading space"))
+      .toDF("doc_id", "prompt", "response")
+      .withColumn("rendered", Sft.render(col("prompt"), col("response")))
+    val merges = Bpe.fitBytes(pairs, "rendered", 12, minCount = 1L)
+    val rows = pairs.select(
+        Bpe.encodeIdsCol(Sft.renderPrefix(col("prompt")), merges)
+          .as("pre"),
+        Bpe.encodeIdsCol(col("rendered"), merges).as("full"),
+        Sft.lossStart(col("prompt"), merges).as("ls"))
+      .collect()
+    rows.foreach { r =>
+      val pre = r.getSeq[Int](0)
+      val full = r.getSeq[Int](1)
+      val ls = r.getInt(2)
+      assert(ls == pre.length)
+      assert(ls < full.length, "response must contribute tokens")
+      assert(full.take(ls) == pre,
+        s"prefix ids diverge: pre=$pre full=${full.take(ls)}")
+      // the boundary is exactly where the response's ids begin: decode
+      // of the tail reconstructs " response" byte-exactly
+    }
+    // decode of the full stream is lossless (the byte-BPE contract),
+    // so the masked/unmasked split loses nothing
+    val dec = pairs.select(col("rendered"),
+      Bpe.decodeIdsCol(Bpe.encodeIdsCol(col("rendered"), merges), merges)
+        .as("back")).collect()
+    dec.foreach(r => assert(r.getString(0) == r.getString(1)))
+  }
+}
