@@ -410,6 +410,70 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // INGEST-side composition (r12): decontaminate → drop flagged →
+    // fill-in-middle, ONE streaming program — the n-gram eval set
+    // broadcasts at translation time, both transforms are stateless
+    // narrow maps, and the whole chain is append-safe. One oracle
+    // replays the gram flags, the filter and every FIM token boundary
+    // over the surviving docs.
+    Gate("st_hb_ingest_e2e",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """only (doc_id >= 25)
+          |decon text using eval 4
+          |only (! contaminated)
+          |index rows by doc_id
+          |fim text
+          |create column doc_id keys
+          |slice columns doc_id fim fim_applied n_tokens
+          |""".stripMargin, "st_hb_ingest_e2e_out",
+        resolve = {
+          case "eval" => Gate.t(s, d, "documents")
+            .filter(col("doc_id") < 25)
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some("""WITH dtk AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |dgr AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(tk) - 3, 0) + 1),
+        |      i -> array_to_string(tk[i:i+3], ' '))) AS gram
+        |  FROM dtk),
+        |egr AS (SELECT DISTINCT gram FROM dgr WHERE doc_id < 25),
+        |nghit AS (
+        |  SELECT DISTINCT g.doc_id
+        |  FROM dgr g JOIN egr USING (gram) WHERE g.doc_id >= 25),
+        |surv AS (
+        |  SELECT d.doc_id, d.tk FROM dtk d LEFT JOIN nghit h USING (doc_id)
+        |  WHERE d.doc_id >= 25 AND h.doc_id IS NULL),
+        |cut AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+        |      AS BIGINT) % 10000 AS bk,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
+        |      AS BIGINT) % (len(tk) + 1) AS ca,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
+        |      AS BIGINT) % (len(tk) + 1) AS cb
+        |  FROM surv),
+        |pc AS (
+        |  SELECT doc_id, tk, n, bk,
+        |    CAST(least(ca, cb) AS INTEGER) AS lo,
+        |    CAST(greatest(ca, cb) AS INTEGER) AS hi
+        |  FROM cut)
+        |SELECT doc_id,
+        |  CASE WHEN bk < 9000 THEN array_to_string(
+        |      ['<PRE>'] || tk[1:lo] ||
+        |      ['<SUF>'] || tk[hi+1:n] ||
+        |      ['<MID>'] || tk[lo+1:hi], ' ')
+        |    ELSE array_to_string(tk, ' ') END AS fim,
+        |  (bk < 9000) AS fim_applied,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM pc
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Fill-in-the-middle AT INGEST (r12 — `fim`): the PSM reorder is a
     // salted narrow map on the frame key, so the SAME program text runs
     // batch and streaming; shares t_fim's oracle.
