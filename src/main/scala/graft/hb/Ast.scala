@@ -448,6 +448,14 @@ object Ast {
     * closes corpus → `input_ids` inside one program. */
   case class BpeIdsEnc(textCol: String, nMerges: Int) extends Statement
 
+  /** `bpe ids <textCol> using <conf> <nMerges>` — [[BpeIdsEnc]] with
+    * the byte table trained OFFLINE on a model configuration: the
+    * stream side is the stateless codegen'd id encode — trainer-input
+    * arrays at ingest, under yesterday's vocabulary when a store is
+    * bound. */
+  case class BpeIdsUsing(textCol: String, conf: String, nMerges: Int)
+      extends Statement
+
   /** `bpe bytes <textCol> using <conf> <nMerges>` — [[BpeBytesEnc]]
     * with the merge table trained on a MODEL configuration
     * (operators.Bpe.fitBytes at translation time): the offline-fit /

@@ -478,7 +478,7 @@ object Engine {
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
-        _: SemDeconUsing) =>
+        _: SemDeconUsing | _: BpeIdsUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

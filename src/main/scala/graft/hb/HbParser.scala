@@ -698,7 +698,11 @@ object HbParser {
         } else if (p.atIdent("ids")) {
           p.eat("ids")
           val c = p.colName()
-          BpeIdsEnc(c, p.int())
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            BpeIdsUsing(c, conf, p.int())
+          } else BpeIdsEnc(c, p.int())
         } else {
           val c = p.colName()
           if (p.atIdent("using")) {

@@ -132,6 +132,8 @@ object Printer {
       s"decode bytes ${name(c)}"
     case BpeIdsEnc(c, n) =>
       s"bpe ids ${name(c)} $n"
+    case BpeIdsUsing(c, conf, n) =>
+      s"bpe ids ${name(c)} using ${name(conf)} $n"
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
     case RebalanceBy(c, ts, salt, w) =>

@@ -410,6 +410,23 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // Trainer-input ids AT INGEST (r12 — `bpe ids … using`): the byte
+    // table fits offline on the batch configuration; the live stream
+    // emits GPT-2-layout id arrays (plus the row-printable space-joined
+    // form) as a stateless codegen'd narrow map. Shares hb_bpe_ids'
+    // full oracle.
+    Gate("st_hb_bpe_ids",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """bpe ids text using corpus 6
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, "st_hb_bpe_ids_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.hbBpeIdsOracleSql)),
+
     // INGEST-side composition (r12): decontaminate → drop flagged →
     // fill-in-middle, ONE streaming program — the n-gram eval set
     // broadcasts at translation time, both transforms are stateless

@@ -114,7 +114,7 @@ object StreamHb {
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
-        _: SemDeconUsing => None
+        _: SemDeconUsing | _: BpeIdsUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -290,6 +290,24 @@ object StreamHb {
         }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
+      case (f, BpeIdsUsing(c, conf, n)) =>
+        // trainer-input ids at ingest: same offline byte fit as
+        // `bpe bytes ... using`, stream side emits the id ARRAYS plus
+        // the row-printable space-joined form
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(
+            resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
+          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
+            minCount = 1L)
+        }
+        f.copy(df = f.df
+          .withColumn("token_ids",
+            graft.operators.Bpe.encodeIdsCol(col(c), merges))
+          .withColumn("ids_str",
+            concat_ws(" ", col("token_ids").cast("array<string>")))
+          .withColumn("n_ids",
+            when(col("token_ids").isNotNull,
+              size(col("token_ids")).cast("long"))))
       case (f, BpeBytesUsing(c, conf, n)) =>
         // lossless byte-level twin: table fits offline on the
         // configuration, the stream encodes as a stateless narrow map

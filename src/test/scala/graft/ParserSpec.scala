@@ -257,6 +257,10 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement(
       graft.hb.Printer.print(BpeIdsEnc("scrubbed", 12)).trim) ==
       BpeIdsEnc("scrubbed", 12))
+    assert(HbParser.parseStatement("bpe ids text using corpus 6") ==
+      BpeIdsUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      BpeIdsUsing("t", "c", 9)).trim) == BpeIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
       PackBins("n_chars", 1024L, 8))
     assert(HbParser.parseStatement("pack bins n_chars 1024") ==
