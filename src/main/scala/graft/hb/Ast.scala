@@ -344,6 +344,20 @@ object Ast {
     * encode (a pure narrow map — append-safe on streams). */
   case class WordPieceUsing(textCol: String, conf: String, nMerges: Int)
       extends Statement
+
+  /** `wordpiece ids <textCol> <nMerges>` — the BERT trainer-input form
+    * of [[WordPieceEnc]]: the same fit + final vocabulary, emitted as
+    * vocabFrame-layout id ARRAYS (`token_ids`: [UNK]=0, sorted
+    * vocabulary at 1..N) plus `ids_str`/`n_ids`. */
+  case class WordPieceIdsEnc(textCol: String, nMerges: Int)
+      extends Statement
+
+  /** `wordpiece ids <textCol> using <conf> <nMerges>` —
+    * [[WordPieceIdsEnc]] with the model fit OFFLINE on a named batch
+    * configuration (persisted under a bound store): BERT input_ids at
+    * ingest as a stateless codegen'd narrow map. */
+  case class WordPieceIdsUsing(textCol: String, conf: String,
+      nMerges: Int) extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -399,6 +399,20 @@ object Engine {
       // key unchanged
       f.copy(df = graft.operators.SpanCorrupt.fim(f.df, KEY, c, pm, salt))
 
+    case WordPieceIdsEnc(c, n) =>
+      // BERT trainer-input twin of `wordpiece`: same fit + final
+      // vocabulary, emitted as vocabFrame-layout id arrays
+      val vocab = graft.operators.WordPiece.vocabulary(f.df, c,
+        graft.operators.WordPiece.fit(f.df, c, n, minCount = 1L))
+      val idsCol = graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
+      f.copy(df = f.df
+        .withColumn("token_ids", idsCol)
+        .withColumn("ids_str",
+          concat_ws(" ", col("token_ids").cast("array<string>")))
+        .withColumn("n_ids",
+          when(col("token_ids").isNotNull,
+            size(col("token_ids")).cast("long"))))
+
     case BpeIdsEnc(c, n) =>
       // trainer-input twin of `bpe bytes`: same fit, ids instead of
       // spellings — token_ids is the array `emit packed` consumes
@@ -478,7 +492,7 @@ object Engine {
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
-        _: SemDeconUsing | _: BpeIdsUsing) =>
+        _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

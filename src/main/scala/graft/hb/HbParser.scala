@@ -751,12 +751,22 @@ object HbParser {
           UnigramUsing(c, conf, p.int())
         } else UnigramEnc(c, p.int())
       case "wordpiece" =>
-        val c = p.colName()
-        if (p.atIdent("using")) {
-          p.eat("using")
-          val conf = p.colName()
-          WordPieceUsing(c, conf, p.int())
-        } else WordPieceEnc(c, p.int())
+        if (p.atIdent("ids")) {
+          p.eat("ids")
+          val c = p.colName()
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            WordPieceIdsUsing(c, conf, p.int())
+          } else WordPieceIdsEnc(c, p.int())
+        } else {
+          val c = p.colName()
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            WordPieceUsing(c, conf, p.int())
+          } else WordPieceEnc(c, p.int())
+        }
       case other => p.err(s"unknown statement '$other'")
     }
     if (!p.done) p.err("trailing tokens after statement")

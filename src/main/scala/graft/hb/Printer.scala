@@ -126,6 +126,10 @@ object Printer {
       s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>
       s"wordpiece ${name(c)} using ${name(conf)} $n"
+    case WordPieceIdsEnc(c, n) =>
+      s"wordpiece ids ${name(c)} $n"
+    case WordPieceIdsUsing(c, conf, n) =>
+      s"wordpiece ids ${name(c)} using ${name(conf)} $n"
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

@@ -1498,6 +1498,19 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.hbBpeBytesOracleSql)),
 
+    // BERT input_ids through the statement surface (r12 — `wordpiece
+    // ids`): the same fit + final vocabulary as `wordpiece`, emitted as
+    // vocabFrame-layout id arrays. Shares t_wordpiece_ids' full oracle.
+    Gate("hb_wordpiece_ids",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |wordpiece ids text 6
+          |create column doc_id keys
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.wordPieceIdsOracleSql)),
+
     // The trainer-input ids form through the statement surface (r12 —
     // `bpe ids`): the same byte-level table as `bpe bytes`, emitted as
     // GPT-2-layout id arrays, the shape `emit packed` consumes. The

@@ -410,6 +410,22 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // BERT input_ids AT INGEST (r12 — `wordpiece ids … using`): the
+    // vocabulary fits offline on the batch configuration; the stream
+    // emits vocabFrame-layout id arrays via the stateless greedy
+    // encode. Shares t_wordpiece_ids' full oracle.
+    Gate("st_hb_wordpiece_ids",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """wordpiece ids text using corpus 6
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, "st_hb_wordpiece_ids_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.wordPieceIdsOracleSql)),
+
     // Trainer-input ids AT INGEST (r12 — `bpe ids … using`): the byte
     // table fits offline on the batch configuration; the live stream
     // emits GPT-2-layout id arrays (plus the row-printable space-joined

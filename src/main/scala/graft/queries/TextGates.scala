@@ -2462,29 +2462,7 @@ object TextGates {
             .as("n_ids"))
         .orderBy(col("doc_id"))
     },
-      Some("WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
-        wordPieceEncodeSql(6) + ",\n" +
-        """vid AS (
-          |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC) AS INTEGER) AS id
-          |  FROM vocab),
-          |wpieces AS (SELECT word, step, piece FROM walk WHERE piece IS NOT NULL),
-          |wbad AS (SELECT word, MAX(bad) AS bad FROM walk GROUP BY word),
-          |wagg AS (
-          |  SELECT p.word,
-          |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY p.step) AS ids,
-          |    COUNT(*) AS np
-          |  FROM wpieces p JOIN vid v ON v.sym = p.piece
-          |  GROUP BY p.word),
-          |wid AS (
-          |  SELECT b.word,
-          |    CASE WHEN b.bad = 1 THEN '0' ELSE a.ids END AS ids,
-          |    CASE WHEN b.bad = 1 THEN CAST(1 AS BIGINT) ELSE a.np END AS np
-          |  FROM wbad b LEFT JOIN wagg a USING (word))
-          |SELECT d.doc_id, string_agg(w.ids, ' ' ORDER BY d.tpos) AS ids_str,
-          |  CAST(SUM(w.np) AS BIGINT) AS n_ids
-          |FROM dtok d JOIN wid w USING (word)
-          |GROUP BY d.doc_id
-          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+      Some(wordPieceIdsOracleSql)),
 
     // Preference-pair (DPO) artifact emitter (operators.Preference):
     // 4 candidate "responses" per synthetic prompt (doc_id div 4), an
@@ -3789,6 +3767,34 @@ object TextGates {
 
   /** The t_wordpiece / hb_wordpiece oracle: 6 training rounds, the
     * vocabulary, the greedy walk and per-document reassembly. */
+  /** The t_wordpiece_ids / hb_wordpiece_ids / st_hb_wordpiece_ids
+    * oracle — fit rounds, vocabulary ids, the greedy walk, [UNK]
+    * collapse, and ordered document reassembly. */
+  private[queries] lazy val wordPieceIdsOracleSql: String =
+    "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
+      wordPieceEncodeSql(6) + ",\n" +
+      """vid AS (
+        |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC) AS INTEGER) AS id
+        |  FROM vocab),
+        |wpieces AS (SELECT word, step, piece FROM walk WHERE piece IS NOT NULL),
+        |wbad AS (SELECT word, MAX(bad) AS bad FROM walk GROUP BY word),
+        |wagg AS (
+        |  SELECT p.word,
+        |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY p.step) AS ids,
+        |    COUNT(*) AS np
+        |  FROM wpieces p JOIN vid v ON v.sym = p.piece
+        |  GROUP BY p.word),
+        |wid AS (
+        |  SELECT b.word,
+        |    CASE WHEN b.bad = 1 THEN '0' ELSE a.ids END AS ids,
+        |    CASE WHEN b.bad = 1 THEN CAST(1 AS BIGINT) ELSE a.np END AS np
+        |  FROM wbad b LEFT JOIN wagg a USING (word))
+        |SELECT d.doc_id, string_agg(w.ids, ' ' ORDER BY d.tpos) AS ids_str,
+        |  CAST(SUM(w.np) AS BIGINT) AS n_ids
+        |FROM dtok d JOIN wid w USING (word)
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   private[queries] lazy val wordPieceDocOracleSql: String =
     "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
       wordPieceEncodeSql(6) + "\n" +

@@ -114,7 +114,8 @@ object StreamHb {
     case _: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
-        _: SemDeconUsing | _: BpeIdsUsing => None
+        _: SemDeconUsing | _: BpeIdsUsing |
+        _: WordPieceIdsUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -148,6 +149,8 @@ object StreamHb {
     case _: BpeEnc => Some("BPE merges fit on the whole frame")
     case _: BpeBytesEnc => Some("BPE merges fit on the whole frame")
     case _: BpeIdsEnc => Some("BPE merges fit on the whole frame")
+    case _: WordPieceIdsEnc =>
+      Some("wordpiece merges fit on the whole frame")
     case _: TemperatureMixBy =>
       Some("temperature mix rates derive from whole-frame counts")
     case _: BpeBytesDecode => None // stateless narrow map
@@ -290,6 +293,27 @@ object StreamHb {
         }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
+      case (f, WordPieceIdsUsing(c, conf, n)) =>
+        // BERT input_ids at ingest: vocabulary fits offline (persisted
+        // under a bound store); the stream side is the stateless greedy
+        // id encode, repartitioned off the one-task-per-file source
+        val wpDf = resolve(conf)
+        val vocab = store match {
+          case Some(lc) => graft.operators.WordPiece.vocabularyStored(
+            wpDf, c, n, 1L, conf, lc)
+          case None => graft.operators.WordPiece.vocabulary(wpDf, c,
+            graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+        }
+        f.copy(df = f.df
+          .repartition(f.df.sparkSession.sessionState.conf
+            .numShufflePartitions)
+          .withColumn("token_ids",
+            graft.operators.WordPiece.encodeIdsCol(col(c), vocab))
+          .withColumn("ids_str",
+            concat_ws(" ", col("token_ids").cast("array<string>")))
+          .withColumn("n_ids",
+            when(col("token_ids").isNotNull,
+              size(col("token_ids")).cast("long"))))
       case (f, BpeIdsUsing(c, conf, n)) =>
         // trainer-input ids at ingest: same offline byte fit as
         // `bpe bytes ... using`, stream side emits the id ARRAYS plus

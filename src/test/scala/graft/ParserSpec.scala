@@ -259,6 +259,13 @@ class ParserSpec extends AnyFunSuite {
       BpeIdsEnc("scrubbed", 12))
     assert(HbParser.parseStatement("bpe ids text using corpus 6") ==
       BpeIdsUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement("wordpiece ids text 6") ==
+      WordPieceIdsEnc("text", 6))
+    assert(HbParser.parseStatement("wordpiece ids text using corpus 6") ==
+      WordPieceIdsUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      WordPieceIdsUsing("t", "c", 9)).trim) ==
+      WordPieceIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsUsing("t", "c", 9)).trim) == BpeIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
