@@ -358,6 +358,18 @@ object Ast {
     * ingest as a stateless codegen'd narrow map. */
   case class WordPieceIdsUsing(textCol: String, conf: String,
       nMerges: Int) extends Statement
+
+  /** `unigram ids <textCol> <topMulti>` — the trainer-input form of
+    * [[UnigramEnc]]: the refined model's pieces emitted as sorted-order
+    * id ARRAYS (`[UNK]` = 0), plus `ids_str`/`n_ids`. */
+  case class UnigramIdsEnc(textCol: String, topMulti: Int)
+      extends Statement
+
+  /** `unigram ids <textCol> using <conf> <topMulti>` —
+    * [[UnigramIdsEnc]] with the model fit OFFLINE on a named batch
+    * configuration (persisted under a bound store). */
+  case class UnigramIdsUsing(textCol: String, conf: String,
+      topMulti: Int) extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -399,6 +399,18 @@ object Engine {
       // key unchanged
       f.copy(df = graft.operators.SpanCorrupt.fim(f.df, KEY, c, pm, salt))
 
+    case UnigramIdsEnc(c, n) =>
+      // unigram trainer-input twin: refined model, sorted-order ids
+      val model = graft.operators.Unigram.fitEm(f.df, c, n)
+      f.copy(df = f.df
+        .withColumn("token_ids",
+          graft.operators.Unigram.encodeIdsCol(col(c), model))
+        .withColumn("ids_str",
+          concat_ws(" ", col("token_ids").cast("array<string>")))
+        .withColumn("n_ids",
+          when(col("token_ids").isNotNull,
+            size(col("token_ids")).cast("long"))))
+
     case WordPieceIdsEnc(c, n) =>
       // BERT trainer-input twin of `wordpiece`: same fit + final
       // vocabulary, emitted as vocabFrame-layout id arrays
@@ -492,7 +504,8 @@ object Engine {
     case st @ (_: ScoreUsing | _: ClassifyUsing | _: EncodeUsing |
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
-        _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing) =>
+        _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing |
+        _: UnigramIdsUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -744,12 +744,22 @@ object HbParser {
         DeconUsing(c, conf, n)
         }
       case "unigram" =>
+        if (p.atIdent("ids")) {
+          p.eat("ids")
+          val c = p.colName()
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            UnigramIdsUsing(c, conf, p.int())
+          } else UnigramIdsEnc(c, p.int())
+        } else {
         val c = p.colName()
         if (p.atIdent("using")) {
           p.eat("using")
           val conf = p.colName()
           UnigramUsing(c, conf, p.int())
         } else UnigramEnc(c, p.int())
+        }
       case "wordpiece" =>
         if (p.atIdent("ids")) {
           p.eat("ids")

@@ -130,6 +130,10 @@ object Printer {
       s"wordpiece ids ${name(c)} $n"
     case WordPieceIdsUsing(c, conf, n) =>
       s"wordpiece ids ${name(c)} using ${name(conf)} $n"
+    case UnigramIdsEnc(c, n) =>
+      s"unigram ids ${name(c)} $n"
+    case UnigramIdsUsing(c, conf, n) =>
+      s"unigram ids ${name(c)} using ${name(conf)} $n"
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

@@ -248,6 +248,21 @@ object Unigram {
       pieces.map(p => (p.piece, p.costBits)), maxPieceLen)
   }
 
+  /** [[encodeCol]] emitting TOKEN IDS (`array<int>`, the
+    * [[WordPiece.vocabFrame]] id discipline: `[UNK]` = 0, pieces in
+    * sorted order at 1..N). The literal piece→id map constant-folds
+    * once; the per-element lookup stays in-plan — still a zero-shuffle
+    * narrow map. */
+  def encodeIdsCol(text: Column, pieces: Seq[Piece],
+      maxPieceLen: Int = 6): Column = {
+    val sorted = pieces.map(_.piece).distinct.sorted
+    val keys = array(("[UNK]" +: sorted).map(lit): _*)
+    val vals = array((0 to sorted.size).map(i => lit(i)): _*)
+    val m = map_from_arrays(keys, vals)
+    transform(encodeCol(text, pieces, maxPieceLen),
+      p => element_at(m, p))
+  }
+
   /** The shippable model table: `(piece, freq, cost_bits)` in piece
     * order — reproducible bit-for-bit, the unigram counterpart of
     * [[WordPiece.vocabFrame]]. */

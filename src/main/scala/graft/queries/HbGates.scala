@@ -1498,6 +1498,20 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.hbBpeBytesOracleSql)),
 
+    // Unigram trainer-input ids through the statement surface (r12 —
+    // `unigram ids`): the refined model's pieces as sorted-order id
+    // arrays ([UNK]=0). Completes the tokenizer-ids triple next to
+    // `bpe ids` and `wordpiece ids`.
+    Gate("hb_unigram_ids",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |unigram ids text 16
+          |create column doc_id keys
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.unigramIdsOracleSql)),
+
     // BERT input_ids through the statement surface (r12 — `wordpiece
     // ids`): the same fit + final vocabulary as `wordpiece`, emitted as
     // vocabFrame-layout id arrays. Shares t_wordpiece_ids' full oracle.

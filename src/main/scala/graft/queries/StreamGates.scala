@@ -410,6 +410,21 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // Unigram trainer-input ids AT INGEST (r12 — `unigram ids …
+    // using`): refined model offline, compiled Viterbi + constant-
+    // folded id map on the stream. Shares hb_unigram_ids' oracle.
+    Gate("st_hb_unigram_ids",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """unigram ids text using corpus 16
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, "st_hb_unigram_ids_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.unigramIdsOracleSql)),
+
     // BERT input_ids AT INGEST (r12 — `wordpiece ids … using`): the
     // vocabulary fits offline on the batch configuration; the stream
     // emits vocabFrame-layout id arrays via the stateless greedy

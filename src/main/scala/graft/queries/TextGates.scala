@@ -3755,6 +3755,34 @@ object TextGates {
          |GROUP BY d.doc_id
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The hb_unigram_ids / st_hb_unigram_ids oracle — the unigram doc
+    * chain with every piece mapped through the sorted-order id layout
+    * ([UNK] = 0 never fires on the training corpus: character coverage
+    * keeps every word segmentable). */
+  private[queries] lazy val unigramIdsOracleSql: String =
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + ",\n" +
+      ugDpCtes("u2", "vc2", 12) + ",\n" +
+      s"""uvid AS (
+         |  SELECT p, CAST(ROW_NUMBER() OVER (ORDER BY p ASC) AS INTEGER) AS id
+         |  FROM vc2),
+         |wenc3 AS (
+         |  SELECT s.word,
+         |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY s.step DESC) AS ids,
+         |    COUNT(*) AS np
+         |  FROM u2seg s JOIN uvid v ON v.p = s.piece
+         |  GROUP BY s.word),
+         |dtok3 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+         |  FROM (SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+         |        FROM documents),
+         |    unnest(range(1, len(tk) + 1)) AS t(i)
+         |  WHERE length(tk[CAST(i AS INTEGER)]) > 0)
+         |SELECT d.doc_id, string_agg(e.ids, ' ' ORDER BY d.tpos) AS ids_str,
+         |  CAST(SUM(e.np) AS BIGINT) AS n_ids
+         |FROM dtok3 d JOIN wenc3 e USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The st_hb_wordpiece oracle — the same chain, encode column only
     * (the stream side emits doc_id + wp). */
   private[queries] lazy val wordPieceStreamOracleSql: String =

@@ -115,7 +115,7 @@ object StreamHb {
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing |
-        _: WordPieceIdsUsing => None
+        _: WordPieceIdsUsing | _: UnigramIdsUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -151,6 +151,8 @@ object StreamHb {
     case _: BpeIdsEnc => Some("BPE merges fit on the whole frame")
     case _: WordPieceIdsEnc =>
       Some("wordpiece merges fit on the whole frame")
+    case _: UnigramIdsEnc =>
+      Some("unigram candidates fit on the whole frame")
     case _: TemperatureMixBy =>
       Some("temperature mix rates derive from whole-frame counts")
     case _: BpeBytesDecode => None // stateless narrow map
@@ -293,6 +295,26 @@ object StreamHb {
         }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
+      case (f, UnigramIdsUsing(c, conf, n)) =>
+        // unigram trainer-input ids at ingest: refined model fits
+        // offline (stored tier when bound); the stream runs the
+        // compiled Viterbi + the constant-folded id map
+        val ugDf = resolve(conf)
+        val model = store match {
+          case Some(lc) => graft.operators.Unigram.fitStored(
+            ugDf, c, n, conf, lc)
+          case None => graft.operators.Unigram.fitEm(ugDf, c, n)
+        }
+        f.copy(df = f.df
+          .repartition(f.df.sparkSession.sessionState.conf
+            .numShufflePartitions)
+          .withColumn("token_ids",
+            graft.operators.Unigram.encodeIdsCol(col(c), model))
+          .withColumn("ids_str",
+            concat_ws(" ", col("token_ids").cast("array<string>")))
+          .withColumn("n_ids",
+            when(col("token_ids").isNotNull,
+              size(col("token_ids")).cast("long"))))
       case (f, WordPieceIdsUsing(c, conf, n)) =>
         // BERT input_ids at ingest: vocabulary fits offline (persisted
         // under a bound store); the stream side is the stateless greedy

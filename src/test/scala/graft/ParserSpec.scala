@@ -266,6 +266,12 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       WordPieceIdsUsing("t", "c", 9)).trim) ==
       WordPieceIdsUsing("t", "c", 9))
+    assert(HbParser.parseStatement("unigram ids text 16") ==
+      UnigramIdsEnc("text", 16))
+    assert(HbParser.parseStatement("unigram ids text using corpus 16") ==
+      UnigramIdsUsing("text", "corpus", 16))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      UnigramIdsUsing("t", "c", 9)).trim) == UnigramIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsUsing("t", "c", 9)).trim) == BpeIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
