@@ -56,6 +56,10 @@ object BpeProbe {
         graft.operators.WordPiece.fitLocal(docs, "text", n, minCount = 1L)
       else if (which == "wpfit")
         graft.operators.WordPiece.fit(docs, "text", n, minCount = 1L)
+      else if (which == "ugtarget")
+        graft.operators.Unigram.fitTarget(docs, "text", n,
+          maxPieceLen = 4, seedMult = 2, prunePermille = 500)
+          .map(p => graft.operators.Bpe.Merge(0, p.piece, "")) // size probe
       else graft.operators.Bpe.fitDelta(docs, "text", n, 1L)
     spark.range(1).count() // marker job, then drain
     Thread.sleep(2000)
