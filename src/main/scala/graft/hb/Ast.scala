@@ -370,6 +370,14 @@ object Ast {
     * configuration (persisted under a bound store). */
   case class UnigramIdsUsing(textCol: String, conf: String,
       topMulti: Int) extends Statement
+
+  /** `decode ids <idsCol> using <conf> <nMerges>` — the LOSSLESS
+    * inverse of `bpe ids … using` under the same offline-fit byte
+    * table: adds `text_decoded`, byte-identical to the original text
+    * (an out-of-range id raises — wrong-tokenizer drift). Stateless
+    * narrow map, append-safe. */
+  case class BpeIdsDecodeUsing(idsCol: String, conf: String,
+      nMerges: Int) extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -563,6 +563,12 @@ object HbParser {
         if (p.atIdent("bytes")) {
           p.eat("bytes")
           BpeBytesDecode(p.colName())
+        } else if (p.atIdent("ids")) {
+          p.eat("ids")
+          val c = p.colName()
+          p.eat("using")
+          val conf = p.colName()
+          BpeIdsDecodeUsing(c, conf, p.int())
         } else {
           val c = p.colName()
           p.eat("using")

@@ -134,6 +134,8 @@ object Printer {
       s"unigram ids ${name(c)} $n"
     case UnigramIdsUsing(c, conf, n) =>
       s"unigram ids ${name(c)} using ${name(conf)} $n"
+    case BpeIdsDecodeUsing(c, conf, n) =>
+      s"decode ids ${name(c)} using ${name(conf)} $n"
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

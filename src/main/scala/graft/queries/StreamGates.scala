@@ -410,6 +410,26 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(HbGates.deconCfgOracleSql)),
 
+    // LOSSLESS round trip AT INGEST (r12 — `bpe ids … using` +
+    // `decode ids … using`): encode to GPT-2-layout ids and decode
+    // back inside ONE streaming program, both sides under the SAME
+    // offline table (store-shared, nothing refits twice). The oracle
+    // is the losslessness contract itself: text_decoded ≡ text,
+    // hash-compared byte for byte.
+    Gate("st_hb_ids_roundtrip",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """bpe ids text using corpus 6
+          |decode ids token_ids using corpus 6
+          |slice columns doc_id text_decoded
+          |""".stripMargin, "st_hb_ids_roundtrip_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, text AS text_decoded FROM documents
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Unigram trainer-input ids AT INGEST (r12 — `unigram ids …
     // using`): refined model offline, compiled Viterbi + constant-
     // folded id map on the stream. Shares hb_unigram_ids' oracle.

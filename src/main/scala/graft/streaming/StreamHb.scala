@@ -115,7 +115,8 @@ object StreamHb {
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing |
-        _: WordPieceIdsUsing | _: UnigramIdsUsing => None
+        _: WordPieceIdsUsing | _: UnigramIdsUsing |
+        _: BpeIdsDecodeUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -354,6 +355,17 @@ object StreamHb {
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
+      case (f, BpeIdsDecodeUsing(c, conf, n)) =>
+        // lossless inverse under the SAME offline table (store-shared
+        // with the encode side, so encode+decode refit nothing twice)
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(
+            resolve(conf), "text", n, 1L, conf, lc, byteLevel = true)
+          case None => graft.operators.Bpe.fitBytes(resolve(conf), "text",
+            n, minCount = 1L)
+        }
+        f.copy(df = f.df.withColumn("text_decoded",
+          graft.operators.Bpe.decodeIdsCol(col(c), merges)))
       case (f, BpeBytesUsing(c, conf, n)) =>
         // lossless byte-level twin: table fits offline on the
         // configuration, the stream encodes as a stateless narrow map
