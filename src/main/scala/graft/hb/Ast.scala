@@ -371,13 +371,18 @@ object Ast {
   case class UnigramIdsUsing(textCol: String, conf: String,
       topMulti: Int) extends Statement
 
-  /** `decode ids <idsCol> using <conf> <nMerges>` — the LOSSLESS
-    * inverse of `bpe ids … using` under the same offline-fit byte
-    * table: adds `text_decoded`, byte-identical to the original text
-    * (an out-of-range id raises — wrong-tokenizer drift). Stateless
-    * narrow map, append-safe. */
+  /** `decode ids <idsCol> using <conf> <nMerges> [of <textCol>]` — the
+    * LOSSLESS inverse of `bpe ids … using` under the same offline-fit
+    * byte table: adds `text_decoded`, byte-identical to the original
+    * text (an out-of-range id raises — wrong-tokenizer drift).
+    * `textCol` names the column the ENCODE side fit its table on
+    * (default `text`): the stored-model key includes the fit column, so
+    * a decode fit on a different column would silently bind a DIFFERENT
+    * table and corrupt `text_decoded` — the `of` clause keeps the two
+    * sides keyed identically when the encode statement's column is not
+    * `text`. Stateless narrow map, append-safe. */
   case class BpeIdsDecodeUsing(idsCol: String, conf: String,
-      nMerges: Int) extends Statement
+      nMerges: Int, textCol: String = "text") extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -568,7 +568,10 @@ object HbParser {
           val c = p.colName()
           p.eat("using")
           val conf = p.colName()
-          BpeIdsDecodeUsing(c, conf, p.int())
+          val n = p.int()
+          val tc = if (p.atIdent("of")) { p.eat("of"); p.colName() }
+            else "text"
+          BpeIdsDecodeUsing(c, conf, n, tc)
         } else {
           val c = p.colName()
           p.eat("using")

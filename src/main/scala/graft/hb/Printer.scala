@@ -134,8 +134,9 @@ object Printer {
       s"unigram ids ${name(c)} $n"
     case UnigramIdsUsing(c, conf, n) =>
       s"unigram ids ${name(c)} using ${name(conf)} $n"
-    case BpeIdsDecodeUsing(c, conf, n) =>
-      s"decode ids ${name(c)} using ${name(conf)} $n"
+    case BpeIdsDecodeUsing(c, conf, n, tc) =>
+      s"decode ids ${name(c)} using ${name(conf)} $n" +
+        (if (tc == "text") "" else s" of ${name(tc)}")
     case BpeBytesEnc(c, n) =>
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>

@@ -89,13 +89,25 @@ object Retrieval {
         col("__cid").as("neighbor_id"), col("overlap"))
   }
 
-  /** BM25-weighted lexical top-k (Robertson/Spärck Jones; the exact
-    * k1=1.2 / b=0.75 Okapi form) — [[lexicalOverlapTopK]]'s
+  /** BM25-weighted lexical top-k (Robertson/Spärck Jones; k1=1.2 /
+    * b=0.75 Okapi tf normalization) — [[lexicalOverlapTopK]]'s
     * quality-ranked sibling: instead of counting distinct shared terms,
     * each shared term contributes `floor(idf · tfn · 1e9)` and the
     * per-pair score is the exact-integer SUM of the contributions
     * (order-free, so an oracle replays it bit-for-bit; the same
     * fixed-point discipline as the standalone BM25 scorer gate).
+    *
+    * Documented deviation (the t_bm25 convention): the idf factor is
+    * the RAW odds ratio `(N − df + 0.5) / (df + 0.5)` — no logarithm,
+    * so a rare term's weight grows ~linearly in N/df instead of
+    * logarithmically and rankings can diverge from log-idf BM25 when
+    * query terms mix very different rarities. Deliberate: a log is a
+    * libm transcendental whose last bits vary by engine, and the whole
+    * retrieval surface is pinned to bit-replayable integer oracles;
+    * the maxDfPermille stopword cut bounds the head-term end of the
+    * same distortion. Swap in an integer log surrogate
+    * ([[graft.operators.Surprisal]] `bitlen`) if true BM25 ordering is
+    * ever required.
     *
     * Scale shape is identical to the overlap ranker: the query
     * vocabulary broadcasts, corpus postings are restricted to it BEFORE

@@ -448,7 +448,15 @@ object Sampling {
     * and stable under reruns with the same salt. */
   def temperatureSample(df: DataFrame, idCol: String, salt: String,
       stratumCol: String): DataFrame = {
-    val cnt = df.groupBy(col(stratumCol).as("__st"))
+    // a null stratum would silently vanish through the equi-join below
+    // (null never equals __st) — raise instead, the null-id discipline
+    // of hash32: an unlabeled row is a data bug, not a sampling choice
+    val st = when(col(stratumCol).isNull,
+      raise_error(lit(s"temperatureSample: null $stratumCol — label " +
+        "every row before mixing (null strata are not samplable)"))
+        .cast(df.schema(stratumCol).dataType))
+      .otherwise(col(stratumCol))
+    val cnt = df.groupBy(st.as("__st"))
       .agg(count(lit(1)).as("__n"))
     val nMin = cnt.agg(min(col("__n")).as("__nmin"))
     val b = hashBucket(col(idCol), salt)

@@ -206,8 +206,25 @@ object WordPiece {
     // an endpoint's unit count (pc-unchanged pairs included)
     val byUnit = mutable.HashMap.empty[String,
       mutable.HashSet[(String, String)]]
-    def score(pc: Long, l: String, r: String): Long =
-      pc * ScoreScale / (units.getOrElse(l, 1L) * units.getOrElse(r, 1L))
+    // overflow-guarded: at production corpus scale two unit counts of
+    // ~1e10 make ul·ur exceed Long (and pc·ScoreScale overflows past
+    // pc ~9.2e12), silently corrupting the merge order. When either
+    // product leaves the Long range, compute the SAME quotient in
+    // BigInt — the result always fits (pc ≤ min(ul, ur), so the score
+    // is ≤ ScoreScale), and the fast path is bit-identical to the
+    // un-guarded arithmetic in the non-overflow range.
+    def score(pc: Long, l: String, r: String): Long = {
+      val ul = units.getOrElse(l, 1L)
+      val ur = units.getOrElse(r, 1L)
+      // fits-in-Long test for positive operands: high word zero AND the
+      // low word still positive (a product in [2^63, 2^64) has a zero
+      // high word but reads negative)
+      if (Math.multiplyHigh(ul, ur) == 0 && ul * ur > 0 &&
+          Math.multiplyHigh(pc, ScoreScale) == 0 && pc * ScoreScale >= 0)
+        pc * ScoreScale / (ul * ur)
+      else
+        (BigInt(pc) * ScoreScale / (BigInt(ul) * ur)).toLong
+    }
     def addPair(p: (String, String), f: Long, w: Int): Unit = {
       counts(p) = counts.getOrElse(p, 0L) + f
       occ.getOrElseUpdate(p, mutable.HashSet.empty) += w

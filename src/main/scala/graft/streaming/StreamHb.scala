@@ -355,13 +355,16 @@ object StreamHb {
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
-      case (f, BpeIdsDecodeUsing(c, conf, n)) =>
-        // lossless inverse under the SAME offline table (store-shared
-        // with the encode side, so encode+decode refit nothing twice)
+      case (f, BpeIdsDecodeUsing(c, conf, n, tc)) =>
+        // lossless inverse under the SAME offline table: the fit column
+        // is the `of` clause (default "text"), which must name the
+        // column the ENCODE statement fit on — the store key includes
+        // it, so matching columns share ONE fit and mismatched columns
+        // would silently bind a different table
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
-            resolve(conf), "text", n, 1L, conf, lc, byteLevel = true)
-          case None => graft.operators.Bpe.fitBytes(resolve(conf), "text",
+            resolve(conf), tc, n, 1L, conf, lc, byteLevel = true)
+          case None => graft.operators.Bpe.fitBytes(resolve(conf), tc,
             n, minCount = 1L)
         }
         f.copy(df = f.df.withColumn("text_decoded",

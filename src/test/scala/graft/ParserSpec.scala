@@ -274,9 +274,15 @@ class ParserSpec extends AnyFunSuite {
       UnigramIdsUsing("t", "c", 9)).trim) == UnigramIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement("decode ids token_ids using corpus 6")
       == BpeIdsDecodeUsing("token_ids", "corpus", 6))
+    assert(HbParser.parseStatement(
+      "decode ids token_ids using corpus 6 of body")
+      == BpeIdsDecodeUsing("token_ids", "corpus", 6, "body"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsDecodeUsing("t", "c", 9)).trim) ==
       BpeIdsDecodeUsing("t", "c", 9))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      BpeIdsDecodeUsing("t", "c", 9, "body")).trim) ==
+      BpeIdsDecodeUsing("t", "c", 9, "body"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsUsing("t", "c", 9)).trim) == BpeIdsUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
