@@ -111,7 +111,8 @@ case class BpeByteDecodeExpr(child: Expression) extends UnaryExpression {
   * rank) — the shipped-artifact form; [[BpeIdsDecodeExpr]] inverts it
   * byte-exactly. */
 case class BpeIdsExpr(child: Expression,
-    merges: Seq[(String, String)]) extends UnaryExpression {
+    merges: Seq[(String, String)],
+    specials: Seq[String] = Nil) extends UnaryExpression {
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -123,7 +124,8 @@ case class BpeIdsExpr(child: Expression,
       s"bpe_encode_ids needs a string argument, got ${child.dataType}")
 
   private lazy val table: BpeEncodeExpr.Table =
-    new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
+    new BpeEncodeExpr.Table(
+      merges.flatMap(m => Seq(m._1, m._2)).toArray, specials.toArray)
 
   override def nullSafeEval(input: Any): Any =
     BpeEncodeExpr.encodeIds(input.asInstanceOf[UTF8String].toString, table)
@@ -146,7 +148,8 @@ case class BpeIdsExpr(child: Expression,
 
 /** Lossless inverse of [[BpeIdsExpr]] under the same merge table. */
 case class BpeIdsDecodeExpr(child: Expression,
-    merges: Seq[(String, String)]) extends UnaryExpression {
+    merges: Seq[(String, String)],
+    specials: Seq[String] = Nil) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
@@ -159,7 +162,8 @@ case class BpeIdsDecodeExpr(child: Expression,
   }
 
   private lazy val table: BpeEncodeExpr.Table =
-    new BpeEncodeExpr.Table(merges.flatMap(m => Seq(m._1, m._2)).toArray)
+    new BpeEncodeExpr.Table(
+      merges.flatMap(m => Seq(m._1, m._2)).toArray, specials.toArray)
 
   override def nullSafeEval(input: Any): Any =
     UTF8String.fromString(BpeEncodeExpr.decodeIds(
@@ -254,7 +258,16 @@ object BpeEncodeExpr {
     * (not a tuple key) so a pair lookup allocates nothing. The flat
     * array is what serializes to executors; the lookup rebuilds lazily
     * per JVM (Scala lazy val — thread-safe). */
-  final class Table(val flat: Array[String]) extends Serializable {
+  final class Table(val flat: Array[String],
+      val specials: Array[String]) extends Serializable {
+
+    def this(flat: Array[String]) = this(flat, Array.empty[String])
+
+    /** First special id: specials sit ABOVE the text vocabulary —
+      * bytes 0-255, merges 256..255+nMerges, special k at
+      * 256+nMerges+k (the HF added_tokens id convention). */
+    def specialBase: Int = 256 + flat.length / 2
+
     @transient lazy val ranks: java.util.HashMap[String,
         java.util.HashMap[String, Array[Int]]] = {
       val m = new java.util.HashMap[String,
@@ -534,16 +547,52 @@ object BpeEncodeExpr {
   /** [[encodeBytes]] emitting TOKEN IDS — the artifact a training run
     * actually consumes: id = byte value for alphabet symbols, 255+rank
     * for merged symbols ([[Table.symIds]] — the GPT-2 id layout:
-    * 256 byte tokens, then merges in rank order). Same pretokens, same
-    * merge loop; one int per subword instead of a joined string. */
+    * 256 byte tokens, then merges in rank order), and — when the table
+    * carries SPECIAL tokens — 256+nMerges+k for special k. Specials
+    * segment the text atomically BEFORE pretokenization
+    * ([[SpecialTokens]] leftmost-first/longest-match scan): a special
+    * occurrence is exactly one reserved id, never merged with or split
+    * by adjacent text, and the literal tag text never reaches the merge
+    * loop. Same pretokens, same merge loop for the plain segments; one
+    * int per subword instead of a joined string. */
   def encodeIds(text: String, table: Table)
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val out = new java.util.ArrayList[Integer](text.length)
-    val ids = table.symIds
-    var i = 0
+    val specials = table.specials
+    var p = 0
     val n = text.length
-    while (i < n) {
-      val end = pretokenEnd(text, i)
+    while (p < n) {
+      val nx = if (specials.length == 0) -1L
+        else SpecialTokens.nextSpecial(text, p, specials)
+      if (nx < 0) {
+        encodeIdsSegment(text, p, n, table, out)
+        p = n
+      } else {
+        val start = (nx >>> 32).toInt
+        val idx = (nx & 0xFFFFFFFFL).toInt
+        if (start > p) encodeIdsSegment(text, p, start, table, out)
+        out.add(Integer.valueOf(table.specialBase + idx))
+        p = start + specials(idx).length
+      }
+    }
+    val arr = new Array[Int](out.size())
+    var k = 0
+    while (k < arr.length) { arr(k) = out.get(k).intValue(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  /** One plain segment [from, until) through pretokenize → merges →
+    * ids. Clamping [[pretokenEnd]] to `until` reproduces the
+    * standalone pretokenization of the segment exactly: runs stop at
+    * the boundary either way, and the one lookahead (space absorbed
+    * into a following class run) yields the same single-space pretoken
+    * whether the next char is past `until` or past end-of-string. */
+  private def encodeIdsSegment(text: String, from: Int, until: Int,
+      table: Table, out: java.util.ArrayList[Integer]): Unit = {
+    val ids = table.symIds
+    var i = from
+    while (i < until) {
+      val end = math.min(pretokenEnd(text, i), until)
       val syms = applyMerges(byteSyms(text, i, end), table)
       var j = 0
       while (j < syms.size()) {
@@ -556,34 +605,39 @@ object BpeEncodeExpr {
       }
       i = end
     }
-    val arr = new Array[Int](out.size())
-    var k = 0
-    while (k < arr.length) { arr(k) = out.get(k).intValue(); k += 1 }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
   /** Lossless inverse of [[encodeIds]]: id < 256 → the byte, id
-    * 255+rank → merge `rank`'s merged string's bytes. An id outside
-    * [0, 255+nMerges] raises with the id — wrong-vocabulary drift,
-    * the [[graft.operators.Vocab.decodeNarrow]] discipline. */
+    * 255+rank → merge `rank`'s merged string's bytes, id
+    * 256+nMerges+k → special k's literal text (UTF-8 bytes — decode ∘
+    * encode stays byte-identical with specials present). An id outside
+    * [0, 255+nMerges+nSpecials] raises with the id — wrong-vocabulary
+    * drift, the [[graft.operators.Vocab.decodeNarrow]] discipline. */
   def decodeIds(ids: org.apache.spark.sql.catalyst.util.ArrayData,
       table: Table): String = {
     val nMerges = table.flat.length / 2
+    val maxId = 255 + nMerges + table.specials.length
     val bytes = new java.io.ByteArrayOutputStream(ids.numElements() * 2)
     var i = 0
     while (i < ids.numElements()) {
       val id = ids.getInt(i)
-      if (id < 0 || id > 255 + nMerges)
+      if (id < 0 || id > maxId)
         throw new IllegalArgumentException(
-          s"bpe_decode_ids: id $id outside [0, ${255 + nMerges}] — " +
+          s"bpe_decode_ids: id $id outside [0, $maxId] — " +
             "stream from a different vocabulary?")
-      val sym =
-        if (id < 256) String.valueOf(byteAlphabet(id))
-        else table.flat(2 * (id - 256)) + table.flat(2 * (id - 256) + 1)
-      var c = 0
-      while (c < sym.length) {
-        bytes.write(inverseAlphabet(sym.charAt(c).toInt))
-        c += 1
+      if (id >= 256 + nMerges) {
+        val sp = table.specials(id - 256 - nMerges)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes.write(sp, 0, sp.length)
+      } else {
+        val sym =
+          if (id < 256) String.valueOf(byteAlphabet(id))
+          else table.flat(2 * (id - 256)) + table.flat(2 * (id - 256) + 1)
+        var c = 0
+        while (c < sym.length) {
+          bytes.write(inverseAlphabet(sym.charAt(c).toInt))
+          c += 1
+        }
       }
       i += 1
     }
@@ -674,17 +728,27 @@ object BpeEncodeExpr {
     GraftSqlBridge.column(BpeByteMapExpr(GraftSqlBridge.expression(s)))
 
   /** Token-id encode column (`array<int>`; empty array for null text —
-    * the id-stream analogue of bpe_encode's `""`). */
+    * the id-stream analogue of bpe_encode's `""`). Non-empty
+    * `specials` reserve atomic ids above the vocabulary
+    * ([[SpecialTokens]]; id 256+nMerges+k for special k). */
   def bpe_encode_ids(text: Column,
-      merges: Seq[(String, String)]): Column =
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): Column = {
+    if (specials.nonEmpty) SpecialTokens.validate(specials)
     coalesce(GraftSqlBridge.column(
-      BpeIdsExpr(GraftSqlBridge.expression(text), merges)),
+      BpeIdsExpr(GraftSqlBridge.expression(text), merges, specials)),
       lit(Array.empty[Int]))
+  }
 
-  /** Token-id decode column under the same merge table
-    * (null-propagating; out-of-range ids raise with the id). */
+  /** Token-id decode column under the same merge table (+ specials
+    * list — a special id decodes to its literal text, so decode ∘
+    * encode stays byte-identical with specials present;
+    * null-propagating; out-of-range ids raise with the id). */
   def bpe_decode_ids(ids: Column,
-      merges: Seq[(String, String)]): Column =
+      merges: Seq[(String, String)],
+      specials: Seq[String] = Nil): Column = {
+    if (specials.nonEmpty) SpecialTokens.validate(specials)
     GraftSqlBridge.column(
-      BpeIdsDecodeExpr(GraftSqlBridge.expression(ids), merges))
+      BpeIdsDecodeExpr(GraftSqlBridge.expression(ids), merges, specials))
+  }
 }

@@ -98,8 +98,17 @@ object Bpe {
     * `regexp_extract_all` over the same Java pattern the encode
     * scanner replicates (BpeSpec pins scanner ≡ Pattern), so trainer
     * and encoder cut identically. */
-  private def byteFrame(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(regexp_extract_all(col(textCol),
+  private def byteFrame(df: DataFrame, textCol: String,
+      specials: Seq[String] = Nil): DataFrame = {
+    // with specials: one narrow explode of the non-special segments
+    // first, so the tag literals never reach the pretokenizer (a doc
+    // that is ALL tags contributes nothing — correct: it carries no
+    // learnable text)
+    val textRows =
+      if (specials.isEmpty) df.select(col(textCol).as("__txt"))
+      else df.select(explode(graft.functions.SpecialTokens
+        .special_segments(col(textCol), specials)).as("__txt"))
+    textRows.select(explode(regexp_extract_all(col("__txt"),
         lit(graft.functions.BpeEncodeExpr.pretokenPattern), lit(0)))
         .as("__p"))
       .filter(length(col("__p")) > 0)
@@ -109,6 +118,7 @@ object Bpe {
       .select(col("__w"), col("__f"),
         transform(sequence(lit(1), length(col("__w"))),
           i => substring(col("__w"), i, lit(1))).as("__syms"))
+  }
 
   /** Adjacent-pair occurrences of a vocabulary frame, frequency-
     * weighted: (__l, __r, __f) — one row per pair occurrence. */
@@ -227,10 +237,19 @@ object Bpe {
     * [[encodeBytesCol]]/[[decodeBytesCol]] for a LOSSLESS tokenizer:
     * decode ∘ encode is byte-identical to the input. Same total order,
     * same bounded one-driver-row-per-round shape, same SQL
-    * replayability (the t_bpe_bytes oracle unrolls it). */
+    * replayability (the t_bpe_bytes oracle unrolls it).
+    *
+    * Non-empty `specials` EXCLUDE the reserved tokens' literal text
+    * from the fit corpus (the HF added_tokens discipline): the text is
+    * segmented around special occurrences
+    * ([[graft.functions.SpecialTokens]]) and only the plain segments
+    * contribute pretoken statistics — so no merge is ever spent
+    * learning fragments of a control tag, and a tag-dense SFT corpus
+    * fits the same table as its tag-free twin. Pair with
+    * [[encodeIdsCol]]/[[decodeIdsCol]] under the SAME specials list. */
   def fitBytes(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L): Seq[Merge] =
-    fitDeltaFrom(byteFrame(df, textCol), nMerges, minCount)
+      minCount: Long = 2L, specials: Seq[String] = Nil): Seq[Merge] =
+    fitDeltaFrom(byteFrame(df, textCol, specials), nMerges, minCount)
 
   /** The delta trainer proper, over a prepared (__w, __f, __syms)
     * vocabulary frame — shared by the word-level and byte-level fits. */
@@ -505,17 +524,25 @@ object Bpe {
     graft.functions.BpeEncodeExpr.bpe_decode_bytes(enc)
 
   /** [[encodeBytesCol]] emitting TOKEN IDS (`array<int>`, GPT-2 id
-    * layout: ids 0-255 = bytes, 255+rank = merge `rank`) — the form a
-    * training run ships; [[decodeIdsCol]] inverts byte-exactly under
-    * the same table. */
-  def encodeIdsCol(text: Column, merges: Seq[Merge]): Column =
+    * layout: ids 0-255 = bytes, 255+rank = merge `rank`, and — with a
+    * non-empty `specials` list — 256+nMerges+k for special k) — the
+    * form a training run ships; [[decodeIdsCol]] inverts byte-exactly
+    * under the same table + specials. A special occurrence is ONE
+    * reserved id: segmented atomically before pretokenization, never
+    * merged with or split by adjacent text
+    * ([[graft.functions.SpecialTokens]]). */
+  def encodeIdsCol(text: Column, merges: Seq[Merge],
+      specials: Seq[String] = Nil): Column =
     graft.functions.BpeEncodeExpr.bpe_encode_ids(text,
-      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+      merges.sortBy(_.rank).map(m => (m.left, m.right)), specials)
 
-  /** Lossless id-stream decode under the same [[fitBytes]] table. */
-  def decodeIdsCol(ids: Column, merges: Seq[Merge]): Column =
+  /** Lossless id-stream decode under the same [[fitBytes]] table (and
+    * the same specials list — a special id decodes to its literal
+    * text). */
+  def decodeIdsCol(ids: Column, merges: Seq[Merge],
+      specials: Seq[String] = Nil): Column =
     graft.functions.BpeEncodeExpr.bpe_decode_ids(ids,
-      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+      merges.sortBy(_.rank).map(m => (m.left, m.right)), specials)
 
   /** The SHIPPABLE tokenizer artifact table for a byte-level merge
     * list — the vocab.json/merges.txt equivalent a training config
@@ -528,14 +555,16 @@ object Bpe {
     * under this table is total either way. Driver-built from the
     * ≤nMerges merge list — 256+n rows by contract. */
   def vocabFrame(spark: org.apache.spark.sql.SparkSession,
-      merges: Seq[Merge]): DataFrame = {
+      merges: Seq[Merge], specials: Seq[String] = Nil): DataFrame = {
     import spark.implicits._
     val bytes = (0 until 256).map(b => (b,
       String.valueOf(graft.functions.BpeEncodeExpr.byteAlphabet(b)),
       "byte", 0))
     val ms = merges.sortBy(_.rank)
       .map(m => (255 + m.rank, m.merged, "merge", m.rank))
-    (bytes ++ ms).toDF("id", "sym", "kind", "rank")
+    val sp = specials.zipWithIndex
+      .map { case (s, k) => (256 + merges.size + k, s, "special", 0) }
+    (bytes ++ ms ++ sp).toDF("id", "sym", "kind", "rank")
   }
 
   /** Encode a text column with a learned merge list: per-token char

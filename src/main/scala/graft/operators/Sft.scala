@@ -23,6 +23,14 @@ object Sft {
   val UserTag = "<|user|>"
   val AssistantTag = "<|assistant|>"
 
+  /** The chat tags as RESERVED special tokens (r13): pass to
+    * [[Bpe.fitBytes]]/[[Bpe.encodeIdsCol]]/[[Bpe.decodeIdsCol]] so each
+    * tag is ONE dedicated id above the text vocabulary — never split
+    * into byte-level fragments, never merged with adjacent text, and a
+    * document containing the literal tag string still encodes it to the
+    * same reserved id (so a trainer can mask/strip them reliably). */
+  val Specials: Seq[String] = Seq(UserTag, AssistantTag)
+
   /** The rendered training document: `<|user|> prompt <|assistant|>`
     * + ` response`. The prefix deliberately carries NO trailing space —
     * the response's separating space belongs to the response's first
@@ -39,4 +47,17 @@ object Sft {
     * Codegen'd narrow map (one BpeEncodeExpr pass over the prefix). */
   def lossStart(prompt: Column, merges: Seq[Bpe.Merge]): Column =
     size(Bpe.encodeIdsCol(renderPrefix(prompt), merges))
+
+  /** [[lossStart]] under a specials-aware table ([[Specials]] reserved
+    * ids): still exact, now by CONSTRUCTION rather than the
+    * pretokenizer-junction argument — the rendered document's id stream
+    * is `[user_id] ⧺ ids(' ' + prompt + ' ') ⧺ [assistant_id] ⧺
+    * ids(' ' + response)` (specials segment atomically before
+    * pretokenization), and the prefix's stream is exactly the first
+    * three blocks, so `encodeIds(prefix)` is a strict prefix of
+    * `encodeIds(rendered)` for ANY prompt/response, tags-in-text
+    * included. */
+  def lossStart(prompt: Column, merges: Seq[Bpe.Merge],
+      specials: Seq[String]): Column =
+    size(Bpe.encodeIdsCol(renderPrefix(prompt), merges, specials))
 }

@@ -30,6 +30,19 @@ object SpanCorrupt {
 
   private val MaxSpan = 3
 
+  /** The FIM sentinels as RESERVED special tokens (r13): pass to the
+    * byte-BPE ids encode so `<PRE>/<SUF>/<MID>` are single dedicated
+    * ids — see [[Sft.Specials]] for the discipline. */
+  val FimSpecials: Seq[String] = Seq("<PRE>", "<SUF>", "<MID>")
+
+  /** The first `n` T5 mask sentinels (`<extra_id_0>`…) as a specials
+    * list for [[corrupt]]'s outputs — reserve at least as many as the
+    * largest per-document masked-run count (`n_masked`'s max). */
+  def extraIdSpecials(n: Int): Seq[String] = {
+    require(n >= 1, s"extraIdSpecials needs n >= 1, got $n")
+    (0 until n).map(k => s"<extra_id_$k>")
+  }
+
   /** Add `inp` (tokens with masked runs replaced by `<extra_id_k>`),
     * `tgt` (per run: sentinel + the masked tokens), and `n_masked`.
     * Null text stays null. */

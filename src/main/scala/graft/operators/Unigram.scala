@@ -263,6 +263,26 @@ object Unigram {
       p => element_at(m, p))
   }
 
+  /** [[encodeIdsCol]] with RESERVED special tokens (r13): specials
+    * segment the text atomically before the lowercasing tokenizer and
+    * each occurrence is ONE dedicated id `N+1+k` above the sorted piece
+    * layout (N = distinct piece count) — the
+    * [[WordPiece.encodeIdsCol]] discipline for the third family. Pure
+    * narrow map; per-document HOF shell cost is O(segments). */
+  def encodeIdsCol(text: Column, pieces: Seq[Piece],
+      specials: Seq[String], maxPieceLen: Int): Column = {
+    require(pieces.nonEmpty, "encodeIdsCol needs a non-empty vocabulary")
+    graft.functions.SpecialTokens.validate(specials)
+    val n = pieces.map(_.piece).distinct.size
+    val parts = graft.functions.SpecialTokens.special_split(text, specials)
+    flatten(transform(parts, s =>
+      specials.zipWithIndex.foldRight(
+        encodeIdsCol(s, pieces, maxPieceLen)) {
+        case ((sp, k), acc) =>
+          when(s === lit(sp), array(lit(n + 1 + k))).otherwise(acc)
+      }))
+  }
+
   /** The shippable model table: `(piece, freq, cost_bits)` in piece
     * order — reproducible bit-for-bit, the unigram counterpart of
     * [[WordPiece.vocabFrame]]. */

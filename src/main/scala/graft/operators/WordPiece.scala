@@ -501,6 +501,35 @@ object WordPiece {
       Decontaminate.tokens(text), vocab, maxPieceLen)
   }
 
+  /** [[encodeIdsCol]] with RESERVED special tokens (r13): the text is
+    * segmented around special occurrences BEFORE the lowercasing
+    * whitespace tokenizer ([[graft.functions.SpecialTokens]] —
+    * leftmost-first, longest-match), so a tag like `<|user|>` survives
+    * case-exact as ONE dedicated id `N+1+k` (N = vocabulary size;
+    * `[UNK]`=0, sorted vocab 1..N — the [[vocabFrame]] layout, specials
+    * stacked on top, the HF added_tokens convention). Plain segments
+    * encode through the same compiled greedy walk; concatenating the
+    * per-element streams in order is the document's id stream. Still a
+    * pure narrow map: the split and the per-segment encodes are
+    * codegen'd/interpreted in-plan, zero shuffles, stream-safe (the
+    * per-document segment count is tag-bounded, so the interpreted
+    * HOF shell costs O(segments), not O(tokens)). */
+  def encodeIdsCol(text: Column, vocab: Seq[String],
+      specials: Seq[String], maxPieceLen: Int): Column = {
+    require(vocab.nonEmpty, "encodeIdsCol needs a non-empty vocabulary")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    graft.functions.SpecialTokens.validate(specials)
+    val n = vocab.distinct.size
+    val parts = graft.functions.SpecialTokens.special_split(text, specials)
+    flatten(transform(parts, s =>
+      specials.zipWithIndex.foldRight(
+        graft.functions.WordPieceEncodeExpr.wp_encode_ids(
+          Decontaminate.tokens(s), vocab, maxPieceLen)) {
+        case ((sp, k), acc) =>
+          when(s === lit(sp), array(lit(n + 1 + k))).otherwise(acc)
+      }))
+  }
+
   /** Encode every document: lowercase whitespace words, each replaced
     * by its piece sequence — one narrow [[encodeCol]] pass, zero
     * shuffles (the encode is context-free per word and the inner loop

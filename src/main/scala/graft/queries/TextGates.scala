@@ -2103,6 +2103,85 @@ object TextGates {
     },
       Some(bpeIdsOracleSql)),
 
+    // SPECIAL-token registry over the byte tokenizer (r13 —
+    // functions.SpecialTokens + the specials-aware Bpe surface): the
+    // SFT chat tags are RESERVED ids above the vocabulary
+    // (256+nMerges+k), segmented atomically before pretokenization,
+    // excluded from the fit corpus, and decoded back to their literal
+    // text — so the whole rendered document round-trips byte-exactly
+    // and loss_start is exact by construction (the prefix's id stream
+    // is [user] ⧺ ids(' prompt ') ⧺ [assistant], a strict prefix of
+    // the rendered stream for ANY prompt). FULL oracle: the
+    // prompt/response halving, the segment corpus (tags stripped), six
+    // training rounds over it, GPT-2 id mapping, and the per-document
+    // [262] seg1 [263] seg2 assembly with the boundary arithmetic.
+    Gate("t_bpe_specials", (s, d) => {
+      val tk = filter(graft.operators.Decontaminate.tokens(col("text")),
+        w => length(w) > 0)
+      val n = size(tk)
+      val half = floor((n + lit(1)) / lit(2)).cast("int")
+      val pairs = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(tk, lit(1), half), " ").as("prompt"),
+          array_join(slice(tk, half + 1, n - half), " ").as("response"))
+        .filter(length(col("response")) > 0)
+      val sp = graft.operators.Sft.Specials
+      val rendered = pairs.withColumn("rendered",
+        graft.operators.Sft.render(col("prompt"), col("response")))
+      val merges = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
+        minCount = 1L, specials = sp)
+      val base = 256 + merges.size
+      val ids = graft.operators.Bpe.encodeIdsCol(col("rendered"),
+        merges, sp)
+      rendered.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).as("n_ids"),
+          size(filter(ids, i => i >= lit(base))).as("n_special"),
+          graft.operators.Sft.lossStart(col("prompt"), merges, sp)
+            .as("loss_start"),
+          graft.operators.Bpe.decodeIdsCol(ids, merges, sp).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(bpeSpecialsOracleSql)),
+
+    // The specials-aware artifact FILE round trip (r13): the same
+    // table + tags through vocab.json/merges.txt + added_tokens.json
+    // (the HF convention — specials as a flat {token: id} object with
+    // ids contiguous above the learned vocabulary), loaded back, and
+    // the LOADED pair drives the same specials-aware encode → the same
+    // full oracle as t_bpe_specials.
+    Gate("t_bpe_specials_export_rt", (s, d) => {
+      val tk = filter(graft.operators.Decontaminate.tokens(col("text")),
+        w => length(w) > 0)
+      val n = size(tk)
+      val half = floor((n + lit(1)) / lit(2)).cast("int")
+      val pairs = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(tk, lit(1), half), " ").as("prompt"),
+          array_join(slice(tk, half + 1, n - half), " ").as("response"))
+        .filter(length(col("response")) > 0)
+      val rendered = pairs.withColumn("rendered",
+        graft.operators.Sft.render(col("prompt"), col("response")))
+      val fitted = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
+        minCount = 1L, specials = graft.operators.Sft.Specials)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_gpt2_sp_rt").toString
+      graft.sinks.TokenizerFiles.writeGpt2(dir, fitted,
+        graft.operators.Sft.Specials)
+      val (merges, sp) =
+        graft.sinks.TokenizerFiles.readGpt2WithSpecials(dir)
+      val base = 256 + merges.size
+      val ids = graft.operators.Bpe.encodeIdsCol(col("rendered"),
+        merges, sp)
+      rendered.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).as("n_ids"),
+          size(filter(ids, i => i >= lit(base))).as("n_special"),
+          graft.operators.Sft.lossStart(col("prompt"), merges, sp)
+            .as("loss_start"),
+          graft.operators.Bpe.decodeIdsCol(ids, merges, sp).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(bpeSpecialsOracleSql)),
+
     // Spanning-layout sequence EMIT (r11): the GPT-style pretraining
     // artifact — documents cross sequence boundaries, so each explodes
     // into per-sequence slice portions before one (shard, seq)
@@ -2414,6 +2493,28 @@ object TextGates {
     },
       Some(unigramDocOracleSql)),
 
+    // Unigram SPECIAL tokens (r13): the third family's reserved-id
+    // overlay — ids N+1+k above the sorted piece layout, atomic
+    // case-exact segmentation before the lowercasing tokenizer, the
+    // tagged stream = [N+1] ⧺ ids(text) ⧺ [N+2]. Oracle: the
+    // hb_unigram_ids chain with the piece count and the two reserved
+    // ids spliced on.
+    Gate("t_unigram_specials", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.fitEm(docs, "text",
+        topMulti = 16)
+      val sp = Seq("<|DOC|>", "<|END|>")
+      val tagged = docs.select(col("doc_id"),
+        concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
+      val ids = graft.operators.Unigram.encodeIdsCol(col("tagged"),
+        model, sp, 6)
+      tagged.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some(unigramSpecialsOracleSql)),
+
     // Unigram-LM prune-EM to an EXACT target vocabulary (r12 —
     // operators.Unigram.fitTarget, the SentencePiece outer loop): seed
     // 2·96 multi-char candidates over the 24-char alphabet, alternate
@@ -2463,6 +2564,29 @@ object TextGates {
         .orderBy(col("doc_id"))
     },
       Some(wordPieceIdsOracleSql)),
+
+    // WordPiece SPECIAL tokens (r13): reserved ids N+1+k stacked on
+    // the vocabFrame layout, segmented atomically BEFORE the
+    // lowercasing tokenizer (the uppercase-tag fixture would otherwise
+    // be destroyed by lower()); the tagged document's stream is
+    // [N+1] ⧺ ids(text) ⧺ [N+2]. Oracle: the t_wordpiece_ids chain
+    // with the vocabulary count and the two reserved ids spliced on.
+    Gate("t_wordpiece_specials", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val sp = Seq("<|DOC|>", "<|END|>")
+      val tagged = docs.select(col("doc_id"),
+        concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
+      val ids = graft.operators.WordPiece.encodeIdsCol(col("tagged"),
+        vocab, sp, 16)
+      tagged.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some(wordPieceSpecialsOracleSql)),
 
     // Preference-pair (DPO) artifact emitter (operators.Preference):
     // 4 candidate "responses" per synthetic prompt (doc_id div 4), an
@@ -2518,6 +2642,29 @@ object TextGates {
           col("n_tokens"))
         .orderBy(col("doc_id")),
       Some(fimOracleSql)),
+
+    // FIM sentinels as RESERVED ids (r13 — SpanCorrupt.FimSpecials
+    // through the specials-aware byte encode): each <PRE>/<SUF>/<MID>
+    // is ONE dedicated id (n_special = 3 exactly when the transform
+    // applied, 0 otherwise — atomicity made countable), the sentinel
+    // text is excluded from the fit, and the id stream decodes back to
+    // the fim string byte-exactly (the full-text `decoded` column is
+    // the losslessness hash). Oracle: the fim chain replayed + the
+    // sentinel count + the identity decode.
+    Gate("t_fim_specials", (s, d) => {
+      val fimDf = graft.operators.SpanCorrupt.fim(
+        t(s, d, "documents"), "doc_id", "text", fimPermille = 900)
+      val sp = graft.operators.SpanCorrupt.FimSpecials
+      val merges = graft.operators.Bpe.fitBytes(fimDf, "fim", 6,
+        minCount = 1L, specials = sp)
+      val base = 256 + merges.size
+      val ids = graft.operators.Bpe.encodeIdsCol(col("fim"), merges, sp)
+      fimDf.select(col("doc_id"), col("fim_applied"),
+          size(filter(ids, i => i >= lit(base))).as("n_special"),
+          graft.operators.Bpe.decodeIdsCol(ids, merges, sp).as("decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(fimSpecialsOracleSql)),
 
     // The `.hb` statement twin (r12 — `fim text`): identical salted
     // draws keyed on the frame index, so it shares t_fim's oracle.
@@ -3521,6 +3668,108 @@ object TextGates {
       |FROM fx f JOIN docids di USING (doc_id)
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The t_bpe_specials / t_bpe_specials_export_rt oracle — the
+    * specials-aware SFT rendering replayed end to end: the
+    * prompt/response halving (the t_sft_template fixture), the SEGMENT
+    * corpus (each doc contributes its two between-tag segments
+    * ' prompt ' and ' response' as separate rows under synthetic ids
+    * doc·10+1 / doc·10+2 — exactly what the specials-aware fit
+    * trains on), six byte-chain rounds over it, the GPT-2 id mapping,
+    * and the per-document assembly `[262] seg1 [263] seg2` (262/263 =
+    * 256+6+k, the reserved ids above the 6-merge vocabulary) with
+    * `loss_start = 2 + |seg1|` and the lossless `decoded` identity. */
+  private[queries] lazy val bpeSpecialsOracleSql: String = {
+    val lead =
+      """WITH tk0 AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id,
+        |    array_to_string(tk[1:CAST((len(tk) + 1) // 2 AS INTEGER)], ' ')
+        |      AS prompt,
+        |    array_to_string(tk[CAST((len(tk) + 1) // 2 + 1 AS INTEGER):len(tk)], ' ')
+        |      AS response
+        |  FROM tk0
+        |  WHERE length(array_to_string(tk[CAST((len(tk) + 1) // 2 + 1 AS INTEGER):len(tk)], ' ')) > 0),
+        |segs AS (
+        |  SELECT doc_id * 10 + 1 AS doc_id, ' ' || prompt || ' ' AS seg
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT doc_id * 10 + 2, ' ' || response FROM pairs),
+        |""".stripMargin
+    bpeBytesChainSql("seg", 6, from = "segs", lead = lead) +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |segids AS (
+      |  SELECT d.doc_id AS syn_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT p.doc_id,
+      |  '262 ' || s1.ids || ' 263 ' || s2.ids AS ids_str,
+      |  CAST(2 + s1.n + s2.n AS INTEGER) AS n_ids,
+      |  CAST(2 AS INTEGER) AS n_special,
+      |  CAST(2 + s1.n AS INTEGER) AS loss_start,
+      |  '<|user|> ' || p.prompt || ' <|assistant|> ' || p.response
+      |    AS decoded
+      |FROM pairs p
+      |JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
+      |JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2
+      |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin
+  }
+
+  /** The t_fim_specials oracle — the fim chain (as fimOracleSql) with
+    * the sentinel-atomicity count (exactly 3 reserved ids when the
+    * transform applied) and the lossless decode identity. */
+  private[queries] lazy val fimSpecialsOracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(lower($normSql), ' '),
+       |      x -> x <> '') AS tk
+       |  FROM documents),
+       |cut AS (
+       |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+       |      AS BIGINT) % 10000 AS bk,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
+       |      AS BIGINT) % (len(tk) + 1) AS ca,
+       |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
+       |      AS BIGINT) % (len(tk) + 1) AS cb
+       |  FROM tok),
+       |pc AS (
+       |  SELECT doc_id, tk, n, bk,
+       |    CAST(least(ca, cb) AS INTEGER) AS lo,
+       |    CAST(greatest(ca, cb) AS INTEGER) AS hi
+       |  FROM cut)
+       |SELECT doc_id,
+       |  (bk < 9000) AS fim_applied,
+       |  CAST(CASE WHEN bk < 9000 THEN 3 ELSE 0 END AS INTEGER)
+       |    AS n_special,
+       |  CASE WHEN bk < 9000 THEN array_to_string(
+       |      ['<PRE>'] || tk[1:lo] ||
+       |      ['<SUF>'] || tk[hi+1:n] ||
+       |      ['<MID>'] || tk[lo+1:hi], ' ')
+       |    ELSE array_to_string(tk, ' ') END AS decoded
+       |FROM pc
+       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_sft_artifact oracle — the whole artifact path in one SQL
     * pipeline: the byte-chain rounds and GPT-2 id mapping (as
     * t_bpe_ids), then the BFD placement recursion (as hb_pack_bins,
@@ -3822,6 +4071,69 @@ object TextGates {
         |FROM dtok d JOIN wid w USING (word)
         |GROUP BY d.doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_wordpiece_specials oracle — the t_wordpiece_ids chain with
+    * the two reserved ids (vocab count + 1 + k) spliced around every
+    * document's stream. */
+  private[queries] lazy val wordPieceSpecialsOracleSql: String =
+    "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +
+      wordPieceEncodeSql(6) + ",\n" +
+      """vid AS (
+        |  SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym ASC) AS INTEGER) AS id
+        |  FROM vocab),
+        |wpieces AS (SELECT word, step, piece FROM walk WHERE piece IS NOT NULL),
+        |wbad AS (SELECT word, MAX(bad) AS bad FROM walk GROUP BY word),
+        |wagg AS (
+        |  SELECT p.word,
+        |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY p.step) AS ids,
+        |    COUNT(*) AS np
+        |  FROM wpieces p JOIN vid v ON v.sym = p.piece
+        |  GROUP BY p.word),
+        |wid AS (
+        |  SELECT b.word,
+        |    CASE WHEN b.bad = 1 THEN '0' ELSE a.ids END AS ids,
+        |    CASE WHEN b.bad = 1 THEN CAST(1 AS BIGINT) ELSE a.np END AS np
+        |  FROM wbad b LEFT JOIN wagg a USING (word)),
+        |nv AS (SELECT CAST(COUNT(*) AS INTEGER) AS nvocab FROM vocab)
+        |SELECT d.doc_id,
+        |  CAST(nv.nvocab + 1 AS VARCHAR) || ' ' ||
+        |    string_agg(w.ids, ' ' ORDER BY d.tpos) || ' ' ||
+        |    CAST(nv.nvocab + 2 AS VARCHAR) AS ids_str,
+        |  CAST(SUM(w.np) + 2 AS BIGINT) AS n_ids
+        |FROM dtok d JOIN wid w USING (word) CROSS JOIN nv
+        |GROUP BY d.doc_id, nv.nvocab
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_unigram_specials oracle — the hb_unigram_ids chain with the
+    * two reserved ids (piece count + 1 + k) spliced around every
+    * document's stream. */
+  private[queries] lazy val unigramSpecialsOracleSql: String =
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + ",\n" +
+      ugDpCtes("u2", "vc2", 12) + ",\n" +
+      s"""uvid AS (
+         |  SELECT p, CAST(ROW_NUMBER() OVER (ORDER BY p ASC) AS INTEGER) AS id
+         |  FROM vc2),
+         |wenc3 AS (
+         |  SELECT s.word,
+         |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY s.step DESC) AS ids,
+         |    COUNT(*) AS np
+         |  FROM u2seg s JOIN uvid v ON v.p = s.piece
+         |  GROUP BY s.word),
+         |dtok3 AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+         |  FROM (SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+         |        FROM documents),
+         |    unnest(range(1, len(tk) + 1)) AS t(i)
+         |  WHERE length(tk[CAST(i AS INTEGER)]) > 0),
+         |nv AS (SELECT CAST(COUNT(*) AS INTEGER) AS nvocab FROM vc2)
+         |SELECT d.doc_id,
+         |  CAST(nv.nvocab + 1 AS VARCHAR) || ' ' ||
+         |    string_agg(e.ids, ' ' ORDER BY d.tpos) || ' ' ||
+         |    CAST(nv.nvocab + 2 AS VARCHAR) AS ids_str,
+         |  CAST(SUM(e.np) + 2 AS BIGINT) AS n_ids
+         |FROM dtok3 d JOIN wenc3 e USING (word) CROSS JOIN nv
+         |GROUP BY d.doc_id, nv.nvocab
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
   private[queries] lazy val wordPieceDocOracleSql: String =
     "WITH RECURSIVE " + wordPieceCtesSql(6) + ",\n" +

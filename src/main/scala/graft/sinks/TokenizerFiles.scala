@@ -52,7 +52,8 @@ object TokenizerFiles {
     * to their lowest id the same way — BpeEncodeExpr.Table.symIds), while
     * merges.txt keeps every rank's line so the loaded table replays
     * sequential rank semantics exactly. */
-  def writeGpt2(dir: String, merges: Seq[Bpe.Merge]): Unit = {
+  def writeGpt2(dir: String, merges: Seq[Bpe.Merge],
+      specials: Seq[String] = Nil): Unit = {
     val sorted = merges.sortBy(_.rank)
     require(sorted.map(_.rank) == (1 to sorted.size),
       s"writeGpt2 needs dense ranks 1..${sorted.size}, got " +
@@ -81,6 +82,49 @@ object TokenizerFiles {
     write(d.resolve("merges.txt"),
       ("#version: 0.2" +: sorted.map(m => s"${m.left} ${m.right}"))
         .mkString("", "\n", "\n"))
+    // specials ship as the HF added_tokens.json convention: a flat
+    // {token: id} object, ids contiguous ABOVE the learned vocabulary
+    // (256+nMerges+k) — NOT entries in vocab.json, whose ids are the
+    // learned layout. Absent when there are no specials.
+    if (specials.nonEmpty)
+      writeAddedTokens(d.resolve("added_tokens.json").toString,
+        specials, 256 + sorted.size)
+  }
+
+  /** Write an `added_tokens.json` ({token: id}, ids contiguous from
+    * `firstId` in list order) — the HF convention, shared by all three
+    * tokenizer families (the first reserved id differs per family:
+    * 256+nMerges for byte-BPE, vocab+1 for WordPiece/Unigram whose
+    * `[UNK]`+sorted-pieces layout ends at the vocabulary size). */
+  def writeAddedTokens(path: String, specials: Seq[String],
+      firstId: Int): Unit = {
+    graft.functions.SpecialTokens.validate(specials)
+    require(firstId >= 0, s"firstId must be >= 0, got $firstId")
+    mkParent(Paths.get(path))
+    write(Paths.get(path),
+      specials.zipWithIndex.map { case (s, k) =>
+        "\"" + escapeJson(s) + "\":" + (firstId + k)
+      }.mkString("{", ",", "}"))
+  }
+
+  /** Load an `added_tokens.json` written by [[writeAddedTokens]]:
+    * returns the specials in ID ORDER after checking the ids are
+    * contiguous from `firstId` — a file whose ids don't sit exactly on
+    * top of the expected vocabulary was written for a DIFFERENT model
+    * and fails loudly instead of mis-tokenizing. Returns Nil when the
+    * file does not exist (a specials-free artifact). */
+  def readAddedTokens(path: String, firstId: Int): Seq[String] = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return Nil
+    val ids = parseJsonStringIntObject(
+      new String(Files.readAllBytes(p), Utf8))
+    val ordered = ids.toSeq.sortBy(_._2)
+    ordered.zipWithIndex.foreach { case ((tok, id), k) =>
+      require(id == firstId + k,
+        s"added_tokens.json: id $id for '$tok' is not contiguous from " +
+          s"$firstId — artifact from a different vocabulary?")
+    }
+    ordered.map(_._1)
   }
 
   /** Load a GPT-2 pair written by [[writeGpt2]] (or any encoder.json/
@@ -116,6 +160,16 @@ object TokenizerFiles {
           s"${ids.get(m.merged)}, merges imply $expect — mixed artifacts?")
     }
     merges
+  }
+
+  /** [[readGpt2]] plus the specials list from `added_tokens.json`
+    * (Nil when the artifact has none) — id contiguity above the merge
+    * table is checked by [[readAddedTokens]]. */
+  def readGpt2WithSpecials(dir: String): (Seq[Bpe.Merge], Seq[String]) = {
+    val merges = readGpt2(dir)
+    (merges, readAddedTokens(
+      Paths.get(dir).resolve("added_tokens.json").toString,
+      256 + merges.size))
   }
 
   // ----------------------------------------------------------------- BERT

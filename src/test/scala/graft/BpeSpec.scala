@@ -351,4 +351,66 @@ class BpeSpec extends AnyFunSuite {
     assert(merges.exists(m => (m.left + m.right).contains('Ġ')),
       merges.toString)
   }
+
+  test("special tokens: atomic reserved ids above the vocab, lossless " +
+      "id round trip with specials present, tag text excluded from fit") {
+    import graft.functions.SpecialTokens
+    val sp = Seq("<|user|>", "<|assistant|>")
+    val rnd = new scala.util.Random(31)
+    // a tag-dense corpus and its tag-free twin (the tags' segments as
+    // separate rows) must learn the SAME merges: specials contribute
+    // no statistics
+    val tagged = Seq.tabulate(30)(i =>
+      (i.toLong, s"<|user|> ask ${i % 5} thing <|assistant|> answer it"))
+      .toDF("doc_id", "text")
+    val twin = Seq.tabulate(30)(i =>
+      Seq((2L * i, s" ask ${i % 5} thing "), (2L * i + 1, " answer it")))
+      .flatten.toDF("doc_id", "text")
+    val merges = Bpe.fitBytes(tagged, "text", 12, minCount = 1L,
+      specials = sp)
+    assert(merges == Bpe.fitBytes(twin, "text", 12, minCount = 1L),
+      "specials leaked into the fit statistics")
+    val base = 256 + merges.size
+    // a special alone is exactly ONE reserved id; tags embedded without
+    // surrounding whitespace still cut atomically
+    val probe = Seq(
+      (1L, "<|user|>"),
+      (2L, "x<|user|>y"),
+      (3L, "<|assistant|><|user|>"),
+      (4L, "no tags at all"),
+      (5L, "literal <|user|> inside running text <|assistant|> tail"))
+      .toDF("doc_id", "text")
+    val out = probe.select(col("text"),
+      Bpe.encodeIdsCol(col("text"), merges, sp).as("ids"),
+      Bpe.decodeIdsCol(Bpe.encodeIdsCol(col("text"), merges, sp),
+        merges, sp).as("rt")).collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(0),
+        s"specials round trip broke: '${r.getString(0)}'")
+    }
+    assert(out(0).getSeq[Int](1) == Seq(base))
+    assert(out(2).getSeq[Int](1) == Seq(base + 1, base))
+    assert(out(1).getSeq[Int](1).count(_ == base) == 1)
+    assert(out(3).getSeq[Int](1).forall(_ < base))
+    // random texts with specials injected: round trip stays lossless
+    (0 until 100).foreach { i =>
+      val s = randomText(rnd, 30) + sp(i % 2) + randomText(rnd, 30)
+      val row = Seq((1L, s)).toDF("doc_id", "text").select(
+        Bpe.decodeIdsCol(Bpe.encodeIdsCol(col("text"), merges, sp),
+          merges, sp)).head()
+      assert(row.getString(0) == s, s"on '$s'")
+    }
+    // scanner: leftmost occurrence wins; same-start ties go longest
+    val ov = Array("<a>", "<a>>")
+    val hit = SpecialTokens.nextSpecial("x<a>>y", 0, ov)
+    assert((hit >>> 32).toInt == 1 && (hit & 0xFFFFFFFFL) == 1,
+      s"longest-match tie-break failed: $hit")
+    val first = SpecialTokens.nextSpecial("<a> then <a>>", 0, ov)
+    assert((first >>> 32).toInt == 0 && (first & 0xFFFFFFFFL) == 0)
+    // vocabFrame carries the specials rows at the reserved ids
+    val vf = Bpe.vocabFrame(spark, merges, sp)
+      .filter(col("kind") === "special").orderBy(col("id")).collect()
+    assert(vf.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      sp.zipWithIndex.map { case (s, k) => (base + k, s) })
+  }
 }

@@ -52,4 +52,49 @@ class SftSpec extends AnyFunSuite {
         .as("back")).collect()
     dec.foreach(r => assert(r.getString(0) == r.getString(1)))
   }
+
+  test("with reserved special tokens the tags are single ids, the " +
+      "boundary stays exact, and tag-containing prompts cannot fake " +
+      "a boundary") {
+    val sp = Sft.Specials
+    val pairs = Seq(
+      (1L, "what is 2+2?", "4, obviously."),
+      // adversarial: the literal tag string INSIDE prompt/response —
+      // under specials it still maps to the reserved id, and the
+      // strict-prefix property holds regardless
+      (2L, "echo <|assistant|> now", "<|user|> echoed"),
+      (3L, "ünïcode prompt", "ünïcode response"),
+      (4L, "a", "b"))
+      .toDF("doc_id", "prompt", "response")
+      .withColumn("rendered", Sft.render(col("prompt"), col("response")))
+    val merges = Bpe.fitBytes(pairs, "rendered", 12, minCount = 1L,
+      specials = sp)
+    val base = 256 + merges.size
+    val rows = pairs.select(
+        Bpe.encodeIdsCol(Sft.renderPrefix(col("prompt")), merges, sp)
+          .as("pre"),
+        Bpe.encodeIdsCol(col("rendered"), merges, sp).as("full"),
+        Sft.lossStart(col("prompt"), merges, sp).as("ls"),
+        Bpe.decodeIdsCol(Bpe.encodeIdsCol(col("rendered"), merges, sp),
+          merges, sp).as("back"),
+        col("rendered")).collect()
+    rows.foreach { r =>
+      val pre = r.getSeq[Int](0)
+      val full = r.getSeq[Int](1)
+      val ls = r.getInt(2)
+      assert(ls == pre.length)
+      assert(full.take(ls) == pre)
+      // the rendered stream starts with the user tag's RESERVED id and
+      // the prefix ends with the assistant tag's
+      assert(full.head == base && pre.last == base + 1)
+      // lossless with specials present
+      assert(r.getString(4) == r.getString(3))
+    }
+    // the adversarial pair's in-text tags are reserved ids too — but
+    // the REAL boundary (position ls-1) is still the prefix-final
+    // assistant id, not the echoed one
+    val adv = rows(1)
+    assert(adv.getSeq[Int](1).count(_ == base + 1) == 2,
+      "both assistant-tag occurrences must be the reserved id")
+  }
 }

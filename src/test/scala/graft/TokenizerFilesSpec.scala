@@ -165,6 +165,39 @@ class TokenizerFilesSpec extends AnyFunSuite {
     assert(got.toSeq == ref.toSeq)
   }
 
+  test("added_tokens.json: writeGpt2 with specials round-trips through " +
+      "readGpt2WithSpecials; non-contiguous ids fail loudly") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, s"<|user|> ask thing $i <|assistant|> answer"))
+      .toDF("doc_id", "text")
+    val sp = Seq("<|user|>", "<|assistant|>")
+    val merges = Bpe.fitBytes(docs, "text", 8, minCount = 1L,
+      specials = sp)
+    val dir = tmp("gpt2_sp")
+    TokenizerFiles.writeGpt2(dir, merges, sp)
+    val (loadedM, loadedSp) = TokenizerFiles.readGpt2WithSpecials(dir)
+    assert(loadedM == merges && loadedSp == sp)
+    // the loaded pair drives an identical specials-aware encode
+    val probe = Seq((1L, "x<|user|> ask <|assistant|> y"))
+      .toDF("doc_id", "text")
+    val a = probe.select(Bpe.encodeIdsCol(col("text"), merges, sp))
+      .head().getSeq[Int](0)
+    val b = probe.select(Bpe.encodeIdsCol(col("text"), loadedM, loadedSp))
+      .head().getSeq[Int](0)
+    assert(a == b)
+    // a specials-free artifact loads Nil
+    val dir2 = tmp("gpt2_nosp")
+    TokenizerFiles.writeGpt2(dir2, merges)
+    assert(TokenizerFiles.readGpt2WithSpecials(dir2)._2.isEmpty)
+    // ids not sitting exactly on top of the vocabulary → loud failure
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2).resolve("added_tokens.json"),
+      s"""{"<|user|>":${256 + merges.size + 5}}""".getBytes)
+    val e = intercept[IllegalArgumentException](
+      TokenizerFiles.readGpt2WithSpecials(dir2))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
   test("Unigram TSV guards: malformed line, tab inside a piece") {
     val path = s"${tmp("sp_bad")}/pieces.tsv"
     intercept[IllegalArgumentException](

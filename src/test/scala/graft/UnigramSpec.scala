@@ -171,4 +171,23 @@ class UnigramSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Unigram.encodeCol(col("text"), Seq.empty))
   }
+
+  test("special tokens: atomic reserved ids N+1+k above the sorted " +
+      "piece layout, case-exact through the lowercasing tokenizer") {
+    val model = Seq(Unigram.Piece("a", 3, 1), Unigram.Piece("b", 2, 2),
+      Unigram.Piece("ab", 2, 2)) // sorted: a→1, ab→2, b→3; N = 3
+    val sp = Seq("<|doc|>", "<SEP>")
+    val out = Seq((1L, "<|doc|> ab a<SEP>b"))
+      .toDF("doc_id", "text")
+      .select(Unigram.encodeIdsCol(col("text"), model, sp, 6).as("ids"))
+      .head().getSeq[Int](0)
+    // [<|doc|>=4] [ab=2] [a=1] [<SEP>=5] [b=3]
+    assert(out === Seq(4, 2, 1, 5, 3))
+    val plain = Seq((1L, "ab b")).toDF("doc_id", "text")
+    val p1 = plain.select(
+      Unigram.encodeIdsCol(col("text"), model, sp, 6)).head().getSeq[Int](0)
+    val p2 = plain.select(
+      Unigram.encodeIdsCol(col("text"), model)).head().getSeq[Int](0)
+    assert(p1 === p2)
+  }
 }

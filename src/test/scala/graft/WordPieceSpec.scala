@@ -157,4 +157,25 @@ class WordPieceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       WordPiece.encodeWord(lit("a"), Seq.empty))
   }
+
+  test("special tokens: atomic reserved ids N+1+k above the sorted " +
+      "vocab, case-exact through the lowercasing tokenizer") {
+    val vocab = Seq("a", "##b", "x", "##y") // N = 4
+    val sp = Seq("<|doc|>", "<TAG>")
+    // the uppercase tag would be DESTROYED by the lowercasing tokenizer
+    // without the pre-split; embedded without spaces it must still cut
+    val out = Seq((1L, "ab <|doc|>xy<TAG> ab"))
+      .toDF("doc_id", "text")
+      .select(WordPiece.encodeIdsCol(col("text"), vocab, sp, 16).as("ids"))
+      .head().getSeq[Int](0)
+    // sorted vocab: ##b → 1, ##y → 2, a → 3, x → 4; specials 5, 6
+    assert(out === Seq(3, 1, 5, 4, 2, 6, 3, 1))
+    // a tagless doc matches the plain encoder exactly
+    val plain = Seq((1L, "ab xy")).toDF("doc_id", "text")
+    val p1 = plain.select(
+      WordPiece.encodeIdsCol(col("text"), vocab, sp, 16)).head().getSeq[Int](0)
+    val p2 = plain.select(
+      WordPiece.encodeIdsCol(col("text"), vocab)).head().getSeq[Int](0)
+    assert(p1 === p2)
+  }
 }
