@@ -427,11 +427,18 @@ object Engine {
 
     case BpeIdsEnc(c, n) =>
       // trainer-input twin of `bpe bytes`: same fit, ids instead of
-      // spellings — token_ids is the array `emit packed` consumes
-      val idsCol = graft.operators.Bpe.encodeIdsCol(col(c),
-        graft.operators.Bpe.fitBytes(f.df, c, n, minCount = 1L))
+      // spellings — token_ids is the array `emit packed` consumes. The
+      // fitted table is published as COLUMN METADATA on token_ids
+      // (Bpe.mergesMetadata) so a caller can export/round-trip/decode
+      // the EXACT fit without a second training pass — schema
+      // inspection costs zero Spark jobs.
+      val merges = graft.operators.Bpe.fitBytes(f.df, c, n,
+        minCount = 1L)
       f.copy(df = f.df
-        .withColumn("token_ids", idsCol)
+        .withColumn("token_ids",
+          graft.operators.Bpe.encodeIdsCol(col(c), merges))
+        .withMetadata("token_ids",
+          graft.operators.Bpe.mergesMetadata(merges))
         .withColumn("n_ids",
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))

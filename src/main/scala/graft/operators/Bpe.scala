@@ -501,6 +501,39 @@ object Bpe {
       .sortBy(_.rank).toSeq
   }
 
+  /** Column-metadata key under which [[mergesMetadata]] publishes a
+    * fitted merge table on its encode output column. */
+  val MergesMetadataKey = "graft.bpe.merges"
+
+  /** The fitted merge table as Spark COLUMN METADATA — the zero-cost
+    * model tap for statement surfaces that fit internally (`bpe ids`):
+    * the table rides on the output column's schema, so a caller can
+    * recover the EXACT fit (for artifact export, round-trip audits,
+    * decode) without a second fit and without any Spark job — schema
+    * inspection is driver-side. One "left right" string per rank; safe
+    * because merge symbols never contain a space (byte-level symbols
+    * spell whitespace via the mapped alphabet; word-level symbols come
+    * from whitespace-split words). */
+  def mergesMetadata(merges: Seq[Merge])
+      : org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray(MergesMetadataKey,
+        merges.sortBy(_.rank).map(m => m.left + " " + m.right).toArray)
+      .build()
+
+  /** Recover a merge table published by [[mergesMetadata]] from a
+    * schema; None when the column carries no table. */
+  def mergesFromMetadata(schema: org.apache.spark.sql.types.StructType,
+      colName: String): Option[Seq[Merge]] =
+    schema.fields.find(_.name == colName)
+      .filter(_.metadata.contains(MergesMetadataKey))
+      .map(_.metadata.getStringArray(MergesMetadataKey).toSeq
+        .zipWithIndex.map { case (lr, i) =>
+          val sp = lr.indexOf(' ')
+          require(sp > 0, s"malformed merge metadata entry '$lr'")
+          Merge(i + 1, lr.substring(0, sp), lr.substring(sp + 1))
+        })
+
   /** [[encodeCol]] as the native single-pass expression
     * (functions.BpeEncodeExpr) — identical output (BpeSpec pins the
     * parity property), ~10× less work than the interpreted nested-HOF

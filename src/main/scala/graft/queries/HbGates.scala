@@ -1319,19 +1319,29 @@ object HbGates {
             |create column doc_id keys
             |slice columns doc_id source scrubbed
             |""".stripMargin),
-        "artifact" -> conf(MergeOf(Seq("cleaned")),
+        "tokenized" -> conf(MergeOf(Seq("cleaned")),
           """index rows by doc_id
             |bpe ids scrubbed 6
+            |""".stripMargin),
+        "artifact" -> conf(MergeOf(Seq("tokenized")),
+          """index rows by doc_id
             |emit packed token_ids 256 4
             |slice columns shard seq n_docs n_tokens input_ids doc_starts
             |""".stripMargin))
       val runner = new Runner(s, t0 => t(s, d, t0))
-      val kept = runner.run(configs, "cleaned")
-      // task-3 weave: the byte table the `bpe ids` statement trains on
-      // the cleaned corpus must survive the GPT-2 file interchange
-      // EXACTLY — the gate only hashes green if the artifact is lossless
-      val merges = graft.operators.Bpe.fitBytes(kept, "scrubbed", 6,
-        minCount = 1L)
+      // task-3 weave, r13 single-fit form: the byte table the
+      // `bpe ids` statement trained rides on token_ids' COLUMN
+      // METADATA (Engine BpeIdsEnc → Bpe.mergesMetadata), so the GPT-2
+      // file round-trip asserts against THE SAME fit — one fit in the
+      // gate's whole job graph (the Runner memoizes "tokenized", and
+      // the metadata tap is schema-only: zero Spark jobs,
+      // EngineSpec pins it). The gate only hashes green if the
+      // artifact is lossless.
+      val tokenized = runner.run(configs, "tokenized")
+      val merges = graft.operators.Bpe
+        .mergesFromMetadata(tokenized.schema, "token_ids")
+        .getOrElse(throw new IllegalStateException(
+          "pretrain flagship: bpe ids published no merge metadata"))
       val dir = java.nio.file.Files
         .createTempDirectory("graft_pretrain_tok").toString
       graft.sinks.TokenizerFiles.writeGpt2(dir, merges)

@@ -439,4 +439,31 @@ class EngineSpec extends AnyFunSuite {
       "index rows by vid\nneighbors 2 [vec] [keys < 2] mmr 7", emb)
     assert(mmr.select("query_id").distinct().count() == 2)
   }
+
+  test("bpe ids publishes the fitted merge table as column metadata — " +
+      "the zero-job model tap for export/round-trip audits") {
+    import graft.operators.Bpe
+    import spark.implicits._
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, s"the cat sat on the mat ${i % 3} times"))
+      .toDF("doc_id", "text")
+    val out = run("index rows by doc_id\nbpe ids text 4", docs)
+    val tapped = Bpe.mergesFromMetadata(out.schema, "token_ids")
+    assert(tapped.isDefined, "token_ids carries no merge metadata")
+    // the published table IS the statement's fit
+    assert(tapped.get == Bpe.fitBytes(docs, "text", 4, minCount = 1L))
+    // tapping + the GPT-2 file round-trip is schema-only: ZERO Spark
+    // jobs beyond the JobCounter marker baseline — the proof the
+    // flagship's artifact assert no longer pays a second fit
+    val baseline = JobCounter.count(spark) {}
+    val tapJobs = JobCounter.count(spark) {
+      val m = Bpe.mergesFromMetadata(out.schema, "token_ids").get
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tap_rt").toString
+      graft.sinks.TokenizerFiles.writeGpt2(dir, m)
+      assert(graft.sinks.TokenizerFiles.readGpt2(dir) == m)
+    } - baseline
+    assert(tapJobs == 0,
+      s"metadata tap + file round-trip launched $tapJobs Spark job(s)")
+  }
 }
