@@ -574,10 +574,14 @@ object Engine {
         .emitPacked(placed, c, budget)
       HbFrame(emitted
         // position_ids ride along (the third trainer column) — sliced
-        // away for free when a program doesn't ask for them
+        // away for free when a program doesn't ask for them. EXACT
+        // (r13): a mid-document continuation's positions carry its
+        // true in-document offset (first_doc_offset, also emitted), so
+        // the artifact no longer ships the restart-at-0 approximation
         .withColumn("position_ids", concat_ws(" ",
-          graft.operators.Packing.positionIds(col("doc_starts"),
-            col("n_tokens"), budget).cast("array<string>")))
+          graft.operators.Packing.positionIdsExact(col("doc_starts"),
+            col("first_doc_offset"), col("n_tokens"), budget)
+            .cast("array<string>")))
         .withColumn("input_ids",
           concat_ws(" ", col("input_ids").cast("array<string>")))
         .withColumn("doc_starts",

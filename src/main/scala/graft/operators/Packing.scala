@@ -249,23 +249,40 @@ object Packing {
     * positions count 0,1,2,… within each document span, restarting at
     * every `doc_starts` offset; padding positions (≥ `nTokens`) are 0.
     * A sequence that BEGINS mid-document (spanning layout) restarts its
-    * continuation segment at 0 too — the standard
-    * packed-pretraining approximation when the continuation's true
-    * offset lives in the previous sequence (document it to the trainer;
-    * the aligned layout never has such segments, so there it is exact).
+    * continuation segment at 0 too — the standard packed-pretraining
+    * approximation. [[positionIdsExact]] removes it: [[emitPacked]]
+    * emits the continuation's true in-document offset
+    * (`first_doc_offset`), and the exact form adds it to the leading
+    * segment's positions. The aligned layout never has continuation
+    * segments, so there this form IS exact.
     *
     * Pure narrow expression over (doc_starts, n_tokens): O(budget ·
     * docs-per-sequence) per row, zero shuffles at any scale. */
   def positionIds(docStarts: Column, nTokens: Column,
-      budget: Long): Column = {
+      budget: Long): Column =
+    positionIdsExact(docStarts, lit(0L), nTokens, budget)
+
+  /** EXACT `position_ids` for a spanning-layout sequence (r13): the
+    * segment before the first doc_start is a mid-document CONTINUATION
+    * whose true offset is `firstDocOffset` ([[emitPacked]]'s
+    * `first_doc_offset` column — 0 when a document starts at position
+    * 0), so its positions count firstDocOffset, firstDocOffset+1, …
+    * instead of restarting at 0; every later segment starts a fresh
+    * document and restarts exactly as before. Same pure narrow shape. */
+  def positionIdsExact(docStarts: Column, firstDocOffset: Column,
+      nTokens: Column, budget: Long): Column = {
     require(budget > 0, s"budget must be positive, got $budget")
     val starts = array_union(array(lit(0L)),
       transform(coalesce(docStarts, array().cast("array<int>")),
         s => s.cast(LongType)))
-    transform(sequence(lit(0L), lit(budget - 1L)), i =>
+    transform(sequence(lit(0L), lit(budget - 1L)), i => {
+      val seg = array_max(filter(starts, s => s <= i))
       when(i >= nTokens.cast(LongType), lit(0L))
-        .otherwise(i - array_max(filter(starts, s => s <= i)))
-        .cast("int"))
+        .otherwise(i - seg +
+          when(seg === 0L, firstDocOffset.cast(LongType))
+            .otherwise(lit(0L)))
+        .cast("int")
+    })
   }
 
   def emitPacked(placed: DataFrame, idsCol: String, budget: Long,
@@ -292,13 +309,21 @@ object Packing {
           p => p.getField("__portion"))).as("__raw"),
         sort_array(collect_list(
           when(col("__s") === col("__before"),
-            col("__s") - col("seq") * budget))).as("doc_starts"))
+            col("__s") - col("seq") * budget))).as("doc_starts"),
+        // the leading segment's TRUE in-document offset: a sequence
+        // that begins mid-document opens with the portion whose
+        // document started `seq·budget − before` tokens ago; 0 when a
+        // new document sits at position 0. The layout already knows
+        // this — emitting it is what makes positionIdsExact exact.
+        greatest(lit(0L),
+          lit(1L) * col("seq") * budget - min(col("__before")))
+          .as("first_doc_offset"))
       .withColumn("n_tokens", size(col("__raw")))
       .withColumn("input_ids",
         concat(col("__raw"), array_repeat(lit(padId),
           lit(budget).cast("int") - col("n_tokens"))))
       .select(col("shard"), col("seq"), col("n_docs"), col("n_tokens"),
-        col("input_ids"), col("doc_starts"))
+        col("input_ids"), col("doc_starts"), col("first_doc_offset"))
   }
 
   /** LENGTH-BUCKETED batching — the inference/eval-side counterpart of

@@ -181,7 +181,9 @@ object TextGates {
       |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
 
   /** The hb_emit_positions oracle — the same chain, final select =
-    * the per-cell position arithmetic over the doc_starts list. */
+    * the per-cell position arithmetic over the doc_starts list, EXACT
+    * (r13): a leading mid-document continuation adds its true
+    * in-document offset `fdo` instead of restarting at 0. */
   private[queries] lazy val hbEmitPositionsOracleSql: String =
     hbEmitPackedCtesSql +
       """
@@ -192,7 +194,13 @@ object TextGates {
       |        (CASE WHEN doc_starts = '' THEN CAST([] AS BIGINT[])
       |          ELSE list_transform(string_split(doc_starts, ' '),
       |            x -> CAST(x AS BIGINT)) END),
-      |        x -> x <= i)) END), ' ') AS position_ids
+      |        x -> x <= i))
+      |      + (CASE WHEN list_max(list_filter([CAST(0 AS BIGINT)] ||
+      |          (CASE WHEN doc_starts = '' THEN CAST([] AS BIGINT[])
+      |            ELSE list_transform(string_split(doc_starts, ' '),
+      |              x -> CAST(x AS BIGINT)) END),
+      |          x -> x <= i)) = 0 THEN fdo ELSE 0 END)
+      |    END), ' ') AS position_ids
       |FROM seqs
       |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin
 
@@ -239,7 +247,8 @@ object TextGates {
       |    string_agg(portion, ' ' ORDER BY s) AS raw,
       |    COALESCE(string_agg(CASE WHEN s = bef
       |        THEN CAST(s - seq * 512 AS VARCHAR) END,
-      |      ' ' ORDER BY s), '') AS doc_starts
+      |      ' ' ORDER BY s), '') AS doc_starts,
+      |    greatest(0, seq * 512 - MIN(bef)) AS fdo
       |  FROM pids GROUP BY shard, seq)""".stripMargin
 
   /** The hb_emit_aligned oracle — `encode → emit aligned`: the same
@@ -2402,6 +2411,69 @@ object TextGates {
         |    CASE WHEN i >= n_tokens THEN 0
         |      ELSE i - list_max(list_filter([CAST(0 AS BIGINT)] || starts,
         |        x -> x <= i)) END), ' ') AS position_ids_str
+        |FROM seqs
+        |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
+
+    // EXACT spanning positions (r13 — Packing.positionIdsExact +
+    // emitPacked's first_doc_offset): a sequence that begins
+    // mid-document counts its continuation's positions from the TRUE
+    // in-document offset (first_doc_offset = seq·budget − the leading
+    // document's cumulative start) instead of the restart-at-0
+    // approximation; the aligned path is unchanged (offset 0
+    // everywhere). Same synthetic chain as t_position_ids; the oracle
+    // additionally replays the offset and adds it to every
+    // leading-segment cell — a continuation's first position EQUALS
+    // its in-document offset by construction.
+    Gate("t_position_ids_exact", (s, d) => {
+      val docs = t(s, d, "documents")
+      val withIds = docs.select(col("doc_id"),
+        transform(sequence(lit(1L), expr("(n_chars div 4) + 1L")),
+          i => ((col("doc_id") * 37 + i * 13) % 1000).cast("int"))
+          .as("ids"))
+        .withColumn("n", size(col("ids")))
+      val layout = graft.operators.Packing.packedLayout(withIds,
+        "doc_id", "n", budget = 512L, shards = 4, salt = "pe11")
+      val placed = layout.join(withIds, "doc_id")
+      graft.operators.Packing.emitPacked(placed, "ids", 512L, padId = 0)
+        .select(col("shard"), col("seq"), col("n_tokens"),
+          col("first_doc_offset"),
+          array_join(graft.operators.Packing.positionIdsExact(
+            col("doc_starts"), col("first_doc_offset"), col("n_tokens"),
+            512L).cast("array<string>"), " ").as("position_ids_str"))
+        .orderBy(col("shard"), col("seq"))
+    },
+      Some("""WITH d0 AS (
+        |  SELECT doc_id, n_chars // 4 + 1 AS n,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pe11'), 1, 8)
+        |      AS BIGINT) % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n, shard,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS bef
+        |  FROM d0),
+        |parts AS (
+        |  SELECT shard, doc_id, n, bef, k AS seq,
+        |    greatest(k * 512, bef) AS s,
+        |    least((k + 1) * 512, bef + n) AS e
+        |  FROM c, unnest(range(bef // 512, (bef + n - 1) // 512 + 1)) AS t(k)),
+        |seqs AS (
+        |  SELECT shard, seq,
+        |    CAST(SUM(e - s) AS BIGINT) AS n_tokens,
+        |    COALESCE(list(s - seq * 512 ORDER BY s)
+        |      FILTER (WHERE s = bef), CAST([] AS BIGINT[])) AS starts,
+        |    greatest(0, seq * 512 - MIN(bef)) AS fdo
+        |  FROM parts GROUP BY shard, seq)
+        |SELECT shard, seq, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |  fdo AS first_doc_offset,
+        |  array_to_string(list_transform(range(0, 512), i ->
+        |    CASE WHEN i >= n_tokens THEN 0
+        |      ELSE i - list_max(list_filter([CAST(0 AS BIGINT)] || starts,
+        |        x -> x <= i))
+        |      + (CASE WHEN list_max(list_filter([CAST(0 AS BIGINT)] || starts,
+        |          x -> x <= i)) = 0 THEN fdo ELSE 0 END)
+        |    END), ' ') AS position_ids_str
         |FROM seqs
         |ORDER BY shard ASC NULLS FIRST, seq ASC NULLS FIRST""".stripMargin)),
 

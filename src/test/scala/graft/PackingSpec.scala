@@ -297,4 +297,67 @@ class PackingSpec extends AnyFunSuite {
           assert(o >= 0 && o < 256)))
     }
   }
+
+  test("positionIdsExact: a continuation's first position equals its " +
+      "true in-document offset; exact == approximate wherever a doc " +
+      "starts the sequence; padding stays 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val docs = (0L until 60L).map { i =>
+      (i, Array.fill(1 + rnd.nextInt(300))(rnd.nextInt(1000)))
+    }.toDF("id", "ids").withColumn("n", size(col("ids")))
+    val layout = Packing.packedLayout(docs, "id", "n", budget = 128L,
+      shards = 2)
+    val emitted = Packing.emitPacked(layout.join(docs, "id"), "ids",
+      128L, padId = 0)
+    val rows = emitted.select(col("shard"), col("seq"), col("n_tokens"),
+      col("doc_starts"), col("first_doc_offset"),
+      Packing.positionIdsExact(col("doc_starts"),
+        col("first_doc_offset"), col("n_tokens"), 128L).as("exact"),
+      Packing.positionIds(col("doc_starts"), col("n_tokens"), 128L)
+        .as("approx")).collect()
+    // the fixture must actually exercise spanning continuations
+    assert(rows.exists(_.getAs[Long]("first_doc_offset") > 0L),
+      "fixture produced no mid-document continuation")
+    rows.foreach { r =>
+      val nTok = r.getAs[Int]("n_tokens")
+      val starts = r.getSeq[Long](r.fieldIndex("doc_starts"))
+      val fdo = r.getAs[Long]("first_doc_offset")
+      val exact = r.getSeq[Int](r.fieldIndex("exact"))
+      val approx = r.getSeq[Int](r.fieldIndex("approx"))
+      // a sequence beginning a fresh doc has offset 0 and exact ==
+      // approximate everywhere; a continuation shifts ONLY the leading
+      // segment by fdo
+      if (starts.headOption.contains(0L)) assert(fdo == 0L)
+      val firstStart =
+        starts.headOption.map(_.toInt).getOrElse(nTok)
+      exact.zip(approx).zipWithIndex.foreach { case ((e, a), i) =>
+        if (i >= nTok) assert(e == 0 && a == 0)
+        else if (i < firstStart) assert(e == a + fdo,
+          s"leading segment cell $i: exact $e vs approx $a + fdo $fdo")
+        else assert(e == a, s"cell $i diverged with no continuation")
+      }
+      // the continuation's first position IS its in-document offset
+      if (nTok > 0) assert(exact.head == fdo)
+    }
+    // cross-sequence coherence: within a shard, a spanning document's
+    // positions continue across the boundary (…, k, k+1 | k+2, …)
+    val byShard = rows.groupBy(_.getAs[Long]("shard"))
+    byShard.foreach { case (_, seqs) =>
+      val ordered = seqs.sortBy(_.getAs[Long]("seq"))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val fdoB = b.getAs[Long]("first_doc_offset")
+          if (fdoB > 0) {
+            // the previous sequence's LAST in-doc position + 1 == fdoB
+            val aTok = a.getAs[Int]("n_tokens")
+            val lastPos = a.getSeq[Int](a.fieldIndex("exact"))(aTok - 1)
+            assert(lastPos + 1 == fdoB,
+              s"positions break across the boundary: $lastPos → $fdoB")
+          }
+        case _ =>
+      }
+    }
+  }
 }
