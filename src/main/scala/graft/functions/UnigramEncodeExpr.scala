@@ -59,19 +59,55 @@ object UnigramEncodeExpr {
 
   val Unk = "[UNK]"
 
-  /** Compiled model: piece → integer cost, plus the probe cap. */
+  /** `<0xXX>` byte-fallback piece spelling test (uppercase hex — the
+    * [[graft.operators.Unigram.bytePiece]] convention). */
+  def isBytePiece(p: String): Boolean = {
+    def hx(c: Char) = (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')
+    p.length == 6 && p.startsWith("<0x") && p.charAt(5) == '>' &&
+      hx(p.charAt(3)) && hx(p.charAt(4))
+  }
+
+  /** Compiled model: piece → integer cost, plus the probe cap.
+    * `<0xXX>` pieces are byte-fallback EDGE definitions, not text
+    * pieces: they populate [[Model.byteCosts]] (per-byte decomposition
+    * cost) and are excluded from the text lookup and the probe cap —
+    * a literal "<0x41>" in a document segments through its characters
+    * like any other text. */
   final class Model(ps: Array[String], costs: Array[Int],
       maxPieceLen: Int) extends Serializable {
+    /** Per-byte fallback cost; null when the model has no byte pieces.
+      * A partial byte table would silently re-introduce `[UNK]` on the
+      * missing bytes, so anything between 0 and 256 pieces raises. */
+    val byteCosts: Array[Int] = {
+      val arr = new Array[Int](256)
+      var n = 0
+      ps.indices.foreach { i =>
+        val p = ps(i)
+        if (isBytePiece(p)) {
+          arr(Integer.parseInt(p.substring(3, 5), 16)) = costs(i)
+          n += 1
+        }
+      }
+      if (n == 0) null
+      else {
+        require(n == 256,
+          s"byte-fallback model carries $n of 256 <0xXX> pieces — " +
+            "use Unigram.withByteFallback to add the full table")
+        arr
+      }
+    }
     val cost: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](ps.length * 2)
       ps.indices.foreach(i =>
-        if (!m.containsKey(ps(i))) m.put(ps(i), costs(i)))
+        if (!isBytePiece(ps(i)) && !m.containsKey(ps(i)))
+          m.put(ps(i), costs(i)))
       m
     }
     // lengths in CODE POINTS (Spark substring semantics — the units of
     // the SQL-oracle DP); UTF-16 units would mis-cap non-BMP pieces
     val maxLen: Int = math.min(maxPieceLen,
-      ps.iterator.map(p => p.codePointCount(0, p.length))
+      ps.iterator.filterNot(isBytePiece)
+        .map(p => p.codePointCount(0, p.length))
         .foldLeft(1)(math.max))
   }
 
@@ -116,9 +152,10 @@ object UnigramEncodeExpr {
     val cost = new Array[Int](len + 1)
     val np = new Array[Int](len + 1)
     val back = new Array[Int](len + 1) // chosen piece length at pos i
+    val fb = new Array[Boolean](len + 1) // fallback edge chosen at pos i
     var i = 1
     while (i <= len) {
-      cost(i) = INF; np(i) = INF; back(i) = 0
+      cost(i) = INF; np(i) = INF; back(i) = 0; fb(i) = false
       var l = 1
       val hi = math.min(m.maxLen, i)
       while (l <= hi) {
@@ -130,20 +167,52 @@ object UnigramEncodeExpr {
           // a strictly-better OR equal-with-longer-l candidate wins
           if (tc < cost(i) || (tc == cost(i) &&
               (tn < np(i) || (tn == np(i) && l > back(i))))) {
-            cost(i) = tc; np(i) = tn; back(i) = l
+            cost(i) = tc; np(i) = tn; back(i) = l; fb(i) = false
           }
         }
         l += 1
       }
+      // byte-fallback edge (when the model carries the <0xXX> table):
+      // the single code point at [i-1, i) decomposes into its UTF-8
+      // bytes at the per-byte penalty cost. Counts as ONE unit in the
+      // tie order (like any edge — the SQL oracle's DP does the same);
+      // evaluated after the real edges and winning only strictly, so a
+      // covered character never falls back (the penalty sits above
+      // every real cost by construction).
+      if (m.byteCosts != null && cost(i - 1) < INF) {
+        val bytes = word.substring(off(i - 1), off(i))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var bc = 0
+        var bi = 0
+        while (bi < bytes.length) { bc += m.byteCosts(bytes(bi) & 0xFF); bi += 1 }
+        val tc = cost(i - 1) + bc
+        val tn = np(i - 1) + 1
+        if (tc < cost(i) || (tc == cost(i) &&
+            (tn < np(i) || (tn == np(i) && 1 > back(i))))) {
+          cost(i) = tc; np(i) = tn; back(i) = 1; fb(i) = true
+        }
+      }
       i += 1
     }
     if (cost(len) >= INF) { out += UTF8String.fromString(Unk); return }
-    // backtrack, then emit left-to-right
+    // backtrack, then emit left-to-right (fallback edges expand to
+    // their byte pieces, appended reversed so the forward order holds)
     val rev = new scala.collection.mutable.ArrayBuffer[UTF8String](4)
     var p = len
     while (p > 0) {
       val l = back(p)
-      rev += UTF8String.fromString(word.substring(off(p - l), off(p)))
+      if (fb(p)) {
+        val bytes = word.substring(off(p - 1), off(p))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var k = bytes.length - 1
+        while (k >= 0) {
+          rev += UTF8String.fromString(
+            graft.operators.Unigram.bytePiece(bytes(k) & 0xFF))
+          k -= 1
+        }
+      } else {
+        rev += UTF8String.fromString(word.substring(off(p - l), off(p)))
+      }
       p -= l
     }
     var k = rev.length - 1

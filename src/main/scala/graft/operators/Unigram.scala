@@ -197,6 +197,38 @@ object Unigram {
       .sortBy(_.piece).toSeq
   }
 
+  /** Reserved byte-fallback piece spelling for byte value `b` —
+    * SentencePiece's `<0xXX>` convention. */
+  def bytePiece(b: Int): String = f"<0x$b%02X>"
+
+  /** Upgrade a fitted model with SentencePiece-style BYTE FALLBACK
+    * (r13): add the 256 reserved `<0xXX>` pieces so coverage is TOTAL —
+    * a character unseen at fit time decomposes into its UTF-8 bytes
+    * instead of collapsing the whole word to `[UNK]`. This is the
+    * production answer for the stored-model workflow (fit on one corpus
+    * slice, `… using`-apply on another), where the encode corpus's
+    * alphabet routinely exceeds the fit corpus's.
+    *
+    * Deterministic integer cost, NON-participating by design: each byte
+    * piece costs `max(costBits) + 8` — a fixed penalty above every real
+    * piece, NOT probability mass — so every non-fallback cost (and
+    * therefore every segmentation of covered text) is IDENTICAL to the
+    * un-upgraded model's, and fallback fires only where nothing else
+    * covers. The byte pieces are ordinary model rows: they serialize
+    * through the TSV interchange and take ids in the sorted layout.
+    * [[graft.functions.UnigramEncodeExpr]] recognizes the spellings and
+    * treats them as per-code-point decomposition EDGES (never matched
+    * against the literal text). */
+  def withByteFallback(pieces: Seq[Piece]): Seq[Piece] = {
+    require(pieces.nonEmpty, "withByteFallback needs a fitted model")
+    require(!pieces.exists(p =>
+      graft.functions.UnigramEncodeExpr.isBytePiece(p.piece)),
+      "model already carries <0xXX> byte pieces")
+    val maxCost = pieces.map(_.costBits).max
+    (pieces ++ (0 until 256).map(b =>
+      Piece(bytePiece(b), 0L, maxCost + 8))).sortBy(_.piece)
+  }
+
   private def isSingleCp(p: Piece): Boolean =
     p.piece.codePointCount(0, p.piece.length) == 1
 

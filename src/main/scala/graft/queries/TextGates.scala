@@ -2571,6 +2571,47 @@ object TextGates {
     // tagged stream = [N+1] ⧺ ids(text) ⧺ [N+2]. Oracle: the
     // hb_unigram_ids chain with the piece count and the two reserved
     // ids spliced on.
+    // Unigram BYTE FALLBACK through the STORED-MODEL workflow (r13 —
+    // Unigram.withByteFallback + the <0xXX>-aware DP): fit persists
+    // under a LineageCache key, a SECOND cache instance ("fresh
+    // session") loads it without refitting, the model upgrades with
+    // the 256 byte pieces and round-trips the TSV interchange, and the
+    // LOADED model encodes a corpus whose alphabet EXCEEDS the fit
+    // corpus's (appended ' café€' word — é 2 UTF-8 bytes, € 3): no
+    // word collapses to [UNK] (n_unk = 0 hashed per doc), covered text
+    // segments IDENTICALLY to the un-upgraded model (the penalty cost
+    // participates in no real path), and the unseen characters emit
+    // their exact byte pieces. FULL oracle: the unchanged model chain
+    // + the fallback DP over the extended word table, byte expansion
+    // replayed from hex(encode(char)).
+    Gate("t_unigram_fallback", (s, d) => {
+      val docs = t(s, d, "documents")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ug_fb").toString
+      val store1 = new graft.cache.LineageCache(s, root)
+      graft.operators.Unigram.fitStored(docs, "text", 16, "fbcorpus",
+        store1)
+      val store2 = new graft.cache.LineageCache(s, root)
+      val model = graft.operators.Unigram.withByteFallback(
+        graft.operators.Unigram.fitStored(docs, "text", 16, "fbcorpus",
+          store2))
+      val path = root + "/pieces_fb.tsv"
+      graft.sinks.TokenizerFiles.writeUnigramTsv(path, model)
+      val loaded = graft.sinks.TokenizerFiles.readUnigramTsv(path)
+      // " caf" + e-acute (U+00E9, 2 UTF-8 bytes) + euro (U+20AC, 3) —
+      // escapes keep the source ASCII (the TextNorm precedent)
+      val fixture = docs.select(col("doc_id"),
+        concat(col("text"), lit(" caf\u00e9\u20ac")).as("fx"))
+      val pieces = graft.operators.Unigram.encodeCol(col("fx"), loaded)
+      fixture.select(col("doc_id"),
+          array_join(pieces, " ").as("ug"),
+          size(pieces).cast("long").as("n_pieces"),
+          size(filter(pieces, p => p === "[UNK]")).cast("long")
+            .as("n_unk"))
+        .orderBy(col("doc_id"))
+    },
+      Some(unigramFallbackOracleSql)),
+
     Gate("t_unigram_specials", (s, d) => {
       val docs = t(s, d, "documents")
       val model = graft.operators.Unigram.fitEm(docs, "text",
@@ -4017,6 +4058,80 @@ object TextGates {
     (cand +: steps :+ walk).mkString(",\n")
   }
 
+  /** [[ugDpCtes]] with BYTE-FALLBACK edges (r13) over an arbitrary
+    * word table: every position additionally offers a single-code-point
+    * decomposition edge at `(MAX(cost)+8) · nUtf8Bytes` (the
+    * Unigram.withByteFallback penalty — strictly above every real cost,
+    * so covered text never falls back), flagged `fb` through the DP so
+    * the walk emits `<0xXX>` pieces (npieces = the byte count) instead
+    * of the raw character. */
+  private def ugDpFallbackCtes(pfx: String, vcCte: String,
+      wordTable: String, maxWordLen: Int): String = {
+    val cand =
+      s"""${pfx}mx AS (SELECT MAX(cost) + 8 AS bc FROM $vcCte),
+         |${pfx}cand AS MATERIALIZED (
+         |  SELECT w.word, CAST(t.i AS BIGINT) AS i, v.cost,
+         |    CAST(length(v.p) AS BIGINT) AS l, 0 AS fb
+         |  FROM $wordTable w, unnest(range(1, length(w.word) + 1)) t(i)
+         |  JOIN $vcCte v
+         |    ON length(v.p) <= t.i
+         |    AND v.p = substr(w.word, CAST(t.i - length(v.p) + 1 AS INTEGER),
+         |      length(v.p))
+         |  UNION ALL
+         |  SELECT w.word, CAST(t.i AS BIGINT) AS i,
+         |    CAST(m.bc * (length(hex(encode(
+         |      substr(w.word, CAST(t.i AS INTEGER), 1)))) // 2) AS INTEGER)
+         |      AS cost,
+         |    CAST(1 AS BIGINT) AS l, 1 AS fb
+         |  FROM $wordTable w, unnest(range(1, length(w.word) + 1)) t(i)
+         |  CROSS JOIN ${pfx}mx m),
+         |${pfx}du0 AS (
+         |  SELECT word, CAST(0 AS BIGINT) AS pos, 0 AS cost, 0 AS np,
+         |    CAST(0 AS BIGINT) AS l, 0 AS fb
+         |  FROM $wordTable)""".stripMargin
+    val steps = (1 to maxWordLen).map { i =>
+      s"""${pfx}d$i AS MATERIALIZED (
+         |  SELECT word, pos, cost, np, l, fb FROM (
+         |    SELECT c.word, CAST($i AS BIGINT) AS pos,
+         |      d.cost + c.cost AS cost, d.np + 1 AS np, c.l, c.fb,
+         |      ROW_NUMBER() OVER (PARTITION BY c.word
+         |        ORDER BY d.cost + c.cost ASC, d.np + 1 ASC, c.l DESC,
+         |          c.fb ASC) AS rn
+         |    FROM ${pfx}cand c
+         |    JOIN ${pfx}du${i - 1} d ON d.word = c.word AND d.pos = $i - c.l
+         |    WHERE c.i = $i)
+         |  WHERE rn = 1),
+         |${pfx}du$i AS (
+         |  SELECT * FROM ${pfx}du${i - 1} UNION ALL SELECT * FROM ${pfx}d$i)""".stripMargin
+    }
+    val walk =
+      s"""${pfx}bt AS (
+         |  SELECT word, CAST(length(word) AS BIGINT) AS pos, 0 AS step
+         |  FROM $wordTable
+         |  UNION ALL
+         |  SELECT b.word, b.pos - d.l, b.step + 1
+         |  FROM ${pfx}bt b JOIN ${pfx}du$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0),
+         |${pfx}seg AS MATERIALIZED (
+         |  SELECT b.word, b.step,
+         |    CASE WHEN d.fb = 1 THEN array_to_string(list_transform(
+         |      range(0, length(hex(encode(
+         |        substr(b.word, CAST(b.pos AS INTEGER), 1)))) // 2),
+         |      j -> '<0x' || substr(hex(encode(
+         |        substr(b.word, CAST(b.pos AS INTEGER), 1))),
+         |        CAST(j * 2 + 1 AS INTEGER), 2) || '>'), ' ')
+         |    ELSE substr(b.word, CAST(b.pos - d.l + 1 AS INTEGER),
+         |      CAST(d.l AS INTEGER)) END AS piece,
+         |    CASE WHEN d.fb = 1 THEN length(hex(encode(
+         |      substr(b.word, CAST(b.pos AS INTEGER), 1)))) // 2
+         |    ELSE 1 END AS npieces
+         |  FROM ${pfx}bt b JOIN ${pfx}du$maxWordLen d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    (cand +: steps :+ walk).mkString(",\n")
+  }
+
   /** Pass-1 segmentation → recount → add-one smooth → refined costs. */
   private def ugModelCtes(topMulti: Int, maxPieceLen: Int,
       maxWordLen: Int): String =
@@ -4175,6 +4290,38 @@ object TextGates {
         |FROM dtok d JOIN wid w USING (word) CROSS JOIN nv
         |GROUP BY d.doc_id, nv.nvocab
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The t_unigram_fallback oracle — the model chain (UNCHANGED by the
+    * fallback upgrade: byte pieces are a fixed penalty, not mass), then
+    * the fallback DP over the EXTENDED word table (corpus words + the
+    * appended out-of-alphabet word), and per-document reassembly with
+    * the byte-piece expansion and the zero-[UNK] count. */
+  private[queries] lazy val unigramFallbackOracleSql: String = {
+    val fxNorm =
+      "regexp_replace(text || ' caf' || chr(233) || chr(8364), " +
+        "'\\s+', ' ', 'g')"
+    "WITH RECURSIVE " + ugModelCtes(16, 6, 12) + ",\n" +
+      s"""dtokf AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS tpos, tk[CAST(i AS INTEGER)] AS word
+         |  FROM (SELECT doc_id, string_split(lower($fxNorm), ' ') AS tk
+         |        FROM documents),
+         |    unnest(range(1, len(tk) + 1)) AS t(i)
+         |  WHERE length(tk[CAST(i AS INTEGER)]) > 0),
+         |wf AS MATERIALIZED (SELECT DISTINCT word FROM dtokf),
+         |""".stripMargin +
+      ugDpFallbackCtes("uf", "vc2", "wf", 12) + ",\n" +
+      """wencf AS (
+        |  SELECT word, string_agg(piece, ' ' ORDER BY step DESC) AS ws,
+        |    CAST(SUM(npieces) AS BIGINT) AS np
+        |  FROM ufseg GROUP BY word)
+        |SELECT d.doc_id, string_agg(e.ws, ' ' ORDER BY d.tpos) AS ug,
+        |  CAST(SUM(e.np) AS BIGINT) AS n_pieces,
+        |  CAST(SUM(CASE WHEN e.ws = '[UNK]' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unk
+        |FROM dtokf d JOIN wencf e USING (word)
+        |GROUP BY d.doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+  }
 
   /** The t_unigram_specials oracle — the hb_unigram_ids chain with the
     * two reserved ids (piece count + 1 + k) spliced around every

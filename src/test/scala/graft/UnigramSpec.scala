@@ -172,6 +172,49 @@ class UnigramSpec extends AnyFunSuite {
       Unigram.encodeCol(col("text"), Seq.empty))
   }
 
+  test("byte fallback: unseen characters decompose to <0xXX> pieces, " +
+      "no [UNK]; covered text segments identically to the base model") {
+    val base = Seq(Unigram.Piece("a", 3, 1), Unigram.Piece("b", 2, 2),
+      Unigram.Piece("ab", 2, 2))
+    val fb = Unigram.withByteFallback(base)
+    assert(fb.size == base.size + 256)
+    assert(fb.count(p =>
+      graft.functions.UnigramEncodeExpr.isBytePiece(p.piece)) == 256)
+    // every byte piece carries the max+8 penalty
+    assert(fb.filter(p => graft.functions.UnigramEncodeExpr
+      .isBytePiece(p.piece)).forall(_.costBits == 2 + 8))
+    // "ab" covered → identical segmentation; "\u00e9" (C3 A9) and
+    // "€" (E2 82 AC) unseen → byte pieces, never [UNK]
+    val out = Seq((1L, "ab a\u00e9b \u20ac"))
+      .toDF("doc_id", "text")
+      .select(Unigram.encodeCol(col("text"), fb).as("p"))
+      .head().getSeq[String](0)
+    assert(out == Seq("ab", "a", "<0xC3>", "<0xA9>", "b",
+      "<0xE2>", "<0x82>", "<0xAC>"))
+    val covered = Seq((1L, "ab b a")).toDF("doc_id", "text")
+    val withFb = covered.select(Unigram.encodeCol(col("text"), fb))
+      .head().getSeq[String](0)
+    val without = covered.select(Unigram.encodeCol(col("text"), base))
+      .head().getSeq[String](0)
+    assert(withFb == without, "fallback changed a covered segmentation")
+    // a literal "<0x41>" in TEXT is ordinary characters, not a piece
+    val lit41 = Seq((1L, "<0x41>")).toDF("doc_id", "text")
+      .select(Unigram.encodeCol(col("text"), fb)).head().getSeq[String](0)
+    assert(!lit41.contains("<0x41>") || lit41.length > 1,
+      s"literal byte-piece text matched as one piece: $lit41")
+    // ids cover the byte pieces through the sorted layout
+    val ids = Seq((1L, "\u00e9")).toDF("doc_id", "text")
+      .select(Unigram.encodeIdsCol(col("text"), fb)).head().getSeq[Int](0)
+    assert(ids.length == 2 && ids.forall(_ > 0))
+    // upgrading twice is rejected; partial byte tables are rejected
+    intercept[IllegalArgumentException](Unigram.withByteFallback(fb))
+    intercept[IllegalArgumentException] {
+      Seq((1L, "x")).toDF("doc_id", "text")
+        .select(Unigram.encodeCol(col("text"),
+          base :+ Unigram.Piece("<0x00>", 0, 9))).collect()
+    }
+  }
+
   test("special tokens: atomic reserved ids N+1+k above the sorted " +
       "piece layout, case-exact through the lowercasing tokenizer") {
     val model = Seq(Unigram.Piece("a", 3, 1), Unigram.Piece("b", 2, 2),
