@@ -487,6 +487,22 @@ object Ast {
     * closes corpus → `input_ids` inside one program. */
   case class BpeIdsEnc(textCol: String, nMerges: Int) extends Statement
 
+  /** `sft <promptCol> <responseCol> <nMerges>` — the chat-template
+    * trainer-input statement (r13): render each (prompt, response)
+    * pair as `<|user|> p <|assistant|> r`, fit an `nMerges` byte table
+    * on the rendered corpus with the chat tags RESERVED
+    * (operators.Sft.Specials — atomic ids above the vocabulary, tag
+    * text excluded from the fit), and emit `rendered`, `token_ids`
+    * (specials-aware GPT-2-layout arrays), `n_ids`, and the EXACT
+    * token-level `loss_start` (the rendered prefix's id count — a
+    * strict prefix of token_ids by construction). Composes with
+    * `emit aligned token_ids …`, which picks loss_start up as
+    * per-sequence `loss_bounds` (= bin_offset + loss_start per doc).
+    * The fitted table rides token_ids' column metadata
+    * (Bpe.mergesMetadata) for zero-cost artifact export. */
+  case class SftChat(promptCol: String, responseCol: String,
+      nMerges: Int) extends Statement
+
   /** `bpe ids <textCol> using <conf> <nMerges>` — [[BpeIdsEnc]] with
     * the byte table trained OFFLINE on a model configuration: the
     * stream side is the stateless codegen'd id encode — trainer-input

@@ -443,6 +443,29 @@ object Engine {
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))
 
+    case SftChat(pc, rc, n) =>
+      // chat-template trainer inputs in one statement: render with the
+      // RESERVED tags, ONE specials-aware byte fit (tag text excluded),
+      // ids + the exact loss boundary; the table rides token_ids'
+      // metadata (the BpeIdsEnc tap)
+      Seq(pc, rc).foreach(c => require(f.df.columns.contains(c),
+        s"sft: no '$c' column"))
+      val sftSp = graft.operators.Sft.Specials
+      val renderedDf = f.df.withColumn("rendered",
+        graft.operators.Sft.render(col(pc), col(rc)))
+      val sftMerges = graft.operators.Bpe.fitBytes(renderedDf,
+        "rendered", n, minCount = 1L, specials = sftSp)
+      f.copy(df = renderedDf
+        .withColumn("token_ids", graft.operators.Bpe.encodeIdsCol(
+          col("rendered"), sftMerges, sftSp))
+        .withMetadata("token_ids",
+          graft.operators.Bpe.mergesMetadata(sftMerges))
+        .withColumn("loss_start",
+          graft.operators.Sft.lossStart(col(pc), sftMerges, sftSp))
+        .withColumn("n_ids",
+          when(col("token_ids").isNotNull,
+            size(col("token_ids")).cast("long"))))
+
     case RebalanceBy(strat, ts, salt, w) =>
       // ids are the frame index; percentages to match `mix`/`split`
       // (the /100 cancels out of the rate ratios — and x/100.0 is the
@@ -591,13 +614,24 @@ object Engine {
         Seq(col("shard").asc, col("seq").asc), Nil)
 
     case EmitAligned(c, budget, shards) =>
+      // loss_start (the `sft` statement's boundary column) rides into
+      // the artifact as per-sequence `loss_bounds` when present —
+      // bin_offset + loss_start per doc, exact under aligned bins
+      val hasLoss = f.df.columns.contains("loss_start")
       val withN = f.df.withColumn("__n", size(col(c)))
       val layout = graft.operators.Packing.binLayout(withN, KEY, "__n",
         budget, shards, decreasing = true, bestFit = true)
-      val placed = layout.join(withN.select(col(KEY), col(c)), KEY)
+      val carried = col(KEY) +: col(c) +:
+        (if (hasLoss) Seq(col("loss_start")) else Nil)
+      val placed = layout.join(withN.select(carried: _*), KEY)
       val emitted = graft.operators.Packing
-        .emitAligned(placed, c, budget)
-      HbFrame(emitted
+        .emitAligned(placed, c, budget,
+          lossStartCol = if (hasLoss) Some("loss_start") else None)
+      val withBounds =
+        if (hasLoss) emitted.withColumn("loss_bounds",
+          concat_ws(" ", col("loss_bounds").cast("array<string>")))
+        else emitted
+      HbFrame(withBounds
         .withColumn("position_ids", concat_ws(" ",
           graft.operators.Packing.positionIds(col("doc_starts"),
             col("n_tokens"), budget).cast("array<string>")))

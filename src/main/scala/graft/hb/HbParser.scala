@@ -25,7 +25,7 @@ object HbParser {
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
     "classify", "decode", "emit", "pairs", "wordpiece", "unigram",
-    "decon", "fim")
+    "decon", "fim", "sft")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -720,6 +720,10 @@ object HbParser {
             BpeUsing(c, conf, p.int())
           } else BpeEnc(c, p.int())
         }
+      case "sft" =>
+        val pc = p.colName()
+        val rc = p.colName()
+        SftChat(pc, rc, p.int())
       case "fim" =>
         val c = p.colName()
         val pm = p.peek match {

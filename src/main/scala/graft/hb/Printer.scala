@@ -143,6 +143,8 @@ object Printer {
       s"decode bytes ${name(c)}"
     case BpeIdsEnc(c, n) =>
       s"bpe ids ${name(c)} $n"
+    case SftChat(pc, rc, n) =>
+      s"sft ${name(pc)} ${name(rc)} $n"
     case BpeIdsUsing(c, conf, n) =>
       s"bpe ids ${name(c)} using ${name(conf)} $n"
     case Encode(c, n) =>

@@ -198,14 +198,28 @@ object Packing {
     * the sequence (ascending) — the boundary list a trainer needs to
     * mask cross-document attention inside a packed sequence. */
   def emitAligned(placed: DataFrame, idsCol: String, budget: Long,
-      padId: Int = 0): DataFrame = {
+      padId: Int = 0, lossStartCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    lossStartCol.foreach(c => require(placed.columns.contains(c),
+      s"emitAligned: no '$c' column for the loss boundaries"))
     val raw = flatten(transform(
       sort_array(collect_list(struct(col("bin_offset"), col(idsCol)))),
       d => d.getField(idsCol)))
+    // per-sequence LOSS boundaries (SFT artifacts): each document's
+    // in-sequence mask start = bin_offset + its token-level loss_start
+    // — the aligned layout is what makes this exact (documents never
+    // cross bins). Paired with doc_starts: mask [doc_starts_k,
+    // loss_bounds_k) per document, train on the rest of its span.
+    val lossAgg = lossStartCol.map(c =>
+      transform(
+        sort_array(collect_list(struct(col("bin_offset"),
+          (col("bin_offset") + col(c).cast(LongType)).as("__lb")))),
+        e => e.getField("__lb")).as("loss_bounds"))
     placed.groupBy(col("shard"), col("bin"))
-      .agg(count(lit(1)).as("n_docs"), raw.as("__raw"),
-        sort_array(collect_list(col("bin_offset"))).as("doc_starts"))
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(raw.as("__raw"),
+          sort_array(collect_list(col("bin_offset"))).as("doc_starts"))
+          ++ lossAgg.toSeq): _*)
       .withColumn("n_tokens",
         when(size(col("__raw")) > budget,
           raise_error(concat(lit("emitAligned: shard "),
@@ -219,8 +233,9 @@ object Packing {
         concat(col("__raw"),
           array_repeat(lit(padId),
             (lit(budget).cast("int") - col("n_tokens")))))
-      .select(col("shard"), col("bin"), col("n_docs"),
-        col("n_tokens"), col("input_ids"), col("doc_starts"))
+      .select((Seq(col("shard"), col("bin"), col("n_docs"),
+        col("n_tokens"), col("input_ids"), col("doc_starts")) ++
+        lossStartCol.map(_ => col("loss_bounds"))): _*)
   }
 
   /** MATERIALIZE the GPT-style PRETRAINING sequences from a

@@ -1481,6 +1481,34 @@ object HbGates {
         .orderBy(col("shard"), col("seq")),
       Some(TextGates.hbEmitPositionsOracleSql)),
 
+    // SFT THROUGH THE DSL (r13 — the `sft` statement + the aligned
+    // emit's loss_bounds ride-along): (prompt, response) pairs render
+    // with the RESERVED chat tags, ONE specials-aware byte fit, exact
+    // per-document loss_start, then `emit aligned` lands
+    // `bin_offset + loss_start` in the artifact as per-sequence
+    // loss_bounds — a trainer masks [doc_starts_k, loss_bounds_k) per
+    // document. ONE oracle replays pairs → segment corpus → six
+    // rounds → reserved-id streams → BFD placement recursion →
+    // per-bin concatenation with the boundary arithmetic.
+    Gate("hb_sft_chat", (s, d) => {
+      val tk = filter(graft.operators.Decontaminate.tokens(col("text")),
+        w => length(w) > 0)
+      val n = size(tk)
+      val half = floor((n + lit(1)) / lit(2)).cast("int")
+      val pairs = t(s, d, "documents").select(col("doc_id"),
+          array_join(slice(tk, lit(1), half), " ").as("prompt"),
+          array_join(slice(tk, half + 1, n - half), " ").as("response"))
+        .filter(length(col("response")) > 0)
+      graft.hb.Graft.runHb(
+        """index rows by doc_id
+          |sft prompt response 6
+          |emit aligned token_ids 1024 4
+          |slice columns shard bin n_docs n_tokens input_ids doc_starts loss_bounds
+          |""".stripMargin, pairs)
+        .orderBy(col("shard"), col("bin"))
+    },
+      Some(TextGates.hbSftChatOracleSql)),
+
     // The document-aligned twin through the DSL (r11): same chain with
     // the best-fit-decreasing placement.
     Gate("hb_emit_aligned",

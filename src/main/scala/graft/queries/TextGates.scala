@@ -3791,9 +3791,34 @@ object TextGates {
     * and the per-document assembly `[262] seg1 [263] seg2` (262/263 =
     * 256+6+k, the reserved ids above the 6-merge vocabulary) with
     * `loss_start = 2 + |seg1|` and the lossless `decoded` identity. */
-  private[queries] lazy val bpeSpecialsOracleSql: String = {
+  private[queries] lazy val bpeSpecialsOracleSql: String =
+    "WITH " + sftSpecialsCtes +
+      """,
+      |segids AS (
+      |  SELECT d.doc_id AS syn_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT p.doc_id,
+      |  '262 ' || s1.ids || ' 263 ' || s2.ids AS ids_str,
+      |  CAST(2 + s1.n + s2.n AS INTEGER) AS n_ids,
+      |  CAST(2 AS INTEGER) AS n_special,
+      |  CAST(2 + s1.n AS INTEGER) AS loss_start,
+      |  '<|user|> ' || p.prompt || ' <|assistant|> ' || p.response
+      |    AS decoded
+      |FROM pairs p
+      |JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
+      |JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2
+      |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The shared specials-aware SFT chain (no leading WITH): halved
+    * pairs, the two-segment corpus under synthetic ids, six byte
+    * rounds over it, and the GPT-2 id mapping — through `vocab`. */
+  private[queries] lazy val sftSpecialsCtes: String = {
     val lead =
-      """WITH tk0 AS (
+      """tk0 AS (
         |  SELECT doc_id,
         |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
         |      x -> x <> '') AS tk
@@ -3827,26 +3852,83 @@ object TextGates {
       """vocab AS (
       |  SELECT sym, MIN(id) AS id
       |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
-      |  GROUP BY sym),
+      |  GROUP BY sym)""".stripMargin
+  }
+
+  /** The hb_sft_chat oracle — the whole DSL chat pipeline replayed:
+    * the specials chain (pairs → segment corpus → six rounds → ids),
+    * per-document `[262] seg1 [263] seg2` streams with the exact
+    * boundary, the best-fit-decreasing bin recursion (budget 256, salt
+    * `pack` over doc_id — the frame key), and per-bin concatenation
+    * with `loss_bounds` = bin_offset + loss_start per document. */
+  private[queries] lazy val hbSftChatOracleSql: String =
+    "WITH RECURSIVE " + sftSpecialsCtes +
+      """,
       |segids AS (
       |  SELECT d.doc_id AS syn_id,
       |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
       |      AS ids,
       |    CAST(COUNT(*) AS BIGINT) AS n
       |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
-      |  GROUP BY d.doc_id)
-      |SELECT p.doc_id,
-      |  '262 ' || s1.ids || ' 263 ' || s2.ids AS ids_str,
-      |  CAST(2 + s1.n + s2.n AS INTEGER) AS n_ids,
-      |  CAST(2 AS INTEGER) AS n_special,
-      |  CAST(2 + s1.n AS INTEGER) AS loss_start,
-      |  '<|user|> ' || p.prompt || ' <|assistant|> ' || p.response
-      |    AS decoded
-      |FROM pairs p
-      |JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
-      |JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2
-      |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin
-  }
+      |  GROUP BY d.doc_id),
+      |docids AS MATERIALIZED (
+      |  SELECT p.doc_id,
+      |    '262 ' || s1.ids || ' 263 ' || s2.ids AS ids_str,
+      |    CAST(2 + s1.n + s2.n AS BIGINT) AS n,
+      |    CAST(2 + s1.n AS BIGINT) AS ls
+      |  FROM pairs p
+      |  JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
+      |  JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2),
+      |dd AS MATERIALIZED (
+      |  SELECT doc_id, ids_str, n, ls,
+      |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |      AS BIGINT) % 4 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY
+      |      CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':pack'), 1, 8)
+      |        AS BIGINT) % 4
+      |      ORDER BY n DESC, doc_id) AS rn
+      |  FROM docids),
+      |fd AS (
+      |  SELECT shard, CAST(0 AS BIGINT) AS rn,
+      |    CAST([] AS BIGINT[]) AS rems,
+      |    CAST(NULL AS BIGINT) AS abin, CAST(NULL AS BIGINT) AS aoff
+      |  FROM (SELECT DISTINCT shard FROM dd)
+      |  UNION ALL
+      |  SELECT dd.shard, fd.rn + 1,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN list_append(fd.rems, 1024 - dd.n)
+      |      ELSE fd.rems[:list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n))) - 1]
+      |        || [list_min(list_filter(fd.rems, r -> r >= dd.n)) - dd.n]
+      |        || fd.rems[list_position(fd.rems, list_min(
+      |          list_filter(fd.rems, r -> r >= dd.n))) + 1:]
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN CAST(len(fd.rems) AS BIGINT)
+      |      ELSE CAST(list_position(fd.rems, list_min(
+      |        list_filter(fd.rems, r -> r >= dd.n))) - 1 AS BIGINT)
+      |    END,
+      |    CASE WHEN list_min(list_filter(fd.rems, r -> r >= dd.n)) IS NULL
+      |      THEN CAST(0 AS BIGINT)
+      |      ELSE 1024 - list_min(list_filter(fd.rems, r -> r >= dd.n))
+      |    END
+      |  FROM fd JOIN dd ON dd.shard = fd.shard AND dd.rn = fd.rn + 1),
+      |seqs AS (
+      |  SELECT dd.shard, fd.abin AS bin, COUNT(*) AS n_docs,
+      |    CAST(SUM(dd.n) AS INTEGER) AS n_tokens,
+      |    string_agg(dd.ids_str, ' ' ORDER BY fd.aoff) AS raw,
+      |    string_agg(CAST(fd.aoff AS VARCHAR), ' ' ORDER BY fd.aoff)
+      |      AS doc_starts,
+      |    string_agg(CAST(fd.aoff + dd.ls AS VARCHAR), ' ' ORDER BY fd.aoff)
+      |      AS loss_bounds
+      |  FROM dd JOIN fd ON fd.shard = dd.shard AND fd.rn = dd.rn
+      |  GROUP BY dd.shard, fd.abin)
+      |SELECT shard, bin, n_docs, n_tokens,
+      |  CASE WHEN n_tokens = 1024 THEN raw
+      |    ELSE raw || repeat(' 0', 1024 - n_tokens) END AS input_ids,
+      |  doc_starts, loss_bounds
+      |FROM seqs
+      |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 
   /** The t_fim_specials oracle — the fim chain (as fimOracleSql) with
     * the sentinel-atomicity count (exactly 3 reserved ids when the

@@ -285,6 +285,10 @@ class ParserSpec extends AnyFunSuite {
       BpeIdsDecodeUsing("t", "c", 9, "body"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsUsing("t", "c", 9)).trim) == BpeIdsUsing("t", "c", 9))
+    assert(HbParser.parseStatement("sft prompt response 6") ==
+      SftChat("prompt", "response", 6))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      SftChat("p", "r", 12)).trim) == SftChat("p", "r", 12))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
       PackBins("n_chars", 1024L, 8))
     assert(HbParser.parseStatement("pack bins n_chars 1024") ==
