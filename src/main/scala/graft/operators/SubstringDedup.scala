@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT repeated-substring deduplication at ARBITRARY length
+  * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  * Better", the EXACTSUBSTR objective): find — and optionally excise —
+  * every token position covered by a substring of length ≥ k that
+  * occurs verbatim MORE THAN ONCE anywhere in the corpus (same or
+  * different document).
+  *
+  * The whole problem reduces EXACTLY to k-token windows: a position
+  * lies inside a duplicated substring of length ≥ k IFF one of the
+  * k-windows covering it is duplicated, and a maximal run of
+  * consecutive duplicated window STARTS [s, e] covers exactly the
+  * positions [s, e + k). So — unlike [[PassageDedup]]'s
+  * winnowing-SAMPLED digests (the constant-factor scale path, window-
+  * aligned granularity) — this operator reports the full extent of
+  * every repeat at single-token granularity, with no minimum beyond k
+  * and no sampling: the distributed equivalent of the paper's
+  * suffix-array pass.
+  *
+  * 100 TB shape, two-phase exact counting:
+  *   1. windows shuffle as 8-byte xxhash64 digests only — one
+  *      (hash, count) aggregate over tokens×8 B, never the k-gram
+  *      strings;
+  *   2. the duplicated-hash list (true repeats + rare collisions)
+  *      comes back as a join on the hash — broadcastable whenever
+  *      duplication is sparse (AQE decides) — and only the surviving
+  *      CANDIDATE windows carry their gram strings into the exact
+  *      group-by that eliminates hash collisions. Output volume is
+  *      then proportional to the ACTUAL duplication, not the corpus.
+  * The run-merge is one keyed window per document (never
+  * whole-frame); the scrub is a narrow per-document filter over the
+  * bounded merged-span list. */
+object SubstringDedup {
+
+  /** One row per k-token window: `(idCol, off, gram)` — `off` the
+    * 1-based token offset, `gram` the space-joined window (tokens are
+    * whitespace-split, so the join is unambiguous). Documents shorter
+    * than k contribute no rows. */
+  def windowRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    val toks = filter(Decontaminate.tokens(col(textCol)),
+      w => length(w) > 0)
+    df.select(col(idCol), toks.as("__tk"))
+      .select(col(idCol),
+        explode(when(size(col("__tk")) >= k,
+          sequence(lit(1), size(col("__tk")) - k + 1))
+          .otherwise(array().cast("array<int>"))).as("off"),
+        col("__tk"))
+      .select(col(idCol), col("off"),
+        array_join(slice(col("__tk"), col("off"), lit(k)), " ")
+          .as("gram"))
+  }
+
+  /** All window starts whose k-gram occurs ≥ 2 times corpus-wide —
+    * `(idCol, off)`, exact (hash prefilter + string verification). */
+  def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val win = windowRows(df, idCol, textCol, k)
+      .withColumn("__h", xxhash64(col("gram")))
+    // phase 1: counts over 8-byte digests — the only corpus-wide
+    // exchange; phase 2: candidates re-verified on the exact string,
+    // so a hash collision can never mark a non-repeat
+    val dupH = win.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("__h"))
+    val cand = win.join(dupH, "__h")
+    val dupG = cand.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
+      .select(col("gram"))
+    cand.join(dupG, "gram").select(col(idCol), col("off"))
+  }
+
+  /** Maximal duplicated spans per document: `(idCol, span_start,
+    * span_len)` in token units — consecutive duplicated window starts
+    * merged, span = [span_start, span_start + span_len). The length is
+    * ARBITRARY ≥ k: a 500-token verbatim repeat is one 500-token span.
+    * One keyed window per document (off − row_number is constant
+    * within a run — the classic gaps-and-islands merge, SQL-replayable). */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val dup = duplicatedWindows(df, idCol, textCol, k)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("off"))
+    dup.withColumn("__run", col("off") - row_number().over(w))
+      .groupBy(col(idCol), col("__run"))
+      .agg(min(col("off")).as("span_start"),
+        (max(col("off")) - min(col("off")) + k).as("span_len"))
+      .select(col(idCol), col("span_start"), col("span_len"))
+  }
+
+  /** Excise every duplicated-span token: adds `scrubbed` (the
+    * normalized token stream minus covered positions) and `n_removed`.
+    * Narrow reconstruction: the merged spans aggregate per document
+    * (bounded by the document's window count), broadcast back by the
+    * id join, and one pass filters each token against the span list —
+    * O(tokens · spans-per-doc), zero additional corpus shuffles. */
+  def scrubRepeats(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val spans = repeatedSpans(df, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_len")))
+        .as("__spans"))
+    val toks = filter(Decontaminate.tokens(col(textCol)),
+      w => length(w) > 0)
+    val joined = df.join(spans, Seq(idCol), "left")
+    val zipped = arrays_zip(toks.as("tok"),
+      sequence(lit(1), greatest(size(toks), lit(1))).as("pos"))
+    val covered = (e: Column) => exists(col("__spans"), s =>
+      e.getField("pos") >= s.getField("span_start") &&
+        e.getField("pos") <
+          s.getField("span_start") + s.getField("span_len"))
+    val kept = filter(zipped, e => !covered(e))
+    joined
+      .withColumn("scrubbed",
+        when(col(textCol).isNull, lit(null).cast("string"))
+          .when(col("__spans").isNull, concat_ws(" ", toks))
+          .otherwise(concat_ws(" ",
+            transform(kept, e => e.getField("tok")))))
+      .withColumn("n_removed",
+        when(col(textCol).isNull, lit(null).cast("long"))
+          .when(col("__spans").isNull, lit(0L))
+          .otherwise((size(zipped) - size(kept)).cast("long")))
+      .drop("__spans")
+  }
+}

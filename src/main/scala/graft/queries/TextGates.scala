@@ -1666,6 +1666,86 @@ object TextGates {
              |FROM surv
              |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // EXACT repeated-substring dedup at ARBITRARY length (r13 —
+    // operators.SubstringDedup, the Lee et al. 2022 EXACTSUBSTR
+    // objective): every position covered by a ≥8-token substring that
+    // occurs verbatim more than once ANYWHERE in the corpus, reported
+    // as maximal merged spans at single-token granularity (a 50-token
+    // verbatim quote is ONE 50-token span, not window-aligned pieces —
+    // the exactness PassageDedup's winnowing trades away), plus the
+    // scrubbed text with those positions excised. Two-phase exact
+    // counting: 8-byte xxhash64 digests shuffle, candidates re-verified
+    // on the gram string (collisions can never mark a non-repeat);
+    // run-merge is one keyed per-document window. FULL oracle: windows,
+    // corpus-wide counts, the gaps-and-islands merge, coverage and the
+    // token-level reconstruction.
+    Gate("d_substring_dedup", (s, d) => {
+      val docs = t(s, d, "documents")
+      val spans = graft.operators.SubstringDedup.repeatedSpans(
+        docs, "doc_id", "text", 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("span_start"),
+              col("span_len")))),
+            e => concat(e.getField("span_start").cast("string"),
+              lit(":"), e.getField("span_len").cast("string"))))
+            .as("spans_str"))
+      graft.operators.SubstringDedup.scrubRepeats(
+        docs, "doc_id", "text", 8)
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("spans_str"), lit("")).as("spans_str"),
+          col("scrubbed"), col("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+      Some("""WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS off,
+        |    array_to_string(tk[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        |  FROM tk, unnest(range(1, len(tk) - 8 + 2)) AS t(i)),
+        |dupg AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2),
+        |hit AS (SELECT w.doc_id, w.off FROM win w JOIN dupg USING (gram)),
+        |runs AS (
+        |  SELECT doc_id, off,
+        |    off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off) AS run
+        |  FROM hit),
+        |spans AS (
+        |  SELECT doc_id, MIN(off) AS span_start,
+        |    MAX(off) - MIN(off) + 8 AS span_len
+        |  FROM runs GROUP BY doc_id, run),
+        |spanagg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    string_agg(CAST(span_start AS VARCHAR) || ':' ||
+        |      CAST(span_len AS VARCHAR), ' ' ORDER BY span_start)
+        |      AS spans_str
+        |  FROM spans GROUP BY doc_id),
+        |cov AS (
+        |  SELECT DISTINCT h.doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM hit h, unnest(range(h.off, h.off + 8)) AS t(p)),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+        |  FROM tk, unnest(range(1, len(tk) + 1)) AS t(i)),
+        |keptagg AS (
+        |  SELECT tp.doc_id,
+        |    COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.pos)
+        |      FILTER (WHERE c.pos IS NULL), '') AS scrubbed,
+        |    CAST(COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT)
+        |      AS n_removed
+        |  FROM tokpos tp LEFT JOIN cov c
+        |    ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |  GROUP BY tp.doc_id)
+        |SELECT k.doc_id, COALESCE(sa.n_spans, 0) AS n_spans,
+        |  COALESCE(sa.spans_str, '') AS spans_str,
+        |  k.scrubbed, k.n_removed
+        |FROM keptagg k LEFT JOIN spanagg sa USING (doc_id)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).
