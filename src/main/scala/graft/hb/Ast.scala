@@ -371,6 +371,17 @@ object Ast {
   case class UnigramIdsUsing(textCol: String, conf: String,
       topMulti: Int) extends Statement
 
+  /** `fertility <textCol> using <conf> <nMerges>` — the tokenizer
+    * OBSERVABILITY statement at ingest (r13): under a byte table fit
+    * OFFLINE on the named configuration, report per document `words`
+    * (whitespace tokens), `chars`, `n_ids`, `fertility_permille`
+    * (ids·1000/words — subword splits per word, the tokenizer-quality
+    * metric) and `compression_permille` (chars·1000/ids). Stateless
+    * codegen'd narrow map, append-safe — per-corpus roll-ups happen
+    * downstream in batch where the grouping is cheap and exact. */
+  case class FertilityUsing(textCol: String, conf: String,
+      nMerges: Int) extends Statement
+
   /** `decode ids <idsCol> using <conf> <nMerges> [of <textCol>]` — the
     * LOSSLESS inverse of `bpe ids … using` under the same offline-fit
     * byte table: adds `text_decoded`, byte-identical to the original

@@ -535,7 +535,8 @@ object Engine {
         _: DecodeUsing | _: BpeUsing | _: BpeBytesUsing |
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing |
-        _: UnigramIdsUsing | _: BpeIdsDecodeUsing) =>
+        _: UnigramIdsUsing | _: BpeIdsDecodeUsing |
+        _: FertilityUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -25,7 +25,7 @@ object HbParser {
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
     "classify", "decode", "emit", "pairs", "wordpiece", "unigram",
-    "decon", "fim", "sft")
+    "decon", "fim", "sft", "fertility")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -724,6 +724,11 @@ object HbParser {
         val pc = p.colName()
         val rc = p.colName()
         SftChat(pc, rc, p.int())
+      case "fertility" =>
+        val c = p.colName()
+        p.eat("using")
+        val conf = p.colName()
+        FertilityUsing(c, conf, p.int())
       case "fim" =>
         val c = p.colName()
         val pm = p.peek match {

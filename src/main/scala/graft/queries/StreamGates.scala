@@ -466,6 +466,25 @@ object StreamGates {
     // emits GPT-2-layout id arrays (plus the row-printable space-joined
     // form) as a stateless codegen'd narrow map. Shares hb_bpe_ids'
     // full oracle.
+    // Tokenizer OBSERVABILITY at ingest (r13 — `fertility … using`):
+    // per-document words/chars/n_ids plus fertility and compression
+    // permilles under the offline-fit byte table — the report that
+    // tells an ingest operator the live stream's tokenization quality
+    // without waiting for the batch roll-up. Stateless codegen'd
+    // narrow map, micro-batch floor-bound like the other scorers; ONE
+    // oracle replays the six rounds and the per-doc arithmetic.
+    Gate("st_hb_fertility",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """fertility text using corpus 6
+          |slice columns doc_id words chars n_ids fertility_permille compression_permille
+          |""".stripMargin, "st_hb_fertility_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some(TextGates.fertilityStreamOracleSql)),
+
     Gate("st_hb_bpe_ids",
       (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
         """bpe ids text using corpus 6

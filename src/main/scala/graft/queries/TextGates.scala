@@ -4010,6 +4010,30 @@ object TextGates {
       |FROM seqs
       |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 
+  /** The st_hb_fertility oracle — the raw-text byte chain (as
+    * hb_bpe_ids), then the per-document fertility/compression
+    * arithmetic. */
+  private[queries] lazy val fertilityStreamOracleSql: String =
+    bpeBytesChainSql("text", 6) +
+      """,
+      |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS np
+      |  FROM st6 GROUP BY word),
+      |perdoc AS (
+      |  SELECT d.doc_id, CAST(SUM(w.np) AS BIGINT) AS n_ids
+      |  FROM dtok d JOIN wc w USING (word) GROUP BY d.doc_id)
+      |SELECT doc.doc_id,
+      |  CAST(len(regexp_extract_all(doc.text, '\S+')) AS BIGINT) AS words,
+      |  CAST(length(doc.text) AS BIGINT) AS chars,
+      |  p.n_ids,
+      |  CASE WHEN len(regexp_extract_all(doc.text, '\S+')) > 0
+      |    THEN p.n_ids * 1000 // len(regexp_extract_all(doc.text, '\S+'))
+      |  END AS fertility_permille,
+      |  CASE WHEN p.n_ids > 0
+      |    THEN CAST(length(doc.text) AS BIGINT) * 1000 // p.n_ids
+      |  END AS compression_permille
+      |FROM documents doc JOIN perdoc p USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
   /** The t_fim_specials oracle — the fim chain (as fimOracleSql) with
     * the sentinel-atomicity count (exactly 3 reserved ids when the
     * transform applied) and the lossless decode identity. */

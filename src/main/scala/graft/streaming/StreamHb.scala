@@ -116,7 +116,7 @@ object StreamHb {
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing |
         _: WordPieceIdsUsing | _: UnigramIdsUsing |
-        _: BpeIdsDecodeUsing => None
+        _: BpeIdsDecodeUsing | _: FertilityUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -355,6 +355,31 @@ object StreamHb {
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
+      case (f, FertilityUsing(c, conf, n)) =>
+        // tokenizer observability at ingest: the byte table fits
+        // offline on the configuration (store-shared with any encode
+        // statement on the same column), the stream reports per-doc
+        // fertility/compression as a stateless codegen'd narrow map
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(
+            resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
+          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
+            minCount = 1L)
+        }
+        val nIds = size(graft.operators.Bpe.encodeIdsCol(col(c), merges))
+          .cast("long")
+        f.copy(df = f.df
+          .withColumn("words",
+            graft.functions.TextSignals.tokens(col(c)).cast("long"))
+          .withColumn("chars", length(col(c)).cast("long"))
+          .withColumn("n_ids", nIds)
+          .withColumn("fertility_permille",
+            when(col("words") > 0,
+              expr("n_ids * 1000L div words")))
+          .withColumn("compression_permille",
+            when(col("n_ids") > 0,
+              expr("chars * 1000L div n_ids"))))
+
       case (f, BpeIdsDecodeUsing(c, conf, n, tc)) =>
         // lossless inverse under the SAME offline table: the fit column
         // is the `of` clause (default "text"), which must name the
