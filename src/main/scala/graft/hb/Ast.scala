@@ -514,6 +514,16 @@ object Ast {
   case class SftChat(promptCol: String, responseCol: String,
       nMerges: Int) extends Statement
 
+  /** `sft <promptCol> <responseCol> using <conf> <nMerges>` —
+    * [[SftChat]] at INGEST: the specials-aware byte table fits OFFLINE
+    * on the named configuration's rendered pairs (persisted under a
+    * bound store — the specials list is part of the key); the live
+    * stream renders, encodes (`token_ids`/`ids_str`/`n_ids`) and
+    * reports the exact `loss_start` as a stateless codegen'd narrow
+    * map — SFT trainer inputs with exact mask boundaries at ingest. */
+  case class SftUsing(promptCol: String, responseCol: String,
+      conf: String, nMerges: Int) extends Statement
+
   /** `bpe ids <textCol> using <conf> <nMerges>` — [[BpeIdsEnc]] with
     * the byte table trained OFFLINE on a model configuration: the
     * stream side is the stateless codegen'd id encode — trainer-input

@@ -536,7 +536,7 @@ object Engine {
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing |
         _: UnigramIdsUsing | _: BpeIdsDecodeUsing |
-        _: FertilityUsing) =>
+        _: FertilityUsing | _: SftUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -723,7 +723,11 @@ object HbParser {
       case "sft" =>
         val pc = p.colName()
         val rc = p.colName()
-        SftChat(pc, rc, p.int())
+        if (p.atIdent("using")) {
+          p.eat("using")
+          val conf = p.colName()
+          SftUsing(pc, rc, conf, p.int())
+        } else SftChat(pc, rc, p.int())
       case "fertility" =>
         val c = p.colName()
         p.eat("using")

@@ -145,6 +145,8 @@ object Printer {
       s"bpe ids ${name(c)} $n"
     case SftChat(pc, rc, n) =>
       s"sft ${name(pc)} ${name(rc)} $n"
+    case SftUsing(pc, rc, conf, n) =>
+      s"sft ${name(pc)} ${name(rc)} using ${name(conf)} $n"
     case FertilityUsing(c, conf, n) =>
       s"fertility ${name(c)} using ${name(conf)} $n"
     case BpeIdsUsing(c, conf, n) =>

@@ -483,15 +483,22 @@ object Bpe {
   def fitStored(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long, bpeKey: String,
       store: graft.cache.LineageCache,
-      byteLevel: Boolean = false): Seq[Merge] = {
+      byteLevel: Boolean = false,
+      specials: Seq[String] = Nil): Seq[Merge] = {
+    require(specials.isEmpty || byteLevel,
+      "special tokens are a byte-level feature — word-level tables " +
+        "have no reserved-id layout")
     // the mode is part of the artifact key: a byte table and a word
-    // table with the same corpus key are DIFFERENT tokenizers
+    // table with the same corpus key are DIFFERENT tokenizers — and so
+    // is the specials list (it changes the fit corpus's segmentation)
     val k = store.key(if (byteLevel) "bpebytes" else "bpe",
-      Seq(bpeKey, textCol, nMerges.toString, minCount.toString))
+      Seq(bpeKey, textCol, nMerges.toString, minCount.toString) ++
+        (if (specials.isEmpty) Nil
+         else Seq("specials", specials.mkString(","))))
     val mdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._
-      (if (byteLevel) fitBytes(df, textCol, nMerges, minCount)
+      (if (byteLevel) fitBytes(df, textCol, nMerges, minCount, specials)
        else fitDelta(df, textCol, nMerges, minCount))
         .map(m => (m.rank, m.left, m.right))
         .toDF("rank", "left", "right")

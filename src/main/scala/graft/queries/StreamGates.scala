@@ -473,6 +473,42 @@ object StreamGates {
     // without waiting for the batch roll-up. Stateless codegen'd
     // narrow map, micro-batch floor-bound like the other scorers; ONE
     // oracle replays the six rounds and the per-doc arithmetic.
+    // SFT trainer inputs AT INGEST (r13 — `sft … using`): the
+    // specials-aware byte table fits offline on the configuration's
+    // rendered pairs; the live stream renders each (prompt, response)
+    // pair with the RESERVED chat tags, encodes, and reports the exact
+    // token-level loss boundary — all stateless narrow maps. The gate
+    // derives the pair stream from the documents stream (the
+    // t_bpe_specials halving) and shares that fixture's full oracle
+    // minus the packing stage.
+    Gate("st_hb_sft", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      def toPairs(df: org.apache.spark.sql.DataFrame) = {
+        val tk = filter(
+          graft.operators.Decontaminate.tokens(col("text")),
+          w => length(w) > 0)
+        val n = size(tk)
+        val half = floor((n + lit(1)) / lit(2)).cast("int")
+        df.select(col("doc_id"),
+            array_join(slice(tk, lit(1), half), " ").as("prompt"),
+            array_join(slice(tk, half + 1, n - half), " ")
+              .as("response"))
+          .filter(length(col("response")) > 0)
+      }
+      graft.streaming.StreamHb.runToMemory(s,
+        """sft prompt response using corpus 6
+          |slice columns doc_id ids_str n_ids loss_start
+          |""".stripMargin, toPairs(stream), "st_hb_sft_out",
+        resolve = {
+          case "corpus" => toPairs(Gate.t(s, d, "documents"))
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id"))
+    },
+      Some(TextGates.sftStreamOracleSql)),
+
     Gate("st_hb_fertility",
       (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
         """fertility text using corpus 6

@@ -2929,6 +2929,86 @@ object TextGates {
         |GROUP BY doc_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // T5 sentinels as RESERVED ids (r13 — SpanCorrupt.extraIdSpecials
+    // through the specials-aware byte encode): every `<extra_id_k>` in
+    // the corruption's input AND target is ONE dedicated id — the
+    // per-doc reserved-id counts equal n_masked on both sides
+    // (atomicity made countable; `<extra_id_1>`/`<extra_id_10>` cannot
+    // shadow each other — the scanner is longest-match), and both id
+    // streams decode back byte-exactly. Oracle: the span chain
+    // replayed + the two counts + the identity decodes.
+    Gate("t_span_corrupt_ids", (s, d) => {
+      val sc = graft.operators.SpanCorrupt.corrupt(
+        t(s, d, "documents"), "doc_id", "text", rateK = 6)
+      val sp = graft.operators.SpanCorrupt.extraIdSpecials(64)
+      val merges = graft.operators.Bpe.fitBytes(sc, "inp", 6,
+        minCount = 1L, specials = sp)
+      val base = 256 + merges.size
+      val inpIds = graft.operators.Bpe.encodeIdsCol(col("inp"),
+        merges, sp)
+      val tgtIds = graft.operators.Bpe.encodeIdsCol(col("tgt"),
+        merges, sp)
+      sc.select(col("doc_id"),
+          size(filter(inpIds, i => i >= lit(base))).as("n_special_inp"),
+          size(filter(tgtIds, i => i >= lit(base))).as("n_special_tgt"),
+          graft.operators.Bpe.decodeIdsCol(inpIds, merges, sp)
+            .as("inp_decoded"),
+          graft.operators.Bpe.decodeIdsCol(tgtIds, merges, sp)
+            .as("tgt_decoded"))
+        .orderBy(col("doc_id"))
+    },
+      Some(s"""WITH tok AS (
+        |  SELECT doc_id, string_split(lower($normSql), ' ') AS tk
+        |  FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i0, tk[CAST(i AS INTEGER)] AS tok
+        |  FROM tok, unnest(range(1, len(tk) + 1)) t(i)
+        |  WHERE length(tk[CAST(i AS INTEGER)]) > 0),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, tok,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i0) AS i
+        |  FROM pos0),
+        |ph AS MATERIALIZED (
+        |  SELECT doc_id, tok, i,
+        |    (CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR) || ':span'), 1, 8) AS BIGINT) % 6 = 0) AS s,
+        |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |        CAST(i AS VARCHAR) || ':span:len'), 1, 8) AS BIGINT) % 3 + 1 AS l
+        |  FROM pos),
+        |mk AS (
+        |  SELECT *, (s AND l >= 1)
+        |    OR (COALESCE(LAG(s, 1) OVER w, false)
+        |        AND COALESCE(LAG(l, 1) OVER w, 0) >= 2)
+        |    OR (COALESCE(LAG(s, 2) OVER w, false)
+        |        AND COALESCE(LAG(l, 2) OVER w, 0) >= 3) AS m
+        |  FROM ph WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |rn AS (
+        |  SELECT *, (m AND NOT COALESCE(LAG(m) OVER w, false)) AS rstart
+        |  FROM mk WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |ks AS (
+        |  SELECT *, SUM(CASE WHEN rstart THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY i) - 1 AS k
+        |  FROM rn),
+        |sc AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(
+        |      CASE WHEN NOT m THEN tok
+        |        WHEN rstart THEN '<extra_id_' || k || '>' END,
+        |      ' ' ORDER BY i), '') AS inp,
+        |    COALESCE(string_agg(
+        |      CASE WHEN m THEN
+        |        CASE WHEN rstart THEN '<extra_id_' || k || '> ' || tok
+        |          ELSE tok END END,
+        |      ' ' ORDER BY i), '') AS tgt,
+        |    CAST(SUM(CASE WHEN rstart THEN 1 ELSE 0 END) AS INTEGER)
+        |      AS n_runs
+        |  FROM ks
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_runs AS n_special_inp, n_runs AS n_special_tgt,
+        |  inp AS inp_decoded, tgt AS tgt_decoded
+        |FROM sc
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // The DPO ARTIFACT flagship (late r11): preference pairing +
     // tokenization in one — the (prompt, chosen_ids, rejected_ids)
     // table a DPO trainer actually consumes. Byte-BPE table fits on
@@ -3934,6 +4014,28 @@ object TextGates {
       |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
       |  GROUP BY sym)""".stripMargin
   }
+
+  /** The st_hb_sft oracle — the specials chain's per-document streams
+    * and boundary, without the packing stage (the stream side emits
+    * per-row trainer inputs). */
+  private[queries] lazy val sftStreamOracleSql: String =
+    "WITH " + sftSpecialsCtes +
+      """,
+      |segids AS (
+      |  SELECT d.doc_id AS syn_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT p.doc_id,
+      |  '262 ' || s1.ids || ' 263 ' || s2.ids AS ids_str,
+      |  CAST(2 + s1.n + s2.n AS BIGINT) AS n_ids,
+      |  CAST(2 + s1.n AS INTEGER) AS loss_start
+      |FROM pairs p
+      |JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
+      |JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2
+      |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin
 
   /** The hb_sft_chat oracle — the whole DSL chat pipeline replayed:
     * the specials chain (pairs → segment corpus → six rounds → ids),

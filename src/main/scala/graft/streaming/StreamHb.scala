@@ -116,7 +116,8 @@ object StreamHb {
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing |
         _: WordPieceIdsUsing | _: UnigramIdsUsing |
-        _: BpeIdsDecodeUsing | _: FertilityUsing => None
+        _: BpeIdsDecodeUsing | _: FertilityUsing |
+        _: SftUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -355,6 +356,35 @@ object StreamHb {
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
+      case (f, SftUsing(pc, rc, conf, n)) =>
+        // SFT trainer inputs at ingest: the specials-aware byte table
+        // fits offline on the configuration's RENDERED pairs (reserved
+        // chat tags, tag text excluded from the fit; the specials list
+        // is part of the store key), the stream renders + encodes +
+        // reports the exact boundary as a stateless narrow map
+        val sftSp = graft.operators.Sft.Specials
+        val fitDf = resolve(conf).withColumn("rendered",
+          graft.operators.Sft.render(col(pc), col(rc)))
+        val merges = store match {
+          case Some(lc) => graft.operators.Bpe.fitStored(fitDf,
+            "rendered", n, 1L, conf, lc, byteLevel = true,
+            specials = sftSp)
+          case None => graft.operators.Bpe.fitBytes(fitDf, "rendered",
+            n, minCount = 1L, specials = sftSp)
+        }
+        f.copy(df = f.df
+          .withColumn("rendered",
+            graft.operators.Sft.render(col(pc), col(rc)))
+          .withColumn("token_ids", graft.operators.Bpe.encodeIdsCol(
+            col("rendered"), merges, sftSp))
+          .withColumn("ids_str",
+            concat_ws(" ", col("token_ids").cast("array<string>")))
+          .withColumn("n_ids",
+            when(col("token_ids").isNotNull,
+              size(col("token_ids")).cast("long")))
+          .withColumn("loss_start",
+            graft.operators.Sft.lossStart(col(pc), merges, sftSp)))
+
       case (f, FertilityUsing(c, conf, n)) =>
         // tokenizer observability at ingest: the byte table fits
         // offline on the configuration (store-shared with any encode

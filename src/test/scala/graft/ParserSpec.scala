@@ -289,6 +289,14 @@ class ParserSpec extends AnyFunSuite {
       SftChat("prompt", "response", 6))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       SftChat("p", "r", 12)).trim) == SftChat("p", "r", 12))
+    assert(HbParser.parseStatement("sft prompt response using corpus 6")
+      == SftUsing("prompt", "response", "corpus", 6))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      SftUsing("p", "r", "c", 12)).trim) == SftUsing("p", "r", "c", 12))
+    assert(HbParser.parseStatement("fertility text using corpus 6") ==
+      FertilityUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      FertilityUsing("t", "c", 9)).trim) == FertilityUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
       PackBins("n_chars", 1024L, 8))
     assert(HbParser.parseStatement("pack bins n_chars 1024") ==

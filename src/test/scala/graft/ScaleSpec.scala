@@ -104,7 +104,16 @@ class ScaleSpec extends AnyFunSuite {
     "t_normalize", "hb_normalize", "t_position_ids",
     // length-bucketed batching: the range-partitioned ordinal (the
     // w6_ordinals plan) + one keyed batch aggregate
-    "t_length_batches")
+    "t_length_batches",
+    // r13: exact substring dedup (two digest/candidate aggregates +
+    // one keyed run-merge window + the narrow scrub), fim with
+    // reserved sentinels (the fim narrow map + the specials encode —
+    // the 6-round fit is eager, the data plan is lazy), and the exact
+    // spanning positions (the t_pack_emit plan + one more aggregate
+    // column). The specials/SFT fits and the fallback stored-model
+    // path train eagerly at construction — covered by SCALE.md's
+    // measured-ratio table instead.
+    "d_substring_dedup", "t_position_ids_exact", "t_fim_specials")
 
   test("plan shape is scale-invariant from sf0.01 to sf0.1 " +
     "(same exchanges, same whole-frame windows)") {
