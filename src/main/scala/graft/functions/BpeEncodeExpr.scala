@@ -559,11 +559,12 @@ object BpeEncodeExpr {
       : org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val out = new java.util.ArrayList[Integer](text.length)
     val specials = table.specials
+    val scan = if (specials.length == 0) null
+      else new SpecialTokens.Scan(text, specials)
     var p = 0
     val n = text.length
     while (p < n) {
-      val nx = if (specials.length == 0) -1L
-        else SpecialTokens.nextSpecial(text, p, specials)
+      val nx = if (scan == null) -1L else scan.next(p)
       if (nx < 0) {
         encodeIdsSegment(text, p, n, table, out)
         p = n

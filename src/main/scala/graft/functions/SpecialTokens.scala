@@ -45,21 +45,41 @@ object SpecialTokens {
 
   /** Earliest occurrence of any special at or after `from`:
     * `(start << 32) | index`, or -1 when none occurs. Ties at the same
-    * start resolve to the LONGEST special. */
-  def nextSpecial(s: String, from: Int, specials: Array[String]): Long = {
-    var bestStart = Int.MaxValue
-    var bestIdx = -1
-    var k = 0
-    while (k < specials.length) {
-      val i = s.indexOf(specials(k), from)
-      if (i >= 0 && (i < bestStart || (i == bestStart &&
-          specials(k).length > specials(bestIdx).length))) {
-        bestStart = i
-        bestIdx = k
+    * start resolve to the LONGEST special. One-shot form — loops use
+    * [[Scan]], which memoizes each special's next occurrence so a
+    * whole-string pass costs O(specials · length) TOTAL instead of per
+    * segment advance (at a 64-sentinel T5 list that is the difference
+    * between linear and quadratic-ish row cost). */
+  def nextSpecial(s: String, from: Int, specials: Array[String]): Long =
+    new Scan(s, specials).next(from)
+
+  /** Memoized multi-pattern scanner over one string: per special, the
+    * last found occurrence is cached and re-searched only once the
+    * cursor passes it — each special's indexOf advances monotonically,
+    * so the amortized whole-string cost is one scan per special. */
+  final class Scan(s: String, specials: Array[String]) {
+    // -2 = not yet searched; -1 = absent from here on
+    private val memo = Array.fill(specials.length)(-2)
+
+    def next(from: Int): Long = {
+      var bestStart = Int.MaxValue
+      var bestIdx = -1
+      var k = 0
+      while (k < specials.length) {
+        var i = memo(k)
+        if (i == -2 || (i >= 0 && i < from)) {
+          i = s.indexOf(specials(k), from)
+          memo(k) = i
+        }
+        if (i >= 0 && (i < bestStart || (i == bestStart &&
+            specials(k).length > specials(bestIdx).length))) {
+          bestStart = i
+          bestIdx = k
+        }
+        k += 1
       }
-      k += 1
+      if (bestIdx < 0) -1L else (bestStart.toLong << 32) | bestIdx.toLong
     }
-    if (bestIdx < 0) -1L else (bestStart.toLong << 32) | bestIdx.toLong
   }
 
   /** Split `s` around special occurrences. `keepSpecials = false`
@@ -73,10 +93,11 @@ object SpecialTokens {
   def split(s: String, specials: Array[String],
       keepSpecials: Boolean): GenericArrayData = {
     val out = new java.util.ArrayList[UTF8String](4)
+    val scan = new Scan(s, specials)
     var p = 0
     val n = s.length
     while (p < n) {
-      val nx = nextSpecial(s, p, specials)
+      val nx = scan.next(p)
       if (nx < 0) {
         out.add(UTF8String.fromString(s.substring(p, n)))
         p = n

@@ -2938,8 +2938,14 @@ object TextGates {
     // streams decode back byte-exactly. Oracle: the span chain
     // replayed + the two counts + the identity decodes.
     Gate("t_span_corrupt_ids", (s, d) => {
+      // corrupt's inp/tgt are interpreted aggregate folds; every
+      // downstream reference (fit scan, two encodes, two decodes)
+      // would re-evaluate them per row — truncate once (tiny frame:
+      // one string pair per doc), the standard pipeline practice
       val sc = graft.operators.SpanCorrupt.corrupt(
         t(s, d, "documents"), "doc_id", "text", rateK = 6)
+        .select(col("doc_id"), col("inp"), col("tgt"))
+        .localCheckpoint(true)
       val sp = graft.operators.SpanCorrupt.extraIdSpecials(64)
       val merges = graft.operators.Bpe.fitBytes(sc, "inp", 6,
         minCount = 1L, specials = sp)

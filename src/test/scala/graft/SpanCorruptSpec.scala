@@ -107,4 +107,26 @@ class SpanCorruptSpec extends AnyFunSuite {
       SpanCorrupt.fim(docs.withColumn("fim", lit("")), "doc_id", "text")
     }
   }
+
+  test("native corrupt pass is bit-identical to the Catalyst-HOF " +
+      "specification fold (random docs, rate edges, empty/whitespace)") {
+    val rnd = new scala.util.Random(37)
+    val pool = Array("spark", "scan", "agg", "row", "42", "x,y", "end.")
+    val docs = (Seq.tabulate(120)(i =>
+      (i.toLong, (0 until rnd.nextInt(40))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString(" "))) ++
+      Seq((900L, ""), (901L, "   "), (902L, "one")))
+      .toDF("doc_id", "text")
+    for (rateK <- Seq(2, 6)) {
+      val a = SpanCorrupt.corrupt(docs, "doc_id", "text", rateK)
+        .select("doc_id", "inp", "tgt", "n_masked")
+        .orderBy("doc_id").collect()
+      val b = SpanCorrupt.corruptSpec(docs, "doc_id", "text", rateK)
+        .select("doc_id", "inp", "tgt", "n_masked")
+        .orderBy("doc_id").collect()
+      a.zip(b).foreach { case (x, y) =>
+        assert(x == y, s"rateK=$rateK diverged: $x vs $y")
+      }
+    }
+  }
 }
