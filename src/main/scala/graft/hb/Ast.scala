@@ -169,6 +169,14 @@ object Ast {
   /** `dedup exact <col>` — keep the lowest-key row per normalized text
     * fingerprint (operators.Dedup.exactSurvivors). */
   case class DedupExact(col: String) extends Statement
+  /** `dedup substrings <col> <k>` — EXACT repeated-substring removal
+    * (Lee et al. 2022 EXACTSUBSTR, r13): every token covered by a
+    * ≥k-token substring occurring verbatim more than once corpus-wide
+    * is excised — adds `scrubbed` and `n_removed` next to the text
+    * (operators.SubstringDedup.scrubRepeats on the frame key). The
+    * arbitrary-length exact sibling of the winnowed `scrub`
+    * cross-corpus statement. */
+  case class DedupSubstrings(col: String, k: Int) extends Statement
   /** `dedup minhash <col> <threshold>` — MinHash+LSH near-dup survivors
     * (operators.Dedup.minhashLsh, portable hasher: the text surface is
     * the cross-engine contract, so signatures must re-derive anywhere). */
@@ -394,6 +402,15 @@ object Ast {
     * `text`. Stateless narrow map, append-safe. */
   case class BpeIdsDecodeUsing(idsCol: String, conf: String,
       nMerges: Int, textCol: String = "text") extends Statement
+
+  /** `decode ids <idsCol>` (no `using`) — the BATCH inverse (r13):
+    * decodes under the merge table the SAME program's `bpe ids` (or
+    * `sft`) statement published on the ids column's METADATA
+    * ([[graft.operators.Bpe.mergesMetadata]]) — zero refit, the two
+    * sides can never bind different tables. Raises when the column
+    * carries no table (run the encode statement first, or use the
+    * `using` form to bind a configuration). Adds `text_decoded`. */
+  case class BpeIdsDecode(idsCol: String) extends Statement
   /** `rebalance by <stratumCol> [weight <wcol>] [s1 p1; s2 p2; …]
     * ['salt']` — keep the largest deterministic subsample whose stratum
     * mix is exactly the listed percentages, measured over document

@@ -313,6 +313,12 @@ object Engine {
       // row-set filter: columns, order and series all survive
       f.copy(df = graft.operators.Dedup.exactSurvivors(f.df, c, KEY))
 
+    case DedupSubstrings(c, k) =>
+      // column-adding editor (like `scrub`): rows survive, covered
+      // positions excise into `scrubbed`
+      f.copy(df = graft.operators.SubstringDedup.scrubRepeats(
+        f.df, KEY, c, k))
+
     case DedupMinhash(c, th) =>
       // portable hasher: a .hb program is a cross-engine artifact, so
       // its near-dup signatures must re-derive bit-for-bit anywhere
@@ -443,6 +449,21 @@ object Engine {
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))
 
+    case BpeIdsDecode(c) =>
+      // batch inverse under the SAME table: the merges (+ specials)
+      // ride on the ids column's metadata from this program's encode
+      // statement — zero refit, no way to bind a different table
+      require(f.df.columns.contains(c), s"decode ids: no '$c' column")
+      val merges = graft.operators.Bpe
+        .mergesFromMetadata(f.df.schema, c)
+        .getOrElse(throw new IllegalArgumentException(
+          s"decode ids: column '$c' carries no merge-table metadata — " +
+            "encode with `bpe ids`/`sft` first, or bind a " +
+            "configuration with `decode ids … using`"))
+      val sp = graft.operators.Bpe.specialsFromMetadata(f.df.schema, c)
+      f.copy(df = f.df.withColumn("text_decoded",
+        graft.operators.Bpe.decodeIdsCol(col(c), merges, sp)))
+
     case SftChat(pc, rc, n) =>
       // chat-template trainer inputs in one statement: render with the
       // RESERVED tags, ONE specials-aware byte fit (tag text excluded),
@@ -459,7 +480,7 @@ object Engine {
         .withColumn("token_ids", graft.operators.Bpe.encodeIdsCol(
           col("rendered"), sftMerges, sftSp))
         .withMetadata("token_ids",
-          graft.operators.Bpe.mergesMetadata(sftMerges))
+          graft.operators.Bpe.mergesMetadata(sftMerges, sftSp))
         .withColumn("loss_start",
           graft.operators.Sft.lossStart(col(pc), sftMerges, sftSp))
         .withColumn("n_ids",

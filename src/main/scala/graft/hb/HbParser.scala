@@ -449,7 +449,9 @@ object HbParser {
         case "exact" => DedupExact(p.colName())
         case "minhash" => DedupMinhash(p.colName(), p.num())
         case "simhash" => DedupSimhash(p.colName(), p.int())
-        case other => p.err(s"expected exact|minhash|simhash, got $other")
+        case "substrings" => DedupSubstrings(p.colName(), p.int())
+        case other =>
+          p.err(s"expected exact|minhash|simhash|substrings, got $other")
       }
       case "cluster" => p.ident() match {
         case "minhash" => ClusterMinhash(p.colName(), p.num())
@@ -566,12 +568,14 @@ object HbParser {
         } else if (p.atIdent("ids")) {
           p.eat("ids")
           val c = p.colName()
-          p.eat("using")
-          val conf = p.colName()
-          val n = p.int()
-          val tc = if (p.atIdent("of")) { p.eat("of"); p.colName() }
-            else "text"
-          BpeIdsDecodeUsing(c, conf, n, tc)
+          if (p.atIdent("using")) {
+            p.eat("using")
+            val conf = p.colName()
+            val n = p.int()
+            val tc = if (p.atIdent("of")) { p.eat("of"); p.colName() }
+              else "text"
+            BpeIdsDecodeUsing(c, conf, n, tc)
+          } else BpeIdsDecode(c)
         } else {
           val c = p.colName()
           p.eat("using")

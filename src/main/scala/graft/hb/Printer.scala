@@ -50,6 +50,7 @@ object Printer {
     case LinearExtrapolation(n, known, p, t) =>
       s"create column ${name(n)} (linear extrapolation [${print(known)}] $p $t)"
     case DedupExact(c) => s"dedup exact ${name(c)}"
+    case DedupSubstrings(c, k) => s"dedup substrings ${name(c)} $k"
     case DedupMinhash(c, th) => s"dedup minhash ${name(c)} ${num(th)}"
     case DedupSimhash(c, h) => s"dedup simhash ${name(c)} $h"
     case ClusterMinhash(c, th) => s"cluster minhash ${name(c)} ${num(th)}"
@@ -134,6 +135,8 @@ object Printer {
       s"unigram ids ${name(c)} $n"
     case UnigramIdsUsing(c, conf, n) =>
       s"unigram ids ${name(c)} using ${name(conf)} $n"
+    case BpeIdsDecode(c) =>
+      s"decode ids ${name(c)}"
     case BpeIdsDecodeUsing(c, conf, n, tc) =>
       s"decode ids ${name(c)} using ${name(conf)} $n" +
         (if (tc == "text") "" else s" of ${name(tc)}")

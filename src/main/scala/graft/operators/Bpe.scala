@@ -512,21 +512,30 @@ object Bpe {
     * fitted merge table on its encode output column. */
   val MergesMetadataKey = "graft.bpe.merges"
 
-  /** The fitted merge table as Spark COLUMN METADATA — the zero-cost
-    * model tap for statement surfaces that fit internally (`bpe ids`):
-    * the table rides on the output column's schema, so a caller can
-    * recover the EXACT fit (for artifact export, round-trip audits,
-    * decode) without a second fit and without any Spark job — schema
-    * inspection is driver-side. One "left right" string per rank; safe
-    * because merge symbols never contain a space (byte-level symbols
-    * spell whitespace via the mapped alphabet; word-level symbols come
-    * from whitespace-split words). */
-  def mergesMetadata(merges: Seq[Merge])
-      : org.apache.spark.sql.types.Metadata =
-    new org.apache.spark.sql.types.MetadataBuilder()
+  /** Companion key for the reserved special-token list (order = the
+    * id layout above the merges). */
+  val SpecialsMetadataKey = "graft.bpe.specials"
+
+  /** The fitted merge table (+ specials list) as Spark COLUMN
+    * METADATA — the zero-cost model tap for statement surfaces that
+    * fit internally (`bpe ids`, `sft`): the table rides on the output
+    * column's schema, so a caller can recover the EXACT fit (for
+    * artifact export, round-trip audits, decode) without a second fit
+    * and without any Spark job — schema inspection is driver-side.
+    * One "left right" string per rank; safe because merge symbols
+    * never contain a space (byte-level symbols spell whitespace via
+    * the mapped alphabet; word-level symbols come from
+    * whitespace-split words). */
+  def mergesMetadata(merges: Seq[Merge],
+      specials: Seq[String] = Nil)
+      : org.apache.spark.sql.types.Metadata = {
+    val b = new org.apache.spark.sql.types.MetadataBuilder()
       .putStringArray(MergesMetadataKey,
         merges.sortBy(_.rank).map(m => m.left + " " + m.right).toArray)
-      .build()
+    if (specials.nonEmpty)
+      b.putStringArray(SpecialsMetadataKey, specials.toArray)
+    b.build()
+  }
 
   /** Recover a merge table published by [[mergesMetadata]] from a
     * schema; None when the column carries no table. */
@@ -540,6 +549,16 @@ object Bpe {
           require(sp > 0, s"malformed merge metadata entry '$lr'")
           Merge(i + 1, lr.substring(0, sp), lr.substring(sp + 1))
         })
+
+  /** The specials list riding next to a published merge table (Nil
+    * when the encode carried none). */
+  def specialsFromMetadata(
+      schema: org.apache.spark.sql.types.StructType,
+      colName: String): Seq[String] =
+    schema.fields.find(_.name == colName)
+      .filter(_.metadata.contains(SpecialsMetadataKey))
+      .map(_.metadata.getStringArray(SpecialsMetadataKey).toSeq)
+      .getOrElse(Nil)
 
   /** [[encodeCol]] as the native single-pass expression
     * (functions.BpeEncodeExpr) — identical output (BpeSpec pins the

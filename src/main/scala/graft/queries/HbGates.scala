@@ -1580,6 +1580,39 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.hbBpeIdsOracleSql)),
 
+    // BATCH id round trip off COLUMN METADATA (r13): `decode ids
+    // token_ids` with no `using` clause binds the merge table the same
+    // program's `bpe ids` statement published on token_ids' metadata —
+    // zero refit, the two sides cannot bind different tables by
+    // construction. Oracle: the ids chain + text_decoded ≡ text.
+    Gate("hb_ids_roundtrip",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |bpe ids text 6
+          |decode ids token_ids
+          |create column doc_id keys
+          |slice columns doc_id token_ids n_ids text_decoded
+          |""".stripMargin, t(s, d, "documents"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("token_ids")).as("ids_str"), col("n_ids"),
+          col("text_decoded"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.hbIdsRoundtripOracleSql)),
+
+    // Exact repeated-substring removal through the DSL (r13 —
+    // `dedup substrings text 8` = SubstringDedup.scrubRepeats on the
+    // frame key): the EXACTSUBSTR scrub as one statement. Shares the
+    // d_substring_dedup oracle's coverage/reconstruction chain.
+    Gate("hb_substring_dedup",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |dedup substrings text 8
+          |create column doc_id keys
+          |slice columns doc_id scrubbed n_removed
+          |""".stripMargin, t(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(TextGates.hbSubstringDedupOracleSql)),
+
     Gate("hb_surprisal_cfg",
       (s, d) => {
         import graft.hb.Configurations._

@@ -3899,6 +3899,66 @@ object TextGates {
       |GROUP BY d.doc_id
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
 
+  /** The hb_ids_roundtrip oracle — the raw-text ids chain plus the
+    * lossless decode identity (text_decoded ≡ the raw text). */
+  private[queries] lazy val hbIdsRoundtripOracleSql: String =
+    bpeBytesChainSql("text", 6) +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |docids AS (
+      |  SELECT d.doc_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids_str,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ids
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT f.doc_id, di.ids_str, di.n_ids, f.fx AS text_decoded
+      |FROM fx f JOIN docids di USING (doc_id)
+      |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The hb_substring_dedup oracle — the d_substring_dedup coverage
+    * and reconstruction chain, scrub columns only. */
+  private[queries] lazy val hbSubstringDedupOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '') AS tk
+      |  FROM documents),
+      |win AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS off,
+      |    array_to_string(tk[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+      |  FROM tk, unnest(range(1, len(tk) - 8 + 2)) AS t(i)),
+      |dupg AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2),
+      |hit AS (SELECT w.doc_id, w.off FROM win w JOIN dupg USING (gram)),
+      |cov AS (
+      |  SELECT DISTINCT h.doc_id, CAST(p AS BIGINT) AS pos
+      |  FROM hit h, unnest(range(h.off, h.off + 8)) AS t(p)),
+      |tokpos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+      |  FROM tk, unnest(range(1, len(tk) + 1)) AS t(i))
+      |SELECT tp.doc_id,
+      |  COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.pos)
+      |    FILTER (WHERE c.pos IS NULL), '') AS scrubbed,
+      |  CAST(COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT)
+      |    AS n_removed
+      |FROM tokpos tp LEFT JOIN cov c
+      |  ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+      |GROUP BY tp.doc_id
+      |ORDER BY tp.doc_id ASC NULLS FIRST""".stripMargin
+
   /** The st_hb_bpe_bytes oracle — the raw-text byte chain, encode
     * column only (the stream side emits doc_id + bpe). */
   private[queries] lazy val bpeBytesStreamOracleSql: String =

@@ -129,7 +129,7 @@ object StreamHb {
     case _: LinearExtrapolation =>
       Some("extrapolation fits on the whole frame")
     case _: DedupMinhash | _: DedupSimhash | _: ClusterMinhash |
-        _: Scrub =>
+        _: Scrub | _: DedupSubstrings =>
       Some("near-dup/scrub evidence spans the whole corpus")
     case _: Pack => Some("packing scans the whole frame in key order")
     case _: PackBins => Some("bin packing scans the whole frame in size order")
@@ -158,6 +158,12 @@ object StreamHb {
     case _: TemperatureMixBy =>
       Some("temperature mix rates derive from whole-frame counts")
     case _: BpeBytesDecode => None // stateless narrow map
+    case _: SftChat => Some("sft's BPE merges fit on the whole frame " +
+      "(use `sft … using <conf>` at ingest)")
+    // stateless narrow map — the merge table rides on the ids column's
+    // METADATA from an earlier `… using` encode statement (the encode
+    // cases attach it); a metadata-less column raises in translation
+    case _: BpeIdsDecode => None
     case _: FimTransform => None // salted narrow map on the frame key
     case _: Shuffle => Some("epoch order numbers the whole frame")
     case _: Curriculum => Some("curriculum bands rank the whole frame")
@@ -351,6 +357,8 @@ object StreamHb {
         f.copy(df = f.df
           .withColumn("token_ids",
             graft.operators.Bpe.encodeIdsCol(col(c), merges))
+          .withMetadata("token_ids",
+            graft.operators.Bpe.mergesMetadata(merges))
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
           .withColumn("n_ids",
@@ -377,6 +385,8 @@ object StreamHb {
             graft.operators.Sft.render(col(pc), col(rc)))
           .withColumn("token_ids", graft.operators.Bpe.encodeIdsCol(
             col("rendered"), merges, sftSp))
+          .withMetadata("token_ids",
+            graft.operators.Bpe.mergesMetadata(merges, sftSp))
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
           .withColumn("n_ids",

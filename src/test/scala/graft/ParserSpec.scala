@@ -293,6 +293,14 @@ class ParserSpec extends AnyFunSuite {
       == SftUsing("prompt", "response", "corpus", 6))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       SftUsing("p", "r", "c", 12)).trim) == SftUsing("p", "r", "c", 12))
+    assert(HbParser.parseStatement("decode ids token_ids") ==
+      BpeIdsDecode("token_ids"))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      BpeIdsDecode("t")).trim) == BpeIdsDecode("t"))
+    assert(HbParser.parseStatement("dedup substrings text 8") ==
+      DedupSubstrings("text", 8))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      DedupSubstrings("t", 12)).trim) == DedupSubstrings("t", 12))
     assert(HbParser.parseStatement("fertility text using corpus 6") ==
       FertilityUsing("text", "corpus", 6))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
