@@ -650,8 +650,16 @@ object Engine {
         .emitAligned(placed, c, budget,
           lossStartCol = if (hasLoss) Some("loss_start") else None)
       val withBounds =
-        if (hasLoss) emitted.withColumn("loss_bounds",
-          concat_ws(" ", col("loss_bounds").cast("array<string>")))
+        if (hasLoss) emitted
+          // the trainer-ready labels column: input id outside the
+          // masked prefixes and padding, -100 inside (the ignore-index
+          // convention) — derived from the arrays before stringifying
+          .withColumn("labels", concat_ws(" ",
+            graft.operators.Packing.sftLabels(col("input_ids"),
+              col("doc_starts"), col("loss_bounds"), col("n_tokens"))
+              .cast("array<string>")))
+          .withColumn("loss_bounds",
+            concat_ws(" ", col("loss_bounds").cast("array<string>")))
         else emitted
       HbFrame(withBounds
         .withColumn("position_ids", concat_ws(" ",

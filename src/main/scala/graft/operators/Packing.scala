@@ -300,6 +300,25 @@ object Packing {
     })
   }
 
+  /** The `labels` column of an SFT artifact sequence — input_ids with
+    * every NON-TRAINED position replaced by `ignoreId` (the -100
+    * convention every trainer's cross-entropy ignores): positions
+    * inside a document's masked prefix `[doc_starts_k, loss_bounds_k)`
+    * and padding positions (≥ nTokens). Pure narrow expression over
+    * the emitted arrays — zero shuffles at any scale. */
+  def sftLabels(inputIds: Column, docStarts: Column, lossBounds: Column,
+      nTokens: Column, ignoreId: Int = -100): Column = {
+    val zs = arrays_zip(
+      transform(docStarts, s => s.cast(LongType)).as("s"),
+      transform(lossBounds, b => b.cast(LongType)).as("b"))
+    transform(inputIds, (id, i) =>
+      when(i.cast(LongType) >= nTokens.cast(LongType), lit(ignoreId))
+        .when(exists(zs, e =>
+          i.cast(LongType) >= e.getField("s") &&
+            i.cast(LongType) < e.getField("b")), lit(ignoreId))
+        .otherwise(id))
+  }
+
   def emitPacked(placed: DataFrame, idsCol: String, budget: Long,
       padId: Int = 0): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")

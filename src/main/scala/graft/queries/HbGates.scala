@@ -1503,7 +1503,7 @@ object HbGates {
         """index rows by doc_id
           |sft prompt response 6
           |emit aligned token_ids 1024 4
-          |slice columns shard bin n_docs n_tokens input_ids doc_starts loss_bounds
+          |slice columns shard bin n_docs n_tokens input_ids doc_starts loss_bounds labels
           |""".stripMargin, pairs)
         .orderBy(col("shard"), col("bin"))
     },

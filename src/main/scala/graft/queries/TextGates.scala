@@ -4174,7 +4174,16 @@ object TextGates {
       |SELECT shard, bin, n_docs, n_tokens,
       |  CASE WHEN n_tokens = 1024 THEN raw
       |    ELSE raw || repeat(' 0', 1024 - n_tokens) END AS input_ids,
-      |  doc_starts, loss_bounds
+      |  doc_starts, loss_bounds,
+      |  array_to_string(list_transform(range(0, 1024), p ->
+      |    CASE WHEN p >= n_tokens THEN -100
+      |      WHEN len(list_filter(
+      |          range(1, len(string_split(doc_starts, ' ')) + 1),
+      |          j -> p >= CAST(string_split(doc_starts, ' ')[CAST(j AS INTEGER)] AS BIGINT)
+      |            AND p < CAST(string_split(loss_bounds, ' ')[CAST(j AS INTEGER)] AS BIGINT))) > 0
+      |        THEN -100
+      |      ELSE CAST(string_split(raw, ' ')[CAST(p + 1 AS INTEGER)] AS INTEGER)
+      |    END), ' ') AS labels
       |FROM seqs
       |ORDER BY shard ASC NULLS FIRST, bin ASC NULLS FIRST""".stripMargin
 
