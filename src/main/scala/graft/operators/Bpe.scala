@@ -334,10 +334,13 @@ object Bpe {
     * measured ≥1k-merge wall-clock. */
   def fitLocal(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long = 2L, maxWords: Int = 1 << 20,
-      byteLevel: Boolean = false): Seq[Merge] = {
+      byteLevel: Boolean = false,
+      specials: Seq[String] = Nil): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
-    val frame = if (byteLevel) byteFrame(df, textCol)
+    require(specials.isEmpty || byteLevel,
+      "special tokens are a byte-level feature")
+    val frame = if (byteLevel) byteFrame(df, textCol, specials)
       else wordFrame(df, textCol)
     val collected = frame.select(col("__w"), col("__f"))
       .orderBy(col("__f").desc, col("__w").asc)

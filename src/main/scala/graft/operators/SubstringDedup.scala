@@ -83,8 +83,14 @@ object SubstringDedup {
     * One keyed window per document (off − row_number is constant
     * within a run — the classic gaps-and-islands merge, SQL-replayable). */
   def repeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    spansFromWindows(duplicatedWindows(df, idCol, textCol, k), idCol, k)
+
+  /** The run-merge alone, over a precomputed [[duplicatedWindows]]
+    * frame — so a caller needing spans AND the scrub pays the
+    * corpus-wide counting ONCE. */
+  def spansFromWindows(dup: DataFrame, idCol: String,
       k: Int): DataFrame = {
-    val dup = duplicatedWindows(df, idCol, textCol, k)
     val w = Window.partitionBy(col(idCol)).orderBy(col("off"))
     dup.withColumn("__run", col("off") - row_number().over(w))
       .groupBy(col(idCol), col("__run"))
@@ -100,8 +106,15 @@ object SubstringDedup {
     * id join, and one pass filters each token against the span list —
     * O(tokens · spans-per-doc), zero additional corpus shuffles. */
   def scrubRepeats(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val spans = repeatedSpans(df, idCol, textCol, k)
+      k: Int): DataFrame =
+    scrubWithSpans(df, repeatedSpans(df, idCol, textCol, k), idCol,
+      textCol)
+
+  /** The scrub alone, over a precomputed [[repeatedSpans]] frame —
+    * pairs with [[spansFromWindows]] for the pay-once composition. */
+  def scrubWithSpans(df: DataFrame, spanRows: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val spans = spanRows
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_len")))
         .as("__spans"))

@@ -1681,8 +1681,14 @@ object TextGates {
     // token-level reconstruction.
     Gate("d_substring_dedup", (s, d) => {
       val docs = t(s, d, "documents")
-      val spans = graft.operators.SubstringDedup.repeatedSpans(
-        docs, "doc_id", "text", 8)
+      // ONE corpus-wide counting pass feeds both outputs: the merged
+      // spans materialize once (tiny — actual duplication only) and
+      // drive the span report AND the scrub
+      val spanRows = graft.operators.SubstringDedup.spansFromWindows(
+        graft.operators.SubstringDedup.duplicatedWindows(
+          docs, "doc_id", "text", 8), "doc_id", 8)
+        .localCheckpoint(true)
+      val spans = spanRows
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           concat_ws(" ", transform(
@@ -1691,8 +1697,8 @@ object TextGates {
             e => concat(e.getField("span_start").cast("string"),
               lit(":"), e.getField("span_len").cast("string"))))
             .as("spans_str"))
-      graft.operators.SubstringDedup.scrubRepeats(
-        docs, "doc_id", "text", 8)
+      graft.operators.SubstringDedup.scrubWithSpans(
+        docs, spanRows, "doc_id", "text")
         .join(spans, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_spans"), lit(0L)).as("n_spans"),
