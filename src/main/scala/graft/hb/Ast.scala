@@ -512,8 +512,15 @@ object Ast {
     * GPT-2-layout token-id ARRAYS (`token_ids`: ids 0-255 = bytes,
     * 255+rank = merge `rank`; `n_ids` = the length) — the shape
     * `emit packed`/`emit aligned` consume, so a pretraining pipeline
-    * closes corpus → `input_ids` inside one program. */
-  case class BpeIdsEnc(textCol: String, nMerges: Int) extends Statement
+    * closes corpus → `input_ids` inside one program.
+    *
+    * Optional `tags '<t1>' '<t2>' …` clause (r13): the listed strings
+    * become RESERVED special tokens — atomic single ids above the
+    * vocabulary, excluded from the fit, losslessly decoded — so a
+    * program can chain `fim text` → `bpe ids fim 6 tags '<PRE>'
+    * '<SUF>' '<MID>'` and the sentinels never fragment. */
+  case class BpeIdsEnc(textCol: String, nMerges: Int,
+      tags: Seq[String] = Nil) extends Statement
 
   /** `sft <promptCol> <responseCol> <nMerges>` — the chat-template
     * trainer-input statement (r13): render each (prompt, response)
@@ -541,13 +548,14 @@ object Ast {
   case class SftUsing(promptCol: String, responseCol: String,
       conf: String, nMerges: Int) extends Statement
 
-  /** `bpe ids <textCol> using <conf> <nMerges>` — [[BpeIdsEnc]] with
-    * the byte table trained OFFLINE on a model configuration: the
-    * stream side is the stateless codegen'd id encode — trainer-input
-    * arrays at ingest, under yesterday's vocabulary when a store is
-    * bound. */
-  case class BpeIdsUsing(textCol: String, conf: String, nMerges: Int)
-      extends Statement
+  /** `bpe ids <textCol> using <conf> <nMerges> [tags '<t>' …]` —
+    * [[BpeIdsEnc]] with the byte table trained OFFLINE on a model
+    * configuration (the tags list is part of the stored-model key):
+    * the stream side is the stateless codegen'd id encode —
+    * trainer-input arrays at ingest, under yesterday's vocabulary when
+    * a store is bound. */
+  case class BpeIdsUsing(textCol: String, conf: String, nMerges: Int,
+      tags: Seq[String] = Nil) extends Statement
 
   /** `bpe bytes <textCol> using <conf> <nMerges>` — [[BpeBytesEnc]]
     * with the merge table trained on a MODEL configuration

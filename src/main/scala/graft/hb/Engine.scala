@@ -431,20 +431,21 @@ object Engine {
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))
 
-    case BpeIdsEnc(c, n) =>
+    case BpeIdsEnc(c, n, tags) =>
       // trainer-input twin of `bpe bytes`: same fit, ids instead of
       // spellings — token_ids is the array `emit packed` consumes. The
-      // fitted table is published as COLUMN METADATA on token_ids
-      // (Bpe.mergesMetadata) so a caller can export/round-trip/decode
+      // fitted table (+ any reserved tags) is published as COLUMN
+      // METADATA on token_ids (Bpe.mergesMetadata) so a caller — or a
+      // later `decode ids` statement — can export/round-trip/decode
       // the EXACT fit without a second training pass — schema
       // inspection costs zero Spark jobs.
       val merges = graft.operators.Bpe.fitBytes(f.df, c, n,
-        minCount = 1L)
+        minCount = 1L, specials = tags)
       f.copy(df = f.df
         .withColumn("token_ids",
-          graft.operators.Bpe.encodeIdsCol(col(c), merges))
+          graft.operators.Bpe.encodeIdsCol(col(c), merges, tags))
         .withMetadata("token_ids",
-          graft.operators.Bpe.mergesMetadata(merges))
+          graft.operators.Bpe.mergesMetadata(merges, tags))
         .withColumn("n_ids",
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))

@@ -711,11 +711,28 @@ object HbParser {
         } else if (p.atIdent("ids")) {
           p.eat("ids")
           val c = p.colName()
+          def tags(): Seq[String] =
+            if (p.atIdent("tags")) {
+              p.eat("tags")
+              val out = mutable.ArrayBuffer[String]()
+              var more = true
+              while (more) p.peek match {
+                case Some(TStr(s)) => p.next(); out += s
+                case _ => more = false
+              }
+              if (out.isEmpty)
+                p.err("`tags` needs at least one quoted token")
+              out.toSeq
+            } else Nil
           if (p.atIdent("using")) {
             p.eat("using")
             val conf = p.colName()
-            BpeIdsUsing(c, conf, p.int())
-          } else BpeIdsEnc(c, p.int())
+            val n = p.int()
+            BpeIdsUsing(c, conf, n, tags())
+          } else {
+            val n = p.int()
+            BpeIdsEnc(c, n, tags())
+          }
         } else {
           val c = p.colName()
           if (p.atIdent("using")) {

@@ -144,16 +144,16 @@ object Printer {
       s"bpe bytes ${name(c)} $n"
     case BpeBytesDecode(c) =>
       s"decode bytes ${name(c)}"
-    case BpeIdsEnc(c, n) =>
-      s"bpe ids ${name(c)} $n"
+    case BpeIdsEnc(c, n, tags) =>
+      s"bpe ids ${name(c)} $n" + tagsSuffix(tags)
     case SftChat(pc, rc, n) =>
       s"sft ${name(pc)} ${name(rc)} $n"
     case SftUsing(pc, rc, conf, n) =>
       s"sft ${name(pc)} ${name(rc)} using ${name(conf)} $n"
     case FertilityUsing(c, conf, n) =>
       s"fertility ${name(c)} using ${name(conf)} $n"
-    case BpeIdsUsing(c, conf, n) =>
-      s"bpe ids ${name(c)} using ${name(conf)} $n"
+    case BpeIdsUsing(c, conf, n, tags) =>
+      s"bpe ids ${name(c)} using ${name(conf)} $n" + tagsSuffix(tags)
     case Encode(c, n) =>
       s"encode ${name(c)} $n"
     case RebalanceBy(c, ts, salt, w) =>
@@ -231,6 +231,10 @@ object Printer {
     case LinReg(x, y) => s"linear regression [${print(x)}] [${print(y)}]"
     case other => throw new IllegalArgumentException(s"unprintable $other")
   }
+
+  private def tagsSuffix(tags: Seq[String]): String =
+    if (tags.isEmpty) ""
+    else tags.map(t => s"'$t'").mkString(" tags ", " ", "")
 
   private def num(v: Double): String =
     if (v == v.toLong) v.toLong.toString else v.toString

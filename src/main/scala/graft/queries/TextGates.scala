@@ -2865,6 +2865,32 @@ object TextGates {
     },
       Some(fimSpecialsOracleSql)),
 
+    // FIM → TRAINER IDS with reserved sentinels, all in ONE program
+    // (r13 — the `tags` clause on `bpe ids` + the metadata-bound
+    // `decode ids`): the sentinels are single atomic ids (262/263/264
+    // above the 6-merge vocabulary), their text never reaches the fit,
+    // and the id stream decodes back to the fim string byte-exactly —
+    // corpus → infilling-objective input_ids as four DSL statements.
+    // ONE oracle replays the cut chain, the segment-corpus fit, the id
+    // mapping, the reserved-id splices and the decode identity.
+    Gate("hb_fim_ids", (s, d) =>
+      graft.hb.Graft.runHb(
+        """index rows by doc_id
+          |fim text
+          |bpe ids fim 6 tags '<PRE>' '<SUF>' '<MID>'
+          |decode ids token_ids
+          |create column doc_id keys
+          |slice columns doc_id token_ids n_ids text_decoded
+          |""".stripMargin, t(s, d, "documents"))
+        .select(col("doc_id"),
+          concat_ws(" ", col("token_ids")).as("ids_str"),
+          col("n_ids"),
+          size(filter(col("token_ids"), i => i >= lit(262)))
+            .as("n_special"),
+          col("text_decoded").as("decoded"))
+        .orderBy(col("doc_id")),
+      Some(hbFimIdsOracleSql)),
+
     // The `.hb` statement twin (r12 — `fim text`): identical salted
     // draws keyed on the frame index, so it shares t_fim's oracle.
     Gate("hb_fim",
@@ -4216,6 +4242,97 @@ object TextGates {
       |  END AS compression_permille
       |FROM documents doc JOIN perdoc p USING (doc_id)
       |ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+
+  /** The hb_fim_ids oracle — the whole DSL fim→ids pipeline: the fim
+    * cut chain, the SEGMENT corpus (sentinels excluded — per applied
+    * doc the three between-sentinel segments under synthetic ids
+    * doc·10+1..3, per pass-through doc the full token stream at
+    * doc·10+4), six byte rounds over it, the GPT-2 id mapping, and the
+    * per-document reassembly with reserved ids 262/263/264 spliced at
+    * the sentinel positions, plus the lossless decode identity. */
+  private[queries] lazy val hbFimIdsOracleSql: String = {
+    val lead =
+      s"""tok AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower($normSql), ' '),
+         |      x -> x <> '') AS tk
+         |  FROM documents),
+         |cut AS (
+         |  SELECT doc_id, tk, CAST(len(tk) AS INTEGER) AS n,
+         |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim'), 1, 8)
+         |      AS BIGINT) % 10000 AS bk,
+         |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:a'), 1, 8)
+         |      AS BIGINT) % (len(tk) + 1) AS ca,
+         |    CAST('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || ':fim:b'), 1, 8)
+         |      AS BIGINT) % (len(tk) + 1) AS cb
+         |  FROM tok),
+         |segsrc AS (
+         |  SELECT doc_id, tk, n,
+         |    CAST(least(ca, cb) AS INTEGER) AS lo,
+         |    CAST(greatest(ca, cb) AS INTEGER) AS hi,
+         |    (bk < 9000) AS app
+         |  FROM cut),
+         |segs AS (
+         |  SELECT doc_id * 10 + 1 AS doc_id,
+         |    CASE WHEN lo = 0 THEN ' '
+         |      ELSE ' ' || array_to_string(tk[1:lo], ' ') || ' ' END AS seg
+         |  FROM segsrc WHERE app
+         |  UNION ALL
+         |  SELECT doc_id * 10 + 2,
+         |    CASE WHEN hi = n THEN ' '
+         |      ELSE ' ' || array_to_string(tk[hi+1:n], ' ') || ' ' END
+         |  FROM segsrc WHERE app
+         |  UNION ALL
+         |  SELECT doc_id * 10 + 3, ' ' || array_to_string(tk[lo+1:hi], ' ')
+         |  FROM segsrc WHERE app AND hi > lo
+         |  UNION ALL
+         |  SELECT doc_id * 10 + 4, array_to_string(tk, ' ')
+         |  FROM segsrc WHERE (NOT app) AND n >= 1),
+         |""".stripMargin
+    "WITH " + bpeBytesChainSql("seg", 6, from = "segs", lead = lead) +
+      """,
+      |base AS (
+      |  SELECT b AS id,
+      |    CASE WHEN b = 32 THEN 'Ġ' WHEN b = 10 THEN 'Ċ'
+      |      WHEN b = 9 THEN 'ĉ' ELSE chr(CAST(b AS INTEGER)) END AS sym
+      |  FROM range(256) AS t(b)
+      |  WHERE (b BETWEEN 33 AND 126) OR b IN (32, 10, 9)),
+      |mg AS (""".stripMargin +
+      (1 to 6).map(k =>
+        s"SELECT 255 + $k AS id, l || r AS sym FROM b$k")
+        .mkString("\n", "\nUNION ALL\n", "),\n") +
+      """vocab AS (
+      |  SELECT sym, MIN(id) AS id
+      |  FROM (SELECT id, sym FROM base UNION ALL SELECT id, sym FROM mg)
+      |  GROUP BY sym),
+      |segids AS (
+      |  SELECT d.doc_id AS syn_id,
+      |    string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY d.tpos, w.pos)
+      |      AS ids,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM dtok d JOIN st6 w USING (word) JOIN vocab v USING (sym)
+      |  GROUP BY d.doc_id)
+      |SELECT p.doc_id,
+      |  CASE WHEN p.app THEN
+      |      '262 ' || s1.ids || ' 263 ' || s2.ids || ' 264'
+      |        || COALESCE(' ' || s3.ids, '')
+      |    ELSE s4.ids END AS ids_str,
+      |  CAST(CASE WHEN p.app
+      |      THEN 3 + s1.n + s2.n + COALESCE(s3.n, 0)
+      |    ELSE s4.n END AS BIGINT) AS n_ids,
+      |  CAST(CASE WHEN p.app THEN 3 ELSE 0 END AS INTEGER) AS n_special,
+      |  CASE WHEN p.app THEN array_to_string(
+      |      ['<PRE>'] || p.tk[1:p.lo] ||
+      |      ['<SUF>'] || p.tk[p.hi+1:p.n] ||
+      |      ['<MID>'] || p.tk[p.lo+1:p.hi], ' ')
+      |    ELSE array_to_string(p.tk, ' ') END AS decoded
+      |FROM segsrc p
+      |LEFT JOIN segids s1 ON s1.syn_id = p.doc_id * 10 + 1
+      |LEFT JOIN segids s2 ON s2.syn_id = p.doc_id * 10 + 2
+      |LEFT JOIN segids s3 ON s3.syn_id = p.doc_id * 10 + 3
+      |LEFT JOIN segids s4 ON s4.syn_id = p.doc_id * 10 + 4
+      |ORDER BY p.doc_id ASC NULLS FIRST""".stripMargin
+  }
 
   /** The t_fim_specials oracle — the fim chain (as fimOracleSql) with
     * the sentinel-atomicity count (exactly 3 reserved ids when the

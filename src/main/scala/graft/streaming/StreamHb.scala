@@ -344,21 +344,23 @@ object StreamHb {
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
-      case (f, BpeIdsUsing(c, conf, n)) =>
+      case (f, BpeIdsUsing(c, conf, n, tags)) =>
         // trainer-input ids at ingest: same offline byte fit as
-        // `bpe bytes ... using`, stream side emits the id ARRAYS plus
+        // `bpe bytes ... using` (reserved tags excluded from it and
+        // part of the store key), stream side emits the id ARRAYS plus
         // the row-printable space-joined form
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
-            resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
+            resolve(conf), c, n, 1L, conf, lc, byteLevel = true,
+            specials = tags)
           case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
-            minCount = 1L)
+            minCount = 1L, specials = tags)
         }
         f.copy(df = f.df
           .withColumn("token_ids",
-            graft.operators.Bpe.encodeIdsCol(col(c), merges))
+            graft.operators.Bpe.encodeIdsCol(col(c), merges, tags))
           .withMetadata("token_ids",
-            graft.operators.Bpe.mergesMetadata(merges))
+            graft.operators.Bpe.mergesMetadata(merges, tags))
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
           .withColumn("n_ids",

@@ -293,6 +293,18 @@ class ParserSpec extends AnyFunSuite {
       == SftUsing("prompt", "response", "corpus", 6))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       SftUsing("p", "r", "c", 12)).trim) == SftUsing("p", "r", "c", 12))
+    assert(HbParser.parseStatement(
+      "bpe ids fim 6 tags '<PRE>' '<SUF>' '<MID>'") ==
+      BpeIdsEnc("fim", 6, Seq("<PRE>", "<SUF>", "<MID>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      BpeIdsEnc("t", 9, Seq("<A>", "<B>"))).trim) ==
+      BpeIdsEnc("t", 9, Seq("<A>", "<B>")))
+    assert(HbParser.parseStatement(
+      "bpe ids text using corpus 6 tags '<X>'") ==
+      BpeIdsUsing("text", "corpus", 6, Seq("<X>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      BpeIdsUsing("t", "c", 9, Seq("<A>"))).trim) ==
+      BpeIdsUsing("t", "c", 9, Seq("<A>")))
     assert(HbParser.parseStatement("decode ids token_ids") ==
       BpeIdsDecode("token_ids"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
