@@ -19,7 +19,11 @@ object PlanAudit {
         // r11: bin packing + sequence emitters
         "t_pack_bfd", "t_pack_emit", "t_sft_artifact",
         // r11: retrieval + preference pairing
-        "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "t_wordpiece")
+        "s_lexical_topk", "s_hybrid_rrf", "t_dpo_pairs", "t_wordpiece",
+        // r13: specials encode, exact substring dedup, SFT artifact,
+        // exact spanning positions
+        "t_bpe_specials", "d_substring_dedup", "hb_sft_chat",
+        "t_position_ids_exact", "hb_fim_ids")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(
