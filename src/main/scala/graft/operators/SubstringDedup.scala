@@ -58,9 +58,18 @@ object SubstringDedup {
   }
 
   /** All window starts whose k-gram occurs ≥ 2 times corpus-wide —
-    * `(idCol, off)`, exact (hash prefilter + string verification). */
+    * `(idCol, off)`, exact (hash prefilter + string verification).
+    *
+    * `keepFirst = true` EXEMPTS each gram's canonical occurrence
+    * (lowest doc id, then lowest offset) — the remove-all-but-one
+    * policy that deduplicates without erasing the content from the
+    * corpus entirely. The guarantee is per GRAM: a canonical
+    * occurrence's positions can still be excised where a DIFFERENT
+    * gram's non-canonical occurrence overlaps them (overlapping
+    * repeats rarely share one canonical document) — the same caveat
+    * every occurrence-level policy carries. */
   def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
+      k: Int, keepFirst: Boolean = false): DataFrame = {
     val win = windowRows(df, idCol, textCol, k)
       .withColumn("__h", xxhash64(col("gram")))
     // phase 1: counts over 8-byte digests — the only corpus-wide
@@ -73,7 +82,17 @@ object SubstringDedup {
     val dupG = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
       .select(col("gram"))
-    cand.join(dupG, "gram").select(col(idCol), col("off"))
+    val dup = cand.join(dupG, "gram")
+    if (!keepFirst) dup.select(col(idCol), col("off"))
+    else {
+      // per-gram keyed window over the CANDIDATES only (duplicated
+      // grams — output-sized, never the corpus)
+      val w = Window.partitionBy(col("gram"))
+        .orderBy(col(idCol).asc, col("off").asc)
+      dup.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > 1)
+        .select(col(idCol), col("off"))
+    }
   }
 
   /** Maximal duplicated spans per document: `(idCol, span_start,
@@ -106,9 +125,11 @@ object SubstringDedup {
     * id join, and one pass filters each token against the span list —
     * O(tokens · spans-per-doc), zero additional corpus shuffles. */
   def scrubRepeats(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame =
-    scrubWithSpans(df, repeatedSpans(df, idCol, textCol, k), idCol,
-      textCol)
+      k: Int, keepFirst: Boolean = false): DataFrame =
+    scrubWithSpans(df,
+      spansFromWindows(
+        duplicatedWindows(df, idCol, textCol, k, keepFirst), idCol, k),
+      idCol, textCol)
 
   /** The scrub alone, over a precomputed [[repeatedSpans]] frame —
     * pairs with [[spansFromWindows]] for the pay-once composition. */

@@ -1752,6 +1752,51 @@ object TextGates {
         |FROM keptagg k LEFT JOIN spanagg sa USING (doc_id)
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
 
+    // KEEP-FIRST-COPY substring dedup (r13): the remove-all-but-one
+    // policy — each duplicated gram's canonical occurrence (lowest doc
+    // id, then offset) is exempt, so the content survives exactly once
+    // in the corpus instead of vanishing entirely. One extra per-GRAM
+    // keyed window over the duplicated candidates (output-sized, never
+    // the corpus). Oracle: the same coverage chain with the canonical
+    // exemption replayed via ROW_NUMBER.
+    Gate("d_substring_keepfirst", (s, d) =>
+      graft.operators.SubstringDedup.scrubRepeats(
+        t(s, d, "documents"), "doc_id", "text", 8, keepFirst = true)
+        .select(col("doc_id"), col("scrubbed"), col("n_removed"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(regexp_replace(text, '\s+', ' ', 'g')), ' '),
+        |      x -> x <> '') AS tk
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS off,
+        |    array_to_string(tk[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ') AS gram
+        |  FROM tk, unnest(range(1, len(tk) - 8 + 2)) AS t(i)),
+        |dupg AS (SELECT gram FROM win GROUP BY gram HAVING COUNT(*) >= 2),
+        |hit AS (
+        |  SELECT doc_id, off FROM (
+        |    SELECT w.doc_id, w.off,
+        |      ROW_NUMBER() OVER (PARTITION BY w.gram
+        |        ORDER BY w.doc_id ASC, w.off ASC) AS rn
+        |    FROM win w JOIN dupg USING (gram))
+        |  WHERE rn > 1),
+        |cov AS (
+        |  SELECT DISTINCT h.doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM hit h, unnest(range(h.off, h.off + 8)) AS t(p)),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, tk[CAST(i AS INTEGER)] AS tok
+        |  FROM tk, unnest(range(1, len(tk) + 1)) AS t(i))
+        |SELECT tp.doc_id,
+        |  COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.pos)
+        |    FILTER (WHERE c.pos IS NULL), '') AS scrubbed,
+        |  CAST(COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS BIGINT)
+        |    AS n_removed
+        |FROM tokpos tp LEFT JOIN cov c
+        |  ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |GROUP BY tp.doc_id
+        |ORDER BY tp.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Exact dedup: hash-groupBy on the normalized-text fingerprint; one
     // shuffle on the digest, map-side combine does the heavy lifting at
     // scale (100 TB: digest is 32 bytes/row regardless of doc size).

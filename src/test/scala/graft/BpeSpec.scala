@@ -400,6 +400,34 @@ class BpeSpec extends AnyFunSuite {
           merges, sp)).head()
       assert(row.getString(0) == s, s"on '$s'")
     }
+    // the memoized Scan equals a naive fresh-search scan for any
+    // monotone cursor sequence (the memo's staleness rule is the one
+    // thing a refactor could silently break)
+    val rnd2 = new scala.util.Random(91)
+    (0 until 200).foreach { _ =>
+      val alpha = "ab<>|"
+      val s = (0 until rnd2.nextInt(40))
+        .map(_ => alpha(rnd2.nextInt(alpha.length))).mkString
+      val sps = Array("<a>", "<|", "a>>", "<a>>").filter(_ => rnd2.nextBoolean()) match {
+        case e if e.isEmpty => Array("<a>")
+        case e => e
+      }
+      val scan = new SpecialTokens.Scan(s, sps)
+      def naive(from: Int): Long = {
+        var bs = Int.MaxValue; var bi = -1
+        sps.indices.foreach { q =>
+          val i = s.indexOf(sps(q), from)
+          if (i >= 0 && (i < bs ||
+              (i == bs && sps(q).length > sps(bi).length))) { bs = i; bi = q }
+        }
+        if (bi < 0) -1L else (bs.toLong << 32) | bi.toLong
+      }
+      var from = 0
+      while (from <= s.length) {
+        assert(scan.next(from) == naive(from), s"s='$s' from=$from")
+        from += 1 + rnd2.nextInt(3)
+      }
+    }
     // scanner: leftmost occurrence wins; same-start ties go longest
     val ov = Array("<a>", "<a>>")
     val hit = SpecialTokens.nextSpecial("x<a>>y", 0, ov)

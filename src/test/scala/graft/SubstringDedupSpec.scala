@@ -73,6 +73,29 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(scrubbed.getAs[Long]("n_removed") == 20L)
   }
 
+  test("keepFirst: the canonical copy (lowest doc, then offset) " +
+      "survives; every other copy is scrubbed") {
+    val quote = words("q", 12)
+    val docs = Seq(
+      (1L, words("a", 4) + " " + quote),
+      (2L, quote + " " + words("b", 4)),
+      (3L, words("c", 2) + " " + quote + " end0 end1")).toDF("doc_id", "text")
+    val out = SubstringDedup.scrubRepeats(docs, "doc_id", "text", 8,
+      keepFirst = true).orderBy("doc_id")
+      .select("doc_id", "scrubbed", "n_removed").collect()
+    // doc 1 holds the canonical occurrence — untouched
+    assert(out(0).getString(1) == words("a", 4) + " " + quote)
+    assert(out(0).getLong(2) == 0L)
+    // docs 2 and 3 lose their copies
+    assert(out(1).getString(1) == words("b", 4) && out(1).getLong(2) == 12L)
+    assert(out(2).getString(1) == words("c", 2) + " end0 end1")
+    assert(out(2).getLong(2) == 12L)
+    // remove-all (default) scrubs every copy including the canonical
+    val all = SubstringDedup.scrubRepeats(docs, "doc_id", "text", 8)
+      .orderBy("doc_id").select("n_removed").collect()
+    assert(all.forall(_.getLong(0) == 12L))
+  }
+
   test("guards") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](
