@@ -38,20 +38,45 @@ case class SpanCorruptExpr(left: Expression, right: Expression,
         s"span_corrupt needs (string id, array<string> tokens), got $other")
     }
 
-  override def nullSafeEval(id: Any, toks: Any): Any =
-    SpanCorruptExpr.corruptRow(id.asInstanceOf[UTF8String].toString,
+  // a NULL id RAISES — matching the [[graft.operators.SpanCorrupt
+  // .corruptSpec]] path, where the null id flows through posKey's
+  // concat into Sampling.hash32's null-id guard. The default
+  // BinaryExpression short-circuit would instead silently emit null
+  // inp/tgt/n_masked, and the parity property only covers non-null
+  // ids. Null TOKENS still yield null (null text stays null).
+  override def nullable: Boolean = right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val id = left.eval(input)
+    if (id == null) throw SpanCorruptExpr.nullIdError()
+    val toks = right.eval(input)
+    if (toks == null) null
+    else SpanCorruptExpr.corruptRow(id.asInstanceOf[UTF8String].toString,
       toks.asInstanceOf[ArrayData], rateK, salt)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
       ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
     val saltRef = ctx.addReferenceObj("salt", salt,
       classOf[String].getName)
-    nullSafeCodeGen(ctx, ev, (id, toks) => {
-      s"""
-         |${ev.value} = graft.functions.SpanCorruptExpr.corruptRow(
-         |  $id.toString(), $toks, $rateK, $saltRef);
-       """.stripMargin
-    })
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${leftGen.code}
+      if (${leftGen.isNull}) {
+        throw graft.functions.SpanCorruptExpr.nullIdError();
+      }
+      ${rightGen.code}
+      boolean ${ev.isNull} = ${rightGen.isNull};
+      $javaType ${ev.value} = ${CodeGenerator.defaultValue(dataType)};
+      if (!${ev.isNull}) {
+        ${ev.value} = graft.functions.SpanCorruptExpr.corruptRow(
+          ${leftGen.value}.toString(), ${rightGen.value}, $rateK, $saltRef);
+      }
+    """)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression,
@@ -62,6 +87,11 @@ case class SpanCorruptExpr(left: Expression, right: Expression,
 object SpanCorruptExpr {
 
   private val MaxSpan = 3
+
+  /** The null-id raise (also called from generated code — public). */
+  def nullIdError(): IllegalArgumentException =
+    new IllegalArgumentException(
+      "span_corrupt: null id — assign ids before corrupting")
 
   val outType: StructType = StructType(Seq(
     StructField("inp", StringType, nullable = false),

@@ -472,6 +472,12 @@ object Engine {
       // metadata (the BpeIdsEnc tap)
       Seq(pc, rc).foreach(c => require(f.df.columns.contains(c),
         s"sft: no '$c' column"))
+      // the sibling emitters (SpanCorrupt.corrupt, fim) require-fail on
+      // output-column collisions — overwriting a pre-existing
+      // rendered/token_ids/… silently would hide a program bug
+      Seq("rendered", "token_ids", "loss_start", "n_ids").foreach(c =>
+        require(!f.df.columns.contains(c),
+          s"sft: frame already has a '$c' column — rename it first"))
       val sftSp = graft.operators.Sft.Specials
       val renderedDf = f.df.withColumn("rendered",
         graft.operators.Sft.render(col(pc), col(rc)))

@@ -234,7 +234,17 @@ object Printer {
 
   private def tagsSuffix(tags: Seq[String]): String =
     if (tags.isEmpty) ""
-    else tags.map(t => s"'$t'").mkString(" tags ", " ", "")
+    else {
+      // the lexer has no escape syntax inside 'single-quoted' strings,
+      // so a tag containing a quote is UNPRINTABLE — refuse loudly
+      // rather than emit text that breaks the print→parse round trip
+      // every other statement upholds
+      tags.find(_.contains('\'')).foreach(t =>
+        throw new IllegalArgumentException(
+          s"unprintable tag '$t': single quotes cannot appear in a " +
+            "DSL tag (the lexer has no escape syntax)"))
+      tags.map(t => s"'$t'").mkString(" tags ", " ", "")
+    }
 
   private def num(v: Double): String =
     if (v == v.toLong) v.toLong.toString else v.toString

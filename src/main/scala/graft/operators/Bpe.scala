@@ -494,10 +494,15 @@ object Bpe {
     // the mode is part of the artifact key: a byte table and a word
     // table with the same corpus key are DIFFERENT tokenizers — and so
     // is the specials list (it changes the fit corpus's segmentation)
+    // length-prefix each special so the key is INJECTIVE in the list:
+    // plain mkString(",") would collide tags '<a,b>' with '<a' 'b>'
+    // (commas are expressible via the quoted `tags` clause) and
+    // silently reuse the wrong cached tokenizer model
     val k = store.key(if (byteLevel) "bpebytes" else "bpe",
       Seq(bpeKey, textCol, nMerges.toString, minCount.toString) ++
         (if (specials.isEmpty) Nil
-         else Seq("specials", specials.mkString(","))))
+         else Seq("specials",
+           specials.map(s => s"${s.length}:$s").mkString(","))))
     val mdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._

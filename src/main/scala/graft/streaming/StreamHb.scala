@@ -372,6 +372,11 @@ object StreamHb {
         // chat tags, tag text excluded from the fit; the specials list
         // is part of the store key), the stream renders + encodes +
         // reports the exact boundary as a stateless narrow map
+        // same collision discipline as the batch `sft` statement:
+        // never silently overwrite a pre-existing output column
+        Seq("rendered", "token_ids", "ids_str", "loss_start", "n_ids")
+          .foreach(c => require(!f.df.columns.contains(c),
+            s"sft: frame already has a '$c' column — rename it first"))
         val sftSp = graft.operators.Sft.Specials
         val fitDf = resolve(conf).withColumn("rendered",
           graft.operators.Sft.render(col(pc), col(rc)))

@@ -305,6 +305,12 @@ class ParserSpec extends AnyFunSuite {
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       BpeIdsUsing("t", "c", 9, Seq("<A>"))).trim) ==
       BpeIdsUsing("t", "c", 9, Seq("<A>")))
+    // a tag containing a single quote is unprintable (the lexer has no
+    // escape syntax) — the printer must REFUSE, not emit a string that
+    // breaks the print→parse round trip
+    intercept[IllegalArgumentException] {
+      graft.hb.Printer.print(BpeIdsEnc("t", 9, Seq("<a'b>")))
+    }
     assert(HbParser.parseStatement("decode ids token_ids") ==
       BpeIdsDecode("token_ids"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(

@@ -97,4 +97,16 @@ class SftSpec extends AnyFunSuite {
     assert(adv.getSeq[Int](1).count(_ == base + 1) == 2,
       "both assistant-tag occurrences must be the reserved id")
   }
+
+  test("the `sft` statement require-fails on pre-existing output " +
+      "columns instead of silently overwriting them") {
+    val pairs = Seq((1L, "p", "r")).toDF("doc_id", "prompt", "response")
+    for (c <- Seq("rendered", "token_ids", "loss_start", "n_ids")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.hb.Graft.runHb("index rows by doc_id\nsft prompt response 4",
+          pairs.withColumn(c, lit("x")))
+      }
+      assert(e.getMessage.contains(c), e.getMessage)
+    }
+  }
 }

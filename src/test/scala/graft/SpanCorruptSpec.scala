@@ -108,6 +108,28 @@ class SpanCorruptSpec extends AnyFunSuite {
     }
   }
 
+  test("null id RAISES in both the native pass and the spec fold " +
+      "(the hash32 null-id discipline — never silent null outputs)") {
+    val docs = Seq((1L, "a b c"), (2L, "d e f")).toDF("doc_id", "text")
+      .withColumn("doc_id",
+        when(col("doc_id") === 2L, lit(null).cast("long"))
+          .otherwise(col("doc_id")))
+    val eNative = intercept[Exception] {
+      SpanCorrupt.corrupt(docs, "doc_id", "text").collect()
+    }
+    assert(exceptionChain(eNative).exists(_.getMessage != null) &&
+      exceptionChain(eNative).exists(m => m.getMessage != null &&
+        m.getMessage.contains("null id")), eNative.toString)
+    val eSpec = intercept[Exception] {
+      SpanCorrupt.corruptSpec(docs, "doc_id", "text").collect()
+    }
+    assert(exceptionChain(eSpec).exists(m => m.getMessage != null &&
+      m.getMessage.contains("null id")), eSpec.toString)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).toSeq
+
   test("native corrupt pass is bit-identical to the Catalyst-HOF " +
       "specification fold (random docs, rate edges, empty/whitespace)") {
     val rnd = new scala.util.Random(37)
