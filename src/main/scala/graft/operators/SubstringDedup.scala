@@ -23,42 +23,51 @@ import org.apache.spark.sql.functions._
   * suffix-array pass.
   *
   * 100 TB shape, two-phase exact counting:
-  *   1. windows shuffle as 8-byte xxhash64 digests only — one
-  *      (hash, count) aggregate over tokens×8 B, never the k-gram
-  *      strings;
+  *   1. windows shuffle as 8-byte ROLLING digests only
+  *      ([[graft.functions.WindowDigests]] — each token hashed once,
+  *      windows combined by a Rabin–Karp prefix roll, amortized O(1)
+  *      per token): one (hash, count) aggregate over tokens×8 B; the
+  *      k-gram strings are never built in the map stage;
   *   2. the duplicated-hash list (true repeats + rare collisions)
   *      comes back as a join on the hash — broadcastable whenever
   *      duplication is sparse (AQE decides) — and only the surviving
-  *      CANDIDATE windows carry their gram strings into the exact
-  *      group-by that eliminates hash collisions. Output volume is
-  *      then proportional to the ACTUAL duplication, not the corpus.
+  *      CANDIDATE positions rejoin the token frame and pay the O(k)
+  *      gram slice for the exact group-by that eliminates hash
+  *      collisions. Output volume is then proportional to the ACTUAL
+  *      duplication, not the corpus.
   * The run-merge is one keyed window per document (never
   * whole-frame); the scrub is a narrow per-document filter over the
   * bounded merged-span list. */
 object SubstringDedup {
 
-  /** One row per k-token window: `(idCol, off, gram)` — `off` the
-    * 1-based token offset, `gram` the space-joined window (tokens are
-    * whitespace-split, so the join is unambiguous). Documents shorter
-    * than k contribute no rows. */
-  def windowRows(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    require(k >= 2, s"window size must be >= 2, got $k")
+  /** The normalized token frame `(idCol, __tk)` both phases derive
+    * from — tokenized once, sliced only for surviving candidates. */
+  private def tokenFrame(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = filter(Decontaminate.tokens(col(textCol)),
       w => length(w) > 0)
     df.select(col(idCol), toks.as("__tk"))
+  }
+
+  /** One row per k-token window: `(idCol, off, __h)` — `off` the
+    * 1-based token offset, `__h` the rolling window digest
+    * ([[graft.functions.WindowDigests]]: each token hashed once, the
+    * k-window combined by a Rabin–Karp prefix roll — amortized O(1)
+    * per token, no O(k) gram-string build). Documents shorter than k
+    * contribute no rows. */
+  def windowRows(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"window size must be >= 2, got $k")
+    tokenFrame(df, idCol, textCol)
       .select(col(idCol),
-        explode(when(size(col("__tk")) >= k,
-          sequence(lit(1), size(col("__tk")) - k + 1))
-          .otherwise(array().cast("array<int>"))).as("off"),
-        col("__tk"))
-      .select(col(idCol), col("off"),
-        array_join(slice(col("__tk"), col("off"), lit(k)), " ")
-          .as("gram"))
+        posexplode(graft.functions.WindowDigests
+          .window_digests(col("__tk"), k)).as(Seq("__i", "__h")))
+      .select(col(idCol), (col("__i") + 1).as("off"), col("__h"))
   }
 
   /** All window starts whose k-gram occurs ≥ 2 times corpus-wide —
-    * `(idCol, off)`, exact (hash prefilter + string verification).
+    * `(idCol, off)`, exact (rolling-digest prefilter + string
+    * verification over the surviving candidates only).
     *
     * `keepFirst = true` EXEMPTS each gram's canonical occurrence
     * (lowest doc id, then lowest offset) — the remove-all-but-one
@@ -71,14 +80,22 @@ object SubstringDedup {
   def duplicatedWindows(df: DataFrame, idCol: String, textCol: String,
       k: Int, keepFirst: Boolean = false): DataFrame = {
     val win = windowRows(df, idCol, textCol, k)
-      .withColumn("__h", xxhash64(col("gram")))
-    // phase 1: counts over 8-byte digests — the only corpus-wide
-    // exchange; phase 2: candidates re-verified on the exact string,
-    // so a hash collision can never mark a non-repeat
+    // phase 1: counts over 8-byte rolling digests — the only
+    // corpus-wide exchange, and the map side never builds a gram
+    // string (equal windows ALWAYS share a digest, so no repeat can
+    // be missed); phase 2: the candidate positions — output-sized
+    // under sparse duplication, AQE broadcasts them — join back to
+    // the token frame and ONLY THEY pay the O(k) gram slice for the
+    // exact group-by that eliminates digest collisions
     val dupH = win.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
       .select(col("__h"))
-    val cand = win.join(dupH, "__h")
+    val candPos = win.join(dupH, "__h").select(col(idCol), col("off"))
+    val cand = candPos
+      .join(tokenFrame(df, idCol, textCol), Seq(idCol))
+      .select(col(idCol), col("off"),
+        array_join(slice(col("__tk"), col("off"), lit(k)), " ")
+          .as("gram"))
     val dupG = cand.groupBy(col("gram"))
       .agg(count(lit(1)).as("__c")).filter(col("__c") >= 2)
       .select(col("gram"))

@@ -101,4 +101,42 @@ class SubstringDedupSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       SubstringDedup.repeatedSpans(df, "doc_id", "text", 1).collect())
   }
+
+  test("rolling-digest phase 1 finds EXACTLY the string-counted " +
+      "duplicated windows (random corpus with planted repeats)") {
+    // adversarial mix: shared quotes, self-repeats, near-misses that
+    // differ in one token, docs shorter than k, punctuation/case noise
+    val rnd = new scala.util.Random(41)
+    val pool = Array("the", "Quick", "fox", "42", "x,y", "end.", "of")
+    val quote = words("q", 9)
+    val docs = (Seq.tabulate(40)(i => (i.toLong,
+      (0 until 4 + rnd.nextInt(25))
+        .map(_ => pool(rnd.nextInt(pool.length))).mkString(" ") +
+        (if (i % 5 == 0) " " + quote else ""))) ++ Seq(
+      (100L, quote + " " + quote),
+      (101L, words("q", 8) + " DIFFERENT"),
+      (102L, "short doc")))
+      .toDF("doc_id", "text")
+    val k = 5
+    val got = SubstringDedup.duplicatedWindows(docs, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // reference: the O(k)-string formulation phase 1 replaced — exact
+    // window strings counted corpus-wide
+    val toks = filter(graft.operators.Decontaminate.tokens(col("text")),
+      w => length(w) > 0)
+    val win = docs.select(col("doc_id"), toks.as("tk"))
+      .select(col("doc_id"),
+        explode(when(size(col("tk")) >= k,
+          sequence(lit(1), size(col("tk")) - k + 1))
+          .otherwise(array().cast("array<int>"))).as("off"),
+        col("tk"))
+      .select(col("doc_id"), col("off"),
+        array_join(slice(col("tk"), col("off"), lit(k)), " ").as("gram"))
+    val dupG = win.groupBy("gram").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("gram")
+    val expect = win.join(dupG, "gram").select("doc_id", "off")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(expect.nonEmpty, "fixture must plant real repeats")
+    assert(got == expect)
+  }
 }
