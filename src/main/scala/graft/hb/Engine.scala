@@ -953,12 +953,35 @@ object Engine {
   /** Ordered window for `moving`/`expanding`/`ordinals`: partitioned by
     * the series key when one is active (the 100 TB path — zero
     * single-partition WindowExec), whole-frame otherwise (faithful
-    * Deedle semantics, fine post-aggregation). */
+    * Deedle semantics, fine post-aggregation).
+    *
+    * The un-keyed shape is the engine's ONE single-partition plan, so
+    * it self-polices: when the frame's optimizer size estimate exceeds
+    * `graft.window.warnBytes` (session conf, default 256 MB — a frame
+    * that size sorting through one WindowExec partition is a scale
+    * bug, not parity), a named warning prints; with
+    * `graft.window.strict = true` it RAISES instead, naming the
+    * `series:` opt-in. Plan-stats only — no job runs. */
   private def orderedWindow(f: HbFrame)
       : org.apache.spark.sql.expressions.WindowSpec = {
     val sc = f.seriesCols
     if (sc.nonEmpty) Window.partitionBy(sc: _*).orderBy(f.order: _*)
-    else Window.orderBy(f.order: _*)
+    else {
+      val conf = f.df.sparkSession.conf
+      val warnBytes = BigInt(
+        conf.get("graft.window.warnBytes", (256L << 20).toString))
+      val est = f.df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est > warnBytes) {
+        val msg = "whole-frame-window: moving/expanding without a " +
+          s"`series:` key compiles to ONE window partition (estimated " +
+          s"$est bytes > graft.window.warnBytes=$warnBytes) — key the " +
+          "window with `series: <col>` for the partitioned scale path"
+        if (conf.get("graft.window.strict", "false").toBoolean)
+          throw new IllegalArgumentException(s"strict: $msg")
+        Console.err.println(s"[graft] WARN $msg")
+      }
+      Window.orderBy(f.order: _*)
+    }
   }
 
   // ------------------------------------------------- linear regression

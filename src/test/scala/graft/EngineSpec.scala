@@ -242,6 +242,42 @@ class EngineSpec extends AnyFunSuite {
       "a whole-frame WindowExec survived the series opt-in")
   }
 
+  test("un-keyed moving/expanding above the size threshold: a named " +
+      "warning fires; strict mode raises; series:-keyed never does") {
+    val df = Ingest.localData(spark, Seq("g", "k", "v"),
+      Seq(Seq("a", 1L, 2.0), Seq("a", 2L, 4.0), Seq("b", 1L, 10.0)))
+    val conf = spark.conf
+    conf.set("graft.window.warnBytes", "0") // any frame trips it
+    try {
+      // warn path: the named warning reaches Console.err
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withErr(new java.io.PrintStream(buf)) {
+        Graft.runHb("sort by column k\ncreate column r (expanding sum [v])",
+          df).collect()
+      }
+      assert(buf.toString.contains("whole-frame-window"), buf.toString)
+      // strict path: raises, naming the series: opt-in
+      conf.set("graft.window.strict", "true")
+      val e = intercept[IllegalArgumentException] {
+        Graft.runHb("sort by column k\ncreate column m (moving mean 2 [v])",
+          df).collect()
+      }
+      assert(e.getMessage.contains("series:"), e.getMessage)
+      // a series: key silences both modes — the scale path is keyed
+      val buf2 = new java.io.ByteArrayOutputStream()
+      val out = Console.withErr(new java.io.PrintStream(buf2)) {
+        Graft.runHb(
+          "series: g\n\nsort by column k\ncreate column r (expanding sum [v])",
+          df)
+      }
+      assert(out.count() == 3)
+      assert(!buf2.toString.contains("whole-frame-window"), buf2.toString)
+    } finally {
+      conf.unset("graft.window.warnBytes")
+      conf.unset("graft.window.strict")
+    }
+  }
+
   test("Dsl withSeries keys ordered windows like the series: header") {
     import graft.hb.Dsl._
     val df = Ingest.localData(spark, Seq("g", "k", "v"),
