@@ -134,6 +134,19 @@ object SpecialTokens {
     GraftSqlBridge.column(SpecialSplitExpr(
       GraftSqlBridge.expression(text), specials, keepSpecials = true))
   }
+
+  /** The FIT-CORPUS view of a frame: `textCol` replaced by its
+    * non-special segments, one row per segment (specials contribute
+    * zero statistics to any tokenizer fit — the exclusion every
+    * trainer applies to added tokens). `specials` empty ⇒ the frame
+    * unchanged. Narrow map + explode, stream-safe. */
+  def segmentedCorpus(df: org.apache.spark.sql.DataFrame,
+      textCol: String, specials: Seq[String])
+      : org.apache.spark.sql.DataFrame =
+    if (specials.isEmpty) df
+    else df.select(org.apache.spark.sql.functions.explode(
+      special_segments(org.apache.spark.sql.functions.col(textCol),
+        specials)).as(textCol))
 }
 
 /** The splitter as a native expression — see [[SpecialTokens.split]]. */

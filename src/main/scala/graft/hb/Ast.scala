@@ -353,31 +353,39 @@ object Ast {
   case class WordPieceUsing(textCol: String, conf: String, nMerges: Int)
       extends Statement
 
-  /** `wordpiece ids <textCol> <nMerges>` — the BERT trainer-input form
-    * of [[WordPieceEnc]]: the same fit + final vocabulary, emitted as
-    * vocabFrame-layout id ARRAYS (`token_ids`: [UNK]=0, sorted
-    * vocabulary at 1..N) plus `ids_str`/`n_ids`. */
-  case class WordPieceIdsEnc(textCol: String, nMerges: Int)
-      extends Statement
+  /** `wordpiece ids <textCol> <nMerges> [tags '<t>' …]` — the BERT
+    * trainer-input form of [[WordPieceEnc]]: the same fit + final
+    * vocabulary, emitted as vocabFrame-layout id ARRAYS (`token_ids`:
+    * [UNK]=0, sorted vocabulary at 1..N) plus `ids_str`/`n_ids`. The
+    * optional `tags` clause (r14 — the [[BpeIdsEnc]] discipline for
+    * the second family) RESERVES each listed string: segmented
+    * atomically before the lowercasing tokenizer, excluded from the
+    * fit corpus, one dedicated id N+1+k above the vocabulary. */
+  case class WordPieceIdsEnc(textCol: String, nMerges: Int,
+      tags: Seq[String] = Nil) extends Statement
 
-  /** `wordpiece ids <textCol> using <conf> <nMerges>` —
+  /** `wordpiece ids <textCol> using <conf> <nMerges> [tags '<t>' …]` —
     * [[WordPieceIdsEnc]] with the model fit OFFLINE on a named batch
-    * configuration (persisted under a bound store): BERT input_ids at
-    * ingest as a stateless codegen'd narrow map. */
+    * configuration (persisted under a bound store; the tags list is
+    * part of the stored-model key): BERT input_ids at ingest as a
+    * stateless codegen'd narrow map. */
   case class WordPieceIdsUsing(textCol: String, conf: String,
-      nMerges: Int) extends Statement
+      nMerges: Int, tags: Seq[String] = Nil) extends Statement
 
-  /** `unigram ids <textCol> <topMulti>` — the trainer-input form of
-    * [[UnigramEnc]]: the refined model's pieces emitted as sorted-order
-    * id ARRAYS (`[UNK]` = 0), plus `ids_str`/`n_ids`. */
-  case class UnigramIdsEnc(textCol: String, topMulti: Int)
-      extends Statement
+  /** `unigram ids <textCol> <topMulti> [tags '<t>' …]` — the
+    * trainer-input form of [[UnigramEnc]]: the refined model's pieces
+    * emitted as sorted-order id ARRAYS (`[UNK]` = 0), plus
+    * `ids_str`/`n_ids`. The optional `tags` clause (r14) reserves
+    * specials exactly as [[WordPieceIdsEnc]]'s. */
+  case class UnigramIdsEnc(textCol: String, topMulti: Int,
+      tags: Seq[String] = Nil) extends Statement
 
-  /** `unigram ids <textCol> using <conf> <topMulti>` —
+  /** `unigram ids <textCol> using <conf> <topMulti> [tags '<t>' …]` —
     * [[UnigramIdsEnc]] with the model fit OFFLINE on a named batch
-    * configuration (persisted under a bound store). */
+    * configuration (persisted under a bound store; the tags list is
+    * part of the stored-model key). */
   case class UnigramIdsUsing(textCol: String, conf: String,
-      topMulti: Int) extends Statement
+      topMulti: Int, tags: Seq[String] = Nil) extends Statement
 
   /** `fertility <textCol> using <conf> <nMerges>` — the tokenizer
     * OBSERVABILITY statement at ingest (r13): under a byte table fit

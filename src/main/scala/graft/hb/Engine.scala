@@ -405,24 +405,40 @@ object Engine {
       // key unchanged
       f.copy(df = graft.operators.SpanCorrupt.fim(f.df, KEY, c, pm, salt))
 
-    case UnigramIdsEnc(c, n) =>
-      // unigram trainer-input twin: refined model, sorted-order ids
-      val model = graft.operators.Unigram.fitEm(f.df, c, n)
+    case UnigramIdsEnc(c, n, tags) =>
+      // unigram trainer-input twin: refined model, sorted-order ids.
+      // With a `tags` clause the listed strings are RESERVED: excluded
+      // from the fit corpus (segmentedCorpus — tag text contributes
+      // zero piece statistics) and each occurrence ONE dedicated id
+      // above the sorted piece layout
+      val ugFit = graft.functions.SpecialTokens
+        .segmentedCorpus(f.df, c, tags)
+      val model = graft.operators.Unigram.fitEm(ugFit, c, n)
+      val ugIds =
+        if (tags.isEmpty) graft.operators.Unigram.encodeIdsCol(col(c), model)
+        else graft.operators.Unigram.encodeIdsCol(col(c), model, tags, 6)
       f.copy(df = f.df
-        .withColumn("token_ids",
-          graft.operators.Unigram.encodeIdsCol(col(c), model))
+        .withColumn("token_ids", ugIds)
         .withColumn("ids_str",
           concat_ws(" ", col("token_ids").cast("array<string>")))
         .withColumn("n_ids",
           when(col("token_ids").isNotNull,
             size(col("token_ids")).cast("long"))))
 
-    case WordPieceIdsEnc(c, n) =>
+    case WordPieceIdsEnc(c, n, tags) =>
       // BERT trainer-input twin of `wordpiece`: same fit + final
-      // vocabulary, emitted as vocabFrame-layout id arrays
-      val vocab = graft.operators.WordPiece.vocabulary(f.df, c,
-        graft.operators.WordPiece.fit(f.df, c, n, minCount = 1L))
-      val idsCol = graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
+      // vocabulary, emitted as vocabFrame-layout id arrays; `tags`
+      // reserve specials exactly as `bpe ids`' clause (fit-excluded,
+      // dedicated ids N+1+k, case-exact through the lowercasing walk)
+      val wpFit = graft.functions.SpecialTokens
+        .segmentedCorpus(f.df, c, tags)
+      val vocab = graft.operators.WordPiece.vocabulary(wpFit, c,
+        graft.operators.WordPiece.fit(wpFit, c, n, minCount = 1L))
+      val idsCol =
+        if (tags.isEmpty)
+          graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
+        else
+          graft.operators.WordPiece.encodeIdsCol(col(c), vocab, tags, 16)
       f.copy(df = f.df
         .withColumn("token_ids", idsCol)
         .withColumn("ids_str",

@@ -357,6 +357,24 @@ object HbParser {
     e
   }
 
+  /** Optional trailing `tags '<t1>' '<t2>' …` clause — shared by the
+    * `bpe ids` / `wordpiece ids` / `unigram ids` families (and their
+    * `using` twins): the listed strings become RESERVED special
+    * tokens. */
+  private def tagsClause(p: P): Seq[String] =
+    if (p.atIdent("tags")) {
+      p.eat("tags")
+      val out = mutable.ArrayBuffer[String]()
+      var more = true
+      while (more) p.peek match {
+        case Some(TStr(s)) => p.next(); out += s
+        case _ => more = false
+      }
+      if (out.isEmpty)
+        p.err("`tags` needs at least one quoted token")
+      out.toSeq
+    } else Nil
+
   def parseStatement(line: String, lineNo: Int = 0): Statement = {
     val p = new P(lex(line, lineNo), lineNo)
     val st = p.ident() match {
@@ -711,27 +729,14 @@ object HbParser {
         } else if (p.atIdent("ids")) {
           p.eat("ids")
           val c = p.colName()
-          def tags(): Seq[String] =
-            if (p.atIdent("tags")) {
-              p.eat("tags")
-              val out = mutable.ArrayBuffer[String]()
-              var more = true
-              while (more) p.peek match {
-                case Some(TStr(s)) => p.next(); out += s
-                case _ => more = false
-              }
-              if (out.isEmpty)
-                p.err("`tags` needs at least one quoted token")
-              out.toSeq
-            } else Nil
           if (p.atIdent("using")) {
             p.eat("using")
             val conf = p.colName()
             val n = p.int()
-            BpeIdsUsing(c, conf, n, tags())
+            BpeIdsUsing(c, conf, n, tagsClause(p))
           } else {
             val n = p.int()
-            BpeIdsEnc(c, n, tags())
+            BpeIdsEnc(c, n, tagsClause(p))
           }
         } else {
           val c = p.colName()
@@ -793,8 +798,12 @@ object HbParser {
           if (p.atIdent("using")) {
             p.eat("using")
             val conf = p.colName()
-            UnigramIdsUsing(c, conf, p.int())
-          } else UnigramIdsEnc(c, p.int())
+            val n = p.int()
+            UnigramIdsUsing(c, conf, n, tagsClause(p))
+          } else {
+            val n = p.int()
+            UnigramIdsEnc(c, n, tagsClause(p))
+          }
         } else {
         val c = p.colName()
         if (p.atIdent("using")) {
@@ -810,8 +819,12 @@ object HbParser {
           if (p.atIdent("using")) {
             p.eat("using")
             val conf = p.colName()
-            WordPieceIdsUsing(c, conf, p.int())
-          } else WordPieceIdsEnc(c, p.int())
+            val n = p.int()
+            WordPieceIdsUsing(c, conf, n, tagsClause(p))
+          } else {
+            val n = p.int()
+            WordPieceIdsEnc(c, n, tagsClause(p))
+          }
         } else {
           val c = p.colName()
           if (p.atIdent("using")) {

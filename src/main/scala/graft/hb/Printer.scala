@@ -127,14 +127,14 @@ object Printer {
       s"unigram ${name(c)} using ${name(conf)} $n"
     case WordPieceUsing(c, conf, n) =>
       s"wordpiece ${name(c)} using ${name(conf)} $n"
-    case WordPieceIdsEnc(c, n) =>
-      s"wordpiece ids ${name(c)} $n"
-    case WordPieceIdsUsing(c, conf, n) =>
-      s"wordpiece ids ${name(c)} using ${name(conf)} $n"
-    case UnigramIdsEnc(c, n) =>
-      s"unigram ids ${name(c)} $n"
-    case UnigramIdsUsing(c, conf, n) =>
-      s"unigram ids ${name(c)} using ${name(conf)} $n"
+    case WordPieceIdsEnc(c, n, tags) =>
+      s"wordpiece ids ${name(c)} $n" + tagsSuffix(tags)
+    case WordPieceIdsUsing(c, conf, n, tags) =>
+      s"wordpiece ids ${name(c)} using ${name(conf)} $n" + tagsSuffix(tags)
+    case UnigramIdsEnc(c, n, tags) =>
+      s"unigram ids ${name(c)} $n" + tagsSuffix(tags)
+    case UnigramIdsUsing(c, conf, n, tags) =>
+      s"unigram ids ${name(c)} using ${name(conf)} $n" + tagsSuffix(tags)
     case BpeIdsDecode(c) =>
       s"decode ids ${name(c)}"
     case BpeIdsDecodeUsing(c, conf, n, tc) =>

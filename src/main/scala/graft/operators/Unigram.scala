@@ -181,13 +181,20 @@ object Unigram {
     * change; otherwise corpus growth does NOT re-train, by design. */
   def fitStored(df: DataFrame, textCol: String, topMulti: Int,
       ugKey: String, store: graft.cache.LineageCache,
-      maxPieceLen: Int = 6): Seq[Piece] = {
+      maxPieceLen: Int = 6, specials: Seq[String] = Nil): Seq[Piece] = {
+    // specials change the fit corpus (tag text excluded) → part of the
+    // key, length-prefixed for injectivity (the Bpe.fitStored rule)
     val k = store.key("unigram",
-      Seq(ugKey, textCol, topMulti.toString, maxPieceLen.toString))
+      Seq(ugKey, textCol, topMulti.toString, maxPieceLen.toString) ++
+        (if (specials.isEmpty) Nil
+         else Seq("specials",
+           specials.map(s => s"${s.length}:$s").mkString(","))))
     val pdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._
-      fitEm(df, textCol, topMulti, maxPieceLen)
+      fitEm(graft.functions.SpecialTokens
+          .segmentedCorpus(df, textCol, specials),
+        textCol, topMulti, maxPieceLen)
         .map(p => (p.piece, p.freq, p.costBits))
         .toDF("piece", "freq", "cost_bits")
     }

@@ -372,13 +372,20 @@ object WordPiece {
     * design. */
   def fitStored(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long, wpKey: String,
-      store: graft.cache.LineageCache): Seq[Merge] = {
+      store: graft.cache.LineageCache,
+      specials: Seq[String] = Nil): Seq[Merge] = {
+    // a specials list changes the FIT CORPUS (tag text excluded from
+    // the statistics), so it is part of the artifact key — length-
+    // prefixed per special for injectivity (the Bpe.fitStored rule)
     val k = store.key("wordpiece",
-      Seq(wpKey, textCol, nMerges.toString, minCount.toString))
+      Seq(wpKey, textCol, nMerges.toString, minCount.toString) ++
+        specialsKeyPart(specials))
+    val fitDf = graft.functions.SpecialTokens
+      .segmentedCorpus(df, textCol, specials)
     val mdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._
-      fitLocal(df, textCol, nMerges, minCount)
+      fitLocal(fitDf, textCol, nMerges, minCount)
         .map(m => (m.rank, m.left, m.right, m.scoreFp))
         .toDF("rank", "left", "right", "score_fp")
     }
@@ -388,6 +395,11 @@ object WordPiece {
       .sortBy(_.rank).toSeq
   }
 
+  private def specialsKeyPart(specials: Seq[String]): Seq[String] =
+    if (specials.isEmpty) Nil
+    else Seq("specials",
+      specials.map(s => s"${s.length}:$s").mkString(","))
+
   /** The ENCODER-ready persisted artifact: the final vocabulary
     * (corpus alphabet + merged pieces) under the same store contract as
     * [[fitStored]] — the alphabet scan is itself a corpus pass, so a
@@ -396,14 +408,19 @@ object WordPiece {
     * that loads this list encodes identically forever. */
   def vocabularyStored(df: DataFrame, textCol: String, nMerges: Int,
       minCount: Long, wpKey: String,
-      store: graft.cache.LineageCache): Seq[String] = {
+      store: graft.cache.LineageCache,
+      specials: Seq[String] = Nil): Seq[String] = {
     val k = store.key("wordpiece_vocab",
-      Seq(wpKey, textCol, nMerges.toString, minCount.toString))
+      Seq(wpKey, textCol, nMerges.toString, minCount.toString) ++
+        specialsKeyPart(specials))
     val vdf = store.getOrCompute(k) {
       val spark = df.sparkSession
       import spark.implicits._
-      vocabulary(df, textCol,
-        fitStored(df, textCol, nMerges, minCount, wpKey, store))
+      // the alphabet scan runs over the same specials-excluded corpus
+      // as the merges (a tag's literal characters must not leak in)
+      vocabulary(graft.functions.SpecialTokens
+          .segmentedCorpus(df, textCol, specials), textCol,
+        fitStored(df, textCol, nMerges, minCount, wpKey, store, specials))
         .toDF("piece")
     }
     // alphabet + merges rows by the vocabulary contract — bounded

@@ -1563,6 +1563,43 @@ object HbGates {
         .orderBy(col("doc_id")),
       Some(TextGates.wordPieceIdsOracleSql)),
 
+    // WordPiece RESERVED tags through the statement surface (r14 —
+    // `wordpiece ids … tags`): the listed strings segment atomically
+    // before the lowercasing walk, are EXCLUDED from the fit corpus
+    // (segmentedCorpus — so the fit statistics equal the untagged
+    // text's), and carry dedicated ids N+1+k. Shares
+    // t_wordpiece_specials' full oracle: the engine's fit over the
+    // segmented tagged column reproduces the raw-text fit exactly
+    // (whitespace tokens are invariant under tag splicing).
+    Gate("hb_wordpiece_tags",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |wordpiece ids tagged 6 tags '<|DOC|>' '<|END|>'
+          |create column doc_id keys
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin,
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<|DOC|> "), col("text"), lit(" <|END|>"))
+            .as("tagged")))
+        .orderBy(col("doc_id")),
+      Some(TextGates.wordPieceSpecialsOracleSql)),
+
+    // Unigram reserved tags through the statement surface (r14 —
+    // `unigram ids … tags`): same discipline for the third family;
+    // shares t_unigram_specials' full oracle.
+    Gate("hb_unigram_tags",
+      (s, d) => Graft.runHb(
+        """index rows by doc_id
+          |unigram ids tagged 16 tags '<|DOC|>' '<|END|>'
+          |create column doc_id keys
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin,
+        t(s, d, "documents").select(col("doc_id"),
+          concat(lit("<|DOC|> "), col("text"), lit(" <|END|>"))
+            .as("tagged")))
+        .orderBy(col("doc_id")),
+      Some(TextGates.unigramSpecialsOracleSql)),
+
     // The trainer-input ids form through the statement surface (r12 —
     // `bpe ids`): the same byte-level table as `bpe bytes`, emitted as
     // GPT-2-layout id arrays, the shape `emit packed` consumes. The

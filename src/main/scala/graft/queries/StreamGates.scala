@@ -461,6 +461,56 @@ object StreamGates {
         .orderBy(col("doc_id")),
       Some(TextGates.wordPieceIdsOracleSql)),
 
+    // WordPiece reserved tags AT INGEST (r14 — `wordpiece ids … using
+    // … tags`): the vocabulary fits offline on the configuration with
+    // the tag text EXCLUDED (and the tags in the stored-model key);
+    // the live stream segments each document around the tags and
+    // encodes them as dedicated ids N+1+k. The tagged fit corpus's
+    // whitespace tokens equal the raw text's, so the gate shares
+    // t_wordpiece_specials' full oracle.
+    Gate("st_hb_wordpiece_tags", (s, d) => {
+      val tagged = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("doc_id"),
+          concat(lit("<|DOC|> "), col("text"), lit(" <|END|>"))
+            .as("tagged"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      graft.streaming.StreamHb.runToMemory(s,
+        """wordpiece ids tagged using corpus 6 tags '<|DOC|>' '<|END|>'
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, tagged(stream), "st_hb_wordpiece_tags_out",
+        resolve = {
+          case "corpus" => tagged(Gate.t(s, d, "documents"))
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id"))
+    },
+      Some(TextGates.wordPieceSpecialsOracleSql)),
+
+    // Unigram reserved tags AT INGEST (r14 — `unigram ids … using …
+    // tags`): same discipline for the third family; shares
+    // t_unigram_specials' full oracle.
+    Gate("st_hb_unigram_tags", (s, d) => {
+      val tagged = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("doc_id"),
+          concat(lit("<|DOC|> "), col("text"), lit(" <|END|>"))
+            .as("tagged"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      graft.streaming.StreamHb.runToMemory(s,
+        """unigram ids tagged using corpus 16 tags '<|DOC|>' '<|END|>'
+          |slice columns doc_id ids_str n_ids
+          |""".stripMargin, tagged(stream), "st_hb_unigram_tags_out",
+        resolve = {
+          case "corpus" => tagged(Gate.t(s, d, "documents"))
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id"))
+    },
+      Some(TextGates.unigramSpecialsOracleSql)),
+
     // Trainer-input ids AT INGEST (r12 — `bpe ids … using`): the byte
     // table fits offline on the batch configuration; the live stream
     // emits GPT-2-layout id arrays (plus the row-printable space-joined

@@ -303,42 +303,58 @@ object StreamHb {
         }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeColFast(col(c), merges)))
-      case (f, UnigramIdsUsing(c, conf, n)) =>
+      case (f, UnigramIdsUsing(c, conf, n, tags)) =>
         // unigram trainer-input ids at ingest: refined model fits
-        // offline (stored tier when bound); the stream runs the
-        // compiled Viterbi + the constant-folded id map
+        // offline (stored tier when bound; reserved tags excluded from
+        // the fit and part of the store key); the stream runs the
+        // compiled Viterbi + the constant-folded id map, tags as
+        // dedicated ids above the piece layout
         val ugDf = resolve(conf)
         val model = store match {
           case Some(lc) => graft.operators.Unigram.fitStored(
-            ugDf, c, n, conf, lc)
-          case None => graft.operators.Unigram.fitEm(ugDf, c, n)
+            ugDf, c, n, conf, lc, specials = tags)
+          case None => graft.operators.Unigram.fitEm(
+            graft.functions.SpecialTokens.segmentedCorpus(ugDf, c, tags),
+            c, n)
         }
+        val ugIds =
+          if (tags.isEmpty)
+            graft.operators.Unigram.encodeIdsCol(col(c), model)
+          else graft.operators.Unigram.encodeIdsCol(col(c), model, tags, 6)
         f.copy(df = f.df
           .repartition(f.df.sparkSession.sessionState.conf
             .numShufflePartitions)
-          .withColumn("token_ids",
-            graft.operators.Unigram.encodeIdsCol(col(c), model))
+          .withColumn("token_ids", ugIds)
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
           .withColumn("n_ids",
             when(col("token_ids").isNotNull,
               size(col("token_ids")).cast("long"))))
-      case (f, WordPieceIdsUsing(c, conf, n)) =>
+      case (f, WordPieceIdsUsing(c, conf, n, tags)) =>
         // BERT input_ids at ingest: vocabulary fits offline (persisted
-        // under a bound store); the stream side is the stateless greedy
-        // id encode, repartitioned off the one-task-per-file source
+        // under a bound store; reserved tags excluded from the fit and
+        // part of the store key); the stream side is the stateless
+        // greedy id encode, repartitioned off the one-task-per-file
+        // source, tags as dedicated ids N+1+k
         val wpDf = resolve(conf)
         val vocab = store match {
           case Some(lc) => graft.operators.WordPiece.vocabularyStored(
-            wpDf, c, n, 1L, conf, lc)
-          case None => graft.operators.WordPiece.vocabulary(wpDf, c,
-            graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+            wpDf, c, n, 1L, conf, lc, specials = tags)
+          case None =>
+            val fitDf = graft.functions.SpecialTokens
+              .segmentedCorpus(wpDf, c, tags)
+            graft.operators.WordPiece.vocabulary(fitDf, c,
+              graft.operators.WordPiece.fit(fitDf, c, n, minCount = 1L))
         }
+        val wpIds =
+          if (tags.isEmpty)
+            graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
+          else
+            graft.operators.WordPiece.encodeIdsCol(col(c), vocab, tags, 16)
         f.copy(df = f.df
           .repartition(f.df.sparkSession.sessionState.conf
             .numShufflePartitions)
-          .withColumn("token_ids",
-            graft.operators.WordPiece.encodeIdsCol(col(c), vocab))
+          .withColumn("token_ids", wpIds)
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
           .withColumn("n_ids",

@@ -272,6 +272,29 @@ class ParserSpec extends AnyFunSuite {
       UnigramIdsUsing("text", "corpus", 16))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       UnigramIdsUsing("t", "c", 9)).trim) == UnigramIdsUsing("t", "c", 9))
+    // r14: the tags clause on the wordpiece/unigram ids families —
+    // parse + print→parse round trip, batch and using forms
+    assert(HbParser.parseStatement(
+      "wordpiece ids tagged 6 tags '<|DOC|>' '<|END|>'") ==
+      WordPieceIdsEnc("tagged", 6, Seq("<|DOC|>", "<|END|>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      WordPieceIdsEnc("t", 9, Seq("<A>", "<B>"))).trim) ==
+      WordPieceIdsEnc("t", 9, Seq("<A>", "<B>")))
+    assert(HbParser.parseStatement(
+      "wordpiece ids t using c 6 tags '<X>'") ==
+      WordPieceIdsUsing("t", "c", 6, Seq("<X>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      WordPieceIdsUsing("t", "c", 9, Seq("<A>"))).trim) ==
+      WordPieceIdsUsing("t", "c", 9, Seq("<A>")))
+    assert(HbParser.parseStatement(
+      "unigram ids tagged 16 tags '<|DOC|>'") ==
+      UnigramIdsEnc("tagged", 16, Seq("<|DOC|>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      UnigramIdsEnc("t", 9, Seq("<A>", "<B>"))).trim) ==
+      UnigramIdsEnc("t", 9, Seq("<A>", "<B>")))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      UnigramIdsUsing("t", "c", 9, Seq("<A>"))).trim) ==
+      UnigramIdsUsing("t", "c", 9, Seq("<A>")))
     assert(HbParser.parseStatement("decode ids token_ids using corpus 6")
       == BpeIdsDecodeUsing("token_ids", "corpus", 6))
     assert(HbParser.parseStatement(

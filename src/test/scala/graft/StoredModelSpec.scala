@@ -146,4 +146,36 @@ class StoredModelSpec extends AnyFunSuite {
     assert(wp2.toSeq == wp1.toSeq)
     assert(ug2.toSeq == ug1.toSeq)
   }
+
+  test("specials lists are INJECTIVE in the store key: tag lists whose " +
+      "flat joins collide never share a cached model") {
+    val root = java.nio.file.Files
+      .createTempDirectory("sp_store").toString
+    val store = new LineageCache(spark, root)
+    val docs = corpus
+    // '<a,b>' vs '<a' + 'b>': identical under mkString(",") — the
+    // length-prefixed key must keep them distinct for all 3 families
+    val a = Seq("<a,b>")
+    val b = Seq("<a", "b>")
+    val wpA = WordPiece.vocabularyStored(docs, "text", 4, 1L, "k", store,
+      specials = a)
+    val wpB = WordPiece.vocabularyStored(docs, "text", 4, 1L, "k", store,
+      specials = b)
+    assert(wpA == wpB, "same corpus stats — vocab equal, keys distinct")
+    val ugA = Unigram.fitStored(docs, "text", 8, "k", store, specials = a)
+    val ugB = Unigram.fitStored(docs, "text", 8, "k", store, specials = b)
+    assert(ugA == ugB)
+    val bpA = graft.operators.Bpe.fitStored(docs, "text", 4, 1L, "k",
+      store, byteLevel = true, specials = a)
+    val bpB = graft.operators.Bpe.fitStored(docs, "text", 4, 1L, "k",
+      store, byteLevel = true, specials = b)
+    // byte fits EXCLUDE tag text: '<a,b>' and '<a'/'b>' segment the
+    // corpus identically here (no tag occurs in it) so the merge
+    // tables match — but each list must have hit its own key slot
+    assert(bpA == bpB)
+    val slots = new java.io.File(root).listFiles()
+    assert(slots != null && slots.length >= 6,
+      s"expected >= 6 distinct store slots, got ${slots.length}: " +
+        slots.map(_.getName).mkString(", "))
+  }
 }
