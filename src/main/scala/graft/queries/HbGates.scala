@@ -2125,6 +2125,37 @@ object HbGates {
              |GROUP BY i.purchase_id
              |ORDER BY purchase_id ASC NULLS FIRST""".stripMargin)),
 
+    // S1 OData provider, driver-checked END-TO-END over REAL HTTP
+    // (r14): an in-process com.sun.net.httpserver fixture
+    // (sources/ODataFixture) serves the documents parquet as paged
+    // OData JSON — $select/$filter honored server-side, every response
+    // capped at 100 rows with an @odata.nextLink continuation (the
+    // reference's pagination loop, tools/visualizer/cli/src/
+    // ODataProvider.fs:70-87). The DSv2 source reads it through the
+    // DEFAULT HttpFetcher over loopback: filter pushdown reaches the
+    // wire as `$filter=(n_chars ne null) and (n_chars ge 200)`, column
+    // pruning as `$select=doc_id,lang,n_chars` (the wide text column
+    // never crosses), and the executor walks the continuation chain.
+    // Oracle: the same table read directly. ODataSourceSpec pins the
+    // pruning counters (rows served ≈ result size, pages > 1).
+    Gate("s1_odata_provider",
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val url = graft.sources.ODataFixture.serve(docs,
+          "documents_" + d.replaceAll("[^A-Za-z0-9]", "_"),
+          pageCap = 100)
+        s.read.format("graft-odata")
+          .schema(docs.schema)
+          .option("url", url)
+          .load()
+          .filter(col("n_chars") >= 200L)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE n_chars >= 200
+             |ORDER BY doc_id ASC NULLS FIRST""".stripMargin)),
+
     // S2 REST provider, driver-checked end-to-end in-process (the same
     // move as s10: zero-egress sandbox, so the HTTP layer is a fake
     // Fetcher with a deterministic two-URL payload, but the parse →

@@ -405,4 +405,40 @@ class ODataSourceSpec extends AnyFunSuite {
     // binary still stays residual-only
     assert(tr(EqualTo("b", Array[Byte](1, 2))).isEmpty)
   }
+
+  test("fixture end-to-end over real loopback HTTP: pagination chain, " +
+      "server-side $filter pruning, $select column pruning") {
+    import spark.implicits._
+    val df = (1L to 500L).map(i =>
+      (i, s"name_$i it's 'quoted' \" and \\ unicode é", i % 7 == 0,
+        i.toDouble / 3.0)).toDF("id", "name", "flag", "score")
+    val url = graft.sources.ODataFixture.serve(df, "spec_items",
+      pageCap = 40)
+    graft.sources.ODataFixture.resetStats("spec_items")
+    // filtered + pruned read through the DEFAULT HttpFetcher
+    // no orderBy here: a global sort adds a range-partitioner SAMPLING
+    // pass (a second wire scan) that would double the counters below —
+    // sort driver-side instead
+    val out = spark.read.format("graft-odata")
+      .schema(df.schema)
+      .option("url", url)
+      .load()
+      .filter(col("id") > 300L)
+      .select("id", "name")
+      .collect().sortBy(_.getLong(0))
+    val expect = df.filter(col("id") > 300L).select("id", "name")
+      .orderBy("id").collect()
+    assert(out.toSeq == expect.toSeq) // adversarial strings survive JSON
+    val (reqs, rowsServed) = graft.sources.ODataFixture.stats("spec_items")
+    // server honored $filter: only the 200 matching rows crossed the
+    // wire (not 500) — pushdown reached the service
+    assert(rowsServed == 200L, s"rows served: $rowsServed")
+    // pagination actually chained: 200 rows at pageCap 40 = 5 pages
+    assert(reqs == 5L, s"requests: $reqs")
+    // unfiltered unpruned read still correct (and serves everything)
+    graft.sources.ODataFixture.resetStats("spec_items")
+    assert(spark.read.format("graft-odata").schema(df.schema)
+      .option("url", url).load().count() == 500L)
+    assert(graft.sources.ODataFixture.stats("spec_items")._2 == 500L)
+  }
 }
