@@ -84,6 +84,20 @@ object Engine {
   def runHb(text: String, source: DataFrame): DataFrame =
     run(HbParser.parse(text), source)
 
+  /** Run KEEPING the engine key and applying the frame's row order —
+    * the chart/series view: the reference renders chart series from
+    * the keyed DataMatrix (`AsTable()` = column → ordered (key, value)
+    * pairs, tools/visualizer/cli/src/Chart.fs:181-199), so the key
+    * column and the row order are the payload here, not internals.
+    * See [[Render.series]] / [[Render.seriesJson]]. */
+  def runKeyed(program: Program, source: DataFrame): DataFrame = {
+    val f = program.transformations.foldLeft(
+      fromSource(source, seriesOf(program.header))) {
+      (fr, st) => applyStatement(fr, st)
+    }
+    f.df.orderBy(f.order: _*)
+  }
+
   private def seriesOf(h: Header): Seq[String] =
     h.props.get("series").toSeq
       .flatMap(_.split("[,\\s]+")).filter(_.nonEmpty)

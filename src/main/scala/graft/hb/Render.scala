@@ -62,4 +62,78 @@ object Render {
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
       .replace("\"", "&quot;")
+
+  // ------------------------------------------------------ chart series
+
+  /** Column-series view of a KEYED frame ([[Engine.runKeyed]]) — the
+    * reference's `DataMatrix.AsTable()` consumer shape: one entry per
+    * non-key column holding the frame's ORDERED (key, value) pairs.
+    * Composite (struct) keys — multi-column `group by` — join their
+    * parts with `listSep`, exactly the reference's KeyType.List
+    * handling: "." in the CLI chart renderer
+    * (tools/visualizer/cli/src/Chart.fs:186-192), "-" in the web
+    * reader (tools/visualizer/web/src/Server/Reader.fs:196-204).
+    * Scalar keys pass through typed (numbers stay numbers). A missing
+    * (null) key RAISES — Reader.fs:204: "A key can't be missing".
+    * Driver-side and row-bounded by contract, like the HTML table. */
+  def series(keyedDf: DataFrame, maxRows: Int = 10000,
+      listSep: String = "."): Seq[(String, Seq[(Any, Any)])] = {
+    require(keyedDf.columns.contains(Engine.KEY),
+      "series needs the engine-keyed frame — run via Engine.runKeyed")
+    val allCols = keyedDf.columns.toSeq
+    val ki = allCols.indexOf(Engine.KEY)
+    val rows = keyedDf.limit(maxRows).collect().toSeq
+    allCols.filterNot(_ == Engine.KEY).map { c =>
+      val ci = allCols.indexOf(c)
+      c -> rows.map { r =>
+        if (r.isNullAt(ki))
+          throw new IllegalArgumentException("a key can't be missing")
+        (keyRender(r.get(ki), listSep), r.get(ci))
+      }
+    }
+  }
+
+  /** The web reader's chart JSON (Reader.fs:221-231): an array of
+    * series, each an array of `{"x":…,"y":…}` points, column names
+    * dropped, list keys joined "-", numbers as bare JSON numbers
+    * (integral floats print without the decimal point — the F#
+    * `string 5.0 = "5"` convention), everything else quoted text. */
+  def seriesJson(keyedDf: DataFrame, maxRows: Int = 10000): String =
+    series(keyedDf, maxRows, listSep = "-").map { case (_, pts) =>
+      pts.map { case (x, y) =>
+        s"""{"x":${pointJson(x)},"y":${pointJson(y)}}"""
+      }.mkString("[", ",", "]")
+    }.mkString("[", ",", "]")
+
+  private def keyRender(k: Any, sep: String): Any = k match {
+    case r: org.apache.spark.sql.Row =>
+      (0 until r.length).map(i =>
+        if (r.isNullAt(i)) "" else r.get(i).toString).mkString(sep)
+    case v => v
+  }
+
+  private def pointJson(v: Any): String = v match {
+    case null => "null"
+    case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
+    case d: Double => numJson(d)
+    case f: Float => numJson(f.toDouble)
+    case d: java.math.BigDecimal => numJson(d.doubleValue())
+    case s => "\"" + jsonEsc(s.toString) + "\""
+  }
+
+  private def numJson(d: Double): String =
+    if (d.isNaN || d.isInfinite) "\"" + d.toString + "\""
+    else if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
 }

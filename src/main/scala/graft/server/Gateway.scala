@@ -120,6 +120,9 @@ final class Gateway(
           case ("GET", p) if p.startsWith("/html/") =>
             getHtml(ex, java.net.URLDecoder.decode(
               p.stripPrefix("/html/"), "UTF-8"))
+          case ("GET", p) if p.startsWith("/chart/") =>
+            getChart(ex, java.net.URLDecoder.decode(
+              p.stripPrefix("/chart/"), "UTF-8"))
           case _ => respond(ex, 404, s"no route ${ex.getRequestMethod} $path")
         }
       }
@@ -252,6 +255,45 @@ final class Gateway(
             s"'$name' is a workbench-shape configuration — html render " +
               "needs an hb program upload")
         else respond(ex, 404, s"no configuration '$name'")
+    }
+
+  /** Chart-series JSON — the reference visualizer's end product
+    * (tools/visualizer/web/src/Server/Reader.fs:189-231): the named
+    * configuration re-run KEEPING the engine key and row order, then
+    * emitted as an array of per-column series of `{"x","y"}` points
+    * (list keys joined "-", numbers bare, text quoted — see
+    * [[graft.hb.Render.seriesJson]]). Cached in the response LRU under
+    * the lineage key like the JSON route: a repeat GET of unchanged
+    * content runs zero Spark jobs. */
+  private def getChart(ex: HttpExchange, name: String): Unit = {
+    val lk = lineageKeyOf(name, Set.empty).map("chart:" + _)
+    lk.flatMap(k => Option(responses.get(k))) match {
+      case Some((body, _)) => respond(ex, 200, body)
+      case None => resolveKeyed(name) match {
+        case None => respond(ex, 404, s"no configuration '$name'")
+        case Some(df) =>
+          val body = graft.hb.Render.seriesJson(df, maxRows)
+          lk.foreach(k => responses.put(k, (body, false)): Unit)
+          respond(ex, 200, body)
+      }
+    }
+  }
+
+  /** [[resolve]]'s keyed twin for the chart route: the key column and
+    * the frame order are the series payload, so no `.result` strip and
+    * no frame-level lineage cache (the cached parquet holds RESULT
+    * frames; charts cache at the response layer instead). */
+  private def resolveKeyed(name: String): Option[DataFrame] =
+    programs.get(name) match {
+      case Some(p) =>
+        Some(Engine.runKeyed(p, Providers.fromHeader(spark, p.header,
+          dataDir, fetch, resolveEnv = false)))
+      case None => configurations.get(name).map { case (src, ts) =>
+        val source = resolveSource(src, Set(name))
+        val stmts = ts.flatMap(t => transformations.getOrElse(t,
+          throw new NoSuchElementException(s"no transformation '$t'")))
+        Engine.runKeyed(Program(Header(Map(), Map(), Map()), stmts), source)
+      }
     }
 
   /** Run a configuration by name: `{name, hb}` programs resolve their

@@ -125,6 +125,42 @@ class GatewaySpec extends AnyFunSuite {
     }
   }
 
+  test("GET /chart emits the web reader's series JSON — per-column " +
+      "{x,y} point arrays off the KEYED frame (Reader.fs:189-231)") {
+    withGateway { base =>
+      val hb = """provider: parquet
+        |table: documents
+        |
+        |group by lang -> count
+        |create column lang keys
+        |sort by column lang
+        |slice columns n_chars
+        |""".stripMargin
+      assert(put(base, "/admin/configuration",
+        s"""{"name": "bylang", "hb": ${quote(hb)}}""").statusCode() == 200)
+      val res = get(base, "/chart/bylang")
+      assert(res.statusCode() == 200, res.body())
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = m.readTree(res.body())
+      assert(arr.isArray && arr.size() == 1, res.body()) // one series
+      val pts = arr.get(0)
+      val expect = queries.Gate
+        .t(spark, "/root/testdata/sf0.001", "documents")
+        .groupBy("lang").count()
+        .orderBy("lang").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(pts.size() == expect.size)
+      expect.zipWithIndex.foreach { case ((lang, n), i) =>
+        assert(pts.get(i).get("x").asText() == lang)
+        assert(pts.get(i).get("y").asLong() == n)
+      }
+      // repeat GET serves the LRU'd response; unknown names 404
+      assert(get(base, "/chart/bylang").statusCode() == 200)
+      assert(get(base, "/chart/nope").statusCode() == 404)
+      assert(getNoAuth(base, "/chart/bylang").statusCode() == 401)
+    }
+  }
+
   test("workbench shape: localdata source + named transformation chain") {
     withGateway { base =>
       assert(put(base, "/admin/transformation",
