@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** TRAINABLE language identification — multiclass hashed Naive Bayes
+  * over character trigrams, the learned upgrade of the stopword-marker
+  * heuristic (`functions.TextSignals.langid`): the heuristic knows the
+  * ~10 languages someone wrote markers for; this fits on ANY labeled
+  * seed corpus (CLD/fastText's langid setup is char-n-gram NB/linear —
+  * Cavnar & Trenkle 1994's n-gram profiles are the classic citation)
+  * and covers whatever the seeds cover — e.g. zh, where a Latin
+  * stopword list is structurally blind.
+  *
+  * Model: per (language, bucket) trigram counts, trigrams drawn from
+  * the lowercased whitespace-normalized text and hashed with the same
+  * salted-md5 `Sampling.hash32` as every other fitted artifact here —
+  * fit and scores are bit-reproducible in any engine. Scoring is the
+  * add-one smoothed multinomial NB log-likelihood with the exact
+  * integer `bitlen` surrogate (the [[Classifier]]/[[Surprisal]]
+  * discipline — one bit of precision per factor, no libm):
+  *
+  *   score(doc, L) = Σ_g bitlen(c_L(b(g)) + 1) − n_g · bitlen(N_L + B)
+  *
+  * argmax over L with the deterministic (score DESC, lang ASC)
+  * tie-break. Priors deliberately omitted (seed sizes are sampling
+  * artifacts, the [[Classifier]] argument).
+  *
+  * 100 TB shape: the model is ≤ K·B rows and BROADCASTS; the corpus
+  * sees one narrow trigram explode, then two keyed aggregates
+  * ((doc, lang) partial sums → per-doc argmax via a keyed window) —
+  * no corpus-side join ever shuffles the model side, and the language
+  * list rides a broadcast cross join (K rows). */
+object LangId {
+
+  private def norm(text: Column): Column =
+    lower(regexp_replace(text, "\\s+", " "))
+
+  private def substr(s: Column, pos: Column, len: Column): Column =
+    call_function("substring", s, pos, len)
+
+  private def bucket(c: Column, salt: String, buckets: Int): Column =
+    Sampling.hash32(c, salt) % buckets
+
+  private def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
+
+  /** One row per char-trigram occurrence: (keep, __b). Documents with
+    * fewer than 3 normalized chars contribute nothing. */
+  private def grams(df: DataFrame, keep: Seq[Column], textCol: String,
+      salt: String, buckets: Int): DataFrame = {
+    val t = norm(col(textCol))
+    val n = length(t)
+    val gs = when(n >= 3, transform(sequence(lit(1), n - 2),
+      i => substr(t, i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    df.select(keep :+ explode(gs).as("__g"): _*)
+      .select(keep :+ bucket(col("__g"), salt, buckets).as("__b"): _*)
+  }
+
+  /** Fit on labeled seeds: `(langCol, __b, __c)` hashed trigram counts
+    * — ≤ (distinct langs)·buckets rows by construction, the broadcast
+    * side of every scoring plan. */
+  def fit(seeds: DataFrame, langCol: String, textCol: String,
+      buckets: Int = 4096, salt: String = "lid"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    grams(seeds, Seq(col(langCol)), textCol, salt, buckets)
+      .groupBy(col(langCol), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Predict `(idCol, lang_pred, n_grams, best_score)` for every
+    * document with >= 1 trigram (the [[Classifier.score]] evidence
+    * convention — shorter docs carry no signal; left-join by policy at
+    * the call site). */
+  def predict(df: DataFrame, model: DataFrame, idCol: String,
+      textCol: String, buckets: Int = 4096,
+      salt: String = "lid"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    val langCol = model.columns.head
+    // language totals — K rows, broadcastable by construction
+    val totals = model.groupBy(col(langCol))
+      .agg(sum(col("__c")).as("__n"))
+    val g = grams(df, Seq(col(idCol)), textCol, salt, buckets)
+    val ng = g.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    // matched-evidence partial sums: an unmatched (bucket, lang) pair
+    // contributes bitlen(0+1) = 1, folded in as n_grams · 1 below —
+    // so the join can stay INNER and model-broadcast
+    val matched = g.join(broadcast(model), Seq("__b"))
+      .groupBy(col(idCol), col(langCol))
+      .agg(sum(bitlen(col("__c") + lit(1L)) - lit(1L)).as("__s"))
+    val scored = ng.crossJoin(broadcast(totals))
+      .join(matched, Seq(idCol, langCol), "left")
+      .withColumn("__score",
+        coalesce(col("__s"), lit(0L)) + col("n_grams") -
+          col("n_grams") * bitlen(col("__n") + lit(buckets.toLong)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__score").desc, col(langCol).asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(langCol).as("lang_pred"),
+        col("n_grams"), col("__score").as("best_score"))
+  }
+}
