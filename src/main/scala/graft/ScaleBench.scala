@@ -5,7 +5,7 @@ package graft
   * 10× data ratio), interleaved reps, and print a per-gate median table
   * with the scaling ratio. Feeds SCALE.md §"Measured scaling".
   *
-  *   sbt "runMain graft.ScaleBench [names] [reps]"
+  *   sbt "runMain graft.ScaleBench [names] [reps] [dirA,dirB]"
   */
 object ScaleBench {
 
@@ -20,7 +20,9 @@ object ScaleBench {
       if (args.nonEmpty && args(0).nonEmpty) args(0).split(",").toSeq
       else DefaultNames
     val reps = if (args.length > 1) args(1).toInt else 3
-    val dirs = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val dirs =
+      if (args.length > 2) args(2).split(",").toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = Sessions.local()
     // warmup pass (janino/codegen, file listing) at the small sf
     names.foreach { n =>
@@ -41,7 +43,9 @@ object ScaleBench {
       times((n, d)) ::= (System.nanoTime() - t0) / 1e9
     }
     def med(xs: List[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
-    println(f"| gate | sf0.01 (s) | sf0.1 (s) | ratio (10x data) |")
+    def label(d: String) = d.split("/").filter(_.nonEmpty).last
+    println(s"| gate | ${label(dirs(0))} (s) | ${label(dirs(1))} (s) " +
+      "| ratio (10x data) |")
     println("|---|---|---|---|")
     names.foreach { n =>
       val a = med(times((n, dirs(0))))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dev tool: deterministic 10× scale-up of the driver testdata — the
+  * sf0.1 → "sf1" corpus for the measured scale pin (SCALE.md). Seeded
+  * replication + perturbation, NO randomness:
+  *
+  *  - documents: `reps` replicas, ids offset by rep·10⁷; every token
+  *    of a replica (rep > 0) carries a `_<rep>` suffix, so each
+  *    replica keeps the ORIGINAL duplication rate internally and
+  *    shares no grams across replicas — "10× more data of the same
+  *    kind", not "every gram now repeats 10×" (which would measure a
+  *    duplication-mass explosion, not scaling).
+  *  - embeddings: replicas rotate the vector by `rep` positions
+  *    (norms and pairwise-distance distribution preserved) with ids
+  *    offset.
+  *  - events: replicas shift `ts` by rep·35 days (time-locality
+  *    preserved), ids offset, user/value/props unchanged (10× events
+  *    per user — the realistic growth axis).
+  *
+  *   sbt "runMain graft.ScaleData [srcDir] [outDir] [reps]"
+  */
+object ScaleData {
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out =
+      if (args.length > 1) args(1) else "/root/repo/target/scaledata/sf1"
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = Sessions.local()
+    val repDf = spark.range(reps.toLong).select(col("id").as("__rep"))
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docsN = docs.crossJoin(repDf)
+      .select(
+        (col("doc_id") + col("__rep") * 10000000L).as("doc_id"),
+        when(col("__rep") === 0L, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(split(col("text"), "\\s+"),
+              t => when(length(t) > 0,
+                concat(t, lit("_"), col("__rep"))).otherwise(t))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    docsN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dim = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    val embN = emb.crossJoin(repDf)
+      .select(
+        (col("vec_id") + col("__rep") * 10000000L).as("vec_id"),
+        when(col("__rep") === 0L, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"), col("__rep").cast("int") + 1,
+              lit(dim) - col("__rep").cast("int")),
+            slice(col("embedding"), lit(1), col("__rep").cast("int"))))
+          .as("embedding"),
+        col("label"))
+    embN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val evN = ev.crossJoin(repDf)
+      .select(
+        (col("event_id") + col("__rep") * 100000000L).as("event_id"),
+        (col("ts") + col("__rep") * expr("INTERVAL 35 DAYS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    evN.repartition(32).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+
+    println(s"== wrote $out: documents=${docsN.count()} " +
+      s"embeddings=${embN.count()} events=${evN.count()}")
+    spark.stop()
+  }
+}

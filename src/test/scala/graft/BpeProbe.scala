@@ -56,10 +56,20 @@ object BpeProbe {
         graft.operators.WordPiece.fitLocal(docs, "text", n, minCount = 1L)
       else if (which == "wpfit")
         graft.operators.WordPiece.fit(docs, "text", n, minCount = 1L)
-      else if (which == "ugtarget")
-        graft.operators.Unigram.fitTarget(docs, "text", n,
-          maxPieceLen = 4, seedMult = 2, prunePermille = 500)
-          .map(p => graft.operators.Bpe.Merge(0, p.piece, "")) // size probe
+      else if (which == "ugtarget") {
+        // production-shape pin: fit to (n − 256) pieces, then reserve
+        // the 256-byte fallback pieces on top → exactly n, the
+        // SentencePiece byte_fallback layout
+        val fitted = graft.operators.Unigram.fitTarget(docs, "text",
+          n - 256, maxPieceLen = 4, seedMult = 2, prunePermille = 500)
+        val full = graft.operators.Unigram.withByteFallback(fitted)
+        val rt = Runtime.getRuntime
+        System.gc()
+        println(s"== ugtarget fitted=${fitted.size} withFallback=" +
+          s"${full.size} driverHeapMB=" +
+          s"${(rt.totalMemory - rt.freeMemory) / 1048576}")
+        full.map(p => graft.operators.Bpe.Merge(0, p.piece, "")) // size probe
+      }
       else graft.operators.Bpe.fitDelta(docs, "text", n, 1L)
     spark.range(1).count() // marker job, then drain
     Thread.sleep(2000)
