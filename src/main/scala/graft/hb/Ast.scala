@@ -387,6 +387,16 @@ object Ast {
   case class UnigramIdsUsing(textCol: String, conf: String,
       topMulti: Int, tags: Seq[String] = Nil) extends Statement
 
+  /** `langid <textCol> using <conf>` — TRAINABLE language ID at
+    * ingest (r14): the multiclass char-trigram NB
+    * ([[graft.operators.LangId]]) fits OFFLINE on the named batch
+    * configuration (which must carry a `lang` label column next to
+    * `textCol`); the stream side adds `n_grams`/`lang_pred` as a
+    * stateless zero-shuffle narrow map (no-evidence rows keep NULLs).
+    * The learned twin of the `langid (e)` expression signal. */
+  case class LangIdUsing(textCol: String, conf: String)
+      extends Statement
+
   /** `fertility <textCol> using <conf> <nMerges>` — the tokenizer
     * OBSERVABILITY statement at ingest (r13): under a byte table fit
     * OFFLINE on the named configuration, report per document `words`

@@ -594,7 +594,7 @@ object Engine {
         _: WordPieceUsing | _: UnigramUsing | _: DeconUsing |
         _: SemDeconUsing | _: BpeIdsUsing | _: WordPieceIdsUsing |
         _: UnigramIdsUsing | _: BpeIdsDecodeUsing |
-        _: FertilityUsing | _: SftUsing) =>
+        _: FertilityUsing | _: SftUsing | _: LangIdUsing) =>
       throw new IllegalArgumentException(
         s"`${Printer.print(st).trim}` binds a model configuration — " +
           "run it through StreamHb.apply(program, stream, resolve) " +

@@ -25,7 +25,7 @@ object HbParser {
     "neighbors", "scrub", "encode", "rebalance", "window", "top", "bpe",
     "shuffle", "shards", "upsample", "curriculum", "diverse", "score",
     "classify", "decode", "emit", "pairs", "wordpiece", "unigram",
-    "decon", "fim", "sft", "fertility")
+    "decon", "fim", "sft", "fertility", "langid")
 
   def parse(text: String): Program = {
     val lines = text.split("\n", -1)
@@ -759,6 +759,10 @@ object HbParser {
         p.eat("using")
         val conf = p.colName()
         FertilityUsing(c, conf, p.int())
+      case "langid" =>
+        val c = p.colName()
+        p.eat("using")
+        LangIdUsing(c, p.colName())
       case "fim" =>
         val c = p.colName()
         val pm = p.peek match {

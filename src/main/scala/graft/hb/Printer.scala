@@ -152,6 +152,8 @@ object Printer {
       s"sft ${name(pc)} ${name(rc)} using ${name(conf)} $n"
     case FertilityUsing(c, conf, n) =>
       s"fertility ${name(c)} using ${name(conf)} $n"
+    case LangIdUsing(c, conf) =>
+      s"langid ${name(c)} using ${name(conf)}"
     case BpeIdsUsing(c, conf, n, tags) =>
       s"bpe ids ${name(c)} using ${name(conf)} $n" + tagsSuffix(tags)
     case Encode(c, n) =>

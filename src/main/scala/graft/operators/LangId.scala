@@ -102,4 +102,74 @@ object LangId {
       .select(col(idCol), col(langCol).as("lang_pred"),
         col("n_grams"), col("__score").as("best_score"))
   }
+
+  /** The fitted model as driver-side state for the narrow path:
+    * per language (ASC order — the argmax tie-break), the bucket→count
+    * map and the class total. Bounded by the fit contract (≤ K·B
+    * rows). */
+  def modelMaps(model: DataFrame): Seq[(String, Map[Long, Long], Long)] = {
+    val langCol = model.columns.head
+    val rows = model.collect() // ≤ K·B rows by LangId.fit construction
+    rows.groupBy(_.getAs[String](langCol)).toSeq.sortBy(_._1)
+      .map { case (lang, rs) =>
+        val m = rs.iterator
+          .map(r => r.getAs[Long]("__b") -> r.getAs[Long]("__c"))
+          .filter(_._2 > 0).toMap
+        (lang, m, m.valuesIterator.sum)
+      }
+  }
+
+  /** Zero-shuffle prediction — the [[Classifier.withMarginsNarrow]]
+    * discipline: trigram extraction, per-language bitlen scores and
+    * the (score DESC, lang ASC) argmax all per ROW, with the hashed
+    * models embedded as literal maps. No explode, no exchange,
+    * STREAM-SAFE; rows are never dropped — documents without trigram
+    * evidence keep NULL n_grams/lang_pred (a stream cannot drop rows
+    * by aggregation). Matches [[predict]] bit-for-bit where both
+    * exist (LangIdSpec pins it). Literal-map bound: K·B entries ride
+    * the expression tree — the [[Classifier]] 65536-entry rule applies
+    * per language map. */
+  def withLangNarrow(df: DataFrame,
+      maps: Seq[(String, Map[Long, Long], Long)], textCol: String,
+      buckets: Int = 4096, salt: String = "lid"): DataFrame = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    require(maps.nonEmpty, "withLangNarrow needs a fitted model")
+    require(maps.forall(_._2.size <= 65536),
+      "literal-map bound: a language map exceeds 65536 buckets — use " +
+        "LangId.predict's broadcast-join path")
+    Seq("n_grams", "lang_pred").foreach { c =>
+      require(!df.columns.contains(c),
+        s"frame already has a '$c' column — rename it first")
+    }
+    def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
+    val t = norm(col(textCol))
+    val n = length(t)
+    val gsExpr = when(n >= 3, transform(sequence(lit(1), n - 2),
+      i => bucket(substr(t, i, lit(3)), salt, buckets)))
+      .otherwise(array().cast("array<long>"))
+    // materialize the bucket array ONCE: the K per-language aggregates
+    // below each reference it, and HOF references get no CSE — without
+    // this the trigram split + K·len md5s re-run per language
+    val withG = df.withColumn("__gb", when(t.isNotNull, gsExpr))
+    val gs = col("__gb")
+    val ng = when(gs.isNotNull, size(gs).cast(LongType))
+    val hasEvidence = ng > 0L
+    val init = struct(lit(null).cast("string").as("l"),
+      lit(Long.MinValue).as("s"))
+    // languages in ASC order with a STRICT improvement test — ties keep
+    // the earlier (lexicographically smaller) language, exactly
+    // predict's (score DESC, lang ASC) window order
+    val best = maps.foldLeft(init) { case (acc, (lang, m, total)) =>
+      val mLit = typedlit(m)
+      val sc = aggregate(gs, lit(0L), (a, b) =>
+        a + length(bin(coalesce(element_at(mLit, b), lit(0L)) + lit(1L)))
+          .cast(LongType)) +
+        ng - ng * lit(bitlenL(total + buckets))
+      when(acc.getField("s") < sc,
+        struct(lit(lang).as("l"), sc.as("s"))).otherwise(acc)
+    }
+    withG.withColumn("n_grams", when(hasEvidence, ng))
+      .withColumn("lang_pred", when(hasEvidence, best.getField("l")))
+      .drop("__gb")
+  }
 }

@@ -488,6 +488,29 @@ object StreamGates {
     },
       Some(TextGates.wordPieceSpecialsOracleSql)),
 
+    // TRAINABLE language ID AT INGEST (r14 — `langid … using`): the
+    // multiclass char-trigram NB fits offline on the labeled batch
+    // configuration; the live stream adds lang_pred via the
+    // zero-shuffle literal-map argmax (LangId.withLangNarrow —
+    // bit-identical to the aggregate path, LangIdSpec). LEFT-shaped
+    // oracle: no-evidence rows keep NULL lang_pred (a stream cannot
+    // drop rows by aggregation).
+    Gate("st_hb_langid",
+      (s, d) => graft.streaming.StreamHb.runTable(s, d, "documents",
+        """langid text using corpus
+          |slice columns doc_id lang lang_pred
+          |""".stripMargin, "st_hb_langid_out",
+        resolve = {
+          case "corpus" => Gate.t(s, d, "documents")
+          case other => throw new NoSuchElementException(other)
+        })
+        .orderBy(col("doc_id")),
+      Some("WITH " + TextGates.langIdCtesSql + "\n" +
+        """SELECT d.doc_id, d.lang, p.lang_pred
+          |FROM documents d LEFT JOIN pred p
+          |  ON p.doc_id = d.doc_id AND p.rn = 1
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+
     // Unigram reserved tags AT INGEST (r14 — `unigram ids … using …
     // tags`): same discipline for the third family; shares
     // t_unigram_specials' full oracle.

@@ -718,44 +718,10 @@ object TextGates {
         .select(col("doc_id"), col("lang"), col("lang_pred"))
         .orderBy(col("doc_id"))
     },
-      Some(raw"""WITH sg AS (
-        |  SELECT lang,
-        |    CAST('0x' || SUBSTR(md5(substring(t, CAST(i AS INTEGER), 3)
-        |      || ':lid'), 1, 8) AS BIGINT) % 4096 AS b
-        |  FROM (SELECT lang, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-        |        FROM documents),
-        |    unnest(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |model AS (SELECT lang, b, count(*) AS c FROM sg GROUP BY 1, 2),
-        |tot AS (SELECT lang, SUM(c) AS n FROM model GROUP BY 1),
-        |qg AS (
-        |  SELECT doc_id,
-        |    CAST('0x' || SUBSTR(md5(substring(t, CAST(i AS INTEGER), 3)
-        |      || ':lid'), 1, 8) AS BIGINT) % 4096 AS b
-        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-        |        FROM documents),
-        |    unnest(range(1, len(t) - 1)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |ng AS (SELECT doc_id, count(*) AS n_grams FROM qg GROUP BY 1),
-        |me AS (
-        |  SELECT q.doc_id, mo.lang,
-        |    SUM(length(bin(mo.c + 1)) - 1) AS s
-        |  FROM qg q JOIN model mo ON mo.b = q.b
-        |  GROUP BY 1, 2),
-        |sc AS (
-        |  SELECT ng.doc_id, t2.lang,
-        |    COALESCE(me.s, 0) + ng.n_grams
-        |      - ng.n_grams * length(bin(t2.n + 4096)) AS score
-        |  FROM ng CROSS JOIN tot t2
-        |  LEFT JOIN me ON me.doc_id = ng.doc_id AND me.lang = t2.lang),
-        |pred AS (
-        |  SELECT doc_id, lang AS lang_pred,
-        |    ROW_NUMBER() OVER (PARTITION BY doc_id
-        |      ORDER BY score DESC, lang ASC) AS rn
-        |  FROM sc)
-        |SELECT d.doc_id, d.lang, p.lang_pred
-        |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
-        |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
+      Some("WITH " + langIdCtesSql + "\n" +
+        """SELECT d.doc_id, d.lang, p.lang_pred
+          |FROM documents d JOIN pred p ON p.doc_id = d.doc_id AND p.rn = 1
+          |ORDER BY d.doc_id ASC NULLS FIRST""".stripMargin)),
 
     // Document fingerprinting: digest of the whitespace-normalized text
     // (the content-defined identity used by the dedup family).
@@ -3760,6 +3726,46 @@ object TextGates {
 
   /** [[classifierCtesSql]] with the scored-corpus predicate as a
     * parameter (the streaming scorer gate scores every document). */
+  /** The t_langid_nb / st_hb_langid shared oracle CTEs: seed trigram
+    * buckets, per-(lang, bucket) model, per-doc per-lang bitlen scores
+    * and the (score DESC, lang ASC) argmax as `pred`. */
+  private[queries] lazy val langIdCtesSql: String =
+    raw"""sg AS (
+      |  SELECT lang,
+      |    CAST('0x' || SUBSTR(md5(substring(t, CAST(i AS INTEGER), 3)
+      |      || ':lid'), 1, 8) AS BIGINT) % 4096 AS b
+      |  FROM (SELECT lang, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |        FROM documents),
+      |    unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |model AS (SELECT lang, b, count(*) AS c FROM sg GROUP BY 1, 2),
+      |tot AS (SELECT lang, SUM(c) AS n FROM model GROUP BY 1),
+      |qg AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || SUBSTR(md5(substring(t, CAST(i AS INTEGER), 3)
+      |      || ':lid'), 1, 8) AS BIGINT) % 4096 AS b
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |        FROM documents),
+      |    unnest(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |ng AS (SELECT doc_id, count(*) AS n_grams FROM qg GROUP BY 1),
+      |me AS (
+      |  SELECT q.doc_id, mo.lang,
+      |    SUM(length(bin(mo.c + 1)) - 1) AS s
+      |  FROM qg q JOIN model mo ON mo.b = q.b
+      |  GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT ng.doc_id, t2.lang,
+      |    COALESCE(me.s, 0) + ng.n_grams
+      |      - ng.n_grams * length(bin(t2.n + 4096)) AS score
+      |  FROM ng CROSS JOIN tot t2
+      |  LEFT JOIN me ON me.doc_id = ng.doc_id AND me.lang = t2.lang),
+      |pred AS (
+      |  SELECT doc_id, lang AS lang_pred,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, lang ASC) AS rn
+      |  FROM sc)""".stripMargin
+
   private[queries] def classifierCtes(corpusWhere: String): String =
     raw"""ptok AS (
       |  SELECT tk[i] AS w

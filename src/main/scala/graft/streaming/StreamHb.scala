@@ -117,7 +117,7 @@ object StreamHb {
         _: SemDeconUsing | _: BpeIdsUsing |
         _: WordPieceIdsUsing | _: UnigramIdsUsing |
         _: BpeIdsDecodeUsing | _: FertilityUsing |
-        _: SftUsing => None
+        _: SftUsing | _: LangIdUsing => None
     case GroupBy(_, RowsBy(_)) => None
     case GroupBy(_, _) =>
       Some("maxby/minby needs a whole-group ordering window")
@@ -271,6 +271,16 @@ object StreamHb {
             graft.operators.Surprisal.fit(resolve(conf), c, b, salt)))
         f.copy(df = graft.operators.Surprisal
           .withScoresNarrow(f.df, mp, mc, c, b, salt))
+      case (f, LangIdUsing(c, conf)) =>
+        // trainable language ID at ingest: the multiclass trigram NB
+        // fits offline on the labeled configuration (its `lang`
+        // column); the stream side is the zero-shuffle literal-map
+        // argmax — no-evidence rows keep NULLs
+        val maps = graft.operators.LangId.modelMaps(
+          storedFrame("langid", Seq(conf, c))(
+            graft.operators.LangId.fit(resolve(conf), "lang", c)))
+        f.copy(df = graft.operators.LangId
+          .withLangNarrow(f.df, maps, c))
       case (f, ClassifyUsing(c, pos, neg, b, salt)) =>
         val (mp, mn, np, nn) = graft.operators.Classifier.modelMaps(
           storedFrame("classifier", Seq(pos, neg, c, b.toString, salt))(

@@ -67,6 +67,31 @@ class LangIdSpec extends AnyFunSuite {
     assert(zh.nonEmpty && zh.forall(_.getAs[String]("lang_pred") == "zh"))
   }
 
+  test("narrow literal-map path is bit-identical to the aggregate " +
+      "predict where both exist, and keeps NULLs for no-evidence rows") {
+    val train = docs(0, 1)
+    val test = docs(100, 2).union(
+      Seq((999, "xx", "ab")).toDF("id", "lang", "text")) // no trigram
+    val model = LangId.fit(train.select(col("lang"), col("text")),
+      "lang", "text")
+    val agg = LangId.predict(test, model, "id", "text")
+      .select(col("id"), col("lang_pred"), col("n_grams"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val narrow = LangId.withLangNarrow(test,
+      LangId.modelMaps(model), "text")
+      .select(col("id"), col("lang_pred"), col("n_grams"))
+      .collect()
+    val narrowDefined = narrow.filter(!_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(narrowDefined == agg)
+    // the stream convention: the no-evidence row survives with NULLs
+    val ghost = narrow.filter(_.getInt(0) == 999)
+    assert(ghost.length == 1 && ghost.head.isNullAt(1) &&
+      ghost.head.isNullAt(2))
+  }
+
   test("determinism and the sub-trigram evidence convention") {
     val train = docs(0, 1)
     val model = LangId.fit(train.select(col("lang"), col("text")),

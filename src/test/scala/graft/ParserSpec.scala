@@ -344,6 +344,10 @@ class ParserSpec extends AnyFunSuite {
       DedupSubstrings("t", 12)).trim) == DedupSubstrings("t", 12))
     assert(HbParser.parseStatement("fertility text using corpus 6") ==
       FertilityUsing("text", "corpus", 6))
+    assert(HbParser.parseStatement("langid text using corpus") ==
+      LangIdUsing("text", "corpus"))
+    assert(HbParser.parseStatement(graft.hb.Printer.print(
+      LangIdUsing("t", "c")).trim) == LangIdUsing("t", "c"))
     assert(HbParser.parseStatement(graft.hb.Printer.print(
       FertilityUsing("t", "c", 9)).trim) == FertilityUsing("t", "c", 9))
     assert(HbParser.parseStatement("pack bins n_chars 1024 8") ==
