@@ -23,7 +23,11 @@ object PlanAudit {
         // r13: specials encode, exact substring dedup, SFT artifact,
         // exact spanning positions
         "t_bpe_specials", "d_substring_dedup", "hb_sft_chat",
-        "t_position_ids_exact", "hb_fim_ids")
+        "t_position_ids_exact", "hb_fim_ids",
+        // r14: rolling-digest dedup shape, tags families, trainable
+        // langid, OData pushdown scan
+        "d_substring_keepfirst", "hb_wordpiece_tags", "t_langid_nb",
+        "s1_odata_provider")
     names.foreach { q =>
       println(s"===== $q =====")
       println(SparkEntry.queries(q)(spark, d).queryExecution.explainString(

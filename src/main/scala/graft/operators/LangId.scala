@@ -47,15 +47,23 @@ object LangId {
   private def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
 
   /** One row per char-trigram occurrence: (keep, __b). Documents with
-    * fewer than 3 normalized chars contribute nothing. */
+    * fewer than 3 normalized chars contribute nothing.
+    *
+    * The normalized text is MATERIALIZED as a column before the
+    * per-position transform: a HOF lambda re-evaluates every
+    * expression it references PER ELEMENT (no CSE), so referencing
+    * `lower(regexp_replace(...))` directly would re-run the regex once
+    * per trigram — O(len²) per document (the element_at-in-lambda
+    * pitfall on record in SCALE.md). */
   private def grams(df: DataFrame, keep: Seq[Column], textCol: String,
       salt: String, buckets: Int): DataFrame = {
-    val t = norm(col(textCol))
+    val base = df.select(keep :+ norm(col(textCol)).as("__nt"): _*)
+    val t = col("__nt")
     val n = length(t)
     val gs = when(n >= 3, transform(sequence(lit(1), n - 2),
       i => substr(t, i, lit(3))))
       .otherwise(array().cast("array<string>"))
-    df.select(keep :+ explode(gs).as("__g"): _*)
+    base.select(keep :+ explode(gs).as("__g"): _*)
       .select(keep :+ bucket(col("__g"), salt, buckets).as("__b"): _*)
   }
 
@@ -134,23 +142,28 @@ object LangId {
       buckets: Int = 4096, salt: String = "lid"): DataFrame = {
     require(buckets >= 2, s"need >= 2 buckets, got $buckets")
     require(maps.nonEmpty, "withLangNarrow needs a fitted model")
-    require(maps.forall(_._2.size <= 65536),
-      "literal-map bound: a language map exceeds 65536 buckets — use " +
-        "LangId.predict's broadcast-join path")
+    require(buckets <= 65536,
+      "literal bound: the dense per-language bitlen arrays are " +
+        "buckets-sized — above 65536 use LangId.predict's " +
+        "broadcast-join path")
     Seq("n_grams", "lang_pred").foreach { c =>
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")
     }
     def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
-    val t = norm(col(textCol))
+    // materialize the NORMALIZED TEXT first (a HOF lambda re-runs every
+    // referenced expression per element — the regex would re-run per
+    // trigram), then the bucket array ONCE (the K per-language
+    // aggregates below each reference it, and HOF references get no
+    // CSE — without this the K·len md5s re-run per language)
+    val withT = df.withColumn("__nt", norm(col(textCol)))
+    val t = col("__nt")
     val n = length(t)
     val gsExpr = when(n >= 3, transform(sequence(lit(1), n - 2),
       i => bucket(substr(t, i, lit(3)), salt, buckets)))
       .otherwise(array().cast("array<long>"))
-    // materialize the bucket array ONCE: the K per-language aggregates
-    // below each reference it, and HOF references get no CSE — without
-    // this the trigram split + K·len md5s re-run per language
-    val withG = df.withColumn("__gb", when(t.isNotNull, gsExpr))
+    val withG = withT.withColumn("__gb", when(t.isNotNull, gsExpr))
+      .drop("__nt")
     val gs = col("__gb")
     val ng = when(gs.isNotNull, size(gs).cast(LongType))
     val hasEvidence = ng > 0L
@@ -158,12 +171,19 @@ object LangId {
       lit(Long.MinValue).as("s"))
     // languages in ASC order with a STRICT improvement test — ties keep
     // the earlier (lexicographically smaller) language, exactly
-    // predict's (score DESC, lang ASC) window order
+    // predict's (score DESC, lang ASC) window order.
+    // Per-language model as a DENSE bitlen array indexed by bucket —
+    // element_at on an ARRAY literal is O(1), where a MAP literal is a
+    // LINEAR scan per lookup (ArrayBasedMapData has no index): at
+    // B = 4096 the map form cost O(B) per trigram per language and
+    // turned the narrow scorer quadratic-ish (measured: the sf0.1
+    // stream gate crawled minutes instead of seconds)
     val best = maps.foldLeft(init) { case (acc, (lang, m, total)) =>
-      val mLit = typedlit(m)
+      val dense = Array.tabulate(buckets)(b =>
+        bitlenL(m.getOrElse(b.toLong, 0L) + 1L))
+      val aLit = typedlit(dense.toSeq)
       val sc = aggregate(gs, lit(0L), (a, b) =>
-        a + length(bin(coalesce(element_at(mLit, b), lit(0L)) + lit(1L)))
-          .cast(LongType)) +
+        a + element_at(aLit, b.cast("int") + 1)) +
         ng - ng * lit(bitlenL(total + buckets))
       when(acc.getField("s") < sc,
         struct(lit(lang).as("l"), sc.as("s"))).otherwise(acc)
