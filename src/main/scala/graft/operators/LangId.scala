@@ -38,12 +38,6 @@ object LangId {
   private def norm(text: Column): Column =
     lower(regexp_replace(text, "\\s+", " "))
 
-  private def substr(s: Column, pos: Column, len: Column): Column =
-    call_function("substring", s, pos, len)
-
-  private def bucket(c: Column, salt: String, buckets: Int): Column =
-    Sampling.hash32(c, salt) % buckets
-
   private def bitlen(c: Column): Column = length(bin(c)).cast(LongType)
 
   /** One row per char-trigram occurrence: (keep, __b). Documents with
@@ -58,13 +52,11 @@ object LangId {
   private def grams(df: DataFrame, keep: Seq[Column], textCol: String,
       salt: String, buckets: Int): DataFrame = {
     val base = df.select(keep :+ norm(col(textCol)).as("__nt"): _*)
-    val t = col("__nt")
-    val n = length(t)
-    val gs = when(n >= 3, transform(sequence(lit(1), n - 2),
-      i => substr(t, i, lit(3))))
-      .otherwise(array().cast("array<string>"))
-    base.select(keep :+ explode(gs).as("__g"): _*)
-      .select(keep :+ bucket(col("__g"), salt, buckets).as("__b"): _*)
+    // one compiled pass per document (functions.TrigramBuckets —
+    // bit-identical to transform(sequence…, i => hash32(substring)),
+    // which ran interpreted with one hex-string md5 per element)
+    base.select(keep :+ explode(graft.functions.TrigramBuckets
+      .trigram_buckets(col("__nt"), salt, buckets)).as("__b"): _*)
   }
 
   /** Fit on labeled seeds: `(langCol, __b, __c)` hashed trigram counts
@@ -158,11 +150,10 @@ object LangId {
     // CSE — without this the K·len md5s re-run per language)
     val withT = df.withColumn("__nt", norm(col(textCol)))
     val t = col("__nt")
-    val n = length(t)
-    val gsExpr = when(n >= 3, transform(sequence(lit(1), n - 2),
-      i => bucket(substr(t, i, lit(3)), salt, buckets)))
-      .otherwise(array().cast("array<long>"))
-    val withG = withT.withColumn("__gb", when(t.isNotNull, gsExpr))
+    // one compiled pass (TrigramBuckets): null text → null array,
+    // sub-trigram text → empty array
+    val withG = withT.withColumn("__gb",
+      graft.functions.TrigramBuckets.trigram_buckets(t, salt, buckets))
       .drop("__nt")
     val gs = col("__gb")
     val ng = when(gs.isNotNull, size(gs).cast(LongType))

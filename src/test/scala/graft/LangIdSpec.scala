@@ -92,6 +92,36 @@ class LangIdSpec extends AnyFunSuite {
       ghost.head.isNullAt(2))
   }
 
+  test("native TrigramBuckets is bit-identical to the Catalyst HOF " +
+      "formulation (hash32(substring) per position) on adversarial " +
+      "strings — unicode, zh, emoji, whitespace runs, empty, null") {
+    val texts = Seq("the quick brown fox", "敏捷的棕色狐狸跳过了懒惰的狗",
+      "mixé ünïcode ß text", "a\t b\n\nc   d", "ab", "", "🦊x🦊y🦊z",
+      null.asInstanceOf[String])
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .withColumn("nt", lower(regexp_replace(col("text"), "\\s+", " ")))
+    val b = 4096
+    val hof = df.select(col("id"),
+      when(length(col("nt")) >= 3,
+        transform(sequence(lit(1), length(col("nt")) - 2),
+          i => graft.operators.Sampling.hash32(
+            call_function("substring", col("nt"), i, lit(3)), "lid") % b))
+        .otherwise(array().cast("array<long>")).as("g"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val nat = df.select(col("id"),
+      graft.functions.TrigramBuckets.trigram_buckets(col("nt"), "lid", b)
+        .as("g"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    texts.indices.foreach { i =>
+      // the HOF wraps null text via when(); both must be null there
+      if (texts(i) == null) assert(nat(i) == null)
+      else assert(nat(i) == hof(i), s"diverged on '${texts(i)}'")
+    }
+  }
+
   test("determinism and the sub-trigram evidence convention") {
     val train = docs(0, 1)
     val model = LangId.fit(train.select(col("lang"), col("text")),
