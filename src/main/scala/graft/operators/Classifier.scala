@@ -141,16 +141,20 @@ object Classifier {
         s"frame already has a '$c' column — rename it first")
     }
     def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
-    val mpLit = typedlit(mp)
-    val mnLit = typedlit(mn)
+    // DENSE bucket-indexed per-bucket margins, not typedlit maps:
+    // element_at on a literal MAP linear-scans per lookup (O(B) per
+    // token at B = 4096); one dense array holding the PRECOMPUTED
+    // bitlen difference makes each token one O(1) index — identical
+    // values, and the two in-plan bin() calls per token fold away too.
+    val mArrLit = typedlit(Array.tabulate(buckets) { b =>
+      bitlenL(mp.getOrElse(b.toLong, 0L) + 1L) -
+        bitlenL(mn.getOrElse(b.toLong, 0L) + 1L)
+    }.toSeq)
     val tk = filter(Decontaminate.tokens(col(textCol)),
       w => length(w) > 0)
-    val mArr = transform(tk, w => {
-      val b = bucket(w, salt, buckets)
-      (length(bin(coalesce(element_at(mpLit, b), lit(0L)) + lit(1L)))
-        - length(bin(coalesce(element_at(mnLit, b), lit(0L)) + lit(1L))))
-        .cast(LongType)
-    })
+    val mArr = transform(tk, w =>
+      element_at(mArrLit,
+        bucket(w, salt, buckets).cast("int") + lit(1)))
     val constTerm = bitlenL(nNeg + buckets) - bitlenL(nPos + buckets)
     val np = when(tk.isNotNull, size(tk))
     val hasEvidence = np > 0

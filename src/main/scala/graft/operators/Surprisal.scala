@@ -138,19 +138,26 @@ object Surprisal {
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")
     }
-    val mpLit = typedlit(mp)
-    val mcLit = typedlit(mc)
+    // DENSE bucket-indexed count arrays, not typedlit maps: element_at
+    // on a literal MAP is a LINEAR scan per lookup (ArrayBasedMapData
+    // has no index), O(B) per bigram per row at B = 4096; the dense
+    // array is O(1). Values identical — a missing bucket reads 0
+    // either way.
+    val mpLit = typedlit(
+      Array.tabulate(buckets)(b => mp.getOrElse(b.toLong, 0L)).toSeq)
+    val mcLit = typedlit(
+      Array.tabulate(buckets)(b => mc.getOrElse(b.toLong, 0L)).toSeq)
     val tk = Decontaminate.tokens(col(textCol))
     val n = size(tk)
     val prs = arrays_zip(
       slice(tk, lit(1), greatest(n - 1, lit(0))).as("__w1"),
       slice(tk, lit(2), greatest(n - 1, lit(0))).as("__w2"))
     val sArr = transform(prs, p => {
-      val cp = coalesce(element_at(mpLit,
+      val cp = element_at(mpLit,
         bucket(concat_ws(" ", p.getField("__w1"), p.getField("__w2")),
-          salt, buckets)), lit(0L))
-      val cc = coalesce(element_at(mcLit,
-        bucket(p.getField("__w1"), salt, buckets)), lit(0L))
+          salt, buckets).cast("int") + lit(1))
+      val cc = element_at(mcLit,
+        bucket(p.getField("__w1"), salt, buckets).cast("int") + lit(1))
       greatest(lit(0L),
         length(bin(cc + lit(buckets.toLong))).cast(LongType) -
           length(bin(cp + lit(1L))).cast(LongType))
