@@ -23,7 +23,15 @@ object ScaleBench {
     val dirs =
       if (args.length > 2) args(2).split(",").toSeq
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    // optional scan-split override (bytes), applied to BOTH dirs: the
+    // sf1 fixture is one small-row-group file per table, and at the
+    // default 128 MB maxPartitionBytes the whole file is ONE scan task
+    // — the measurement would time a 1-core ingest pathology instead
+    // of cluster-shaped scan parallelism (which grows with data)
+    val maxPart = if (args.length > 3) Some(args(3).toLong) else None
     val spark = Sessions.local()
+    maxPart.foreach(b =>
+      spark.conf.set("spark.sql.files.maxPartitionBytes", b.toString))
     // warmup pass (janino/codegen, file listing) at the small sf
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, dirs.head).count()

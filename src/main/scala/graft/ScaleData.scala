@@ -31,6 +31,33 @@ object ScaleData {
     val spark = Sessions.local()
     val repDf = spark.range(reps.toLong).select(col("id").as("__rep"))
 
+    // the driver testdata is ONE parquet FILE per table (streaming
+    // gates read with pathGlobFilter=<table>.parquet, which matches
+    // leaf FILES — a directory layout silently yields an empty
+    // stream); write each table to a temp dir and move the single
+    // part file to "<out>/<table>.parquet"
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$out/__tmp_$name"
+      // SMALL row groups (1 MB): parquet splits at row-group
+      // granularity, so a single-row-group file is an UNSPLITTABLE
+      // scan — at sf1 every narrow stage serialized on one core and
+      // the 10× ratios read 3–8.6× instead of the true 1.6–3.0×
+      // (measured; SCALE.md). A real cluster's files would carry many
+      // row groups; 1 MB gives this corpus 7–24 splits per table.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (1L << 20).toString)
+        .parquet(tmp)
+      val dir = new java.io.File(tmp)
+      val part = dir.listFiles().find(f =>
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      val dst = new java.io.File(s"$out/$name.parquet")
+      if (dst.exists()) dst.delete(): Unit
+      require(part.renameTo(dst), s"rename ${part.getPath} -> $dst failed")
+      dir.listFiles().foreach(_.delete(): Unit)
+      dir.delete(): Unit
+    }
+
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docsN = docs.crossJoin(repDf)
       .select(
@@ -44,8 +71,7 @@ object ScaleData {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .select("doc_id", "text", "lang", "source", "n_chars")
-    docsN.repartition(32).write.mode("overwrite")
-      .parquet(s"$out/documents.parquet")
+    writeOne(docsN, "documents")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.selectExpr("size(embedding) AS d").head().getInt(0)
@@ -59,8 +85,7 @@ object ScaleData {
             slice(col("embedding"), lit(1), col("__rep").cast("int"))))
           .as("embedding"),
         col("label"))
-    embN.repartition(32).write.mode("overwrite")
-      .parquet(s"$out/embeddings.parquet")
+    writeOne(embN, "embeddings")
 
     val ev = spark.read.parquet(s"$src/events.parquet")
     val evN = ev.crossJoin(repDf)
@@ -68,8 +93,7 @@ object ScaleData {
         (col("event_id") + col("__rep") * 100000000L).as("event_id"),
         (col("ts") + col("__rep") * expr("INTERVAL 35 DAYS")).as("ts"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-    evN.repartition(32).write.mode("overwrite")
-      .parquet(s"$out/events.parquet")
+    writeOne(evN, "events")
 
     println(s"== wrote $out: documents=${docsN.count()} " +
       s"embeddings=${embN.count()} events=${evN.count()}")
