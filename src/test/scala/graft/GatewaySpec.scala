@@ -158,6 +158,21 @@ class GatewaySpec extends AnyFunSuite {
       assert(get(base, "/chart/bylang").statusCode() == 200)
       assert(get(base, "/chart/nope").statusCode() == 404)
       assert(getNoAuth(base, "/chart/bylang").statusCode() == 401)
+      // the workbench-shape branch charts too (resolveKeyed's second
+      // arm): localdata source + named transformation chain
+      assert(put(base, "/admin/transformation",
+        """{"name": "ch1", "statements":
+          |["index rows by k", "slice columns v"]}""".stripMargin)
+        .statusCode() == 200)
+      assert(put(base, "/admin/configuration",
+        """{"_id": "wbchart", "source": {"provider": "localdata",
+          |"columns": ["k", "v"], "rows": [[2, 20.5], [1, 10.0]]},
+          |"transformations": ["ch1"]}""".stripMargin)
+        .statusCode() == 200)
+      val wb = get(base, "/chart/wbchart")
+      assert(wb.statusCode() == 200, wb.body())
+      assert(wb.body() ==
+        """[[{"x":1,"y":10},{"x":2,"y":20.5}]]""", wb.body())
     }
   }
 
