@@ -77,13 +77,23 @@ object Render {
     * (null) key RAISES — Reader.fs:204: "A key can't be missing".
     * Driver-side and row-bounded by contract, like the HTML table. */
   def series(keyedDf: DataFrame, maxRows: Int = 10000,
-      listSep: String = "."): Seq[(String, Seq[(Any, Any)])] = {
+      listSep: String = "."): Seq[(String, Seq[(Any, Any)])] =
+    seriesTruncating(keyedDf, maxRows, listSep)._1
+
+  /** [[series]] plus a truncation flag — probes one row past the bound
+    * (the gateway JSON route's `take(maxRows + 1)` discipline) so a
+    * chart of a larger frame can SAY it plotted a prefix instead of
+    * silently dropping the tail. */
+  def seriesTruncating(keyedDf: DataFrame, maxRows: Int = 10000,
+      listSep: String = "."): (Seq[(String, Seq[(Any, Any)])], Boolean) = {
     require(keyedDf.columns.contains(Engine.KEY),
       "series needs the engine-keyed frame — run via Engine.runKeyed")
     val allCols = keyedDf.columns.toSeq
     val ki = allCols.indexOf(Engine.KEY)
-    val rows = keyedDf.limit(maxRows).collect().toSeq
-    allCols.filterNot(_ == Engine.KEY).map { c =>
+    val probe = keyedDf.limit(maxRows + 1).collect().toSeq
+    val truncated = probe.length > maxRows
+    val rows = probe.take(maxRows)
+    val out = allCols.filterNot(_ == Engine.KEY).map { c =>
       val ci = allCols.indexOf(c)
       c -> rows.map { r =>
         if (r.isNullAt(ki))
@@ -91,6 +101,7 @@ object Render {
         (keyRender(r.get(ki), listSep), r.get(ci))
       }
     }
+    (out, truncated)
   }
 
   /** The web reader's chart JSON (Reader.fs:221-231): an array of
@@ -99,11 +110,21 @@ object Render {
     * (integral floats print without the decimal point — the F#
     * `string 5.0 = "5"` convention), everything else quoted text. */
   def seriesJson(keyedDf: DataFrame, maxRows: Int = 10000): String =
-    series(keyedDf, maxRows, listSep = "-").map { case (_, pts) =>
+    seriesJsonTruncating(keyedDf, maxRows)._1
+
+  /** [[seriesJson]] plus the truncation flag (see
+    * [[seriesTruncating]]) — the chart route surfaces it as
+    * X-Truncated, mirroring /data/json. */
+  def seriesJsonTruncating(keyedDf: DataFrame,
+      maxRows: Int = 10000): (String, Boolean) = {
+    val (ss, truncated) = seriesTruncating(keyedDf, maxRows, listSep = "-")
+    val body = ss.map { case (_, pts) =>
       pts.map { case (x, y) =>
         s"""{"x":${pointJson(x)},"y":${pointJson(y)}}"""
       }.mkString("[", ",", "]")
     }.mkString("[", ",", "]")
+    (body, truncated)
+  }
 
   private def keyRender(k: Any, sep: String): Any = k match {
     case r: org.apache.spark.sql.Row =>

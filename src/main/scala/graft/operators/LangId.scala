@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -30,9 +29,10 @@ import org.apache.spark.sql.types.LongType
   *
   * 100 TB shape: the model is ≤ K·B rows and BROADCASTS; the corpus
   * sees one narrow trigram explode, then two keyed aggregates
-  * ((doc, lang) partial sums → per-doc argmax via a keyed window) —
-  * no corpus-side join ever shuffles the model side, and the language
-  * list rides a broadcast cross join (K rows). */
+  * ((doc, lang) partial sums → per-doc argmax as one keyed
+  * min(struct(-score, lang)) aggregate with map-side combine) — no
+  * corpus-side join ever shuffles the model side, no window sort, and
+  * the language list rides a broadcast cross join (K rows). */
 object LangId {
 
   private def norm(text: Column): Column =
@@ -95,12 +95,19 @@ object LangId {
       .withColumn("__score",
         coalesce(col("__s"), lit(0L)) + col("n_grams") -
           col("n_grams") * bitlen(col("__n") + lit(buckets.toLong)))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__score").desc, col(langCol).asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(langCol).as("lang_pred"),
-        col("n_grams"), col("__score").as("best_score"))
+    // Per-doc argmax as ONE keyed aggregate (map-side partial combine),
+    // not a row_number window: the window shuffled AND sorted all K·D
+    // candidate rows; min(struct(-score, lang)) reduces each map-side
+    // partition to one candidate per doc before the exchange. struct
+    // comparison is field-lexicographic and Spark compares strings in
+    // UTF-8 binary order — exactly the window's (score DESC, lang ASC)
+    // tie-break, bit-for-bit. (score, lang) is unique per doc so the
+    // trailing n_grams field never decides.
+    scored.groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("ns"),
+        col(langCol).as("l"), col("n_grams").as("g"))).as("__best"))
+      .select(col(idCol), col("__best.l").as("lang_pred"),
+        col("__best.g").as("n_grams"), (-col("__best.ns")).as("best_score"))
   }
 
   /** The fitted model as driver-side state for the narrow path:
@@ -110,7 +117,15 @@ object LangId {
   def modelMaps(model: DataFrame): Seq[(String, Map[Long, Long], Long)] = {
     val langCol = model.columns.head
     val rows = model.collect() // ≤ K·B rows by LangId.fit construction
-    rows.groupBy(_.getAs[String](langCol)).toSeq.sortBy(_._1)
+    // UTF-8 BYTE order, not String.compareTo (UTF-16 code units): the
+    // narrow path's strict-improvement fold keeps the EARLIER language
+    // on score ties, which matches predict's `col(lang).asc` tie-break
+    // only if this sort agrees with Spark's binary UTF8String ordering.
+    // The two differ for labels mixing U+E000–U+FFFF with
+    // supplementary-plane chars (surrogates sort low in UTF-16, high in
+    // UTF-8).
+    rows.groupBy(_.getAs[String](langCol)).toSeq
+      .sortBy(_._1.getBytes("UTF-8").map(b => (b & 0xff).toChar).mkString)
       .map { case (lang, rs) =>
         val m = rs.iterator
           .map(r => r.getAs[Long]("__b") -> r.getAs[Long]("__c"))

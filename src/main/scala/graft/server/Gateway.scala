@@ -266,14 +266,24 @@ final class Gateway(
     * the lineage key like the JSON route: a repeat GET of unchanged
     * content runs zero Spark jobs. */
   private def getChart(ex: HttpExchange, name: String): Unit = {
-    val lk = lineageKeyOf(name, Set.empty).map("chart:" + _)
+    // gate on cache.isDefined like the JSON route: a cache-less gateway
+    // is the documented mode for mutable inputs, and an unconditional
+    // response LRU there would keep serving a stale chart after the
+    // underlying parquet changes while /data/json recomputes
+    val lk =
+      if (cache.isDefined) lineageKeyOf(name, Set.empty).map("chart:" + _)
+      else None
     lk.flatMap(k => Option(responses.get(k))) match {
-      case Some((body, _)) => respond(ex, 200, body)
+      case Some((body, truncated)) =>
+        if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
+        respond(ex, 200, body)
       case None => resolveKeyed(name) match {
         case None => respond(ex, 404, s"no configuration '$name'")
         case Some(df) =>
-          val body = graft.hb.Render.seriesJson(df, maxRows)
-          lk.foreach(k => responses.put(k, (body, false)): Unit)
+          val (body, truncated) =
+            graft.hb.Render.seriesJsonTruncating(df, maxRows)
+          lk.foreach(k => responses.put(k, (body, truncated)): Unit)
+          if (truncated) ex.getResponseHeaders.set("X-Truncated", "true")
           respond(ex, 200, body)
       }
     }

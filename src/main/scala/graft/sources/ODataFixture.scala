@@ -282,7 +282,13 @@ private[sources] object FixtureFilter {
       }
       cmp(o, d.compare(n))
     case (o, LStr(t)) => v match {
-      case x: String => cmp(o, x.compareTo(t))
+      // UTF-8 BYTE order, not String.compareTo (UTF-16 code units):
+      // Spark evaluates the reader's residual copy of the same
+      // predicate over UTF8String binary order, and a fixture that
+      // prunes server-side with a DIFFERENT order on gt/ge/lt/le would
+      // silently under-return rows (the residual can only drop rows,
+      // never restore server-omitted ones) for non-BMP text
+      case x: String => cmp(o, utf8Cmp(x, t))
       case _ => false
     }
     case (o, LBool(b)) => v match {
@@ -291,6 +297,21 @@ private[sources] object FixtureFilter {
       case _ => false
     }
     case _ => false
+  }
+
+  /** Unsigned lexicographic compare of the UTF-8 encodings — the
+    * ordering Spark's UTF8String.compareTo implements. */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
   }
 
   private def cmp(op: String, c: Int): Boolean = op match {

@@ -276,8 +276,12 @@ object StreamHb {
         // fits offline on the labeled configuration (its `lang`
         // column); the stream side is the zero-shuffle literal-map
         // argmax — no-evidence rows keep NULLs
+        // key carries the EFFECTIVE buckets/salt (the fit defaults)
+        // like the classifier/surprisal keys: if those defaults are
+        // ever surfaced or changed, a persisted store must not serve a
+        // model fit under different hashing parameters
         val maps = graft.operators.LangId.modelMaps(
-          storedFrame("langid", Seq(conf, c))(
+          storedFrame("langid", Seq(conf, c, "4096", "lid"))(
             graft.operators.LangId.fit(resolve(conf), "lang", c)))
         f.copy(df = graft.operators.LangId
           .withLangNarrow(f.df, maps, c))
