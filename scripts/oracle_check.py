@@ -7,6 +7,12 @@ Reads each <outDir>/<name>/ parquet (written by graft.Verify), runs the
 matching oracle SQL from <outDir>/oracle_sql.json in DuckDB with the
 sf tables registered as views, and compares: column names (sorted),
 row count, and cell values (exact, plus a sorted-rows fallback report).
+
+With --json <path>, also writes a machine-readable per-gate artifact in
+the driver's CORRECTNESS shape ({name: {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err}}) — the committed self-check
+that keeps a round verifiable when the driver's own artifact capture
+hiccups (CORRECTNESS_r14.json arrived as an empty object).
 """
 import duckdb, json, sys, glob, os, math
 
@@ -37,29 +43,55 @@ def rows_of(rel):
     return names, types, data
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir, outdir = args[0], args[1]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
-    for name in sorted(os.listdir(outdir)):
+    records = {}  # driver-shaped per-gate verdicts for --json
+    def rec(name, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {"rows_match": rows_match,
+                         "schema_match": schema_match,
+                         "hash_match": hash_match,
+                         "spark_rows": spark_rows,
+                         "oracle_rows": oracle_rows, "err": err}
+    dumped = {n for n in os.listdir(outdir)
+              if os.path.isdir(os.path.join(outdir, n))}
+    # a gate that failed inside graft.Verify leaves NO dump directory —
+    # without this it would silently vanish from the report entirely.
+    # --subset: the Verify run was deliberately filtered to a few gates
+    # (local iteration), so missing dumps are expected, not failures.
+    if "--subset" not in sys.argv:
+        for name in sorted(set(oracles) - dumped):
+            results[name] = "NO_SPARK_DUMP (gate failed in Verify?)"
+            rec(name, err="no spark dump")
+    for name in sorted(dumped):
         path = os.path.join(outdir, name)
-        if not os.path.isdir(path):
-            continue
         got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
         gcols, gtypes, grows = rows_of(got_rel)
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(grows)}" + \
                 (" EMPTY!" if not grows else "")
+            rec(name, rows_match=len(grows) > 0, schema_match=None,
+                hash_match=None, spark_rows=len(grows))
             continue
         try:
             ocols, otypes, orows = rows_of(con.sql(oracles[name]))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
+            rec(name, spark_rows=len(grows), err=f"oracle sql: {e}")
             continue
         if gcols != ocols:
             results[name] = f"SCHEMA_MISMATCH spark={gcols} oracle={ocols}"
+            rec(name, rows_match=len(grows) == len(orows),
+                spark_rows=len(grows), oracle_rows=len(orows),
+                err="schema mismatch")
             continue
         # Typed-hash parity: the driver hashes cells WITH their types, so a
         # DuckDB HUGEINT (e.g. window SUM over BIGINT) vs Spark BIGINT is a
@@ -68,13 +100,23 @@ def main():
             diffs = [f"{c}: spark={g} oracle={o}"
                      for c, g, o in zip(gcols, gtypes, otypes) if g != o]
             results[name] = "TYPE_MISMATCH " + "; ".join(diffs)
+            rec(name, rows_match=len(grows) == len(orows),
+                schema_match=True, spark_rows=len(grows),
+                oracle_rows=len(orows), err="type mismatch")
             continue
         if len(grows) != len(orows):
             results[name] = f"ROWCOUNT {len(grows)} vs {len(orows)}"
+            rec(name, schema_match=True, spark_rows=len(grows),
+                oracle_rows=len(orows), err="rowcount mismatch")
             continue
         if grows == orows:
             results[name] = f"OK rows={len(grows)}"
+            rec(name, rows_match=True, schema_match=True, hash_match=True,
+                spark_rows=len(grows), oracle_rows=len(orows))
             continue
+        rec(name, rows_match=True, schema_match=True,
+            spark_rows=len(grows), oracle_rows=len(orows),
+            err="value mismatch")
         # diagnose: order-only mismatch vs value mismatch
         nkey = lambda row: tuple((v is None, v or "") for v in row)
         if sorted(grows, key=nkey) == sorted(orows, key=nkey):
@@ -88,6 +130,10 @@ def main():
                     example = (i, g, o)
         results[name] = f"VALUE_MISMATCH {ndiff}/{len(grows)} rows; " \
             f"first at row {example[0]}:\n  spark : {example[1]}\n  oracle: {example[2]}"
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(records, f, indent=1, sort_keys=True)
+        print(f"[oracle_check] wrote {json_out} ({len(records)} gates)")
     bad = 0
     for name, res in sorted(results.items()):
         flag = "PASS" if res.startswith("OK") or res.startswith("ROWS_ONLY") else "FAIL"

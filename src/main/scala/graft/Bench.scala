@@ -62,6 +62,17 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // SHORT final line, printed LAST: the driver captures only a tail
+    // window of stdout, and the full per-gate line above (~4 KB at 278
+    // gates) overran it two rounds running ("parsed": null in
+    // BENCH_r13/r14) — whatever JSON line the tail still holds intact
+    // must parse. This one is ~200 bytes: headline total, gate counts,
+    // and where the full per-gate copy lives.
+    val shortLine =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec",""" +
+        s""""gates":${results.size},"failed":${failed.size},""" +
+        s""""sf":"$sfDir","detail":"$outFile"}"""
+    println(shortLine)
     spark.stop()
   }
 }

@@ -10,6 +10,14 @@ package graft
   * the verdict judging round N lands next to CORRECTNESS_r{N}. Anything
   * older means the verdict is stale and the round log should say so
   * loudly where the builder (and the judge) will see it.
+  *
+  * Round 14 added a second failure mode: the driver's artifact ARRIVED
+  * but EMPTY (`CORRECTNESS_r14.json` = `{}`, `BENCH_r14.json`
+  * `"parsed": null`) — the capture hiccuped and the round's hard
+  * correctness signal silently vanished. The check now also flags an
+  * empty newest CORRECTNESS artifact and points at the committed
+  * self-check (`CORRECTNESS_SELF_r{N}.json`, written by
+  * `scripts/oracle_check.py --json`) as the surviving evidence.
   */
 object RoundArtifacts {
 
@@ -20,10 +28,37 @@ object RoundArtifacts {
         "^CORRECTNESS_r(\\d+)\\.json$".r.findFirstMatchIn(n)
           .map(_.group(1).toInt)
       }
+    if (corr.nonEmpty) {
+      val newest = new java.io.File(dir,
+        f"CORRECTNESS_r${corr.max}%02d.json")
+      val body =
+        try java.nio.file.Files.readString(newest.toPath).trim
+        catch { case _: Throwable => "" }
+      if (body.isEmpty || body == "{}") {
+        val self = new java.io.File(dir,
+          f"CORRECTNESS_SELF_r${corr.max}%02d.json")
+        System.err.println(
+          s"[round-artifacts] WARNING: ${newest.getName} is EMPTY — the " +
+            "driver's correctness capture hiccuped; the round's hard " +
+            "signal is missing. " +
+            (if (self.isFile)
+              s"Use the committed self-check ${self.getName} instead."
+            else
+              "Run scripts/oracle_check.py --json CORRECTNESS_SELF_" +
+                f"r${corr.max}%02d.json over a fresh graft.Verify dump " +
+                "and COMMIT it so the round stays verifiable."))
+      }
+    }
     val verdict = new java.io.File(dir, "VERDICT.md")
     if (corr.nonEmpty && verdict.isFile) {
       val head = {
-        val src = scala.io.Source.fromFile(verdict)
+        // explicit lenient UTF-8: the default-charset Source.fromFile
+        // threw MalformedInputException on the verdict's em-dashes
+        // under a non-UTF-8 locale and the outer catch silently ate
+        // the whole staleness check
+        val codec = scala.io.Codec.UTF8
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        val src = scala.io.Source.fromFile(verdict)(codec)
         try src.getLines().take(3).mkString("\n") finally src.close()
       }
       "round\\s+(\\d+)".r.findFirstMatchIn(head).map(_.group(1).toInt) match {
