@@ -1,6 +1,137 @@
 package graft
-/** Dev tool: dump formatted physical plans for representative gates. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Plan + layout audits.
+  *
+  * [[main]] is the dev tool: dump formatted physical plans for
+  * representative gates.
+  *
+  * The layout helpers are the self-policing form of the round-14
+  * ingest-layout finding: parquet splits at ROW-GROUP granularity, so a
+  * big table written as one (or few) row groups serializes every narrow
+  * stage that scans it — 3.6–8.6× observed on single-row-group sf1
+  * files — while the PLAN looks perfectly parallel (Spark happily makes
+  * byte-range partitions that all turn out empty except the ones
+  * holding a row-group start). The partition count lies; only the
+  * file footers know. Mirrors the un-keyed window guard
+  * (`graft.window.warnBytes`): a named warning driven by session conf,
+  * no job runs, strict mode raises.
+  *
+  * Conf: `graft.scan.warnBytes` (default 64 MB) — tables smaller than
+  * this are never flagged; `graft.scan.strict` (default false) — raise
+  * instead of warn. */
 object PlanAudit {
+
+  /** (rowGroups, totalBytes, files) of a parquet file/directory path —
+    * footer metadata only, no data pages read. Row-group count is the
+    * hard ceiling on scan parallelism for the path. */
+  def parquetLayout(spark: SparkSession, path: String): (Long, Long, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isFile) Array(st)
+      else fs.listStatus(p).filter(s => s.isFile &&
+        s.getPath.getName.endsWith(".parquet"))
+    var groups = 0L
+    var bytes = 0L
+    files.foreach { f =>
+      bytes += f.getLen
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf))
+      try groups += r.getFooter.getBlocks.size() finally r.close()
+    }
+    (groups, bytes, files.length)
+  }
+
+  /** The layout rule: a table `bytes` big laid out as `groups` row
+    * groups caps scan parallelism at `groups`; it should offer at least
+    * min(cores, the split count the size calls for at
+    * `maxPartitionBytes`). Returns the warning text when violated. */
+  def narrowLayoutWarning(spark: SparkSession, path: String)
+      : Option[String] = {
+    val warnBytes = spark.conf
+      .get("graft.scan.warnBytes", (64L << 20).toString).toLong
+    val (groups, bytes, files) = parquetLayout(spark, path)
+    if (bytes <= warnBytes) return None
+    val maxSplit =
+      spark.sessionState.conf.filesMaxPartitionBytes max 1L
+    val needed = math.min(spark.sparkContext.defaultParallelism.toLong,
+      (bytes + maxSplit - 1) / maxSplit)
+    if (groups >= needed) None
+    else Some(
+      s"narrow-scan-layout: $path is $bytes bytes in $files file(s) " +
+        s"but only $groups row group(s) — scans cap at $groups-way " +
+        s"parallelism where the size calls for $needed; rewrite the " +
+        "table with many row groups/files (parquet.block.size, or " +
+        "repartition before write), or repartition after the scan " +
+        "for compute-heavy stages")
+  }
+
+  private val warned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Warn (once per path per JVM) when a parquet table's layout caps
+    * scan parallelism — the ingest-side hook, called by the gate table
+    * loader. `graft.scan.strict=true` raises instead. Footer reads are
+    * metadata-only and memoized; failures never break a read. */
+  def warnIfNarrowLayout(spark: SparkSession, path: String): Unit = {
+    if (!warned.add(path)) return
+    try narrowLayoutWarning(spark, path).foreach { msg =>
+      if (spark.conf.get("graft.scan.strict", "false").toBoolean)
+        throw new IllegalArgumentException(s"strict: $msg")
+      Console.err.println(s"[graft] WARN $msg")
+    } catch {
+      case e: IllegalArgumentException if e.getMessage != null &&
+        e.getMessage.startsWith("strict:") => throw e
+      case _: Throwable => () // an audit must never break ingest
+    }
+  }
+
+  /** Decouple a compute-heavy stage's parallelism from its input's
+    * file layout: when the frame's EFFECTIVE scan splits (plan
+    * partitions, capped by the inputs' row-group count when the frame
+    * is file-backed with fewer files than cores) fall below the
+    * cluster's parallelism, repartition up; otherwise return the frame
+    * unchanged (a 100 TB input already offers plenty of splits — never
+    * shrink it). One extra round-robin exchange in the narrow case,
+    * zero correctness impact. */
+  def repartitionIfLayoutBound(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val planParts =
+      try df.rdd.getNumPartitions
+      catch { case _: Throwable => return df }
+    val effective =
+      try {
+        // a shuffle between scan and output resets parallelism — the
+        // row-group cap binds only SCAN-narrow frames
+        val hasShuffle = df.queryExecution.sparkPlan.collectFirst {
+          case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeLike => e
+        }.isDefined
+        val files = df.inputFiles
+        // >= par files → at least one split each, layout can't bind
+        if (hasShuffle || files.isEmpty || files.length >= par)
+          planParts.toLong
+        else {
+          val conf = spark.sessionState.newHadoopConf()
+          val groups = files.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f), conf))
+            try r.getFooter.getBlocks.size().toLong finally r.close()
+          }.sum
+          math.min(planParts.toLong, groups)
+        }
+      } catch { case _: Throwable => planParts.toLong }
+    if (effective < par) df.repartition(par) else df
+  }
+
+  /** Dev tool: dump formatted physical plans for representative gates. */
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val d = "/root/testdata/sf0.01"

@@ -22,9 +22,14 @@ object Gate {
     * same truncation DuckDB's microsecond TIMESTAMP applies on read — so
     * oracle comparisons stay exact).
     */
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    graft.sources.Ingest.normalizeNanos(
-      s.read.parquet(s"$dir/$name.parquet"))
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    // ingest-layout self-check (once per path): a big table written as
+    // few row groups caps every scan of it — the plan can't see it,
+    // only the footers can (PlanAudit; graft.scan.warnBytes/strict)
+    graft.PlanAudit.warnIfNarrowLayout(s, path)
+    graft.sources.Ingest.normalizeNanos(s.read.parquet(path))
+  }
 }
 
 /** Deterministic floating-point aggregation helpers.
