@@ -2780,6 +2780,35 @@ object TextGates {
     },
       Some(unigramSpecialsOracleSql)),
 
+    // Unigram TAGS artifact round trip (r15 — closes the r14 asymmetry
+    // where only byte-BPE round-tripped specials through the
+    // interchange files): the fitted model AND the reserved tags export
+    // as pieces.tsv + added_tokens.json (ids contiguous above the
+    // sorted piece layout), load back, and the LOADED pair drives the
+    // same specials-aware encode — green iff the directory carries the
+    // model and the tag ids losslessly. Same chain as
+    // t_unigram_specials → the same full oracle.
+    Gate("t_unigram_tags_export_rt", (s, d) => {
+      val docs = t(s, d, "documents")
+      val model = graft.operators.Unigram.fitEm(docs, "text",
+        topMulti = 16)
+      val sp = Seq("<|DOC|>", "<|END|>")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ug_tags_rt").toString
+      graft.sinks.TokenizerFiles.writeUnigramModel(dir, model, sp)
+      val (m2, sp2) =
+        graft.sinks.TokenizerFiles.readUnigramModelWithSpecials(dir)
+      val tagged = docs.select(col("doc_id"),
+        concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
+      val ids = graft.operators.Unigram.encodeIdsCol(col("tagged"),
+        m2, sp2, 6)
+      tagged.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some(unigramSpecialsOracleSql)),
+
     // Unigram-LM prune-EM to an EXACT target vocabulary (r12 —
     // operators.Unigram.fitTarget, the SentencePiece outer loop): seed
     // 2·96 multi-char candidates over the 24-char alphabet, alternate
@@ -2846,6 +2875,34 @@ object TextGates {
         concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
       val ids = graft.operators.WordPiece.encodeIdsCol(col("tagged"),
         vocab, sp, 16)
+      tagged.select(col("doc_id"),
+          array_join(ids.cast("array<string>"), " ").as("ids_str"),
+          size(ids).cast("long").as("n_ids"))
+        .orderBy(col("doc_id"))
+    },
+      Some(wordPieceSpecialsOracleSql)),
+
+    // WordPiece TAGS artifact round trip (r15): vocabulary AND reserved
+    // tags export as vocab.txt + added_tokens.json (ids contiguous
+    // above the [UNK]+sorted layout), load back, and the LOADED pair
+    // drives the same specials-aware encode — the BERT-style twin of
+    // t_bpe_specials_export_rt. Same chain as t_wordpiece_specials →
+    // the same full oracle.
+    Gate("t_wordpiece_tags_export_rt", (s, d) => {
+      val docs = t(s, d, "documents")
+      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+        minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val sp = Seq("<|DOC|>", "<|END|>")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_bert_tags_rt").toString
+      graft.sinks.TokenizerFiles.writeBert(dir, vocab, sp)
+      val (v2, sp2) =
+        graft.sinks.TokenizerFiles.readBertWithSpecials(dir)
+      val tagged = docs.select(col("doc_id"),
+        concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
+      val ids = graft.operators.WordPiece.encodeIdsCol(col("tagged"),
+        v2, sp2, 16)
       tagged.select(col("doc_id"),
           array_join(ids.cast("array<string>"), " ").as("ids_str"),
           size(ids).cast("long").as("n_ids"))

@@ -194,6 +194,32 @@ object TokenizerFiles {
       (WordPiece.Unk +: sorted).mkString("", "\n", "\n"))
   }
 
+  /** Write a BERT artifact DIRECTORY: `vocab.txt` plus — when specials
+    * are present — `added_tokens.json` with ids contiguous from N+1
+    * (N = vocabulary size; `[UNK]`=0, sorted vocab 1..N), exactly the
+    * reserved layout [[WordPiece.encodeIdsCol]] assigns to its
+    * `specials` argument. Closes the r14 asymmetry where only byte-BPE
+    * round-tripped its tags through the interchange files. */
+  def writeBert(dir: String, vocab: Seq[String],
+      specials: Seq[String] = Nil): Unit = {
+    val d = Files.createDirectories(Paths.get(dir))
+    writeBertVocab(d.resolve("vocab.txt").toString, vocab)
+    if (specials.nonEmpty)
+      writeAddedTokens(d.resolve("added_tokens.json").toString,
+        specials, vocab.distinct.size + 1)
+  }
+
+  /** Load a BERT artifact directory written by [[writeBert]]: the
+    * vocabulary plus the specials in id order (Nil when the artifact
+    * has none) — id contiguity above the vocabulary is checked by
+    * [[readAddedTokens]]. */
+  def readBertWithSpecials(dir: String): (Seq[String], Seq[String]) = {
+    val d = Paths.get(dir)
+    val vocab = readBertVocab(d.resolve("vocab.txt").toString)
+    (vocab, readAddedTokens(d.resolve("added_tokens.json").toString,
+      vocab.size + 1))
+  }
+
   /** Load a vocab.txt written by [[writeBertVocab]]: returns the piece
     * list (without `[UNK]`) — the `vocab` argument
     * [[WordPiece.encodeCol]] and [[WordPiece.vocabFrame]] take, in the
@@ -229,6 +255,32 @@ object TokenizerFiles {
     write(Paths.get(path),
       sorted.map(p => s"${p.piece}\t${p.freq}\t${p.costBits}")
         .mkString("", "\n", "\n"))
+  }
+
+  /** Write a SentencePiece-style artifact DIRECTORY: `pieces.tsv` plus
+    * — when specials are present — `added_tokens.json` with ids
+    * contiguous from N+1 (N = distinct piece count; `[UNK]`=0, sorted
+    * pieces 1..N), exactly the reserved layout
+    * [[Unigram.encodeIdsCol]] assigns to its `specials` argument. */
+  def writeUnigramModel(dir: String, pieces: Seq[Unigram.Piece],
+      specials: Seq[String] = Nil): Unit = {
+    val d = Files.createDirectories(Paths.get(dir))
+    writeUnigramTsv(d.resolve("pieces.tsv").toString, pieces)
+    if (specials.nonEmpty)
+      writeAddedTokens(d.resolve("added_tokens.json").toString,
+        specials, pieces.map(_.piece).distinct.size + 1)
+  }
+
+  /** Load a unigram artifact directory written by [[writeUnigramModel]]:
+    * the piece list plus the specials in id order (Nil when the
+    * artifact has none) — id contiguity above the piece layout is
+    * checked by [[readAddedTokens]]. */
+  def readUnigramModelWithSpecials(dir: String)
+      : (Seq[Unigram.Piece], Seq[String]) = {
+    val d = Paths.get(dir)
+    val pieces = readUnigramTsv(d.resolve("pieces.tsv").toString)
+    (pieces, readAddedTokens(d.resolve("added_tokens.json").toString,
+      pieces.map(_.piece).distinct.size + 1))
   }
 
   /** Load a piece-list TSV written by [[writeUnigramTsv]] — the

@@ -198,6 +198,61 @@ class TokenizerFilesSpec extends AnyFunSuite {
     assert(e.getMessage.contains("contiguous"))
   }
 
+  test("BERT directory: writeBert/readBertWithSpecials round-trips " +
+      "vocab AND tags; wrong-vocabulary added_tokens fail loudly") {
+    val docs = Seq.tabulate(20)(i =>
+      (i.toLong, s"<|DOC|> some words here $i <|END|>"))
+      .toDF("doc_id", "text")
+    val sp = Seq("<|DOC|>", "<|END|>")
+    val merges = WordPiece.fit(docs, "text", 6, minCount = 1L)
+    val vocab = WordPiece.vocabulary(docs, "text", merges)
+    val dir = tmp("bert_sp")
+    TokenizerFiles.writeBert(dir, vocab, sp)
+    val (v2, sp2) = TokenizerFiles.readBertWithSpecials(dir)
+    assert(v2 == vocab.distinct.sorted && sp2 == sp)
+    // the loaded pair drives an identical specials-aware encode
+    val probe = Seq((1L, "<|DOC|> some words <|END|>"))
+      .toDF("doc_id", "text")
+    val a = probe.select(WordPiece.encodeIdsCol(col("text"), vocab, sp, 16))
+      .head().getSeq[Int](0)
+    val b = probe.select(WordPiece.encodeIdsCol(col("text"), v2, sp2, 16))
+      .head().getSeq[Int](0)
+    assert(a == b)
+    // specials-free artifact loads Nil
+    val dir2 = tmp("bert_nosp")
+    TokenizerFiles.writeBert(dir2, vocab)
+    assert(TokenizerFiles.readBertWithSpecials(dir2)._2.isEmpty)
+    // an added_tokens.json written for a DIFFERENT vocabulary size
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2).resolve("added_tokens.json"),
+      s"""{"<|DOC|>":${vocab.distinct.size + 9}}""".getBytes)
+    val e = intercept[IllegalArgumentException](
+      TokenizerFiles.readBertWithSpecials(dir2))
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("Unigram directory: writeUnigramModel/readUnigramModelWithSpecials " +
+      "round-trips pieces AND tags") {
+    val docs = Seq.tabulate(20)(i => (i.toLong, s"abc abd bcd $i"))
+      .toDF("doc_id", "text")
+    val sp = Seq("<|DOC|>", "<|END|>")
+    val model = Unigram.fitEm(docs, "text", topMulti = 8)
+    val dir = tmp("ug_sp")
+    TokenizerFiles.writeUnigramModel(dir, model, sp)
+    val (m2, sp2) = TokenizerFiles.readUnigramModelWithSpecials(dir)
+    assert(m2.toSet == model.toSet && sp2 == sp)
+    val probe = Seq((1L, "<|DOC|> abc bcd <|END|>")).toDF("doc_id", "text")
+    val a = probe.select(Unigram.encodeIdsCol(col("text"), model, sp, 6))
+      .head().getSeq[Int](0)
+    val b = probe.select(Unigram.encodeIdsCol(col("text"), m2, sp2, 6))
+      .head().getSeq[Int](0)
+    assert(a == b)
+    // specials-free artifact loads Nil
+    val dir2 = tmp("ug_nosp")
+    TokenizerFiles.writeUnigramModel(dir2, model)
+    assert(TokenizerFiles.readUnigramModelWithSpecials(dir2)._2.isEmpty)
+  }
+
   test("Unigram TSV guards: malformed line, tab inside a piece") {
     val path = s"${tmp("sp_bad")}/pieces.tsv"
     intercept[IllegalArgumentException](
