@@ -110,6 +110,112 @@ class RenderSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Render.series(nullKey))
   }
 
+  // ------------------------------------------- seriesJson properties
+
+  /** The chart JSON's correctness contract, stated against a real JSON
+    * parser (Jackson, from Spark's classpath) instead of golden
+    * strings: whatever keys/values a frame carries, the emitted text
+    * PARSES, and parsing recovers the original values — numbers
+    * numerically exact (with the F# `string 5.0 = "5"` integral
+    * convention), NaN/Infinity as quoted text, arbitrary strings
+    * (quotes, backslashes, control chars) byte-identical. Mirrors the
+    * Printer/Parser round-trip discipline. */
+  test("property: seriesJson round-trips through a JSON parser — " +
+      "numeric conventions, NaN/Inf quoting, control-char escapes") {
+    import org.scalacheck.Gen
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val genStr: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('"', '\\', '\n', '\r', '\t', '\u0001', '\u001f',
+        '\u00e9', '\u20ac', ' '))).map(_.mkString)
+    val genDouble: Gen[Double] = Gen.frequency(
+      4 -> Gen.chooseNum(-1e6, 1e6),
+      3 -> Gen.chooseNum(-1000000L, 1000000L).map(_.toDouble),
+      2 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.0, -0.0, 1e16, 9007199254740993.0,
+        1.0e-300, 123.456))
+    def checkNode(node: com.fasterxml.jackson.databind.JsonNode,
+        v: Any): Unit = v match {
+      case null => assert(node.isNull, s"$v -> $node")
+      case s: String =>
+        assert(node.isTextual && node.textValue == s, s"$v -> $node")
+      case l: Long =>
+        assert(node.isIntegralNumber && node.longValue == l,
+          s"$v -> $node")
+      case d: Double if d.isNaN =>
+        assert(node.isTextual && node.textValue == "NaN", s"$v -> $node")
+      case d: Double if d.isInfinite =>
+        assert(node.isTextual && node.textValue == d.toString,
+          s"$v -> $node")
+      case d: Double if d == math.floor(d) && math.abs(d) < 1e15 =>
+        // the F# integral convention: no decimal point in the token
+        assert(node.isIntegralNumber && node.longValue == d.toLong,
+          s"$v -> $node")
+      case d: Double =>
+        assert(node.isNumber && node.doubleValue == d, s"$v -> $node")
+    }
+    val params = Gen.Parameters.default
+    for (i <- 1 to 120) {
+      val seed = org.scalacheck.rng.Seed(i.toLong)
+      val keyIsText = i % 3 == 0
+      val gen = for {
+        n <- Gen.choose(1, 12)
+        keys <-
+          if (keyIsText) Gen.listOfN(n, genStr)
+          else Gen.listOfN(n, Gen.chooseNum(-100000L, 100000L))
+        vals <- Gen.listOfN(n, Gen.frequency(
+          5 -> genDouble.map(x => x: Any),
+          3 -> genStr.map(x => x: Any),
+          1 -> Gen.const(null: Any)))
+      } yield (keys, vals)
+      gen(params, seed).foreach { case (keys, vals) =>
+        val schema = StructType(Seq(
+          StructField(graft.hb.Engine.KEY,
+            if (keyIsText) StringType else LongType, nullable = false),
+          StructField("v", if (vals.forall(v =>
+            v == null || v.isInstanceOf[Double])) DoubleType
+          else StringType)))
+        val rows = keys.zip(vals).map { case (k, v) =>
+          val vv =
+            if (schema("v").dataType == StringType && v != null)
+              v.toString
+            else v
+          Row(k, vv)
+        }
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          schema)
+        val (json, truncated) = Render.seriesJsonTruncating(df)
+        assert(!truncated)
+        val root = mapper.readTree(json) // MUST parse
+        assert(root.isArray && root.size == 1)
+        val pts = root.get(0)
+        assert(pts.size == rows.length)
+        rows.zipWithIndex.foreach { case (r, j) =>
+          checkNode(pts.get(j).get("x"), r.get(0))
+          checkNode(pts.get(j).get("y"), r.get(1))
+        }
+      }
+    }
+  }
+
+  test("seriesJsonTruncating flags a clipped frame and emits exactly " +
+      "maxRows points") {
+    val df = Ingest.localData(spark, Seq("k", "v"),
+      (1 to 40).map(i => Seq[Any](i.toLong, i.toDouble)))
+    val keyed = graft.hb.Engine.runKeyed(
+      HbParser.parse("index rows by k\nslice columns v"), df)
+    val (json, truncated) = Render.seriesJsonTruncating(keyed, maxRows = 7)
+    assert(truncated)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(mapper.readTree(json).get(0).size == 7)
+    val (_, notTrunc) = Render.seriesJsonTruncating(keyed, maxRows = 40)
+    assert(!notTrunc)
+  }
+
   test("the 7-program corpus renders: prose + code blocks that " +
       "re-parse (no sources needed — presentation only)") {
     val corpusDir = "/root/reference/tests/transformations"
