@@ -43,14 +43,49 @@ def rows_of(rel):
     return names, types, data
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    args, skip = [], False
+    for i, a in enumerate(argv):
+        if skip:
+            skip = False
+            continue
+        if a in ("--json", "--timeout"):
+            skip = True
+        elif not a.startswith("--"):
+            args.append(a)
     sfdir, outdir = args[0], args[1]
     json_out = None
-    if "--json" in sys.argv:
-        json_out = sys.argv[sys.argv.index("--json") + 1]
+    if "--json" in argv:
+        json_out = argv[argv.index("--json") + 1]
+    # per-oracle wall-clock bound (seconds): a pathological DuckDB plan
+    # (e.g. a recursive tokenizer chain at a big sf) must not hang the
+    # sweep — con.interrupt() aborts the running query cleanly
+    timeout = None
+    if "--timeout" in argv:
+        timeout = float(argv[argv.index("--timeout") + 1])
     con = duckdb.connect()
+
+    def timed(fn):
+        if not timeout:
+            return fn()
+        import threading
+        done = threading.Event()
+        def killer():
+            if not done.wait(timeout):
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+        t = threading.Thread(target=killer, daemon=True)
+        t.start()
+        try:
+            return fn()
+        finally:
+            done.set()
+
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+        if os.path.exists(f"{sfdir}/{t}.parquet"):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     results = {}
     records = {}  # driver-shaped per-gate verdicts for --json
@@ -71,7 +106,12 @@ def main():
         for name in sorted(set(oracles) - dumped):
             results[name] = "NO_SPARK_DUMP (gate failed in Verify?)"
             rec(name, err="no spark dump")
+    progress = "--progress" in argv
     for name in sorted(dumped):
+        if progress:
+            import time
+            print(f"[...] {time.strftime('%H:%M:%S')} {name}",
+                  file=sys.stderr, flush=True)
         path = os.path.join(outdir, name)
         got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
         gcols, gtypes, grows = rows_of(got_rel)
@@ -82,7 +122,8 @@ def main():
                 hash_match=None, spark_rows=len(grows))
             continue
         try:
-            ocols, otypes, orows = rows_of(con.sql(oracles[name]))
+            ocols, otypes, orows = timed(
+                lambda: rows_of(con.sql(oracles[name])))
         except Exception as e:
             results[name] = f"ORACLE_SQL_ERROR {e}"
             rec(name, spark_rows=len(grows), err=f"oracle sql: {e}")
