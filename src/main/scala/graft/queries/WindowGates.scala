@@ -81,18 +81,24 @@ object WindowGates {
       // round(…, 9): the unrounded doubles can differ between engines by
       // 1-2 ulps (e.g. FMA contraction in the division-multiply chain);
       // both Spark and DuckDB round ties away from zero, so 9 decimals is
-      // a stable meeting point.
+      // a stable meeting point. `+ 0.0` after the round: a slope that
+      // rounds to zero from below is -0.0 in DuckDB's ROUND (IEEE
+      // double) but +0.0 in Spark's (BigDecimal path, no signed zero) —
+      // adding positive zero maps -0.0 → +0.0 in both engines and is
+      // the identity everywhere else (caught at sf1: event_type='error'
+      // slope printed 0.0 vs -0.0).
       agg.select(col("event_type"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")) /
-          (col("n") * col("sxx") - col("sx") * col("sx")), 9).as("slope"),
-        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 9) + lit(0.0))
+          .as("slope"),
+        (round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
           (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
-          col("n"), 9).as("intercept"))
+          col("n"), 9) + lit(0.0)).as("intercept"))
         .orderBy(col("event_type"))
     },
       Some("""SELECT event_type,
-             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) AS slope,
-             |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9) AS intercept
+             |  ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 9) + 0.0 AS slope,
+             |  ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 9) + 0.0 AS intercept
              |FROM (
              |  SELECT event_type, COUNT(*) AS n,
              |    CAST(SUM(CAST(CAST(event_id AS DOUBLE) AS DECIMAL(30,6))) AS DOUBLE) AS sx,
@@ -134,9 +140,10 @@ object WindowGates {
       val preds = s.range(1, nPredict + 1).toDF("i")
         .crossJoin(broadcast(fit))
         .select((col("maxx") + col("i")).as("x"),
-          round(col("sy") / col("n") +
+          // + 0.0: -0.0 vs +0.0 engine divergence after ROUND, as in w3
+          (round(col("sy") / col("n") +
             col("slope") * (col("maxx") + col("i") - col("sx") / col("n")), 9)
-            .as("y"),
+            + lit(0.0)).as("y"),
           lit(true).as("predicted"))
       ev.withColumn("predicted", lit(false))
         .select("x", "y", "predicted")
@@ -159,7 +166,7 @@ object WindowGates {
              |preds AS (
              |  SELECT maxx + i AS x,
              |    ROUND(sy/n + ((n*sxy - sx*sy)/(n*sxx - sx*sx))
-             |      * (maxx + i - sx/n), 9) AS y,
+             |      * (maxx + i - sx/n), 9) + 0.0 AS y,
              |    TRUE AS predicted
              |  FROM range(1, 11) t(i), fit, mx)
              |SELECT x, y, predicted FROM (
