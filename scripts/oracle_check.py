@@ -49,7 +49,7 @@ def main():
         if skip:
             skip = False
             continue
-        if a in ("--json", "--timeout"):
+        if a in ("--json", "--timeout", "--only", "--threads", "--memlimit"):
             skip = True
         elif not a.startswith("--"):
             args.append(a)
@@ -64,6 +64,14 @@ def main():
     if "--timeout" in argv:
         timeout = float(argv[argv.index("--timeout") + 1])
     con = duckdb.connect()
+    # --threads/--memlimit: cap this process's DuckDB so several
+    # oracle_check workers can run side by side (the expensive sf1
+    # oracles are recursive CTEs — mostly single-threaded per query, so
+    # gate-level parallelism across processes is the real speedup)
+    if "--threads" in argv:
+        con.sql(f"SET threads={int(argv[argv.index('--threads') + 1])}")
+    if "--memlimit" in argv:
+        con.sql(f"SET memory_limit='{argv[argv.index('--memlimit') + 1]}'")
 
     def timed(fn):
         if not timeout:
@@ -98,6 +106,9 @@ def main():
                          "oracle_rows": oracle_rows, "err": err}
     dumped = {n for n in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, n))}
+    # --only a,b,c: check just these gates (parallel-worker slicing)
+    if "--only" in argv:
+        dumped &= set(argv[argv.index("--only") + 1].split(","))
     # a gate that failed inside graft.Verify leaves NO dump directory —
     # without this it would silently vanish from the report entirely.
     # --subset: the Verify run was deliberately filtered to a few gates
