@@ -49,7 +49,8 @@ def main():
         if skip:
             skip = False
             continue
-        if a in ("--json", "--timeout", "--only", "--threads", "--memlimit"):
+        if a in ("--json", "--timeout", "--only", "--threads", "--memlimit",
+                 "--tmpdir"):
             skip = True
         elif not a.startswith("--"):
             args.append(a)
@@ -72,6 +73,14 @@ def main():
         con.sql(f"SET threads={int(argv[argv.index('--threads') + 1])}")
     if "--memlimit" in argv:
         con.sql(f"SET memory_limit='{argv[argv.index('--memlimit') + 1]}'")
+    # --tmpdir: per-worker spill directory. Parallel in-memory DuckDB
+    # processes sharing a cwd share `.tmp/duckdb_temp_storage-*` — one
+    # worker crashing corrupts every sibling's spill (observed: OOM
+    # "Failed to allocate block" on oracles that spill fine alone).
+    if "--tmpdir" in argv:
+        td = argv[argv.index("--tmpdir") + 1]
+        os.makedirs(td, exist_ok=True)
+        con.sql(f"SET temp_directory='{td}'")
 
     def timed(fn):
         if not timeout:
