@@ -113,6 +113,12 @@ def main():
                          "hash_match": hash_match,
                          "spark_rows": spark_rows,
                          "oracle_rows": oracle_rows, "err": err}
+        # flush after EVERY gate: a big-sf sweep worker that dies mid-run
+        # (OOM killer, MemoryError on a huge fetchall) must not lose the
+        # gates it already verified
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(records, f, indent=1, sort_keys=True)
     dumped = {n for n in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, n))}
     # --only a,b,c: check just these gates (parallel-worker slicing)
