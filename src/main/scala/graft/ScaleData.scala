@@ -75,14 +75,18 @@ object ScaleData {
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val dim = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    // rotation amount mod dim: reps beyond the vector dimension must
+    // wrap (slice(…, dim - rep) with rep > dim is a negative length —
+    // runtime error); rep % dim keeps reps < dim bit-identical to the
+    // pre-fix corpora (sf1/sf3 regenerate unchanged)
+    val rot = (col("__rep") % lit(dim.toLong)).cast("int")
     val embN = emb.crossJoin(repDf)
       .select(
         (col("vec_id") + col("__rep") * 10000000L).as("vec_id"),
-        when(col("__rep") === 0L, col("embedding"))
+        when(rot === 0, col("embedding"))
           .otherwise(concat(
-            slice(col("embedding"), col("__rep").cast("int") + 1,
-              lit(dim) - col("__rep").cast("int")),
-            slice(col("embedding"), lit(1), col("__rep").cast("int"))))
+            slice(col("embedding"), rot + 1, lit(dim) - rot),
+            slice(col("embedding"), lit(1), rot)))
           .as("embedding"),
         col("label"))
     writeOne(embN, "embeddings")
