@@ -81,6 +81,13 @@ def main():
         td = argv[argv.index("--tmpdir") + 1]
         os.makedirs(td, exist_ok=True)
         con.sql(f"SET temp_directory='{td}'")
+    # --noorder: drop DuckDB's insertion-order guarantee — a large
+    # memory saver on deep CTE chains (operators parallelize and stream
+    # instead of buffering to preserve order). Safe ONLY because every
+    # oracle in this repo ends with a deterministic ORDER BY; the exact
+    # ordered compare below would catch any oracle that didn't.
+    if "--noorder" in argv:
+        con.sql("SET preserve_insertion_order=false")
 
     def timed(fn):
         if not timeout:
