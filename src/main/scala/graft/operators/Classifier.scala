@@ -140,30 +140,29 @@ object Classifier {
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")
     }
-    def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
-    // DENSE bucket-indexed per-bucket margins, not typedlit maps:
-    // element_at on a literal MAP linear-scans per lookup (O(B) per
-    // token at B = 4096); one dense array holding the PRECOMPUTED
-    // bitlen difference makes each token one O(1) index — identical
-    // values, and the two in-plan bin() calls per token fold away too.
-    val mArrLit = typedlit(Array.tabulate(buckets) { b =>
-      bitlenL(mp.getOrElse(b.toLong, 0L) + 1L) -
-        bitlenL(mn.getOrElse(b.toLong, 0L) + 1L)
-    }.toSeq)
-    val tk = filter(Decontaminate.tokens(col(textCol)),
-      w => length(w) > 0)
-    val mArr = transform(tk, w =>
-      element_at(mArrLit,
-        bucket(w, salt, buckets).cast("int") + lit(1)))
-    val constTerm = bitlenL(nNeg + buckets) - bitlenL(nPos + buckets)
-    val np = when(tk.isNotNull, size(tk))
-    val hasEvidence = np > 0
-    df.withColumn("n_tokens", when(hasEvidence, np.cast(LongType)))
-      .withColumn("margin_sum", when(hasEvidence,
-        aggregate(mArr, lit(0L), _ + _) +
-          col("n_tokens") * lit(constTerm)))
+    // ONE compiled pass ([[graft.functions.TokenScores]]): the
+    // empty-token filter, per-token hashing and the dense
+    // bitlen-difference margin inside a single native expression. The
+    // previous Column formulation (`filter` + `transform` + `aggregate`
+    // HOFs) evaluated INTERPRETED — per token, one md5 through the
+    // conv(substring(md5(concat)),16,10) chain plus three lambda
+    // dispatches — and a streaming micro-batch re-paid it every batch.
+    // Values identical: margin_sum = Σ (bitlen(p+1)−bitlen(n+1)) +
+    // n_tokens·(bitlen(N⁻+B)−bitlen(N⁺+B)), NULL fields without token
+    // evidence.
+    val scored = df.withColumn("__ms",
+      graft.functions.TokenScores.nb_margin(
+        Decontaminate.tokens(col(textCol)), salt, buckets, mp, mn,
+        nPos, nNeg))
+    // two getField references keep CollapseProject from inlining the
+    // scorer into consumers (it never duplicates non-cheap exprs)
+    scored
+      .withColumn("n_tokens", col("__ms").getField("n_tokens"))
+      .withColumn("margin_sum", col("__ms").getField("margin_sum"))
+      .drop("__ms")
       .withColumn("margin1000",
-        when(hasEvidence, expr("(margin_sum * 1000) div n_tokens")))
+        when(col("n_tokens").isNotNull,
+          expr("(margin_sum * 1000) div n_tokens")))
   }
 
   /** The filter: fit on the seed frames, keep the documents of `df`

@@ -157,45 +157,25 @@ object LangId {
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")
     }
-    def bitlenL(v: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(v)
-    // materialize the NORMALIZED TEXT first (a HOF lambda re-runs every
-    // referenced expression per element — the regex would re-run per
-    // trigram), then the bucket array ONCE (the K per-language
-    // aggregates below each reference it, and HOF references get no
-    // CSE — without this the K·len md5s re-run per language)
-    val withT = df.withColumn("__nt", norm(col(textCol)))
-    val t = col("__nt")
-    // one compiled pass (TrigramBuckets): null text → null array,
-    // sub-trigram text → empty array
-    val withG = withT.withColumn("__gb",
-      graft.functions.TrigramBuckets.trigram_buckets(t, salt, buckets))
-      .drop("__nt")
-    val gs = col("__gb")
-    val ng = when(gs.isNotNull, size(gs).cast(LongType))
-    val hasEvidence = ng > 0L
-    val init = struct(lit(null).cast("string").as("l"),
-      lit(Long.MinValue).as("s"))
-    // languages in ASC order with a STRICT improvement test — ties keep
-    // the earlier (lexicographically smaller) language, exactly
-    // predict's (score DESC, lang ASC) window order.
-    // Per-language model as a DENSE bitlen array indexed by bucket —
-    // element_at on an ARRAY literal is O(1), where a MAP literal is a
-    // LINEAR scan per lookup (ArrayBasedMapData has no index): at
-    // B = 4096 the map form cost O(B) per trigram per language and
-    // turned the narrow scorer quadratic-ish (measured: the sf0.1
-    // stream gate crawled minutes instead of seconds)
-    val best = maps.foldLeft(init) { case (acc, (lang, m, total)) =>
-      val dense = Array.tabulate(buckets)(b =>
-        bitlenL(m.getOrElse(b.toLong, 0L) + 1L))
-      val aLit = typedlit(dense.toSeq)
-      val sc = aggregate(gs, lit(0L), (a, b) =>
-        a + element_at(aLit, b.cast("int") + 1)) +
-        ng - ng * lit(bitlenL(total + buckets))
-      when(acc.getField("s") < sc,
-        struct(lit(lang).as("l"), sc.as("s"))).otherwise(acc)
-    }
-    withG.withColumn("n_grams", when(hasEvidence, ng))
-      .withColumn("lang_pred", when(hasEvidence, best.getField("l")))
-      .drop("__gb")
+    // ONE compiled pass ([[graft.functions.LangScore]]): trigram
+    // hashing, the K dense-bitlen sums and the (score DESC, lang ASC)
+    // strict-improvement argmax all inside a single native expression —
+    // the previous Column formulation (K array literals, one `aggregate`
+    // HOF per language) evaluated INTERPRETED, K lambda dispatches per
+    // trigram, and a streaming micro-batch re-paid it every batch
+    // (~4 s/rep at sf0.1 measured on the stream stage alone). The model
+    // rides a codegen reference object, so refits reuse the compiled
+    // kernel (the ArgminDist recipe). Null text or no trigram evidence
+    // → NULL n_grams/lang_pred, exactly as before.
+    val scored = df.withColumn("__ls",
+      graft.functions.LangScore.lang_score(
+        norm(col(textCol)), salt, buckets, maps))
+    // two getField references keep CollapseProject from inlining the
+    // scorer into consumers (it never duplicates non-cheap exprs), and
+    // codegen subexpression elimination evaluates it once
+    scored
+      .withColumn("n_grams", col("__ls").getField("n_grams"))
+      .withColumn("lang_pred", col("__ls").getField("lang_pred"))
+      .drop("__ls")
   }
 }

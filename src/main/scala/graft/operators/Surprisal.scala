@@ -138,38 +138,27 @@ object Surprisal {
       require(!df.columns.contains(c),
         s"frame already has a '$c' column — rename it first")
     }
-    // DENSE bucket-indexed count arrays, not typedlit maps: element_at
-    // on a literal MAP is a LINEAR scan per lookup (ArrayBasedMapData
-    // has no index), O(B) per bigram per row at B = 4096; the dense
-    // array is O(1). Values identical — a missing bucket reads 0
-    // either way.
-    val mpLit = typedlit(
-      Array.tabulate(buckets)(b => mp.getOrElse(b.toLong, 0L)).toSeq)
-    val mcLit = typedlit(
-      Array.tabulate(buckets)(b => mc.getOrElse(b.toLong, 0L)).toSeq)
-    val tk = Decontaminate.tokens(col(textCol))
-    val n = size(tk)
-    val prs = arrays_zip(
-      slice(tk, lit(1), greatest(n - 1, lit(0))).as("__w1"),
-      slice(tk, lit(2), greatest(n - 1, lit(0))).as("__w2"))
-    val sArr = transform(prs, p => {
-      val cp = element_at(mpLit,
-        bucket(concat_ws(" ", p.getField("__w1"), p.getField("__w2")),
-          salt, buckets).cast("int") + lit(1))
-      val cc = element_at(mcLit,
-        bucket(p.getField("__w1"), salt, buckets).cast("int") + lit(1))
-      greatest(lit(0L),
-        length(bin(cc + lit(buckets.toLong))).cast(LongType) -
-          length(bin(cp + lit(1L))).cast(LongType))
-    })
-    val np = when(tk.isNotNull, greatest(n - 1, lit(0)))
-    val hasEvidence = np > 0
-    df.withColumn("n_pairs",
-        when(hasEvidence, np.cast(LongType)))
-      .withColumn("surprisal_sum",
-        when(hasEvidence, aggregate(sArr, lit(0L), _ + _)))
+    // ONE compiled pass ([[graft.functions.TokenScores]]): per-bigram
+    // hashing and the add-one bitlen score against dense precomputed
+    // byte arrays inside a single native expression. The previous
+    // Column formulation (slice/arrays_zip + a `transform` HOF)
+    // evaluated INTERPRETED — per pair, two md5s through the
+    // conv(substring(md5(concat)),16,10) chain plus lambda dispatch —
+    // and a streaming micro-batch re-paid it every batch. Scores are
+    // the same integers: max(0, bitlen(cc+B) − bitlen(cp+1)) summed,
+    // n_pairs = max(n−1, 0), NULL fields without bigram evidence.
+    val scored = df.withColumn("__ss",
+      graft.functions.TokenScores.bigram_surprisal(
+        Decontaminate.tokens(col(textCol)), salt, buckets, mp, mc))
+    // two getField references keep CollapseProject from inlining the
+    // scorer into consumers (it never duplicates non-cheap exprs)
+    scored
+      .withColumn("n_pairs", col("__ss").getField("n_pairs"))
+      .withColumn("surprisal_sum", col("__ss").getField("surprisal_sum"))
+      .drop("__ss")
       .withColumn("avg1000",
-        when(hasEvidence, expr("(surprisal_sum * 1000) div n_pairs")))
+        when(col("n_pairs").isNotNull,
+          expr("(surprisal_sum * 1000) div n_pairs")))
   }
 
   /** The filter: fit on `ref`, keep the documents of `df` whose average
