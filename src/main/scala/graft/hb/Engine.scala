@@ -375,14 +375,22 @@ object Engine {
 
     case BpeEnc(c, n) =>
       // merge table trained on the frame itself (bounded driver rows:
-      // one per merge), encoding a pure narrow map; row set unchanged
+      // one per merge), encoding a pure narrow map; row set unchanged.
+      // fitLocal, not the per-merge fitDelta loop: the STATEMENT path
+      // is the production surface, and the trainer split every real
+      // tokenizer uses is one distributed word count + the merge loop
+      // in driver memory — identical merge list below the maxWords
+      // frequency-truncation knob (BpeSpec pins the property; the
+      // library-level t_bpe_* gates keep exercising the distributed
+      // loop). Same for every statement fit below.
       f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
-        col(c), graft.operators.Bpe.fitDelta(f.df, c, n, minCount = 1L))))
+        col(c), graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L))))
 
     case WordPieceEnc(c, n) =>
       // likelihood-ranked fit (bounded driver rows) + the native greedy
       // encode as a pure narrow map — no join, row set unchanged
-      val merges = graft.operators.WordPiece.fit(f.df, c, n, minCount = 1L)
+      val merges =
+        graft.operators.WordPiece.fitLocal(f.df, c, n, minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(f.df, c, merges)
       f.copy(df = f.df
         .withColumn("__wps", graft.operators.WordPiece.encodeCol(col(c), vocab))
@@ -407,7 +415,8 @@ object Engine {
       // `decode bytes`; same bounded-fit + narrow-encode shape
       f.copy(df = f.df.withColumn("bpe",
         graft.operators.Bpe.encodeBytesCol(col(c),
-          graft.operators.Bpe.fitBytes(f.df, c, n, minCount = 1L))))
+          graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L,
+            byteLevel = true))))
 
     case BpeBytesDecode(c) =>
       // stateless narrow map — no model, stream-safe
@@ -447,7 +456,7 @@ object Engine {
       val wpFit = graft.functions.SpecialTokens
         .segmentedCorpus(f.df, c, tags)
       val vocab = graft.operators.WordPiece.vocabulary(wpFit, c,
-        graft.operators.WordPiece.fit(wpFit, c, n, minCount = 1L))
+        graft.operators.WordPiece.fitLocal(wpFit, c, n, minCount = 1L))
       val idsCol =
         if (tags.isEmpty)
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
@@ -469,8 +478,8 @@ object Engine {
       // later `decode ids` statement — can export/round-trip/decode
       // the EXACT fit without a second training pass — schema
       // inspection costs zero Spark jobs.
-      val merges = graft.operators.Bpe.fitBytes(f.df, c, n,
-        minCount = 1L, specials = tags)
+      val merges = graft.operators.Bpe.fitLocal(f.df, c, n,
+        minCount = 1L, byteLevel = true, specials = tags)
       f.copy(df = f.df
         .withColumn("token_ids",
           graft.operators.Bpe.encodeIdsCol(col(c), merges, tags))
@@ -511,8 +520,8 @@ object Engine {
       val sftSp = graft.operators.Sft.Specials
       val renderedDf = f.df.withColumn("rendered",
         graft.operators.Sft.render(col(pc), col(rc)))
-      val sftMerges = graft.operators.Bpe.fitBytes(renderedDf,
-        "rendered", n, minCount = 1L, specials = sftSp)
+      val sftMerges = graft.operators.Bpe.fitLocal(renderedDf,
+        "rendered", n, minCount = 1L, byteLevel = true, specials = sftSp)
       f.copy(df = renderedDf
         .withColumn("token_ids", graft.operators.Bpe.encodeIdsCol(
           col("rendered"), sftMerges, sftSp))

@@ -312,7 +312,12 @@ object StreamHb {
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
             resolve(conf), c, n, 1L, conf, lc)
-          case None => graft.operators.Bpe.fitDelta(resolve(conf), c, n,
+          // fitLocal, not the per-merge distributed loop: the
+          // statement surface uses the production trainer split
+          // (identical merges below maxWords — BpeSpec), as in the
+          // batch Engine; the stored tier above amortizes differently
+          // (one fit ever) and keeps the reference-shaped fit
+          case None => graft.operators.Bpe.fitLocal(resolve(conf), c, n,
             minCount = 1L)
         }
         f.copy(df = f.df.withColumn("bpe",
@@ -358,7 +363,8 @@ object StreamHb {
             val fitDf = graft.functions.SpecialTokens
               .segmentedCorpus(wpDf, c, tags)
             graft.operators.WordPiece.vocabulary(fitDf, c,
-              graft.operators.WordPiece.fit(fitDf, c, n, minCount = 1L))
+              graft.operators.WordPiece.fitLocal(fitDf, c, n,
+                minCount = 1L))
         }
         val wpIds =
           if (tags.isEmpty)
@@ -383,8 +389,8 @@ object StreamHb {
           case Some(lc) => graft.operators.Bpe.fitStored(
             resolve(conf), c, n, 1L, conf, lc, byteLevel = true,
             specials = tags)
-          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
-            minCount = 1L, specials = tags)
+          case None => graft.operators.Bpe.fitLocal(resolve(conf), c, n,
+            minCount = 1L, byteLevel = true, specials = tags)
         }
         f.copy(df = f.df
           .withColumn("token_ids",
@@ -414,8 +420,8 @@ object StreamHb {
           case Some(lc) => graft.operators.Bpe.fitStored(fitDf,
             "rendered", n, 1L, conf, lc, byteLevel = true,
             specials = sftSp)
-          case None => graft.operators.Bpe.fitBytes(fitDf, "rendered",
-            n, minCount = 1L, specials = sftSp)
+          case None => graft.operators.Bpe.fitLocal(fitDf, "rendered",
+            n, minCount = 1L, byteLevel = true, specials = sftSp)
         }
         f.copy(df = f.df
           .withColumn("rendered",
@@ -440,8 +446,8 @@ object StreamHb {
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
             resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
-          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
-            minCount = 1L)
+          case None => graft.operators.Bpe.fitLocal(resolve(conf), c, n,
+            minCount = 1L, byteLevel = true)
         }
         val nIds = size(graft.operators.Bpe.encodeIdsCol(col(c), merges))
           .cast("long")
@@ -466,8 +472,8 @@ object StreamHb {
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
             resolve(conf), tc, n, 1L, conf, lc, byteLevel = true)
-          case None => graft.operators.Bpe.fitBytes(resolve(conf), tc,
-            n, minCount = 1L)
+          case None => graft.operators.Bpe.fitLocal(resolve(conf), tc,
+            n, minCount = 1L, byteLevel = true)
         }
         f.copy(df = f.df.withColumn("text_decoded",
           graft.operators.Bpe.decodeIdsCol(col(c), merges)))
@@ -477,8 +483,8 @@ object StreamHb {
         val merges = store match {
           case Some(lc) => graft.operators.Bpe.fitStored(
             resolve(conf), c, n, 1L, conf, lc, byteLevel = true)
-          case None => graft.operators.Bpe.fitBytes(resolve(conf), c, n,
-            minCount = 1L)
+          case None => graft.operators.Bpe.fitLocal(resolve(conf), c, n,
+            minCount = 1L, byteLevel = true)
         }
         f.copy(df = f.df.withColumn("bpe",
           graft.operators.Bpe.encodeBytesCol(col(c), merges)))
@@ -493,7 +499,8 @@ object StreamHb {
           case Some(lc) => graft.operators.WordPiece.vocabularyStored(
             wpDf, c, n, 1L, conf, lc)
           case None => graft.operators.WordPiece.vocabulary(wpDf, c,
-            graft.operators.WordPiece.fit(wpDf, c, n, minCount = 1L))
+            graft.operators.WordPiece.fitLocal(wpDf, c, n,
+              minCount = 1L))
         }
         // the file source hands a micro-batch ONE task per file — one
         // narrow round-robin exchange spreads the compiled encode

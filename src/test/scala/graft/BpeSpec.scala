@@ -218,6 +218,17 @@ class BpeSpec extends AnyFunSuite {
     val bl = Bpe.fitLocal(docs, "text", 12, minCount = 1L,
       byteLevel = true)
     assert(bd == bl, s"\nfitBytes: $bd\nfitLocal: $bl")
+    // byte-level with reserved specials (the sft / `bpe ids … tags`
+    // statement shape): the tag text must leave the fit corpus the
+    // same way on both paths — they share byteFrame's segmentation
+    val sp = Seq("<|U|>", "<|A|>")
+    val tagged = docs.selectExpr("doc_id",
+      "concat('<|U|> ', text, ' <|A|>') AS text")
+    val sd = Bpe.fitBytes(tagged, "text", 12, minCount = 1L,
+      specials = sp)
+    val sl = Bpe.fitLocal(tagged, "text", 12, minCount = 1L,
+      byteLevel = true, specials = sp)
+    assert(sd == sl, s"\nfitBytes+sp: $sd\nfitLocal+sp: $sl")
     // the minCount stop rule carries over
     assert(Bpe.fitLocal(Seq((1L, "ab cd ef")).toDF("doc_id", "text"),
       "text", 5, minCount = 2L).isEmpty)
