@@ -1861,7 +1861,7 @@ object TextGates {
 
     Gate("t_bpe_encode", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.Bpe.fitDelta(docs, "text", 8,
+      val merges = graft.operators.Bpe.fitLocal(docs, "text", 8,
         minCount = 1L)
       docs.select(col("doc_id"),
         graft.operators.Bpe.encodeColFast(col("text"), merges).as("bpe"))
@@ -1901,7 +1901,7 @@ object TextGates {
     // as a recursive CTE, and ordered document reassembly.
     Gate("t_wordpiece", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
       graft.operators.WordPiece.encode(docs, "doc_id", "text", vocab)
@@ -1917,7 +1917,7 @@ object TextGates {
     // full oracle.
     Gate("t_wordpiece_export_rt", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       val path = java.nio.file.Files
         .createTempDirectory("graft_bert_rt").toString + "/vocab.txt"
@@ -1935,7 +1935,7 @@ object TextGates {
     // and replays the id assignment.
     Gate("t_wordpiece_vocab", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       graft.operators.WordPiece.vocabFrame(s,
         graft.operators.WordPiece.vocabulary(docs, "text", merges))
@@ -2123,8 +2123,8 @@ object TextGates {
         lit("  #"), (col("doc_id") % 100).cast("string"),
         lit(", End.\n\ttail  42 "))
       val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
-      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(docs, "fx", 6,
+        minCount = 1L, byteLevel = true)
       val enc = graft.operators.Bpe.encodeBytesCol(col("fx"), merges)
       docs.select(col("doc_id"), enc.as("bpe"),
         graft.operators.Bpe.decodeBytesCol(enc).as("decoded"))
@@ -2195,7 +2195,8 @@ object TextGates {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_gpt2_rt").toString
       graft.sinks.TokenizerFiles.writeGpt2(dir,
-        graft.operators.Bpe.fitBytes(docs, "fx", 6, minCount = 1L))
+        graft.operators.Bpe.fitLocal(docs, "fx", 6, minCount = 1L,
+          byteLevel = true))
       val loaded = graft.sinks.TokenizerFiles.readGpt2(dir)
       val enc = graft.operators.Bpe.encodeBytesCol(col("fx"), loaded)
       docs.select(col("doc_id"), enc.as("bpe"),
@@ -2215,8 +2216,8 @@ object TextGates {
         lit("  #"), (col("doc_id") % 100).cast("string"),
         lit(", End.\n\ttail  42 "))
       val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
-      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(docs, "fx", 6,
+        minCount = 1L, byteLevel = true)
       graft.operators.Bpe.vocabFrame(s, merges).orderBy(col("id"))
     },
       Some(bpeBytesChainSql(bpeBytesFixtureSql, 6) +
@@ -2253,8 +2254,8 @@ object TextGates {
         lit("  #"), (col("doc_id") % 100).cast("string"),
         lit(", End.\n\ttail  42 "))
       val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
-      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(docs, "fx", 6,
+        minCount = 1L, byteLevel = true)
       val ids = graft.operators.Bpe.encodeIdsCol(col("fx"), merges)
       docs.select(col("doc_id"),
         array_join(ids.cast("array<string>"), " ").as("ids_str"),
@@ -2288,8 +2289,8 @@ object TextGates {
       val sp = graft.operators.Sft.Specials
       val rendered = pairs.withColumn("rendered",
         graft.operators.Sft.render(col("prompt"), col("response")))
-      val merges = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
-        minCount = 1L, specials = sp)
+      val merges = graft.operators.Bpe.fitLocal(rendered, "rendered", 6,
+        minCount = 1L, byteLevel = true, specials = sp)
       val base = 256 + merges.size
       val ids = graft.operators.Bpe.encodeIdsCol(col("rendered"),
         merges, sp)
@@ -2321,8 +2322,8 @@ object TextGates {
         .filter(length(col("response")) > 0)
       val rendered = pairs.withColumn("rendered",
         graft.operators.Sft.render(col("prompt"), col("response")))
-      val fitted = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
-        minCount = 1L, specials = graft.operators.Sft.Specials)
+      val fitted = graft.operators.Bpe.fitLocal(rendered, "rendered", 6,
+        minCount = 1L, byteLevel = true, specials = graft.operators.Sft.Specials)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_gpt2_sp_rt").toString
       graft.sinks.TokenizerFiles.writeGpt2(dir, fitted,
@@ -2426,8 +2427,8 @@ object TextGates {
         .filter(length(col("response")) > 0)
       val rendered = pairs.withColumn("rendered",
         graft.operators.Sft.render(col("prompt"), col("response")))
-      val merges = graft.operators.Bpe.fitBytes(rendered, "rendered", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(rendered, "rendered", 6,
+        minCount = 1L, byteLevel = true)
       rendered.select(col("doc_id"),
           size(graft.operators.Bpe.encodeIdsCol(col("rendered"), merges))
             .as("n_ids"),
@@ -2641,8 +2642,8 @@ object TextGates {
         lit("  #"), (col("doc_id") % 100).cast("string"),
         lit(", End.\n\ttail  42 "))
       val docs = t(s, d, "documents").select(col("doc_id"), fx.as("fx"))
-      val merges = graft.operators.Bpe.fitBytes(docs, "fx", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(docs, "fx", 6,
+        minCount = 1L, byteLevel = true)
       val enc = docs.select(col("doc_id"),
         graft.operators.Bpe.encodeIdsCol(col("fx"), merges).as("ids"))
         .withColumn("n_ids", size(col("ids")))
@@ -2845,7 +2846,7 @@ object TextGates {
     // ROW_NUMBER id assignment + per-document reassembly.
     Gate("t_wordpiece_ids", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
       docs.select(col("doc_id"),
@@ -2867,7 +2868,7 @@ object TextGates {
     // with the vocabulary count and the two reserved ids spliced on.
     Gate("t_wordpiece_specials", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
       val sp = Seq("<|DOC|>", "<|END|>")
@@ -2890,7 +2891,7 @@ object TextGates {
     // the same full oracle.
     Gate("t_wordpiece_tags_export_rt", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fit(docs, "text", 6,
+      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
         minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
       val sp = Seq("<|DOC|>", "<|END|>")
@@ -2977,8 +2978,8 @@ object TextGates {
       val fimDf = graft.operators.SpanCorrupt.fim(
         t(s, d, "documents"), "doc_id", "text", fimPermille = 900)
       val sp = graft.operators.SpanCorrupt.FimSpecials
-      val merges = graft.operators.Bpe.fitBytes(fimDf, "fim", 6,
-        minCount = 1L, specials = sp)
+      val merges = graft.operators.Bpe.fitLocal(fimDf, "fim", 6,
+        minCount = 1L, byteLevel = true, specials = sp)
       val base = 256 + merges.size
       val ids = graft.operators.Bpe.encodeIdsCol(col("fim"), merges, sp)
       fimDf.select(col("doc_id"), col("fim_applied"),
@@ -3102,8 +3103,8 @@ object TextGates {
         .select(col("doc_id"), col("inp"), col("tgt"))
         .localCheckpoint(true)
       val sp = graft.operators.SpanCorrupt.extraIdSpecials(64)
-      val merges = graft.operators.Bpe.fitBytes(sc, "inp", 6,
-        minCount = 1L, specials = sp)
+      val merges = graft.operators.Bpe.fitLocal(sc, "inp", 6,
+        minCount = 1L, byteLevel = true, specials = sp)
       val base = 256 + merges.size
       val inpIds = graft.operators.Bpe.encodeIdsCol(col("inp"),
         merges, sp)
@@ -3179,8 +3180,8 @@ object TextGates {
     // tie-breaks and the final joins.
     Gate("t_dpo_artifact", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.Bpe.fitBytes(docs, "text", 6,
-        minCount = 1L)
+      val merges = graft.operators.Bpe.fitLocal(docs, "text", 6,
+        minCount = 1L, byteLevel = true)
       val ids = docs.select(col("doc_id"),
         array_join(graft.operators.Bpe.encodeIdsCol(col("text"), merges)
           .cast("array<string>"), " ").as("ids_str"))
