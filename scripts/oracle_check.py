@@ -146,8 +146,19 @@ def main():
             print(f"[...] {time.strftime('%H:%M:%S')} {name}",
                   file=sys.stderr, flush=True)
         path = os.path.join(outdir, name)
-        got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
-        gcols, gtypes, grows = rows_of(got_rel)
+        # guard the SPARK-DUMP read too: after a previous gate's oracle
+        # OOM, DuckDB's memory accounting can stay poisoned and even an
+        # 8-byte allocation for this scan throws — uncaught, it killed a
+        # whole sf1 worker mid-sweep (observed r15: hb_fim_ids OOM, then
+        # the NEXT gate's dump read raised and the remaining 7 gates
+        # were never attempted). Record and keep sweeping.
+        try:
+            got_rel = con.sql(f"SELECT * FROM '{path}/*.parquet'")
+            gcols, gtypes, grows = rows_of(got_rel)
+        except Exception as e:
+            results[name] = f"SPARK_DUMP_READ_ERROR {e}"
+            rec(name, err=f"spark dump read: {e}")
+            continue
         if name not in oracles:
             results[name] = f"ROWS_ONLY rows={len(grows)}" + \
                 (" EMPTY!" if not grows else "")
