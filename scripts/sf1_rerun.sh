@@ -16,13 +16,25 @@ set -u
 SF=target/scaledata/sf1
 V=/tmp/v1
 T=${SF1_TIMEOUT:-4000}
+# OUTER wall-clock bound per worker (seconds). The per-query --timeout
+# interrupts a running DuckDB query, but a worker stuck elsewhere (huge
+# fetchall, allocator thrash after an OOM) ignores it — r15 left a 75 GB
+# / 980-CPU-minute worker squatting the box into the NEXT session.
+# `timeout` hard-bounds the whole process: TERM at $WALL, KILL 60 s later.
+WALL=${SF1_WALL:-7200}
 mkdir -p /tmp/sf1json
 
 run() { # name gates memlimit threads
-  python3 scripts/oracle_check.py "$SF" "$V" --subset --progress \
+  timeout -k 60 "$WALL" \
+    python3 scripts/oracle_check.py "$SF" "$V" --subset --progress \
     --timeout "$T" --threads "$4" --memlimit "$3" --noorder \
     --tmpdir "/tmp/duck_$1" --only "$2" \
     --json "/tmp/sf1json/$1.json" > "/tmp/sf1json/$1.log" 2>&1
+  rc=$?
+  if [ "$rc" -ge 124 ]; then
+    echo "[sf1_rerun] worker $1 KILLED by outer wall-clock (${WALL}s, rc=$rc)" \
+      | tee -a "/tmp/sf1json/$1.log"
+  fi
 }
 
 # four gate-parallel workers over the expensive (non-OOM) set
