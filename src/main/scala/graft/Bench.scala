@@ -62,17 +62,27 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
-    // SHORT final line, printed LAST: the driver captures only a tail
-    // window of stdout, and the full per-gate line above (~4 KB at 278
-    // gates) overran it two rounds running ("parsed": null in
-    // BENCH_r13/r14) — whatever JSON line the tail still holds intact
-    // must parse. This one is ~200 bytes: headline total, gate counts,
-    // and where the full per-gate copy lives.
+    // SHORT total line: the driver captures only a tail window of stdout,
+    // and the full per-gate line above (~4 KB at 280 gates) overran it
+    // three rounds running ("parsed": null in BENCH_r13/r14/r15 — r15's
+    // tail DID hold the line intact but the driver still parsed nothing,
+    // likely because sbt prefixes program stdout with "[info] "). Defenses,
+    // all cheap: (a) ~200 bytes so any tail window holds it whole;
+    // (b) printed TWICE — immediately after the per-gate line and again
+    // as the very last line — so both a head-anchored and a tail-anchored
+    // grep find it; (c) ALSO written to a fixed file (bench_total.json)
+    // an [info]-prefix-blind parser can read directly.
     val shortLine =
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec",""" +
         s""""gates":${results.size},"failed":${failed.size},""" +
         s""""sf":"$sfDir","detail":"$outFile"}"""
     println(shortLine)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_total.json"), shortLine + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_total.json: ${e.getMessage}")
+    }
     spark.stop()
+    println(shortLine)
   }
 }
