@@ -30,14 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[ArgminDist]] recipe). Pure narrow map, zero shuffles, stream-safe;
   * driver/executor memory is K·B bytes (the fit contract bounds it).
   */
-case class LangScore(child: Expression, salt: String, buckets: Int,
-    langs: Seq[String], counts: Seq[Map[Long, Long]], totals: Seq[Long])
+case class LangScore(child: Expression, model: LangScore.Model)
     extends UnaryExpression {
-
-  require(buckets >= 2, s"need >= 2 buckets, got $buckets")
-  require(langs.nonEmpty && langs.length == counts.length &&
-    langs.length == totals.length,
-    "langs/counts/totals must be non-empty and aligned")
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_grams", LongType, nullable = true),
@@ -47,31 +41,6 @@ case class LangScore(child: Expression, salt: String, buckets: Int,
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"lang_score needs a string argument, got $other")
-  }
-
-  private def bitlenL(v: Long): Long =
-    64L - java.lang.Long.numberOfLeadingZeros(v)
-
-  /** The model as flat executor state: per-language dense bitlen rows
-    * (bitlen(count+1) ≤ 64 fits a byte) and the per-language constant
-    * bitlen(total+buckets) — one reference object each. */
-  @transient private lazy val model: LangScore.Model = {
-    val k = langs.length
-    val flat = new Array[Byte](k * buckets)
-    var j = 0
-    while (j < k) {
-      val m = counts(j)
-      var b = 0
-      while (b < buckets) {
-        flat(j * buckets + b) =
-          bitlenL(m.getOrElse(b.toLong, 0L) + 1L).toByte
-        b += 1
-      }
-      j += 1
-    }
-    new LangScore.Model(
-      langs.map(UTF8String.fromString).toArray, flat,
-      totals.map(t => bitlenL(t + buckets)).toArray, salt, buckets)
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -94,10 +63,47 @@ case class LangScore(child: Expression, salt: String, buckets: Int,
 
 object LangScore {
 
-  /** Flat model bundle — a single codegen reference object. */
+  /** Flat model bundle — a single codegen reference object, and the
+    * expression's ONLY non-child constructor argument. Deliberately a
+    * plain class compared BY REFERENCE: Catalyst walks every
+    * constructor arg in equals/hashCode/canonicalize on each plan
+    * transform, and the r15 shape (K raw count maps, K·B entries) made
+    * every comparison O(K·B) (ADVICE r15). `copy(child = _)` preserves
+    * the reference, so transforms stay O(1); two independently built
+    * identical models compare unequal — that only forgoes subexpression
+    * dedup across separate fits, never correctness. */
   final class Model(val langs: Array[UTF8String], val bitlens: Array[Byte],
       val totBit: Array[Long], val salt: String, val buckets: Int)
     extends Serializable
+
+  private def bitlenL(v: Long): Long =
+    64L - java.lang.Long.numberOfLeadingZeros(v)
+
+  /** Flatten the fitted per-language count maps into the dense model:
+    * per-language bitlen rows (bitlen(count+1) ≤ 64 fits a byte) and
+    * the per-language constant bitlen(total+buckets). */
+  def buildModel(salt: String, buckets: Int, langs: Seq[String],
+      counts: Seq[Map[Long, Long]], totals: Seq[Long]): Model = {
+    require(buckets >= 2, s"need >= 2 buckets, got $buckets")
+    require(langs.nonEmpty && langs.length == counts.length &&
+      langs.length == totals.length,
+      "langs/counts/totals must be non-empty and aligned")
+    val k = langs.length
+    val flat = new Array[Byte](k * buckets)
+    var j = 0
+    while (j < k) {
+      val m = counts(j)
+      var b = 0
+      while (b < buckets) {
+        flat(j * buckets + b) =
+          bitlenL(m.getOrElse(b.toLong, 0L) + 1L).toByte
+        b += 1
+      }
+      j += 1
+    }
+    new Model(langs.map(UTF8String.fromString).toArray, flat,
+      totals.map(t => bitlenL(t + buckets)).toArray, salt, buckets)
+  }
 
   /** The whole-document pass — public because generated code calls it.
     * Returns (n_grams, lang_pred); both NULL when the normalized text
@@ -133,5 +139,6 @@ object LangScore {
   def lang_score(normText: Column, salt: String, buckets: Int,
       maps: Seq[(String, Map[Long, Long], Long)]): Column =
     GraftSqlBridge.column(LangScore(GraftSqlBridge.expression(normText),
-      salt, buckets, maps.map(_._1), maps.map(_._2), maps.map(_._3)))
+      buildModel(salt, buckets, maps.map(_._1), maps.map(_._2),
+        maps.map(_._3))))
 }

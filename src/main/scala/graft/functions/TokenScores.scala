@@ -57,11 +57,14 @@ object TokenScores {
 
   private val SP = Array[Byte](' ')
 
-  private def tokenBytes(arr: ArrayData, i: Int): Array[Byte] = {
-    if (arr.isNullAt(i)) throw new IllegalStateException(
-      "null token in token array — tokenize with Decontaminate.tokens")
+  /** Null token elements are SKIPPED, not thrown on: the canonical
+    * feeder (`Decontaminate.tokens` — a split) never yields nulls, but
+    * the replaced HOF formulation null-propagated gracefully and these
+    * kernels must not be more brittle than what they replaced (ADVICE
+    * r15). Skipping treats the non-null tokens as the token stream —
+    * identical to pre-filtering nulls before the call. */
+  private def tokenBytes(arr: ArrayData, i: Int): Array[Byte] =
     arr.getUTF8String(i).getBytes
-  }
 
   /** Per-bucket bigram-surprisal model: precomputed bitlen terms. */
   final class SurprisalModel(val cpBit: Array[Byte], val ccBit: Array[Byte],
@@ -73,21 +76,28 @@ object TokenScores {
   def evalSurprisal(arr: ArrayData, m: SurprisalModel): InternalRow = {
     val n = arr.numElements()
     val out = new GenericInternalRow(2)
-    if (n < 2) return out // no evidence: both fields stay null
     val md = md5Local.get()
     var sum = 0L
-    var w1 = tokenBytes(arr, 0)
-    var i = 1
+    var pairs = 0L
+    var w1: Array[Byte] = null
+    var i = 0
     while (i < n) {
-      val w2 = tokenBytes(arr, i)
-      val cp = m.cpBit(bucketOf(md, w1, SP, w2, m.saltBytes, m.buckets))
-      val cc = m.ccBit(bucketOf(md, w1, null, null, m.saltBytes, m.buckets))
-      val s = (cc - cp).toLong
-      if (s > 0L) sum += s
-      w1 = w2
+      if (!arr.isNullAt(i)) {
+        val w2 = tokenBytes(arr, i)
+        if (w1 != null) {
+          val cp = m.cpBit(bucketOf(md, w1, SP, w2, m.saltBytes, m.buckets))
+          val cc = m.ccBit(bucketOf(md, w1, null, null, m.saltBytes,
+            m.buckets))
+          val s = (cc - cp).toLong
+          if (s > 0L) sum += s
+          pairs += 1L
+        }
+        w1 = w2
+      }
       i += 1
     }
-    out.update(0, (n - 1).toLong)
+    if (pairs == 0L) return out // no bigram evidence: both fields null
+    out.update(0, pairs)
     out.update(1, sum)
     out
   }
@@ -108,10 +118,13 @@ object TokenScores {
     var sum = 0L
     var i = 0
     while (i < n) {
-      val w = tokenBytes(arr, i)
-      if (w.length > 0) {
-        np += 1L
-        sum += m.margin(bucketOf(md, w, null, null, m.saltBytes, m.buckets))
+      if (!arr.isNullAt(i)) {
+        val w = tokenBytes(arr, i)
+        if (w.length > 0) {
+          np += 1L
+          sum += m.margin(bucketOf(md, w, null, null, m.saltBytes,
+            m.buckets))
+        }
       }
       i += 1
     }

@@ -81,12 +81,17 @@ object Bpe {
   }
 
   /** The word-count frame behind both trainers: one pass over the
-    * corpus — the ONLY time the corpus is touched. */
-  private def wordFrame(df: DataFrame, textCol: String): DataFrame =
+    * corpus — the ONLY time the corpus is touched. The tokenize/explode
+    * map work runs BEFORE the groupBy shuffle, so a row-group-capped
+    * input layout would serialize it (the r14 3.6–8.6× finding);
+    * decouple from file layout up front. */
+  private def wordFrame(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.PlanAudit.repartitionIfLayoutBound(df0)
     df.select(explode(Decontaminate.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .select(col("__w"), col("__f"), charSyms(col("__w")).as("__syms"))
+  }
 
   /** The BYTE-LEVEL twin of [[wordFrame]]: distinct PRETOKENS (GPT-2
     * regex cut, [[graft.functions.BpeEncodeExpr.pretokenPattern]] —
@@ -98,8 +103,11 @@ object Bpe {
     * `regexp_extract_all` over the same Java pattern the encode
     * scanner replicates (BpeSpec pins scanner ≡ Pattern), so trainer
     * and encoder cut identically. */
-  private def byteFrame(df: DataFrame, textCol: String,
+  private def byteFrame(df0: DataFrame, textCol: String,
       specials: Seq[String] = Nil): DataFrame = {
+    // layout-decoupled like wordFrame: the regex pretokenizer is the
+    // map-side hot loop and must not inherit a row-group-capped scan
+    val df = graft.PlanAudit.repartitionIfLayoutBound(df0)
     // with specials: one narrow explode of the non-special segments
     // first, so the tag literals never reach the pretokenizer (a doc
     // that is ALL tags contributes nothing — correct: it carries no
@@ -346,6 +354,17 @@ object Bpe {
       .orderBy(col("__f").desc, col("__w").asc)
       .limit(maxWords)
       .collect() // ≤ maxWords rows BY CONSTRUCTION — the trainer knob
+    // hitting the cap means the word frame was TRUNCATED: above this
+    // knob the merge list can diverge from the distributed fit (and
+    // from a full-vocabulary SQL oracle) with no other runtime signal —
+    // say so once, loudly, so production-scale divergence is diagnosable
+    if (collected.length == maxWords)
+      Console.err.println(
+        s"[graft] WARN bpe-fit-truncated: corpus has > $maxWords distinct " +
+          (if (byteLevel) "pretokens" else "words") +
+          s" — fitLocal kept the top $maxWords by (freq DESC, word ASC); " +
+          "merges may diverge from an untruncated fit (raise maxWords " +
+          "to cover the corpus)")
     // symbol arrays per word: chars [+ </w> in word mode — byteFrame
     // words are already byte-alphabet spellings with no terminal]
     val words = new Array[Array[String]](collected.length)

@@ -41,9 +41,14 @@ import org.apache.spark.sql.functions._
 object SubstringDedup {
 
   /** The normalized token frame `(idCol, __tk)` both phases derive
-    * from — tokenized once, sliced only for surviving candidates. */
-  private def tokenFrame(df: DataFrame, idCol: String,
+    * from — tokenized once, sliced only for surviving candidates.
+    * Layout-decoupled ([[graft.PlanAudit.repartitionIfLayoutBound]]):
+    * the tokenize + rolling-digest map work of phase 1 runs before the
+    * digest-count shuffle and must not inherit a row-group-capped scan
+    * (the r14 3.6–8.6× finding). */
+  private def tokenFrame(df0: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    val df = graft.PlanAudit.repartitionIfLayoutBound(df0)
     val toks = filter(Decontaminate.tokens(col(textCol)),
       w => length(w) > 0)
     df.select(col(idCol), toks.as("__tk"))

@@ -55,12 +55,17 @@ object WordPiece {
         .otherwise(concat(lit("##"), substring(word, i, lit(1)))))
 
   /** Distinct lowercase whitespace words with frequencies and initial
-    * symbol spellings — the only corpus pass of the trainer. */
-  private def wordFrame(df: DataFrame, textCol: String): DataFrame =
+    * symbol spellings — the only corpus pass of the trainer. Layout-
+    * decoupled ([[graft.PlanAudit.repartitionIfLayoutBound]]): the
+    * tokenize/explode map work runs before the groupBy shuffle and must
+    * not inherit a row-group-capped scan (the r14 3.6–8.6× finding). */
+  private def wordFrame(df0: DataFrame, textCol: String): DataFrame = {
+    val df = graft.PlanAudit.repartitionIfLayoutBound(df0)
     df.select(explode(Decontaminate.tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .select(col("__w"), col("__f"), pieceSyms(col("__w")).as("__syms"))
+  }
 
   /** One greedy left-to-right merge pass emitting `merged` for each
     * non-overlapping adjacent (left, right) — [[Bpe.applyMerge]]'s
@@ -171,6 +176,14 @@ object WordPiece {
       .orderBy(col("__f").desc, col("__w").asc)
       .limit(maxWords)
       .collect() // ≤ maxWords rows BY CONSTRUCTION — the trainer knob
+    // truncation is a silent oracle-divergence risk above the knob —
+    // warn once so it is diagnosable at production scale (ADVICE r15)
+    if (collected.length == maxWords)
+      Console.err.println(
+        s"[graft] WARN wordpiece-fit-truncated: corpus has > $maxWords " +
+          s"distinct words — fitLocal kept the top $maxWords by " +
+          "(freq DESC, word ASC); merges may diverge from an untruncated " +
+          "fit (raise maxWords to cover the corpus)")
     val words = new Array[Array[String]](collected.length)
     val freqs = new Array[Long](collected.length)
     var wi = 0
