@@ -45,8 +45,26 @@ object Engine {
 
   val KEY = "__key"
 
+  /** User-column reference. `col(n)` parses dots as struct-path
+    * separators, so the flattened provider columns the reference corpus
+    * renames (`Iteration.IterationName`, `committer.date` —
+    * Ingest.flatten's literal dotted names) were unreachable from `.hb`
+    * programs (found by the r16 golden witness). Backtick-quote names
+    * that need it; plain names go through untouched. */
+  private def ucol(n: String): Column =
+    if (n.contains(".") || n.contains("`"))
+      col("`" + n.replace("`", "``") + "`")
+    else col(n)
+
+  /** `keyNames`: the source column name(s) the engine key was built from
+    * by the LAST group by / index rows by — consumed by `sort by column`
+    * only. The reference corpus sorts by the group key's NAME after the
+    * key column itself is gone (Logic Commit Frequency.hb:38 `sort by
+    * column date` right after `group by date -> sum`, where Deedle made
+    * `date` the row index); without provenance that reference program is
+    * unrunnable (found by the r16 golden witness). */
   case class HbFrame(df: DataFrame, order: Seq[Column],
-      series: Seq[String] = Nil) {
+      series: Seq[String] = Nil, keyNames: Seq[String] = Nil) {
     def userCols: Seq[String] = df.columns.toSeq.filterNot(_ == KEY)
     def numericCols: Seq[String] = df.schema.fields
       .filter(f => f.name != KEY && f.dataType.isInstanceOf[NumericType])
@@ -54,7 +72,7 @@ object Engine {
     /** Series columns currently usable as a window partition. */
     def seriesCols: Seq[Column] =
       if (series.nonEmpty && series.forall(df.columns.contains))
-        series.map(col)
+        series.map(ucol)
       else Nil
     /** Strip engine-internal columns for the outside world. */
     def result: DataFrame = df.drop(KEY)
@@ -117,7 +135,7 @@ object Engine {
     case SliceColumns(names) =>
       // tolerant of unknown names (snippets:27-34)
       val keep = names.filter(f.df.columns.contains) :+ KEY
-      f.copy(df = f.df.select(keep.distinct.map(col): _*))
+      f.copy(df = f.df.select(keep.distinct.map(ucol): _*))
 
     case Only(e) =>
       val (f2, e2) = materializeLinRegs(f, e)
@@ -126,7 +144,7 @@ object Engine {
     case DenseRows =>
       // "rows where most columns have a value" (snippets:44-51) — ≥50%
       val cols = f.userCols
-      val nonNull = cols.map(c => when(col(c).isNotNull, 1).otherwise(0))
+      val nonNull = cols.map(c => when(ucol(c).isNotNull, 1).otherwise(0))
         .reduce(_ + _)
       f.copy(df = f.df.filter(nonNull * 2 >= cols.length))
 
@@ -134,40 +152,49 @@ object Engine {
       // two-pass: one tiny aggregate row to the driver decides the schema
       val cols = f.userCols
       val counts = f.df.select(
-        count(lit(1)).as("__n") +: cols.map(c => count(col(c)).as(c)): _*)
+        count(lit(1)).as("__n") +: cols.map(c => count(ucol(c)).as(c)): _*)
         .head()
       val total = counts.getLong(0)
       val keep = cols.zipWithIndex
         .filter { case (_, i) => counts.getLong(i + 1) * 2 >= total }
         .map(_._1)
-      f.copy(df = f.df.select((keep :+ KEY).map(col): _*))
+      f.copy(df = f.df.select((keep :+ KEY).map(ucol): _*))
 
     case NumericColumns =>
-      f.copy(df = f.df.select((f.numericCols :+ KEY).map(col): _*))
+      f.copy(df = f.df.select((f.numericCols :+ KEY).map(ucol): _*))
 
     case IndexBy(e) =>
       val (f2, e2) = materializeLinRegs(f, e)
-      f.copy(df = dropLrTemps(f2.df.withColumn(KEY, compileExpr(e2, f2))))
+      f.copy(df = dropLrTemps(f2.df.withColumn(KEY, compileExpr(e2, f2))),
+        keyNames = e match { case ColRef(n) => Seq(n); case _ => Nil })
 
     case SortByColumn(c) =>
-      // stable: new primary sort, previous spec as tie-break
-      f.copy(order = col(c).asc +: f.order)
+      // stable: new primary sort, previous spec as tie-break. A name the
+      // frame no longer carries but that matches the group/index key's
+      // SOURCE name means the key itself — the Deedle row-index idiom
+      // (Logic Commit Frequency.hb:38 sorts by `date` right after
+      // `group by date -> sum` consumed it)
+      val target =
+        if (f.df.columns.contains(c) || !f.keyNames.contains(c)) ucol(c)
+        else col(KEY)
+      f.copy(order = target.asc +: f.order)
 
     case GroupBy(cols, RowsBy(red)) =>
       // group cols become the key; remaining numeric columns are reduced
       // (MTTR.hb:24-28: SprintNumber must be re-created from `keys`)
       val nums = f.numericCols.filterNot(cols.contains)
       val aggs = nums.map(c =>
-        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
-      val keyCol = if (cols.size == 1) col(cols.head)
-        else struct(cols.map(col): _*)
+        reduceDet(red, ucol(c), f.df.schema(c).dataType).as(c))
+      val keyCol = if (cols.size == 1) ucol(cols.head)
+        else struct(cols.map(ucol): _*)
       val grouped = f.df.groupBy(keyCol.as(KEY))
         .agg(aggs.head, aggs.tail: _*)
       // series columns that were group keys stay meaningful (one entity
       // per row; re-creatable from `keys`); ones that got REDUCED are now
       // aggregates sharing the entity column's name — deactivate them or
       // a later window would key on sums
-      HbFrame(grouped, Seq(col(KEY).asc), f.series.filter(cols.contains))
+      HbFrame(grouped, Seq(col(KEY).asc), f.series.filter(cols.contains),
+        keyNames = cols)
 
     case WindowAgg(tsCol, mins, delay, cols, red) =>
       // tumbling event-time aggregation — ONE translation for batch and
@@ -182,17 +209,17 @@ object Engine {
       require(nums.nonEmpty,
         "window group by needs at least one numeric column to reduce")
       val aggs = nums.map(c =>
-        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
+        reduceDet(red, ucol(c), f.df.schema(c).dataType).as(c))
       val wm = f.df.withWatermark(tsCol, s"$delay minutes")
       val grouped = wm
-        .groupBy(window(col(tsCol), s"$mins minutes").as("__w") +:
-          cols.map(col): _*)
+        .groupBy(window(ucol(tsCol), s"$mins minutes").as("__w") +:
+          cols.map(ucol): _*)
         .agg(aggs.head, aggs.tail: _*)
         .select(col("__w.start").as("window_start") +:
           col("__w.end").as("window_end") +:
-          (cols.map(col) ++ nums.map(col)): _*)
+          (cols.map(ucol) ++ nums.map(ucol)): _*)
       val keyed = grouped.withColumn(KEY,
-        struct(col("window_start") +: cols.map(col): _*))
+        struct(col("window_start") +: cols.map(ucol): _*))
       HbFrame(keyed, Seq(col(KEY).asc), f.series.filter(cols.contains))
 
     case GroupBy(cols, sel) =>
@@ -205,16 +232,16 @@ object Engine {
       }
       val (f2, e) = materializeLinRegs(f, e0)
       val ord = compileExpr(e, f2)
-      val w = Window.partitionBy(cols.map(col): _*)
+      val w = Window.partitionBy(cols.map(ucol): _*)
         .orderBy((if (desc) ord.desc else ord.asc) +: f2.order: _*)
-      val keyCol = if (cols.size == 1) col(cols.head)
-        else struct(cols.map(col): _*)
+      val keyCol = if (cols.size == 1) ucol(cols.head)
+        else struct(cols.map(ucol): _*)
       val picked = dropLrTemps(f2.df
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .drop("__rn"))
         .withColumn(KEY, keyCol)
-      HbFrame(picked, Seq(col(KEY).asc), f.series)
+      HbFrame(picked, Seq(col(KEY).asc), f.series, keyNames = cols)
 
     case Pivot(rowE0, colE0, red, valE0, values) =>
       val keyName = rowE0 match {
@@ -234,7 +261,7 @@ object Engine {
       val grouped = f2.df
         .withColumn(keyName, compileExpr(rowE, f2))
         .withColumn("__pcol", compileExpr(colE, f2).cast(StringType))
-        .groupBy(col(keyName))
+        .groupBy(ucol(keyName))
       // explicit values skip the distinct-collect discovery job — at
       // 100 TB a high-cardinality colE would otherwise hit the driver.
       // Numeric values render through the SAME representation colE's
@@ -255,7 +282,7 @@ object Engine {
       val pivoted = wide
         .agg(reduceDet(red, compileExpr(valE, f2),
           f2.df.select(compileExpr(valE, f2)).schema.head.dataType))
-        .withColumn(KEY, col(keyName))
+        .withColumn(KEY, ucol(keyName))
       // pivot output is a fresh aggregated shape — no surviving column
       // still means "per-entity series"
       HbFrame(pivoted, Seq(col(KEY).asc), Nil)
@@ -267,7 +294,7 @@ object Engine {
       // any size bucket in parallel
       val nums = f.numericCols
       val aggs = nums.map(c =>
-        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
+        reduceDet(red, ucol(c), f.df.schema(c).dataType).as(c))
       val bucketed = graft.operators.Ordinals
         .withGlobalNtile(f.df, "__bucket", n, f.order)
         .groupBy(col("__bucket").as(KEY))
@@ -288,7 +315,7 @@ object Engine {
       // as `int()` on non-convertible values
       val nums = f.numericCols
       val aggs = nums.map(c =>
-        reduceDet(red, col(c), f.df.schema(c).dataType).as(c))
+        reduceDet(red, ucol(c), f.df.schema(c).dataType).as(c))
       // unusable-feature rows drop BEFORE labeling: the IsNotNull
       // conjunction pushes to the source, and `cluster` is then never
       // null (filtering on cluster would double-evaluate the assignment
@@ -296,8 +323,8 @@ object Engine {
       // passes isNotNull but would get a null cluster from withCluster
       // and surface as a spurious null-key group
       val fit = f.df.filter(nums.map { c =>
-        val x = col(c).cast(DoubleType)
-        col(c).isNotNull && !isnan(x) &&
+        val x = ucol(c).cast(DoubleType)
+        ucol(c).isNotNull && !isnan(x) &&
           x =!= lit(Double.PositiveInfinity) &&
           x =!= lit(Double.NegativeInfinity)
       }.reduce(_ && _))
@@ -309,7 +336,7 @@ object Engine {
 
     case Each(red) =>
       // row-wise reduction across numeric cells (snippets:101-108)
-      val arr = array(f.numericCols.map(c => col(c).cast(DoubleType)): _*)
+      val arr = array(f.numericCols.map(c => ucol(c).cast(DoubleType)): _*)
       val out = f.df.withColumn(red.name, eachReduce(red, arr))
         .select(col(red.name), col(KEY))
       f.copy(df = out)
@@ -880,8 +907,16 @@ object Engine {
 
   // ----------------------------------------------------------- expressions
 
+  /** Analysis-only type probe (no job): does `e` compile to a string
+    * column of `f`? Drives the `= ''` missing-check idiom below; an
+    * unanalyzable expression conservatively reads as string (literal
+    * compare — the always-safe meaning). */
+  private def stringTyped(e: Expr, f: HbFrame): Boolean =
+    try f.df.select(compileExpr(e, f)).schema.head.dataType == StringType
+    catch { case _: Throwable => true }
+
   def compileExpr(e: Expr, f: HbFrame): Column = e match {
-    case ColRef(n) => col(n)
+    case ColRef(n) => ucol(n)
     case StrLit(v) => lit(v)
     case NumLit(v) => if (v == v.toLong) lit(v.toLong) else lit(v)
     case MissingLit => lit(null)
@@ -895,6 +930,23 @@ object Engine {
     case Bin("=", MissingLit, r) => compileExpr(r, f).isNull
     case Bin("!=", l, MissingLit) => compileExpr(l, f).isNotNull
     case Bin("!=", MissingLit, r) => compileExpr(r, f).isNotNull
+    // `x = ''` against a NON-STRING column is the reference corpus's
+    // missing-check idiom: hobbes serializes absent numerics as "" (its
+    // tests/testdata.json LeadTimeDays/CycleTimeDays rows), so
+    // `only !(LeadTimeDays = '')` (MTTR.hb:21, LogicCycleTime.hb:19)
+    // means "keep rows where the number is present". Under plain SQL
+    // coercion '' casts to a null double and the comparison is null for
+    // EVERY row — `only` would drop the whole frame (found by the r16
+    // golden witness). Compile it as the missing-check it denotes;
+    // string columns keep literal '' equality.
+    case Bin("=", l, StrLit("")) if !stringTyped(l, f) =>
+      compileExpr(l, f).isNull
+    case Bin("=", StrLit(""), r) if !stringTyped(r, f) =>
+      compileExpr(r, f).isNull
+    case Bin("!=", l, StrLit("")) if !stringTyped(l, f) =>
+      compileExpr(l, f).isNotNull
+    case Bin("!=", StrLit(""), r) if !stringTyped(r, f) =>
+      compileExpr(r, f).isNotNull
     case Bin(op, l, r) =>
       val (lc, rc) = (compileExpr(l, f), compileExpr(r, f))
       op match {

@@ -2213,6 +2213,62 @@ object HbGates {
              |             ('b', 5, 0.5), ('c', 1, 9.75))
              |  AS t(cat, qty, price)
              |WHERE qty > 1 GROUP BY cat
-             |ORDER BY cat ASC NULLS FIRST""".stripMargin))
+             |ORDER BY cat ASC NULLS FIRST""".stripMargin)),
+
+    // The Logic Commit Frequency.hb SHAPE as a driver-checked gate
+    // (r16): the three semantics the golden witness pinned — numeric
+    // `= ''` as the serialized-missing check (MTTR.hb:21), `sort by
+    // column <name>` where <name> was just consumed as the group key
+    // (Logic Commit Frequency.hb:38), and the moving mean over the
+    // renamed count — replayed against a full SQL oracle on `events`.
+    Gate("hb_commit_freq_shape",
+      (s, d) => graft.hb.Graft.runHb(
+        """create column v2 (if [event_type = 'view'] {value} else {missing})
+          |only !(v2 = '')
+          |create column "date" (format date ts date)
+          |create column tick 1
+          |slice columns "date" tick
+          |group by date -> sum
+          |rename column tick "count"
+          |sort by column date
+          |create column freq (moving mean 5 ["count"])
+          |only !(freq = missing)
+          |create column "date" keys
+          |slice columns "date" freq
+          |""".stripMargin, t(s, d, "events"))
+        .orderBy(col("date")),
+      Some("""WITH g AS (
+             |  SELECT CAST(ts AS DATE) AS date,
+             |    CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM events WHERE event_type = 'view' GROUP BY 1)
+             |SELECT date, freq FROM (
+             |  SELECT date,
+             |    CASE WHEN ROW_NUMBER() OVER (ORDER BY date) >= 5
+             |      THEN AVG(cnt) OVER (ORDER BY date
+             |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+             |    END AS freq
+             |  FROM g)
+             |WHERE freq IS NOT NULL
+             |ORDER BY date ASC NULLS FIRST""".stripMargin)),
+
+    // Flattened dotted column names end-to-end (r16): Ingest.flatten
+    // emits literal `a.b` columns (the reference corpus renames
+    // `Iteration.IterationName`, `committer.date`); every engine
+    // reference — create/slice/group/sort — must backtick-quote
+    // (Engine.ucol) or Spark parses the dot as a struct path.
+    Gate("hb_dotted_columns",
+      (s, d) => graft.hb.Graft.runHb(
+        """create column "geo.country" (if [(user_id % 2) = 0] {'dk'} else {'se'})
+          |create column tick 1
+          |slice columns "geo.country" tick
+          |group by "geo.country" -> sum
+          |create column country keys
+          |sort by column country
+          |""".stripMargin, t(s, d, "events"))
+        .orderBy(col("country")),
+      Some("""SELECT CAST(COUNT(*) AS BIGINT) AS tick,
+             |  CASE WHEN user_id % 2 = 0 THEN 'dk' ELSE 'se' END AS country
+             |FROM events GROUP BY 2
+             |ORDER BY country ASC NULLS FIRST""".stripMargin))
   )
 }
