@@ -502,4 +502,28 @@ class EngineSpec extends AnyFunSuite {
     assert(tapJobs == 0,
       s"metadata tap + file round-trip launched $tapJobs Spark job(s)")
   }
+
+  test("`= ''` is literal equality on STRING columns, the missing-check " +
+      "only on non-string (the r16 corpus idiom split)") {
+    import spark.implicits._
+    val df = Seq((1L, "", Some(1.5)), (2L, "x", None),
+      (3L, null.asInstanceOf[String], Some(2.5))).toDF("id", "s", "v")
+    // string side: keeps the literally-empty cell only
+    val eqStr = graft.hb.Graft.runHb("only (s = '')\n", df)
+    assert(eqStr.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // string side negated: keeps the non-empty NON-NULL cell (SQL
+    // null-compare drops the null row, like Deedle's missing)
+    val neStr = graft.hb.Graft.runHb("only !(s = '')\n", df)
+    assert(neStr.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // numeric side: '' means serialized-missing (MTTR.hb:21) — row 2's
+    // null v is "= ''", rows 1 and 3 are present
+    val eqNum = graft.hb.Graft.runHb("only (v = '')\n", df)
+    assert(eqNum.select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val neNum = graft.hb.Graft.runHb("only !(v = '')\n", df)
+    assert(neNum.select("id").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 3L))
+    // non-empty string literals keep plain SQL comparison on numerics
+    val lit = graft.hb.Graft.runHb("only (v = '1.5')\n", df)
+    assert(lit.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
