@@ -33,7 +33,14 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
+      catch { case e: Throwable =>
+        // name the failure: r16's driver bench recorded 117 silent -1s
+        // with zero diagnostic — a swallowed exception class/message is
+        // the difference between "box hiccup" and "engine bug"
+        failed += name
+        System.err.println(s"[bench] FAIL $name: " +
+          s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+      }
       timesByQuery(name) ::= (System.nanoTime() - t0) / 1e9
     }
     val results = names.map { name =>

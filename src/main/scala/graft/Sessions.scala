@@ -57,8 +57,14 @@ object Sessions {
     * - `DAGScheduler: Failed to cancel job group` — fired after every
     *   gate because each gate sets-then-clears a job group that has
     *   already finished; a no-op race, not a failure.
+    * - `ResolveWriteToStream` — two WARNs per streaming gate (temp
+    *   checkpoint location + "AQE not supported in streaming"); 38
+    *   st_* gates × reps make this the dominant flood once the first
+    *   two are quiet (measured r16: ~90% of the remaining log).
+    * - `MicroBatchExecution: Disabling AQE` — same per-gate repetition
+    *   for the stateful streams.
     *
-    * Both loggers drop to ERROR; everything else stays at WARN so real
+    * These loggers drop to ERROR; everything else stays at WARN so real
     * warnings still surface.
     */
   def quietBenignWarnFloods(): Unit =
@@ -69,5 +75,11 @@ object Sessions {
         "org.apache.spark.sql.execution.window.WindowExec", Level.ERROR)
       Configurator.setLevel(
         "org.apache.spark.scheduler.DAGScheduler", Level.ERROR)
+      Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+        Level.ERROR)
+      Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        Level.ERROR)
     } catch { case _: Throwable => () } // log tuning must never break a run
 }

@@ -50,9 +50,15 @@ case class LangScore(child: Expression, model: LangScore.Model)
       ev: ExprCode): ExprCode = {
     val mRef = ctx.addReferenceObj("langScoreModel", model,
       classOf[LangScore.Model].getName)
+    // `LangScore$.MODULE$`, not the companion-class name: scalac only
+    // emits a static forwarder for an object method when the companion
+    // class has no member of the same name, and this class inherits
+    // eval(InternalRow) from Expression — so `LangScore.eval(str, model)`
+    // does not exist as a static method and Janino fails the compile
+    // (every caller then pays the interpreted fallback).
     nullSafeCodeGen(ctx, ev, str => {
       s"""
-         |${ev.value} = graft.functions.LangScore.eval($str, $mRef);
+         |${ev.value} = graft.functions.LangScore$$.MODULE$$.eval($str, $mRef);
        """.stripMargin
     })
   }

@@ -49,9 +49,12 @@ case class TrigramBuckets(child: Expression, salt: String, buckets: Int)
       ev: ExprCode): ExprCode = {
     val saltRef = ctx.addReferenceObj("salt", salt,
       classOf[String].getName)
+    // `TrigramBuckets$.MODULE$`: no static forwarder exists for the
+    // object's eval — the companion class inherits eval(InternalRow)
+    // from Expression and the name clash suppresses it (see LangScore).
     nullSafeCodeGen(ctx, ev, str => {
       s"""
-         |${ev.value} = graft.functions.TrigramBuckets.eval(
+         |${ev.value} = graft.functions.TrigramBuckets$$.MODULE$$.eval(
          |  $str, $saltRef, $buckets);
        """.stripMargin
     })
