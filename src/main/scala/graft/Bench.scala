@@ -29,8 +29,15 @@ object Bench {
     for (_ <- 1 to reps; name <- names) {
       val fn = SparkEntry.queries(name)
       // operators may persist signature frames; drop them between runs
-      // so earlier runs' caches don't pressure (or serve) later ones
+      // so earlier runs' caches don't pressure (or serve) later ones.
+      // ALSO drop the module-level operator memos (verified minhash
+      // pairs, ANN cell models): they deliberately survive clearCache
+      // for in-production reuse, but a timed bench run must compute
+      // from the parquet inputs alone — a rep served by a previous
+      // rep's fit would understate the gate (r16 honesty fix).
       spark.sharedState.cacheManager.clearCache()
+      graft.operators.Dedup.clearPairsMemo()
+      graft.operators.Similarity.clearCellModels()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -131,6 +131,35 @@ object PlanAudit {
     if (effective < par) df.repartition(par) else df
   }
 
+  /** Total bytes of the files backing a frame (0 when not file-backed
+    * or unknowable) — the cheap input-volume estimate the fit-sizing
+    * helpers use. */
+  def inputBytes(df: DataFrame): Long =
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      df.inputFiles.map { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        p.getFileSystem(conf).getFileStatus(p).getLen
+      }.sum
+    } catch { case _: Throwable => 0L }
+
+  /** Data-proportional parallelism for small-model fit passes (guide
+    * §2: partition count follows data volume — in BOTH directions). A
+    * Lloyd/EM fit is a chain of tiny driver-loop jobs over a small
+    * projected frame; inheriting a wide layout tuned for the heavy scan
+    * stages makes every fit job pay `cores` tasks of pure scheduling
+    * (s_ann_pq measured 122 jobs × 32 tasks at sf0.1 — ~0.4 s/job of
+    * overhead on 2000 rows). One task per `graft.fit.bytesPerTask`
+    * (default 32 MB), capped at the cluster parallelism; `bytes <= 0`
+    * (unknown) keeps the cluster width — never shrink blind. */
+  def fitParallelism(spark: SparkSession, bytes: Long): Int = {
+    val par = spark.sparkContext.defaultParallelism max 1
+    if (bytes <= 0) return par
+    val perTask = spark.conf
+      .get("graft.fit.bytesPerTask", (32L << 20).toString).toLong max 1L
+    math.max(1L, math.min(par.toLong, (bytes + perTask - 1) / perTask)).toInt
+  }
+
   /** Dev tool: dump formatted physical plans for representative gates. */
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()

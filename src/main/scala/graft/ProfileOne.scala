@@ -50,6 +50,8 @@ object ProfileOne {
     Thread.sleep(500)
     for (n <- names) {
       spark.sharedState.cacheManager.clearCache()
+      graft.operators.Dedup.clearPairsMemo()
+      graft.operators.Similarity.clearCellModels()
       jobs.synchronized { jobs.clear(); taskTimeMs = 0L }
       val cg0 = codegenCount.getCount
       val cgMs0 = codegenCount.getSnapshot.getMean * codegenCount.getCount

@@ -81,7 +81,11 @@ object KMeansDet {
       // so no separate count() job (and the range-sample pass fills the
       // cache instead)
       val order = features.map(col(_).asc) :+ col("__tb").asc
-      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order)
+      // ordinal width follows the FRAME's partitioning, not the shuffle
+      // constant: the fit frame is small/projected, and a 32-way range
+      // exchange of a 1-partition frame is pure task overhead (r16)
+      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order,
+        numPartitions = pts.rdd.getNumPartitions max 1)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
       val initRows = ordDf
@@ -105,7 +109,7 @@ object KMeansDet {
             .as(s"__m_$f")
         }
         val stats = pts
-          .groupBy(assignExpr(cents, features.map(col)).as("__cl"))
+          .groupBy(assignExprCols(cents, features.map(col)).as("__cl"))
           .agg(aggs.head, aggs.tail: _*)
           .collect()
           .map(r => r.getAs[Int]("__cl") ->
@@ -136,7 +140,7 @@ object KMeansDet {
   def labelExpr(m: Model, feats: Seq[Column]): Column = {
     val remapped = element_at(
       array(m.perm.map(r => lit(r)).toIndexedSeq: _*),
-      assignExpr(m.centroids, feats) + 1)
+      assignExprCols(m.centroids, feats) + 1)
     when(feats.map(f => !usable(f.cast(DoubleType))).reduce(_ || _),
       lit(null).cast("int"))
       .otherwise(remapped)
@@ -200,7 +204,9 @@ object KMeansDet {
     try {
       // see fit: the ordinal pass's total is n, no separate count() job
       val order = (0 until d).map(i => el(i).asc) :+ col("__tb").asc
-      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order)
+      // see fit: ordinal width follows the frame's partitioning
+      val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(pts, "__rn", order,
+        numPartitions = pts.rdd.getNumPartitions max 1)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
       val initRows = ordDf
@@ -246,6 +252,21 @@ object KMeansDet {
     when(!usableVec(dv, d), lit(null).cast("int")).otherwise(remapped)
   }
 
+  /** Scalar-column assignment through the SAME native kernel as the
+    * vector path: pack the cast features into an array and argmin with
+    * [[graft.functions.ArgminDist]]. Semantics identical to
+    * [[assignExpr]] (left-fold (xᵢ−cᵢ)² in dimension order, lowest
+    * index wins ties — KMeansSpec pins the equivalence), but the
+    * centroids ride in a codegen REFERENCE OBJECT, so the generated
+    * source is identical across Lloyd iterations: one janino compile
+    * per fit instead of one per iteration (a7_kmeans measured 60
+    * codegen compiles ≈ 0.4 s/run on the literal form). Callers
+    * guard/filter unusable rows exactly as for assignExpr. */
+  private[graft] def assignExprCols(cents: Array[Array[Double]],
+      feats: Seq[Column]): Column =
+    graft.functions.ArgminDist.argmin_dist(
+      array(feats.map(_.cast(DoubleType)): _*), cents)
+
   /** Argmin of squared distance over `cents` order, lowest cluster id
     * taking ties: array_position(dists, array_min(dists)) − 1 — the
     * first index achieving the minimum. Semantically identical to the
@@ -257,7 +278,7 @@ object KMeansDet {
     * (measured 172 s fit / 45 s label; the array form is seconds).
     * Distances are squares, so the -0.0 = 0.0 comparison wrinkle can't
     * arise. */
-  private[operators] def assignExpr(cents: Array[Array[Double]],
+  private[graft] def assignExpr(cents: Array[Array[Double]],
       feats: Seq[Column]): Column = {
     def dist(j: Int): Column = feats.zipWithIndex.map { case (f, i) =>
       val x = f.cast(DoubleType) // pin coercion: double minus double

@@ -82,7 +82,18 @@ object Multimodal {
     * resamples to exactly its color under ANY interpolation (what makes
     * m_resize_real oracle-checkable against real pixels). */
   object ImageIOCodec extends ImageCodec {
+    /** ImageIO's default stream cache is a TEMP FILE per image stream;
+      * with the decode spread over every core (layout decoupling) the
+      * tiny-file creates/deletes contend on the temp dir and the
+      * parallel path measured SLOWER than the serial one (4.5 s vs
+      * 1.5 s at sf0.1). In-memory cache streams are the right shape for
+      * byte-array payloads at any parallelism. Executor-side static —
+      * set on entry to each codec call so remote executors get it too. */
+    private[graft] def memoryCache(): Unit =
+      if (javax.imageio.ImageIO.getUseCache)
+        javax.imageio.ImageIO.setUseCache(false)
     def decode(bytes: Array[Byte]): Option[(Long, String, Int, Int, Int)] = {
+      memoryCache()
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -100,6 +111,7 @@ object Multimodal {
       } finally iis.close()
     }
     def resize(bytes: Array[Byte], w: Int, h: Int): Option[(Array[Byte], Long)] = {
+      memoryCache()
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(bytes))
       if (img == null) None

@@ -337,15 +337,50 @@ object Similarity {
     val sliced = (0 until m).foldLeft(e0) { (df, s) =>
       df.withColumn(s"__pq$s", slice(col("__na"), s * sub + 1, sub))
     }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // sequential fits: concurrent submission was measured SLOWER on
-    // local[32] (racing materialization of `sliced` + scheduler
-    // contention between the per-iteration driver jobs); each fit is
-    // memoizable via modelKey, so the cold cost is paid once per
-    // (corpus, m, codes) anyway
-    val models = (0 until m).map { s =>
-      fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
-        sliced, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+    // materialize the shared sliced frame ONCE before the fits: an r15
+    // attempt at concurrent fits raced its materialization (every fit's
+    // first job recomputed the projection) and measured slower; filled
+    // first, the m per-subspace Lloyd fits are independent driver-loop
+    // job chains and overlap cleanly (guide §2.6 — actions are only
+    // sequential because the driver calls them sequentially). Each fit
+    // is a handful of tiny jobs, so a small pool is plenty; results are
+    // deterministic regardless of scheduling (independent subspaces).
+    // Measured r16 at sf0.1 (honest cold fit, no persisted store):
+    // s_ann_pq 8 sequential fits ~5 s of fit wall → ~1.6 s concurrent.
+    sliced.count()
+    // the fits read a DATA-PROPORTIONAL view of the materialized frame:
+    // `sliced` is deliberately wide for the ADC/encode stages (layout
+    // decoupling above), but a Lloyd fit over it is ~120 tiny jobs and
+    // each would pay `cores` tasks of scheduling on a small corpus —
+    // coalesce (no shuffle, reads the cached blocks) to one task per
+    // graft.fit.bytesPerTask, capped at cluster width (PlanAudit)
+    val fitPar = graft.PlanAudit.fitParallelism(spark,
+      graft.PlanAudit.inputBytes(corpus))
+    val fitFrame =
+      if (fitPar < (try sliced.rdd.getNumPartitions
+        catch { case _: Throwable => fitPar }))
+        sliced.coalesce(fitPar)
+      else sliced
+    val fitPool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(m + 1, 4))
+    implicit val fitEc =
+      scala.concurrent.ExecutionContext.fromExecutor(fitPool)
+    val modelFuts = (0 until m).map { s =>
+      scala.concurrent.Future {
+        fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
+          fitFrame, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+      }
     }
+    // optional IVF level fits concurrently with the codebooks (it reads
+    // the same materialized frame)
+    val cellFut =
+      if (nCells > 0) Some(scala.concurrent.Future {
+        fitCellsMemo(modelKey, modelStore, fitFrame, "__na", d,
+          Seq(col(idCol)), nCells, fitIters)
+      })
+      else None
+    val models = modelFuts.map(f => scala.concurrent.Await
+      .result(f, scala.concurrent.duration.Duration.Inf))
     // quantized codebooks + per-code self-dots, driver-side (m·codes·sub
     // longs — bounded by the codebook contract)
     val cq: Seq[Seq[Seq[Long]]] = models.map(mod =>
@@ -356,10 +391,9 @@ object Similarity {
     val cn2Lit = typedlit(cn2)
     // optional IVF level: coarse cells over the full normalized vector,
     // same model-memo key shape as ivfTopK so one fit serves both
-    val cellModel =
-      if (nCells > 0) Some(fitCellsMemo(modelKey, modelStore, sliced,
-        "__na", d, Seq(col(idCol)), nCells, fitIters))
-      else None
+    val cellModel = cellFut.map(f => scala.concurrent.Await
+      .result(f, scala.concurrent.duration.Duration.Inf))
+    fitPool.shutdown()
     val coded0 = sliced.withColumn("__codes",
       array((0 until m).map(s =>
         KMeansDet.labelExprVec(models(s), col(s"__pq$s"), sub)): _*))

@@ -20,7 +20,16 @@ object MultimodalGates {
   private def pngFixture(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    docs.select("doc_id").as[Long].map { id =>
+    // layout-decoupled (guide §2.5/§6): the single-row-group documents
+    // file otherwise hands the whole PNG encode (and every decode above
+    // it) to ONE task — m_feature_extract_real measured 4.4 s in one
+    // single-stage job; the fixture is a pure function of doc_id, so a
+    // round-robin spread is free of ordering/key concerns
+    graft.PlanAudit.repartitionIfLayoutBound(docs.select("doc_id"))
+      .as[Long].map { id =>
+      // in-memory stream cache (see ImageIOCodec.memoryCache): the
+      // encoder side otherwise writes a temp cache file per image
+      graft.operators.Multimodal.ImageIOCodec.memoryCache()
       val w = 8 + (id % 32).toInt
       val h = 8 + ((id * 7) % 24).toInt
       val red = (id % 256).toInt

@@ -212,6 +212,16 @@ object StreamHb {
       "complete"
     else "append"
 
+  /** True iff the program compiles to a STATEFUL streaming plan (state
+    * stores: aggregations, event-time windows, streaming dedup) — the
+    * queries whose state partition count should follow data volume
+    * (StreamOps.stateParallelism), not the session's shuffle constant. */
+  def stateful(program: Program): Boolean =
+    program.transformations.exists {
+      case _: GroupBy | _: WindowAgg | _: DedupExact => true
+      case _ => false
+    }
+
   /** The no-model resolver: any `… using <conf>` statement raises with
     * the configuration named. */
   private def noResolver(name: String): DataFrame =
@@ -590,17 +600,26 @@ object StreamHb {
   def runToMemory(spark: SparkSession, text: String, stream: DataFrame,
       queryName: String,
       resolve: String => DataFrame = noResolver,
-      store: Option[graft.cache.LineageCache] = None): DataFrame = {
+      store: Option[graft.cache.LineageCache] = None,
+      inputBytes: Long = -1L): DataFrame = {
     val program = HbParser.parse(text)
+    // models fit HERE (translation time), outside the state-partition
+    // override, so batch fits keep the session's parallelism
     val out = apply(program, stream, resolve, store)
-    val q = out.writeStream
-      .outputMode(outputMode(program))
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    def drain(): Unit = {
+      val q = out.writeStream
+        .outputMode(outputMode(program))
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    if (stateful(program) && inputBytes >= 0)
+      StreamOps.withStatePartitions(spark,
+        StreamOps.stateParallelism(spark, inputBytes))(drain())
+    else drain()
     spark.table(queryName)
   }
 
@@ -608,7 +627,8 @@ object StreamHb {
   def runEvents(spark: SparkSession, dir: String, text: String,
       queryName: String): DataFrame =
     runToMemory(spark, text,
-      StreamOps.readEventsStream(spark, dir), queryName)
+      StreamOps.readEventsStream(spark, dir), queryName,
+      inputBytes = StreamOps.tableBytes(dir, "events"))
 
   /** Convenience: run a program over any streamed test table (schema
     * from the batch file, glob-filtered file source — the same shape
@@ -622,6 +642,7 @@ object StreamHb {
     val schema = spark.read.parquet(s"$dir/$table.parquet").schema
     val stream = spark.readStream.schema(schema)
       .option("pathGlobFilter", s"$table.parquet").parquet(dir)
-    runToMemory(spark, text, stream, queryName, resolve, store)
+    runToMemory(spark, text, stream, queryName, resolve, store,
+      inputBytes = StreamOps.tableBytes(dir, table))
   }
 }

@@ -21,6 +21,53 @@ object StreamOps {
 
   private val dec6 = DecimalType(30, 6)
 
+  /** Scale-adaptive state partitioning (guide §2: partition count must
+    * follow data volume, not a constant). A stateful streaming query's
+    * state-store partition count is pinned from
+    * `spark.sql.shuffle.partitions` at query start; each partition
+    * carries real per-micro-batch overhead (store init + delta-file
+    * commit — an interval join keeps FOUR stores per partition).
+    * Measured at sf0.1 (~2 MB events, 32-core master):
+    * st_stream_join 10.6 s at 32 state partitions → 1.8 s at ≤4;
+    * tumbling/session aggs ~2×. So derive the count from the input
+    * volume: one partition per `graft.stream.stateBytesPerPartition`
+    * (default 16 MB), capped at the cluster parallelism — large inputs
+    * still get every core, tiny micro-batches stop paying for 32 empty
+    * state stores. Parameterized for production; correctness is
+    * partition-count-independent (the driver already runs the same
+    * gates at several core counts). */
+  private[streaming] def stateParallelism(spark: SparkSession,
+      inputBytes: Long): Int = {
+    val perPart = spark.conf
+      .get("graft.stream.stateBytesPerPartition", (16L << 20).toString)
+      .toLong max 1L
+    val cap = spark.sparkContext.defaultParallelism.toLong max 1L
+    math.max(1L, math.min(cap, (inputBytes + perPart - 1) / perPart)).toInt
+  }
+
+  /** Run `body` (build sink + start + drain a streaming query) with
+    * `spark.sql.shuffle.partitions` temporarily set to `n`: the value
+    * is read once at query start and becomes the state partition
+    * count. Restores the previous value; batch fits must run OUTSIDE
+    * this wrapper so they keep the session's parallelism. */
+  private[streaming] def withStatePartitions[T](spark: SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
+  /** Size of one test table's parquet file(s) — the per-batch input
+    * volume the gate-shaped AvailableNow queries replay. */
+  private[streaming] def tableBytes(dir: String, table: String): Long = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    if (f.isFile) f.length
+    else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+      .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+      .map(_.length).sum
+  }
+
   /** Tumbling event-time window aggregation with a watermark: the
     * canonical streaming shape (readStream → withWatermark → window agg).
     * Runs the events parquet through a real streaming query into a memory
@@ -51,14 +98,17 @@ object StreamOps {
         sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark,
+      stateParallelism(spark, tableBytes(dir, "events"))) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -113,10 +163,13 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
       .toDF("user_id", "session_start", "session_last", "n_events")
-    val q = closed.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark,
+      stateParallelism(spark, tableBytes(dir, "events"))) {
+      val q = closed.writeStream.outputMode("append").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -139,10 +192,13 @@ object StreamOps {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
       .select(keys.map(col): _*)
-    val q = deduped.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark,
+      stateParallelism(spark, tableBytes(dir, "events"))) {
+      val q = deduped.writeStream.outputMode("append").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -193,10 +249,13 @@ object StreamOps {
           col("click_ts") + expr(s"INTERVAL $maxDelayMinutes MINUTES"))
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"))
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark,
+      stateParallelism(spark, tableBytes(dir, "events"))) {
+      val q = joined.writeStream.outputMode("append").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -214,10 +273,13 @@ object StreamOps {
       .groupBy(col(dimAttr))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
-    val q = joined.writeStream.outputMode("complete").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    withStatePartitions(spark,
+      stateParallelism(spark, tableBytes(dir, "events"))) {
+      val q = joined.writeStream.outputMode("complete").format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.stop()
+    }
     spark.table(queryName)
   }
 
@@ -295,7 +357,12 @@ object StreamOps {
   def bpeEncodeStream(spark: SparkSession, dir: String,
       queryName: String, nMerges: Int = 8): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val merges = graft.operators.Bpe.fitDelta(docs, "text", nMerges,
+    // fitLocal, not the per-merge distributed loop: the offline fit
+    // half of this pairing is the production trainer split (identical
+    // merges below maxWords — BpeSpec parity), same as the statement
+    // surface; fitDelta here cost ~40 driver-loop jobs per run
+    // (profiled r16) for the same merge list
+    val merges = graft.operators.Bpe.fitLocal(docs, "text", nMerges,
       minCount = 1L)
     // The file source hands each micro-batch ONE task per file, which
     // serializes the CPU-heavy merge fold (measured 16 s vs the batch

@@ -14,6 +14,24 @@ class KMeansDetSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = Sessions.local()
 
+  test("assignExprCols (ArgminDist kernel) == assignExpr (literal HOF " +
+    "form) on scalar features, duplicate-centroid ties included") {
+    // r16: the scalar fit/label path moved to the reference-object
+    // kernel so Lloyd iterations stop recompiling codegen; this pins
+    // the two assignment forms cell-for-cell on a grid with exact ties
+    val cents = Array(Array(0.0, 0.0), Array(1.0, 1.0),
+      Array(1.0, 1.0), Array(2.0, 0.5))
+    val rows = for (i <- 0 until 9; j <- 0 until 9)
+      yield Seq((i * 9 + j).toLong, i * 0.25, j * 0.25)
+    val df = Ingest.localData(spark, Seq("id", "f1", "f2"), rows)
+    val both = df.select(
+      KMeansDet.assignExprCols(cents, Seq(col("f1"), col("f2"))).as("a"),
+      KMeansDet.assignExpr(cents, Seq(col("f1"), col("f2"))).as("b"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"kernel ${r.getInt(0)} != literal ${r.getInt(1)}"))
+  }
+
   test("separable 1-d clusters, canonical ids ordered by centroid") {
     val df = Ingest.localData(spark, Seq("id", "x"),
       Seq(Seq(1L, 1.0), Seq(2L, 1.1), Seq(3L, 0.9),
