@@ -122,6 +122,19 @@ object Engine {
 
   // ------------------------------------------------------------ statements
 
+
+  /** Layout-decouple a compute-heavy NARROW statement from the input's
+    * file layout (guide §2.5/§6): a single-row-group table hands the
+    * whole per-row encode/fim/render fold to ONE task however many
+    * cores the session has (r16 profile: hb_fim_ids ran its 7 s of
+    * encode CPU in a 1-task stage). PlanAudit.repartitionIfLayoutBound
+    * is a no-op when the frame already offers >= cores splits or has a
+    * shuffle below it. Values are per-row functions of existing
+    * columns (the frame KEY is evaluated below the added exchange), so
+    * results are partitioning-independent. */
+  private def spread(df: DataFrame): DataFrame =
+    graft.PlanAudit.repartitionIfLayoutBound(df)
+
   def applyStatement(f: HbFrame, st: Statement): HbFrame = st match {
     case Comment(_) => f
 
@@ -410,8 +423,9 @@ object Engine {
       // frequency-truncation knob (BpeSpec pins the property; the
       // library-level t_bpe_* gates keep exercising the distributed
       // loop). Same for every statement fit below.
-      f.copy(df = f.df.withColumn("bpe", graft.operators.Bpe.encodeColFast(
-        col(c), graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L))))
+      f.copy(df = spread(f.df).withColumn("bpe",
+        graft.operators.Bpe.encodeColFast(
+          col(c), graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L))))
 
     case WordPieceEnc(c, n) =>
       // likelihood-ranked fit (bounded driver rows) + the native greedy
@@ -419,7 +433,7 @@ object Engine {
       val merges =
         graft.operators.WordPiece.fitLocal(f.df, c, n, minCount = 1L)
       val vocab = graft.operators.WordPiece.vocabulary(f.df, c, merges)
-      f.copy(df = f.df
+      f.copy(df = spread(f.df)
         .withColumn("__wps", graft.operators.WordPiece.encodeCol(col(c), vocab))
         .withColumn("wp", array_join(col("__wps"), " "))
         .withColumn("n_pieces",
@@ -430,7 +444,7 @@ object Engine {
       // candidate fit + one Viterbi-EM round (bounded model rows), then
       // the native compiled DP encode as a pure narrow map
       val model = graft.operators.Unigram.fitEm(f.df, c, n)
-      f.copy(df = f.df
+      f.copy(df = spread(f.df)
         .withColumn("__ups", graft.operators.Unigram.encodeCol(col(c), model))
         .withColumn("ug", array_join(col("__ups"), " "))
         .withColumn("n_pieces",
@@ -440,20 +454,21 @@ object Engine {
     case BpeBytesEnc(c, n) =>
       // byte-level twin: case/whitespace-preserving, lossless under
       // `decode bytes`; same bounded-fit + narrow-encode shape
-      f.copy(df = f.df.withColumn("bpe",
+      f.copy(df = spread(f.df).withColumn("bpe",
         graft.operators.Bpe.encodeBytesCol(col(c),
           graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L,
             byteLevel = true))))
 
     case BpeBytesDecode(c) =>
       // stateless narrow map — no model, stream-safe
-      f.copy(df = f.df.withColumn("text_decoded",
+      f.copy(df = spread(f.df).withColumn("text_decoded",
         graft.operators.Bpe.decodeBytesCol(col(c))))
 
     case FimTransform(c, pm, salt) =>
       // fill-in-middle on the frame key — pure narrow map, row set and
       // key unchanged
-      f.copy(df = graft.operators.SpanCorrupt.fim(f.df, KEY, c, pm, salt))
+      f.copy(df = graft.operators.SpanCorrupt.fim(spread(f.df), KEY, c,
+        pm, salt))
 
     case UnigramIdsEnc(c, n, tags) =>
       // unigram trainer-input twin: refined model, sorted-order ids.
@@ -467,7 +482,7 @@ object Engine {
       val ugIds =
         if (tags.isEmpty) graft.operators.Unigram.encodeIdsCol(col(c), model)
         else graft.operators.Unigram.encodeIdsCol(col(c), model, tags, 6)
-      f.copy(df = f.df
+      f.copy(df = spread(f.df)
         .withColumn("token_ids", ugIds)
         .withColumn("ids_str",
           concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -489,7 +504,7 @@ object Engine {
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
         else
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab, tags, 16)
-      f.copy(df = f.df
+      f.copy(df = spread(f.df)
         .withColumn("token_ids", idsCol)
         .withColumn("ids_str",
           concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -507,7 +522,7 @@ object Engine {
       // inspection costs zero Spark jobs.
       val merges = graft.operators.Bpe.fitLocal(f.df, c, n,
         minCount = 1L, byteLevel = true, specials = tags)
-      f.copy(df = f.df
+      f.copy(df = spread(f.df)
         .withColumn("token_ids",
           graft.operators.Bpe.encodeIdsCol(col(c), merges, tags))
         .withMetadata("token_ids",
@@ -528,7 +543,7 @@ object Engine {
             "encode with `bpe ids`/`sft` first, or bind a " +
             "configuration with `decode ids … using`"))
       val sp = graft.operators.Bpe.specialsFromMetadata(f.df.schema, c)
-      f.copy(df = f.df.withColumn("text_decoded",
+      f.copy(df = spread(f.df).withColumn("text_decoded",
         graft.operators.Bpe.decodeIdsCol(col(c), merges, sp)))
 
     case SftChat(pc, rc, n) =>
@@ -545,7 +560,7 @@ object Engine {
         require(!f.df.columns.contains(c),
           s"sft: frame already has a '$c' column — rename it first"))
       val sftSp = graft.operators.Sft.Specials
-      val renderedDf = f.df.withColumn("rendered",
+      val renderedDf = spread(f.df).withColumn("rendered",
         graft.operators.Sft.render(col(pc), col(rc)))
       val sftMerges = graft.operators.Bpe.fitLocal(renderedDf,
         "rendered", n, minCount = 1L, byteLevel = true, specials = sftSp)

@@ -150,7 +150,9 @@ object Classifier {
     // Values identical: margin_sum = Σ (bitlen(p+1)−bitlen(n+1)) +
     // n_tokens·(bitlen(N⁻+B)−bitlen(N⁺+B)), NULL fields without token
     // evidence.
-    val scored = df.withColumn("__ms",
+    // layout-decoupled (guide §2.5) — streaming frames no-op
+    val scored = graft.PlanAudit.repartitionIfLayoutBound(df)
+      .withColumn("__ms",
       graft.functions.TokenScores.nb_margin(
         Decontaminate.tokens(col(textCol)), salt, buckets, mp, mn,
         nPos, nNeg))

@@ -167,7 +167,9 @@ object LangId {
     // rides a codegen reference object, so refits reuse the compiled
     // kernel (the ArgminDist recipe). Null text or no trigram evidence
     // → NULL n_grams/lang_pred, exactly as before.
-    val scored = df.withColumn("__ls",
+    // layout-decoupled (guide §2.5) — streaming frames no-op
+    val scored = graft.PlanAudit.repartitionIfLayoutBound(df)
+      .withColumn("__ls",
       graft.functions.LangScore.lang_score(
         norm(col(textCol)), salt, buckets, maps))
     // two getField references keep CollapseProject from inlining the

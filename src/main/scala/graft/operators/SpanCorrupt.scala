@@ -63,7 +63,11 @@ object SpanCorrupt {
     val toks = Decontaminate.tokens(col(textCol))
     val sc = graft.functions.SpanCorruptExpr.span_corrupt(
       col(idCol).cast("string"), toks, rateK, salt)
-    df.withColumn("__sc", when(col(textCol).isNotNull, sc))
+    // layout-decoupled: the corruption pass is a per-row compiled fold
+    // and must not inherit a row-group-capped scan (guide §2.5; no-op
+    // on an already-split input)
+    graft.PlanAudit.repartitionIfLayoutBound(df)
+      .withColumn("__sc", when(col(textCol).isNotNull, sc))
       .withColumn("inp", col("__sc.inp"))
       .withColumn("tgt", col("__sc.tgt"))
       .withColumn("n_masked",
@@ -193,7 +197,8 @@ object SpanCorrupt {
       concat(array(lit("<PRE>")), prefix,
         array(lit("<SUF>")), suffix,
         array(lit("<MID>")), middle))
-    df.withColumn("fim",
+    graft.PlanAudit.repartitionIfLayoutBound(df)
+      .withColumn("fim",
         when(col(textCol).isNull, lit(null).cast("string"))
           .when(applied, psm)
           .otherwise(concat_ws(" ", toks)))

@@ -147,7 +147,11 @@ object Surprisal {
     // and a streaming micro-batch re-paid it every batch. Scores are
     // the same integers: max(0, bitlen(cc+B) − bitlen(cp+1)) summed,
     // n_pairs = max(n−1, 0), NULL fields without bigram evidence.
-    val scored = df.withColumn("__ss",
+    // layout-decoupled (guide §2.5): the compiled scorer is per-row
+    // CPU and must not inherit a row-group-capped scan; streaming
+    // frames no-op inside the helper
+    val scored = graft.PlanAudit.repartitionIfLayoutBound(df)
+      .withColumn("__ss",
       graft.functions.TokenScores.bigram_surprisal(
         Decontaminate.tokens(col(textCol)), salt, buckets, mp, mc))
     // two getField references keep CollapseProject from inlining the

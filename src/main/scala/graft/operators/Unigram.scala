@@ -52,10 +52,17 @@ object Unigram {
     * every occurrence counted, ties broken piece ASC), with
     * `cost = bitlen(total) − bitlen(freq)` over the selected set. */
   def fit(df: DataFrame, textCol: String, topMulti: Int,
-      maxPieceLen: Int = 6): Seq[Piece] = {
+      maxPieceLen: Int = 6): Seq[Piece] =
+    fitWords(words(df, textCol), topMulti, maxPieceLen)
+
+  /** [[fit]] over a prepared distinct-word frame — the EM entry points
+    * persist ONE words frame and drive every phase from it (the corpus
+    * was re-scanned once per phase/prune round before r16; the frame is
+    * piece-independent, so sharing is free). */
+  private def fitWords(w: DataFrame, topMulti: Int,
+      maxPieceLen: Int): Seq[Piece] = {
     require(topMulti >= 0, s"topMulti must be >= 0, got $topMulti")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
-    val w = words(df, textCol)
     def substr(s: Column, pos: Column, len: Column): Column =
       call_function("substring", s, pos, len)
     val subs = w.select(col("__f"),
@@ -84,10 +91,15 @@ object Unigram {
     * Every input piece survives (smoothing), so character coverage
     * holds whatever the segmentation chose. */
   def refit(df: DataFrame, textCol: String,
-      pieces: Seq[Piece], maxPieceLen: Int = 6): Seq[Piece] = {
+      pieces: Seq[Piece], maxPieceLen: Int = 6): Seq[Piece] =
+    refitWords(words(df, textCol), pieces, maxPieceLen)
+
+  /** [[refit]] over a prepared distinct-word frame (see [[fitWords]]). */
+  private def refitWords(w: DataFrame,
+      pieces: Seq[Piece], maxPieceLen: Int): Seq[Piece] = {
     require(pieces.nonEmpty, "refit needs a non-empty vocabulary")
     val model = pieces.map(p => (p.piece, p.costBits))
-    val segCounts = words(df, textCol)
+    val segCounts = w
       .select(col("__f"),
         explode(graft.functions.UnigramEncodeExpr.ug_encode(
           array(col("__w")), model, maxPieceLen)).as("__p"))
@@ -100,11 +112,16 @@ object Unigram {
       .sortBy(_.piece)
   }
 
-  /** Candidate fit + one Viterbi-EM refinement — the shipped model. */
+  /** Candidate fit + one Viterbi-EM refinement — the shipped model.
+    * One persisted distinct-word frame serves both phases (one corpus
+    * scan instead of two). */
   def fitEm(df: DataFrame, textCol: String, topMulti: Int,
-      maxPieceLen: Int = 6): Seq[Piece] =
-    refit(df, textCol, fit(df, textCol, topMulti, maxPieceLen),
-      maxPieceLen)
+      maxPieceLen: Int = 6): Seq[Piece] = {
+    val w = words(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try refitWords(w, fitWords(w, topMulti, maxPieceLen), maxPieceLen)
+    finally w.unpersist(false)
+  }
 
   /** SentencePiece's outer loop (Kudo 2018 §3.2): seed a LARGE
     * candidate vocabulary (`seedMult · targetVocab` multi-character
@@ -140,7 +157,10 @@ object Unigram {
     require(seedMult >= 2, s"seedMult must be >= 2, got $seedMult")
     require(prunePermille >= 1 && prunePermille <= 1000,
       s"prunePermille must be in [1, 1000], got $prunePermille")
-    var pieces = fit(df, textCol, seedMult * targetVocab, maxPieceLen)
+    val w = words(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+    var pieces = fitWords(w, seedMult * targetVocab, maxPieceLen)
     val nChars = pieces.count(isSingleCp)
     require(targetVocab >= nChars,
       s"targetVocab=$targetVocab is below the corpus alphabet size " +
@@ -151,7 +171,7 @@ object Unigram {
         s"(alphabet $nChars) — cannot reach targetVocab=$targetVocab; " +
         "lower the target or raise maxPieceLen")
     while (pieces.size > targetVocab) {
-      pieces = refit(df, textCol, pieces, maxPieceLen)
+      pieces = refitWords(w, pieces, maxPieceLen)
       val excess = pieces.size - targetVocab
       val nPrune = math.max(1, excess * prunePermille / 1000)
       val costOf = pieces.map(p => p.piece -> p.costBits).toMap
@@ -168,7 +188,8 @@ object Unigram {
         pieces.filter(p => !drop.contains(p.piece))
       }
     }
-    refit(df, textCol, pieces, maxPieceLen)
+    refitWords(w, pieces, maxPieceLen)
+    } finally w.unpersist(false)
   }
 
   /** Persistent fit — the [[Bpe.fitStored]] contract for the

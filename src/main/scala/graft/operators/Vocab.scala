@@ -86,7 +86,8 @@ object Vocab {
       vocab: Map[String, Int]): DataFrame = {
     val vLit = typedlit(vocab)
     val tk = Decontaminate.tokens(col(textCol))
-    df.withColumn("token_ids",
+    // layout-decoupled (guide §2.5) — streaming frames no-op
+    graft.PlanAudit.repartitionIfLayoutBound(df).withColumn("token_ids",
       when(tk.isNotNull,
         transform(tk, w => coalesce(element_at(vLit, w), lit(0)))))
   }

@@ -264,8 +264,31 @@ object StreamHb {
       case Some(lc) => lc.getOrCompute(lc.key(kind, parts))(compute)
       case None => compute
     }
+    // layout-decouple compute-heavy programs up front: the file source
+    // hands each micro-batch ONE task per file, which serializes every
+    // narrow encode/score/decon fold (st_hb_ingest_e2e measured its
+    // whole decon+fim chain in one 2.06 s task, r16). One round-robin
+    // exchange of the raw rows per micro-batch spreads the chain across
+    // cores; cheap programs skip it. Replaces the per-statement
+    // repartitions the tokenizer translations used to carry.
+    val heavy = program.transformations.exists {
+      case _: ScoreUsing | _: ClassifyUsing | _: LangIdUsing |
+          _: EncodeUsing | _: DecodeUsing | _: BpeUsing |
+          _: BpeBytesUsing | _: WordPieceUsing | _: UnigramUsing |
+          _: DeconUsing | _: SemDeconUsing | _: BpeIdsUsing |
+          _: WordPieceIdsUsing | _: UnigramIdsUsing |
+          _: BpeIdsDecodeUsing | _: FertilityUsing | _: SftUsing |
+          _: FimTransform | _: BpeBytesDecode | _: BpeIdsDecode |
+          _: DedupExact => true
+      case _ => false
+    }
+    val spreadStream =
+      if (heavy)
+        stream.repartition(
+          stream.sparkSession.sparkContext.defaultParallelism)
+      else stream
     val start = Engine.HbFrame(
-      stream.withColumn(Engine.KEY, lit(null).cast("long")),
+      spreadStream.withColumn(Engine.KEY, lit(null).cast("long")),
       Seq(col(Engine.KEY).asc))
     program.transformations.foldLeft(start) {
       // streaming-native exact dedup: first arrival survives, state on
@@ -351,8 +374,6 @@ object StreamHb {
             graft.operators.Unigram.encodeIdsCol(col(c), model)
           else graft.operators.Unigram.encodeIdsCol(col(c), model, tags, 6)
         f.copy(df = f.df
-          .repartition(f.df.sparkSession.sessionState.conf
-            .numShufflePartitions)
           .withColumn("token_ids", ugIds)
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -382,8 +403,6 @@ object StreamHb {
           else
             graft.operators.WordPiece.encodeIdsCol(col(c), vocab, tags, 16)
         f.copy(df = f.df
-          .repartition(f.df.sparkSession.sessionState.conf
-            .numShufflePartitions)
           .withColumn("token_ids", wpIds)
           .withColumn("ids_str",
             concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -516,8 +535,6 @@ object StreamHb {
         // narrow round-robin exchange spreads the compiled encode
         // across cores (the bpeEncodeStream precedent, StreamOps.scala)
         f.copy(df = f.df
-          .repartition(f.df.sparkSession.sessionState.conf
-            .numShufflePartitions)
           .withColumn("__wps",
             graft.operators.WordPiece.encodeCol(col(c), vocab))
           .withColumn("wp", array_join(col("__wps"), " "))
@@ -582,8 +599,6 @@ object StreamHb {
           case None => graft.operators.Unigram.fitEm(ugDf, c, n)
         }
         f.copy(df = f.df
-          .repartition(f.df.sparkSession.sessionState.conf
-            .numShufflePartitions)
           .withColumn("__ups",
             graft.operators.Unigram.encodeCol(col(c), model))
           .withColumn("ug", array_join(col("__ups"), " "))

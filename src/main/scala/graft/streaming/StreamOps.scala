@@ -292,6 +292,14 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"))
 
+  /** Spread a per-doc compute-heavy stream off the one-task-per-file
+    * source: the file source hands each micro-batch ONE task per file,
+    * serializing the narrow scorer/encoder folds (guide §2.5 input
+    * skew; measured 16 s vs 1.7 s for the BPE fold at sf0.1). One
+    * round-robin exchange of the raw rows per micro-batch. */
+  private def spreadStream(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** The documents table as a stream (schema from the batch file, same
     * glob-filtered file source as readEventsStream). */
   private def readDocsStream(spark: SparkSession, dir: String): DataFrame = {
@@ -325,7 +333,8 @@ object StreamOps {
     val (mp, mc) = graft.operators.Surprisal.modelMaps(
       graft.operators.Surprisal.fit(ref, "text", buckets, salt))
     runAppend(graft.operators.Surprisal.withScoresNarrow(
-        readDocsStream(spark, dir), mp, mc, "text", buckets, salt)
+        spreadStream(readDocsStream(spark, dir)), mp, mc, "text",
+        buckets, salt)
       .select(col("doc_id"), col("n_pairs"), col("surprisal_sum"),
         col("avg1000")), queryName)
   }
@@ -341,7 +350,7 @@ object StreamOps {
     val vm = graft.operators.Vocab.vocabMap(
       graft.operators.Vocab.fit(docs, "text", size))
     runAppend(graft.operators.Vocab.encodeNarrow(
-        readDocsStream(spark, dir), "text", vm)
+        spreadStream(readDocsStream(spark, dir)), "text", vm)
       .select(col("doc_id"),
         when(col("token_ids").isNotNull,
           concat_ws(" ", col("token_ids"))).as("token_ids_str")),
@@ -370,8 +379,7 @@ object StreamOps {
     // not). One narrow round-robin exchange of the raw text per
     // micro-batch spreads the encode across cores; the expression
     // dominates the shuffle by an order of magnitude.
-    runAppend(readDocsStream(spark, dir)
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    runAppend(spreadStream(readDocsStream(spark, dir))
       .select(col("doc_id"),
         graft.operators.Bpe.encodeColFast(col("text"), merges).as("bpe")),
       queryName)
@@ -390,7 +398,8 @@ object StreamOps {
     val (mp, mn, np, nn) = graft.operators.Classifier.modelMaps(
       graft.operators.Classifier.fit(pos, neg, "text", buckets, salt))
     runAppend(graft.operators.Classifier.withMarginsNarrow(
-        readDocsStream(spark, dir), mp, mn, np, nn, "text", buckets, salt)
+        spreadStream(readDocsStream(spark, dir)), mp, mn, np, nn, "text",
+        buckets, salt)
       .select(col("doc_id"), col("n_tokens"), col("margin_sum"),
         col("margin1000")), queryName)
   }
