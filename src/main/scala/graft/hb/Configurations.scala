@@ -180,6 +180,19 @@ object Configurations {
         val c = configs.getOrElse(name,
           throw new NoSuchElementException(s"no configuration '$name'"))
         def compute: DataFrame = {
+          // label the EAGER jobs a configuration fires while it builds
+          // (statement fits, decon gram collects, scrub digests) with
+          // the configuration name (guide §1.5) — the profile/UI view
+          // of a multi-stage pipeline is unreadable without it
+          val sc0 = spark.sparkContext
+          val prevDesc = sc0.getLocalProperty("spark.job.description")
+          sc0.setJobDescription(s"hb conf:$name")
+          try computeInner(configs, name, visiting)
+          finally sc0.setJobDescription(prevDesc)
+        }
+        def computeInner(configs: Map[String, Conf], name: String,
+            visiting: Set[String]): DataFrame = {
+          val c = configs(name)
           def sub(n0: String) = runRec(configs, n0, visiting + name)
           val source = c.source match {
             case TableSource(t) => resolveTable(t)

@@ -102,7 +102,11 @@ object Dedup {
   private def shingleFrame(df: DataFrame, textCol: String, idCol: String,
       extraCols: Seq[String], n: Int, shCol: String,
       portable: Boolean = false): DataFrame =
-    df.filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
+    // layout-decoupled (guide §2.5): the shingle pass is the per-doc
+    // hot loop of every minhash consumer and must not inherit a
+    // row-group-capped scan; no-op on an already-split input
+    graft.PlanAudit.repartitionIfLayoutBound(df)
+      .filter(size(split(lower(col(textCol)), "\\s+")) >= 1)
       .select((col(idCol).as("__id") +: extraCols.map(col)) :+
         shingles(col(textCol), n, portable).as(shCol): _*)
 
@@ -383,8 +387,9 @@ object Dedup {
     // the signature is one expression over one tokenization pass now —
     // only the compact (id, signature) frame needs caching for the
     // chunk self-join
-    val sim = cached(df.select(col(idCol).as("__id"),
-      simhash(col(textCol), portable).as("__simhash")))
+    val sim = cached(graft.PlanAudit.repartitionIfLayoutBound(df)
+      .select(col(idCol).as("__id"),
+        simhash(col(textCol), portable).as("__simhash")))
     val chunks = sim.withColumn("__c", explode(array(
       (0 until 4).map(k => struct(lit(k).as("cidx"),
         shiftright(col("__simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))

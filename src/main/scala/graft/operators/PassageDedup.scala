@@ -34,7 +34,11 @@ object PassageDedup {
       sampleMod: Int = 1): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
     require(sampleMod >= 1, s"sampleMod must be >= 1, got $sampleMod")
-    val w = Decontaminate.ngramRows(df.select(col(idCol), col(textCol)),
+    // layout-decoupled (guide §2.5): the window-gram assembly + md5 is
+    // the per-doc hot loop; no-op on an already-split input
+    val w = Decontaminate.ngramRows(
+      graft.PlanAudit.repartitionIfLayoutBound(
+        df.select(col(idCol), col(textCol))),
       idCol, Decontaminate.tokens(col(textCol)), k)
       .select(col(idCol), md5(col("gram")).as("fp"))
     if (sampleMod <= 1) w
@@ -60,7 +64,8 @@ object PassageDedup {
       k: Int): DataFrame = {
     require(k >= 1, s"window size must be >= 1, got $k")
     val toks = Decontaminate.tokens(col(textCol))
-    val sliced = df.select(col(idCol) +: (0 until k).map { i =>
+    val sliced = graft.PlanAudit.repartitionIfLayoutBound(df)
+      .select(col(idCol) +: (0 until k).map { i =>
       val c = if (i == 0) toks
               else slice(toks, lit(i + 1), greatest(size(toks) - i, lit(0)))
       c.as(s"__g$i")

@@ -1969,7 +1969,12 @@ object TextGates {
     // merge-for-merge semantics are pinned by WordPieceSpec's
     // fitLocal ≡ fit parity property.
     Gate("t_wordpiece_train_big", (s, d) => {
-      val docs = t(s, d, "documents")
+      // spread BEFORE the trigram assembly: the heavy projection must
+      // sit above the added exchange, or the single-row-group scan
+      // serializes it (guide §2.5) — wordFrame's internal spread comes
+      // too late for a projection built outside the fit
+      val docs = graft.PlanAudit.repartitionIfLayoutBound(
+        t(s, d, "documents"))
       val tk = graft.operators.Decontaminate.tokens(col("text"))
       val g = greatest(size(tk) - 2, lit(0))
       val tri = transform(
@@ -2059,7 +2064,9 @@ object TextGates {
     // counts; merge-for-merge semantics are pinned by BpeSpec's
     // fitLocal ≡ fit/fitDelta parity property.
     Gate("t_bpe_train_big", (s, d) => {
-      val docs = t(s, d, "documents")
+      // spread before the trigram assembly (see t_wordpiece_train_big)
+      val docs = graft.PlanAudit.repartitionIfLayoutBound(
+        t(s, d, "documents"))
       val tk = graft.operators.Decontaminate.tokens(col("text"))
       // arrays_zip over three slices, NOT element_at(tk, i) in the
       // lambda: HOF lambdas evaluate interpreted with no CSE, so each
