@@ -151,7 +151,13 @@ object KMeansDet {
   def withCluster(df: DataFrame, features: Seq[String],
       tieBreak: Seq[Column], k: Int, iters: Int = 10,
       out: String = "cluster"): DataFrame = {
-    val m = fit(df, features, tieBreak, k, iters)
+    // AQE off around the Lloyd driver loop (iters tiny collect jobs
+    // over the persisted points frame — adaptive re-planning is pure
+    // latency there); the labeled output below plans normally
+    val m = graft.PlanAudit.withConf(df.sparkSession,
+      "spark.sql.adaptive.enabled", "false") {
+      fit(df, features, tieBreak, k, iters)
+    }
     df.withColumn(out, labelExpr(m, features.map(col)))
   }
 

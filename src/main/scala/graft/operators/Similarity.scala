@@ -214,8 +214,13 @@ object Similarity {
     // the (queries × k)-row result eagerly, release the cache
     val (assigned, cents) = if (deterministic) {
       val d = vecDim(e, "__na")
-      val m = fitCellsMemo(modelKey, modelStore, e, "__na", d,
-        Seq(col(idCol)), nCells, fitIters)
+      // AQE off around the Lloyd driver loop (tiny collect jobs over
+      // the persisted frame — see pqTopK); single-threaded here
+      val m = graft.PlanAudit.withConf(spark,
+        "spark.sql.adaptive.enabled", "false") {
+        fitCellsMemo(modelKey, modelStore, e, "__na", d,
+          Seq(col(idCol)), nCells, fitIters)
+      }
       val asg = e
         .withColumn("__cell", KMeansDet.labelExprVec(m, col("__na"), d))
         .select(col(idCol), col("__v"), col("__nrm"), col("__cell"))
@@ -365,22 +370,34 @@ object Similarity {
       math.min(m + 1, 4))
     implicit val fitEc =
       scala.concurrent.ExecutionContext.fromExecutor(fitPool)
-    val modelFuts = (0 until m).map { s =>
-      scala.concurrent.Future {
-        fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
-          fitFrame, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+    // AQE off for the whole fit phase (set BEFORE the futures launch,
+    // restored after the last one drains — a single-threaded toggle
+    // around the concurrent region): the fits are dozens of tiny
+    // collect jobs over persisted KB-scale frames where adaptive
+    // re-planning only adds latency. The ADC/probe stages below run
+    // with AQE restored.
+    val (models, cellFut) = graft.PlanAudit.withConf(spark,
+      "spark.sql.adaptive.enabled", "false") {
+      val modelFuts = (0 until m).map { s =>
+        scala.concurrent.Future {
+          fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
+            fitFrame, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+        }
       }
+      // optional IVF level fits concurrently with the codebooks (it
+      // reads the same materialized frame)
+      val cf =
+        if (nCells > 0) Some(scala.concurrent.Future {
+          fitCellsMemo(modelKey, modelStore, fitFrame, "__na", d,
+            Seq(col(idCol)), nCells, fitIters)
+        })
+        else None
+      val ms = modelFuts.map(f => scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf))
+      cf.foreach(f => scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf))
+      (ms, cf)
     }
-    // optional IVF level fits concurrently with the codebooks (it reads
-    // the same materialized frame)
-    val cellFut =
-      if (nCells > 0) Some(scala.concurrent.Future {
-        fitCellsMemo(modelKey, modelStore, fitFrame, "__na", d,
-          Seq(col(idCol)), nCells, fitIters)
-      })
-      else None
-    val models = modelFuts.map(f => scala.concurrent.Await
-      .result(f, scala.concurrent.duration.Duration.Inf))
     // quantized codebooks + per-code self-dots, driver-side (m·codes·sub
     // longs — bounded by the codebook contract)
     val cq: Seq[Seq[Seq[Long]]] = models.map(mod =>
@@ -921,8 +938,12 @@ object Similarity {
       // function of the vector multiset + tieBreak values, and both
       // operators feed it the same L2-normalized corpus) — so a shared
       // modelKey makes the dedup reuse the index's fit verbatim
-      val m = fitCellsMemo(modelKey, modelStore, e, "__na", d,
-        Seq(col("__id")), nCells, fitIters)
+      // AQE off around the Lloyd driver loop (see pqTopK)
+      val m = graft.PlanAudit.withConf(df.sparkSession,
+        "spark.sql.adaptive.enabled", "false") {
+        fitCellsMemo(modelKey, modelStore, e, "__na", d,
+          Seq(col("__id")), nCells, fitIters)
+      }
       KMeansDet.canonicalCentroids(m).zipWithIndex
         .map { case (c, i) => (i, c) }.toSeq
     } else {
