@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -58,7 +58,18 @@ object Ordinals {
   /** Range-repartition + in-partition sort by `order`, then append
     * `value(globalOrdinal, totalRows)` as a new column. One count job
     * over the shuffled RDD (reused by the main job), one imperative
-    * per-partition numbering pass. */
+    * per-partition numbering pass.
+    *
+    * Both passes stay in InternalRow space (`queryExecution.toRdd` +
+    * [[org.apache.spark.sql.GraftSqlBridge]]): the previous
+    * `Dataset.rdd` hop deserialized every column to external objects
+    * for the count AND the zip, then `createDataFrame` re-encoded them
+    * — two full-width conversions whose cost scales with the payload,
+    * not the ordinal. The zip appends the computed value with one
+    * UnsafeProjection over a JoinedRow, copying untouched fields in
+    * their binary form. The projection's output row is REUSED across
+    * the iterator (standard operator contract — downstream operators
+    * copy when they buffer), never cached here. */
   private def zipOrdered[T](df: DataFrame, order: Seq[Column],
       numPartitions: Int)(value: (Long, Long) => T)(
       field: Unit => StructField): (DataFrame, Long) = {
@@ -67,17 +78,33 @@ object Ordinals {
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
-    val rdd = sorted.rdd // ONE physical partitioning for both jobs below
+    // ONE physical partitioning for both jobs below (range boundaries
+    // are sampled per RDD — two separately planned exchanges could
+    // disagree, see class doc)
+    val rdd = sorted.queryExecution.toRdd
     val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size.toLong)))
+      .mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; while (it.hasNext) { it.next(); c += 1 }
+        Iterator.single((i, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val offsets = counts.scanLeft(0L)(_ + _)
     val total = offsets.last
     val schema = StructType(sorted.schema.fields :+ field(()))
     val zipped = rdd.mapPartitionsWithIndex { (i, it) =>
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(schema)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(1)
       var ord = offsets(i)
-      it.map { r => ord += 1; Row.fromSeq(r.toSeq :+ value(ord, total)) }
+      it.map { r =>
+        ord += 1
+        extra.update(0, value(ord, total))
+        proj(joined(r, extra)): org.apache.spark.sql.catalyst.InternalRow
+      }
     }
-    (spark.createDataFrame(zipped, schema), total)
+    (org.apache.spark.sql.GraftSqlBridge
+      .internalCreateDataFrame(spark, zipped, schema), total)
   }
 }
