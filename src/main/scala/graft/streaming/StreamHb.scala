@@ -621,16 +621,12 @@ object StreamHb {
     // models fit HERE (translation time), outside the state-partition
     // override, so batch fits keep the session's parallelism
     val out = apply(program, stream, resolve, store)
-    def drain(): Unit = {
-      val q = out.writeStream
+    def drain(): Unit =
+      StreamOps.runDrained(spark, out.writeStream
         .outputMode(outputMode(program))
         .format("memory")
         .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
-    }
+        .trigger(Trigger.AvailableNow()))
     if (stateful(program) && inputBytes >= 0)
       StreamOps.withStatePartitions(spark,
         StreamOps.stateParallelism(spark, inputBytes))(drain())

@@ -58,6 +58,62 @@ object StreamOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Checkpoint root for the gate-shaped SYNCHRONOUS streaming queries
+    * (AvailableNow → memory sink → stop): `graft.stream.checkpointDir`
+    * when set (empty string = Spark's default temp-dir behavior), else
+    * `/dev/shm/graft-ckpt` when /dev/shm is a writable directory (the
+    * Linux RAM tmpfs). Rationale (guide §1/§6 — the micro-batch floor is
+    * I/O, not compute, at gate scale): every micro-batch pays offset-log
+    * WAL + commit-log + state-store delta writes into the checkpoint;
+    * measured at sf0.1 those land 40–270 ms/batch on the disk-backed
+    * /tmp and are pure overhead for a query whose checkpoint is deleted
+    * on stop anyway. Durability was never this shape's contract — Spark
+    * itself deletes the temp checkpoint of an unnamed-location memory
+    * sink on stop; we do the same (unique subdir per query, removed in
+    * a finally). Production streams that must survive a restart pass an
+    * EXPLICIT durable location ([[shardAppendStream]]'s `checkpoint`
+    * parameter) and never come through here. */
+  private[streaming] def fastCheckpointRoot(
+      spark: SparkSession): Option[String] =
+    spark.conf.getOption("graft.stream.checkpointDir")
+      .orElse {
+        val shm = new java.io.File("/dev/shm")
+        if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-ckpt")
+        else None
+      }
+      .filter(_.nonEmpty)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** Start + drain + stop a gate-shaped streaming query with the fast
+    * checkpoint root applied — the one place the checkpoint lifecycle
+    * (create unique dir → run → delete) lives. Falls back to Spark's
+    * own temp-checkpoint handling when no root resolves. */
+  private[graft] def runDrained(spark: SparkSession,
+      w: org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]): Unit =
+    fastCheckpointRoot(spark) match {
+      case Some(root) =>
+        val r = new java.io.File(root)
+        r.mkdirs()
+        val dir = java.nio.file.Files
+          .createTempDirectory(r.toPath, "q").toFile
+        try {
+          val q = w.option("checkpointLocation", dir.getAbsolutePath)
+            .start()
+          q.processAllAvailable()
+          q.stop()
+        } finally deleteRec(dir)
+      case None =>
+        val q = w.start()
+        q.processAllAvailable()
+        q.stop()
+    }
+
   /** Size of one test table's parquet file(s) — the per-batch input
     * volume the gate-shaped AvailableNow queries replay. */
   private[streaming] def tableBytes(dir: String, table: String): Long = {
@@ -100,14 +156,11 @@ object StreamOps {
         col("n"), col("sum_value"))
     withStatePartitions(spark,
       stateParallelism(spark, tableBytes(dir, "events"))) {
-      val q = agg.writeStream
+      runDrained(spark, agg.writeStream
         .outputMode("complete")
         .format("memory")
         .queryName(queryName)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.processAllAvailable()
-      q.stop()
+        .trigger(Trigger.AvailableNow()))
     }
     spark.table(queryName)
   }
@@ -165,10 +218,9 @@ object StreamOps {
       .toDF("user_id", "session_start", "session_last", "n_events")
     withStatePartitions(spark,
       stateParallelism(spark, tableBytes(dir, "events"))) {
-      val q = closed.writeStream.outputMode("append").format("memory")
-        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      q.stop()
+      runDrained(spark, closed.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()))
     }
     spark.table(queryName)
   }
@@ -194,10 +246,9 @@ object StreamOps {
       .select(keys.map(col): _*)
     withStatePartitions(spark,
       stateParallelism(spark, tableBytes(dir, "events"))) {
-      val q = deduped.writeStream.outputMode("append").format("memory")
-        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      q.stop()
+      runDrained(spark, deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()))
     }
     spark.table(queryName)
   }
@@ -251,10 +302,9 @@ object StreamOps {
         col("purchase_id"))
     withStatePartitions(spark,
       stateParallelism(spark, tableBytes(dir, "events"))) {
-      val q = joined.writeStream.outputMode("append").format("memory")
-        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      q.stop()
+      runDrained(spark, joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()))
     }
     spark.table(queryName)
   }
@@ -275,10 +325,9 @@ object StreamOps {
         sum(col("value").cast(dec6)).cast(DoubleType).as("sum_value"))
     withStatePartitions(spark,
       stateParallelism(spark, tableBytes(dir, "events"))) {
-      val q = joined.writeStream.outputMode("complete").format("memory")
-        .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-      q.processAllAvailable()
-      q.stop()
+      runDrained(spark, joined.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(queryName).trigger(Trigger.AvailableNow()))
     }
     spark.table(queryName)
   }
@@ -310,10 +359,8 @@ object StreamOps {
 
   private def runAppend(df: DataFrame, queryName: String): DataFrame = {
     val spark = df.sparkSession
-    val q = df.writeStream.outputMode("append").format("memory")
-      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
-    q.processAllAvailable()
-    q.stop()
+    runDrained(spark, df.writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()))
     spark.table(queryName)
   }
 
