@@ -38,13 +38,74 @@ object Components {
   /** (id, `out`) for every node appearing in `edges`; `out` is the
     * minimum id reachable from `id`. Self-loops and NULL endpoints are
     * dropped. Fails loudly (not silently-partial) if `maxRounds` is hit
-    * before the fixpoint. */
+    * before the fixpoint.
+    *
+    * Execution strategy is size-adaptive (the broadcast-join
+    * discipline): when the edge list fits the driver
+    * (`graft.cc.driverMaxEdges`, default 1M pairs ≈ tens of MB — the
+    * same bounded-collect class as a broadcast relation), one
+    * union-find pass on the driver replaces the O(log n) iterated
+    * shuffle rounds — a verified near-dup edge list is bounded by the
+    * corpus's TRUE duplicate rate, so in practice this is the common
+    * case even at large corpora; above the bound the distributed
+    * pointer-jumping loop runs unchanged. Both paths compute the same
+    * pure function (min reachable id), asserted in ComponentsSpec. The
+    * size probe is one `limit(n+1)` collect of the (long, long) pairs —
+    * when under the bound, that collect IS the input to union-find, so
+    * the probe costs no extra pass. */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
       out: String = "component", maxRounds: Int = 40): DataFrame = {
     val e0 = edges
       .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
+    val maxDriverEdges = edges.sparkSession.conf
+      .get("graft.cc.driverMaxEdges", (1L << 20).toString).toLong
+    if (maxDriverEdges > 0 && maxDriverEdges < Int.MaxValue) {
+      val probe = e0.limit(maxDriverEdges.toInt + 1).collect()
+      if (probe.length <= maxDriverEdges) {
+        return driverComponents(edges.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))), out)
+      }
+    }
+    distributedComponents(e0, out, maxRounds)
+  }
+
+  /** Driver union-find over a bounded edge array → (id, minimum
+    * reachable id) frame. Path-halving find, union by attaching the
+    * larger root id under the smaller — the root of every set is its
+    * minimum id BY CONSTRUCTION, so the final label needs no second
+    * pass. */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      es: Array[(Long, Long)], out: String): DataFrame = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent(x)
+      while (p != x) {
+        val gp = parent(p)
+        parent(x) = gp // path halving
+        x = gp
+        p = parent(x)
+      }
+      x
+    }
+    es.foreach { case (u, v) =>
+      if (!parent.contains(u)) parent(u) = u
+      if (!parent.contains(v)) parent(v) = v
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        // smaller id stays root → root == component minimum
+        if (ru < rv) parent(rv) = ru else parent(ru) = rv
+      }
+    }
+    val rows = parent.keys.toSeq.map(id => (id, find(id)))
+    import spark.implicits._
+    rows.toDF("id", out)
+  }
+
+  private def distributedComponents(e0: DataFrame, out: String,
+      maxRounds: Int): DataFrame = {
     // localCheckpoint (not persist): iterative DataFrames must TRUNCATE
     // lineage every round — each round joins the previous round's frame
     // twice (the pointer jump), so an un-truncated logical plan doubles

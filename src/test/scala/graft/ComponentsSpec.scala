@@ -37,11 +37,35 @@ class ComponentsSpec extends AnyFunSuite {
     "not O(n)) and labels everything with the path min") {
     val edges = (0L until 199L).map(i => (i, i + 1))
     // maxRounds 15 ≪ the 199 rounds plain propagation would need —
-    // convergence inside it is the logarithmic-rounds evidence
-    val got = Components.connectedComponents(
-      edges.toDF("a", "b"), "a", "b", maxRounds = 15)
-      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // convergence inside it is the logarithmic-rounds evidence.
+    // driverMaxEdges 0 forces the DISTRIBUTED path (the size-adaptive
+    // default would union-find this tiny graph on the driver)
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    val got =
+      try Components.connectedComponents(
+        edges.toDF("a", "b"), "a", "b", maxRounds = 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      finally spark.conf.unset("graft.cc.driverMaxEdges")
     assert(got.length == 200 && got.forall(_._2 == 0L))
+  }
+
+  test("driver union-find path == distributed pointer-jumping path " +
+    "on a mixed graph (r17 size-adaptive execution)") {
+    // random-ish mixed graph: cliques, chains, isolated pairs, reversed
+    // and duplicate edges — both execution strategies must produce the
+    // identical (id -> min reachable id) map
+    val edges = ((0L until 60L).map(i => (i, (i * 7) % 60)) ++
+      Seq((100L, 101L), (101L, 102L), (200L, 100L))).filter(e => e._1 != e._2)
+    def run(): Map[Long, Long] =
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDriver = run() // default conf: driver path (edges << 1M)
+    spark.conf.set("graft.cc.driverMaxEdges", "0") // force distributed
+    try {
+      val viaDistributed = run()
+      assert(viaDriver == viaDistributed)
+      assert(viaDriver.nonEmpty)
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
   }
 
   test("withComponents labels every row; isolated rows are their own " +
