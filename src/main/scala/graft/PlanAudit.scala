@@ -98,10 +98,29 @@ object PlanAudit {
     * cluster's parallelism, repartition up; otherwise return the frame
     * unchanged (a 100 TB input already offers plenty of splits — never
     * shrink it). One extra round-robin exchange in the narrow case,
-    * zero correctness impact. */
-  def repartitionIfLayoutBound(df: DataFrame): DataFrame = {
+    * zero correctness impact.
+    *
+    * `bytesPerTask` encodes the CALLER's per-byte compute weight
+    * (guide §2.5 applies to compute-heavy stages only — r17): 0 (the
+    * default, for ms-per-row work like BPE byte encodes) targets full
+    * cluster width regardless of input size; a positive value caps the
+    * spread at one task per that many input bytes, so a LIGHT per-row
+    * op over a small input stops paying `cores` tasks of scheduling
+    * per downstream job (s_ann_pq's ADC ran 46 jobs × 32 tasks over a
+    * 780 KB corpus at sf0.1). At scale the cap exceeds the cluster
+    * width and the behavior is identical in both modes. */
+  def repartitionIfLayoutBound(df: DataFrame,
+      bytesPerTask: Long = 0L): DataFrame = {
     val spark = df.sparkSession
-    val par = spark.sparkContext.defaultParallelism
+    val par0 = spark.sparkContext.defaultParallelism
+    val par =
+      if (bytesPerTask <= 0) par0
+      else {
+        val bytes = inputBytes(df)
+        if (bytes <= 0) par0
+        else math.min(par0.toLong, math.max(1L,
+          (bytes + bytesPerTask - 1) / bytesPerTask)).toInt
+      }
     val planParts =
       try df.rdd.getNumPartitions
       catch { case _: Throwable => return df }

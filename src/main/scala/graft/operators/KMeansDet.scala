@@ -88,13 +88,15 @@ object KMeansDet {
         numPartitions = pts.rdd.getNumPartitions max 1)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
+      // k rows collect; the rank order is applied DRIVER-side (an
+      // orderBy here planned a range exchange + sampling job per fit)
       val initRows = ordDf
         .filter(col("__rn").isin(ranks: _*))
-        .orderBy("__rn")
-        .select(features.map(col): _*)
+        .select(col("__rn") +: features.map(col): _*)
         .collect()
+        .sortBy(_.getLong(0))
       var cents = initRows.map(r =>
-        features.indices.map(r.getDouble).toArray)
+        features.indices.map(i => r.getDouble(i + 1)).toArray)
       // the k quantile ranks are distinct for any n >= k, so this only
       // fires on a broken ordinal — but a short centroid array would
       // otherwise surface as an opaque index error in assignExpr
@@ -215,12 +217,13 @@ object KMeansDet {
         numPartitions = pts.rdd.getNumPartitions max 1)
       require(n >= k, s"k-means needs at least k=$k rows, got $n")
       val ranks = (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
+      // driver-side rank sort — see fit
       val initRows = ordDf
         .filter(col("__rn").isin(ranks: _*))
-        .orderBy("__rn")
-        .select(col("__vec"))
+        .select(col("__rn"), col("__vec"))
         .collect()
-      var cents = initRows.map(_.getSeq[Double](0).toArray)
+        .sortBy(_.getLong(0))
+      var cents = initRows.map(_.getSeq[Double](1).toArray)
       require(cents.length == k,
         s"init produced ${cents.length} centroids, expected $k")
       for (_ <- 1 to iters) {
@@ -245,6 +248,163 @@ object KMeansDet {
       val perm = Array.ofDim[Int](k)
       sortedIdx.zipWithIndex.foreach { case (j, rank) => perm(j) = rank }
       Model(cents, perm)
+    } finally { pts.unpersist() }
+  }
+
+  /** Fit `vecCols.size` SAME-DIMENSION vector columns of one frame with
+    * a single synchronized Lloyd loop — the fused form of calling
+    * [[fitVec]] once per column. Mathematics per column IDENTICAL to
+    * fitVec (KMeansDetSpec pins model equality): rows explode to
+    * (subspace, vector) with the per-row usable filter applied per
+    * exploded row (the same row multiset each per-column fit filters);
+    * init is each subspace's quantile rows over its own element-
+    * lexicographic order; and each iteration's centroid update groups
+    * by (subspace, cluster) FIRST, so every group sums exactly the
+    * rows the per-column fit's (cluster) group did — exact
+    * DECIMAL(30,6) sums are order-free, so fusing changes nothing.
+    *
+    * Why fuse (guide §2 job-latency floor): m independent fits run
+    * m·iters tiny aggregate-collect jobs whose ~60–100 ms job-launch
+    * latency dominates at small per-subspace data (s_ann_pq profiled
+    * ~120 jobs, r16); the fused loop runs `iters` jobs total. The m
+    * ordinal init scans stay per-subspace (each orders by different
+    * keys) and overlap from a small pool (§2.6). Assignment dispatches
+    * on the subspace id through a CASE of [[graft.functions.ArgminDist]]
+    * kernels — centroids ride as codegen reference objects, so the
+    * generated source is identical across iterations (one compile per
+    * fit, as in fitVec).
+    *
+    * NOT thread-safe against concurrent session-conf mutation (callers
+    * toggle AQE around it single-threadedly, as with fitVec). */
+  def fitVecMulti(df: DataFrame, vecCols: Seq[String], d: Int,
+      tieBreak: Seq[Column], k: Int, iters: Int = 10): Seq[Model] =
+    fitVecMultiSpec(df, vecCols.map(c => (c, d, k)), tieBreak, iters)
+
+  /** The general form of [[fitVecMulti]]: each entry of `specs` is
+    * (vector column, its dimension, its k) — mixed dimensions and
+    * cluster counts share the one fused Lloyd loop (pqTopK fuses its m
+    * d/m-dim codebooks AND the d-dim IVF coarse-cell fit this way).
+    * Per-entry mathematics identical to [[fitVec]] (KMeansDetSpec). */
+  def fitVecMultiSpec(df: DataFrame, specs: Seq[(String, Int, Int)],
+      tieBreak: Seq[Column], iters: Int = 10): Seq[Model] = {
+    require(iters > 0, s"iters must be > 0, got $iters")
+    require(specs.nonEmpty, "fitVecMultiSpec needs at least one column")
+    specs.foreach { case (c, dd, kk) =>
+      require(dd >= 1, s"$c: need at least one dimension, got $dd")
+      require(kk >= 1, s"$c: k must be >= 1, got $kk")
+    }
+    val m = specs.size
+    if (m == 1) {
+      val (c, dd, kk) = specs.head
+      return Seq(fitVec(df, c, dd, tieBreak, kk, iters))
+    }
+    val dims = specs.map(_._2)
+    val ks = specs.map(_._3)
+    def el(i: Int) = element_at(col("__vec"), i + 1)
+    // per-row usable filter per SUBSPACE dimension — the same row
+    // multiset each per-column fitVec filters
+    val usableBySub = specs.zipWithIndex.map { case ((_, dd, _), s) =>
+      col("__s") === lit(s) && usableVec(col("__vec"), dd)
+    }.reduce(_ || _)
+    val pts = df
+      .select(struct(tieBreak: _*).as("__tb"),
+        posexplode(array(specs.map { case (c, _, _) =>
+          transform(col(c), _.cast(DoubleType)) }: _*)))
+      .withColumnRenamed("pos", "__s")
+      .withColumnRenamed("col", "__vec")
+      .filter(usableBySub)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sc0 = df.sparkSession.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      val prev = sc0.getLocalProperty("spark.job.description")
+      sc0.setJobDescription(desc)
+      try body finally sc0.setJobDescription(prev)
+    }
+    try {
+      // materialize ONCE before the concurrent init scans (the r15/r16
+      // lesson: a concurrent first fill recomputes the projection per
+      // future); this count also warms every block the loop reads
+      labeled("kmdet-multi: materialize")(pts.count())
+      val partsN = (try pts.rdd.getNumPartitions
+        catch { case _: Throwable => 1 }) max 1
+      // per-subspace quantile init — independent ordinal job chains,
+      // overlapped (guide §2.6); the only remaining per-subspace jobs
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(m, 4))
+      val initCents: Array[Array[Array[Double]]] =
+        try {
+          implicit val ec =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          val futs = (0 until m).map { s =>
+            scala.concurrent.Future { labeled(s"kmdet-multi: init $s") {
+              val k = ks(s)
+              val sub = pts.filter(col("__s") === s)
+              val order =
+                (0 until dims(s)).map(i => el(i).asc) :+ col("__tb").asc
+              val (ordDf, n) = Ordinals.withGlobalOrdinalTotal(sub,
+                "__rn", order, numPartitions = partsN)
+              require(n >= k,
+                s"k-means needs at least k=$k rows, got $n (subspace $s)")
+              val ranks =
+                (0 until k).map(j => ((2L * j + 1) * n) / (2L * k) + 1)
+              // driver-side rank sort — see fit
+              val initRows = ordDf
+                .filter(col("__rn").isin(ranks: _*))
+                .select(col("__rn"), col("__vec"))
+                .collect()
+                .sortBy(_.getLong(0))
+              val cs = initRows.map(_.getSeq[Double](1).toArray)
+              require(cs.length == k,
+                s"init produced ${cs.length} centroids, expected $k" +
+                  s" (subspace $s)")
+              cs
+            } }
+          }
+          futs.map(f => scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf)).toArray
+        } finally pool.shutdown()
+      var cents = initCents
+      val maxDim = dims.max
+      for (t <- 1 to iters) {
+        // ONE aggregate job updates every subspace's centroids
+        val assign = (1 until m).foldLeft(
+          when(col("__s") === lit(0),
+            assignExprVec(cents(0), col("__vec")))) { (acc, s) =>
+          acc.when(col("__s") === lit(s),
+            assignExprVec(cents(s), col("__vec")))
+        }
+        // aggregate to the WIDEST dimension; a shorter subspace's extra
+        // columns aggregate nulls (count 0, mean null) and are never
+        // read below — each (s, cl) group reads exactly dims(s) means
+        val aggs = (0 until maxDim).map { i =>
+          (sum(el(i).cast(dec6)).cast(DoubleType) / count(el(i)))
+            .as(s"__m_$i")
+        }
+        val stats = labeled(s"kmdet-multi: round $t")(pts
+          .groupBy(col("__s"), assign.as("__cl"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect())
+          .map { r =>
+            val s = r.getAs[Int]("__s")
+            (s, r.getAs[Int]("__cl")) ->
+              (0 until dims(s)).map(i => r.getAs[Double](s"__m_$i")).toArray
+          }
+          .toMap
+        cents = Array.tabulate(m) { s =>
+          cents(s).zipWithIndex.map { case (prev, j) =>
+            stats.getOrElse((s, j), prev) // empty cluster keeps centroid
+          }
+        }
+      }
+      (0 until m).map { s =>
+        val cs = cents(s)
+        val sortedIdx = cs.indices.sortWith { (a, b) =>
+          val c = lexCompare(cs(a), cs(b)); if (c != 0) c < 0 else a < b
+        }
+        val perm = Array.ofDim[Int](ks(s))
+        sortedIdx.zipWithIndex.foreach { case (j, rank) => perm(j) = rank }
+        Model(cs, perm)
+      }
     } finally { pts.unpersist() }
   }
 

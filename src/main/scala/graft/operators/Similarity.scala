@@ -145,6 +145,34 @@ object Similarity {
     }
   }
 
+  /** The m per-subspace PQ codebooks through the [[cellModels]] memo,
+    * fit FUSED ([[KMeansDet.fitVecMulti]] — one aggregate job per Lloyd
+    * round for all m subspaces instead of m·iters tiny jobs; guide §2
+    * job-latency floor). Memo keys are exactly the per-subspace
+    * `fitCellsMemo` keys, so a later per-subspace consumer (or an
+    * earlier one) shares the same entries. All-or-nothing memo read: a
+    * partial hit re-fits everything (deterministic — identical values
+    * land back). Only for callers WITHOUT a persistent store (the
+    * store tier stays on the per-subspace path). */
+  private def fitSubspacesMemo(modelKey: Option[String], frame: DataFrame,
+      m: Int, sub: Int, tieBreak: Seq[Column], codes: Int,
+      iters: Int): Seq[KMeansDet.Model] = {
+    // memo keys EXACTLY as fitCellsMemo would build them, so the fused
+    // fit shares entries with any per-subspace consumer
+    def subKey(s: Int) = modelKey.map(k0 =>
+      s"$k0|pq$s/$m|k=$codes|it=$iters|d=$sub")
+    val hit = modelKey.isDefined &&
+      (0 until m).forall(s => cellModels.containsKey(subKey(s).get))
+    if (hit) (0 until m).map(s => cellModels.get(subKey(s).get))
+    else {
+      val ms = KMeansDet.fitVecMultiSpec(frame,
+        (0 until m).map(s => (s"__pq$s", sub, codes)), tieBreak, iters)
+      if (modelKey.isDefined)
+        (0 until m).foreach(s => cellModels.put(subKey(s).get, ms(s)))
+      ms
+    }
+  }
+
   /** One row per original cluster index: (idx, perm, centroid). */
   private def modelToDf(spark: org.apache.spark.sql.SparkSession,
       m: KMeansDet.Model): DataFrame = {
@@ -244,6 +272,9 @@ object Similarity {
         model.clusterCenters.zipWithIndex.map { case (c, i) =>
           (i, c.toArray) }.toSeq)
     }
+    // fill the assignment cache before its two consumer branches (query
+    // probe + cell-scoring join) race it — see fillCache
+    fillCache(assigned)
     val centDf = spark.createDataFrame(cents).toDF("__cell", "__cvd")
       .withColumn("__cv", quantize(col("__cvd")))
       .withColumn("__cnrm", normQ(col("__cv")))
@@ -329,14 +360,30 @@ object Similarity {
     // above it) at the row-group count — sf1 measured 3.3× on the
     // 4-row-group driver file vs 1.6× on a 32-split layout of the same
     // rows. No-op when the input already offers >= cores splits.
-    val e0 = graft.PlanAudit.repartitionIfLayoutBound(corpus)
+    // data-PROPORTIONAL spread width (r17): the PQ encode/ADC is ~1k
+    // flops per row — light enough that one task chews MBs — so the
+    // spread caps at one task per graft.spread.adcBytesPerTask
+    // (default 1 MB) instead of always fanning to cluster width; at
+    // corpus scale the cap exceeds the width and nothing changes
+    val adcBpt = spark.conf
+      .get("graft.spread.adcBytesPerTask", (1L << 20).toString).toLong
+    val e0 = graft.PlanAudit.repartitionIfLayoutBound(corpus, adcBpt)
       .select(col(idCol),
         transform(col(vecCol), _.cast(DoubleType)).as("__dv"))
       .withColumn("__l2",
         sqrt(aggregate(col("__dv"), lit(0.0), (a, x) => a + x * x)))
       .withColumn("__na", transform(col("__dv"),
         x => x / greatest(col("__l2"), lit(1e-30))))
-    val d = vecDim(e0, "__na")
+    val sc0 = spark.sparkContext
+    def labeled[T](desc: String)(body: => T): T = {
+      val prev = sc0.getLocalProperty("spark.job.description")
+      sc0.setJobDescription(desc)
+      try body finally sc0.setJobDescription(prev)
+    }
+    // dim off the RAW vector column (transform/normalize preserve
+    // element count): the probe over e0 paid the spread exchange and
+    // the HOF chain for a max(size) aggregate
+    val d = labeled("pq: dim probe")(vecDim(corpus, vecCol))
     require(m > 0 && d % m == 0, s"dim $d must split into m=$m subspaces")
     val sub = d / m
     val sliced = (0 until m).foldLeft(e0) { (df, s) =>
@@ -352,7 +399,7 @@ object Similarity {
     // deterministic regardless of scheduling (independent subspaces).
     // Measured r16 at sf0.1 (honest cold fit, no persisted store):
     // s_ann_pq 8 sequential fits ~5 s of fit wall → ~1.6 s concurrent.
-    sliced.count()
+    labeled("pq: materialize sliced")(sliced.count())
     // the fits read a DATA-PROPORTIONAL view of the materialized frame:
     // `sliced` is deliberately wide for the ADC/encode stages (layout
     // decoupling above), but a Lloyd fit over it is ~120 tiny jobs and
@@ -376,27 +423,40 @@ object Similarity {
     // collect jobs over persisted KB-scale frames where adaptive
     // re-planning only adds latency. The ADC/probe stages below run
     // with AQE restored.
-    val (models, cellFut) = graft.PlanAudit.withConf(spark,
+    val (models, cellModel) = graft.PlanAudit.withConf(spark,
       "spark.sql.adaptive.enabled", "false") {
-      val modelFuts = (0 until m).map { s =>
-        scala.concurrent.Future {
-          fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
-            fitFrame, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
-        }
-      }
-      // optional IVF level fits concurrently with the codebooks (it
-      // reads the same materialized frame)
+      // the m codebooks in ONE fused Lloyd loop (fitVecMultiSpec — one
+      // aggregate job per round for all m subspaces; r16 ran m
+      // concurrent per-fit driver loops = m·iters tiny jobs of
+      // job-launch latency). The d-dim IVF cell fit stays a CONCURRENT
+      // future, NOT part of the fused loop: fusing mixed dimensions
+      // widens the round aggregate to the largest dim for every
+      // exploded row (measured 5 → 38 s of task time at d=64, m=8 —
+      // the fused aggregate evaluated 64 decimal sum/count pairs on
+      // every 8-dim subspace row). The persistent-store tier keeps the
+      // per-fit path (each artifact loads/saves independently).
       val cf =
         if (nCells > 0) Some(scala.concurrent.Future {
           fitCellsMemo(modelKey, modelStore, fitFrame, "__na", d,
             Seq(col(idCol)), nCells, fitIters)
         })
         else None
-      val ms = modelFuts.map(f => scala.concurrent.Await
-        .result(f, scala.concurrent.duration.Duration.Inf))
-      cf.foreach(f => scala.concurrent.Await
-        .result(f, scala.concurrent.duration.Duration.Inf))
-      (ms, cf)
+      val ms =
+        if (modelStore.isEmpty)
+          fitSubspacesMemo(modelKey, fitFrame, m, sub, Seq(col(idCol)),
+            codes, fitIters)
+        else {
+          val modelFuts = (0 until m).map { s =>
+            scala.concurrent.Future {
+              fitCellsMemo(modelKey.map(k0 => s"$k0|pq$s/$m"), modelStore,
+                fitFrame, s"__pq$s", sub, Seq(col(idCol)), codes, fitIters)
+            }
+          }
+          modelFuts.map(f => scala.concurrent.Await
+            .result(f, scala.concurrent.duration.Duration.Inf))
+        }
+      (ms, cf.map(f => scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
     }
     // quantized codebooks + per-code self-dots, driver-side (m·codes·sub
     // longs — bounded by the codebook contract)
@@ -406,10 +466,6 @@ object Similarity {
     val cn2: Seq[Seq[Long]] =
       cq.map(_.map(cv => cv.map(v => v * v).sum))
     val cn2Lit = typedlit(cn2)
-    // optional IVF level: coarse cells over the full normalized vector,
-    // same model-memo key shape as ivfTopK so one fit serves both
-    val cellModel = cellFut.map(f => scala.concurrent.Await
-      .result(f, scala.concurrent.duration.Duration.Inf))
     fitPool.shutdown()
     val coded0 = sliced.withColumn("__codes",
       array((0 until m).map(s =>
@@ -508,9 +564,10 @@ object Similarity {
         .filter(col("rank") <= k)
         .select(col("query_id"), col("rank"),
           col(idCol).as("neighbor_id"), col("cosine"))
-    }).localCheckpoint(true)
+    })
+    val topkCk = labeled("pq: output")(topk.localCheckpoint(true))
     sliced.unpersist(false)
-    topk
+    topkCk
   }
 
   /** MMR diversity re-rank (Carbonell & Goldstein, "The Use of MMR…",
@@ -740,6 +797,20 @@ object Similarity {
     } finally e.unpersist()
   }
 
+  /** Fill a persisted signature frame BEFORE its multi-branch consumers
+    * (banded self-join + verify joins): AQE materializes independent
+    * leaf stages concurrently, and every branch reaching the UNFILLED
+    * cache recomputes the signature projection (the r17 Dedup.fill
+    * finding — d_ngram_jaccard profiled 4× duplicate signature
+    * passes). One labeled count builds the cache once. */
+  private def fillCache(df: DataFrame): DataFrame = {
+    val sc0 = df.sparkSession.sparkContext
+    val prev = sc0.getLocalProperty("spark.job.description")
+    sc0.setJobDescription("similarity: materialize signatures")
+    try df.count() finally sc0.setJobDescription(prev)
+    df
+  }
+
   /** RP-LSH signature projection shared by the three entry points below:
     * (idCol, __sig 64-bit signature, __v quantized vector, __nrm).
     *
@@ -801,8 +872,8 @@ object Similarity {
   def rpLshTopK(corpus: DataFrame, queryIds: Column => Column,
       idCol: String, vecCol: String, k: Int, nBands: Int = 16,
       seed: Long = 42L, portable: Boolean = false): DataFrame = {
-    val e = sigFrame(corpus, idCol, vecCol, seed, portable)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = fillCache(sigFrame(corpus, idCol, vecCol, seed, portable)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = bandRows(e, idCol, nBands)
     val qBands = banded.filter(queryIds(col(idCol)))
       .select(col(idCol).as("query_id"), col("__band"), col("__bv"))
@@ -841,9 +912,9 @@ object Similarity {
   def rpLshNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBands: Int = 8, seed: Long = 42L)
       : DataFrame = {
-    val e = sigFrame(df.select(col(idCol).as("__id"),
+    val e = fillCache(sigFrame(df.select(col(idCol).as("__id"),
         col(vecCol).as("__vec")), "__id", "__vec", seed)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = bandRows(e, "__id", nBands)
     val cand = banded.as("a").join(banded.as("b"),
       col("a.__band") === col("b.__band") &&

@@ -113,6 +113,53 @@ class KMeansDetSpec extends AnyFunSuite {
     assert(lCol == lVec)
   }
 
+  test("fitVecMulti (fused Lloyd loop) == fitVec per subspace, " +
+    "including rows unusable in one subspace and empty clusters") {
+    // r17: pqTopK's m per-subspace fits fused to one aggregate job per
+    // round — the fused loop must reproduce every per-subspace model
+    // bit-for-bit (same init rows, same decimal means, same relabel)
+    val rows = (0 until 50).map { i =>
+      val a = Seq(math.sin(i.toDouble) * 10, (i % 13).toDouble)
+      // subspace 1 has a few unusable rows (null via NaN) to pin the
+      // per-exploded-row usable filter against fitVec's per-fit filter
+      val b =
+        if (i % 17 == 0) Seq(Double.NaN, 1.0)
+        else Seq(math.cos(i.toDouble) * 5, (i % 7).toDouble)
+      val c = Seq((i % 3).toDouble * 100, i.toDouble / 10)
+      Seq[Any](i.toLong, a, b, c)
+    }
+    import spark.implicits._
+    val df = rows.map(r => (r(0).asInstanceOf[Long],
+        r(1).asInstanceOf[Seq[Double]], r(2).asInstanceOf[Seq[Double]],
+        r(3).asInstanceOf[Seq[Double]]))
+      .toDF("id", "v0", "v1", "v2")
+    val cols = Seq("v0", "v1", "v2")
+    val fused = KMeansDet.fitVecMulti(df, cols, 2, Seq(col("id")),
+      k = 4, iters = 3)
+    val single = cols.map(c =>
+      KMeansDet.fitVec(df, c, 2, Seq(col("id")), k = 4, iters = 3))
+    fused.zip(single).zipWithIndex.foreach { case ((fm, sm), s) =>
+      assert(fm.centroids.map(_.toSeq).toSeq ==
+        sm.centroids.map(_.toSeq).toSeq, s"subspace $s centroids")
+      assert(fm.perm.toSeq == sm.perm.toSeq, s"subspace $s perm")
+    }
+    // mixed dimensions AND cluster counts in one loop (the pq + IVF
+    // cell fusion shape): a 4-dim k=3 column beside the 2-dim k=4 ones
+    val wide = df.withColumn("vw",
+      concat(col("v0"), col("v2"))) // 4-dim, always usable
+    val specs = Seq(("v0", 2, 4), ("vw", 4, 3), ("v1", 2, 4))
+    val fusedMixed = KMeansDet.fitVecMultiSpec(wide, specs,
+      Seq(col("id")), iters = 3)
+    val singleMixed = specs.map { case (c, dd, kk) =>
+      KMeansDet.fitVec(wide, c, dd, Seq(col("id")), kk, iters = 3) }
+    fusedMixed.zip(singleMixed).zipWithIndex.foreach {
+      case ((fm, sm), s) =>
+        assert(fm.centroids.map(_.toSeq).toSeq ==
+          sm.centroids.map(_.toSeq).toSeq, s"spec $s centroids")
+        assert(fm.perm.toSeq == sm.perm.toSeq, s"spec $s perm")
+    }
+  }
+
   test("k = 1 is legal: every usable row lands in cluster 0 " +
     "(the reference accepts `k-means (1)`)") {
     val df = Ingest.localData(spark, Seq("id", "x"),
