@@ -42,6 +42,25 @@ object Dedup {
     out
   }
 
+  /** Fill a cached signature frame BEFORE the candidate self-join
+    * consumes it (r17, guide §2.6 flip side): AQE materializes a
+    * query's independent leaf stages CONCURRENTLY, and every branch of
+    * the band self-join + verify joins that reaches an UNFILLED cache
+    * recomputes the whole signature projection — d_ngram_jaccard
+    * profiled 4 concurrent ~0.8 s stage jobs totalling 53 s of task
+    * time, four computations of the same shingle+minhash pass. One
+    * labeled count() builds the cache once (counting a frame derived
+    * from another cached frame fills BOTH); every later branch reads
+    * blocks. Cost: one small job; the frames are compact (id +
+    * fixed-width signature) at any corpus size. */
+  private def fill(df: DataFrame, what: String): DataFrame = {
+    val sc0 = df.sparkSession.sparkContext
+    val prev = sc0.getLocalProperty("spark.job.description")
+    sc0.setJobDescription(s"dedup: materialize $what")
+    try df.count() finally sc0.setJobDescription(prev)
+    df
+  }
+
   /** Normalized-text digest (the exact-dedup identity). */
   def fingerprint(textCol: Column): Column =
     md5(lower(regexp_replace(textCol, "\\s+", " ")))
@@ -163,7 +182,7 @@ object Dedup {
     // signature frame (id + numPerms longs) needs caching for the
     // candidate self-join
     val sh = shingleFrame(df, textCol, idCol, Nil, 3, "__sh", portable)
-    val sig = cached(sigFrame(sh, "__sh", numPerms))
+    val sig = fill(cached(sigFrame(sh, "__sh", numPerms)), "signatures")
     materializeThenRelease(bandPairs(bandFrame(sig, numPerms, bands)), sig)
   }
 
@@ -218,7 +237,9 @@ object Dedup {
       bands: Int, portable: Boolean): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, Nil, 3, "__sh",
       portable))
-    val sig = cached(sigFrame(sh, "__sh", numPerms))
+    // one count builds the sh AND sig caches before the self-join's
+    // concurrent leaf stages read them (see fill)
+    val sig = fill(cached(sigFrame(sh, "__sh", numPerms)), "signatures")
     // size-ratio prune: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs with
     // mismatched set sizes cannot reach the threshold — cheap integer
     // comparisons ahead of the O(|A|+|B|) intersect
@@ -283,8 +304,9 @@ object Dedup {
       }
     val shR = cached(stored("shingles")(
       shingleFrame(right, textCol, rightId, Nil, 3, "__sh", portable)))
-    val sigL = cached(sigFrame(shL, "__sh", numPerms))
-    val sigR = cached(stored("sigs")(sigFrame(shR, "__sh", numPerms)))
+    val sigL = fill(cached(sigFrame(shL, "__sh", numPerms)), "signatures L")
+    val sigR = fill(cached(stored("sigs")(sigFrame(shR, "__sh", numPerms))),
+      "signatures R")
     val bandL = bandFrame(sigL, numPerms, bands)
     val bandR = bandFrame(sigR, numPerms, bands)
     val cand = bandL.as("a").join(bandR.as("b"),
@@ -387,9 +409,9 @@ object Dedup {
     // the signature is one expression over one tokenization pass now —
     // only the compact (id, signature) frame needs caching for the
     // chunk self-join
-    val sim = cached(graft.PlanAudit.repartitionIfLayoutBound(df)
+    val sim = fill(cached(graft.PlanAudit.repartitionIfLayoutBound(df)
       .select(col(idCol).as("__id"),
-        simhash(col(textCol), portable).as("__simhash")))
+        simhash(col(textCol), portable).as("__simhash"))), "simhashes")
     val chunks = sim.withColumn("__c", explode(array(
       (0 until 4).map(k => struct(lit(k).as("cidx"),
         shiftright(col("__simhash"), 16 * k).bitwiseAND(lit(0xFFFFL))
@@ -421,7 +443,8 @@ object Dedup {
       blockCols: Seq[String], threshold: Double = 0.6,
       n: Int = 3, numPerms: Int = 64, bands: Int = 32): DataFrame = {
     val sh = cached(shingleFrame(df, textCol, idCol, blockCols, n, "__g"))
-    val sig = cached(sigFrame(sh, "__g", numPerms))
+    // one count builds the sh AND sig caches — see fill
+    val sig = fill(cached(sigFrame(sh, "__g", numPerms)), "signatures")
     val blockEq = blockCols.map(c => col(s"sa.$c") === col(s"sb.$c"))
       .foldLeft(lit(true))(_ && _)
     val sizePrune =

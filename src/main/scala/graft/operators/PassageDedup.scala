@@ -97,8 +97,8 @@ object PassageDedup {
     * corpus size. Reconstruction is a per-row HOF filter — narrow. */
   def scrub(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8): DataFrame = {
-    val w = positionedWindows(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = fill(positionedWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rep = w.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("fp")
     val out = scrubWith(df, idCol, textCol, k, w, rep)
@@ -124,14 +124,28 @@ object PassageDedup {
   def scrubAgainst(df: DataFrame, idCol: String, textCol: String,
       ref: DataFrame, refIdCol: String, refTextCol: String,
       k: Int = 8): DataFrame = {
-    val w = positionedWindows(df, idCol, textCol, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = fill(positionedWindows(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val evid = broadcast(
       positionedWindows(ref, refIdCol, refTextCol, k)
         .select("fp").distinct())
     val out = scrubWith(df, idCol, textCol, k, w, evid)
     w.unpersist(false)
     out
+  }
+
+  /** Fill the persisted windows frame BEFORE the multi-branch consumers
+    * (repeat counts + per-doc counts + coverage join) — AQE
+    * materializes a query's independent leaf stages concurrently, and
+    * each branch reaching the UNFILLED cache recomputes the whole
+    * window explode (the r17 Dedup.fill finding; t_curation_e2e
+    * profiled 2 concurrent 0.55 s duplicate window passes). */
+  private def fill(df: DataFrame): DataFrame = {
+    val sc0 = df.sparkSession.sparkContext
+    val prev = sc0.getLocalProperty("spark.job.description")
+    sc0.setJobDescription("passagededup: materialize windows")
+    try df.count() finally sc0.setJobDescription(prev)
+    df
   }
 
   /** The shared removal core: coverage from `w ⋈ evid` (any frame of
@@ -177,8 +191,8 @@ object PassageDedup {
     * fraction. */
   def docStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, sampleMod: Int = 1): DataFrame = {
-    val w = windows(df, idCol, textCol, k, sampleMod)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = fill(windows(df, idCol, textCol, k, sampleMod)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val rep = w.groupBy("fp").agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("fp")
     val perDoc = w.groupBy(idCol).agg(count(lit(1)).as("n_windows"))
