@@ -111,10 +111,24 @@ object Configurations {
   def conf(source: ConfSource, hbText: String): Conf =
     Conf(source, HbParser.parse(hbText).transformations)
 
+  /** `truncatePlans = true` lazily `localCheckpoint`s every resolved
+    * configuration before memoizing it: downstream configurations then
+    * analyze a LEAF plan instead of the whole growing chain — Catalyst
+    * re-analysis of the 9-stage hb_pretrain_e2e graph cost ~1.9 s of
+    * driver gap per run (r17 profile) — and each configuration's chain
+    * executes ONCE (the checkpoint blocks serve every consumer), the
+    * reuse the reference's CouchDB stage materialization gives its
+    * workers. Lazy (eager = false): a configuration materializes on
+    * first use, never speculatively. The cost is executor storage for
+    * each configuration's OUTPUT (not its intermediates) for the
+    * session's lifetime — right for multi-consumer pipeline graphs,
+    * wrong for a one-shot linear chain whose output dwarfs storage;
+    * hence opt-in per Runner. */
   final class Runner(
       spark: SparkSession,
       resolveTable: String => DataFrame,
-      cache: Option[LineageCache] = None) {
+      cache: Option[LineageCache] = None,
+      truncatePlans: Boolean = false) {
 
     private val memo = scala.collection.mutable.Map[String, DataFrame]()
 
@@ -227,12 +241,13 @@ object Configurations {
           Engine.run(
             Program(Header(Map(), Map(), Map()), c.statements), source)
         }
-        cache match {
+        val resolved = cache match {
           case Some(lc) =>
             val key = lc.key("conf", Seq(lineageKey(configs, name)))
             lc.getOrCompute(key)(compute)
           case None => compute
         }
+        if (truncatePlans) resolved.localCheckpoint(false) else resolved
       })
     }
   }

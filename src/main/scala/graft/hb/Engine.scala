@@ -135,6 +135,52 @@ object Engine {
   private def spread(df: DataFrame): DataFrame =
     graft.PlanAudit.repartitionIfLayoutBound(df)
 
+  /** In-run persist for a frame that an EAGER statement fit (or a
+    * two-pass emit layout) is about to consume alongside the
+    * statement's own output: each eager consumer otherwise re-executes
+    * the frame's whole upstream chain (guide §6 scan reuse — r16
+    * profiled hb_pretrain_e2e's curation chain executing 3×; the
+    * dedup→split→encode pipelines pay the same shape). Only frames
+    * whose plan carries a shuffle or broadcast build are persisted —
+    * a scan-narrow frame recomputes for one cheap scan and caching it
+    * would only pressure storage. `force = true` persists regardless
+    * (the emit layouts: their input embeds the encode projection,
+    * expensive per row yet exchange-free). Opt out with
+    * `graft.engine.persistFitInputs=false` (e.g. a session whose
+    * chains are huge relative to executor storage and cheap to
+    * recompute). Persisted frames stay registered until the session's
+    * cache clear (Verify/Bench clear per gate) — a long-lived
+    * production session should unpersist gate outputs it keeps. */
+  private def fitInput(df: DataFrame, force: Boolean = false): DataFrame = {
+    val on = df.sparkSession.conf
+      .get("graft.engine.persistFitInputs", "true").toBoolean
+    if (!on) return df
+    def expensive: Boolean =
+      try df.queryExecution.sparkPlan.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.Exchange => e
+      }.isDefined
+      catch { case _: Throwable => false }
+    if (force || expensive)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+  }
+
+  /** Fill a persisted frame BEFORE an action whose plan reads it from
+    * two branches (the emit layout ⋈ placement shape): AQE materializes
+    * independent leaf stages concurrently, and each branch reaching the
+    * UNFILLED cache recomputes the whole upstream chain — the encode
+    * projection twice, exactly what the persist was meant to prevent.
+    * One labeled count builds the cache once. (Fit-bearing statements
+    * need no fill: the eager fit collect is the first consumer and
+    * fills the cache before the output action exists.) */
+  private def fillCache(df: DataFrame): DataFrame = {
+    val sc0 = df.sparkSession.sparkContext
+    val prev = sc0.getLocalProperty("spark.job.description")
+    sc0.setJobDescription("hb emit: materialize encoded frame")
+    try df.count() finally sc0.setJobDescription(prev)
+    df
+  }
+
   def applyStatement(f: HbFrame, st: Statement): HbFrame = st match {
     case Comment(_) => f
 
@@ -400,8 +446,10 @@ object Engine {
 
     case Encode(c, n) =>
       // vocabulary fit on the frame itself, token_ids keyed on the
-      // frame key (row set and key unchanged)
-      f.copy(df = graft.operators.Vocab.fitEncode(f.df, KEY, c, n))
+      // frame key (row set and key unchanged); the fit pass and the
+      // encode output share one persisted input when the chain is
+      // shuffle-bearing (fitInput)
+      f.copy(df = graft.operators.Vocab.fitEncode(fitInput(f.df), KEY, c, n))
 
     case TopBy(k, sc, st) =>
       // stratified selection keyed on the frame index (the tie-break);
@@ -423,17 +471,20 @@ object Engine {
       // frequency-truncation knob (BpeSpec pins the property; the
       // library-level t_bpe_* gates keep exercising the distributed
       // loop). Same for every statement fit below.
-      f.copy(df = spread(f.df).withColumn("bpe",
+      val bpeBase = fitInput(f.df)
+      f.copy(df = spread(bpeBase).withColumn("bpe",
         graft.operators.Bpe.encodeColFast(
-          col(c), graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L))))
+          col(c), graft.operators.Bpe.fitLocal(bpeBase, c, n,
+            minCount = 1L))))
 
     case WordPieceEnc(c, n) =>
       // likelihood-ranked fit (bounded driver rows) + the native greedy
       // encode as a pure narrow map — no join, row set unchanged
+      val wpBase = fitInput(f.df)
       val merges =
-        graft.operators.WordPiece.fitLocal(f.df, c, n, minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(f.df, c, merges)
-      f.copy(df = spread(f.df)
+        graft.operators.WordPiece.fitLocal(wpBase, c, n, minCount = 1L)
+      val vocab = graft.operators.WordPiece.vocabulary(wpBase, c, merges)
+      f.copy(df = spread(wpBase)
         .withColumn("__wps", graft.operators.WordPiece.encodeCol(col(c), vocab))
         .withColumn("wp", array_join(col("__wps"), " "))
         .withColumn("n_pieces",
@@ -443,8 +494,9 @@ object Engine {
     case UnigramEnc(c, n) =>
       // candidate fit + one Viterbi-EM round (bounded model rows), then
       // the native compiled DP encode as a pure narrow map
-      val model = graft.operators.Unigram.fitEm(f.df, c, n)
-      f.copy(df = spread(f.df)
+      val ugBase = fitInput(f.df)
+      val model = graft.operators.Unigram.fitEm(ugBase, c, n)
+      f.copy(df = spread(ugBase)
         .withColumn("__ups", graft.operators.Unigram.encodeCol(col(c), model))
         .withColumn("ug", array_join(col("__ups"), " "))
         .withColumn("n_pieces",
@@ -454,9 +506,10 @@ object Engine {
     case BpeBytesEnc(c, n) =>
       // byte-level twin: case/whitespace-preserving, lossless under
       // `decode bytes`; same bounded-fit + narrow-encode shape
-      f.copy(df = spread(f.df).withColumn("bpe",
+      val bbBase = fitInput(f.df)
+      f.copy(df = spread(bbBase).withColumn("bpe",
         graft.operators.Bpe.encodeBytesCol(col(c),
-          graft.operators.Bpe.fitLocal(f.df, c, n, minCount = 1L,
+          graft.operators.Bpe.fitLocal(bbBase, c, n, minCount = 1L,
             byteLevel = true))))
 
     case BpeBytesDecode(c) =>
@@ -476,13 +529,14 @@ object Engine {
       // from the fit corpus (segmentedCorpus — tag text contributes
       // zero piece statistics) and each occurrence ONE dedicated id
       // above the sorted piece layout
+      val ugiBase = fitInput(f.df)
       val ugFit = graft.functions.SpecialTokens
-        .segmentedCorpus(f.df, c, tags)
+        .segmentedCorpus(ugiBase, c, tags)
       val model = graft.operators.Unigram.fitEm(ugFit, c, n)
       val ugIds =
         if (tags.isEmpty) graft.operators.Unigram.encodeIdsCol(col(c), model)
         else graft.operators.Unigram.encodeIdsCol(col(c), model, tags, 6)
-      f.copy(df = spread(f.df)
+      f.copy(df = spread(ugiBase)
         .withColumn("token_ids", ugIds)
         .withColumn("ids_str",
           concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -495,8 +549,9 @@ object Engine {
       // vocabulary, emitted as vocabFrame-layout id arrays; `tags`
       // reserve specials exactly as `bpe ids`' clause (fit-excluded,
       // dedicated ids N+1+k, case-exact through the lowercasing walk)
+      val wpiBase = fitInput(f.df)
       val wpFit = graft.functions.SpecialTokens
-        .segmentedCorpus(f.df, c, tags)
+        .segmentedCorpus(wpiBase, c, tags)
       val vocab = graft.operators.WordPiece.vocabulary(wpFit, c,
         graft.operators.WordPiece.fitLocal(wpFit, c, n, minCount = 1L))
       val idsCol =
@@ -504,7 +559,7 @@ object Engine {
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab)
         else
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab, tags, 16)
-      f.copy(df = spread(f.df)
+      f.copy(df = spread(wpiBase)
         .withColumn("token_ids", idsCol)
         .withColumn("ids_str",
           concat_ws(" ", col("token_ids").cast("array<string>")))
@@ -520,9 +575,10 @@ object Engine {
       // later `decode ids` statement — can export/round-trip/decode
       // the EXACT fit without a second training pass — schema
       // inspection costs zero Spark jobs.
-      val merges = graft.operators.Bpe.fitLocal(f.df, c, n,
+      val biBase = fitInput(f.df)
+      val merges = graft.operators.Bpe.fitLocal(biBase, c, n,
         minCount = 1L, byteLevel = true, specials = tags)
-      f.copy(df = spread(f.df)
+      f.copy(df = spread(biBase)
         .withColumn("token_ids",
           graft.operators.Bpe.encodeIdsCol(col(c), merges, tags))
         .withMetadata("token_ids",
@@ -560,8 +616,11 @@ object Engine {
         require(!f.df.columns.contains(c),
           s"sft: frame already has a '$c' column — rename it first"))
       val sftSp = graft.operators.Sft.Specials
-      val renderedDf = spread(f.df).withColumn("rendered",
-        graft.operators.Sft.render(col(pc), col(rc)))
+      // force-persist: the rendered projection is consumed by the eager
+      // byte fit AND every downstream pass, and is expensive per row
+      // even when the chain carries no exchange
+      val renderedDf = fitInput(spread(f.df).withColumn("rendered",
+        graft.operators.Sft.render(col(pc), col(rc))), force = true)
       val sftMerges = graft.operators.Bpe.fitLocal(renderedDf,
         "rendered", n, minCount = 1L, byteLevel = true, specials = sftSp)
       f.copy(df = renderedDf
@@ -699,7 +758,13 @@ object Engine {
       // layout over the id COUNTS, then the spanning emit; the DSL
       // surface renders id arrays as space-joined strings (the `bpe`
       // convention — row-printable, oracle-comparable)
-      val withN = f.df.withColumn("__n", size(col(c)))
+      // force-persist: the layout pass (id counts) and the placement
+      // join both consume the frame, whose plan embeds the per-row
+      // encode projection — without the persist the encode runs once
+      // per pass (guide §8: decide with small rows, but re-attaching
+      // must not recompute the heavy rows)
+      val withN = fillCache(fitInput(
+        f.df.withColumn("__n", size(col(c))), force = true))
       val layout = graft.operators.Packing.packedLayout(withN, KEY,
         "__n", budget, shards)
       val placed = layout.join(withN.select(col(KEY), col(c)), KEY)
@@ -728,7 +793,9 @@ object Engine {
       // the artifact as per-sequence `loss_bounds` when present —
       // bin_offset + loss_start per doc, exact under aligned bins
       val hasLoss = f.df.columns.contains("loss_start")
-      val withN = f.df.withColumn("__n", size(col(c)))
+      // force-persist + fill — see EmitPacked
+      val withN = fillCache(fitInput(
+        f.df.withColumn("__n", size(col(c))), force = true))
       val layout = graft.operators.Packing.binLayout(withN, KEY, "__n",
         budget, shards, decreasing = true, bestFit = true)
       val carried = col(KEY) +: col(c) +:

@@ -1328,17 +1328,14 @@ object HbGates {
             |emit packed token_ids 256 4
             |slice columns shard seq n_docs n_tokens input_ids doc_starts
             |""".stripMargin))
-      val runner = new Runner(s, t0 => t(s, d, t0))
-      // ONE execution of the curation chain instead of three: the
-      // decon→semdecon→filter→scrub→dedup→mix chain behind "cleaned"
-      // is consumed by the bpe-ids FIT (eager, at "tokenized"
-      // translation), by the GPT-2 round-trip tap, and by the final
-      // artifact pass — the Runner memoizes the PLAN, not the data, so
-      // each consumer re-executed the whole chain (profiled ~0.6 s per
-      // re-execution, r16). In-run persist only; Bench clears caches
-      // between timed runs.
-      runner.run(configs, "cleaned")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // truncatePlans: every configuration materializes ONCE (lazy
+      // localCheckpoint) and downstream configurations analyze a leaf
+      // instead of the growing 9-stage chain — r17 profiled ~1.9 s of
+      // per-run Catalyst re-analysis driver gap plus re-executions the
+      // r16 gate-level persist of "cleaned" only partly covered.
+      // In-run only; Bench clears caches between timed runs and the
+      // checkpoint blocks are GC-cleaned with the memoized frames.
+      val runner = new Runner(s, t0 => t(s, d, t0), truncatePlans = true)
       // task-3 weave, r13 single-fit form: the byte table the
       // `bpe ids` statement trained rides on token_ids' COLUMN
       // METADATA (Engine BpeIdsEnc → Bpe.mergesMetadata), so the GPT-2

@@ -1982,7 +1982,12 @@ object TextGates {
           slice(tk, lit(3), g).as("c")),
         t3 => concat_ws("_", t3.getField("a"), t3.getField("b"),
           t3.getField("c")))
+      // in-run persist: the trigram assembly feeds THREE eager passes
+      // (fitLocal word count, vocabulary collect, the encode output) —
+      // the fit fills the cache serially, the rest read blocks (r17,
+      // guide §6 scan reuse)
       val fx = docs.select(col("doc_id"), array_join(tri, " ").as("fx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val merges = graft.operators.WordPiece.fitLocal(fx, "fx", 1024,
         minCount = 1L, maxWords = 8192)
       require(merges.size >= 1000,
@@ -2078,7 +2083,10 @@ object TextGates {
           slice(tk, lit(3), g).as("c")),
         t3 => concat_ws("_", t3.getField("a"), t3.getField("b"),
           t3.getField("c")))
+      // in-run persist — see t_wordpiece_train_big (fit + encode output
+      // share one trigram assembly)
       val fx = docs.select(col("doc_id"), array_join(tri, " ").as("fx"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // fit on the FULL frame with the production truncation knob
       // engaged (top 8k words by (freq desc, word asc) — the 16k/27k
       // frames truncate at every sf, which also pins the gate's fit

@@ -526,4 +526,35 @@ class EngineSpec extends AnyFunSuite {
     val lit = graft.hb.Graft.runHb("only (v = '1.5')\n", df)
     assert(lit.select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("fit-input persist (graft.engine.persistFitInputs) does not " +
+    "change pipeline results") {
+    // r17: fit-bearing statements persist their shuffle-tailed input so
+    // the eager fit and the output share one execution — semantics must
+    // be byte-identical with the persist disabled
+    import spark.implicits._
+    val docs = (0 until 60).map(i =>
+      (i.toLong, s"w${i % 7} w${(i * 3) % 11} w${(i * 5) % 13} tail$i"))
+      .toDF("doc_id", "text")
+    val hb =
+      """index rows by doc_id
+        |dedup exact text
+        |split 80/10/10 by doc_id 's1'
+        |only (split = 'train')
+        |encode text 16
+        |emit packed token_ids 64 2
+        |slice columns shard seq n_docs n_tokens input_ids doc_starts
+        |""".stripMargin
+    def rows(): Seq[String] = {
+      spark.sharedState.cacheManager.clearCache()
+      graft.hb.Graft.runHb(hb, docs)
+        .orderBy("shard", "seq").collect().map(_.toString).toSeq
+    }
+    val withPersist = rows()
+    spark.conf.set("graft.engine.persistFitInputs", "false")
+    try {
+      val without = rows()
+      assert(withPersist == without)
+    } finally spark.conf.unset("graft.engine.persistFitInputs")
+  }
 }
