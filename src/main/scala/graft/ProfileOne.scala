@@ -66,7 +66,8 @@ object ProfileOne {
       println(f"[profile] $n wall=$wall%.2f jobs=${snap.size} " +
         f"jobTime=$jobSum%.2f driverGap=${wall - jobSum}%.2f " +
         f"taskTime=${tt / 1e3}%.2f codegen=$cgN (~${cgMs / 1e3}%.2f s)")
-      snap.sortBy(j => -(j.end - j.start)).take(8).foreach { j =>
+      val topN = sys.env.getOrElse("SPARK_GRAFT_PROFILE_TOP", "8").toInt
+      snap.sortBy(j => -(j.end - j.start)).take(topN).foreach { j =>
         println(f"[profile]    job ${j.id}%4d ${(j.end - j.start) / 1e3}%6.2f s " +
           f"stages=${j.stages} ${j.desc.take(90)}")
       }
