@@ -481,9 +481,9 @@ object Engine {
       // likelihood-ranked fit (bounded driver rows) + the native greedy
       // encode as a pure narrow map — no join, row set unchanged
       val wpBase = fitInput(f.df)
-      val merges =
-        graft.operators.WordPiece.fitLocal(wpBase, c, n, minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(wpBase, c, merges)
+      // one word-frame pass drives the merge fit AND the alphabet
+      val (_, vocab) = graft.operators.WordPiece
+        .fitLocalWithVocab(wpBase, c, n, minCount = 1L)
       f.copy(df = spread(wpBase)
         .withColumn("__wps", graft.operators.WordPiece.encodeCol(col(c), vocab))
         .withColumn("wp", array_join(col("__wps"), " "))
@@ -552,8 +552,9 @@ object Engine {
       val wpiBase = fitInput(f.df)
       val wpFit = graft.functions.SpecialTokens
         .segmentedCorpus(wpiBase, c, tags)
-      val vocab = graft.operators.WordPiece.vocabulary(wpFit, c,
-        graft.operators.WordPiece.fitLocal(wpFit, c, n, minCount = 1L))
+      // one word-frame pass drives the merge fit AND the alphabet
+      val (_, vocab) = graft.operators.WordPiece
+        .fitLocalWithVocab(wpFit, c, n, minCount = 1L)
       val idsCol =
         if (tags.isEmpty)
           graft.operators.WordPiece.encodeIdsCol(col(c), vocab)

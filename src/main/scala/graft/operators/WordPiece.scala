@@ -168,11 +168,35 @@ object WordPiece {
     * words (WordPieceSpec pins the property); SCALE.md carries the
     * measured ≥1k-merge wall-clock. */
   def fitLocal(df: DataFrame, textCol: String, nMerges: Int,
-      minCount: Long = 2L, maxWords: Int = 1 << 20): Seq[Merge] = {
+      minCount: Long = 2L, maxWords: Int = 1 << 20): Seq[Merge] =
+    fitLocalFromFrame(wordFrame(df, textCol), nMerges, minCount, maxWords)
+
+  /** [[fitLocal]] + [[vocabulary]] over ONE word-frame pass (r17, guide
+    * §6 scan reuse): every fit-then-encode consumer previously built
+    * `wordFrame` twice — once for the merge trainer's truncated
+    * collect, once for the alphabet collect — i.e. two full
+    * tokenize+explode+aggregate passes over the corpus. The frame is
+    * persisted for the two bounded collects and released; results are
+    * bit-identical (same frame, same collects). */
+  def fitLocalWithVocab(df: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L,
+      maxWords: Int = 1 << 20): (Seq[Merge], Seq[String]) = {
+    val wf = wordFrame(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = fitLocalFromFrame(wf, nMerges, minCount, maxWords)
+      val chars = wf.select(explode(col("__syms")).as("__u"))
+        .distinct().collect().map(_.getString(0)) // alphabet-bounded
+      (merges, (chars.toSeq ++ merges.map(_.merged)).distinct.sorted)
+    } finally wf.unpersist(false)
+  }
+
+  private def fitLocalFromFrame(wf: DataFrame, nMerges: Int,
+      minCount: Long, maxWords: Int): Seq[Merge] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
     require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
-    val collected = wordFrame(df, textCol).select(col("__w"), col("__f"))
+    val collected = wf.select(col("__w"), col("__f"))
       .orderBy(col("__f").desc, col("__w").asc)
       .limit(maxWords)
       .collect() // ≤ maxWords rows BY CONSTRUCTION — the trainer knob

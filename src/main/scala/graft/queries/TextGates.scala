@@ -1901,9 +1901,8 @@ object TextGates {
     // as a recursive CTE, and ordered document reassembly.
     Gate("t_wordpiece", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val vocab = graft.operators.WordPiece
+        .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2
       graft.operators.WordPiece.encode(docs, "doc_id", "text", vocab)
         .orderBy(col("doc_id"))
     },
@@ -1917,12 +1916,11 @@ object TextGates {
     // full oracle.
     Gate("t_wordpiece_export_rt", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
+      val vocab = graft.operators.WordPiece
+        .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2
       val path = java.nio.file.Files
         .createTempDirectory("graft_bert_rt").toString + "/vocab.txt"
-      graft.sinks.TokenizerFiles.writeBertVocab(path,
-        graft.operators.WordPiece.vocabulary(docs, "text", merges))
+      graft.sinks.TokenizerFiles.writeBertVocab(path, vocab)
       graft.operators.WordPiece.encode(docs, "doc_id", "text",
         graft.sinks.TokenizerFiles.readBertVocab(path))
         .orderBy(col("doc_id"))
@@ -1935,10 +1933,9 @@ object TextGates {
     // and replays the id assignment.
     Gate("t_wordpiece_vocab", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
       graft.operators.WordPiece.vocabFrame(s,
-        graft.operators.WordPiece.vocabulary(docs, "text", merges))
+        graft.operators.WordPiece
+          .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2)
         .orderBy(col("id"))
     },
       Some("WITH " + wordPieceCtesSql(6) + ",\n" +
@@ -1988,13 +1985,13 @@ object TextGates {
       // guide §6 scan reuse)
       val fx = docs.select(col("doc_id"), array_join(tri, " ").as("fx"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val merges = graft.operators.WordPiece.fitLocal(fx, "fx", 1024,
-        minCount = 1L, maxWords = 8192)
+      // vocabulary from the FULL frame (alphabet-complete, so the
+      // greedy encode never UNKs and the reconstruction is exact);
+      // fit + alphabet share one word-frame pass (r17)
+      val (merges, vocab) = graft.operators.WordPiece
+        .fitLocalWithVocab(fx, "fx", 1024, minCount = 1L, maxWords = 8192)
       require(merges.size >= 1000,
         s"wordpiece train_big expected >= 1000 merges, got ${merges.size}")
-      // vocabulary from the FULL frame (alphabet-complete, so the
-      // greedy encode never UNKs and the reconstruction is exact)
-      val vocab = graft.operators.WordPiece.vocabulary(fx, "fx", merges)
       val enc = graft.operators.WordPiece.encodeCol(col("fx"), vocab)
       graft.operators.Sampling.hashSample(fx, "doc_id", "wpbig12", 0.2)
         .select(col("doc_id"),
@@ -2156,8 +2153,13 @@ object TextGates {
     // rounds) + ONE codegen'd encode pass + one keyed aggregate.
     Gate("t_tokenizer_fertility", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.Bpe.fitBytes(docs, "text", 6,
-        minCount = 1L)
+      // fitLocal, not the per-merge fitBytes delta loop: this is an
+      // OBSERVABILITY gate, not trainer coverage (t_bpe_train keeps the
+      // distributed loop exercised) — identical merges below maxWords
+      // (BpeSpec parity, byte-level included), ~18 fewer driver-loop
+      // jobs per run (r17)
+      val merges = graft.operators.Bpe.fitLocal(docs, "text", 6,
+        minCount = 1L, byteLevel = true)
       val ids = graft.operators.Bpe.encodeIdsCol(col("text"), merges)
       docs.select(col("lang"),
           graft.functions.TextSignals.tokens(col("text")).cast(LongType)
@@ -2861,9 +2863,8 @@ object TextGates {
     // ROW_NUMBER id assignment + per-document reassembly.
     Gate("t_wordpiece_ids", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val vocab = graft.operators.WordPiece
+        .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2
       docs.select(col("doc_id"),
         graft.operators.WordPiece.encodeIdsCol(col("text"), vocab)
           .as("__ids"))
@@ -2883,9 +2884,8 @@ object TextGates {
     // with the vocabulary count and the two reserved ids spliced on.
     Gate("t_wordpiece_specials", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val vocab = graft.operators.WordPiece
+        .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2
       val sp = Seq("<|DOC|>", "<|END|>")
       val tagged = docs.select(col("doc_id"),
         concat(lit("<|DOC|> "), col("text"), lit(" <|END|>")).as("tagged"))
@@ -2906,9 +2906,8 @@ object TextGates {
     // the same full oracle.
     Gate("t_wordpiece_tags_export_rt", (s, d) => {
       val docs = t(s, d, "documents")
-      val merges = graft.operators.WordPiece.fitLocal(docs, "text", 6,
-        minCount = 1L)
-      val vocab = graft.operators.WordPiece.vocabulary(docs, "text", merges)
+      val vocab = graft.operators.WordPiece
+        .fitLocalWithVocab(docs, "text", 6, minCount = 1L)._2
       val sp = Seq("<|DOC|>", "<|END|>")
       val dir = java.nio.file.Files
         .createTempDirectory("graft_bert_tags_rt").toString

@@ -393,9 +393,9 @@ object StreamHb {
           case None =>
             val fitDf = graft.functions.SpecialTokens
               .segmentedCorpus(wpDf, c, tags)
-            graft.operators.WordPiece.vocabulary(fitDf, c,
-              graft.operators.WordPiece.fitLocal(fitDf, c, n,
-                minCount = 1L))
+            // one word-frame pass for merges AND alphabet (r17)
+            graft.operators.WordPiece
+              .fitLocalWithVocab(fitDf, c, n, minCount = 1L)._2
         }
         val wpIds =
           if (tags.isEmpty)
@@ -527,9 +527,8 @@ object StreamHb {
         val vocab = store match {
           case Some(lc) => graft.operators.WordPiece.vocabularyStored(
             wpDf, c, n, 1L, conf, lc)
-          case None => graft.operators.WordPiece.vocabulary(wpDf, c,
-            graft.operators.WordPiece.fitLocal(wpDf, c, n,
-              minCount = 1L))
+          case None => graft.operators.WordPiece
+            .fitLocalWithVocab(wpDf, c, n, minCount = 1L)._2
         }
         // the file source hands a micro-batch ONE task per file — one
         // narrow round-robin exchange spreads the compiled encode
