@@ -49,7 +49,13 @@ object StreamOps {
     * `spark.sql.shuffle.partitions` temporarily set to `n`: the value
     * is read once at query start and becomes the state partition
     * count. Restores the previous value; batch fits must run OUTSIDE
-    * this wrapper so they keep the session's parallelism. */
+    * this wrapper so they keep the session's parallelism.
+    *
+    * NOT thread-safe: this mutates SESSION-global conf (like
+    * [[graft.PlanAudit.withConf]]). Safe today because gates run
+    * serially and the wrapper encloses whole regions single-threadedly;
+    * concurrent gate execution would silently race the shuffle/AQE
+    * settings — use separate sessions (`spark.newSession()`) there. */
   private[streaming] def withStatePartitions[T](spark: SparkSession,
       n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
